@@ -1,0 +1,130 @@
+"""Golden + differential tests for the splittable dumptxoutset source
+(FIXTURES.md §3; decode semantics of /root/reference/src/main.rs:167-278)."""
+
+from __future__ import annotations
+
+import pytest
+
+from utxo_to_parquet_spark.kernels.header import build_header
+from utxo_to_parquet_spark.sources import (
+    convert_utxo_dump_to_parquet,
+    index_utxo_dump,
+    read_utxo_dump,
+    write_utxo_dump,
+)
+from utxo_to_parquet_spark.sources.synthetic import EATER_SCRIPT, synthetic_utxo_rows
+
+
+def expected_table(rows):
+    """Reference-semantics expectation: txid byte-reversed hex."""
+    return sorted(
+        (txid[::-1].hex(), vout, height, coinbase, amount, script)
+        for txid, vout, height, coinbase, amount, script in rows
+    )
+
+
+def spark_table(df):
+    return sorted(
+        (r.txid, r.vout, r.height, r.coinbase, r.amount, bytes(r.script))
+        for r in df.collect()
+    )
+
+
+def test_empty_snapshot(tmp_path, spark):
+    path = str(tmp_path / "empty.dump")
+    write_utxo_dump(path, [])
+    header, splits = index_utxo_dump(path)
+    assert header.num_utxos == 0 and splits == []
+    assert read_utxo_dump(spark, path).count() == 0
+
+
+def test_single_coin_each_script_type(tmp_path, spark):
+    rows = [r for r in synthetic_utxo_rows(200, seed=7)]
+    path = str(tmp_path / "types.dump")
+    write_utxo_dump(path, rows)
+    df = read_utxo_dump(spark, path, chunk_rows=64)
+    assert spark_table(df) == expected_table(rows)
+
+
+def test_run_length_groups_and_split_boundaries(tmp_path, spark):
+    # small chunk_rows forces splits to land mid-group, exercising the
+    # carried-txid/carried-coins state restoration
+    rows = synthetic_utxo_rows(1000, seed=3)
+    path = str(tmp_path / "groups.dump")
+    write_utxo_dump(path, rows)
+    header, splits = index_utxo_dump(path, chunk_rows=37)
+    assert header.num_utxos == 1000
+    assert sum(s.num_rows for s in splits) == 1000
+    assert len(splits) == (1000 + 36) // 37
+    df = read_utxo_dump(spark, path, chunk_rows=37)
+    assert spark_table(df) == expected_table(rows)
+
+
+def test_schema(tmp_path, spark):
+    rows = synthetic_utxo_rows(10, seed=1)
+    path = str(tmp_path / "schema.dump")
+    write_utxo_dump(path, rows)
+    df = read_utxo_dump(spark, path)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("txid", "string"),
+        ("vout", "bigint"),
+        ("height", "bigint"),
+        ("coinbase", "boolean"),
+        ("amount", "bigint"),
+        ("script", "binary"),
+    ]
+
+
+def test_bad_magic_raises(tmp_path):
+    path = str(tmp_path / "bad.dump")
+    with open(path, "wb") as f:
+        f.write(b"nope\xff" + b"\x00" * 46)
+    with pytest.raises(ValueError, match="magic"):
+        index_utxo_dump(path)
+
+
+def test_truncated_raises(tmp_path):
+    rows = synthetic_utxo_rows(50, seed=5)
+    path = str(tmp_path / "trunc.dump")
+    write_utxo_dump(path, rows)
+    data = open(path, "rb").read()
+    with open(path, "wb") as f:
+        f.write(data[:-10])
+    with pytest.raises(ValueError):
+        index_utxo_dump(path)
+
+
+def test_zero_coin_group_raises(tmp_path):
+    path = str(tmp_path / "zero.dump")
+    with open(path, "wb") as f:
+        f.write(build_header(1))
+        f.write(b"\xab" * 32)  # txid
+        f.write(b"\x00")  # consensus varint 0 coins — invalid
+    with pytest.raises(ValueError, match="zero coins"):
+        index_utxo_dump(path)
+
+
+def test_end_to_end_convert_and_flagship_query(tmp_path, spark):
+    """The reference's full lifecycle: dump → parquet → point lookup
+    (README.md:54-56 analog) — plus verify zstd + row-group layout."""
+    from pyspark.sql import functions as F
+
+    rows = synthetic_utxo_rows(5000, seed=42, eater_every=100)
+    dump = str(tmp_path / "e2e.dump")
+    out = str(tmp_path / "e2e.parquet")
+    write_utxo_dump(dump, rows)
+    n = convert_utxo_dump_to_parquet(spark, dump, out, chunk_rows=1000)
+    assert n == 5000
+
+    df = spark.read.parquet(out)
+    hits = (
+        df.filter(F.col("script") == F.lit(EATER_SCRIPT))
+        .select("txid", "vout", "amount", "height")
+        .orderBy("height")
+    )
+    expected_hits = [r for r in rows if r[5] == EATER_SCRIPT]
+    assert hits.count() == len(expected_hits) == 50
+
+    # the scan must push the equality predicate down to parquet
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(script), EqualTo(script" in plan
