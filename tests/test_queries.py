@@ -1,0 +1,58 @@
+"""Differential tests: every registered query vs its DuckDB oracle at
+sf0.001 (fast). The full sf0.01 gate is tools/check_correctness.py —
+same comparator, driver-shaped."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools.check_correctness import TABLES, table_hash  # noqa: E402
+from utxo_to_parquet_spark.operators import all_oracles, all_queries  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_vs_oracle(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in ORACLES:
+        # rows-only contract: runs and yields a stable schema
+        assert sdf.columns
+        return
+    rel = duck.sql(ORACLES[name])
+    drows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(rel.columns), "column names differ"
+    sn, sh = table_hash(sdf.columns, srows)
+    dn, dh = table_hash(rel.columns, drows)
+    assert (sn, sh) == (dn, dh), f"value hash mismatch: spark {sn} rows vs duckdb {dn} rows"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["txid", "vout", "amount", "height"]
+
+
+def test_oracle_keys_subset():
+    assert set(ORACLES) <= set(QUERIES)

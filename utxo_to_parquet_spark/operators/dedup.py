@@ -1,0 +1,256 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families over ``documents``, each expressed with built-in DataFrame
+ops only (no Python in the hot path) and oracle-checked against DuckDB:
+
+- exact: hash-groupBy on a normalization of the text
+- n-gram Jaccard: shingle inverted index → pair join → set similarity
+- MinHash + LSH: per-(doc,seed) min of seeded hashes → banded keys →
+  bucket join for candidate pairs
+- SimHash: per-bit majority vote over token hashes → compact fingerprint
+
+Scale notes: every operator here is a chain of explode → partial-agg →
+shuffle-on-key; nothing collects to the driver. The shingle inverted
+index is the classic skew risk (a stop-shingle appearing in every doc
+explodes the pair join) — mitigated by dropping shingles with document
+frequency above a cap, which is also standard MinHash/LSH practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+N_SEEDS = 16
+BAND_SIZE = 4
+DF_CAP = 100  # drop shingles present in more than this many docs (skew guard)
+
+_SHINGLES_DUCK = """
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 1, 1)),
+           i -> CONCAT(STRING_SPLIT(text, ' ')[i], ' ',
+                       STRING_SPLIT(text, ' ')[i+1], ' ',
+                       STRING_SPLIT(text, ' ')[i+2])))) AS shingle
+  FROM documents
+"""
+
+
+def _shingles_df(spark, sf_dir):
+    """doc_id, shingle — distinct word-3-gram shingles per document."""
+    docs = load(spark, sf_dir, "documents")
+    # docs with <3 words have no trigram shingles (the oracle's empty-list
+    # unnest drops them too); Spark sequence() would descend for them
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(split(text, ' ')) - 3),"
+                        " i -> concat(split(text, ' ')[i], ' ',"
+                        " split(text, ' ')[i+1], ' ', split(text, ' ')[i+2]))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(lower(text)) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id,
+           COUNT(*) AS n_copies
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0)
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy keeping the smallest doc_id per content
+    hash. A synthetic duplicate set (every 3rd doc re-inserted under a
+    shifted id) proves copies actually collapse. Deterministic — unlike
+    ``dropDuplicates``, which keeps an arbitrary row."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return (
+        docs.unionByName(dupes)
+        .groupBy(F.md5(F.lower(F.col("text"))).alias("content_hash"))
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_DUCK}),
+    filtered AS (
+      SELECT doc_id, shingle FROM shingles
+      WHERE shingle IN (SELECT shingle FROM shingles GROUP BY shingle
+                        HAVING COUNT(DISTINCT doc_id) <= {DF_CAP})
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM filtered GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM filtered a JOIN filtered b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+           ROUND(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+    FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.05
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection via word-3-gram Jaccard: inverted shingle index
+    self-joined into candidate pairs, exact set similarity computed from
+    per-doc shingle counts. The DF cap bounds the worst-case pair
+    blow-up (a shingle in k docs contributes k² pairs)."""
+    sh = _shingles_df(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("shingle")
+    )
+    filtered = sh.join(df_ok, "shingle").cache()
+    sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", "common", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH shingles AS ({_SHINGLES_DUCK}),
+    hashed AS (
+      SELECT doc_id, seed.s AS seed,
+             MIN(md5(CONCAT(CAST(seed.s AS VARCHAR), ':', shingle))) AS mh
+      FROM shingles, (SELECT UNNEST(RANGE(0, {N_SEEDS})) AS s) seed
+      GROUP BY doc_id, seed.s
+    ),
+    bands AS (
+      SELECT doc_id, CAST(FLOOR(seed / {BAND_SIZE}.0) AS BIGINT) AS band,
+             md5(STRING_AGG(mh, '|' ORDER BY seed)) AS band_key
+      FROM hashed GROUP BY 1, 2
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register("q_dedup_minhash_lsh", oracle=_minhash_oracle())
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH candidate pairs: {N_SEEDS} seeded hash functions
+    (md5 with a seed prefix — deterministic across engines), banded into
+    groups of {BAND_SIZE}; docs sharing any band key become candidates.
+    The band join is an equi-join on (band, band_key) — pure shuffle
+    hash join, no cross product, which is the whole point of LSH at
+    100 TB."""
+    sh = _shingles_df(spark, sf_dir)
+    seeds = spark.range(N_SEEDS).select(F.col("id").cast("int").alias("seed"))
+    hashed = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        hashed.withColumn("band", (F.col("seed") / BAND_SIZE).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
+                )
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def _simhash_oracle() -> str:
+    bit_cols = ",\n             ".join(
+        f"SUM(CASE WHEN substr(md5(token), {b}, 1) IN ('8','9','a','b','c','d','e','f')"
+        f" THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(1, 17)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << (16 - b)} ELSE 0 END)" for b in range(1, 17))
+    return f"""
+    WITH tokens AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+             {bit_cols}
+      FROM tokens GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+    FROM bits
+    """
+
+
+@register("q_dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprints: per bit position, a majority vote of
+    token-hash bits (hex digit high-bit of md5), packed into an integer.
+    Near-dup pairs are then a small hamming-ball join on the fingerprint
+    (done in tests); the fingerprint computation is the heavy, per-token
+    part and is what's oracle-checked here."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    hexset = ["8", "9", "a", "b", "c", "d", "e", "f"]
+    aggs = [
+        F.sum(
+            F.when(F.substring(F.md5("token"), b, 1).isin(hexset), 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(1, 17)
+    ]
+    bits = tokens.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for b in range(1, 17):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << (16 - b))).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bits.select("doc_id", fp.cast("long").alias("simhash"))

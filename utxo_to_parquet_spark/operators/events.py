@@ -1,0 +1,167 @@
+"""Event-stream analytics over the ``events`` fixture (batch semantics;
+the Structured Streaming variants live in ``streaming/``).
+
+The events parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+vectorized reader rejects by default; ``load_events`` flips the
+``nanosAsLong`` legacy conf (runtime-settable) and works on the raw
+nanosecond longs. All epoch math uses *integer* division — nanosecond
+epochs exceed 2^53, so a double round-trip would corrupt them.
+
+Timestamps never leave a query as raw TIMESTAMP — they are projected as
+epoch-second BIGINTs so Spark/DuckDB client-layer timezone handling can't
+skew the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import register
+
+NS = 1_000_000_000
+
+
+def load_events(spark, sf_dir):
+    """events with ``ts`` as raw nanosecond epoch (long) and ``ts_sec``
+    as floored epoch seconds."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts_sec", F.expr(f"ts div {NS}"))
+
+
+@register(
+    "q_events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_json_extract(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "q_events_tumbling_5min",
+    oracle="""
+    SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling_5min(spark, sf_dir):
+    """Batch tumbling window: 5-minute buckets as epoch seconds. The
+    streaming twin (streaming/windows.py) computes the same result with
+    readStream + window()."""
+    ev = load_events(spark, sf_dir)
+    bucket = (F.floor(F.col("ts_sec") / 300) * 300).cast("long")
+    return ev.groupBy(bucket.alias("bucket_start"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "q_events_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN FLOOR(EPOCH(ts)) - FLOOR(EPOCH(LAG(ts) OVER w)) > 1800
+                       OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: a >30-min silence starts a new session. Classic
+    lag + flag-sum pattern; partitioned by user so it scales (the shuffle
+    key is user_id, no global window)."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_sec = F.lag("ts_sec").over(w)
+    new_session = F.when(
+        prev_sec.isNull() | ((F.col("ts_sec") - prev_sec) > 1800), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q_events_asof_join",
+    oracle="""
+    SELECT s.event_id,
+           CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS last_error_epoch
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'signup') s
+    ASOF LEFT JOIN (SELECT ts FROM events WHERE event_type = 'error') e
+      ON s.ts >= e.ts
+    """,
+)
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (Spark has no native one — SURVEY §2.3): for each signup,
+    the most recent error at-or-before it. Implemented as the union +
+    last-non-null-over-window composition; DuckDB's native ASOF JOIN is
+    the oracle. Comparison runs at full nanosecond resolution.
+
+    Scale note: the window here is keyed by nothing (one global timeline),
+    correct for this semantics; a keyed as-of (per user/symbol) gains a
+    partitionBy and distributes cleanly.
+    """
+    ev = load_events(spark, sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "ts", F.lit(None).cast("long").alias("err_sec"), F.lit(1).alias("kind")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "ts",
+        F.col("ts_sec").alias("err_sec"),
+        F.lit(0).alias("kind"),
+    )
+    # kind=0 (error) sorts before kind=1 (signup) at equal ts → ties count
+    # as "at-or-before", matching the oracle's >=
+    w = W.orderBy("ts", "kind").rowsBetween(W.unboundedPreceding, W.currentRow)
+    merged = signups.unionByName(errors).withColumn(
+        "last_error_epoch", F.last("err_sec", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("kind") == 1).select("event_id", "last_error_epoch")
+
+
+@register(
+    "q_events_daily_active_users",
+    oracle="""
+    SELECT CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day_no,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_daily_active_users(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    day = F.floor(F.col("ts_sec") / 86400).cast("long")
+    return ev.groupBy(day.alias("day_no")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

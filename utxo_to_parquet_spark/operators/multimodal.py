@@ -1,0 +1,142 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+The pattern the reference already embodies — ``script: BinaryType`` with
+everything downstream operating on bytes — generalized to image/audio/
+video payloads for a training-data pipeline:
+
+- payloads are opaque ``binary`` columns with a typed metadata struct
+  (mime, size, checksum) alongside;
+- decode / feature-extract / frame-sample run as Arrow-batched pandas
+  functions over ``mapInPandas`` — per-partition, bounded memory, no
+  driver involvement;
+- real image/audio codecs aren't in this container, so the *decode* step
+  is a clearly-marked deterministic fake (byte-level features); the
+  Spark-side plumbing — schema, batch iteration, partitioning — is real
+  and tested.
+
+Payloads are synthesized from ``documents.text`` (utf-8 bytes) so every
+sf has a deterministic corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+FRAME_BYTES = 64  # fake "frame" granularity for the frame-sampler
+SAMPLE_EVERY = 4
+
+
+def payloads_df(spark, sf_dir):
+    """documents → (doc_id, payload binary, meta struct<mime,size,sha>)."""
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(payload).cast("long").alias("size"),
+            F.sha2(payload, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "q_mm_payload_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS payload_bytes,
+           CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / 64) AS BIGINT) AS n_frames,
+           CAST(CEIL(CEIL(CAST(LENGTH(text) AS DOUBLE) / 64) / 4) AS BIGINT) AS n_sampled
+    FROM documents
+    """,
+)
+def q_mm_payload_metadata(spark, sf_dir):
+    """Typed-metadata plumbing: payload sizes and the frame-count
+    arithmetic of the sampler, as pure column expressions (the ASCII
+    corpus makes byte length == char length, which the oracle uses)."""
+    p = payloads_df(spark, sf_dir)
+    n_frames = F.ceil(F.col("meta.size").cast("double") / FRAME_BYTES)
+    return p.select(
+        "doc_id",
+        F.col("meta.size").alias("payload_bytes"),
+        n_frames.cast("long").alias("n_frames"),
+        F.ceil(n_frames.cast("double") / SAMPLE_EVERY).cast("long").alias("n_sampled"),
+    )
+
+
+@register("q_mm_feature_extract")  # rows-only: numpy byte-features over mapInPandas
+def q_mm_feature_extract(spark, sf_dir):
+    """'Decode + feature-extract' over binary payloads via mapInPandas.
+
+    The codec step is a DETERMINISTIC FAKE (a real pipeline would call
+    PIL/ffmpeg here — not in this container): features are the byte
+    histogram entropy and mean. The Spark plumbing is the real thing:
+    Arrow batches in, Arrow batches out, schema declared, executes
+    per-partition with no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    p = payloads_df(spark, sf_dir).select("doc_id", "payload", F.col("meta.size").alias("size"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for blob in pdf["payload"]:
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                hist = np.bincount(arr, minlength=256).astype(np.float64)
+                probs = hist[hist > 0] / len(arr)
+                entropy = float(-(probs * np.log2(probs)).sum())
+                feats.append((entropy, float(arr.mean())))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "size": pdf["size"],
+                    "entropy": [round(e, 6) for e, _ in feats],
+                    "mean_byte": [round(m, 6) for _, m in feats],
+                }
+            )
+
+    return p.mapInPandas(extract, "doc_id long, size long, entropy double, mean_byte double")
+
+
+@register("q_mm_frame_sample")  # rows-only: chunked frame sampling
+def q_mm_frame_sample(spark, sf_dir):
+    """Frame sampling over binary payloads: split each payload into
+    FRAME_BYTES-sized 'frames', keep every SAMPLE_EVERY-th, emit one row
+    per sampled frame with its checksum — the video-frame-extraction
+    shape (explode-with-position), executed in Arrow batches.
+    """
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    p = payloads_df(spark, sf_dir).select("doc_id", "payload")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_sha = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(blob)
+                for i in range(0, (len(raw) + FRAME_BYTES - 1) // FRAME_BYTES, SAMPLE_EVERY):
+                    frame = raw[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_sha.append(_hashlib.sha256(frame).hexdigest()[:16])
+            yield pd.DataFrame({"doc_id": out_doc, "frame_idx": out_idx, "frame_sha": out_sha})
+
+    return p.mapInPandas(sample, "doc_id long, frame_idx long, frame_sha string")
+
+
+def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
+    """Placeholder for a real image decode (PIL/libvips not installed).
+
+    A production deployment swaps this for the actual codec; the
+    mapInPandas plumbing above is unchanged by that swap.
+    """
+    raise NotImplementedError("image codecs are not available in this environment")

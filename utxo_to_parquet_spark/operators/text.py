@@ -1,0 +1,170 @@
+"""Text analysis operators for a training-data pipeline, over ``documents``.
+
+All expressions are JVM-side built-ins (no Python UDFs) so they stay in
+whole-stage codegen; every query is oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+# stopword markers per language for the n-gram/stopword language-ID heuristic
+_LANG_MARKERS = {
+    "en": ["the", "a"],
+    "es": ["el", "la"],
+    "de": ["der", "die"],
+    "fr": ["le", "la"],
+    "zh": ["de", "le"],
+}
+
+
+def _occurrences_sql(col: str, word: str) -> str:
+    """DuckDB: count whole-word occurrences of `word` in a single-spaced
+    lowercase text column via padded-substring replacement."""
+    padded = f"concat(' ', {col}, ' ')"
+    needle = f"' {word} '"
+    # each removed occurrence shrinks the string by len(word)+1 (one space
+    # is re-consumed by the following overlap-free replace on ' '||w||' ')
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, {needle}, ' ')))"
+        f" / {len(word) + 1} AS BIGINT)"
+    )
+
+
+def _occurrences_col(col, word: str):
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    removed = F.regexp_replace(padded, f" {word} ", " ")
+    return ((F.length(padded) - F.length(removed)) / (len(word) + 1)).cast("long")
+
+
+@register(
+    "q_text_quality_stats",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_actual,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_distinct_words,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 4) AS avg_word_len,
+           ROUND(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                 / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 4) AS ttr
+    FROM documents
+    """,
+)
+def q_text_quality_stats(spark, sf_dir):
+    """Quality scoring: length, word count, type-token ratio (TTR),
+    average word length — the standard cheap quality filters."""
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_words = (F.length(text) - F.length(F.regexp_replace(text, " ", "")) + 1).cast("long")
+    n_nospace = F.length(F.regexp_replace(text, " ", ""))
+    n_distinct = F.size(F.array_distinct(F.split(text, " "))).cast("long")
+    return docs.select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars_actual"),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        F.round(n_nospace.cast("double") / n_words, 4).alias("avg_word_len"),
+        F.round(n_distinct.cast("double") / n_words, 4).alias("ttr"),
+    )
+
+
+@register(
+    "q_text_token_freq",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 30
+    """,
+)
+def q_text_token_freq(spark, sf_dir):
+    """Token counting: whitespace tokenizer → explode → frequency table.
+    The explode happens JVM-side; the groupBy is a standard partial-agg
+    shuffle, so corpus size scales linearly."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(30)
+    )
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, words in _LANG_MARKERS.items():
+        parts = " + ".join(_occurrences_sql("lower(text)", w) for w in words)
+        score_cols.append(f"({parts}) AS score_{lang}")
+    scores = ",\n           ".join(score_cols)
+    langs = list(_LANG_MARKERS)
+    # argmax with first-wins tie-break in declaration order
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} >= score_{other}" for other in langs if other != lang]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+           {scores}
+      FROM documents
+    )
+    SELECT doc_id, lang AS lang_labeled, {case_sql} AS lang_predicted
+    FROM scored
+    """
+
+
+@register("q_text_language_id", oracle=_langid_oracle())
+def q_text_language_id(spark, sf_dir):
+    """Language ID via stopword-marker scoring (n-gram heuristic family).
+    Deterministic argmax with declaration-order tie-break; the oracle
+    reproduces the same scoring in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    scores = {
+        lang: sum(
+            (_occurrences_col(lower, w) for w in words), F.lit(0).cast("long")
+        )
+        for lang, words in _LANG_MARKERS.items()
+    }
+    langs = list(_LANG_MARKERS)
+    pred = None
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = expr.otherwise("und")
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_labeled"), pred.alias("lang_predicted")
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT md5(lower(text)) AS fingerprint,
+           md5(substr(lower(text), 1, 64)) AS prefix_fp,
+           doc_id
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: full-text hash + prefix hash (the cheap
+    rolling-hash stand-ins used for exact/near dedup bucketing)."""
+    docs = load(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    return docs.select(
+        F.md5(lower).alias("fingerprint"),
+        F.md5(F.substring(lower, 1, 64)).alias("prefix_fp"),
+        "doc_id",
+    )

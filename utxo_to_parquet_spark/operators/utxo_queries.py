@@ -1,0 +1,277 @@
+"""Reference-parity queries (SURVEY.md §2.2 Q1-Q6 + scalar kernels S4-S7 as SQL).
+
+The real UTXO table comes from the dump source (sources/utxo_dump.py), which
+the DuckDB oracle can't see. For the *driver-checked* parity queries we
+instead derive a deterministic ``utxos`` view from ``lineitem`` with
+expressions computed identically by Spark and DuckDB (md5/concat/substr
+arithmetic) — same schema and semantics as the reference output
+(/root/reference/src/main.rs:199-206), fully oracle-checkable at any sf.
+
+Columns: txid (64-hex), vout, height, coinbase, amount, script_hex.
+``script_hex`` stands in for the BINARY script column: binary values
+hash differently across engine client layers, so queries *filter* on the
+binary form (unhex) where binary semantics matter but *project* hex.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+# 50 distinct P2PKH scripts, many rows each — mimics address clustering
+N_SCRIPTS = 50
+
+# the flagship script literal (analog of the README's eater address,
+# README.md:54-56): bucket 7's P2PKH script
+FLAGSHIP_H20 = hashlib.md5(b"s7").hexdigest()[:40]
+FLAGSHIP_SCRIPT_HEX = "76a914" + FLAGSHIP_H20 + "88ac"
+
+UTXOS_CTE = f"""
+  SELECT
+    concat(md5(concat('tx', CAST(l_orderkey AS VARCHAR))),
+           md5(concat('tx2', CAST(l_orderkey AS VARCHAR)))) AS txid,
+    CAST(l_linenumber AS BIGINT) AS vout,
+    CAST(l_orderkey % 100000 AS BIGINT) AS height,
+    (l_linenumber = 1) AS coinbase,
+    CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS amount,
+    concat('76a914',
+           substr(md5(concat('s', CAST(l_partkey % {N_SCRIPTS} AS VARCHAR))), 1, 40),
+           '88ac') AS script_hex
+  FROM lineitem
+"""
+
+
+def utxos_df(spark, sf_dir):
+    """The same derived view, as a DataFrame plan (column-for-column equal
+    to UTXOS_CTE run in DuckDB)."""
+    li = load(spark, sf_dir, "lineitem")
+    okey = F.col("l_orderkey").cast("string")
+    return li.select(
+        F.concat(
+            F.md5(F.concat(F.lit("tx"), okey)), F.md5(F.concat(F.lit("tx2"), okey))
+        ).alias("txid"),
+        F.col("l_linenumber").cast("long").alias("vout"),
+        (F.col("l_orderkey") % 100000).cast("long").alias("height"),
+        (F.col("l_linenumber") == 1).alias("coinbase"),
+        F.floor(F.col("l_extendedprice") * 100).alias("amount"),
+        F.concat(
+            F.lit("76a914"),
+            F.substring(
+                F.md5(F.concat(F.lit("s"), (F.col("l_partkey") % N_SCRIPTS).cast("string"))), 1, 40
+            ),
+            F.lit("88ac"),
+        ).alias("script_hex"),
+    )
+
+
+# --- Q1-Q6: the flagship point lookup (filter on BINARY equality,
+#     project, global sort) ------------------------------------------------
+
+@register(
+    "q_utxo_point_lookup",
+    oracle=f"""
+    WITH utxos AS ({UTXOS_CTE})
+    SELECT txid, vout, amount, height FROM utxos
+    WHERE script_hex = '{FLAGSHIP_SCRIPT_HEX}'
+    ORDER BY height
+    """,
+)
+def q_utxo_point_lookup(spark, sf_dir):
+    # the filter runs on the true BINARY form (unhex) — same semantics the
+    # reference's DuckDB demo exercises on the script BinaryType column
+    return (
+        utxos_df(spark, sf_dir)
+        .filter(F.unhex(F.col("script_hex")) == F.unhex(F.lit(FLAGSHIP_SCRIPT_HEX)))
+        .select("txid", "vout", "amount", "height")
+        .orderBy("height")
+    )
+
+
+# --- address balances: the canonical UTXO analytics rollup ----------------
+
+@register(
+    "q_utxo_balance_by_script",
+    oracle=f"""
+    WITH utxos AS ({UTXOS_CTE})
+    SELECT script_hex,
+           CAST(SUM(amount) AS BIGINT) AS balance,
+           COUNT(*) AS n_utxos,
+           CAST(MAX(height) AS BIGINT) AS last_height
+    FROM utxos GROUP BY script_hex
+    ORDER BY balance DESC, script_hex LIMIT 20
+    """,
+)
+def q_utxo_balance_by_script(spark, sf_dir):
+    return (
+        utxos_df(spark, sf_dir)
+        .groupBy("script_hex")
+        .agg(
+            F.sum("amount").alias("balance"),
+            F.count(F.lit(1)).alias("n_utxos"),
+            F.max("height").alias("last_height"),
+        )
+        .orderBy(F.desc("balance"), "script_hex")
+        .limit(20)
+    )
+
+
+# --- S11: the running-max aggregate + snapshot stats ----------------------
+
+@register(
+    "q_utxo_snapshot_stats",
+    oracle=f"""
+    WITH utxos AS ({UTXOS_CTE})
+    SELECT CAST(MAX(height) AS BIGINT) AS max_height,
+           COUNT(*) AS n_utxos,
+           CAST(SUM(CASE WHEN coinbase THEN 1 ELSE 0 END) AS BIGINT) AS n_coinbase,
+           CAST(SUM(amount) AS BIGINT) AS total_sats,
+           CAST(COUNT(DISTINCT txid) AS BIGINT) AS n_txids
+    FROM utxos
+    """,
+)
+def q_utxo_snapshot_stats(spark, sf_dir):
+    return utxos_df(spark, sf_dir).agg(
+        F.max("height").alias("max_height"),
+        F.count(F.lit(1)).alias("n_utxos"),
+        F.sum(F.when(F.col("coinbase"), 1).otherwise(0)).alias("n_coinbase"),
+        F.sum("amount").alias("total_sats"),
+        F.countDistinct("txid").alias("n_txids"),
+    )
+
+
+# --- S4 as a UDF-free SQL expression: amount decompression ----------------
+
+_DECOMPRESS_SQL = """
+      CASE WHEN x = 0 THEN 0 ELSE
+        CAST(
+          CASE WHEN (x - 1) % 10 < 9
+               THEN (CAST(FLOOR((CAST(FLOOR((x - 1) / 10) AS BIGINT)) / 9) AS BIGINT) * 10
+                     + ((CAST(FLOOR((x - 1) / 10) AS BIGINT)) % 9) + 1)
+               ELSE CAST(FLOOR((x - 1) / 10) AS BIGINT) + 1
+          END
+          * POWER(10, CASE WHEN (x - 1) % 10 < 9 THEN (x - 1) % 10 ELSE 9 END)
+        AS BIGINT)
+      END
+"""
+
+
+@register(
+    "q_utxo_amount_decompress_sql",
+    oracle=f"""
+    WITH comp AS (SELECT CAST(l_orderkey % 100000 AS BIGINT) AS x FROM lineitem)
+    SELECT x, {_DECOMPRESS_SQL} AS sats
+    FROM comp GROUP BY x ORDER BY x LIMIT 500
+    """,
+)
+def q_utxo_amount_decompress_sql(spark, sf_dir):
+    """decompress_amount (main.rs:83-107) as a pure Column expression —
+    the UDF-free path promised in SURVEY §2.1 S4. Values are checked
+    against the Python kernel in tests and against DuckDB here."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("x")
+    xm1 = x - 1
+    e = xm1 % 10
+    x10 = F.floor(xm1 / 10)
+    d = (x10 % 9) + 1
+    n_lo = F.floor(x10 / 9) * 10 + d
+    n_hi = x10 + 1
+    sats = F.when(x == 0, F.lit(0)).otherwise(
+        (
+            F.when(e < 9, n_lo).otherwise(n_hi)
+            * F.pow(F.lit(10.0), F.when(e < 9, e).otherwise(F.lit(9)))
+        ).cast("long")
+    )
+    return (
+        li.select((F.col("l_orderkey") % 100000).cast("long").alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("x", sats.alias("sats"))
+        .orderBy("x")
+        .limit(500)
+    )
+
+
+# --- S5/S6 as SQL: script template construction ---------------------------
+
+@register(
+    "q_utxo_script_templates_sql",
+    oracle="""
+    WITH payloads AS (
+      SELECT p_partkey, substr(md5(concat('h', CAST(p_partkey AS VARCHAR))), 1, 40) AS h20
+      FROM part
+    )
+    SELECT p_partkey,
+           concat('76a914', h20, '88ac') AS p2pkh_hex,
+           concat('a914', h20, '87') AS p2sh_hex,
+           CAST(octet_length(unhex(concat('76a914', h20, '88ac'))) AS BIGINT) AS p2pkh_len,
+           CAST(octet_length(unhex(concat('a914', h20, '87'))) AS BIGINT) AS p2sh_len
+    FROM payloads
+    """,
+)
+def q_utxo_script_templates_sql(spark, sf_dir):
+    """Script template reconstruction for types 0/1 (main.rs:131-143) as
+    binary concat expressions — no UDF. Byte lengths computed on the real
+    BinaryType values (25 and 23)."""
+    part = load(spark, sf_dir, "part")
+    h20 = F.substring(F.md5(F.concat(F.lit("h"), F.col("p_partkey").cast("string"))), 1, 40)
+    p2pkh = F.concat(F.lit("76a914"), h20, F.lit("88ac"))
+    p2sh = F.concat(F.lit("a914"), h20, F.lit("87"))
+    return part.select(
+        "p_partkey",
+        p2pkh.alias("p2pkh_hex"),
+        p2sh.alias("p2sh_hex"),
+        F.length(F.unhex(p2pkh)).cast("long").alias("p2pkh_len"),
+        F.length(F.unhex(p2sh)).cast("long").alias("p2sh_len"),
+    )
+
+
+# --- S7 as SQL: txid display-order byte reversal --------------------------
+
+@register(
+    "q_utxo_txid_byte_reverse",
+    oracle=f"""
+    WITH utxos AS ({UTXOS_CTE})
+    SELECT DISTINCT txid,
+           regexp_replace(reverse(txid), '(.)(.)', '\\2\\1', 'g') AS txid_internal
+    FROM utxos WHERE height < 2000
+    """,
+)
+def q_utxo_txid_byte_reverse(spark, sf_dir):
+    """Byte-order reversal of a hex string without a UDF: reverse the
+    string then swap adjacent chars (pairwise regex). Display-form txid
+    rendering is S7 (main.rs:232)."""
+    return (
+        utxos_df(spark, sf_dir)
+        .filter(F.col("height") < 2000)
+        .select(
+            "txid",
+            F.regexp_replace(F.reverse(F.col("txid")), "(.)(.)", "$2$1").alias("txid_internal"),
+        )
+        .distinct()
+    )
+
+
+# --- UTXO-set analytics: amount distribution ------------------------------
+
+@register(
+    "q_utxo_amount_histogram",
+    oracle=f"""
+    WITH utxos AS ({UTXOS_CTE})
+    SELECT CASE WHEN amount <= 0 THEN -1
+                ELSE CAST(FLOOR(LOG10(amount)) AS BIGINT) END AS magnitude,
+           COUNT(*) AS n,
+           CAST(SUM(amount) AS BIGINT) AS total
+    FROM utxos GROUP BY 1
+    """,
+)
+def q_utxo_amount_histogram(spark, sf_dir):
+    u = utxos_df(spark, sf_dir)
+    mag = F.when(F.col("amount") <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log10(F.col("amount")))
+    )
+    return u.groupBy(mag.alias("magnitude")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total")
+    )

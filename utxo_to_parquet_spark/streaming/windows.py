@@ -1,0 +1,148 @@
+"""Structured Streaming operators over the events table.
+
+The reference is batch-only (SURVEY §2.3: no streaming), so these cover
+the driver-mandated streaming extension: file-source readStream, tumbling
+windows, watermarks, and a custom stateful operator. Local runs drive the
+stream synchronously with ``processAllAvailable`` over the static parquet
+— same code shape as a kafka-fed deployment.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterator
+
+from pyspark.sql import functions as F
+
+from ..operators.registry import register
+
+NS = 1_000_000_000
+
+
+def _events_stream(spark, sf_dir):
+    """readStream over the events parquet (ts read as nanosecond long —
+    see operators/events.py) plus a real TimestampType column for
+    window()/watermark operators."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file streaming source monitors a directory; expose the single
+    # fixture file through a temp dir symlink
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stream_dir, "events.parquet"))
+    sdf = spark.readStream.schema(schema).parquet(stream_dir)
+    return sdf.withColumn("event_ts", F.timestamp_seconds(F.expr(f"ts div {NS}")))
+
+
+def _run_to_memory(agg_df, output_mode: str):
+    """Drive a streaming aggregation to completion against the static
+    input; returns the materialized result table."""
+    name = "stream_out_" + uuid.uuid4().hex[:8]
+    q = (
+        agg_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return name
+
+
+@register(
+    "q_stream_tumbling_5min",
+    oracle="""
+    SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling_5min(spark, sf_dir):
+    """The streaming twin of q_events_tumbling_5min: readStream →
+    window(event_ts, 5 minutes) → count/sum → memory sink in complete
+    mode. Over static input this must equal the batch query — which is
+    exactly what the oracle checks."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("event_ts", "5 minutes"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).cast("long").alias("bucket_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    table = _run_to_memory(agg, "complete")
+    return spark.table(table)
+
+
+@register("q_stream_watermark_late_data")  # rows-only: append mode drops open windows
+def q_stream_watermark_late_data(spark, sf_dir):
+    """Watermarked sliding window in append mode: 10-minute windows
+    sliding by 5, 10-minute lateness bound. Append mode only emits
+    windows the watermark has closed — on a static replay that excludes
+    the tail, so there is no batch-SQL equivalent (rows-only check)."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("event_ts", "10 minutes")
+        .groupBy(F.window("event_ts", "10 minutes", "5 minutes"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).cast("long").alias("bucket_start"),
+            "event_type",
+            "n",
+        )
+    )
+    table = _run_to_memory(agg, "append")
+    return spark.table(table)
+
+
+@register("q_stream_stateful_running_max")  # rows-only: custom per-key state
+def q_stream_stateful_running_max(spark, sf_dir):
+    """Custom stateful operator via applyInPandasWithState: per event
+    type, track the running maximum value and emit its final state —
+    the structured-streaming shape of the reference's running
+    max_height fold (main.rs:220,229)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sdf = _events_stream(spark, sf_dir)
+
+    def track_max(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
+        mx = state.get[0] if state.exists else float("-inf")
+        n = state.get[1] if state.exists else 0
+        for pdf in pdf_iter:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                n += int(len(pdf))
+        state.update((mx, n))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "max_value": [mx], "n_events": [n]}
+        )
+
+    out = sdf.select("event_type", "value").groupBy("event_type").applyInPandasWithState(
+        track_max,
+        outputStructType="event_type string, max_value double, n_events long",
+        stateStructType="max_value double, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    table = _run_to_memory(out, "update")
+    # the last update per key is the final state over the static input
+    df = spark.table(table)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.desc("n_events"))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.round("max_value", 2).alias("max_value"), "n_events")
+    )
