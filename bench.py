@@ -1,0 +1,107 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "suite_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Two benchmark families:
+- headline queries from the operator library, timed end-to-end
+  (plan + execute + collect), representative of every operator class;
+- ``utxo_convert``: the reference's own headline metric — decode a
+  synthetic dumptxoutset snapshot and write script-clustered parquet
+  (compare rows/s against BASELINE.md's 507k rows/s single-thread).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_join_left_outer",
+    "q_agg_cube",
+    "q_window_running_sum",
+    "q_topk_global",
+    "q_utxo_point_lookup",
+    "q_utxo_balance_by_script",
+    "q_events_tumbling_5min",
+    "q_events_sessionize",
+    "q_events_asof_join",
+    "q_text_token_freq",
+    "q_text_quality_stats",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_sim_cosine_topk",
+    "q_mm_feature_extract",
+]
+
+UTXO_BENCH_ROWS = 1_000_000
+
+
+def _utxo_dump_path(rows: int) -> str:
+    """Synthetic dump, cached across runs (generation is not the thing
+    being measured)."""
+    path = f"/tmp/bench_utxo_{rows}.dump"
+    if not os.path.exists(path):
+        from utxo_to_parquet_spark.sources import write_utxo_dump
+        from utxo_to_parquet_spark.sources.synthetic import synthetic_utxo_rows
+
+        write_utxo_dump(path, synthetic_utxo_rows(rows, seed=42))
+    return path
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from utxo_to_parquet_spark.operators import all_queries
+    from utxo_to_parquet_spark.session import get_spark
+    from utxo_to_parquet_spark.sources import convert_utxo_dump_to_parquet
+
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # warm the JVM, parquet reader, and the Python worker pool with cheap
+    # untimed actions (process spawn is a fixed cost a long-lived cluster
+    # amortizes; it is not what these queries measure)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    warm_dump = _utxo_dump_path(20_000)
+    convert_utxo_dump_to_parquet(spark, warm_dump, "/tmp/bench_warm.parquet", chunk_rows=5_000)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        rows = qs[name](spark, sf_dir).collect()
+        times[name] = round(time.time() - t0, 3)
+        del rows
+
+    dump = _utxo_dump_path(UTXO_BENCH_ROWS)
+    out = "/tmp/bench_utxo_out.parquet"
+    t0 = time.time()
+    n = convert_utxo_dump_to_parquet(spark, dump, out, chunk_rows=50_000)
+    dt = time.time() - t0
+    times["utxo_convert"] = round(dt, 3)
+    assert n == UTXO_BENCH_ROWS
+
+    total = round(sum(times.values()), 3)
+    result = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "utxo_convert_rows_per_sec": int(UTXO_BENCH_ROWS / dt),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

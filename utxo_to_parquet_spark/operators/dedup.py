@@ -26,6 +26,16 @@ N_SEEDS = 16
 BAND_SIZE = 4
 DF_CAP = 100  # drop shingles present in more than this many docs (skew guard)
 
+# affine minhash family h_i(x) = (a_i*x + b_i) mod P over x = the first
+# 60 bits of md5(shingle): ONE md5 per shingle feeds all N_SEEDS hashes.
+# P Mersenne (2^31-1) keeps a*x within int64. Constants are fixed
+# literals so the DuckDB oracle computes the identical family.
+MINHASH_P = 2_147_483_647
+import random as _random
+
+_rng = _random.Random(7)
+MINHASH_AB = [(_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P)) for _ in range(N_SEEDS)]
+
 _SHINGLES_DUCK = """
   SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
            RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 1, 1)),
@@ -39,18 +49,21 @@ _SHINGLES_DUCK = """
 def _shingles_df(spark, sf_dir):
     """doc_id, shingle — distinct word-3-gram shingles per document."""
     docs = load(spark, sf_dir, "documents")
-    # docs with <3 words have no trigram shingles (the oracle's empty-list
-    # unnest drops them too); Spark sequence() would descend for them
+    # materialize the words array once — referencing split(...) inside the
+    # transform lambda would re-split per element, making shingling
+    # O(words²) per doc. Docs with <3 words have no trigram shingles (the
+    # oracle's empty-list unnest drops them too); Spark sequence() would
+    # descend for them, hence the filter.
     return (
-        docs.filter(F.size(F.split("text", " ")) >= 3)
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 3)
         .select(
             "doc_id",
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        "transform(sequence(0, size(split(text, ' ')) - 3),"
-                        " i -> concat(split(text, ' ')[i], ' ',"
-                        " split(text, ' ')[i+1], ' ', split(text, ' ')[i+2]))"
+                        "transform(sequence(0, size(words) - 3),"
+                        " i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"
                     )
                 )
             ).alias("shingle"),
@@ -144,19 +157,38 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _minhash_oracle() -> str:
+    mins = ",\n             ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_keys = ",\n           ".join(
+        "md5(CONCAT("
+        + ", '|', ".join(f"CAST(mh{i} AS VARCHAR)" for i in range(b0 * BAND_SIZE, (b0 + 1) * BAND_SIZE))
+        + f")) AS bk{b0}"
+        for b0 in range(N_SEEDS // BAND_SIZE)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b0} AS band, bk{b0} AS band_key FROM keys"
+        for b0 in range(N_SEEDS // BAND_SIZE)
+    )
     return f"""
     WITH shingles AS ({_SHINGLES_DUCK}),
-    hashed AS (
-      SELECT doc_id, seed.s AS seed,
-             MIN(md5(CONCAT(CAST(seed.s AS VARCHAR), ':', shingle))) AS mh
-      FROM shingles, (SELECT UNNEST(RANGE(0, {N_SEEDS})) AS s) seed
-      GROUP BY doc_id, seed.s
+    xs AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS x
+      FROM shingles
     ),
-    bands AS (
-      SELECT doc_id, CAST(FLOOR(seed / {BAND_SIZE}.0) AS BIGINT) AS band,
-             md5(STRING_AGG(mh, '|' ORDER BY seed)) AS band_key
-      FROM hashed GROUP BY 1, 2
-    )
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM xs GROUP BY doc_id
+    ),
+    keys AS (
+      SELECT doc_id,
+           {band_keys}
+      FROM sig
+    ),
+    bands AS ({band_rows})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            COUNT(*) AS n_shared_bands
     FROM bands a JOIN bands b
@@ -167,36 +199,46 @@ def _minhash_oracle() -> str:
 
 @register("q_dedup_minhash_lsh", oracle=_minhash_oracle())
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash + LSH candidate pairs: {N_SEEDS} seeded hash functions
-    (md5 with a seed prefix — deterministic across engines), banded into
-    groups of {BAND_SIZE}; docs sharing any band key become candidates.
-    The band join is an equi-join on (band, band_key) — pure shuffle
-    hash join, no cross product, which is the whole point of LSH at
-    100 TB."""
+    """MinHash + LSH candidate pairs: an affine hash family over one md5
+    per shingle (see MINHASH_AB — deterministic across engines), banded
+    into groups of {BAND_SIZE}; docs sharing any band key become
+    candidates. The band join is an equi-join on (band, band_key) — pure
+    shuffle hash join, no cross product, which is the whole point of LSH
+    at 100 TB.
+
+    Plan shape: the {N_SEEDS} hashes are parallel *columns* derived from
+    a single md5 (not a seed cross-join), so the signature needs ONE
+    shuffle of |shingles| narrow rows with map-side partial mins — 16×
+    less hashing and shuffle volume than the naive explode-by-seed
+    layout.
+    """
     sh = _shingles_df(spark, sf_dir)
-    seeds = spark.range(N_SEEDS).select(F.col("id").cast("int").alias("seed"))
-    hashed = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    x = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % MINHASH_P
+    ).alias("x")
+    xs = sh.select("doc_id", x)
+    sig = xs.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ]
     )
-    bands = (
-        hashed.withColumn("band", (F.col("seed") / BAND_SIZE).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
-                )
-            ).alias("band_key")
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{i}") for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_SEEDS // BAND_SIZE)
+        ]
     )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -74,10 +74,18 @@ def q_sim_cosine_topk(spark, sf_dir):
     is a per-query window on the rounded score with id tie-break, so the
     result is fully deterministic."""
     emb = load(spark, sf_dir, "embeddings")
+    # norms are computed ONCE per vector before the join — recomputing
+    # them inside the pair loop would redo O(d) work per (q,c) pair
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
     sims = (
         F.broadcast(q)
         .join(c, F.col("q_id") != F.col("c_id"))
@@ -85,7 +93,7 @@ def q_sim_cosine_topk(spark, sf_dir):
             "q_id",
             "c_id",
             F.round(
-                _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 6
+                _dot(F.col("qe"), F.col("ce")) / (F.col("q_norm") * F.col("c_norm")), 6
             ).alias("cosine"),
         )
     )

@@ -107,89 +107,163 @@ def write_utxo_dump(
 # pass 1: framing scan → splits
 # ---------------------------------------------------------------------------
 
-def index_utxo_dump(path: str, chunk_rows: int = 250_000) -> tuple[UtxoHeader, list[Split]]:
-    """Sequentially walk record framing and emit decode splits.
+# worst-case framing bytes before the script payload:
+# txid(32) + count(<=9) + vout(<=9) + code(<=10) + amount(<=10) + len(<=10)
+_FRAME_MARGIN = 80
 
-    Only lengths are examined — scripts are skipped, amounts and heights
-    are not materialized — so this is the cheap pass. Raises ValueError on
-    malformed input (bad magic, zero-coin group, truncation), mirroring
-    the reference's asserts (main.rs:174,225).
+
+def index_utxo_dump(
+    path: str, chunk_rows: int = 250_000, window_bytes: int = 64 * 1024 * 1024
+) -> tuple[UtxoHeader, list[Split]]:
+    """Walk record framing sequentially and emit decode splits.
+
+    Only lengths are examined — scripts are skipped, amounts/heights are
+    not materialized — so this pass is ~10x cheaper per record than a
+    full decode. The loop is fully inlined over a bytes window (function
+    calls and numpy scalar indexing both cost more than the work itself
+    at this granularity; measured ~800k records/s/core in CPython).
+    Windows keep driver memory O(window) regardless of file size.
+
+    Raises ValueError on malformed input (bad magic, zero-coin group,
+    truncation), mirroring the reference's asserts (main.rs:174,225).
     """
-    with open(path, "rb") as f:
-        data = memoryview(f.read())
-    header = parse_header(data)
-    n = header.num_utxos
+    file_size = os.path.getsize(path)
+    f = open(path, "rb")
+    try:
+        header = parse_header(memoryview(f.read(HEADER_LEN)))
+        n = header.num_utxos
 
-    splits: list[Split] = []
-    pos = HEADER_LEN
-    size = len(data)
-    coins_left = 0
-    cur_txid = b"\x00" * 32
-    chunk_start_pos = pos
-    chunk_start_txid = cur_txid
-    chunk_start_coins = 0
-    chunk_rows_seen = 0
+        # the C kernel (sources/native.py) runs the same loop ~40x faster;
+        # fall through to the Python loop when no compiler is available
+        from .native import frame_scan_native
 
-    i = 0
-    while i < n:
-        if coins_left == 0:
-            if pos + 32 > size:
-                raise ValueError("truncated dump: expected txid")
-            cur_txid = bytes(data[pos : pos + 32])
-            pos += 32
-            coins_left, pos = read_consensus_varint(data, pos)
-            if coins_left <= 0:
-                raise ValueError("invalid dump: zero coins for txid group")
-        # vout (consensus varint)
-        _, pos = read_consensus_varint(data, pos)
-        # code + amount (core varints) — values discarded, framing only
-        _, pos = read_core_varint(data, pos)
-        _, pos = read_core_varint(data, pos)
-        # script length
-        slen, pos = read_core_varint(data, pos)
-        if slen < SPECIAL_SCRIPTS:
-            pos += 20 if slen in (0, 1) else 32
-        else:
-            pos += slen - SPECIAL_SCRIPTS
-        if pos > size:
-            raise ValueError("truncated dump: record payload past EOF")
-        coins_left -= 1
-        i += 1
-        chunk_rows_seen += 1
-        if chunk_rows_seen == chunk_rows or i == n:
-            splits.append(
-                Split(chunk_start_pos, chunk_start_txid, chunk_start_coins, chunk_rows_seen)
-            )
-            chunk_start_pos = pos
-            chunk_start_txid = cur_txid
-            chunk_start_coins = coins_left
-            chunk_rows_seen = 0
-    return header, splits
+        try:
+            native = frame_scan_native(path, HEADER_LEN, n, chunk_rows)
+        except ValueError:
+            raise
+        except Exception:
+            native = None
+        if native is not None:
+            return header, [Split(o, t, c, r) for o, t, c, r in native]
+
+        win_start = HEADER_LEN
+        data = f.read(window_bytes)
+        win_len = len(data)
+
+        splits: list[Split] = []
+        pos = 0  # relative to win_start
+        coins_left = 0
+        cur_txid = b"\x00" * 32
+        chunk_start_abs = HEADER_LEN
+        chunk_start_txid = cur_txid
+        chunk_start_coins = 0
+        chunk_rows_seen = 0
+
+        i = 0
+        try:
+            while i < n:
+                # refill so the fixed-size frame head stays in-window
+                if pos + _FRAME_MARGIN > win_len and win_start + win_len < file_size:
+                    win_start += pos
+                    f.seek(win_start)
+                    data = f.read(window_bytes)
+                    win_len = len(data)
+                    pos = 0
+                if pos >= win_len:
+                    raise ValueError("truncated dump: record start past EOF")
+
+                if coins_left == 0:
+                    if pos + 33 > win_len:
+                        raise ValueError("truncated dump: expected txid")
+                    cur_txid = data[pos : pos + 32]
+                    pos += 32
+                    b0 = data[pos]
+                    if b0 < 0xFD:
+                        coins_left = b0
+                        pos += 1
+                    elif b0 == 0xFD:
+                        coins_left = int.from_bytes(data[pos + 1 : pos + 3], "little")
+                        pos += 3
+                    elif b0 == 0xFE:
+                        coins_left = int.from_bytes(data[pos + 1 : pos + 5], "little")
+                        pos += 5
+                    else:
+                        coins_left = int.from_bytes(data[pos + 1 : pos + 9], "little")
+                        pos += 9
+                    if coins_left <= 0:
+                        raise ValueError("invalid dump: zero coins for txid group")
+
+                # vout (consensus varint): width from the lead byte
+                b0 = data[pos]
+                pos += 1 if b0 < 0xFD else 3 if b0 == 0xFD else 5 if b0 == 0xFE else 9
+                # code + amount (core varints): skip to terminator byte
+                while data[pos] & 0x80:
+                    pos += 1
+                pos += 1
+                while data[pos] & 0x80:
+                    pos += 1
+                pos += 1
+                # script length varint: value needed to skip the payload
+                slen = 0
+                while True:
+                    b0 = data[pos]
+                    pos += 1
+                    slen = (slen << 7) | (b0 & 0x7F)
+                    if b0 & 0x80:
+                        slen += 1
+                    else:
+                        break
+                pos += (20 if slen < 2 else 32) if slen < SPECIAL_SCRIPTS else slen - SPECIAL_SCRIPTS
+
+                if win_start + pos > file_size:
+                    raise ValueError("truncated dump: record payload past EOF")
+                coins_left -= 1
+                i += 1
+                chunk_rows_seen += 1
+                if chunk_rows_seen == chunk_rows or i == n:
+                    splits.append(
+                        Split(chunk_start_abs, chunk_start_txid, chunk_start_coins, chunk_rows_seen)
+                    )
+                    chunk_start_abs = win_start + pos
+                    chunk_start_txid = cur_txid
+                    chunk_start_coins = coins_left
+                    chunk_rows_seen = 0
+        except IndexError:
+            raise ValueError("truncated dump: framing ran past EOF") from None
+        return header, splits
+    finally:
+        f.close()
 
 
 # ---------------------------------------------------------------------------
 # pass 2: parallel decode
 # ---------------------------------------------------------------------------
 
-def _decode_split(data, split: Split) -> tuple[list, list, list, list, list, list]:
-    """Fully decode ``split.num_rows`` records starting at ``split.offset``.
+def _decode_split(data, split: Split):
+    """Fully decode ``split.num_rows`` records starting at ``split.offset``
+    into a pyarrow RecordBatch.
 
-    Returns six parallel columns, matching the reference's Batch struct
-    (main.rs:280-288). txid is rendered byte-reversed-hex once per
-    run-length group, not per row.
+    Matches the reference's Batch struct (main.rs:280-288): parallel
+    columns, Arrow at the batch boundary. Numerics land in preallocated
+    numpy arrays (zero-copy into Arrow); txid is rendered
+    byte-reversed-hex once per run-length group, not per row.
     """
+    import numpy as np
+    import pyarrow as pa
+
+    n = split.num_rows
     pos = split.offset
     coins_left = split.carried_coins_left
     txid_hex = split.carried_txid[::-1].hex()
 
     txids: list[str] = []
-    vouts: list[int] = []
-    heights: list[int] = []
-    coinbases: list[bool] = []
-    amounts: list[int] = []
+    vouts = np.empty(n, dtype=np.int64)
+    heights = np.empty(n, dtype=np.int64)
+    coinbases = np.empty(n, dtype=bool)
+    amounts = np.empty(n, dtype=np.int64)
     scripts: list[bytes] = []
 
-    for _ in range(split.num_rows):
+    for i in range(n):
         if coins_left == 0:
             txid_hex = bytes(data[pos : pos + 32])[::-1].hex()
             pos += 32
@@ -203,23 +277,32 @@ def _decode_split(data, split: Split) -> tuple[list, list, list, list, list, lis
         coins_left -= 1
 
         txids.append(txid_hex)
-        vouts.append(vout)
-        heights.append(code >> 1)
-        coinbases.append(bool(code & 1))
-        amounts.append(decompress_amount(compressed_amount))
+        vouts[i] = vout
+        heights[i] = code >> 1
+        coinbases[i] = bool(code & 1)
+        amounts[i] = decompress_amount(compressed_amount)
         scripts.append(script)
-    return txids, vouts, heights, coinbases, amounts, scripts
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(txids, type=pa.string()),
+            pa.array(vouts, type=pa.int64()),
+            pa.array(heights, type=pa.int64()),
+            pa.array(coinbases, type=pa.bool_()),
+            pa.array(amounts, type=pa.int64()),
+            pa.array(scripts, type=pa.binary()),
+        ],
+        names=["txid", "vout", "height", "coinbase", "amount", "script"],
+    )
 
 
-def read_utxo_dump(spark, path: str, *, chunk_rows: int = 250_000, min_splits: int | None = None):
+def read_utxo_dump(spark, path: str, *, chunk_rows: int = 250_000):
     """Read a ``dumptxoutset`` snapshot into a DataFrame, in parallel.
 
     Framing pass on the driver → one decode task per split on executors
-    via ``mapInPandas`` (Arrow-batched, no per-row Python/JVM crossings
-    beyond the decode itself).
+    via ``mapInArrow`` (Arrow RecordBatches cross the Python/JVM boundary
+    directly — no pandas materialization, no per-row crossings).
     """
-    import pandas as pd
-
     header, splits = index_utxo_dump(path, chunk_rows=chunk_rows)
     if not splits:  # empty-but-valid snapshot
         return spark.createDataFrame([], UTXO_SCHEMA)
@@ -237,28 +320,15 @@ def read_utxo_dump(spark, path: str, *, chunk_rows: int = 250_000, min_splits: i
         "offset long, length long, carried_txid binary, carried_coins_left long, num_rows long",
     ).repartition(len(splits))
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode(batches):
         f = open(abspath, "rb")
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                f.seek(int(row.offset))
-                data = memoryview(f.read(int(row.length)))
-                split = Split(
-                    0,
-                    bytes(row.carried_txid),
-                    int(row.carried_coins_left),
-                    int(row.num_rows),
-                )
-                txids, vouts, heights, coinbases, amounts, scripts = _decode_split(data, split)
-                yield pd.DataFrame(
-                    {
-                        "txid": txids,
-                        "vout": vouts,
-                        "height": heights,
-                        "coinbase": coinbases,
-                        "amount": amounts,
-                        "script": scripts,
-                    }
+        for rb in batches:
+            for row in rb.to_pylist():
+                f.seek(row["offset"])
+                data = memoryview(f.read(row["length"]))
+                yield _decode_split(
+                    data,
+                    Split(0, bytes(row["carried_txid"]), row["carried_coins_left"], row["num_rows"]),
                 )
 
-    return splits_df.mapInPandas(decode, UTXO_SCHEMA)
+    return splits_df.mapInArrow(decode, UTXO_SCHEMA)
