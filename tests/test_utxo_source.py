@@ -128,3 +128,35 @@ def test_end_to_end_convert_and_flagship_query(tmp_path, spark):
     # the scan must push the equality predicate down to parquet
     plan = hits._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(script), EqualTo(script" in plan
+
+
+def test_native_decode_matches_python_fallback(tmp_path, monkeypatch):
+    """The C decode kernel and the pure-Python loop must produce
+    byte-identical RecordBatches over every script type and run-length
+    shape (same differential idea as the driver's oracle gate)."""
+    from utxo_to_parquet_spark.sources import native, utxo_dump
+    from utxo_to_parquet_spark.sources.utxo_dump import _decode_split, Split
+
+    path = str(tmp_path / "parity.dump")
+    rows = synthetic_utxo_rows(5_000, seed=99)
+    write_utxo_dump(path, rows)
+    _, splits = index_utxo_dump(path, chunk_rows=1_234)
+    import os
+
+    size = os.path.getsize(path)
+    ends = [s.offset for s in splits[1:]] + [size]
+    with open(path, "rb") as f:
+        for s, end in zip(splits, ends):
+            f.seek(s.offset)
+            data = f.read(end - s.offset)
+            rel = Split(0, s.carried_txid, s.carried_coins_left, s.num_rows)
+            rb_native = native.decode_split_native(
+                data, s.carried_txid, s.carried_coins_left, s.num_rows
+            )
+            if rb_native is None:
+                pytest.skip("no C compiler available")
+            monkeypatch.setattr(native, "decode_split_native", lambda *a, **k: None)
+            rb_py = _decode_split(data, rel)
+            monkeypatch.undo()
+            assert rb_native.schema == rb_py.schema
+            assert rb_native.to_pylist() == rb_py.to_pylist()

@@ -19,6 +19,8 @@ implemented in pure Python below — p ≡ 3 (mod 4) so sqrt is one pow().
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from .varint import read_core_varint, write_core_varint
 
 SPECIAL_SCRIPTS = 6
@@ -34,11 +36,16 @@ OP_EQUAL = 0x87
 OP_CHECKSIG = 0xAC
 
 
+@lru_cache(maxsize=1 << 16)
 def decompress_pubkey(prefix: int, x_bytes: bytes) -> bytes:
     """(prefix in {2,3}, 32-byte X) → 65-byte uncompressed SEC pubkey.
 
     Solves y^2 = x^3 + 7 over GF(p); picks the root whose parity matches
     ``prefix`` (2=even, 3=odd). Raises ValueError if X is not on the curve.
+
+    Cached: the modular sqrt is ~150µs of bigint pow, and real UTXO sets
+    repeat pubkeys across outputs, so the cache turns the per-row cost
+    into a per-distinct-key cost.
     """
     if prefix not in (2, 3):
         raise ValueError(f"bad compressed pubkey prefix {prefix}")

@@ -17,7 +17,7 @@ results-neutral fidelity gap (main.rs:212,214).
 
 from __future__ import annotations
 
-from .utxo_dump import read_utxo_dump
+from .utxo_dump import read_utxo_dump_with_header
 
 
 def convert_utxo_dump_to_parquet(
@@ -39,7 +39,7 @@ def convert_utxo_dump_to_parquet(
     better trade because every equality predicate then touches a single
     file's pages.
     """
-    df = read_utxo_dump(spark, input_path, chunk_rows=chunk_rows)
+    header, df = read_utxo_dump_with_header(spark, input_path, chunk_rows=chunk_rows)
     if global_sort:
         df = df.repartitionByRange("script").sortWithinPartitions("script")
     else:
@@ -51,4 +51,6 @@ def convert_utxo_dump_to_parquet(
         .option("parquet.page.size", str(64 * 1024))
         .parquet(output_path)
     )
-    return spark.read.parquet(output_path).count()
+    # the framing pass walked every record and errors on malformed input,
+    # so the decoded row count is num_utxos — no output re-read needed
+    return header.num_utxos

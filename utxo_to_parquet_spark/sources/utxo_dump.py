@@ -251,6 +251,20 @@ def _decode_split(data, split: Split):
     import numpy as np
     import pyarrow as pa
 
+    from .native import decode_split_native
+
+    if split.offset == 0 and isinstance(data, (bytes, memoryview)):
+        try:
+            rb = decode_split_native(
+                bytes(data), split.carried_txid, split.carried_coins_left, split.num_rows
+            )
+        except ValueError:
+            raise
+        except Exception:
+            rb = None
+        if rb is not None:
+            return rb
+
     n = split.num_rows
     pos = split.offset
     coins_left = split.carried_coins_left
@@ -303,32 +317,46 @@ def read_utxo_dump(spark, path: str, *, chunk_rows: int = 250_000):
     via ``mapInArrow`` (Arrow RecordBatches cross the Python/JVM boundary
     directly — no pandas materialization, no per-row crossings).
     """
+    _, df = read_utxo_dump_with_header(spark, path, chunk_rows=chunk_rows)
+    return df
+
+
+def read_utxo_dump_with_header(spark, path: str, *, chunk_rows: int = 250_000):
+    """Like :func:`read_utxo_dump` but also returns the parsed snapshot
+    header, so callers needing ``num_utxos`` don't re-run the framing
+    pass (the one sequential stage)."""
     header, splits = index_utxo_dump(path, chunk_rows=chunk_rows)
     if not splits:  # empty-but-valid snapshot
-        return spark.createDataFrame([], UTXO_SCHEMA)
+        return header, spark.createDataFrame([], UTXO_SCHEMA)
 
     abspath = os.path.abspath(path)
     file_size = os.path.getsize(abspath)
     # each split's byte extent ends where the next begins — tasks read only
-    # their own range, so I/O per task is O(split), not O(file)
+    # their own range, so I/O per task is O(split), not O(file).
+    # parallelize(numSlices=len(splits)) pins one split per partition up
+    # front — no repartition shuffle stage between the descriptor list and
+    # the decode tasks.
     ends = [s.offset for s in splits[1:]] + [file_size]
     splits_df = spark.createDataFrame(
-        [
-            (s.offset, end - s.offset, s.carried_txid, s.carried_coins_left, s.num_rows)
-            for s, end in zip(splits, ends)
-        ],
+        spark.sparkContext.parallelize(
+            [
+                (s.offset, end - s.offset, s.carried_txid, s.carried_coins_left, s.num_rows)
+                for s, end in zip(splits, ends)
+            ],
+            numSlices=len(splits),
+        ),
         "offset long, length long, carried_txid binary, carried_coins_left long, num_rows long",
-    ).repartition(len(splits))
+    )
 
     def decode(batches):
         f = open(abspath, "rb")
         for rb in batches:
             for row in rb.to_pylist():
                 f.seek(row["offset"])
-                data = memoryview(f.read(row["length"]))
+                data = f.read(row["length"])
                 yield _decode_split(
                     data,
                     Split(0, bytes(row["carried_txid"]), row["carried_coins_left"], row["num_rows"]),
                 )
 
-    return splits_df.mapInArrow(decode, UTXO_SCHEMA)
+    return header, splits_df.mapInArrow(decode, UTXO_SCHEMA)
