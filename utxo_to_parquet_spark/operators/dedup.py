@@ -296,3 +296,64 @@ def q_dedup_simhash(spark, sf_dir):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << (16 - b))).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return bits.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+COSINE_DUP_THRESHOLD = 0.4
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS dup_a, b.vec_id AS dup_b,
+           ROUND(LIST_DOT_PRODUCT(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE LIST_DOT_PRODUCT(a.e, b.e) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: all (a, b) with
+    cosine >= {COSINE_DUP_THRESHOLD}, a < b. This is the exact all-pairs
+    baseline — O(N²·d) — run here over the full table.
+
+    Scale path: at 100 TB the pair join must be prefiltered to LSH-bucket
+    candidates (q_sim_lsh_buckets' sign-random-projection keys turn the
+    cross join into an equi-join on bucket), then this exact cosine is the
+    verify step over candidates only — same expression, tiny input. The
+    threshold predicate is applied to the UNROUNDED score; both engines
+    evaluate the identical left-to-right double summation, so the
+    inclusion set is deterministic.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("dup_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("dup_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("dup_a") < F.col("dup_b"))
+        .withColumn("cos_raw", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
+        .select("dup_a", "dup_b", F.round("cos_raw", 6).alias("cosine"))
+    )

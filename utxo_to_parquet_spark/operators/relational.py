@@ -598,3 +598,40 @@ def q_cte_multi(spark, sf_dir):
         GROUP BY c_mktsegment
         """
     )
+
+
+@register(
+    "q_range_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines_in_window,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Range join: lineitems shipped within 30 days of their order date.
+
+    The equi key (orderkey) drives a hash join; the date range is a
+    residual predicate evaluated inside the join — no nested-loop. For a
+    PURE range join (no equi key) at scale, the same shape is recovered
+    by bucketizing the range key (e.g. date -> month) into an equi key
+    and filtering the residual, which keeps the join shuffle-partitioned
+    instead of broadcast-nested-loop.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.date_add(F.col("o_orderdate"), 30)),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines_in_window"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -202,3 +202,118 @@ def q_sim_lsh_buckets(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
         .orderBy("bucket")
     )
+
+
+N_PROBE = 2
+
+
+@register(
+    "q_sim_ivf_topk",
+    oracle=f"""
+    WITH dims AS (
+      SELECT label, vec_id, UNNEST(embedding::DOUBLE[]) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    centroids AS (
+      SELECT label, dim, AVG(v) AS cv FROM dims GROUP BY label, dim
+    ),
+    qdist AS (
+      SELECT d.vec_id AS q_id, c.label,
+             ROUND(SUM((d.v - c.cv) * (d.v - c.cv)), 6) AS dist
+      FROM dims d JOIN centroids c ON d.dim = c.dim
+      WHERE d.vec_id % {QUERY_MOD} = 0
+      GROUP BY d.vec_id, c.label
+    ),
+    probes AS (
+      SELECT q_id, label FROM (
+        SELECT q_id, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, label) AS pr
+        FROM qdist
+      ) WHERE pr <= {N_PROBE}
+    ),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+          FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+    sims AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             ROUND(LIST_DOT_PRODUCT(q.qe, c.embedding::DOUBLE[])
+                   / (SQRT(LIST_DOT_PRODUCT(q.qe, q.qe))
+                      * SQRT(LIST_DOT_PRODUCT(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                   6) AS cosine
+      FROM probes p
+      JOIN embeddings c ON c.label = p.label
+      JOIN q ON q.q_id = p.q_id
+      WHERE c.vec_id <> q.q_id
+    )
+    SELECT q_id, c_id, cosine, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT q_id, c_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+      FROM sims
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF-style approximate top-k: the 100-TB alternative to brute force.
+
+    The coarse quantizer is the per-label centroid (labels are the
+    posting-list partitions); each query probes its {N_PROBE} nearest
+    centroids and runs exact cosine only inside those partitions —
+    searching N_PROBE/n_labels of the corpus instead of all of it.
+
+    Plan shape: centroids are a tiny aggregate (labels × dims rows) that
+    Spark broadcasts to the query side; the candidate scan is an
+    equi-join on label, so the expensive exact-cosine work is
+    partition-pruned exactly like an IVF index's inverted lists. No
+    driver-side collect anywhere.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"),
+    ).select("label", "vec_id", (F.col("dim0") + 1).alias("dim"), "v")
+    centroids = dims.groupBy("label", "dim").agg(F.avg("v").alias("cv"))
+    qdist = (
+        dims.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("q_id"), "dim", "v")
+        .join(F.broadcast(centroids.withColumnRenamed("label", "c_label")), "dim")
+        .groupBy("q_id", "c_label")
+        .agg(F.round(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))), 6).alias("dist"))
+    )
+    probes = (
+        qdist.withColumn(
+            "pr",
+            F.row_number().over(W.partitionBy("q_id").orderBy("dist", "c_label")),
+        )
+        .filter(F.col("pr") <= N_PROBE)
+        .select("q_id", F.col("c_label").alias("label"))
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label"),
+        F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
+    sims = (
+        F.broadcast(probes.join(q, "q_id"))
+        .join(c, "label")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("q_norm") * F.col("c_norm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cosine", F.col("rn").cast("long").alias("rn"))
+    )

@@ -168,3 +168,51 @@ def q_text_fingerprint(spark, sf_dir):
         F.md5(F.substring(lower, 1, 64)).alias("prefix_fp"),
         "doc_id",
     )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks —
+# the standard GPT-2-style split shape, minus the lookaheads RE2 lacks
+# (the pattern must behave identically under Java regex and DuckDB's RE2)
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "q_text_token_count_bpe",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS tokens FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(tokens) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_FILTER(tokens, t -> regexp_full_match(t, '[A-Za-z]+'))) AS BIGINT)
+             AS n_word_tokens,
+           CAST(LEN(LIST_FILTER(tokens, t -> regexp_full_match(t, '[0-9]+'))) AS BIGINT)
+             AS n_number_tokens,
+           ROUND(LIST_SUM(LIST_TRANSFORM(tokens, t -> LENGTH(t)))::DOUBLE
+                 / GREATEST(LEN(tokens), 1), 4) AS avg_token_len
+    FROM toks
+    """,
+)
+def q_text_token_count_bpe(spark, sf_dir):
+    """Token counting with a BPE-ish regex pre-tokenizer (letter runs /
+    digit runs / punctuation marks), per document. regexp_extract_all +
+    higher-order array functions — all JVM-side, whole-stage codegen."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.regexp_extract_all("text", F.lit(TOKEN_RE), 0).alias("tokens")
+    )
+    return toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.expr("size(filter(tokens, t -> t rlike '^[A-Za-z]+$'))").cast("long").alias(
+            "n_word_tokens"
+        ),
+        F.expr("size(filter(tokens, t -> t rlike '^[0-9]+$'))").cast("long").alias(
+            "n_number_tokens"
+        ),
+        F.round(
+            F.expr("aggregate(tokens, 0L, (acc, t) -> acc + length(t))").cast("double")
+            / F.greatest(F.size("tokens"), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
