@@ -36,10 +36,15 @@ HEADLINE = [
     "q_events_asof_join",
     "q_text_token_freq",
     "q_text_quality_stats",
+    "q_text_token_count_bpe",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
+    "q_dedup_embedding_lsh",
     "q_sim_cosine_topk",
+    "q_sim_ivf_topk",
+    "q_range_join",
+    "q_agg_percentiles",
     "q_mm_feature_extract",
 ]
 

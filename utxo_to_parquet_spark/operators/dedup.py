@@ -357,3 +357,128 @@ def q_dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
         .select("dup_a", "dup_b", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+# sign-random-projection hyperplanes for the embedding LSH prefilter:
+# fixed literals (seeded numpy, rounded, embedded below) so Spark and the
+# DuckDB oracle compute the identical bucket keys. Banded OR construction:
+# EMB_BANDS bands of EMB_BAND_BITS planes each — a pair is a candidate if
+# it collides in ANY band (recall compounds across bands).
+import numpy as _np
+
+EMB_BANDS = 4
+EMB_BAND_BITS = 6
+_PLANES = (
+    _np.random.default_rng(7)
+    .standard_normal((EMB_BANDS * EMB_BAND_BITS, 64))
+    .round(6)
+    .tolist()
+)
+
+
+def _emb_band_bits_sql(band: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN LIST_DOT_PRODUCT(e, {_PLANES[band * EMB_BAND_BITS + j]}::DOUBLE[]) > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(EMB_BAND_BITS)
+    )
+
+
+def _embedding_lsh_oracle() -> str:
+    keys = ",\n             ".join(
+        f"CAST({_emb_band_bits_sql(b)} AS BIGINT) AS bk{b}" for b in range(EMB_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, e, nrm, {b} AS band, bk{b} AS bkey FROM keyed"
+        for b in range(EMB_BANDS)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    keyed AS (SELECT vec_id, e, nrm,
+             {keys}
+      FROM v),
+    bands AS ({band_rows})
+    SELECT DISTINCT a.vec_id AS dup_a, b.vec_id AS dup_b,
+           ROUND(LIST_DOT_PRODUCT(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    WHERE LIST_DOT_PRODUCT(a.e, b.e) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+@register("q_dedup_embedding_lsh", oracle=_embedding_lsh_oracle())
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup, the 100-TB path: sign-random-projection LSH
+    with the banded-OR construction ({EMB_BANDS} bands x {EMB_BAND_BITS}
+    fixed literal hyperplanes), candidate pairs from an equi-join on
+    (band, key), exact cosine >= threshold as the verify step, DISTINCT
+    to collapse multi-band collisions. Versus q_dedup_embedding_cosine's
+    all-pairs O(N²), candidates shrink ~16x at test scale and the join
+    is a plain shuffle hash join on the key, so it scales like any other
+    aggregation. Recall is tunable with bands x bits (more bands = more
+    recall, more candidates); cross-all-band misses are the documented
+    LSH trade.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+
+    def plane_dot(p):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        return F.aggregate(
+            F.zip_with(e, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def band_key(b):
+        key = None
+        for j in range(EMB_BAND_BITS):
+            bit = F.when(
+                plane_dot(_PLANES[b * EMB_BAND_BITS + j]) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            key = bit if key is None else key + bit
+        return key.cast("long")
+
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("bkey"))
+            for b in range(EMB_BANDS)
+        ]
+    )
+    v = emb.select(
+        "vec_id",
+        e.alias("e"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(e, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+        F.explode(band_structs).alias("bk"),
+    ).select("vec_id", "e", "nrm", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = v.select(
+        F.col("vec_id").alias("dup_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"), "band", "bkey",
+    )
+    b = v.select(
+        F.col("vec_id").alias("dup_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"), "band", "bkey",
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("dup_a") < F.col("dup_b"))
+        .withColumn("cos_raw", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
+        .select("dup_a", "dup_b", F.round("cos_raw", 6).alias("cosine"))
+        .distinct()
+    )

@@ -635,3 +635,59 @@ def q_range_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines_in_window"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "q_agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS p95,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). The exact form needs a per-group sort; at
+    100 TB the drop-in scale substitute is ``percentile_approx`` (GK
+    sketch, mergeable map-side, no sort) — same call shape, bounded
+    error instead of a shuffle-wide sort."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                            (o_orderpriority, o_orderstatus))
+    """,
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form under rollup/cube):
+    three aggregation granularities in one pass over the input —
+    Spark expands then aggregates with map-side partial aggregation, so
+    the input is still read once at any scale."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                                (o_orderpriority, o_orderstatus))
+        """
+    )
