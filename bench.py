@@ -26,6 +26,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q_join_left_outer",
+    "q_join_salted_skew",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "q_agg_cube",
     "q_window_running_sum",
     "q_topk_global",

@@ -160,3 +160,18 @@ def test_native_decode_matches_python_fallback(tmp_path, monkeypatch):
             monkeypatch.undo()
             assert rb_native.schema == rb_py.schema
             assert rb_native.to_pylist() == rb_py.to_pylist()
+
+
+def test_cli_convert(tmp_path, spark):
+    """python -m utxo_to_parquet_spark -i ... -o ... (reference CLI parity,
+    main.rs:31-42)."""
+    from utxo_to_parquet_spark.__main__ import main
+
+    dump = str(tmp_path / "cli.dump")
+    out = str(tmp_path / "cli_out.parquet")
+    rows = synthetic_utxo_rows(2_000, seed=5)
+    write_utxo_dump(dump, rows)
+    main(["-i", dump, "-o", out, "--chunk-rows", "500"])
+    df = spark.read.parquet(out)
+    assert df.count() == 2_000
+    assert spark_table(df) == expected_table(rows)

@@ -691,3 +691,114 @@ def q_agg_grouping_sets(spark, sf_dir):
                                 (o_orderpriority, o_orderstatus))
         """
     )
+
+
+# --- TPC-H Q6 style: pure filter + single agg (pushdown showcase) ---------
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: every predicate is a plain column comparison, so
+    all four reach the parquet scan as pushed filters and the aggregate
+    is a map-side partial — the cheapest possible plan for this query."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- TPC-H Q10 style: returned-item report (join + agg + top-k) -----------
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: fact-to-fact join keyed on orderkey, customer
+    dimension broadcast, top-k by revenue with a deterministic key
+    tie-break (TakeOrderedAndProject — no global sort materialized)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- salted join: the explicit skew-mitigation pattern --------------------
+
+N_SALTS = 8
+
+
+@register(
+    "q_join_salted_skew",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_salted_skew(spark, sf_dir):
+    """Manually salted join — the pre-AQE skew mitigation, shown as an
+    operator because at 100 TB some skews (one key = 10% of the fact
+    table) still beat AQE's split heuristics. The big side gets a
+    deterministic salt in [0, {N_SALTS}); the small side is exploded
+    {N_SALTS}x; the join key becomes (key, salt), spreading each hot key
+    over {N_SALTS} shuffle partitions. Semantically identical to the
+    plain join — which is exactly what the oracle checks.
+    """
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.hash("l_partkey", "l_suppkey", "l_linenumber"), F.lit(N_SALTS))
+    )
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
+    )
+    return (
+        li.join(orders, (li.l_orderkey == orders.o_orderkey) & (li.salt == orders.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
