@@ -99,6 +99,29 @@ def main():
     times["utxo_convert"] = round(dt, 3)
     assert n == UTXO_BENCH_ROWS
 
+    # the reference's second headline: selective script-equality lookup on
+    # the converted, script-clustered output (README.md:54-56,105-107).
+    # Target selection (a single-occurrence script) is untimed.
+    from pyspark.sql import functions as F
+
+    from utxo_to_parquet_spark.sources.synthetic import EATER_SCRIPT
+
+    conv = spark.read.parquet(out)
+    target = bytes(
+        conv.filter((F.length("script") == 25) & (F.col("script") != F.lit(EATER_SCRIPT)))
+        .select("script")
+        .first()["script"]
+    )
+    lookup = (
+        conv.filter(F.col("script") == F.lit(target))
+        .select("txid", "vout", "amount", "height")
+        .orderBy("height")
+    )
+    lookup.collect()  # warm the reader path once
+    t0 = time.time()
+    lookup.collect()
+    times["utxo_point_lookup_parquet"] = round(time.time() - t0, 3)
+
     total = round(sum(times.values()), 3)
     result = {
         "metric": "suite_seconds",
