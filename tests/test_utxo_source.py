@@ -175,3 +175,21 @@ def test_cli_convert(tmp_path, spark):
     df = spark.read.parquet(out)
     assert df.count() == 2_000
     assert spark_table(df) == expected_table(rows)
+
+
+def test_datasource_format(tmp_path, spark):
+    """spark.read.format("utxo_dump") — the Spark 4 Python DataSource
+    registration path must decode identically to read_utxo_dump."""
+    from utxo_to_parquet_spark.sources import register_utxo_datasource
+
+    register_utxo_datasource(spark)
+    rows = synthetic_utxo_rows(1_500, seed=11)
+    path = str(tmp_path / "ds.dump")
+    write_utxo_dump(path, rows)
+    df = (
+        spark.read.format("utxo_dump")
+        .option("chunk_rows", 400)
+        .load(path)
+    )
+    assert df.rdd.getNumPartitions() == (1_500 + 399) // 400
+    assert spark_table(df) == expected_table(rows)

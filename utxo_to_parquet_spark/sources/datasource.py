@@ -1,0 +1,100 @@
+"""``spark.read.format("utxo_dump")`` — the source as a first-class
+Spark (Python) DataSource, Spark 4's native extension point.
+
+Same two-pass design as :func:`read_utxo_dump` (framing index on the
+driver inside ``partitions()``, parallel decode in ``read()``), but
+integrated with the planner: Spark sees one ``InputPartition`` per decode
+split and schedules them like any other scan, and the decode yields Arrow
+RecordBatches straight into the vectorized path. Column pruning happens
+in Catalyst above the scan (the format is row-grouped binary; there is
+nothing to prune at the source level).
+
+Usage::
+
+    from utxo_to_parquet_spark.sources import register_utxo_datasource
+    register_utxo_datasource(spark)
+    df = (spark.read.format("utxo_dump")
+          .option("chunk_rows", 250_000)
+          .load("/path/to/utxo.dump"))
+
+On a real cluster the package must be shipped to executors
+(``--py-files`` / a wheel) so ``read()`` can import the decode kernels;
+the input must live on a shared filesystem, as with any file source.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+UTXO_SCHEMA_DDL = (
+    "txid string, vout long, height long, coinbase boolean, amount long, script binary"
+)
+
+
+@dataclass
+class UtxoSplitPartition(InputPartition):
+    """One decode split; must be picklable (shipped to executors)."""
+
+    offset: int
+    length: int
+    carried_txid: bytes
+    carried_coins_left: int
+    num_rows: int
+
+
+class UtxoDumpReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("utxo_dump: .load(path) is required")
+        self.path = path
+        self.chunk_rows = int(options.get("chunk_rows", 250_000))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        import os
+
+        from .utxo_dump import index_utxo_dump
+
+        _, splits = index_utxo_dump(self.path, chunk_rows=self.chunk_rows)
+        size = os.path.getsize(self.path)
+        ends = [s.offset for s in splits[1:]] + [size]
+        return [
+            UtxoSplitPartition(s.offset, end - s.offset, s.carried_txid,
+                               s.carried_coins_left, s.num_rows)
+            for s, end in zip(splits, ends)
+        ] or [UtxoSplitPartition(0, 0, b"\x00" * 32, 0, 0)]
+
+    def read(self, partition: UtxoSplitPartition) -> Iterator:
+        if partition.num_rows == 0:
+            return
+        from .utxo_dump import Split, _decode_split
+
+        with open(self.path, "rb") as f:
+            f.seek(partition.offset)
+            data = f.read(partition.length)
+        yield _decode_split(
+            data,
+            Split(0, partition.carried_txid, partition.carried_coins_left, partition.num_rows),
+        )
+
+
+class UtxoDumpDataSource(DataSource):
+    """Registration shim: name + static schema + reader factory."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "utxo_dump"
+
+    def schema(self) -> str:
+        return UTXO_SCHEMA_DDL
+
+    def reader(self, schema) -> UtxoDumpReader:
+        return UtxoDumpReader(self.options)
+
+
+def register_utxo_datasource(spark) -> None:
+    """Idempotently register the ``utxo_dump`` format on this session."""
+    spark.dataSource.register(UtxoDumpDataSource)

@@ -146,3 +146,57 @@ def q_stream_stateful_running_max(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("event_type", F.round("max_value", 2).alias("max_value"), "n_events")
     )
+
+
+@register(
+    "q_stream_stream_join",
+    oracle=f"""
+    WITH c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS purchase_ts, value FROM events
+               WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           CAST(FLOOR(EPOCH(c.click_ts)) AS BIGINT) AS click_s,
+           CAST(FLOOR(EPOCH(p.purchase_ts)) AS BIGINT) AS purchase_s,
+           ROUND(p.value, 2) AS purchase_value
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 5 MINUTE
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join: purchases attributed to a
+    click by the same user within 5 minutes. Both sides carry watermarks
+    and the join condition bounds event-time distance, so state for
+    expired intervals is evicted — the standing-memory requirement is
+    O(watermark window), not O(stream). On a static replay every match
+    is emitted, which is exactly the batch join the oracle runs.
+    """
+    sdf = _events_stream(spark, sf_dir)
+    clicks = (
+        sdf.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select(
+        "user_id",
+        F.unix_timestamp("click_ts").cast("long").alias("click_s"),
+        F.unix_timestamp("purchase_ts").cast("long").alias("purchase_s"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    table = _run_to_memory(joined, "append")
+    return spark.table(table)
