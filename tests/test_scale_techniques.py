@@ -1,0 +1,92 @@
+"""Scale-technique demonstrations: plan-shape assertions for the
+mechanisms the 100-TB design leans on (bucketed co-located joins,
+broadcast pruning, salted skew joins). These check the PLAN, not just
+results — a correct answer computed through an accidental shuffle is a
+failure at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force shuffle-based joins so bucketing effects are visible."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_bucketed_join_has_no_exchange(spark, no_broadcast):
+    """Tables bucketed on the join key with matching bucket counts join
+    WITHOUT a shuffle — the plan must contain zero Exchange operators.
+    This is the co-location contract a 100-TB fact-fact join relies on."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("ord_bucketed")
+    )
+    try:
+        joined = (
+            spark.table("li_bucketed")
+            .join(spark.table("ord_bucketed"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself must be exchange-free (the final 1-group agg
+        # still exchanges; assert no exchange BELOW the join)
+        join_part = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in join_part, join_part
+        # results still correct
+        got = {r["o_orderpriority"]: r["count"] for r in joined.collect()}
+        expected = {
+            r["o_orderpriority"]: r["count"]
+            for r in li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority").count().collect()
+        }
+        assert got == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_broadcast_join_no_shuffle_on_fact_side(spark):
+    """A dimension join must broadcast: the fact side is read and joined
+    with zero Exchange operators before the aggregation."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_salted_join_spreads_partitions(spark):
+    """The salted join's shuffle key must include the salt: hot-key rows
+    land in N_SALTS different partitions instead of one."""
+    from utxo_to_parquet_spark.operators.relational import N_SALTS
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumn(
+        "salt", F.pmod(F.hash("l_partkey", "l_suppkey", "l_linenumber"), F.lit(N_SALTS))
+    )
+    one_key = li.filter(F.col("l_orderkey") == li.select("l_orderkey").first()[0])
+    n_salts = one_key.select("salt").distinct().count()
+    assert n_salts >= 2  # the hot key's rows are spread across salts
