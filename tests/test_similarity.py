@@ -1,0 +1,53 @@
+"""Approximation-quality tests for the ANN / near-dup scale paths.
+
+The oracle gate proves each query computes its own definition correctly;
+these tests quantify how the approximate variants relate to their exact
+baselines — recall floors (the synthetic vectors are near-orthogonal, so
+absolute recall is modest by construction; floors guard against
+regressions to zero overlap) and the subset/precision invariants that
+must hold exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from utxo_to_parquet_spark.operators import all_queries
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_ivf_recall_vs_exact(spark, queries):
+    exact = {(r.q_id, r.c_id) for r in queries["q_sim_cosine_topk"](spark, SF_DIR).collect()}
+    ivf = {(r.q_id, r.c_id) for r in queries["q_sim_ivf_topk"](spark, SF_DIR).collect()}
+    assert len(ivf) == len(exact)  # same top-k contract per query
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall:.3f}"
+
+
+def test_embedding_lsh_is_precise_subset_of_exact(spark, queries):
+    """The banded-LSH near-dup verifies candidates with the SAME exact
+    cosine threshold, so precision must be 1.0: every emitted pair is in
+    the exact result. Recall is the documented trade."""
+    exact = {
+        (r.dup_a, r.dup_b) for r in queries["q_dedup_embedding_cosine"](spark, SF_DIR).collect()
+    }
+    lsh = {(r.dup_a, r.dup_b) for r in queries["q_dedup_embedding_lsh"](spark, SF_DIR).collect()}
+    assert lsh <= exact
+    assert len(exact) > 0
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.05, f"banded LSH recall collapsed: {recall:.3f}"
+
+
+def test_lsh_buckets_deterministic_and_nondegenerate(spark, queries):
+    a = queries["q_sim_lsh_buckets"](spark, SF_DIR).collect()
+    b = queries["q_sim_lsh_buckets"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # seeded planes: stable
+    counts = [r.n_vecs for r in a]
+    total = sum(counts)
+    assert len(counts) > 1 and max(counts) < total / 2  # no degenerate bucket
