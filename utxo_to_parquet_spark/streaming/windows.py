@@ -160,8 +160,8 @@ def q_stream_stateful_running_max(spark, sf_dir):
            ROUND(p.value, 2) AS purchase_value
     FROM c JOIN p
       ON c.user_id = p.user_id
-     AND p.purchase_ts >= c.click_ts
-     AND p.purchase_ts <= c.click_ts + INTERVAL 5 MINUTE
+     AND FLOOR(EPOCH(p.purchase_ts)) >= FLOOR(EPOCH(c.click_ts))
+     AND FLOOR(EPOCH(p.purchase_ts)) <= FLOOR(EPOCH(c.click_ts)) + 300
     """,
 )
 def q_stream_stream_join(spark, sf_dir):
