@@ -51,7 +51,7 @@ HEADLINE = [
     "q_mm_feature_extract",
 ]
 
-UTXO_BENCH_ROWS = 1_000_000
+UTXO_BENCH_ROWS = 2_000_000
 
 
 def _utxo_dump_path(rows: int) -> str:
@@ -94,7 +94,7 @@ def main():
     dump = _utxo_dump_path(UTXO_BENCH_ROWS)
     out = "/tmp/bench_utxo_out.parquet"
     t0 = time.time()
-    n = convert_utxo_dump_to_parquet(spark, dump, out, chunk_rows=50_000)
+    n = convert_utxo_dump_to_parquet(spark, dump, out, chunk_rows=64_000)
     dt = time.time() - t0
     times["utxo_convert"] = round(dt, 3)
     assert n == UTXO_BENCH_ROWS

@@ -105,7 +105,20 @@ def q_mm_feature_extract(spark, sf_dir):
     return p.mapInPandas(extract, "doc_id long, size long, entropy double, mean_byte double")
 
 
-@register("q_mm_frame_sample")  # rows-only: chunked frame sampling
+@register(
+    "q_mm_frame_sample",
+    # the ASCII corpus makes byte slicing == char slicing, so the frame
+    # checksums are SQL-expressible: sha256 over stepped substrings
+    oracle=f"""
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           substr(sha256(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})), 1, 16)
+             AS frame_sha
+    FROM documents,
+         LATERAL (SELECT UNNEST(RANGE(0,
+                    CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / {FRAME_BYTES}) AS BIGINT),
+                    {SAMPLE_EVERY})) AS i)
+    """,
+)
 def q_mm_frame_sample(spark, sf_dir):
     """Frame sampling over binary payloads: split each payload into
     FRAME_BYTES-sized 'frames', keep every SAMPLE_EVERY-th, emit one row
