@@ -193,3 +193,111 @@ def test_datasource_format(tmp_path, spark):
     )
     assert df.rdd.getNumPartitions() == (1_500 + 399) // 400
     assert spark_table(df) == expected_table(rows)
+
+
+def test_native_decode_parity_property(tmp_path):
+    """Property-based differential: random row shapes (hypothesis
+    strategies drive amounts/heights/script forms through the dump writer)
+    must decode identically through the C kernel and the Python loop."""
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+
+    from utxo_to_parquet_spark.sources import native
+    from utxo_to_parquet_spark.sources.utxo_dump import Split
+
+    if native.get_native_framer() is None:
+        pytest.skip("no C compiler available")
+
+    import hashlib
+
+    script_strat = st.one_of(
+        st.binary(min_size=0, max_size=80),  # raw scripts incl. empty
+        st.builds(
+            lambda h: bytes([0x76, 0xA9, 20]) + h + bytes([0x88, 0xAC]),
+            st.binary(min_size=20, max_size=20),
+        ),
+        st.builds(
+            lambda h: bytes([0xA9, 20]) + h + bytes([0x87]),
+            st.binary(min_size=20, max_size=20),
+        ),
+        st.builds(
+            lambda b, p: bytes([33, p]) + hashlib.sha256(b).digest() + bytes([0xAC]),
+            st.binary(min_size=1, max_size=8),
+            st.sampled_from([2, 3]),
+        ),
+    )
+    row_strat = st.tuples(
+        st.integers(min_value=0, max_value=2**20),  # txid seed (grouping via small space)
+        st.integers(min_value=0, max_value=100_000),  # vout
+        st.integers(min_value=0, max_value=2**40),  # height
+        st.booleans(),
+        st.integers(min_value=0, max_value=2_100_000_000_000_000),  # amount <= supply
+        script_strat,
+    )
+
+    @settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(row_strat, min_size=1, max_size=200), st.integers(min_value=1, max_value=50))
+    def check(raw_rows, chunk_rows):
+        rows = [
+            (hashlib.sha256(str(seed % 7).encode()).digest(), v, h, cb, amt, s)
+            for seed, v, h, cb, amt, s in raw_rows
+        ]
+        # consecutive equal txids group; seed%7 makes groups common
+        path = str(tmp_path / "prop.dump")
+        write_utxo_dump(path, rows)
+        _, splits = index_utxo_dump(path, chunk_rows=chunk_rows)
+        import os
+
+        size = os.path.getsize(path)
+        ends = [s.offset for s in splits[1:]] + [size]
+        with open(path, "rb") as f:
+            for s, end in zip(splits, ends):
+                f.seek(s.offset)
+                data = f.read(end - s.offset)
+                rb_native = native.decode_split_native(
+                    data, s.carried_txid, s.carried_coins_left, s.num_rows
+                )
+                from utxo_to_parquet_spark.sources import utxo_dump as ud
+
+                # force the pure-Python path for the differential side
+                orig = native.decode_split_native
+                native.decode_split_native = lambda *a, **k: None
+                try:
+                    rb_py = ud._decode_split(
+                        data, Split(0, s.carried_txid, s.carried_coins_left, s.num_rows)
+                    )
+                finally:
+                    native.decode_split_native = orig
+                assert rb_native.to_pylist() == rb_py.to_pylist()
+
+    check()
+
+
+def test_global_sort_produces_total_order(tmp_path, spark):
+    """global_sort=True range-partitions by script: files are disjoint
+    script ranges and concatenating them in file order yields one global
+    sorted order (the strictly-stronger layout of convert.py)."""
+    import glob
+
+    rows = synthetic_utxo_rows(5_000, seed=21)
+    dump = str(tmp_path / "gs.dump")
+    out = str(tmp_path / "gs.parquet")
+    write_utxo_dump(dump, rows)
+    n = convert_utxo_dump_to_parquet(spark, dump, out, chunk_rows=1_000, global_sort=True)
+    assert n == 5_000
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{out}/part-*"))
+    assert len(files) >= 1
+    ranges = []
+    for fp in files:
+        scripts = pq.read_table(fp, columns=["script"]).column("script").to_pylist()
+        assert scripts == sorted(scripts)  # sorted within file
+        if scripts:
+            ranges.append((scripts[0], scripts[-1]))
+    # files sorted by part number are not necessarily range-ordered;
+    # check disjointness instead: ranges must not overlap pairwise
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (equal keys may straddle: allow <=)
