@@ -802,3 +802,79 @@ def q_join_salted_skew(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "q_scalar_array",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             LIST(l_linenumber ORDER BY l_linenumber) AS lines,
+             LIST(ROUND(l_extendedprice, 2) ORDER BY l_linenumber) AS prices
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(LEN(lines) AS BIGINT) AS n_lines,
+           lines[1:3] AS first3,
+           LIST_CONTAINS(lines, 4) AS has_line4,
+           ROUND(LIST_SUM(prices), 2) AS total_price
+    FROM per_order
+    """,
+)
+def q_scalar_array(spark, sf_dir):
+    """Array-function family over grouped data: ordered collect, slice,
+    membership, and a higher-order sum — the nested-type surface
+    (ArrayType columns flow through shuffles like scalars)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list("l_linenumber")).alias("lines"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(l_linenumber, "
+                "round(l_extendedprice, 2) AS p))), x -> x.p)"
+            ).alias("prices"),
+        )
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.slice("lines", 1, 3).alias("first3"),
+        F.array_contains("lines", 4).alias("has_line4"),
+        F.round(
+            F.aggregate("prices", F.lit(0.0), lambda acc, x: acc + x), 2
+        ).alias("total_price"),
+    )
+
+
+@register(
+    "q_unpivot_metrics",
+    oracle="""
+    SELECT metric, ROUND(AVG(value), 4) AS avg_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount FROM lineitem)
+      ON l_quantity, l_extendedprice, l_discount
+      INTO NAME metric VALUE value
+    )
+    GROUP BY metric
+    """,
+)
+def q_unpivot_metrics(spark, sf_dir):
+    """Unpivot (melt): wide metric columns to (metric, value) rows, then
+    aggregate per metric — one scan, rows expand 3x map-side, no extra
+    shuffle beyond the final aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            [],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric",
+            "value",
+        )
+        .groupBy("metric")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
