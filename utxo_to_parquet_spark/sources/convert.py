@@ -8,11 +8,15 @@ The Spark-native equivalent of the reference's entire main() loop
       .write.parquet(...)          # ZSTD + small row groups (S12)
 
 Layout decisions mirror the reference's write-time physical optimizations
-(SURVEY.md §4): clustering on ``script`` so equality predicates prune
-pages, ZSTD compression, small row groups as the skip granularity.
-The reference's per-column DELTA_BYTE_ARRAY encoding and SortingColumn
-footer metadata are not exposed by Spark's writer — a documented,
-results-neutral fidelity gap (main.rs:212,214).
+(SURVEY.md §4): clustering on ``script`` so equality predicates prune,
+ZSTD compression, 64 KiB pages with page-level statistics as the skip
+granularity. The skip unit differs deliberately from the reference's
+64Ki-ROW row groups (main.rs:211): parquet-java's column indexes make
+PAGES the pruning granularity, so large (16 MiB) row groups write ~2x
+faster with measurably identical point-lookup latency — same pruning
+power, cheaper write. The reference's per-column DELTA_BYTE_ARRAY
+encoding and SortingColumn footer metadata are not exposed by Spark's
+writer — a documented, results-neutral fidelity gap (main.rs:212,214).
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ def convert_utxo_dump_to_parquet(
     *,
     chunk_rows: int = 250_000,
     global_sort: bool = False,
-    row_group_bytes: int = 4 * 1024 * 1024,
+    row_group_bytes: int = 16 * 1024 * 1024,
 ):
     """Convert a UTXO snapshot to Parquet; returns the decoded row count.
 
