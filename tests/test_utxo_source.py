@@ -301,3 +301,32 @@ def test_global_sort_produces_total_order(tmp_path, spark):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint (equal keys may straddle: allow <=)
+
+
+def test_split_index_cache(tmp_path):
+    """The sidecar split index skips the framing pass on repeat reads and
+    invalidates on file change or different chunk_rows."""
+    import json
+    import os
+
+    rows = synthetic_utxo_rows(800, seed=13)
+    path = str(tmp_path / "cache.dump")
+    write_utxo_dump(path, rows)
+    h1, s1 = index_utxo_dump(path, chunk_rows=100)
+    sidecar = path + ".splits.json"
+    assert os.path.exists(sidecar)
+    h2, s2 = index_utxo_dump(path, chunk_rows=100)  # cache hit
+    assert s1 == s2
+    # different chunk_rows: must re-frame, not serve the stale layout
+    _, s3 = index_utxo_dump(path, chunk_rows=37)
+    assert len(s3) == (800 + 36) // 37
+    # file rewrite invalidates
+    write_utxo_dump(path, synthetic_utxo_rows(900, seed=14))
+    os.utime(path, ns=(1, 1))  # force distinct mtime even on coarse clocks
+    h4, s4 = index_utxo_dump(path, chunk_rows=37)
+    assert h4.num_utxos == 900 and sum(s.num_rows for s in s4) == 900
+    # corrupt sidecar falls back to framing
+    with open(sidecar, "w") as fh:
+        fh.write("{not json")
+    h5, s5 = index_utxo_dump(path, chunk_rows=37)
+    assert sum(s.num_rows for s in s5) == 900

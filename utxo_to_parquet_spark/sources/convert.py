@@ -32,6 +32,7 @@ def convert_utxo_dump_to_parquet(
     chunk_rows: int = 250_000,
     global_sort: bool = False,
     row_group_bytes: int = 16 * 1024 * 1024,
+    use_cache: bool = True,
 ):
     """Convert a UTXO snapshot to Parquet; returns the decoded row count.
 
@@ -43,7 +44,9 @@ def convert_utxo_dump_to_parquet(
     better trade because every equality predicate then touches a single
     file's pages.
     """
-    header, df = read_utxo_dump_with_header(spark, input_path, chunk_rows=chunk_rows)
+    header, df = read_utxo_dump_with_header(
+        spark, input_path, chunk_rows=chunk_rows, use_cache=use_cache
+    )
     if global_sort:
         df = df.repartitionByRange("script").sortWithinPartitions("script")
     else:

@@ -112,8 +112,68 @@ def write_utxo_dump(
 _FRAME_MARGIN = 80
 
 
+def _index_cache_path(path: str) -> str:
+    return path + ".splits.json"
+
+
+def _load_split_cache(path: str, chunk_rows: int) -> "tuple[UtxoHeader, list[Split]] | None":
+    """Reuse a sidecar split index if it matches the file identity.
+
+    The framing pass is the one sequential stage (Amdahl's bound on the
+    whole conversion at large inputs), but it's a pure function of the
+    file bytes — so it is computed once and persisted next to the input.
+    Validity = (size, mtime_ns, chunk_rows) all match.
+    """
+    import json
+
+    cache = _index_cache_path(path)
+    try:
+        with open(cache) as fh:
+            doc = json.load(fh)
+        st = os.stat(path)
+        if (
+            doc["size"] != st.st_size
+            or doc["mtime_ns"] != st.st_mtime_ns
+            or doc["chunk_rows"] != chunk_rows
+        ):
+            return None
+        with open(path, "rb") as fh:
+            header = parse_header(memoryview(fh.read(HEADER_LEN)))
+        splits = [
+            Split(o, bytes.fromhex(t), c, r) for o, t, c, r in doc["splits"]
+        ]
+        return header, splits
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def _store_split_cache(path: str, chunk_rows: int, splits: list[Split]) -> None:
+    import json
+
+    try:
+        st = os.stat(path)
+        doc = {
+            "size": st.st_size,
+            "mtime_ns": st.st_mtime_ns,
+            "chunk_rows": chunk_rows,
+            "splits": [
+                (s.offset, s.carried_txid.hex(), s.carried_coins_left, s.num_rows)
+                for s in splits
+            ],
+        }
+        tmp = _index_cache_path(path) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, _index_cache_path(path))
+    except OSError:
+        pass  # cache is best-effort (read-only input dirs are fine)
+
+
 def index_utxo_dump(
-    path: str, chunk_rows: int = 250_000, window_bytes: int = 64 * 1024 * 1024
+    path: str,
+    chunk_rows: int = 250_000,
+    window_bytes: int = 64 * 1024 * 1024,
+    use_cache: bool = True,
 ) -> tuple[UtxoHeader, list[Split]]:
     """Walk record framing sequentially and emit decode splits.
 
@@ -126,7 +186,17 @@ def index_utxo_dump(
 
     Raises ValueError on malformed input (bad magic, zero-coin group,
     truncation), mirroring the reference's asserts (main.rs:174,225).
+
+    With ``use_cache`` (default), the split index is persisted to a
+    ``<path>.splits.json`` sidecar and reused while the file identity
+    (size + mtime) matches — repeat reads skip the sequential pass
+    entirely.
     """
+    if use_cache:
+        cached = _load_split_cache(path, chunk_rows)
+        if cached is not None:
+            return cached
+
     file_size = os.path.getsize(path)
     f = open(path, "rb")
     try:
@@ -144,7 +214,10 @@ def index_utxo_dump(
         except Exception:
             native = None
         if native is not None:
-            return header, [Split(o, t, c, r) for o, t, c, r in native]
+            splits = [Split(o, t, c, r) for o, t, c, r in native]
+            if use_cache:
+                _store_split_cache(path, chunk_rows, splits)
+            return header, splits
 
         win_start = HEADER_LEN
         data = f.read(window_bytes)
@@ -230,6 +303,8 @@ def index_utxo_dump(
                     chunk_rows_seen = 0
         except IndexError:
             raise ValueError("truncated dump: framing ran past EOF") from None
+        if use_cache:
+            _store_split_cache(path, chunk_rows, splits)
         return header, splits
     finally:
         f.close()
@@ -310,22 +385,24 @@ def _decode_split(data, split: Split):
     )
 
 
-def read_utxo_dump(spark, path: str, *, chunk_rows: int = 250_000):
+def read_utxo_dump(spark, path: str, *, chunk_rows: int = 250_000, use_cache: bool = True):
     """Read a ``dumptxoutset`` snapshot into a DataFrame, in parallel.
 
     Framing pass on the driver → one decode task per split on executors
     via ``mapInArrow`` (Arrow RecordBatches cross the Python/JVM boundary
     directly — no pandas materialization, no per-row crossings).
     """
-    _, df = read_utxo_dump_with_header(spark, path, chunk_rows=chunk_rows)
+    _, df = read_utxo_dump_with_header(spark, path, chunk_rows=chunk_rows, use_cache=use_cache)
     return df
 
 
-def read_utxo_dump_with_header(spark, path: str, *, chunk_rows: int = 250_000):
+def read_utxo_dump_with_header(
+    spark, path: str, *, chunk_rows: int = 250_000, use_cache: bool = True
+):
     """Like :func:`read_utxo_dump` but also returns the parsed snapshot
     header, so callers needing ``num_utxos`` don't re-run the framing
     pass (the one sequential stage)."""
-    header, splits = index_utxo_dump(path, chunk_rows=chunk_rows)
+    header, splits = index_utxo_dump(path, chunk_rows=chunk_rows, use_cache=use_cache)
     if not splits:  # empty-but-valid snapshot
         return header, spark.createDataFrame([], UTXO_SCHEMA)
 
