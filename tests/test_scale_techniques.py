@@ -90,3 +90,15 @@ def test_salted_join_spreads_partitions(spark):
     one_key = li.filter(F.col("l_orderkey") == li.select("l_orderkey").first()[0])
     n_salts = one_key.select("salt").distinct().count()
     assert n_salts >= 2  # the hot key's rows are spread across salts
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ at rsd=0.02 must land within 5% of the exact distinct count
+    on every group (generous vs the configured 2% rsd)."""
+    from utxo_to_parquet_spark.operators import all_queries
+
+    rows = all_queries()["q_agg_approx_distinct"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
+        assert err < 0.05, f"{r.l_returnflag}: approx={r.approx_parts} exact={r.exact_parts}"

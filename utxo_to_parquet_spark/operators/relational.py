@@ -878,3 +878,21 @@ def q_unpivot_metrics(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register("q_agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
+def q_agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    THE distinct-counting strategy at 100 TB: the sketch is fixed-size
+    and mergeable, so the aggregation stays map-side partial + tiny
+    shuffle regardless of cardinality, where exact COUNT(DISTINCT)
+    shuffles every distinct value. Sketch estimates are engine-specific
+    (rows-only driver check); the relative-error bound is asserted in
+    tests/test_scale_techniques.py.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
