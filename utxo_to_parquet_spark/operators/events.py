@@ -165,3 +165,36 @@ def q_events_daily_active_users(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "q_events_sliding_window",
+    oracle="""
+    WITH contrib AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 - w.ofs AS BIGINT) AS window_start,
+             event_type, value
+      FROM events, (SELECT UNNEST([0, 300]) AS ofs) w
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM contrib
+    GROUP BY 1, 2
+    """,
+)
+def q_events_sliding_window(spark, sf_dir):
+    """Batch sliding window (10-minute windows, 5-minute slide): every
+    event contributes to window_length/slide = 2 windows, generated
+    map-side with an explode — rows fan out BEFORE the aggregation
+    shuffle, so the plan stays one partial-agg + one exchange, the same
+    shape window(ts, '10 minutes', '5 minutes') produces in streaming."""
+    ev = load_events(spark, sf_dir)
+    aligned = (F.floor(F.col("ts_sec") / 300) * 300).cast("long")
+    return (
+        ev.select(
+            F.explode(F.array(aligned, aligned - 300)).alias("window_start"),
+            "event_type",
+            "value",
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
