@@ -1,0 +1,51 @@
+"""Durability semantics of the streaming path: checkpointed file-sink
+queries resume exactly-once across restarts — the property a production
+deployment of streaming/windows.py relies on (memory-sink demos there
+trade durability for oracle-checkability).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _write_events(spark, path: str, ids: range) -> None:
+    spark.createDataFrame(
+        [(i, float(i)) for i in ids], "event_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_checkpointed_file_sink_resumes_exactly_once(tmp_path, spark):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    _write_events(spark, f"{in_dir}/batch_a", range(0, 100))
+
+    def run_once():
+        sdf = spark.readStream.schema("event_id long, value double").option(
+            "latestFirst", "false"
+        ).parquet(f"{in_dir}/*")
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 100
+
+    # new data lands while the query is down; restart from the checkpoint
+    _write_events(spark, f"{in_dir}/batch_b", range(100, 150))
+    run_once()
+    final = spark.read.parquet(out_dir)
+    assert final.count() == 150  # batch_a NOT reprocessed (exactly-once)
+    got = sorted(r.event_id for r in final.collect())
+    assert got == list(range(150))
