@@ -9,12 +9,20 @@ large-scale pipeline extensions).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from utxo_to_parquet_spark.operators import all_oracles, all_queries
-from utxo_to_parquet_spark.operators.utxo_queries import q_utxo_point_lookup
+# make the package importable no matter where the driver imports this
+# file from (cwd-independent)
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from utxo_to_parquet_spark.operators import all_oracles, all_queries  # noqa: E402
+from utxo_to_parquet_spark.operators.utxo_queries import q_utxo_point_lookup  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

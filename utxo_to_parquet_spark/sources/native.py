@@ -302,15 +302,21 @@ def _build() -> "ctypes.CDLL | None":
     tag = hashlib.sha256(_C_SOURCE.encode()).hexdigest()[:16]
     cache = os.path.join(tempfile.gettempdir(), f"utxo_frame_{tag}.so")
     if not os.path.exists(cache):
-        src = cache.replace(".so", ".c")
+        # compile to a process-unique path, then rename atomically —
+        # concurrent executor processes on a cold cache must not
+        # interleave writes into the shared .so
+        src = os.path.join(tempfile.gettempdir(), f"utxo_frame_{tag}_{os.getpid()}.c")
+        tmp_so = src.replace(".c", ".so")
         with open(src, "w") as fh:
             fh.write(_C_SOURCE)
         subprocess.run(
-            ["cc", "-O2", "-shared", "-fPIC", "-o", cache, src],
+            ["cc", "-O2", "-shared", "-fPIC", "-o", tmp_so, src],
             check=True,
             capture_output=True,
             timeout=60,
         )
+        os.replace(tmp_so, cache)
+        os.unlink(src)
     lib = ctypes.CDLL(cache)
     lib.frame_scan.restype = ctypes.c_long
     lib.frame_scan.argtypes = [
