@@ -51,3 +51,30 @@ def test_lsh_buckets_deterministic_and_nondegenerate(spark, queries):
     counts = [r.n_vecs for r in a]
     total = sum(counts)
     assert len(counts) > 1 and max(counts) < total / 2  # no degenerate bucket
+
+
+def test_kmeans_inertia_decreases(spark):
+    """Lloyd's iterations must not increase total inertia: rerun the
+    operator's assignment step with 1 vs KMEANS_ITERS iterations and
+    compare the summed within-cluster distances."""
+    import utxo_to_parquet_spark.operators.similarity as sim
+
+    orig = sim.KMEANS_ITERS
+    try:
+        sim.KMEANS_ITERS = 1
+        one = sum(r.inertia for r in sim.q_sim_kmeans(spark, SF_DIR).collect())
+        sim.KMEANS_ITERS = 3
+        three = sum(r.inertia for r in sim.q_sim_kmeans(spark, SF_DIR).collect())
+    finally:
+        sim.KMEANS_ITERS = orig
+    assert three <= one + 1e-6, (one, three)
+
+
+def test_kmeans_partitions_all_vectors(spark, queries):
+    rows = queries["q_sim_kmeans"](spark, SF_DIR).collect()
+    import utxo_to_parquet_spark.operators.similarity as sim
+
+    total = sum(r.n_vecs for r in rows)
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert total == n
+    assert len(rows) <= sim.KMEANS_K

@@ -317,3 +317,80 @@ def q_sim_ivf_topk(spark, sf_dir):
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", "cosine", F.col("rn").cast("long").alias("rn"))
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+@register("q_sim_kmeans")  # rows-only: iterative float averaging is engine-specific
+def q_sim_kmeans(spark, sf_dir):
+    """Lloyd's k-means ({KMEANS_K} clusters, {KMEANS_ITERS} fixed
+    iterations) — the iterative-algorithm pattern on DataFrames:
+
+    - deterministic init (the first {KMEANS_K} vectors by vec_id);
+    - assignment = broadcast the k centroids, pick argmin squared
+      distance (computed JVM-side with zip_with/aggregate);
+    - update = posexplode to (cluster, dim, v), average per (cluster,
+      dim) — one shuffle per iteration;
+    - each iteration's assignment DataFrame is cached and the previous
+      one unpersisted, so the lineage (and recomputation cost) does not
+      grow with the iteration count — the standard guard for iterative
+      Spark jobs.
+
+    Iterations are a fixed small count (no driver-side convergence loop
+    over collect()ed state beyond the k×d centroid table, which IS small
+    by construction — that is the one legitimate driver round-trip).
+    Float averaging orders differ across engines → rows-only check;
+    inertia monotonicity is asserted in tests/test_similarity.py.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    k_first = [r.e for r in emb.orderBy("vec_id").limit(KMEANS_K).collect()]
+
+    def assign(centroids):
+        cent_rows = [(ci, list(c)) for ci, c in enumerate(centroids)]
+        cent = spark.createDataFrame(cent_rows, "cluster int, c array<double>")
+        dist = F.aggregate(
+            F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scored = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "e", "cluster", dist.alias("d2")
+        )
+        w = W.partitionBy("vec_id").orderBy("d2", "cluster")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    assigned = None
+    centroids = k_first
+    for _ in range(KMEANS_ITERS):
+        prev = assigned
+        assigned = assign(centroids).cache()
+        new_cent = (
+            assigned.select("cluster", F.posexplode("e").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("cv"))
+            .groupBy("cluster")
+            .agg(F.expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)").alias("c"))
+            .orderBy("cluster")
+            .collect()
+        )
+        by_cluster = {r.cluster: list(r.c) for r in new_cent}
+        centroids = [by_cluster.get(i, centroids[i]) for i in range(KMEANS_K)]
+        if prev is not None:
+            prev.unpersist()
+
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("d2"), 2).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
