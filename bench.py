@@ -48,6 +48,9 @@ HEADLINE = [
     "q_sim_ivf_topk",
     "q_range_join",
     "q_agg_percentiles",
+    "q_agg_approx_distinct",
+    "q_events_sliding_window",
+    "q_unpivot_metrics",
     "q_mm_feature_extract",
 ]
 
