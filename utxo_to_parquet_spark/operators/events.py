@@ -198,3 +198,43 @@ def q_events_sliding_window(spark, sf_dir):
         .groupBy("window_start", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@register(
+    "q_events_topk_pandas",
+    oracle="""
+    SELECT event_type, event_id, ROUND(value, 2) AS value,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q_events_topk_pandas(spark, sf_dir):
+    """Grouped-map applyInPandas: per event type, the top 3 events by
+    value (deterministic event_id tie-break), computed inside an
+    Arrow-batched pandas function — the custom-per-group-logic escape
+    hatch when window functions can't express the computation (here they
+    can, which is exactly what the oracle exploits to check the UDF
+    path bit-for-bit: sorting compares floats, it never does arithmetic
+    on them). Each group is one Arrow batch; the shuffle is the same
+    hash-on-key exchange a groupBy takes.
+    """
+    import pandas as pd
+
+    ev = load_events(spark, sf_dir).select("event_type", "event_id", "value")
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(3).copy()
+        out["rn"] = range(1, len(out) + 1)
+        out["value"] = out["value"].round(2)
+        return out
+
+    return ev.groupBy("event_type").applyInPandas(
+        topk, "event_type string, event_id long, value double, rn long"
+    )
