@@ -102,3 +102,18 @@ def test_approx_distinct_error_bound(spark):
     for r in rows:
         err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
         assert err < 0.05, f"{r.l_returnflag}: approx={r.approx_parts} exact={r.exact_parts}"
+
+
+def test_join_strategy_hints_are_honored(spark, no_broadcast):
+    """Strategy hints override the planner's default choice — the manual
+    control used when statistics mislead at scale: SHUFFLE_HASH avoids
+    the sort of a sort-merge join; MERGE forces sort-merge for
+    spill-safety on huge build sides."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+    shj = li.join(orders.hint("SHUFFLE_HASH"), F.col("l_orderkey") == F.col("o_orderkey"))
+    assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
+
+    smj = li.join(orders.hint("MERGE"), F.col("l_orderkey") == F.col("o_orderkey"))
+    assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()

@@ -33,6 +33,7 @@ def convert_utxo_dump_to_parquet(
     global_sort: bool = False,
     row_group_bytes: int = 16 * 1024 * 1024,
     use_cache: bool = True,
+    partition_by_height_epoch: int | None = None,
 ):
     """Convert a UTXO snapshot to Parquet; returns the decoded row count.
 
@@ -43,21 +44,37 @@ def convert_utxo_dump_to_parquet(
     sorted order) at the cost of one extra shuffle; at 100 TB this is the
     better trade because every equality predicate then touches a single
     file's pages.
+
+    ``partition_by_height_epoch=N`` adds hive-style output partitioning on
+    ``height_epoch = height // N``: height-range queries then prune whole
+    directories at plan time (PartitionFilters) before any page statistics
+    are consulted — the coarse pruning layer the flat reference layout
+    doesn't have. Script clustering still applies within each partition.
     """
     header, df = read_utxo_dump_with_header(
         spark, input_path, chunk_rows=chunk_rows, use_cache=use_cache
     )
+    from pyspark.sql import functions as F
+
+    partition_cols: list[str] = []
+    if partition_by_height_epoch:
+        df = df.withColumn(
+            "height_epoch", (F.col("height") / partition_by_height_epoch).cast("long")
+        )
+        partition_cols = ["height_epoch"]
     if global_sort:
-        df = df.repartitionByRange("script").sortWithinPartitions("script")
+        df = df.repartitionByRange(*(partition_cols + ["script"])).sortWithinPartitions("script")
     else:
         df = df.sortWithinPartitions("script")
-    (
+    writer = (
         df.write.mode("overwrite")
         .option("compression", "zstd")
         .option("parquet.block.size", str(row_group_bytes))
         .option("parquet.page.size", str(64 * 1024))
-        .parquet(output_path)
     )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(output_path)
     # the framing pass walked every record and errors on malformed input,
     # so the decoded row count is num_utxos — no output re-read needed
     return header.num_utxos
