@@ -225,3 +225,34 @@ def test_header_bad_magic():
 def test_header_truncated():
     with pytest.raises(ValueError):
         parse_header(build_header(1)[:20])
+
+
+class TestAddress:
+    """base58check + script→address (kernels/address.py)."""
+
+    def test_base58check_canonical_vector(self):
+        # the classic bitcoin-wiki worked example
+        from utxo_to_parquet_spark.kernels.address import base58check_encode
+
+        h160 = bytes.fromhex("010966776006953D5567439E5E39F86A0D273BEE")
+        assert base58check_encode(0x00, h160) == "16UwLL9Risc3QfPqBUvKofHmBQ7wMtjvM"
+
+    def test_leading_zero_payload(self):
+        from utxo_to_parquet_spark.kernels.address import base58check_encode
+
+        addr = base58check_encode(0x00, b"\x00" * 20)
+        assert addr.startswith("11")  # version zero byte + zero payload byte
+
+    def test_script_templates(self):
+        from utxo_to_parquet_spark.kernels.address import script_to_address
+
+        h160 = bytes.fromhex("010966776006953D5567439E5E39F86A0D273BEE")
+        p2pkh = bytes([0x76, 0xA9, 20]) + h160 + bytes([0x88, 0xAC])
+        p2sh = bytes([0xA9, 20]) + h160 + bytes([0x87])
+        assert script_to_address(p2pkh) == "16UwLL9Risc3QfPqBUvKofHmBQ7wMtjvM"
+        assert script_to_address(p2sh).startswith("3")  # mainnet P2SH prefix
+        assert script_to_address(b"\x6a\x01\x00") is None  # OP_RETURN: no address
+        # P2PK resolves to the pubkey's P2PKH address
+        pub = bytes([33, 2]) + b"\x11" * 32 + bytes([0xAC])
+        a = script_to_address(pub)
+        assert a is not None and a[0] == "1"

@@ -216,3 +216,43 @@ def q_text_token_count_bpe(spark, sf_dir):
             4,
         ).alias("avg_token_len"),
     )
+
+
+@register(
+    "q_text_repetition_filter",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+    ),
+    stats AS (
+      SELECT doc_id, MAX(c) AS top_word_count, CAST(SUM(c) AS BIGINT) AS n_words
+      FROM freq GROUP BY doc_id
+    )
+    SELECT doc_id, top_word_count, n_words,
+           ROUND(CAST(top_word_count AS DOUBLE) / n_words, 4) AS top_word_frac,
+           (CAST(top_word_count AS DOUBLE) / n_words > 0.2) AS is_repetitive
+    FROM stats
+    """,
+)
+def q_text_repetition_filter(spark, sf_dir):
+    """Repetition detection (the C4-style 'most common word fraction'
+    quality filter): per document, the share of the most frequent word.
+    Two partial-aggregable groupBys — explode fans out map-side, both
+    shuffles are on (doc_id[, word]), linear at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    stats = freq.groupBy("doc_id").agg(
+        F.max("c").alias("top_word_count"), F.sum("c").alias("n_words")
+    )
+    frac = F.col("top_word_count").cast("double") / F.col("n_words")
+    return stats.select(
+        "doc_id",
+        "top_word_count",
+        "n_words",
+        F.round(frac, 4).alias("top_word_frac"),
+        (frac > 0.2).alias("is_repetitive"),
+    )

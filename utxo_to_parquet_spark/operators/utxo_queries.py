@@ -3,7 +3,7 @@
 The real UTXO table comes from the dump source (sources/utxo_dump.py), which
 the DuckDB oracle can't see. For the *driver-checked* parity queries we
 instead derive a deterministic ``utxos`` view from ``lineitem`` with
-expressions computed identically by Spark and DuckDB (md5/concat/substr
+expressions computed identically by Spark and DuckDB (sha256/md5/concat/substr
 arithmetic) — same schema and semantics as the reference output
 (/root/reference/src/main.rs:199-206), fully oracle-checkable at any sf.
 
@@ -26,7 +26,7 @@ N_SCRIPTS = 50
 
 # the flagship script literal (analog of the README's eater address,
 # README.md:54-56): bucket 7's P2PKH script
-FLAGSHIP_H20 = hashlib.md5(b"s7").hexdigest()[:40]
+FLAGSHIP_H20 = hashlib.sha256(b"s7").hexdigest()[:40]
 FLAGSHIP_SCRIPT_HEX = "76a914" + FLAGSHIP_H20 + "88ac"
 
 UTXOS_CTE = f"""
@@ -38,7 +38,7 @@ UTXOS_CTE = f"""
     (l_linenumber = 1) AS coinbase,
     CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS amount,
     concat('76a914',
-           substr(md5(concat('s', CAST(l_partkey % {N_SCRIPTS} AS VARCHAR))), 1, 40),
+           substr(sha256(concat('s', CAST(l_partkey % {N_SCRIPTS} AS VARCHAR))), 1, 40),
            '88ac') AS script_hex
   FROM lineitem
 """
@@ -60,7 +60,7 @@ def utxos_df(spark, sf_dir):
         F.concat(
             F.lit("76a914"),
             F.substring(
-                F.md5(F.concat(F.lit("s"), (F.col("l_partkey") % N_SCRIPTS).cast("string"))), 1, 40
+                F.sha2(F.concat(F.lit("s"), (F.col("l_partkey") % N_SCRIPTS).cast("string")), 256), 1, 40
             ),
             F.lit("88ac"),
         ).alias("script_hex"),
@@ -200,7 +200,7 @@ def q_utxo_amount_decompress_sql(spark, sf_dir):
     "q_utxo_script_templates_sql",
     oracle="""
     WITH payloads AS (
-      SELECT p_partkey, substr(md5(concat('h', CAST(p_partkey AS VARCHAR))), 1, 40) AS h20
+      SELECT p_partkey, substr(sha256(concat('h', CAST(p_partkey AS VARCHAR))), 1, 40) AS h20
       FROM part
     )
     SELECT p_partkey,
@@ -216,7 +216,7 @@ def q_utxo_script_templates_sql(spark, sf_dir):
     binary concat expressions — no UDF. Byte lengths computed on the real
     BinaryType values (25 and 23)."""
     part = load(spark, sf_dir, "part")
-    h20 = F.substring(F.md5(F.concat(F.lit("h"), F.col("p_partkey").cast("string"))), 1, 40)
+    h20 = F.substring(F.sha2(F.concat(F.lit("h"), F.col("p_partkey").cast("string")), 256), 1, 40)
     p2pkh = F.concat(F.lit("76a914"), h20, F.lit("88ac"))
     p2sh = F.concat(F.lit("a914"), h20, F.lit("87"))
     return part.select(
@@ -274,4 +274,32 @@ def q_utxo_amount_histogram(spark, sf_dir):
     )
     return u.groupBy(mag.alias("magnitude")).agg(
         F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total")
+    )
+
+
+@register("q_utxo_addresses")  # rows-only: base58check needs bigint arithmetic
+def q_utxo_addresses(spark, sf_dir):
+    """Script → address decoding (base58check, kernels/address.py) over
+    the derived utxos view, as an Arrow-batched pandas UDF — the
+    in-engine version of the address rendering the reference delegates
+    to block explorers (README.md:52-107). Aggregates balances per
+    address: the canonical wallet-analytics rollup.
+    """
+    from ..kernels.address import script_to_address
+
+    @F.pandas_udf("string")
+    def to_address(script_hex):
+        return script_hex.map(lambda h: script_to_address(bytes.fromhex(h)))
+
+    u = utxos_df(spark, sf_dir)
+    return (
+        u.withColumn("address", to_address("script_hex"))
+        .filter(F.col("address").isNotNull())
+        .groupBy("address")
+        .agg(
+            F.count(F.lit(1)).alias("n_utxos"),
+            F.sum("amount").alias("balance"),
+        )
+        .orderBy(F.desc("balance"), "address")
+        .limit(25)
     )
