@@ -256,3 +256,19 @@ class TestAddress:
         pub = bytes([33, 2]) + b"\x11" * 32 + bytes([0xAC])
         a = script_to_address(pub)
         assert a is not None and a[0] == "1"
+
+    def test_bech32_bip173_vector(self):
+        # BIP-173's worked P2WPKH example
+        from utxo_to_parquet_spark.kernels.address import (
+            script_to_address,
+            witness_script_to_address,
+        )
+
+        prog = bytes.fromhex("751e76e8199196d454941c45d1b3a323f1433bd6")
+        script = bytes([0x00, 0x14]) + prog
+        want = "bc1qw508d6qejxtdg4y5r3zarvary0c5xw7kv8f3t4"
+        assert witness_script_to_address(script) == want
+        assert script_to_address(script) == want  # dispatch falls through
+        # 32-byte program (P2WSH) encodes too; other shapes do not
+        assert witness_script_to_address(bytes([0x00, 0x20]) + b"\x01" * 32)
+        assert witness_script_to_address(b"\x51\x14" + b"\x01" * 20) is None

@@ -56,7 +56,64 @@ def script_to_address(script: bytes) -> str | None:
         return base58check_encode(0x00, _hash160(script[1:34]))  # P2PK compressed
     if n == 67 and script[0] == 65 and script[66] == 0xAC:
         return base58check_encode(0x00, _hash160(script[1:66]))  # P2PK uncompressed
-    return None
+    return witness_script_to_address(script)  # bech32 for witness v0, else None
 
 
 __all__ = ["base58check_encode", "script_to_address"]
+
+
+# --- bech32 (BIP-173) for native segwit v0 scripts -------------------------
+
+_BECH32_CHARSET = "qpzry9x8gf2tvdw0s3jn54khce6mua7l"
+_BECH32_GEN = (0x3B6A57B2, 0x26508E6D, 0x1EA119FA, 0x3D4233DD, 0x2A1462B3)
+
+
+def _bech32_polymod(values: list[int]) -> int:
+    chk = 1
+    for v in values:
+        b = chk >> 25
+        chk = ((chk & 0x1FFFFFF) << 5) ^ v
+        for i in range(5):
+            if (b >> i) & 1:
+                chk ^= _BECH32_GEN[i]
+    return chk
+
+
+def _bech32_hrp_expand(hrp: str) -> list[int]:
+    return [ord(c) >> 5 for c in hrp] + [0] + [ord(c) & 31 for c in hrp]
+
+
+def _convertbits(data: bytes, frombits: int, tobits: int) -> list[int]:
+    acc = 0
+    bits = 0
+    out = []
+    maxv = (1 << tobits) - 1
+    for b in data:
+        acc = (acc << frombits) | b
+        bits += frombits
+        while bits >= tobits:
+            bits -= tobits
+            out.append((acc >> bits) & maxv)
+    if bits:
+        out.append((acc << (tobits - bits)) & maxv)
+    return out
+
+
+def bech32_encode(hrp: str, witver: int, witprog: bytes) -> str:
+    """BIP-173 segwit address encoding (witness v0; bech32 checksum)."""
+    data = [witver] + _convertbits(witprog, 8, 5)
+    values = _bech32_hrp_expand(hrp) + data
+    polymod = _bech32_polymod(values + [0] * 6) ^ 1
+    checksum = [(polymod >> 5 * (5 - i)) & 31 for i in range(6)]
+    return hrp + "1" + "".join(_BECH32_CHARSET[d] for d in data + checksum)
+
+
+def witness_script_to_address(script: bytes, hrp: str = "bc") -> str | None:
+    """OP_0 PUSH20/PUSH32 witness program → bech32 address, else None."""
+    if len(script) >= 2 and script[0] == 0x00 and script[1] == len(script) - 2 \
+            and len(script) - 2 in (20, 32):
+        return bech32_encode(hrp, 0, script[2:])
+    return None
+
+
+__all__ += ["bech32_encode", "witness_script_to_address"]
