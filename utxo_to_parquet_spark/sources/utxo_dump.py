@@ -17,7 +17,7 @@ This module makes the scan *splittable* with a two-pass design
    than a full decode.
 2. **Decode pass** (parallel, executors): each task seeks to its offset,
    restores the carried run-length state, fully decodes its ``num_rows``
-   records, and yields Arrow batches via ``mapInPandas``.
+   records, and yields Arrow RecordBatches via ``mapInArrow``.
 
 At cluster scale the input must live on a shared filesystem (HDFS/S3/NFS)
 so every executor can open it; the framing pass streams the file once and
