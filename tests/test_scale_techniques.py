@@ -117,3 +117,25 @@ def test_join_strategy_hints_are_honored(spark, no_broadcast):
 
     smj = li.join(orders.hint("MERGE"), F.col("l_orderkey") == F.col("o_orderkey"))
     assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stratified_sample_proportions(spark):
+    """sampleBy at 0.5 per stratum must land within a generous Bernoulli
+    tolerance of half of each language's documents."""
+    from utxo_to_parquet_spark.operators import all_queries
+    from utxo_to_parquet_spark.operators.registry import load
+
+    sf = "/root/testdata/sf0.01"
+    sampled = {
+        r.lang: r.n_sampled
+        for r in all_queries()["q_sample_stratified"](spark, sf).collect()
+    }
+    totals = {
+        r.lang: r.n
+        for r in load(spark, sf, "documents").groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    for lang, n in totals.items():
+        frac = sampled.get(lang, 0) / n
+        assert 0.3 < frac < 0.7, (lang, frac)

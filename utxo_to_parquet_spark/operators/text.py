@@ -256,3 +256,57 @@ def q_text_repetition_filter(spark, sf_dir):
         F.round(frac, 4).alias("top_word_frac"),
         (frac > 0.2).alias("is_repetitive"),
     )
+
+
+TRAIN_FRAC_HEX = "cc"  # md5-prefix threshold ≈ 0.797 train fraction
+
+
+@register(
+    "q_split_train_test",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{TRAIN_FRAC_HEX}'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM tagged GROUP BY split
+    """,
+)
+def q_split_train_test(spark, sf_dir):
+    """Deterministic train/test split — the reproducibility-critical
+    pipeline op: membership is a pure function of the stable doc_id
+    (md5 prefix vs a threshold), so the split is identical across
+    engines, runs, partitionings, and cluster sizes — no RNG, no
+    sampling state. Engine-native hash() functions differ across
+    engines, hence md5."""
+    docs = load(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= TRAIN_FRAC_HEX,
+        "train",
+    ).otherwise("test")
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@register("q_sample_stratified")  # rows-only: sampling draws engine-specific RNG
+def q_sample_stratified(spark, sf_dir):
+    """Stratified sampling (sampleBy): per-language fractions with a
+    fixed seed — the corpus-balancing op. Bernoulli draws are
+    engine-specific (rows-only check); proportion tolerances are
+    asserted in tests. At scale this is a single map-side filter: no
+    shuffle, no collect."""
+    docs = load(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 0.5, "de": 0.5, "fr": 0.5, "zh": 0.5}
+    sample = docs.sampleBy("lang", fractions, seed=42)
+    return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
