@@ -303,3 +303,71 @@ def q_utxo_addresses(spark, sf_dir):
         .orderBy(F.desc("balance"), "address")
         .limit(25)
     )
+
+
+@register(
+    "q_utxo_script_type_stats",
+    oracle=f"""
+    WITH scripted AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS amount,
+             CASE l_partkey % 4
+               WHEN 0 THEN concat('76a914', substr(sha256(concat('k', CAST(l_partkey AS VARCHAR))), 1, 40), '88ac')
+               WHEN 1 THEN concat('a914', substr(sha256(concat('k', CAST(l_partkey AS VARCHAR))), 1, 40), '87')
+               WHEN 2 THEN concat('0014', substr(sha256(concat('k', CAST(l_partkey AS VARCHAR))), 1, 40))
+               ELSE concat('6a', substr(sha256(concat('k', CAST(l_partkey AS VARCHAR))), 1, 8))
+             END AS script_hex
+      FROM lineitem
+    ),
+    classified AS (
+      SELECT amount,
+             CASE WHEN script_hex LIKE '76a914%' AND script_hex LIKE '%88ac' THEN 'p2pkh'
+                  WHEN script_hex LIKE 'a914%' AND script_hex LIKE '%87' THEN 'p2sh'
+                  WHEN script_hex LIKE '0014%' THEN 'p2wpkh'
+                  WHEN script_hex LIKE '6a%' THEN 'op_return'
+                  ELSE 'nonstandard' END AS script_type
+      FROM scripted
+    )
+    SELECT script_type,
+           CAST(COUNT(*) AS BIGINT) AS n_utxos,
+           CAST(SUM(amount) AS BIGINT) AS total_sats,
+           CAST(SUM(CASE WHEN amount < 546 THEN 1 ELSE 0 END) AS BIGINT) AS n_dust
+    FROM classified GROUP BY script_type
+    """,
+)
+def q_utxo_script_type_stats(spark, sf_dir):
+    """UTXO-set composition: classify scripts by template (prefix/suffix
+    pattern match) and roll up counts, value, and dust (sub-546-sat
+    outputs, the canonical uneconomical-to-spend threshold) per type —
+    the standard chain-analytics snapshot summary. Pure CASE/LIKE column
+    expressions; one partial-agg shuffle on a 5-value key."""
+    li = load(spark, sf_dir, "lineitem")
+    k40 = F.substring(F.sha2(F.concat(F.lit("k"), F.col("l_partkey").cast("string")), 256), 1, 40)
+    k8 = F.substring(F.sha2(F.concat(F.lit("k"), F.col("l_partkey").cast("string")), 256), 1, 8)
+    script_hex = (
+        F.when(F.col("l_partkey") % 4 == 0, F.concat(F.lit("76a914"), k40, F.lit("88ac")))
+        .when(F.col("l_partkey") % 4 == 1, F.concat(F.lit("a914"), k40, F.lit("87")))
+        .when(F.col("l_partkey") % 4 == 2, F.concat(F.lit("0014"), k40))
+        .otherwise(F.concat(F.lit("6a"), k8))
+    )
+    scripted = li.select(
+        F.floor(F.col("l_extendedprice") * 100).alias("amount"),
+        script_hex.alias("script_hex"),
+    )
+    stype = (
+        F.when(
+            F.col("script_hex").like("76a914%") & F.col("script_hex").like("%88ac"), "p2pkh"
+        )
+        .when(F.col("script_hex").like("a914%") & F.col("script_hex").like("%87"), "p2sh")
+        .when(F.col("script_hex").like("0014%"), "p2wpkh")
+        .when(F.col("script_hex").like("6a%"), "op_return")
+        .otherwise("nonstandard")
+    )
+    return (
+        scripted.select("amount", stype.alias("script_type"))
+        .groupBy("script_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_utxos"),
+            F.sum("amount").alias("total_sats"),
+            F.sum(F.when(F.col("amount") < 546, 1).otherwise(0)).alias("n_dust"),
+        )
+    )
