@@ -359,3 +359,35 @@ def test_partitioned_output_prunes_height_ranges(tmp_path, spark):
     assert q2.count() == len(expected)
     # full content round-trips (partition column added, the rest intact)
     assert df.drop("height_epoch").count() == 4_000
+
+
+def test_address_rollup_consistent_with_script_rollup(tmp_path, spark):
+    """Address decoding over the REAL dump pipeline: for template scripts
+    the per-address balance rollup must equal the per-script rollup
+    (address is a bijection of the script for these types)."""
+    from pyspark.sql import functions as F
+
+    from utxo_to_parquet_spark.kernels.address import script_to_address
+
+    rows = synthetic_utxo_rows(3_000, seed=17)
+    dump = str(tmp_path / "addr.dump")
+    write_utxo_dump(dump, rows)
+    df = read_utxo_dump(spark, dump)
+
+    @F.pandas_udf("string")
+    def to_addr(s):
+        return s.map(lambda b: script_to_address(bytes(b)))
+
+    by_addr = (
+        df.withColumn("address", to_addr("script"))
+        .filter(F.col("address").isNotNull())
+        .groupBy("address")
+        .agg(F.sum("amount").alias("bal"))
+    )
+    got = {r.address: r.bal for r in by_addr.collect()}
+    expected = {}
+    for _, _, _, _, amount, script in rows:
+        a = script_to_address(script)
+        if a is not None:
+            expected[a] = expected.get(a, 0) + amount
+    assert got == expected
