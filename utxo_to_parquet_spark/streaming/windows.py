@@ -200,3 +200,50 @@ def q_stream_stream_join(spark, sf_dir):
     )
     table = _run_to_memory(joined, "append")
     return spark.table(table)
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s,
+           ROUND(value, 2) AS value
+    FROM events
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming deduplication: the input is replayed TWICE (two files
+    of the same data) and dropDuplicatesWithinWatermark on the event key
+    restores exactly the original rows — which is what the oracle
+    checks. The watermark bounds dedup state: keys older than the delay
+    are evicted, so memory is O(events within the watermark window), not
+    O(stream); the 90-day delay here covers the whole fixture to make
+    the replay exact (production tunes it to the real duplicate
+    horizon).
+    """
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    stream_dir = tempfile.mkdtemp(prefix="events_dup_")
+    os.symlink(src, os.path.join(stream_dir, "copy_a.parquet"))
+    os.symlink(src, os.path.join(stream_dir, "copy_b.parquet"))
+    sdf = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("event_ts", F.timestamp_seconds(F.expr(f"ts div {NS}")))
+    )
+    deduped = (
+        sdf.withWatermark("event_ts", "90 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "event_type",
+            F.expr(f"ts div {NS}").cast("long").alias("ts_s"),
+            F.round("value", 2).alias("value"),
+        )
+    )
+    table = _run_to_memory(deduped, "append")
+    return spark.table(table)
