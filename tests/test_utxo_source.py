@@ -391,3 +391,23 @@ def test_address_rollup_consistent_with_script_rollup(tmp_path, spark):
         if a is not None:
             expected[a] = expected.get(a, 0) + amount
     assert got == expected
+
+
+def test_multi_file_dump_directory(tmp_path, spark):
+    """A directory of snapshot shards reads as one table: per-file
+    framing (parallel on the driver), union of all rows."""
+    all_rows = []
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for i in range(3):
+        rows = synthetic_utxo_rows(700 + i * 100, seed=40 + i)
+        write_utxo_dump(str(shard_dir / f"part{i}.dump"), rows)
+        all_rows.extend(rows)
+    from utxo_to_parquet_spark.sources import read_utxo_dump_with_header
+
+    header, df = read_utxo_dump_with_header(spark, str(shard_dir), chunk_rows=300)
+    assert header.num_utxos == len(all_rows)
+    assert spark_table(df) == expected_table(all_rows)
+    # glob form reads the same
+    df2 = read_utxo_dump(spark, str(shard_dir / "part*.dump"), chunk_rows=300)
+    assert df2.count() == len(all_rows)

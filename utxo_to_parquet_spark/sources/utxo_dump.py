@@ -396,39 +396,86 @@ def read_utxo_dump(spark, path: str, *, chunk_rows: int = 250_000, use_cache: bo
     return df
 
 
+def _list_dump_files(path: str) -> list[str]:
+    """Expand a path argument to concrete dump files: a single file, a
+    directory of shards (all regular files, sorted), or a glob."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if os.path.isfile(os.path.join(path, f)) and not f.endswith(".splits.json")
+        )
+    elif any(ch in path for ch in "*?["):
+        files = sorted(p for p in _glob.glob(path) if not p.endswith(".splits.json"))
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"no dump files at {path}")
+    return files
+
+
 def read_utxo_dump_with_header(
     spark, path: str, *, chunk_rows: int = 250_000, use_cache: bool = True
 ):
     """Like :func:`read_utxo_dump` but also returns the parsed snapshot
     header, so callers needing ``num_utxos`` don't re-run the framing
-    pass (the one sequential stage)."""
-    header, splits = index_utxo_dump(path, chunk_rows=chunk_rows, use_cache=use_cache)
-    if not splits:  # empty-but-valid snapshot
+    pass (the one sequential stage).
+
+    ``path`` may be a single snapshot, a directory of snapshot shards, or
+    a glob. Multi-file inputs frame in a thread pool — the C framing
+    kernel releases the GIL inside ctypes, so per-file framing runs
+    truly in parallel, removing the sequential-pass bound whenever the
+    input is sharded. The returned header carries the FIRST file's
+    version/network/block-hash and the SUM of rows across files.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    files = [os.path.abspath(f) for f in _list_dump_files(path)]
+
+    def index_one(f):
+        return f, index_utxo_dump(f, chunk_rows=chunk_rows, use_cache=use_cache)
+
+    if len(files) == 1:
+        indexed = [index_one(files[0])]
+    else:
+        with ThreadPoolExecutor(max_workers=min(len(files), 16)) as pool:
+            indexed = list(pool.map(index_one, files))
+
+    header = indexed[0][1][0]
+    total_rows = sum(h.num_utxos for _, (h, _) in indexed)
+    header = UtxoHeader(header.version, header.network, header.block_hash, total_rows)
+
+    rows = []
+    for f, (_, splits) in indexed:
+        size = os.path.getsize(f)
+        ends = [s.offset for s in splits[1:]] + [size]
+        rows.extend(
+            (f, s.offset, end - s.offset, s.carried_txid, s.carried_coins_left, s.num_rows)
+            for s, end in zip(splits, ends)
+        )
+    if not rows:  # empty-but-valid snapshot(s)
         return header, spark.createDataFrame([], UTXO_SCHEMA)
 
-    abspath = os.path.abspath(path)
-    file_size = os.path.getsize(abspath)
     # each split's byte extent ends where the next begins — tasks read only
     # their own range, so I/O per task is O(split), not O(file).
-    # parallelize(numSlices=len(splits)) pins one split per partition up
+    # parallelize(numSlices=len(rows)) pins one split per partition up
     # front — no repartition shuffle stage between the descriptor list and
     # the decode tasks.
-    ends = [s.offset for s in splits[1:]] + [file_size]
     splits_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [
-                (s.offset, end - s.offset, s.carried_txid, s.carried_coins_left, s.num_rows)
-                for s, end in zip(splits, ends)
-            ],
-            numSlices=len(splits),
-        ),
-        "offset long, length long, carried_txid binary, carried_coins_left long, num_rows long",
+        spark.sparkContext.parallelize(rows, numSlices=len(rows)),
+        "path string, offset long, length long, carried_txid binary,"
+        " carried_coins_left long, num_rows long",
     )
 
     def decode(batches):
-        f = open(abspath, "rb")
+        handles: dict[str, object] = {}
         for rb in batches:
             for row in rb.to_pylist():
+                f = handles.get(row["path"])
+                if f is None:
+                    f = handles[row["path"]] = open(row["path"], "rb")
                 f.seek(row["offset"])
                 data = f.read(row["length"])
                 yield _decode_split(
