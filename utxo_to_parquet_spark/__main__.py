@@ -41,12 +41,15 @@ def main(argv: list[str] | None = None) -> None:
     from .kernels.header import HEADER_LEN, parse_header
     from .session import get_spark
     from .sources import convert_utxo_dump_to_parquet
+    from .sources.utxo_dump import _list_dump_files
 
-    with open(args.input, "rb") as f:
+    files = _list_dump_files(args.input)
+    with open(files[0], "rb") as f:
         header = parse_header(memoryview(f.read(HEADER_LEN)))
     log.info(
-        "snapshot: version=%d network=%s block_hash=%s utxos=%d",
-        header.version, header.network, header.block_hash[::-1].hex(), header.num_utxos,
+        "snapshot: files=%d version=%d network=%s block_hash=%s utxos(first)=%d",
+        len(files), header.version, header.network,
+        header.block_hash[::-1].hex(), header.num_utxos,
     )
 
     spark = get_spark("utxo-to-parquet")

@@ -38,6 +38,7 @@ UTXO_SCHEMA_DDL = (
 class UtxoSplitPartition(InputPartition):
     """One decode split; must be picklable (shipped to executors)."""
 
+    path: str
     offset: int
     length: int
     carried_txid: bytes
@@ -56,23 +57,27 @@ class UtxoDumpReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         import os
 
-        from .utxo_dump import index_utxo_dump
+        from .utxo_dump import _list_dump_files, index_utxo_dump
 
-        _, splits = index_utxo_dump(self.path, chunk_rows=self.chunk_rows)
-        size = os.path.getsize(self.path)
-        ends = [s.offset for s in splits[1:]] + [size]
-        return [
-            UtxoSplitPartition(s.offset, end - s.offset, s.carried_txid,
-                               s.carried_coins_left, s.num_rows)
-            for s, end in zip(splits, ends)
-        ] or [UtxoSplitPartition(0, 0, b"\x00" * 32, 0, 0)]
+        out: list[UtxoSplitPartition] = []
+        for f in _list_dump_files(self.path):
+            f = os.path.abspath(f)
+            _, splits = index_utxo_dump(f, chunk_rows=self.chunk_rows)
+            size = os.path.getsize(f)
+            ends = [s.offset for s in splits[1:]] + [size]
+            out.extend(
+                UtxoSplitPartition(f, s.offset, end - s.offset, s.carried_txid,
+                                   s.carried_coins_left, s.num_rows)
+                for s, end in zip(splits, ends)
+            )
+        return out or [UtxoSplitPartition("", 0, 0, b"\x00" * 32, 0, 0)]
 
     def read(self, partition: UtxoSplitPartition) -> Iterator:
         if partition.num_rows == 0:
             return
         from .utxo_dump import Split, _decode_split
 
-        with open(self.path, "rb") as f:
+        with open(partition.path, "rb") as f:
             f.seek(partition.offset)
             data = f.read(partition.length)
         yield _decode_split(
