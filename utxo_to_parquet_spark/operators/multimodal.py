@@ -153,3 +153,53 @@ def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
     mapInPandas plumbing above is unchanged by that swap.
     """
     raise NotImplementedError("image codecs are not available in this environment")
+
+
+RESIZE_TO = 16
+
+
+@register(
+    "q_mm_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS orig_bytes,
+           ARRAY_TO_STRING(
+             LIST_TRANSFORM(RANGE(0, {RESIZE_TO}),
+               i -> substr(text, CAST((i * LENGTH(text)) // {RESIZE_TO} AS INT) + 1, 1)),
+             '') AS resized
+    FROM documents WHERE LENGTH(text) >= {RESIZE_TO}
+    """,
+)
+def q_mm_resize(spark, sf_dir):
+    """'Resize' over binary payloads: deterministic stride resampling to
+    a fixed {RESIZE_TO}-byte output (the nearest-neighbor downsample a
+    real image resize would do per axis — the codec itself is the
+    documented stub). Runs as an Arrow-batched mapInPandas with numpy
+    stride indexing; the oracle reproduces the identical positions with
+    substr arithmetic over the ASCII corpus, so the UDF path is checked
+    bit-for-bit. No shuffle: pure per-partition map.
+    """
+    import numpy as np
+    import pandas as pd
+
+    p = payloads_df(spark, sf_dir).select("doc_id", "payload")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(RESIZE_TO)
+        for pdf in batches:
+            out_doc, out_len, out_resized = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(blob)
+                n = len(raw)
+                if n < RESIZE_TO:
+                    continue
+                pos = (idx * n) // RESIZE_TO
+                arr = np.frombuffer(raw, dtype=np.uint8)[pos]
+                out_doc.append(doc_id)
+                out_len.append(n)
+                out_resized.append(arr.tobytes().decode("ascii", errors="replace"))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "orig_bytes": out_len, "resized": out_resized}
+            )
+
+    return p.mapInPandas(resize, "doc_id long, orig_bytes long, resized string")
