@@ -52,6 +52,8 @@ HEADLINE = [
     "q_events_sliding_window",
     "q_unpivot_metrics",
     "q_mm_feature_extract",
+    "q_mm_resize",
+    "q_events_topk_pandas",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000
