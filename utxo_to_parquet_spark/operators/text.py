@@ -310,3 +310,58 @@ def q_sample_stratified(spark, sf_dir):
     fractions = {"en": 0.5, "es": 0.5, "de": 0.5, "fr": 0.5, "zh": 0.5}
     sample = docs.sampleBy("lang", fractions, seed=42)
     return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
+    "q_text_bigram_novelty",
+    oracle="""
+    WITH bigrams AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')), 1)),
+               i -> CONCAT(STRING_SPLIT(text, ' ')[i], ' ',
+                           STRING_SPLIT(text, ' ')[i+1])))) AS bg
+      FROM documents
+    ),
+    df AS (SELECT bg, COUNT(*) AS n_docs FROM bigrams GROUP BY bg)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS novelty
+    FROM bigrams b JOIN df d ON b.bg = d.bg
+    GROUP BY b.doc_id
+    """,
+)
+def q_text_bigram_novelty(spark, sf_dir):
+    """Bigram novelty: the fraction of a document's distinct word
+    bigrams that appear in NO other document — a contamination /
+    near-duplication signal dual to the dedup operators (novelty ~0
+    means the text is stitched from corpus phrases). All-integer
+    inverted-index computation: explode distinct bigrams, document
+    frequency by bigram, join back, two partial-agg shuffles — the same
+    linear shape as the shingle index, minus the pair join.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bigrams = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(words) - 2),"
+                        " i -> concat(words[i], ' ', words[i+1]))"
+                    )
+                )
+            ).alias("bg"),
+        )
+    )
+    dfreq = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = bigrams.join(dfreq, "bg")
+    novel = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        novel.alias("n_novel"),
+        F.round(novel.cast("double") / F.count(F.lit(1)), 4).alias("novelty"),
+    )
