@@ -371,3 +371,44 @@ def q_utxo_script_type_stats(spark, sf_dir):
             F.sum(F.when(F.col("amount") < 546, 1).otherwise(0)).alias("n_dust"),
         )
     )
+
+
+COINBASE_MATURITY = 100
+
+
+@register(
+    "q_utxo_coinbase_maturity",
+    oracle=f"""
+    WITH utxos AS ({UTXOS_CTE}),
+    tip AS (SELECT MAX(height) AS tip_height FROM utxos)
+    SELECT coinbase,
+           (coinbase AND height > tip_height - {COINBASE_MATURITY}) AS immature,
+           CAST(COUNT(*) AS BIGINT) AS n_utxos,
+           CAST(SUM(amount) AS BIGINT) AS total_sats
+    FROM utxos, tip
+    GROUP BY 1, 2
+    """,
+)
+def q_utxo_coinbase_maturity(spark, sf_dir):
+    """Coinbase maturity: coinbase outputs within {COINBASE_MATURITY}
+    blocks of the tip are consensus-unspendable — the one spendability
+    rule derivable from this schema. The tip height is a scalar
+    aggregate broadcast into the classification (a 1-row cross join, no
+    data shuffle beyond the final rollup)."""
+    u = utxos_df(spark, sf_dir)
+    tip = u.agg(F.max("height").alias("tip_height"))
+    return (
+        u.crossJoin(F.broadcast(tip))
+        .select(
+            "coinbase",
+            (F.col("coinbase") & (F.col("height") > F.col("tip_height") - COINBASE_MATURITY)).alias(
+                "immature"
+            ),
+            "amount",
+        )
+        .groupBy("coinbase", "immature")
+        .agg(
+            F.count(F.lit(1)).alias("n_utxos"),
+            F.sum("amount").alias("total_sats"),
+        )
+    )
