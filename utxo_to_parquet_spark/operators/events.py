@@ -238,3 +238,68 @@ def q_events_topk_pandas(spark, sf_dir):
     return ev.groupBy("event_type").applyInPandas(
         topk, "event_type string, event_id long, value double, rn long"
     )
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN v ON e.user_id = v.user_id
+           AND e.ts > v.t AND e.ts <= v.t + INTERVAL 24 HOUR
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN c ON e.user_id = c.user_id
+           AND e.ts > c.t AND e.ts <= c.t + INTERVAL 24 HOUR
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    stages AS (
+      SELECT v.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS stage
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM stages GROUP BY stage
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel with a 24-hour conversion window per step: users
+    who viewed, then clicked within a day of the first view, then
+    purchased within a day of that click — sequence matching via
+    per-stage min-timestamp aggregates chained with inequality joins
+    (each stage's input shrinks, so the chain narrows; every join is on
+    user_id and shuffles once per stage). Timestamps compare exactly, so
+    the funnel membership is engine-deterministic.
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    day_ns = 24 * 3600 * NS
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("vt")) & (F.col("ts") <= F.col("vt") + day_ns))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("ct")) & (F.col("ts") <= F.col("ct") + day_ns))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    stages = (
+        v.join(c.select("user_id", F.lit(True).alias("clicked")), "user_id", "left")
+        .join(p.select("user_id", F.lit(True).alias("purchased")), "user_id", "left")
+        .select(
+            F.when(F.col("purchased"), 3).when(F.col("clicked"), 2).otherwise(1).alias("stage")
+        )
+    )
+    return stages.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
