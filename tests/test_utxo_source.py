@@ -411,3 +411,26 @@ def test_multi_file_dump_directory(tmp_path, spark):
     # glob form reads the same
     df2 = read_utxo_dump(spark, str(shard_dir / "part*.dump"), chunk_rows=300)
     assert df2.count() == len(all_rows)
+
+
+def test_partitioned_global_sort_combined(tmp_path, spark):
+    """partition_by_height_epoch + global_sort together: hive partitions
+    with range-partitioned, script-sorted files inside each."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = synthetic_utxo_rows(3_000, seed=51)
+    dump = str(tmp_path / "pg.dump")
+    out = str(tmp_path / "pg.parquet")
+    write_utxo_dump(dump, rows)
+    n = convert_utxo_dump_to_parquet(
+        spark, dump, out, chunk_rows=1_000,
+        global_sort=True, partition_by_height_epoch=300_000,
+    )
+    assert n == 3_000
+    df = spark.read.parquet(out)
+    assert df.count() == 3_000
+    for fp in glob.glob(f"{out}/height_epoch=*/part-*"):
+        scripts = pq.read_table(fp, columns=["script"]).column("script").to_pylist()
+        assert scripts == sorted(scripts)

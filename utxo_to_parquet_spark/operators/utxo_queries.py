@@ -412,3 +412,32 @@ def q_utxo_coinbase_maturity(spark, sf_dir):
             F.sum("amount").alias("total_sats"),
         )
     )
+
+
+@register(
+    "q_utxo_height_cohorts",
+    oracle=f"""
+    WITH utxos AS ({UTXOS_CTE})
+    SELECT CAST(FLOOR(height / 10000) AS BIGINT) AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_utxos,
+           CAST(SUM(amount) AS BIGINT) AS total_sats,
+           CAST(MIN(height) AS BIGINT) AS min_height,
+           CAST(MAX(height) AS BIGINT) AS max_height
+    FROM utxos GROUP BY 1
+    """,
+)
+def q_utxo_height_cohorts(spark, sf_dir):
+    """Height cohorts (the HODL-wave family): value and count per
+    10k-block age band — one integer bucketing plus a partial-agg
+    shuffle on a small key, the canonical supply-age rollup."""
+    u = utxos_df(spark, sf_dir)
+    return (
+        u.select(F.floor(F.col("height") / 10000).alias("cohort"), "amount", "height")
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_utxos"),
+            F.sum("amount").alias("total_sats"),
+            F.min("height").alias("min_height"),
+            F.max("height").alias("max_height"),
+        )
+    )

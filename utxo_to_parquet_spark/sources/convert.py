@@ -62,10 +62,14 @@ def convert_utxo_dump_to_parquet(
             "height_epoch", (F.col("height") / partition_by_height_epoch).cast("long")
         )
         partition_cols = ["height_epoch"]
+    # sort keys include the partition columns: the file writer demands
+    # task-local ordering on them and would otherwise insert its own
+    # sort-by-partition-cols, destroying the script clustering
+    sort_cols = partition_cols + ["script"]
     if global_sort:
-        df = df.repartitionByRange(*(partition_cols + ["script"])).sortWithinPartitions("script")
+        df = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
     else:
-        df = df.sortWithinPartitions("script")
+        df = df.sortWithinPartitions(*sort_cols)
     writer = (
         df.write.mode("overwrite")
         .option("compression", "zstd")
