@@ -303,3 +303,45 @@ def q_events_funnel(spark, sf_dir):
         )
     )
     return stages.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "q_events_retention",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(EPOCH(ts) / 604800) AS BIGINT) AS week
+      FROM events
+    ),
+    first_week AS (SELECT MIN(week) AS w0 FROM weekly),
+    cohort AS (SELECT DISTINCT user_id FROM weekly, first_week WHERE week = w0)
+    SELECT w.week,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_retained,
+           CAST((SELECT COUNT(*) FROM cohort) AS BIGINT) AS cohort_size
+    FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+    GROUP BY w.week
+    """,
+)
+def q_events_retention(spark, sf_dir):
+    """Cohort retention: of the users active in the first calendar week,
+    how many return in each subsequent week. The cohort is a small
+    distinct set (broadcast into the weekly-activity join); weekly
+    activity is one dedup shuffle — the whole analysis is two
+    aggregations and an equi-join, integer-exact across engines."""
+    ev = load_events(spark, sf_dir)
+    weekly = ev.select(
+        "user_id", (F.col("ts_sec") / 604800).cast("long").alias("week")
+    ).distinct()
+    w0 = weekly.agg(F.min("week").alias("w0"))
+    cohort = (
+        weekly.join(F.broadcast(w0), weekly.week == F.col("w0"))
+        .select("user_id")
+        .distinct()
+    )
+    csize = cohort.agg(F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    return (
+        weekly.join(F.broadcast(cohort), "user_id")
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("n_retained"))
+        .crossJoin(F.broadcast(csize))
+    )

@@ -1003,3 +1003,37 @@ def q_window_distribution(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    SELECT o_orderpriority, l_returnflag AS modal_flag,
+           CAST(cnt AS BIGINT) AS n
+    FROM (
+      SELECT o_orderpriority, l_returnflag, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY COUNT(*) DESC, l_returnflag) AS rn
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority, l_returnflag
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark, sf_dir):
+    """Per-group modal value (most frequent return flag per priority)
+    with a deterministic tie-break — count-then-rank, the standard
+    two-shuffle mode computation (Spark's mode() aggregate has
+    nondeterministic ties, so the explicit form is the portable one)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    counts = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("n"), "l_returnflag")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderpriority", F.col("l_returnflag").alias("modal_flag"), "n")
+    )
