@@ -9,9 +9,12 @@ Usage: python tools/check_correctness.py [sf_dir] [name_filter ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",

@@ -1037,3 +1037,125 @@ def q_agg_mode(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("o_orderpriority", F.col("l_returnflag").alias("modal_flag"), "n")
     )
+
+
+# --- TPC-H Q4/Q18/Q22 shapes adapted to the fixture schema ----------------
+# (fixtures lack l_commitdate/l_receiptdate/l_shipmode/c_phone, so the
+#  canonical predicates are re-expressed on the columns that exist; the
+#  operator shapes — EXISTS semi-join, HAVING-subquery IN, scalar-subquery
+#  + anti-join — are preserved. Reference delegates all SQL to the reader
+#  engine, README.md:50-107.)
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS decorrelated to a left-semi
+    join, then a grouped count. The correlated predicate compares a
+    probe-side column against a build-side column (shipdate vs
+    orderdate+60d), so it rides the semi-join condition; the date range
+    pushes to the orders scan."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q18_large_volume",
+    oracle="""
+    SELECT c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    GROUP BY c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery (an aggregated
+    semi-join), re-joined to the fact for the final rollup, top-100 by
+    price. The HAVING aggregate is a map-side-combinable sum; at scale
+    the qualifying-keys set is small, so Spark's runtime broadcasts it
+    into the semi-join under AQE."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "bk"),
+                    F.col("o_orderkey") == F.col("bk"), "left_semi")
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q22_dormant_rich",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q22_dormant_rich(spark, sf_dir):
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average,
+    computed once and folded into the filter as a broadcast scalar) plus
+    NOT EXISTS decorrelated to a left-anti join against a date-pruned
+    orders slice — "rich customers with no recent orders", per segment."""
+    cust = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal"))
+    return (
+        cust.join(avg_bal, F.col("c_acctbal") > F.col("avg(c_acctbal)"))
+        .drop("avg(c_acctbal)")
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
