@@ -1159,3 +1159,37 @@ def q22_dormant_rich(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    WHERE l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar-aggregate subquery (per-part
+    average quantity) decorrelated by hand into a grouped aggregate
+    joined back to the fact on the correlation key — the self-join-
+    with-aggregate pattern. The per-key aggregate is map-side
+    combinable and its output is one row per part, so under AQE it
+    broadcasts into the probe; the fact table is scanned once per
+    side with only the three needed columns."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg((0.5 * F.avg("l_quantity")).alias("half_avg_qty"))
+    )
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
