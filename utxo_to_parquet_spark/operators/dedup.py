@@ -136,7 +136,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         .filter(F.col("df") <= DF_CAP)
         .select("shingle")
     )
-    filtered = sh.join(df_ok, "shingle").cache()
+    # no cache(): the returned plan is consumed lazily by the caller so
+    # there is no safe unpersist point, and a cached exploded-shingle
+    # table is a memory hazard at scale. The shingle scan recomputes for
+    # its consumers; AQE reuses the shuffle output of the df_ok join.
+    filtered = sh.join(df_ok, "shingle")
     sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = filtered.alias("a")
     b = filtered.alias("b")

@@ -287,6 +287,10 @@ long decode_scan(const uint8_t *data, long size, long start,
             for (long k = 0; k < raw; k++) dst[k] = data[pos+k];
             pos += raw; so += raw;
         }
+        /* offsets are int32 on the Arrow side: reject instead of silently
+           wrapping if a chunk's decoded script bytes ever exceed 2^31-1
+           (script_cap alone does not bound so to int32 range) */
+        if (so > 2147483647L) return -5;
         script_off[i+1] = (int32_t)so;
         coins_left--;
     }
@@ -462,6 +466,13 @@ def decode_split_native(data: bytes, carried_txid: bytes, carried_coins_left: in
         raise ValueError("truncated dump: record payload past EOF")
     if ret == -2:
         raise ValueError("invalid dump: zero coins for txid group")
+    if ret == -4:
+        raise ValueError("decode failed: script buffer capacity exceeded")
+    if ret == -5:
+        raise ValueError(
+            "decode failed: chunk script bytes exceed int32 offset range"
+            " — use a smaller chunk_rows"
+        )
     if ret < 0:
         raise ValueError(f"decode failed with code {ret}")
 

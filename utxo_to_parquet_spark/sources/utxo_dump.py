@@ -255,12 +255,18 @@ def index_utxo_dump(
                         coins_left = b0
                         pos += 1
                     elif b0 == 0xFD:
+                        if pos + 3 > win_len:
+                            raise ValueError("truncated dump: short CompactSize count")
                         coins_left = int.from_bytes(data[pos + 1 : pos + 3], "little")
                         pos += 3
                     elif b0 == 0xFE:
+                        if pos + 5 > win_len:
+                            raise ValueError("truncated dump: short CompactSize count")
                         coins_left = int.from_bytes(data[pos + 1 : pos + 5], "little")
                         pos += 5
                     else:
+                        if pos + 9 > win_len:
+                            raise ValueError("truncated dump: short CompactSize count")
                         coins_left = int.from_bytes(data[pos + 1 : pos + 9], "little")
                         pos += 9
                     if coins_left <= 0:
@@ -470,17 +476,24 @@ def read_utxo_dump_with_header(
     )
 
     def decode(batches):
+        # Spark reuses Python workers across tasks, so leaked descriptors
+        # accumulate over a session — close every handle when this task's
+        # batch iterator is exhausted (or errors).
         handles: dict[str, object] = {}
-        for rb in batches:
-            for row in rb.to_pylist():
-                f = handles.get(row["path"])
-                if f is None:
-                    f = handles[row["path"]] = open(row["path"], "rb")
-                f.seek(row["offset"])
-                data = f.read(row["length"])
-                yield _decode_split(
-                    data,
-                    Split(0, bytes(row["carried_txid"]), row["carried_coins_left"], row["num_rows"]),
-                )
+        try:
+            for rb in batches:
+                for row in rb.to_pylist():
+                    f = handles.get(row["path"])
+                    if f is None:
+                        f = handles[row["path"]] = open(row["path"], "rb")
+                    f.seek(row["offset"])
+                    data = f.read(row["length"])
+                    yield _decode_split(
+                        data,
+                        Split(0, bytes(row["carried_txid"]), row["carried_coins_left"], row["num_rows"]),
+                    )
+        finally:
+            for f in handles.values():
+                f.close()
 
     return header, splits_df.mapInArrow(decode, UTXO_SCHEMA)
