@@ -6,6 +6,7 @@ Each module registers named queries via :mod:`registry`; the repo-root
 
 from . import (  # noqa: F401  (import for registration side effects)
     relational,
+    tpch_extra,
     utxo_queries,
     events,
     text,

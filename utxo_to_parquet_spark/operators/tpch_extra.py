@@ -1,0 +1,551 @@
+"""Remaining TPC-H query shapes (Q2/Q7/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q20/Q21),
+re-expressed for the driver fixture schema (TESTDATA.md).
+
+The reference delegates querying to a downstream SQL engine
+(/root/reference/README.md:50-107); these widen the engine's exercised
+relational surface to the full TPC-H shape catalog. Fixture deltas vs
+canonical TPC-H, and how each is re-expressed:
+
+- no ``partsupp``          -> part/supplier relationships bridged through
+                              lineitem (l_partkey, l_suppkey)
+- no ``l_shipmode``        -> Q12 buckets by lateness class instead
+- no ``l_commitdate`` /
+  ``l_receiptdate``        -> "late" := l_shipdate > o_orderdate + N days
+
+Scale notes (100 TB): region/nation/supplier are broadcast explicitly —
+at any realistic SF they stay in the tens of MB. part/customer are left
+to Catalyst/AQE: at petabyte SFs they exceed the broadcast threshold and
+must shuffle; hard-coding a broadcast there would OOM the driver.
+Aggregations are expressed partial-first (groupBy on the fact table
+before joining dims where semantics allow) so map-side combine shrinks
+the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --- Q2: min-cost supplier per part in a region ---------------------------
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT c.partkey, c.suppkey, c.unit_cost
+      FROM costs c
+      JOIN supplier s ON s.s_suppkey = c.suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name,
+           e.unit_cost AS unit_cost
+    FROM eligible e
+    JOIN (SELECT partkey, MIN(unit_cost) AS min_cost
+          FROM eligible GROUP BY 1) b
+      ON b.partkey = e.partkey AND e.unit_cost = b.min_cost
+    JOIN part p ON p.p_partkey = e.partkey
+    JOIN supplier s ON s.s_suppkey = e.suppkey
+    WHERE p.p_size <= 10
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per-part minimum unit cost among a region's
+    suppliers, correlated-min re-expressed as a window over the
+    aggregated (part, supplier) cost table. The min-equality join is on
+    exact doubles — identical input set in both engines, so exact."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    part = load(spark, sf_dir, "part")
+
+    costs = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+
+    asia_supp = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    eligible = costs.join(F.broadcast(asia_supp), costs.suppkey == asia_supp.s_suppkey)
+    w = W.partitionBy("partkey")
+    best = eligible.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(part.filter(F.col("p_size") <= 10), best.partkey == part.p_partkey)
+        # unit_cost stays unrounded: division and MIN are bit-exact in
+        # both engines (no summation-order drift), and rounding a
+        # half-boundary double differs between them.
+        .select("p_partkey", "p_brand", "s_name", "unit_cost")
+    )
+
+
+# --- Q7: volume shipping between two nations ------------------------------
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7: bilateral trade volume between a nation pair by year.
+    The disjunctive nation-pair predicate lands after two broadcast
+    nation joins; only the orders join shuffles."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    sup = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+
+    n1 = nat.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19") | (
+        F.col("supp_nation") == "NATION_19"
+    ) & (F.col("cust_nation") == "NATION_18")
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1996-01-01", "1997-12-31 00:00:00")
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+# --- Q8: national market share within a region ----------------------------
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: share of a region's ECONOMY-part revenue supplied by one
+    nation, per order year. Conditional aggregation expresses the
+    numerator — one pass, no self-join."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+
+    n1 = nat.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = nat.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
+    vol = _rev()
+    return (
+        li.join(part.filter(F.col("p_type") == "ECONOMY"), li.l_partkey == part.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+            F.col("c_rk") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(0.0)) / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --- Q9: product-type profit by nation and year ---------------------------
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.2 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit (revenue minus a retail-price cost proxy —
+    the fixture has no partsupp.ps_supplycost) by supplier nation and
+    year, for parts matching a name pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    sup = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    nat = load(spark, sf_dir, "nation")
+    amount = _rev() - 0.2 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(part.filter(F.col("p_name").like("%red%")), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+# --- Q11: important stock value (scalar-subquery threshold) ---------------
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey AS partkey,
+             SUM(l_extendedprice * l_quantity) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY 1
+    )
+    SELECT partkey, ROUND(value, 2) AS value
+    FROM v
+    WHERE value > (SELECT SUM(value) * 0.002 FROM v)
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part traded value from two nations' suppliers,
+    kept when above a fraction of the global total (scalar subquery →
+    cross-join of a 1-row aggregate, which Spark broadcasts)."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    v = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(
+            F.broadcast(nat.filter(F.col("n_name").isin("NATION_3", "NATION_7"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    total = v.agg((F.sum("value") * 0.002).alias("threshold"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("partkey", F.round("value", 2).alias("value"))
+    )
+
+
+# --- Q12: lateness class vs order priority (no l_shipmode) ----------------
+
+@register(
+    "q12_late_priority",
+    oracle="""
+    SELECT lateness,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 'LATE' ELSE 'ONTIME' END AS lateness,
+             o_orderpriority
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+    ) t
+    GROUP BY lateness
+    """,
+)
+def q12_late_priority(spark, sf_dir):
+    """TPC-H Q12 shape: the fixture has no l_shipmode, so lines bucket by
+    lateness (shipped >60 days after order) instead; priorities counted
+    conditionally per bucket."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(F.col("l_shipdate").between("1997-01-01", "1997-12-31 00:00:00"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "lateness",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                "LATE",
+            ).otherwise("ONTIME"),
+        )
+        .groupBy("lateness")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# --- Q13: customer distribution by order count ----------------------------
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13: two-level aggregation — orders per customer (left outer
+    keeps zero-order customers), then customers per order count."""
+    cust = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        cust.join(o, cust.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# --- Q15: top supplier by quarterly revenue -------------------------------
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: quarterly revenue per supplier; return the max-revenue
+    supplier(s) via a scalar-subquery equality on the rounded revenue."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        sup.join(revenue, sup.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- Q16: supplier count per part attribute (lineitem bridge) -------------
+
+@register(
+    "q16_part_supplier_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_part_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    through the lineitem bridge (no partsupp), excluding suppliers with
+    negative balance via a broadcast anti-join (the NOT IN)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(pf, li.l_partkey == pf.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- Q20: suppliers with excess shipped quantity --------------------------
+
+@register(
+    "q20_excess_quantity_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 250
+    )
+    AND s_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey = 2
+    )
+    """,
+)
+def q20_excess_quantity_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in one region who shipped more than a
+    quantity threshold of pattern-matched parts in 1997 — nested IN
+    subqueries become semi-joins (the grouped one shuffles, the nation
+    one broadcasts)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    heavy = (
+        li.filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .join(part.filter(F.col("p_name").like("%red%")), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_suppkey")
+    )
+    region2 = nat.filter(F.col("n_regionkey") == 2).select("n_nationkey")
+    return (
+        sup.join(F.broadcast(heavy), sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(region2), sup.s_nationkey == region2.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# --- Q21: the only-late supplier on multi-supplier orders -----------------
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS nsupp
+      FROM lineitem GROUP BY 1
+    ),
+    late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    ),
+    late_per_order AS (
+      SELECT l_orderkey, COUNT(*) AS nlate FROM late GROUP BY 1
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late
+    JOIN per_order USING (l_orderkey)
+    JOIN late_per_order USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE nsupp > 1 AND nlate = 1
+    GROUP BY s_name
+    """,
+)
+def q21_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    finalized multi-supplier order. The canonical EXISTS / NOT EXISTS
+    pair de-correlates into two per-order aggregates joined back — no
+    correlated-subquery re-execution, two shuffles on l_orderkey that
+    AQE coalesces."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    sup = load(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(F.countDistinct("l_suppkey").alias("nsupp"))
+    late = (
+        li.join(o.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    late_per_order = late.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("nlate"))
+    return (
+        late.join(per_order, "l_orderkey")
+        .join(late_per_order, "l_orderkey")
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
