@@ -201,21 +201,10 @@ def _minhash_oracle() -> str:
     """
 
 
-@register("q_dedup_minhash_lsh", oracle=_minhash_oracle())
-def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash + LSH candidate pairs: an affine hash family over one md5
-    per shingle (see MINHASH_AB — deterministic across engines), banded
-    into groups of {BAND_SIZE}; docs sharing any band key become
-    candidates. The band join is an equi-join on (band, band_key) — pure
-    shuffle hash join, no cross product, which is the whole point of LSH
-    at 100 TB.
-
-    Plan shape: the {N_SEEDS} hashes are parallel *columns* derived from
-    a single md5 (not a seed cross-join), so the signature needs ONE
-    shuffle of |shingles| narrow rows with map-side partial mins — 16×
-    less hashing and shuffle volume than the naive explode-by-seed
-    layout.
-    """
+def _minhash_pairs(spark, sf_dir):
+    """Candidate near-dup pairs (doc_a < doc_b, n_shared_bands) via
+    MinHash + LSH banding — shared by q_dedup_minhash_lsh and the
+    connected-components clustering built on top of it."""
     sh = _shingles_df(spark, sf_dir)
     x = (
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % MINHASH_P
@@ -255,6 +244,93 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+@register("q_dedup_minhash_lsh", oracle=_minhash_oracle())
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH candidate pairs: an affine hash family over one md5
+    per shingle (see MINHASH_AB — deterministic across engines), banded
+    into groups of {BAND_SIZE}; docs sharing any band key become
+    candidates. The band join is an equi-join on (band, band_key) — pure
+    shuffle hash join, no cross product, which is the whole point of LSH
+    at 100 TB.
+
+    Plan shape: the {N_SEEDS} hashes are parallel *columns* derived from
+    a single md5 (not a seed cross-join), so the signature needs ONE
+    shuffle of |shingles| narrow rows with map-side partial mins — 16×
+    less hashing and shuffle volume than the naive explode-by-seed
+    layout.
+    """
+    return _minhash_pairs(spark, sf_dir)
+
+
+def _cc_oracle() -> str:
+    # the pairs query nests as a CTE body (DuckDB allows a WITH inside a
+    # CTE definition); reachability = recursive min-label closure.
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle()}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """
+
+
+@register("q_dedup_connected_components", oracle=_cc_oracle())
+def q_dedup_connected_components(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the LSH
+    candidate-pair graph, so transitive near-dup chains (A~B, B~C)
+    collapse into one cluster labeled by the smallest doc_id.
+
+    Spark has no recursive CTE; the idiomatic scale-out algorithm is
+    iterative min-label propagation — label(v) := min(label(v),
+    min(label(u) for u~v)) to a fixed point, O(graph diameter)
+    iterations, each one shuffle on the node key. localCheckpoint()
+    truncates the per-iteration lineage growth (on a cluster this would
+    be checkpoint() to durable storage). For web-scale graphs the
+    large-star/small-star variant (Kiveris et al.) reduces rounds to
+    O(log n); plain propagation is right-sized for dedup graphs, whose
+    components are tiny and shallow."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+    )
+    for _ in range(15):
+        neighbor_min = (
+            labels.join(edges, labels.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left_outer")
+            .select("node", F.least("lab", "nlab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component"))
 
 
 def _simhash_oracle() -> str:

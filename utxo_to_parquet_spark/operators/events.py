@@ -345,3 +345,34 @@ def q_events_retention(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n_retained"))
         .crossJoin(F.broadcast(csize))
     )
+
+
+@register(
+    "q_events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           ROUND((value - mu) / sigma, 4) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS((value - mu) / sigma) > 2.5
+    """,
+)
+def q_events_anomaly_zscore(spark, sf_dir):
+    """Statistical outlier flagging: per-event-type z-score of the metric
+    value, keeping |z| > 2.5. The per-type stats table is tiny (one row
+    per event type) and broadcast back onto the stream — one partial-agg
+    shuffle plus a map-side join, the canonical anomaly-scan shape for a
+    quality-filter pass over training telemetry."""
+    ev = load_events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )

@@ -1196,3 +1196,83 @@ def q17_small_qty_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    WITH cn AS (
+      SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer WHERE c_acctbal > 8000 GROUP BY 1
+    ),
+    sn AS (
+      SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+      FROM supplier WHERE s_acctbal > 8000 GROUP BY 1
+    )
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def q_join_full_outer(spark, sf_dir):
+    """Full-outer join: per-nation counts of high-balance customers vs
+    high-balance suppliers, keeping nations present on either side only.
+    Completes the join-type surface (inner/left/semi/anti/full). Full
+    outer can't broadcast — both sides shuffle on the key; here both
+    inputs are pre-aggregated so the shuffled rows are one per nation."""
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    cn = (
+        cust.filter(F.col("c_acctbal") > 8000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        sup.filter(F.col("s_acctbal") > 8000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cn.alias("c")
+        .join(sn.alias("s"), F.col("c.nk") == F.col("s.nk"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.nk"), F.col("s.nk")).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "q_window_ntile",
+    oracle="""
+    SELECT c_mktsegment, tile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal
+    FROM (
+      SELECT c_mktsegment, c_acctbal,
+             NTILE(10) OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS tile
+      FROM customer
+    ) t
+    GROUP BY c_mktsegment, tile
+    """,
+)
+def q_window_ntile(spark, sf_dir):
+    """Decile bucketing per market segment via NTILE — equal-frequency
+    binning, summarized per bucket. c_custkey tiebreaks equal balances
+    so tile assignment is deterministic; min/max project exact input
+    doubles (no rounding drift)."""
+    cust = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("tile", F.ntile(10).over(w))
+        .groupBy("c_mktsegment", "tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )

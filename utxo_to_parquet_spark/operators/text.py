@@ -6,6 +6,7 @@ whole-stage codegen; every query is oracle-checked against DuckDB.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .registry import load, register
@@ -364,4 +365,84 @@ def q_text_bigram_novelty(spark, sf_dir):
         F.count(F.lit(1)).alias("n_bigrams"),
         novel.alias("n_novel"),
         F.round(novel.cast("double") / F.count(F.lit(1)), 4).alias("novelty"),
+    )
+
+
+REDACT_PATTERN = r"\b(customer|key|value)\b"
+
+
+@register(
+    "q_text_redact_denylist",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '{REDACT_PATTERN}')) AS BIGINT)
+             AS n_redactions,
+           md5(regexp_replace(text, '{REDACT_PATTERN}', '<TERM>', 'g'))
+             AS scrubbed_hash
+    FROM documents
+    """,
+)
+def q_text_redact_denylist(spark, sf_dir):
+    """Deny-list redaction (the PII-scrub shape: in production the
+    pattern set is emails/phones/SSNs; the fixture corpus has no digits,
+    so a term deny-list exercises the identical machinery): count and
+    replace every match, emit a hash of the scrubbed text. Pure JVM
+    regexp — no Python in the row path. Note DuckDB needs the 'g' flag
+    where Spark's regexp_replace is global by default."""
+    docs = load(spark, sf_dir, "documents")
+    pat = REDACT_PATTERN
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias("n_redactions"),
+        F.md5(F.regexp_replace("text", pat, "<TERM>")).alias("scrubbed_hash"),
+    )
+
+
+@register(
+    "q_text_idf_top_terms",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT source, tf.term AS term,
+             CAST(tf AS BIGINT) AS tf,
+             ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY tf * LN(CAST(n_docs AS DOUBLE) / df) DESC, tf.term
+             ) AS rn
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT source, term, tf, tfidf FROM scored WHERE rn <= 3
+    """,
+)
+def q_text_idf_top_terms(spark, sf_dir):
+    """TF-IDF top-3 terms per source: term frequency per (source, term),
+    document frequency per term, inverse-document-frequency weighting,
+    then a per-source top-k window. Terms with identical (tf, df) score
+    bit-identically in both engines, so the term-name tiebreak makes the
+    ranking deterministic. Two partial-agg shuffles + a broadcast of the
+    term-df table; the window partitions by source (bounded
+    cardinality)."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tokens.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; fixture-table count, one tiny job
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = W.partitionBy("source").orderBy(F.desc(tfidf), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "term", "tf", F.round(tfidf, 6).alias("tfidf"))
     )

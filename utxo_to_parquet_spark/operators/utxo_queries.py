@@ -441,3 +441,33 @@ def q_utxo_height_cohorts(spark, sf_dir):
             F.max("height").alias("max_height"),
         )
     )
+
+
+@register(
+    "q_utxo_supply_by_epoch",
+    oracle=f"""
+    WITH utxos AS ({UTXOS_CTE})
+    SELECT CAST(height // 2100 AS BIGINT) AS epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_utxos,
+           CAST(SUM(amount) AS BIGINT) AS total_sats,
+           CAST(MAX(amount) AS BIGINT) AS max_sats
+    FROM utxos
+    GROUP BY 1
+    """,
+)
+def q_utxo_supply_by_epoch(spark, sf_dir):
+    """Supply distribution by halving-style epoch (height div 2100 —
+    scaled to the fixture's 0..99999 height range): UTXO count and
+    satoshi totals per epoch. Mirrors the real-chain analysis of
+    unspent supply by age band over the reference's output schema
+    (/root/reference/src/main.rs:199-206); integer-exact across
+    engines."""
+    u = utxos_df(spark, sf_dir)
+    return (
+        u.groupBy((F.col("height") / 2100).cast("long").alias("epoch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_utxos"),
+            F.sum("amount").alias("total_sats"),
+            F.max("amount").alias("max_sats"),
+        )
+    )
