@@ -503,44 +503,50 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     recall, more candidates); cross-all-band misses are the documented
     LSH trade.
     """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import lr_matmul, _to_matrix
+
     emb = load(spark, sf_dir, "embeddings")
-    e = F.col("embedding")
 
-    def plane_dot(p):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        return F.aggregate(
-            F.zip_with(e, plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # bucket keys + norms in one vectorized pass: 24 plane dots per
+    # vector via numpy in dimension order (bit-identical to the
+    # aggregate/zip_with HOF chain and DuckDB's LIST_DOT_PRODUCT — the
+    # sign test on the unrounded dot must agree with the oracle), versus
+    # ~24*64 interpreted expression evals per row. The embedding rides
+    # through as double[] for the exact-cosine verify join below.
+    P = np.array(_PLANES, dtype=np.float64)
 
-    def band_key(b):
-        key = None
-        for j in range(EMB_BAND_BITS):
-            bit = F.when(
-                plane_dot(_PLANES[b * EMB_BAND_BITS + j]) > 0, F.lit(1 << j)
-            ).otherwise(F.lit(0))
-            key = bit if key is None else key + bit
-        return key.cast("long")
+    def keys(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _to_matrix(pdf["embedding"])
+            dots, c_sq = lr_matmul(C, P)
+            nrm = np.sqrt(c_sq)
+            bits = dots > 0
+            frames = []
+            for b in range(EMB_BANDS):
+                bkey = np.zeros(len(C), dtype=np.int64)
+                for j in range(EMB_BAND_BITS):
+                    bkey += np.where(bits[:, b * EMB_BAND_BITS + j], 1 << j, 0)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "e": list(C),
+                            "nrm": nrm,
+                            "band": np.full(len(C), b, dtype=np.int32),
+                            "bkey": bkey,
+                        }
+                    )
+                )
+            yield pd.concat(frames)
 
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_key(b).alias("bkey"))
-            for b in range(EMB_BANDS)
-        ]
+    v = emb.select("vec_id", "embedding").mapInPandas(
+        keys, "vec_id long, e array<double>, nrm double, band int, bkey long"
     )
-    v = emb.select(
-        "vec_id",
-        e.alias("e"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(e, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("nrm"),
-        F.explode(band_structs).alias("bk"),
-    ).select("vec_id", "e", "nrm", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
     a = v.select(
         F.col("vec_id").alias("dup_a"), F.col("e").alias("ea"),
         F.col("nrm").alias("na"), "band", "bkey",

@@ -655,11 +655,22 @@ def q_agg_percentiles(spark, sf_dir):
     sketch, mergeable map-side, no sort) — same call shape, bounded
     error instead of a shuffle-wide sort."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
-        F.count(F.lit(1)).alias("n"),
+    # one percentile() call with a quantile array: the per-group value
+    # buffer is built and sorted once for all three quantiles, not three
+    # times.
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("ps"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("ps")[0], 4).alias("p50"),
+            F.round(F.col("ps")[1], 4).alias("p95"),
+            F.round(F.col("ps")[2], 4).alias("p99"),
+            "n",
+        )
     )
 
 

@@ -37,6 +37,29 @@ def _dot(a, b):
     )
 
 
+def lr_matmul(C: "np.ndarray", Q: "np.ndarray"):
+    """(dots, c_sq) with the SAME floating-point result as Spark's
+    ``aggregate(zip_with(...))`` and DuckDB's LIST_DOT_PRODUCT: strict
+    left-to-right accumulation over dimensions. np.dot/np.matmul use
+    SIMD/pairwise summation and drift in the last ulp, which would flip
+    unrounded threshold comparisons against the oracle — so accumulate
+    per dimension, vectorized across rows instead.
+
+    C: (n, d) candidates, Q: (m, d) queries → dots (n, m), c_sq (n,).
+    """
+    acc = np.zeros((C.shape[0], Q.shape[0]))
+    c_sq = np.zeros(C.shape[0])
+    for i in range(C.shape[1]):
+        ci = C[:, i]
+        acc += ci[:, None] * Q[:, i][None, :]
+        c_sq += ci * ci
+    return acc, c_sq
+
+
+def _to_matrix(col) -> "np.ndarray":
+    return np.array([np.asarray(v, dtype=np.float64) for v in col])
+
+
 def _norm(a):
     return F.sqrt(
         F.aggregate(
@@ -74,29 +97,44 @@ def q_sim_cosine_topk(spark, sf_dir):
     is a per-query window on the rounded score with id tie-break, so the
     result is fully deterministic."""
     emb = load(spark, sf_dir, "embeddings")
-    # norms are computed ONCE per vector before the join — recomputing
-    # them inside the pair loop would redo O(d) work per (q,c) pair
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("q_norm"),
+    # The query side is tiny by construction (vec_id % QUERY_MOD): pull
+    # it to the driver and ship it to every scoring task in the closure —
+    # the mapInPandas scorer then replaces the broadcast-join +
+    # interpreted higher-order dot products (~130 expression evals per
+    # pair) with numpy batch arithmetic in dimension order (bit-identical
+    # to the HOF/DuckDB summation; see lr_matmul).
+    q_pd = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
     )
-    c = emb.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("ce"),
-        _norm(F.col("embedding")).alias("c_norm"),
+    Q = _to_matrix(q_pd["embedding"])
+    q_ids = q_pd["vec_id"].to_numpy()
+    _, q_sq = lr_matmul(Q, Q[:0])
+    q_norm = np.sqrt(q_sq)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _to_matrix(pdf["embedding"])
+            c_ids = pdf["vec_id"].to_numpy()
+            dots, c_sq = lr_matmul(C, Q)
+            cos = dots / (q_norm[None, :] * np.sqrt(c_sq)[:, None])
+            n_c, n_q = cos.shape
+            out = pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n_c),
+                    "c_id": np.repeat(c_ids, n_q),
+                    "cosine": cos.ravel(),
+                }
+            )
+            yield out[out.q_id != out.c_id]
+
+    sims = emb.select("vec_id", "embedding").mapInPandas(
+        score, "q_id long, c_id long, cosine double"
     )
-    sims = (
-        F.broadcast(q)
-        .join(c, F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.round(
-                _dot(F.col("qe"), F.col("ce")) / (F.col("q_norm") * F.col("c_norm")), 6
-            ).alias("cosine"),
-        )
-    )
+    sims = sims.select("q_id", "c_id", F.round("cosine", 6).alias("cosine"))
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
     return (
         sims.withColumn("rn", F.row_number().over(w))
