@@ -247,3 +247,56 @@ def q_stream_dedup(spark, sf_dir):
     )
     table = _run_to_memory(deduped, "append")
     return spark.table(table)
+
+
+@register(
+    "q_stream_session_window",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s, event_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, ts_s,
+             CASE WHEN LAG(ts_s) OVER w IS NULL
+                       OR ts_s - LAG(ts_s) OVER w >= 1800
+                  THEN 1 ELSE 0 END AS new_s,
+             event_id
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts_s,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id, CAST(MIN(ts_s) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    HAVING MAX(ts_s) + 1800 < (SELECT MAX(ts_s) FROM e)
+    """,
+)
+def q_stream_session_window(spark, sf_dir):
+    """Dynamic-gap session windows via session_window(): consecutive
+    events of a user merge while the silence stays under 30 minutes
+    (diff >= gap starts a new session — note the boundary differs from
+    the batch sessionize's strict >). Complete mode is unsupported for
+    session windows (state would be unbounded) and so is update, so this
+    runs append mode with a zero-delay watermark: after the single
+    micro-batch the watermark stands at the max event time, and exactly
+    the sessions already closed by it (session end = last event + gap
+    before the watermark) are emitted. The gaps-and-islands oracle
+    applies the same closure rule in its HAVING."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("event_ts", "0 seconds")
+        .groupBy(F.session_window("event_ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).cast("long").alias("session_start"),
+            "n_events",
+        )
+    )
+    table = _run_to_memory(agg, "append")
+    return spark.table(table)
