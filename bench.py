@@ -54,6 +54,17 @@ HEADLINE = [
     "q_mm_feature_extract",
     "q_mm_resize",
     "q_events_topk_pandas",
+    # round 2 additions: full TPC-H shape catalog + pipeline ops
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q21_sole_late_supplier",
+    "q_dedup_connected_components",
+    "q_text_idf_top_terms",
+    "q_events_anomaly_zscore",
+    "q_window_ntile",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000
