@@ -568,3 +568,37 @@ def q_dedup_embedding_lsh(spark, sf_dir):
         .select("dup_a", "dup_b", F.round("cos_raw", 6).alias("cosine"))
         .distinct()
     )
+
+
+@register(
+    "q_dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(lower(text))) AS BIGINT) AS n_unique,
+           ROUND(1 - CAST(COUNT(DISTINCT md5(lower(text))) AS DOUBLE)
+                     / COUNT(*), 4) AS dup_rate
+    FROM (SELECT source, text FROM documents
+          UNION ALL
+          SELECT source, text FROM documents WHERE doc_id % 3 = 0) d
+    GROUP BY source
+    """,
+)
+def q_dedup_rate_by_source(spark, sf_dir):
+    """Per-source duplication reporting — the pipeline-health dashboard
+    companion to q_dedup_exact: document count, distinct-content count,
+    and dup rate per source over the same synthetic duplicate injection.
+    countDistinct on the content hash is one expand + partial-agg
+    shuffle on (source, hash); no pair join."""
+    docs = load(spark, sf_dir, "documents").select("source", "text", "doc_id")
+    with_dupes = docs.unionByName(docs.filter(F.col("doc_id") % 3 == 0))
+    h = F.md5(F.lower(F.col("text")))
+    n_unique = F.countDistinct(h)
+    return (
+        with_dupes.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            n_unique.alias("n_unique"),
+            F.round(1 - n_unique.cast("double") / F.count(F.lit(1)), 4).alias("dup_rate"),
+        )
+    )

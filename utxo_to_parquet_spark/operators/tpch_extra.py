@@ -527,25 +527,30 @@ def q20_excess_quantity_suppliers(spark, sf_dir):
 def q21_sole_late_supplier(spark, sf_dir):
     """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
     finalized multi-supplier order. The canonical EXISTS / NOT EXISTS
-    pair de-correlates into two per-order aggregates joined back — no
-    correlated-subquery re-execution, two shuffles on l_orderkey that
-    AQE coalesces."""
+    pair de-correlates into ONE per-order aggregate: distinct suppliers,
+    distinct late suppliers, and — exploiting that the answer only needs
+    the late supplier when there is exactly one — max(case when late) as
+    that supplier's identity. One orders join + one shuffle on
+    l_orderkey, versus the textbook three-aggregate de-correlation."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     sup = load(spark, sf_dir, "supplier")
-    per_order = li.groupBy("l_orderkey").agg(F.countDistinct("l_suppkey").alias("nsupp"))
-    late = (
-        li.join(o.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    late_supp = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        F.col("l_suppkey"),
     )
-    late_per_order = late.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("nlate"))
+    per_order = (
+        li.join(o.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("nsupp"),
+            F.countDistinct(late_supp).alias("nlate"),
+            F.max(late_supp).alias("late_suppkey"),
+        )
+    )
     return (
-        late.join(per_order, "l_orderkey")
-        .join(late_per_order, "l_orderkey")
-        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .join(F.broadcast(sup), F.col("late_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -471,3 +471,55 @@ def q_utxo_supply_by_epoch(spark, sf_dir):
             F.max("amount").alias("max_sats"),
         )
     )
+
+
+@register(
+    "q_utxo_set_diff",
+    oracle=f"""
+    WITH utxos AS ({UTXOS_CTE}),
+    a AS (SELECT txid, vout, amount FROM utxos WHERE height < 10000),
+    b AS (SELECT txid, vout, amount FROM utxos
+          WHERE height >= 5000 AND height < 15000)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(amount) AS BIGINT) AS sats
+    FROM (
+      SELECT CASE WHEN a.txid IS NULL THEN 'created'
+                  WHEN b.txid IS NULL THEN 'spent'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(a.amount, b.amount) AS amount
+      FROM a FULL OUTER JOIN b ON a.txid = b.txid AND a.vout = b.vout
+    ) d
+    GROUP BY status
+    """,
+)
+def q_utxo_set_diff(spark, sf_dir):
+    """Snapshot diff — THE operation run between two dumptxoutset
+    exports: full-outer join on the UTXO identity (txid, vout)
+    classifies each coin as spent (only in the older snapshot), created
+    (only in the newer), or unchanged, with satoshi totals per class.
+    At 177M rows per side this is one co-partitioned shuffle join on the
+    composite key; with both snapshots written script-clustered by this
+    engine, pre-bucketing on txid would remove the shuffle entirely."""
+    u = utxos_df(spark, sf_dir)
+    a = u.filter(F.col("height") < 10000).select("txid", "vout", "amount")
+    b = u.filter((F.col("height") >= 5000) & (F.col("height") < 15000)).select(
+        "txid", "vout", "amount"
+    )
+    j = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.txid") == F.col("b.txid")) & (F.col("a.vout") == F.col("b.vout")),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("a.txid").isNull(), "created")
+        .when(F.col("b.txid").isNull(), "spent")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce(F.col("a.amount"), F.col("b.amount")).alias("amount"),
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("sats"))
+    )
