@@ -78,3 +78,48 @@ def test_kmeans_partitions_all_vectors(spark, queries):
     n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     assert total == n
     assert len(rows) <= sim.KMEANS_K
+
+
+def test_lr_matmul_bit_identical_to_hof_aggregate(spark):
+    """The numpy scorer must reproduce the aggregate/zip_with HOF chain
+    EXACTLY (not approximately): unrounded threshold predicates in the
+    LSH operators compare its output against DuckDB's left-to-right
+    summation, so a single ulp of drift (e.g. from np.dot's pairwise
+    summation) would flip candidate membership."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from utxo_to_parquet_spark.operators.similarity import _to_matrix, lr_matmul
+
+    rng = random.Random(11)
+    dim = 64
+    vecs = [
+        [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(50)
+    ]
+    q = [rng.uniform(-1, 1) for _ in range(dim)]
+    df = spark.createDataFrame(
+        [(i, [float(np.float32(x)) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    plane = F.array(*[F.lit(float(x)) for x in q])
+    hof = df.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with("embedding", plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("dot"),
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("sq"),
+    ).collect()
+    C = _to_matrix([np.array(v, dtype=np.float32) for v in vecs])
+    Q = np.array([q], dtype=np.float64)
+    dots, c_sq = lr_matmul(C, Q)
+    for r in hof:
+        assert dots[r.vec_id, 0] == r.dot  # bitwise equality, no tolerance
+        assert c_sq[r.vec_id] == r.sq
