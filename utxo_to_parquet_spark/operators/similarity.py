@@ -432,3 +432,42 @@ def q_sim_kmeans(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "q_sim_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e,
+             LIST_MAX(LIST_TRANSFORM(embedding::DOUBLE[], x -> ABS(x))) / 127
+               AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, label, scale,
+           LIST_MAX(LIST_TRANSFORM(e, x ->
+             ABS(x - FLOOR(x / scale + 0.5) * scale))) AS max_abs_err
+    FROM q
+    """,
+)
+def q_sim_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column — the storage
+    layout ANN indexes ship at scale (4x smaller than float32, 8x than
+    float64): per-vector scale = max|x| / 127, code = floor(x/scale +
+    0.5), and the max absolute reconstruction error as the quality
+    metric. Every step is element-wise double arithmetic (no summation
+    order), so Spark and DuckDB agree bitwise on the unrounded outputs;
+    floor(x + 0.5) is used instead of round() because the engines差
+    half-even vs half-away rounding, while floor is exact IEEE."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x))) / 127
+    df = emb.select("vec_id", "label", e.alias("e"), scale.alias("scale"))
+    err = F.array_max(
+        F.transform(
+            "e",
+            lambda x: F.abs(
+                x - F.floor(x / F.col("scale") + 0.5) * F.col("scale")
+            ),
+        )
+    )
+    return df.select("vec_id", "label", "scale", err.alias("max_abs_err"))

@@ -446,3 +446,32 @@ def q_text_idf_top_terms(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("source", "term", "tf", F.round(tfidf, 6).alias("tfidf"))
     )
+
+
+SAMPLE_PCT = 20
+
+
+@register(
+    "q_sample_hash_percent",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 100 < {SAMPLE_PCT}
+    """,
+)
+def q_sample_hash_percent(spark, sf_dir):
+    """Deterministic {SAMPLE_PCT}% sample by key hash — the reproducible
+    alternative to rand()-based sampling (which no oracle can check and
+    which reshuffles membership on every retry/backfill). Hashing the
+    stable key means the same rows are sampled on any cluster, any day,
+    in any engine — the property training-data pipelines need for
+    resumable subset builds. Pure map-side filter; at 100 TB it
+    partition-prunes nothing but shuffles nothing either."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return docs.filter(bucket < SAMPLE_PCT).select("doc_id", "lang", "source")

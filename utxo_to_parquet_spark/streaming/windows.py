@@ -300,3 +300,46 @@ def q_stream_session_window(spark, sf_dir):
     )
     table = _run_to_memory(agg, "append")
     return spark.table(table)
+
+
+@register(
+    "q_stream_foreachbatch_sink",
+    oracle="""
+    SELECT CAST(FLOOR(EPOCH(ts) / 300) * 300 AS BIGINT) AS bucket_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_foreachbatch_sink(spark, sf_dir):
+    """foreachBatch sink: the escape hatch to any batch writer from a
+    stream. The windowed aggregate is written to PARQUET per micro-batch
+    (overwrite in complete mode — each batch holds the full updated
+    state), then read back; over the static input the files must equal
+    the batch aggregation, which is what the oracle checks. This is the
+    shape production uses for streaming upserts into warehouse tables
+    Spark has no native sink for."""
+    import tempfile
+
+    sdf = _events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="fb_sink_") + "/data"
+    agg = (
+        sdf.groupBy(F.window("event_ts", "5 minutes"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).cast("long").alias("bucket_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = agg.writeStream.outputMode("complete").foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
