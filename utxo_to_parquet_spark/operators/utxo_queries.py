@@ -46,24 +46,35 @@ UTXOS_CTE = f"""
 
 def utxos_df(spark, sf_dir):
     """The same derived view, as a DataFrame plan (column-for-column equal
-    to UTXOS_CTE run in DuckDB)."""
+    to UTXOS_CTE run in DuckDB).
+
+    script_hex is a function of ``l_partkey % N_SCRIPTS`` — {N_SCRIPTS}
+    distinct values — so the {N_SCRIPTS} sha256s are computed once on the
+    driver and attached with a broadcast join, instead of hashing every
+    fact row (and twice, when an orderBy's range-sampling pass re-runs
+    the scan). Same values, ~0 per-row hash cost at any scale."""
     li = load(spark, sf_dir, "lineitem")
     okey = F.col("l_orderkey").cast("string")
-    return li.select(
-        F.concat(
-            F.md5(F.concat(F.lit("tx"), okey)), F.md5(F.concat(F.lit("tx2"), okey))
-        ).alias("txid"),
-        F.col("l_linenumber").cast("long").alias("vout"),
-        (F.col("l_orderkey") % 100000).cast("long").alias("height"),
-        (F.col("l_linenumber") == 1).alias("coinbase"),
-        F.floor(F.col("l_extendedprice") * 100).alias("amount"),
-        F.concat(
-            F.lit("76a914"),
-            F.substring(
-                F.sha2(F.concat(F.lit("s"), (F.col("l_partkey") % N_SCRIPTS).cast("string")), 256), 1, 40
-            ),
-            F.lit("88ac"),
-        ).alias("script_hex"),
+    script_dim = spark.createDataFrame(
+        [
+            (k, "76a914" + hashlib.sha256(f"s{k}".encode()).hexdigest()[:40] + "88ac")
+            for k in range(N_SCRIPTS)
+        ],
+        "script_bucket long, script_hex string",
+    )
+    return (
+        li.withColumn("script_bucket", F.col("l_partkey") % N_SCRIPTS)
+        .join(F.broadcast(script_dim), "script_bucket")
+        .select(
+            F.concat(
+                F.md5(F.concat(F.lit("tx"), okey)), F.md5(F.concat(F.lit("tx2"), okey))
+            ).alias("txid"),
+            F.col("l_linenumber").cast("long").alias("vout"),
+            (F.col("l_orderkey") % 100000).cast("long").alias("height"),
+            (F.col("l_linenumber") == 1).alias("coinbase"),
+            F.floor(F.col("l_extendedprice") * 100).alias("amount"),
+            "script_hex",
+        )
     )
 
 
