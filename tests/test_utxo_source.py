@@ -434,3 +434,30 @@ def test_partitioned_global_sort_combined(tmp_path, spark):
     for fp in glob.glob(f"{out}/height_epoch=*/part-*"):
         scripts = pq.read_table(fp, columns=["script"]).column("script").to_pylist()
         assert scripts == sorted(scripts)
+
+
+def test_truncated_compactsize_raises_at_parse_site(tmp_path, monkeypatch):
+    """A dump cut off inside a multi-byte CompactSize count must fail
+    with a truncation error in BOTH framing paths — the C kernel and the
+    Python fallback (which previously read a short slice silently and
+    produced a wrong coins_left)."""
+    import pytest
+
+    from utxo_to_parquet_spark.kernels import build_header
+    from utxo_to_parquet_spark.sources import native, utxo_dump
+
+    path = str(tmp_path / "trunc.dump")
+    with open(path, "wb") as f:
+        f.write(build_header(1000))
+        f.write(b"\x11" * 32)  # txid
+        f.write(b"\xfd\x01")  # 0xFD CompactSize, only 1 of 2 count bytes
+
+    # native path
+    if native.get_native_framer() is not None:
+        with pytest.raises(ValueError, match="truncated|EOF"):
+            utxo_dump.index_utxo_dump(path, use_cache=False)
+
+    # forced Python fallback
+    monkeypatch.setattr(native, "frame_scan_native", lambda *a, **k: None)
+    with pytest.raises(ValueError, match="truncated dump"):
+        utxo_dump.index_utxo_dump(path, use_cache=False)

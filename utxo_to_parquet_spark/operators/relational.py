@@ -1287,3 +1287,44 @@ def q_window_ntile(spark, sf_dir):
             F.max("c_acctbal").alias("max_bal"),
         )
     )
+
+
+@register(
+    "q_agg_pandas_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+             AS weighted_avg_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_pandas_udaf(spark, sf_dir):
+    """User-defined aggregate via a GROUPED_AGG pandas UDF — the
+    extensibility surface the reference lacks entirely (SURVEY §2.3):
+    quantity-weighted mean price per return flag, computed Arrow-batched
+    per group. Built-ins express this case too (the oracle is plain
+    SQL), but the shape generalizes to aggregates Catalyst has no
+    operator for. Rounded to 4: pandas' pairwise summation and the
+    engines' sequential sums agree well past that precision, though not
+    bitwise."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module-level `from __future__ import
+    # annotations` stringifies type hints, which defeats signature
+    # inference for pandas UDFs
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg(price, qty):
+        return float((price * qty).sum() / qty.sum())
+
+    # grouped-agg pandas UDFs cannot mix with built-in aggregates in one
+    # agg() — the row count is a second UDAF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def cnt(qty):
+        return len(qty)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("weighted_avg_price"),
+        cnt("l_quantity").alias("n"),
+    )
