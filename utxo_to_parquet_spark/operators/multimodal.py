@@ -203,3 +203,57 @@ def q_mm_resize(spark, sf_dir):
             )
 
     return p.mapInPandas(resize, "doc_id long, orig_bytes long, resized string")
+
+
+AUDIO_CHUNK = 128  # bytes per "audio chunk" (PCM window stand-in)
+
+
+@register(
+    "q_mm_audio_chunk_stats",
+    # ASCII corpus: byte value == code point, so per-chunk byte stats are
+    # SQL-expressible via ASCII(substr(...)) arithmetic
+    oracle=f"""
+    SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
+           CAST(LENGTH(chunk) AS BIGINT) AS n_bytes,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, LENGTH(chunk) + 1),
+                i -> ASCII(substr(chunk, i, 1)))) AS BIGINT) AS byte_sum,
+           CAST(LIST_MAX(LIST_TRANSFORM(RANGE(1, LENGTH(chunk) + 1),
+                i -> ASCII(substr(chunk, i, 1)))) AS BIGINT) AS byte_max
+    FROM (
+      SELECT doc_id, c, substr(text, c * {AUDIO_CHUNK} + 1, {AUDIO_CHUNK}) AS chunk
+      FROM documents,
+           LATERAL (SELECT UNNEST(RANGE(0,
+             CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / {AUDIO_CHUNK}) AS BIGINT))) AS c)
+    ) t
+    """,
+)
+def q_mm_audio_chunk_stats(spark, sf_dir):
+    """Audio-modality plumbing: fixed-duration chunking of a PCM-like
+    payload with per-chunk amplitude stats (sum / max as the
+    silence-detection proxies — the real decoder is the documented codec
+    stub). One row per (payload, chunk), numpy-reshaped per Arrow batch,
+    no shuffle; the oracle recomputes every chunk boundary and stat with
+    substr/ASCII arithmetic, so the UDF path is value-checked exactly."""
+    import numpy as np
+    import pandas as pd
+
+    p = payloads_df(spark, sf_dir).select("doc_id", "payload")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "n_bytes": [], "byte_sum": [], "byte_max": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                for c in range(0, (len(arr) + AUDIO_CHUNK - 1) // AUDIO_CHUNK):
+                    chunk = arr[c * AUDIO_CHUNK : (c + 1) * AUDIO_CHUNK]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(c)
+                    out["n_bytes"].append(len(chunk))
+                    out["byte_sum"].append(int(chunk.sum(dtype=np.int64)))
+                    out["byte_max"].append(int(chunk.max()))
+            yield pd.DataFrame(out)
+
+    return p.mapInPandas(
+        stats,
+        "doc_id long, chunk_idx long, n_bytes long, byte_sum long, byte_max long",
+    )

@@ -1328,3 +1328,42 @@ def q_agg_pandas_udaf(spark, sf_dir):
         F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("weighted_avg_price"),
         cnt("l_quantity").alias("n"),
     )
+
+
+@register(
+    "q_window_first_last_nth",
+    oracle="""
+    SELECT DISTINCT l_orderkey,
+           FIRST_VALUE(l_extendedprice) OVER w AS first_price,
+           LAST_VALUE(l_extendedprice) OVER w AS last_price,
+           NTH_VALUE(l_extendedprice, 2) OVER w AS second_price
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last_nth(spark, sf_dir):
+    """Navigation window functions (first_value / last_value / nth_value)
+    over the full-partition frame — one per-order row summarizing the
+    first, last, and second line's price. The explicit UNBOUNDED frame
+    matters: last_value over the default frame is the current row, a
+    classic窗-function trap both engines share. Exact doubles, no
+    rounding (values are copied, not summed)."""
+    li = load(spark, sf_dir, "lineitem")
+    # l_linenumber DUPLICATES within an order in this fixture — the price
+    # tiebreak makes the ordering (and thus the navigated values)
+    # engine-deterministic
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            F.first("l_extendedprice").over(w).alias("first_price"),
+            F.last("l_extendedprice").over(w).alias("last_price"),
+            F.nth_value("l_extendedprice", 2).over(w).alias("second_price"),
+        )
+        .distinct()
+    )
