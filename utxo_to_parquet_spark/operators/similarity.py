@@ -326,28 +326,53 @@ def q_sim_ivf_topk(spark, sf_dir):
         .filter(F.col("pr") <= N_PROBE)
         .select("q_id", F.col("c_label").alias("label"))
     )
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("q_norm"),
+    # probes (Q × N_PROBE rows) and the query vectors are bounded driver
+    # pulls (SCALING.md sanctions these); candidate scoring then runs as
+    # the vectorized per-label mapInPandas scorer — bit-identical to the
+    # HOF chain via lr_matmul — instead of a broadcast-join with
+    # interpreted per-pair dot products.
+    probe_rows = probes.collect()
+    q_pd = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
     )
-    c = emb.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("label"),
-        F.col("embedding").alias("ce"),
-        _norm(F.col("embedding")).alias("c_norm"),
-    )
+    Q = _to_matrix(q_pd["embedding"])
+    q_ids = q_pd["vec_id"].to_numpy()
+    _, q_sq = lr_matmul(Q, Q[:0])
+    q_norm = np.sqrt(q_sq)
+    q_index = {int(qid): i for i, qid in enumerate(q_ids)}
+    probe_map: dict[int, list[int]] = {}
+    for r in probe_rows:
+        probe_map.setdefault(int(r.label), []).append(q_index[int(r.q_id)])
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for label, grp in pdf.groupby("label"):
+                qs = probe_map.get(int(label))
+                if not qs:
+                    continue
+                qs = np.array(sorted(qs))
+                C = _to_matrix(grp["embedding"])
+                c_ids = grp["vec_id"].to_numpy()
+                dots, c_sq = lr_matmul(C, Q[qs])
+                cos = dots / (q_norm[qs][None, :] * np.sqrt(c_sq)[:, None])
+                n_c, n_q = cos.shape
+                out = pd.DataFrame(
+                    {
+                        "q_id": np.tile(q_ids[qs], n_c),
+                        "c_id": np.repeat(c_ids, n_q),
+                        "cosine": cos.ravel(),
+                    }
+                )
+                yield out[out.q_id != out.c_id]
+
     sims = (
-        F.broadcast(probes.join(q, "q_id"))
-        .join(c, "label")
-        .filter(F.col("c_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "c_id",
-            F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("q_norm") * F.col("c_norm")), 6).alias(
-                "cosine"
-            ),
-        )
+        emb.select("vec_id", "label", "embedding")
+        .mapInPandas(score, "q_id long, c_id long, cosine double")
+        .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
     return (
