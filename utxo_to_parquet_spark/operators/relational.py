@@ -1367,3 +1367,72 @@ def q_window_first_last_nth(spark, sf_dir):
         )
         .distinct()
     )
+
+
+@register(
+    "q_agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_corr_covar(spark, sf_dir):
+    """Bivariate statistical aggregates (correlation, sample covariance,
+    regression slope) per group — single-pass mergeable moment sketches
+    in both engines, so they stay map-side partial at any scale; rounded
+    past the summation-order drift."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+    )
+
+
+@register(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(BIT_OR(l_linenumber) AS BIGINT) AS lines_or,
+           CAST(BIT_AND(l_linenumber) AS BIGINT) AS lines_and,
+           CAST(BIT_XOR(l_orderkey) AS BIGINT) AS orders_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bitwise(spark, sf_dir):
+    """Bitwise aggregates — integer-exact and order-independent (OR/AND
+    are idempotent-commutative, XOR commutative), so no rounding is
+    needed anywhere; the set-membership-bitmap building block."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("bit_or(l_linenumber)").cast("long").alias("lines_or"),
+        F.expr("bit_and(l_linenumber)").cast("long").alias("lines_and"),
+        F.expr("bit_xor(l_orderkey)").cast("long").alias("orders_xor"),
+    )
+
+
+@register(
+    "q_agg_string_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(l_linenumber))), ',')
+             AS line_numbers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_string_agg(spark, sf_dir):
+    """Ordered string aggregation: the distinct line numbers per group as
+    a sorted CSV — collect_set → array_sort → array_join makes the
+    concatenation order-deterministic (a bare string_agg depends on row
+    arrival order and can never hash-match across engines)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linenumber")), ",").alias(
+            "line_numbers"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
