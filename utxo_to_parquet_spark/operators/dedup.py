@@ -602,3 +602,59 @@ def q_dedup_rate_by_source(spark, sf_dir):
             F.round(1 - n_unique.cast("double") / F.count(F.lit(1)), 4).alias("dup_rate"),
         )
     )
+
+
+def _leakage_split_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle()}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+           CASE WHEN ('0x' || substr(md5(CAST(COALESCE(c.component, d.doc_id)
+                                              AS VARCHAR)), 1, 8))::BIGINT
+                     % 10 < 8
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """
+
+
+@register("q_split_leakage_safe", oracle=_leakage_split_oracle())
+def q_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/test split: hash the near-dup CLUSTER id, not
+    the document id, so every member of a duplicate cluster lands in the
+    same split — the guard against test-set contamination by near-copies
+    of training documents. Composition of the connected-components
+    operator (cluster assignment over the LSH pair graph) with the
+    deterministic key-hash split; singleton documents are their own
+    component. Everything after CC is a broadcast join (the component
+    table is one row per *clustered* doc — tiny relative to the corpus)
+    plus a map-side hash."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    comp = q_dedup_connected_components(spark, sf_dir)
+    component = F.coalesce(F.col("component"), F.col("doc_id"))
+    bucket = (
+        F.conv(F.substring(F.md5(component.cast("string")), 1, 8), 16, 10).cast("long")
+        % 10
+    )
+    return (
+        docs.join(F.broadcast(comp), "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            component.alias("component"),
+            F.when(bucket < 8, "train").otherwise("test").alias("split"),
+        )
+    )
