@@ -56,3 +56,21 @@ def test_entry_smoke(spark):
 
 def test_oracle_keys_subset():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """Every near-dup cluster must land entirely in one split — the
+    operator's whole reason to exist."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["q_split_leakage_safe"](spark, SF_DIR)
+    spans = (
+        df.groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+    # and both splits are non-degenerate at ~80/20
+    counts = {r.split: r.n for r in df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["train"] > counts["test"] > 0
