@@ -376,3 +376,103 @@ def q_events_anomaly_zscore(spark, sf_dir):
         .filter(F.abs(z) > 2.5)
         .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
     )
+
+
+@register(
+    "q_events_range_interval_window",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec,
+           ROUND(SUM(value) OVER (
+             PARTITION BY event_type ORDER BY epoch_ns(ts)
+             RANGE BETWEEN 600000000000 PRECEDING AND CURRENT ROW
+           ), 2) AS win_sum,
+           CAST(COUNT(*) OVER (
+             PARTITION BY event_type ORDER BY epoch_ns(ts)
+             RANGE BETWEEN 600000000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS win_n
+    FROM events
+    """,
+)
+def q_events_range_interval_window(spark, sf_dir):
+    """Time-interval RANGE window frame: per event type, the rolling
+    10-minute sum/count ending at each event. A RANGE frame over the
+    integer-nanosecond event time is the value-based (not row-count)
+    frame — the building block for rolling rate limits and trailing
+    metrics. One shuffle on the partition key; the frame itself is a
+    single ordered pass per partition, no self-join."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts")
+        .rangeBetween(-600 * NS, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts_sec",
+        F.round(F.sum("value").over(w), 2).alias("win_sum"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+    )
+
+
+@register(
+    "q_events_resample_ffill",
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS bucket_hour,
+             ROUND(AVG(value), 4) AS raw_avg,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type,
+             MIN(CAST(epoch_ns(ts) // 3600000000000 AS BIGINT)) AS lo,
+             MAX(CAST(epoch_ns(ts) // 3600000000000 AS BIGINT)) AS hi
+      FROM events GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi)) AS bucket_hour
+      FROM bounds
+    )
+    SELECT g.event_type, CAST(g.bucket_hour AS BIGINT) AS bucket_hour,
+           COALESCE(p.n, 0) AS n,
+           LAST_VALUE(p.raw_avg IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bucket_hour
+           ) AS avg_filled
+    FROM grid g LEFT JOIN per p USING (event_type, bucket_hour)
+    """,
+)
+def q_events_resample_ffill(spark, sf_dir):
+    """Time-series resample to an hourly grid with forward-fill — the
+    gap-filling shape (TimescaleDB's time_bucket_gapfill + locf). The
+    dense grid is generated per key from its own min/max bucket via
+    sequence+explode (no driver-side loop), left-joined against the
+    hourly aggregate, and holes are filled with last(ignorenulls) over an
+    ordered window. Grid size scales with time-span, not row count, so
+    at 100 TB the explode side stays tiny while the aggregate side does
+    the heavy lifting map-side."""
+    ev = load_events(spark, sf_dir)
+    hour_ns = 3600 * NS
+    bucketed = ev.withColumn("bucket_hour", F.expr(f"ts div {hour_ns}"))
+    per = bucketed.groupBy("event_type", "bucket_hour").agg(
+        F.round(F.avg("value"), 4).alias("raw_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bounds = bucketed.groupBy("event_type").agg(
+        F.min("bucket_hour").alias("lo"), F.max("bucket_hour").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("bucket_hour")
+    )
+    w = W.partitionBy("event_type").orderBy("bucket_hour")
+    return (
+        grid.join(per, ["event_type", "bucket_hour"], "left")
+        .select(
+            "event_type",
+            "bucket_hour",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+            F.last("raw_avg", ignorenulls=True).over(w).alias("avg_filled"),
+        )
+    )

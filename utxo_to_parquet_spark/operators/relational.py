@@ -1436,3 +1436,112 @@ def q_agg_string_agg(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- higher-order array functions ----------------------------------------
+
+@register(
+    "q_scalar_array_hof",
+    oracle="""
+    WITH t AS (SELECT p_partkey, range(1, p_size % 8 + 4) AS arr FROM part)
+    SELECT p_partkey,
+           ARRAY_TO_STRING(list_transform(arr, x -> x * 2), ',') AS doubled,
+           ARRAY_TO_STRING(list_filter(arr, x -> x % 2 = 0), ',') AS evens,
+           LEN(list_filter(arr, x -> x > 5)) > 0 AS has_gt5,
+           CAST(list_sum(arr) AS BIGINT) AS total,
+           ARRAY_TO_STRING(
+             list_transform(range(1, len(arr) + 1),
+                            i -> arr[i] + arr[len(arr) - i + 1]), ',')
+             AS mirror_sums
+    FROM t
+    """,
+)
+def q_scalar_array_hof(spark, sf_dir):
+    """Higher-order array functions — transform / filter / exists /
+    aggregate / zip_with as Catalyst lambda expressions. These run inside
+    codegen on the JVM (no Python round-trip), which is what makes
+    array-typed feature columns viable at 100 TB: a per-row lambda over
+    an array shuffles and pipelines like any scalar expression. Final
+    projection is scalar-only (arrays serialized via array_join) for the
+    driver's canonicalizer."""
+    part = load(spark, sf_dir, "part")
+    arr = F.sequence(F.lit(1).cast("long"), (F.col("p_size") % 8 + 3).cast("long"))
+    t = part.select("p_partkey", arr.alias("arr"))
+    return t.select(
+        "p_partkey",
+        F.array_join(F.transform("arr", lambda x: x * 2), ",").alias("doubled"),
+        F.array_join(F.filter("arr", lambda x: x % 2 == 0), ",").alias("evens"),
+        F.exists("arr", lambda x: x > 5).alias("has_gt5"),
+        F.aggregate(
+            "arr", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total"),
+        F.array_join(
+            F.zip_with("arr", F.reverse("arr"), lambda a, b: a + b), ","
+        ).alias("mirror_sums"),
+    )
+
+
+# --- exact median + discrete percentiles ---------------------------------
+
+@register(
+    "q_agg_median_disc",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           quantile_disc(l_extendedprice, 0.25) AS p25_price,
+           quantile_disc(l_extendedprice, 0.90) AS p90_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_median_disc(spark, sf_dir):
+    """Exact median (continuous) + discrete percentiles. percentile_disc
+    picks an actual order statistic — no interpolation arithmetic — so it
+    is bit-exact across engines; median over integral-valued doubles
+    interpolates at worst to x.5, also exact. Both are single-pass sort
+    aggregates that partial-aggregate per partition before one shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p25_price"),
+        F.expr(
+            "percentile_disc(0.90) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- skewness / kurtosis (shape moments) ---------------------------------
+
+@register(
+    "q_agg_skew_kurtosis",
+    oracle="""
+    WITH mu AS (
+      SELECT l_returnflag, AVG(l_quantity) AS m FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           ROUND(AVG(POW(l_quantity - m, 3))
+                 / POW(AVG(POW(l_quantity - m, 2)), 1.5), 6) AS skew,
+           ROUND(AVG(POW(l_quantity - m, 4))
+                 / POW(AVG(POW(l_quantity - m, 2)), 2) - 3, 6) AS kurt,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_agg_skew_kurtosis(spark, sf_dir):
+    """Population skewness and excess kurtosis per group. Spark's
+    skewness/kurtosis are the population formulas m3/m2^1.5 and
+    m4/m2^2-3 over central moments; the oracle states those formulas
+    explicitly (DuckDB's builtins are the bias-corrected sample versions,
+    a different estimator). One-pass streaming moments here vs the
+    oracle's two-pass mean-join — rounded to 6 to absorb the
+    accumulation-order difference."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_quantity"), 6).alias("skew"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt"),
+        F.count(F.lit(1)).alias("n"),
+    )

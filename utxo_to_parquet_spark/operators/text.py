@@ -475,3 +475,69 @@ def q_sample_hash_percent(spark, sf_dir):
         % 100
     )
     return docs.filter(bucket < SAMPLE_PCT).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_text_explode_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i + 1] AS token
+    FROM toks, UNNEST(range(0, LEAST(len(t), 20))) AS u(i)
+    """,
+)
+def q_text_explode_tokens(spark, sf_dir):
+    """Token explode (flatten): one row per (doc, position, token) for the
+    first 20 positions — the lateral-view/UNNEST shape that turns a corpus
+    into a token table. posexplode keeps the ordinal so downstream n-gram
+    or positional joins stay expressible; the slice-before-explode keeps
+    the row multiplication bounded (at 100 TB you explode a bounded
+    prefix or repartition first, never the raw full text)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.slice(F.split("text", " "), 1, 20)).alias(
+                "pos", "token"
+            ),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    )
+
+
+@register(
+    "q_text_chunk_fixed",
+    oracle="""
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           CAST(LENGTH(substr(text, CAST(i * 256 + 1 AS INT), 256)) AS BIGINT)
+             AS chunk_len,
+           md5(substr(text, CAST(i * 256 + 1 AS INT), 256)) AS chunk_md5
+    FROM documents,
+         UNNEST(range(0, (LENGTH(text) - 1) // 256 + 1)) AS u(i)
+    WHERE LENGTH(text) > 0
+    """,
+)
+def q_text_chunk_fixed(spark, sf_dir):
+    """Fixed-size character chunking: split each document into 256-char
+    pieces with stable chunk ids and content hashes — the pre-tokenization
+    sharding step for embedding/indexing pipelines. sequence+explode
+    generates exactly ceil(len/256) rows per doc (no UDF, no driver
+    loop); the md5 gives a content-addressable chunk key for downstream
+    dedup. Row growth is data-proportional and map-side only."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chunks = (F.length("text") - 1).cast("long") / F.lit(256)
+    chunks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.floor(n_chunks))
+        ).alias("chunk_id"),
+    )
+    piece = F.expr("substring(text, CAST(chunk_id * 256 + 1 AS INT), 256)")
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.length(piece).cast("long").alias("chunk_len"),
+        F.md5(piece).alias("chunk_md5"),
+    )
