@@ -541,3 +541,142 @@ def q_text_chunk_fixed(spark, sf_dir):
         F.length(piece).cast("long").alias("chunk_len"),
         F.md5(piece).alias("chunk_md5"),
     )
+
+
+PACK_BUDGET = 2048
+
+
+@register(
+    "q_pack_greedy_sequential",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, tok, rn,
+             CAST(0 AS BIGINT) AS bin_id, tok AS binsum
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.source, o.doc_id, o.tok, o.rn,
+             CASE WHEN p.binsum + o.tok > {PACK_BUDGET}
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.binsum + o.tok > {PACK_BUDGET}
+                  THEN o.tok ELSE p.binsum + o.tok END
+      FROM packed p
+      JOIN ordered o ON o.source = p.source AND o.rn = p.rn + 1
+    )
+    SELECT source, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+           ROUND(CAST(SUM(tok) AS DOUBLE) / {PACK_BUDGET}, 4) AS fill_ratio,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY source, bin_id
+    """,
+)
+def q_pack_greedy_sequential(spark, sf_dir):
+    """Sequence packing: greedily pack documents (in stable doc_id order,
+    per source shard) into fixed token-budget bins — the LLM-pretraining
+    step that turns a corpus into fixed-length training sequences with
+    minimal padding. The running-sum-with-reset is inherently sequential
+    per shard, so it is expressed as applyInPandas per source (each shard
+    packs independently and in parallel — exactly how a 100 TB corpus is
+    packed: sequentially within a shard, embarrassingly parallel across
+    shards). The oracle states the same recurrence as a recursive CTE.
+    An oversized doc gets its own bin (fill_ratio > 1) rather than being
+    split."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tok"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_id, binsum = 0, 0
+        for tok in pdf["tok"]:
+            if binsum > 0 and binsum + tok > PACK_BUDGET:
+                bin_id += 1
+                binsum = 0
+            binsum += tok
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    packed = docs.groupBy("source").applyInPandas(
+        pack, "source string, doc_id long, tok long, bin_id long"
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("sum_tokens"),
+        F.round(F.sum("tok").cast("double") / PACK_BUDGET, 4).alias(
+            "fill_ratio"
+        ),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "q_pipeline_clean_corpus",
+    oracle="""
+    WITH deduped AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY md5(text) ORDER BY doc_id
+      ) AS rn
+      FROM documents
+    ),
+    kept AS (
+      SELECT source, lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS uniq_tok
+      FROM deduped
+      WHERE rn = 1 AND n_chars >= 50
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           ROUND(AVG(CAST(uniq_tok AS DOUBLE) / tok), 4) AS avg_uniq_ratio
+    FROM kept
+    WHERE tok >= 10 AND CAST(uniq_tok AS DOUBLE) / tok > 0.3
+    GROUP BY source, lang
+    """,
+)
+def q_pipeline_clean_corpus(spark, sf_dir):
+    """End-to-end corpus cleaning pipeline in one plan: exact dedup (keep
+    lowest doc_id per content hash), length filter, token-count and
+    lexical-diversity quality gates, then per-source/lang accounting —
+    the composed shape of a pretraining data-prep job. Everything is
+    declarative (window dedup + filters + one aggregation), so Catalyst
+    pipelines the whole thing into two shuffles (hash partition for the
+    dedup window, final group-by) with all filters pushed between them."""
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    toks = F.split("text", " ")
+    kept = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("n_chars") >= 50))
+        .select(
+            "source",
+            "lang",
+            "doc_id",
+            F.size(toks).cast("long").alias("tok"),
+            F.size(F.array_distinct(toks)).cast("long").alias("uniq_tok"),
+        )
+    )
+    ratio = F.col("uniq_tok").cast("double") / F.col("tok")
+    return (
+        kept.filter((F.col("tok") >= 10) & (ratio > 0.3))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            F.round(F.avg(ratio), 4).alias("avg_uniq_ratio"),
+        )
+    )
