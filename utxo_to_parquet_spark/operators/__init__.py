@@ -13,6 +13,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     dedup,
     similarity,
     multimodal,
+    graph,
 )
 from ..streaming import windows  # noqa: F401  (streaming query registration)
 from .registry import all_queries, all_oracles

@@ -1,0 +1,107 @@
+"""Graph analytics over the trade graph implied by the fixtures.
+
+The reference has no graph operators (its one table is flat,
+src/main.rs:199-206); these are part of the driver-mandated scale-out
+surface: iterative algorithms expressed as repeated joins + aggregations
+so every step is a plain shuffle Spark can schedule on 1000 executors.
+Connected-components lives in dedup.py (near-dup clustering); this module
+adds PageRank-style importance propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+DAMPING = 0.85
+PR_ITERS = 3
+
+
+def _trade_edges(spark, sf_dir):
+    """Undirected customer<->supplier edge list: one edge per distinct
+    (customer, supplier) trading pair, materialized in both directions so
+    the random walk is symmetric. Node ids are 'c<key>' / 's<key>'."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power iteration — one CTE level per Spark loop pass."""
+    base = """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT deg.src AS node, 1.0 / n AS rank FROM deg, nn)
+    """
+    for k in range(PR_ITERS):
+        base += f""",
+    r{k + 1} AS (
+      SELECT e.dst AS node,
+             (1 - {DAMPING}) / MAX(nn.n) + {DAMPING} * SUM(r.rank / d.outdeg)
+               AS rank
+      FROM edges e
+      JOIN r{k} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src, nn
+      GROUP BY e.dst
+    )"""
+    base += f"""
+    SELECT node, ROUND(rank, 8) AS rank FROM r{PR_ITERS}
+    """
+    return base
+
+
+@register("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank ({PR_ITERS} power iterations, damping {DAMPING}) over the
+    customer<->supplier trade graph. Each iteration is one join
+    (rank onto edge source) + one aggregation (sum contributions per
+    destination) — the scalable shape: no driver-side adjacency, state is
+    a (node, rank) DataFrame repartitioned by node. The edge list with
+    its out-degrees is computed once and reused across iterations;
+    localCheckpoint after each pass keeps the lineage flat so iteration
+    N's plan doesn't re-derive iterations 1..N-1. The oracle unrolls the
+    same recurrence as chained CTEs."""
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    withdeg = edges.join(deg, "src").localCheckpoint(eager=False)
+    n = withdeg.select("src").distinct().count()
+    ranks = (
+        withdeg.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    )
+    for _ in range(PR_ITERS):
+        ranks = (
+            withdeg.join(ranks, withdeg.src == ranks.node)
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit((1 - DAMPING) / n)
+                    + DAMPING * F.sum(F.col("rank") / F.col("outdeg"))
+                ).alias("rank")
+            )
+            .select(F.col("dst").alias("node"), "rank")
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
