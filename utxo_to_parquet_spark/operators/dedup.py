@@ -658,3 +658,60 @@ def q_split_leakage_safe(spark, sf_dir):
             F.when(bucket < 8, "train").otherwise("test").alias("split"),
         )
     )
+
+
+@register(
+    "q_dedup_repeated_spans",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id,
+             md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS span_md5
+      FROM documents,
+           UNNEST(range(0, (LENGTH(text) - 1) // 64 + 1)) AS u(i)
+      WHERE LENGTH(text) >= 64
+        AND LENGTH(substr(text, CAST(i * 64 + 1 AS INT), 64)) = 64
+    )
+    SELECT span_md5,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM chunks
+    GROUP BY span_md5
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def q_dedup_repeated_spans(spark, sf_dir):
+    """Repeated-span (boilerplate) detection: hash fixed 64-char spans of
+    every document and keep spans that recur across documents — the
+    span-level companion to whole-document dedup (headers, license
+    blurbs, navigation chrome repeat across pages long before full docs
+    collide). sequence+explode keeps span generation map-side and
+    data-proportional; the single shuffle is the groupBy on span hash.
+    At 100 TB the span table is the big intermediate — hashing down to
+    md5 (not carrying span text) keeps shuffle bytes at 32+8 per span
+    regardless of span width. Short tail spans are dropped so every
+    hashed span covers exactly 64 chars (partial tails would always be
+    unique and only inflate the shuffle)."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 64)
+    n_spans = (F.length("text") - 1).cast("long") / F.lit(64)
+    piece = F.expr("substring(text, CAST(span_id * 64 + 1 AS INT), 64)")
+    chunks = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.floor(n_spans))
+            ).alias("span_id"),
+        )
+        .filter(F.length(piece) == 64)
+        .select("doc_id", F.md5(piece).alias("span_md5"))
+    )
+    return (
+        chunks.groupBy("span_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

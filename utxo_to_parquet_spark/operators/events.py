@@ -476,3 +476,58 @@ def q_events_resample_ffill(spark, sf_dir):
             F.last("raw_avg", ignorenulls=True).over(w).alias("avg_filled"),
         )
     )
+
+
+@register(
+    "q_events_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day_no
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, day_no,
+             day_no - ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY day_no) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, COUNT(*) AS streak_len
+      FROM islands GROUP BY user_id, grp
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+           CAST(SUM(streak_len) AS BIGINT) AS active_days,
+           COUNT(*) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q_events_streaks(spark, sf_dir):
+    """Gaps-and-islands: longest run of consecutive active days per user.
+    The island id is day_no minus the per-user row_number — constant
+    within a consecutive run, strictly decreasing across gaps — so runs
+    fall out of a plain groupBy with no self-join and no iteration.
+    Plan shape: distinct (one shuffle on user+day), one window sort
+    within the same user partitioning (no extra exchange — the window's
+    partitionBy matches the distinct's hash key), and two reductions.
+    This is the retention-adjacent primitive (streak badges, churn
+    detection) that naive implementations write as a per-user collect."""
+    ev = load_events(spark, sf_dir)
+    days = (
+        ev.select(
+            "user_id",
+            F.floor(F.col("ts_sec") / 86400).cast("long").alias("day_no"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day_no")
+    islands = days.withColumn("grp", F.col("day_no") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

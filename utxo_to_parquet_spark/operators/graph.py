@@ -105,3 +105,77 @@ def q_graph_pagerank(spark, sf_dir):
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    """Unrolled BFS — one CTE level per Spark frontier expansion."""
+    base = """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    d0 AS (
+      SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+             CAST(0 AS BIGINT) AS dist
+      FROM customer WHERE c_nationkey = 0
+    )
+    """
+    for k in range(BFS_HOPS):
+        base += f""",
+    d{k + 1} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{k}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM edges e JOIN d{k} d ON e.src = d.node
+      ) GROUP BY node
+    )"""
+    base += f"""
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM d{BFS_HOPS}
+    """
+    return base
+
+
+@register("q_graph_bfs", oracle=_bfs_oracle())
+def q_graph_bfs(spark, sf_dir):
+    """Multi-source BFS: minimum hop distance from every nation-0
+    customer to each reachable node of the trade graph, {BFS_HOPS} hops.
+    Each expansion is one join (frontier onto edge source) + one
+    min-aggregation — the same scalable recurrence as PageRank but over
+    a monotone (min, +1) semiring instead of (sum, ×). The running
+    distance table stays a (node, dist) DataFrame partitioned by node;
+    localCheckpoint flattens lineage so pass N doesn't replan passes
+    1..N-1. Real BFS at scale adds frontier-only expansion (join just
+    the rows that improved last pass); at {BFS_HOPS} hops the dense form
+    is simpler and shuffles the same order of bytes."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    cust = load(spark, sf_dir, "customer")
+    dist = (
+        cust.filter(F.col("c_nationkey") == 0)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+        )
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for _ in range(BFS_HOPS):
+        expanded = (
+            edges.join(dist, edges.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

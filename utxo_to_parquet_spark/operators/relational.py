@@ -1545,3 +1545,139 @@ def q_agg_skew_kurtosis(spark, sf_dir):
         F.round(F.kurtosis("l_quantity"), 6).alias("kurt"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_window_rolling_median",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           ROUND(median(l_quantity) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 4) AS roll_median
+    FROM lineitem
+    WHERE l_suppkey < 50
+    """,
+)
+def q_window_rolling_median(spark, sf_dir):
+    """Rolling exact median over an 11-row frame per supplier — the
+    robust-statistics window (outlier-resistant trend) that mean-based
+    running aggregates can't give. Spark's exact percentile is a true
+    aggregate, so it runs inside the window frame without collecting the
+    partition; the order-by key is made unique (shipdate, orderkey,
+    linenumber) so both engines see identical frame contents — a rolling
+    frame over a non-unique sort key is nondeterministic by definition.
+    One exchange on l_suppkey; the supplier filter is pushed to the
+    scan. At scale, per-partition frame evaluation is O(rows × frame),
+    so frame width — not table size — is the knob that matters."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 50)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-10, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round(F.expr("percentile(l_quantity, 0.5)").over(w), 4).alias(
+            "roll_median"
+        ),
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name <> b.r_name
+    """,
+)
+def q_join_cross(spark, sf_dir):
+    """Explicit cartesian product of a tiny dimension with itself (all
+    ordered region pairs) — the one join type the rest of the library
+    deliberately avoids. Legitimate only when both sides are
+    broadcast-small (pairwise comparison matrices, parameter grids);
+    crossJoin states the intent so Catalyst doesn't reject an
+    accidental missing-condition join (spark.sql.crossJoin semantics)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    a, b = r.alias("a"), r.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.r_name") != F.col("b.r_name"))
+        .select(
+            F.col("a.r_name").alias("region_a"),
+            F.col("b.r_name").alias("region_b"),
+        )
+    )
+
+
+def _zorder_exprs() -> "tuple[str, str]":
+    """Build the 8-bit × 8-bit Morton-interleave expression for Spark SQL
+    and DuckDB (same arithmetic, different shift syntax)."""
+    spark_terms = []
+    duck_terms = []
+    for i in range(8):
+        spark_terms.append(
+            f"shiftleft(shiftright(xd, {i}) & 1, {2 * i})"
+            f" + shiftleft(shiftright(yd, {i}) & 1, {2 * i + 1})"
+        )
+        duck_terms.append(
+            f"(((xd >> {i}) & 1) << {2 * i}) + (((yd >> {i}) & 1) << {2 * i + 1})"
+        )
+    return " + ".join(spark_terms), " + ".join(duck_terms)
+
+
+_Z_SPARK, _Z_DUCK = _zorder_exprs()
+
+
+@register(
+    "q_zorder_key",
+    oracle=f"""
+    WITH dims AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS xd,
+             CAST(DATE_DIFF('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+               % 256 AS yd
+      FROM orders
+    ),
+    keyed AS (SELECT o_orderkey, xd, yd, {_Z_DUCK} AS zkey FROM dims)
+    SELECT zkey // 1024 AS z_bucket,
+           COUNT(*) AS n_orders,
+           CAST(MAX(xd) - MIN(xd) AS BIGINT) AS cust_spread,
+           CAST(MAX(yd) - MIN(yd) AS BIGINT) AS day_spread
+    FROM keyed
+    GROUP BY 1
+    """,
+)
+def q_zorder_key(spark, sf_dir):
+    """Morton (Z-order) clustering key: interleave the low 8 bits of
+    customer id and order day so sorting by one key co-locates BOTH
+    dimensions — the multi-column data-skipping layout (Delta/Iceberg
+    Z-ORDER) reduced to pure column arithmetic. The per-bucket spread
+    audit shows why it works: each 1024-wide zkey range touches at most
+    a 32-value slice of either dimension, so min/max page stats prune
+    scans filtered on either column. Writing the actual layout is then
+    just repartitionByRange(zkey).sortWithinPartitions(zkey) before the
+    parquet sink — same mechanics the UTXO converter uses for script
+    clustering, generalized to two dimensions."""
+    o = load(spark, sf_dir, "orders")
+    dims = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("xd"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            % 256
+        ).alias("yd"),
+    )
+    keyed = dims.select("o_orderkey", "xd", "yd", F.expr(_Z_SPARK).alias("zkey"))
+    return (
+        keyed.groupBy((F.col("zkey") / 1024).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.max("xd") - F.min("xd")).cast("long").alias("cust_spread"),
+            (F.max("yd") - F.min("yd")).cast("long").alias("day_spread"),
+        )
+    )

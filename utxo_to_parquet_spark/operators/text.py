@@ -680,3 +680,113 @@ def q_pipeline_clean_corpus(spark, sf_dir):
             F.round(F.avg(ratio), 4).alias("avg_uniq_ratio"),
         )
     )
+
+
+@register(
+    "q_text_fuzzy_levenshtein",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // 50 AS blk, substr(text, 1, 40) AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist,
+           ROUND(1.0 - levenshtein(a.pfx, b.pfx) / 40.0, 4) AS prefix_sim
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 20
+    """,
+)
+def q_text_fuzzy_levenshtein(spark, sf_dir):
+    """Blocked fuzzy matching by edit distance: candidate pairs come from
+    a cheap blocking key (language × length bucket), then the quadratic
+    levenshtein runs only within blocks — the classic record-linkage
+    shape that turns an O(n²) corpus comparison into
+    sum-over-blocks O(b²). The distance runs on a fixed 40-char prefix
+    so per-pair cost is bounded no matter how long documents get.
+    At scale the block key is the shuffle key; a hot block (one giant
+    language) is the skew risk — refine the key (finer length buckets,
+    add a first-token hash) rather than salting, since blocking keys are
+    semantic. levenshtein() is JVM-side (no Python in the pair loop)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") / 50).cast("long").alias("blk"),
+            F.substring("text", 1, 40).alias("pfx"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 20)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("edit_dist"),
+            F.round(1.0 - dist / F.lit(40.0), 4).alias("prefix_sim"),
+        )
+    )
+
+
+@register(
+    "q_mix_source_weights",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, source,
+             CAST(substr(source, 4) AS BIGINT) AS src_k,
+             10 + (CAST(substr(source, 4) AS BIGINT) * 7) % 15 AS w10
+      FROM documents
+    ),
+    mixed AS (
+      SELECT doc_id, source
+      FROM weighted,
+           UNNEST(range(0, w10 // 10 + CASE WHEN doc_id % 10 < w10 % 10
+                                            THEN 1 ELSE 0 END)) AS u(i)
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_mixed,
+           ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT doc_id), 4) AS realized_ratio
+    FROM mixed
+    GROUP BY source
+    """,
+)
+def q_mix_source_weights(spark, sf_dir):
+    """Training-mix construction by source weight (epoch upsampling):
+    each source gets a deterministic sampling weight in [1.0, 2.4] —
+    here derived arithmetically from the source id so the oracle computes
+    the identical mix — and every document is repeated floor(w) times
+    plus one more for a doc-hash fraction of the source (fractional
+    epochs without randomness). explode(sequence(...)) materializes the
+    repetition map-side with data-proportional row growth; the only
+    shuffle is the final per-source audit aggregation. This is the
+    deterministic version of weighted sampling used to rebalance corpus
+    mixtures before tokenization — reproducible across runs and
+    cluster sizes because the repeat count is a pure function of the
+    row, not of an RNG stream."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    src_k = F.substring("source", 4, 10).cast("long")
+    w10 = F.lit(10) + (src_k * 7) % 15
+    n_copies = (w10 / 10).cast("long") + F.when(
+        F.col("doc_id") % 10 < w10 % 10, 1
+    ).otherwise(0)
+    mixed = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), n_copies.cast("int"))).alias("copy"),
+    )
+    return mixed.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_mixed"),
+        F.round(
+            F.count(F.lit(1)) * 1.0 / F.countDistinct("doc_id"), 4
+        ).alias("realized_ratio"),
+    )
