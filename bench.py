@@ -65,6 +65,13 @@ HEADLINE = [
     "q_text_idf_top_terms",
     "q_events_anomaly_zscore",
     "q_window_ntile",
+    # late round 2: span dedup, record linkage, graph, robust windows
+    "q_dedup_repeated_spans",
+    "q_text_fuzzy_levenshtein",
+    "q_graph_bfs",
+    "q_events_streaks",
+    "q_window_rolling_median",
+    "q_zorder_key",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

