@@ -139,3 +139,34 @@ def test_stratified_sample_proportions(spark):
     for lang, n in totals.items():
         frac = sampled.get(lang, 0) / n
         assert 0.3 < frac < 0.7, (lang, frac)
+
+
+def test_compaction_reduces_file_count_preserving_data(spark, tmp_path):
+    """Small-file compaction: a 64-way fragmented write collapses to the
+    size-targeted file count with identical row content, and the
+    sort_within variant restores clustering inside each output file."""
+    from utxo_to_parquet_spark.sources.maintenance import (
+        compact_parquet,
+        parquet_dir_stats,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    frag = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(frag)
+    _, n_frag = parquet_dir_stats(spark, frag)
+    assert n_frag >= 64
+
+    out = str(tmp_path / "compacted")
+    stats = compact_parquet(
+        spark, frag, out, target_file_bytes=1 << 40, sort_within=["l_orderkey"]
+    )
+    assert stats["out_files"] == 1
+    assert stats["in_files"] == n_frag
+
+    a = spark.read.parquet(out)
+    assert a.count() == li.count()
+    # within-file clustering: each partition's l_orderkey is sorted
+    import pandas as pd
+
+    pdf = a.select("l_orderkey").toPandas()
+    assert (pdf["l_orderkey"].diff().dropna() >= 0).all()

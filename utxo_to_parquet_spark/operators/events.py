@@ -531,3 +531,56 @@ def q_events_streaks(spark, sf_dir):
         F.sum("streak_len").alias("active_days"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@register(
+    "q_events_scd2",
+    oracle="""
+    WITH typed AS (
+      SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id < 20
+    ),
+    starts AS (
+      SELECT user_id, ts_sec, event_type FROM typed
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           ts_sec AS valid_from,
+           LEAD(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec)
+             AS valid_to,
+           CAST(LEAD(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec)
+                IS NULL AS BOOLEAN) AS is_current
+    FROM starts
+    """,
+)
+def q_events_scd2(spark, sf_dir):
+    """SCD type-2 history build: collapse each user's event-type stream
+    into effective-dated segments [valid_from, valid_to), open-ended for
+    the current state — the dimension-versioning shape every warehouse
+    maintains. Two windows over the SAME user partitioning (change
+    detection via lag, interval close via lead), so Spark plans one
+    exchange and sorts twice within it — no join, no iteration. The
+    lag key includes event_id to break timestamp ties deterministically;
+    both engines then see identical segment boundaries. The user filter
+    bounds the checked output; the plan is unchanged without it."""
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    worder = W.partitionBy("user_id").orderBy("ts", "event_id")
+    typed = ev.select(
+        "user_id",
+        "ts_sec",
+        "event_type",
+        F.lag("event_type").over(worder).alias("prev_type"),
+    )
+    starts = typed.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    wseg = W.partitionBy("user_id").orderBy("ts_sec")
+    return starts.select(
+        "user_id",
+        "event_type",
+        F.col("ts_sec").alias("valid_from"),
+        F.lead("ts_sec").over(wseg).alias("valid_to"),
+        F.lead("ts_sec").over(wseg).isNull().alias("is_current"),
+    )

@@ -1681,3 +1681,106 @@ def q_zorder_key(spark, sf_dir):
             (F.max("yd") - F.min("yd")).cast("long").alias("day_spread"),
         )
     )
+
+
+@register(
+    "q_cdc_merge_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'I'
+                  WHEN o_orderkey % 2 = 0 THEN 'U'
+                  ELSE 'D' END AS op,
+             o_orderstatus,
+             ROUND(o_totalprice * 1.1, 2) AS new_price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+             COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+             CASE WHEN c.op IN ('I','U') THEN c.new_price
+                  ELSE b.o_totalprice END AS o_totalprice
+      FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+      WHERE c.op IS NULL OR c.op <> 'D'
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM merged WHERE o_orderkey % 100 < 5
+    """,
+)
+def q_cdc_merge_apply(spark, sf_dir):
+    """CDC merge (lakehouse MERGE INTO semantics on plain Spark): apply a
+    change set of inserts / updates / deletes onto a base table with one
+    full-outer join — update rows take the change's values, deletes drop
+    the row, inserts survive the join with no base match. The change set
+    here is derived deterministically from the fixture so the oracle
+    replays the identical merge. At scale this is the nightly
+    table-maintenance shape: shuffle both sides on the merge key once;
+    when the change set is small relative to base (the usual case),
+    broadcast it and rewrite only matched files instead — same logical
+    plan, physical strategy chosen by size. The deterministic keyed
+    sample bounds the checked output without an ORDER BY ... LIMIT
+    (which would need a global sort just for the gate)."""
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("c_key"),
+        F.when(F.col("o_orderkey") % 7 == 0, "I")
+        .when(F.col("o_orderkey") % 2 == 0, "U")
+        .otherwise("D")
+        .alias("op"),
+        F.col("o_orderstatus").alias("c_status"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price"),
+    )
+    merged = (
+        base.join(changes, base.o_orderkey == changes.c_key, "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce(F.col("o_orderkey"), F.col("c_key")).alias("o_orderkey"),
+            F.coalesce(F.col("c_status"), F.col("o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.when(F.col("op").isin("I", "U"), F.col("new_price"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    return merged.filter(F.col("o_orderkey") % 100 < 5)
+
+
+@register(
+    "q_lateral_topn",
+    oracle="""
+    SELECT r.r_name, t.n_name, t.n_nationkey
+    FROM region r, LATERAL (
+      SELECT n_name, n_nationkey FROM nation
+      WHERE n_regionkey = r.r_regionkey
+      ORDER BY n_name LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery (top-2 nations per region by name) —
+    the SQL-surface twin of the window top-k-per-group operator.
+    Catalyst decorrelates the lateral into a ranked join, so the
+    physical plan is the same shuffle-on-group + per-group sort the
+    DataFrame version produces; what this adds is coverage of the
+    LATERAL syntax path (parser + decorrelation rules), which the
+    DataFrame API never exercises."""
+    load(spark, sf_dir, "region").createOrReplaceTempView("region")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_nationkey
+        FROM region r, LATERAL (
+          SELECT n_name, n_nationkey FROM nation
+          WHERE n_regionkey = r.r_regionkey
+          ORDER BY n_name LIMIT 2
+        ) t
+        """
+    )

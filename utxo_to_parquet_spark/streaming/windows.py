@@ -343,3 +343,47 @@ def q_stream_foreachbatch_sink(spark, sf_dir):
     finally:
         q.stop()
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "q_stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.event_type,
+           CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS ts_s,
+           c.c_name, n.n_name
+    FROM events e
+      JOIN customer c ON c.c_custkey = e.user_id + 1
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q_stream_static_enrich(spark, sf_dir):
+    """Stream-static enrichment join: a live event stream joined to a
+    slowly-changing dimension table (customer → nation) that is NOT a
+    stream — the most common production streaming shape (clickstream +
+    user profile). The static side is broadcast per micro-batch, so the
+    stream never shuffles; state stays empty because static joins need
+    no buffering (unlike stream-stream). Over a static replay the result
+    must equal the batch join — which is what the oracle checks. The
+    dimension is re-read each micro-batch, so dimension updates between
+    batches are picked up automatically — the poor-man's SCD join."""
+    sdf = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    dim = F.broadcast(cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey))
+    enriched = (
+        sdf.join(dim, sdf.user_id + 1 == dim.c_custkey)
+        .select(
+            "event_id",
+            "event_type",
+            F.unix_timestamp("event_ts").cast("long").alias("ts_s"),
+            "c_name",
+            "n_name",
+        )
+    )
+    table = _run_to_memory(enriched, "append")
+    return spark.table(table)
