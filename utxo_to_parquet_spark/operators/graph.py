@@ -24,17 +24,31 @@ def _trade_edges(spark, sf_dir):
     the random walk is symmetric. Node ids are 'c<key>' / 's<key>'."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # dedup on the NUMERIC key pair and render node-id strings after:
+    # the distinct shuffles 16 bytes/row instead of two concatenated
+    # strings, and the concat runs once per distinct pair, not once per
+    # lineitem
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
         )
-        .distinct()
     )
-    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # both directions from ONE pass over pairs: a union of two selects
+    # would give the join+distinct subtree two consumers and Spark would
+    # execute it twice (it is not cached); explode emits the mirrored
+    # edge map-side for half the cost
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def _pagerank_oracle() -> str:
