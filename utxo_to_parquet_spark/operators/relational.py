@@ -1784,3 +1784,46 @@ def q_lateral_topn(spark, sf_dir):
         ) t
         """
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH cn AS (
+      SELECT NULLIF(c_nationkey, 3) AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY 1
+    ),
+    sn AS (
+      SELECT NULLIF(s_nationkey, 3) AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT cn.nk AS nationkey, n_cust, n_supp
+    FROM cn JOIN sn ON cn.nk IS NOT DISTINCT FROM sn.nk
+    """,
+)
+def q_join_null_safe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping, the semantics needed
+    when a join key legitimately encodes "unknown" (here nation 3 is
+    nulled on both sides to manufacture the case). Both inputs are
+    pre-aggregated to one row per key first, so the NULL group joins
+    1×1 instead of |nulls|×|nulls| — the null-safe twin of the usual
+    pre-aggregate-before-join discipline, and doubly important here
+    because a hot NULL key is the most common real-world skew key."""
+    nk_c = F.nullif(F.col("c_nationkey"), F.lit(3))
+    nk_s = F.nullif(F.col("s_nationkey"), F.lit(3))
+    cn = (
+        load(spark, sf_dir, "customer")
+        .groupBy(nk_c.alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(nk_s.alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cn.alias("c")
+        .join(sn.alias("s"), F.col("c.nk").eqNullSafe(F.col("s.nk")))
+        .select(F.col("c.nk").alias("nationkey"), "n_cust", "n_supp")
+    )
