@@ -136,10 +136,13 @@ def main():
     for _ in range(2):
         t0 = time.time()
         # use_cache=False: the timed conversion includes the sequential
-        # framing pass, matching what the reference's wall time includes
-        n = convert_utxo_dump_to_parquet(
-            spark, dump, out, chunk_rows=64_000, use_cache=False
-        )
+        # framing pass, matching what the reference's wall time includes.
+        # chunk_rows stays at the library default (250k): at 2M bench
+        # rows that is 8 decode tasks — fewer, fatter tasks beat 32
+        # skinny ones because per-task python-worker round-trip overhead
+        # exceeds the decode cost of a small split (measured: 64k chunks
+        # 1.96s, 250k chunks 1.32s)
+        n = convert_utxo_dump_to_parquet(spark, dump, out, use_cache=False)
         trials_conv.append(time.time() - t0)
         assert n == UTXO_BENCH_ROWS
     dt = min(trials_conv)

@@ -64,8 +64,10 @@ def main() -> None:
             print(f"ERROR {name}: {exc}")
             bad += 1
             continue
-        flag = " <-- CARTESIAN" if a["cartesian"] else ""
-        if a["cartesian"]:
+        # q_join_cross is the one deliberate cartesian (tiny dim × itself)
+        unexpected_cartesian = a["cartesian"] and name != "q_join_cross"
+        flag = " <-- CARTESIAN" if unexpected_cartesian else ""
+        if unexpected_cartesian:
             bad += 1
         print(
             f"{name}: exchanges={a['exchanges']} joins="

@@ -795,3 +795,53 @@ def q_mix_source_weights(spark, sf_dir):
             F.count(F.lit(1)) * 1.0 / F.countDistinct("doc_id"), 4
         ).alias("realized_ratio"),
     )
+
+
+# per-language sampling rates for the deterministic stratified sample
+STRAT_PCT = {"en": 30, "es": 50, "de": 50, "fr": 70, "zh": 90}
+
+
+def _strat_pct_sql(col: str) -> str:
+    branches = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in STRAT_PCT.items()
+    )
+    return f"CASE {col} {branches} ELSE 0 END"
+
+
+@register(
+    "q_sample_stratified_hash",
+    oracle=f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < {_strat_pct_sql("lang")}
+    GROUP BY lang
+    """,
+)
+def q_sample_stratified_hash(spark, sf_dir):
+    """Deterministic stratified sampling: per-language rates applied via
+    a key-hash threshold instead of Bernoulli draws — the reproducible
+    twin of sampleBy (q_sample_stratified) that an oracle CAN check and
+    a backfill CAN resume, because membership is a pure function of the
+    row key and the rate table. The rate lookup is a CASE over a
+    broadcast-sized literal map; the whole operator is one map-side
+    filter plus the audit aggregation — nothing shuffles but the final
+    per-stratum counts."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.lit(0)
+    for k, v in STRAT_PCT.items():
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
