@@ -1827,3 +1827,114 @@ def q_join_null_safe(spark, sf_dir):
         .join(sn.alias("s"), F.col("c.nk").eqNullSafe(F.col("s.nk")))
         .select(F.col("c.nk").alias("nationkey"), "n_cust", "n_supp")
     )
+
+
+# --- MapType surface ------------------------------------------------------
+
+
+@register(
+    "q_scalar_map",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey, l_linenumber, CAST(SUM(l_quantity) AS BIGINT) AS qty
+      FROM lineitem GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           STRING_AGG(l_linenumber || '=' || qty, ',' ORDER BY l_linenumber) AS entries,
+           MAX(CASE WHEN l_linenumber = 1 THEN qty END) AS qty_line1,
+           CAST(COUNT(*) FILTER (WHERE qty >= 25) AS BIGINT) AS n_heavy
+    FROM lines GROUP BY l_orderkey
+    """,
+)
+def q_scalar_map(spark, sf_dir):
+    """MapType surface: build a linenumber→quantity map per order with
+    map_from_entries, then probe it with element_at / map_filter /
+    map_entries — maps flow through shuffles like scalars, so a per-row
+    keyed property bag needs no second table. Final projection
+    serializes the (sorted) entries to a string for the driver's
+    canonicalizer, mirroring how a map column would be exported to a
+    JSON/text sink."""
+    li = load(spark, sf_dir, "lineitem")
+    lines = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum("l_quantity").cast("long").alias("qty")
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("k"),
+                        F.col("qty").alias("v"),
+                    )
+                )
+            )
+        ).alias("m")
+    )
+    entries = F.concat_ws(
+        ",",
+        F.transform(
+            F.map_entries("m"),
+            lambda e: F.concat(e["key"].cast("string"), F.lit("="), e["value"].cast("string")),
+        ),
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("m").cast("long").alias("n_lines"),
+        entries.alias("entries"),
+        F.element_at("m", F.lit(1)).alias("qty_line1"),
+        F.size(F.map_filter("m", lambda k, v: v >= 25)).cast("long").alias("n_heavy"),
+    )
+
+
+# --- cumulative distinct (first-occurrence flag + running sum) ------------
+
+
+@register(
+    "q_window_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(DATE_TRUNC('month', MIN(o.o_orderdate)) AS DATE) AS first_month
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    monthly AS (
+      SELECT nationkey, first_month AS month,
+             CAST(COUNT(*) AS BIGINT) AS new_customers
+      FROM firsts GROUP BY nationkey, first_month
+    )
+    SELECT nationkey, month, new_customers,
+           CAST(SUM(new_customers) OVER (PARTITION BY nationkey ORDER BY month
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_customers
+    FROM monthly
+    """,
+)
+def q_window_cumulative_distinct(spark, sf_dir):
+    """Cumulative COUNT(DISTINCT) over time — not directly supported in
+    window frames by any engine at scale — via the standard rewrite:
+    reduce each (nation, customer) to its first-activity month, count
+    firsts per month, then a running sum. Turns an O(n·frame) distinct
+    window into two hash aggregations plus a window over the tiny
+    monthly rollup."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    firsts = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.to_date(F.date_trunc("month", F.min("o_orderdate"))).alias("first_month"))
+    )
+    monthly = (
+        firsts.groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.col("first_month").alias("month"),
+        )
+        .agg(F.count(F.lit(1)).alias("new_customers"))
+    )
+    w = W.partitionBy("nationkey").orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return monthly.select(
+        "nationkey",
+        "month",
+        "new_customers",
+        F.sum("new_customers").over(w).cast("long").alias("cum_customers"),
+    )

@@ -496,3 +496,86 @@ def q_sim_quantize_int8(spark, sf_dir):
         )
     )
     return df.select("vec_id", "label", "scale", err.alias("max_abs_err"))
+
+
+# --- product quantization (PQ) codes --------------------------------------
+
+PQ_M = 4          # subspaces
+PQ_SUB = 16       # dims per subspace (4 * 16 = 64 = embedding dim)
+PQ_K = 8          # centroids per subspace codebook
+
+
+@register(
+    "q_sim_pq_codes",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {PQ_K}),
+    sub AS (SELECT UNNEST(range(0, {PQ_M})) AS m),
+    dist AS (
+      SELECT v.vec_id, sub.m, cent.cid,
+             LIST_DOT_PRODUCT(list_slice(v.e, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}),
+                              list_slice(v.e, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}))
+             - 2 * LIST_DOT_PRODUCT(list_slice(v.e, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}),
+                                    list_slice(cent.c, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}))
+             + LIST_DOT_PRODUCT(list_slice(cent.c, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}),
+                                list_slice(cent.c, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}))
+               AS d2
+      FROM v CROSS JOIN sub CROSS JOIN cent
+    ),
+    best AS (
+      SELECT vec_id, m, cid, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+      FROM dist
+    )
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN m = 0 THEN cid END) AS BIGINT) AS code0,
+           CAST(MAX(CASE WHEN m = 1 THEN cid END) AS BIGINT) AS code1,
+           CAST(MAX(CASE WHEN m = 2 THEN cid END) AS BIGINT) AS code2,
+           CAST(MAX(CASE WHEN m = 3 THEN cid END) AS BIGINT) AS code3,
+           ROUND(SUM(d2), 6) AS quant_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def q_sim_pq_codes(spark, sf_dir):
+    """Product quantization: split each 64-dim embedding into {PQ_M}
+    subvectors of {PQ_SUB} dims and encode each against a {PQ_K}-entry
+    per-subspace codebook (argmin squared-L2), emitting the compact
+    code tuple plus total quantization error. PQ is the memory side of
+    large-scale ANN: a 64-float vector becomes {PQ_M} small ints, and
+    query-time distances come from {PQ_M} table lookups.
+
+    The codebook here is deterministic (the first {PQ_K} vectors) so
+    the oracle can reproduce it; in production it comes from k-means
+    (q_sim_kmeans is the trainer shape). Distances expand to
+    a·a − 2a·c + c·c with left-to-right double summation so both
+    engines compute bit-identical floats; encode is a broadcast
+    cross-join against the tiny codebook — map-side at any scale —
+    followed by a per-(vector, subspace) argmin window over {PQ_K}
+    candidates."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    cent = v.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    sub = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    start = F.col("m") * PQ_SUB + 1
+    a = F.slice(F.col("e"), start, PQ_SUB)
+    c = F.slice(F.col("c"), start, PQ_SUB)
+    d2 = _dot(a, a) - 2 * _dot(a, c) + _dot(c, c)
+    dist = (
+        v.crossJoin(F.broadcast(sub))
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "m", "cid", d2.alias("d2"))
+    )
+    rn = F.row_number().over(W.partitionBy("vec_id", "m").orderBy("d2", "cid"))
+    best = dist.withColumn("rn", rn).filter(F.col("rn") == 1)
+    code = lambda i: F.max(F.when(F.col("m") == i, F.col("cid"))).cast("long")
+    return best.groupBy("vec_id").agg(
+        code(0).alias("code0"),
+        code(1).alias("code1"),
+        code(2).alias("code2"),
+        code(3).alias("code3"),
+        F.round(F.sum("d2"), 6).alias("quant_err"),
+    )

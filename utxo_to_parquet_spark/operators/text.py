@@ -845,3 +845,148 @@ def q_sample_stratified_hash(spark, sf_dir):
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# --- unigram LM perplexity-proxy quality scoring -------------------------
+
+
+@register(
+    "q_text_perplexity_unigram",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    lm AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok GROUP BY token),
+    total AS (SELECT SUM(cnt) AS n FROM lm)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-LOG2(lm.cnt / total.n)), 4) AS bits_per_token
+    FROM tok t JOIN lm ON lm.token = t.token CROSS JOIN total
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_perplexity_unigram(spark, sf_dir):
+    """Perplexity-proxy quality scoring: train a corpus-wide unigram LM
+    (token relative frequencies) and score each document by its mean
+    cross-entropy in bits/token — the cheap stand-in for a KenLM quality
+    filter in training-data pipelines. Two aggregations plus one
+    token-key join, all JVM-side.
+
+    Scale notes: the LM table is vocab-sized (sublinear in corpus) —
+    broadcast it when it fits, else this is a shuffle join on `token`
+    whose heavy hitters (stopwords) are exactly the keys AQE's skew-join
+    splitting handles. The grand-total N is a one-row broadcast cross
+    join, never a driver collect."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    lm = tok.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("n"))
+    scored = tok.join(F.broadcast(lm), "token").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg(-F.log2(F.col("cnt") / F.col("n"))), 4).alias("bits_per_token"),
+    )
+
+
+VOCAB_TOP = 40
+
+
+@register(
+    "q_text_vocab_coverage",
+    oracle=f"""
+    WITH lm AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM lm
+    )
+    SELECT token, cnt, CAST(rank AS BIGINT) AS rank,
+           ROUND(CAST(cum AS DOUBLE) / n, 6) AS cum_coverage
+    FROM ranked WHERE rank <= {VOCAB_TOP}
+    """,
+)
+def q_text_vocab_coverage(spark, sf_dir):
+    """Vocabulary construction: rank tokens by corpus frequency and
+    report each prefix's cumulative coverage of all token occurrences —
+    the curve a tokenizer-vocab or stopword-list decision reads.
+
+    The global rank/cumsum window runs on the vocab-sized aggregate
+    (sublinear in corpus), and only after map-side partial aggregation;
+    the single-partition window is bounded by vocab, not data. The
+    total-occurrences denominator rides the same window (SUM OVER ()),
+    so no second pass over the tokens."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    lm = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.orderBy(F.desc("cnt"), "token")
+    ranked = lm.select(
+        "token",
+        "cnt",
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
+    return ranked.filter(F.col("rank") <= VOCAB_TOP).select(
+        "token",
+        "cnt",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("cum").cast("double") / F.col("n"), 6).alias("cum_coverage"),
+    )
+
+
+# --- Python UDTF: sliding word-window chunking ----------------------------
+
+WIN_SIZE, WIN_STRIDE = 32, 8
+
+
+@register(
+    "q_udtf_word_windows",
+    oracle=f"""
+    SELECT doc_id, CAST(i AS BIGINT) AS win_idx,
+           CAST(LEN(list_slice(parts, i * {WIN_STRIDE} + 1,
+                               i * {WIN_STRIDE} + {WIN_SIZE})) AS BIGINT) AS n_words,
+           md5(ARRAY_TO_STRING(list_slice(parts, i * {WIN_STRIDE} + 1,
+                                          i * {WIN_STRIDE} + {WIN_SIZE}), ' ')) AS win_md5
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS parts FROM documents),
+         UNNEST(range(0, (LEN(parts) + {WIN_STRIDE} - 1) // {WIN_STRIDE})) AS u(i)
+    """,
+)
+def q_udtf_word_windows(spark, sf_dir):
+    """Overlapping word-window chunking (window {WIN_SIZE}, stride
+    {WIN_STRIDE}) — the sliding-context sharding step for embedding /
+    long-context pipelines — implemented as a Python UDTF consumed
+    through a LATERAL join, exercising Spark's user-defined *table*
+    function surface (one input row → many output rows with per-row
+    Python state, where explode+sequence would need the whole window
+    materialized as an array column).
+
+    Scale notes: the UDTF runs data-parallel per partition like any
+    map-side op; per-doc fan-out is bounded by doc length. The same
+    semantics are available UDF-free via sequence+explode+slice (that
+    form is the oracle) — the UDTF form is the extension-API
+    demonstration."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="win_idx: bigint, n_words: bigint, win_md5: string")
+    class WordWindows:
+        def eval(self, text: str):
+            import hashlib
+
+            words = (text or "").split(" ")
+            for i in range((len(words) + WIN_STRIDE - 1) // WIN_STRIDE):
+                w = words[i * WIN_STRIDE : i * WIN_STRIDE + WIN_SIZE]
+                yield i, len(w), hashlib.md5(" ".join(w).encode()).hexdigest()
+
+    spark.udtf.register("word_windows", WordWindows)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, w.win_idx, w.n_words, w.win_md5 "
+        "FROM __docs_for_udtf d, LATERAL word_windows(d.text) w"
+    )
