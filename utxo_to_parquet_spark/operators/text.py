@@ -990,3 +990,144 @@ def q_udtf_word_windows(spark, sf_dir):
         "SELECT d.doc_id, w.win_idx, w.n_words, w.win_md5 "
         "FROM __docs_for_udtf d, LATERAL word_windows(d.text) w"
     )
+
+
+# --- benchmark decontamination: n-gram overlap vs a held-out set ----------
+
+CONTAM_N = 5                       # shingle width (words)
+EVAL_SOURCES = ("src0", "src1")    # the held-out "benchmark" slice
+
+
+@register(
+    "q_text_contamination_ngram",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             ARRAY_TO_STRING(list_slice(w, i, i + {CONTAM_N - 1}), ' ') AS g
+      FROM tok, UNNEST(range(1, LEN(w) - {CONTAM_N - 1} + 1)) AS u(i)
+    ),
+    eval_sh AS (SELECT DISTINCT g FROM sh
+                WHERE source IN ('{EVAL_SOURCES[0]}', '{EVAL_SOURCES[1]}')),
+    train_sh AS (SELECT doc_id, g, COUNT(*) AS n_g FROM sh
+                 WHERE source NOT IN ('{EVAL_SOURCES[0]}', '{EVAL_SOURCES[1]}')
+                 GROUP BY doc_id, g),
+    tot AS (SELECT doc_id, CAST(SUM(n_g) AS BIGINT) AS n_shingles FROM train_sh
+            GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(SUM(t.n_g) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_hits,
+           ROUND(CAST(SUM(t.n_g) AS DOUBLE) / ANY_VALUE(tot.n_shingles), 6)
+             AS contamination
+    FROM train_sh t JOIN eval_sh e ON t.g = e.g
+      JOIN tot ON tot.doc_id = t.doc_id
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_contamination_ngram(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    {CONTAM_N}-gram with a held-out evaluation slice, reporting overlap
+    counts and the contaminated fraction of each document's shingles —
+    the standard pre-training hygiene pass (eval-set leakage detection).
+
+    Scale notes: the eval side reduces to DISTINCT shingles (bounded by
+    the benchmark suite, megabytes not terabytes) — broadcast it; the
+    train side then never shuffles its full shingle stream, only its
+    per-doc aggregates. A seen-at-eval Bloom filter is the drop-in
+    replacement when even distinct eval shingles outgrow broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    tok = docs.select("doc_id", "source", w.alias("w"))
+    n_sh = F.greatest(F.size("w") - (CONTAM_N - 1), F.lit(0))
+    sh = tok.filter(n_sh >= 1).select(
+        "doc_id",
+        "source",
+        "w",
+        F.explode(F.sequence(F.lit(1), n_sh)).alias("i"),
+    ).select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice("w", F.col("i"), CONTAM_N)).alias("g"),
+    )
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    eval_sh = sh.filter(is_eval).select("g").distinct()
+    train_sh = (
+        sh.filter(~is_eval).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n_g"))
+    )
+    tot = train_sh.groupBy("doc_id").agg(F.sum("n_g").cast("long").alias("n_shingles"))
+    hits = train_sh.join(F.broadcast(eval_sh), "g")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.sum("n_g").cast("long").alias("n_contaminated"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_hits"),
+        )
+        .join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "n_contaminated",
+            "n_distinct_hits",
+            F.round(F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6)
+              .alias("contamination"),
+        )
+    )
+
+
+# --- BPE trainer step: weighted adjacent-pair counting --------------------
+
+BPE_TOP = 25
+
+
+@register(
+    "q_text_bpe_merge_step",
+    oracle=f"""
+    WITH wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+      WHERE LENGTH(word) >= 2 GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, SUM(freq) AS total
+      FROM wf, UNNEST(range(1, LENGTH(word))) AS u(i)
+      GROUP BY substr(word, CAST(i AS INT), 2)
+    )
+    SELECT pair, CAST(total AS BIGINT) AS total,
+           CAST(ROW_NUMBER() OVER (ORDER BY total DESC, pair) AS BIGINT) AS rank
+    FROM pairs ORDER BY total DESC, pair LIMIT {BPE_TOP}
+    """,
+)
+def q_text_bpe_merge_step(spark, sf_dir):
+    """One BPE-trainer merge round: count adjacent symbol pairs across
+    the corpus weighted by word frequency and rank the merge candidates
+    — the inner loop of byte-pair-encoding tokenizer training, starting
+    from the character vocabulary.
+
+    Scale notes: the pair stream is generated from the WORD-FREQUENCY
+    table, not the raw corpus — the classic BPE optimization (corpus
+    tokens collapse to distinct words first, so each merge round costs
+    O(vocab · word_len), not O(corpus)). Both aggregations combine
+    map-side; the final top-k is a sort over the small pair table."""
+    docs = load(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        # length >= 2: single chars yield no pairs, and Spark's
+        # sequence(1, 0) would generate a DESCENDING [1, 0] run
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        wf.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(F.expr("substring(word, i, 2)").alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("total"))
+    )
+    w = W.orderBy(F.desc("total"), "pair")
+    return (
+        pairs.select("pair", "total", F.row_number().over(w).cast("long").alias("rank"))
+        .filter(F.col("rank") <= BPE_TOP)
+    )
