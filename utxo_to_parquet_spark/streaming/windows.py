@@ -36,20 +36,46 @@ def _events_stream(spark, sf_dir):
     return sdf.withColumn("event_ts", F.timestamp_seconds(F.expr(f"ts div {NS}")))
 
 
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+class _stream_partitions:
+    """Clamp ``spark.sql.shuffle.partitions`` while a stream runs.
+
+    Stateful streaming creates one state store per shuffle partition and
+    pays its init/commit on every micro-batch — with the session's batch
+    setting (cores=32) that overhead dominates these bounded-key streams
+    (stream-stream join: 11.5s → 2.9s at 8 partitions). The partition
+    count is baked into each checkpoint at stream start, so a scoped
+    override is safe; production sizes it to key cardinality ×
+    throughput, not to cores."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def _run_to_memory(agg_df, output_mode: str):
     """Drive a streaming aggregation to completion against the static
     input; returns the materialized result table."""
     name = "stream_out_" + uuid.uuid4().hex[:8]
-    q = (
-        agg_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_partitions(agg_df.sparkSession):
+        q = (
+            agg_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return name
 
 
@@ -337,11 +363,12 @@ def q_stream_foreachbatch_sink(spark, sf_dir):
     def write_batch(batch_df, batch_id):
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = agg.writeStream.outputMode("complete").foreachBatch(write_batch).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_partitions(spark):
+        q = agg.writeStream.outputMode("complete").foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.read.parquet(out_dir)
 
 
