@@ -72,6 +72,10 @@ HEADLINE = [
     "q_events_streaks",
     "q_window_rolling_median",
     "q_zorder_key",
+    # round 3 prep: tokenizer training, decontamination, PQ compression
+    "q_text_bpe_merge_step",
+    "q_text_contamination_ngram",
+    "q_sim_pq_codes",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

@@ -49,3 +49,43 @@ def test_checkpointed_file_sink_resumes_exactly_once(tmp_path, spark):
     assert final.count() == 150  # batch_a NOT reprocessed (exactly-once)
     got = sorted(r.event_id for r in final.collect())
     assert got == list(range(150))
+
+
+def test_state_store_reader_exposes_checkpoint_state(tmp_path, spark):
+    """Spark 4's statestore data source reads a query's checkpointed
+    state as a DataFrame — the observability path for debugging stateful
+    streams (state-size audits, key-skew checks) without instrumenting
+    the query. The state of a complete-mode sum must equal the batch
+    aggregation of the same input."""
+    from pyspark.sql import functions as F
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    spark.createDataFrame(
+        [(i % 5, float(i)) for i in range(100)], "k int, v double"
+    ).coalesce(1).write.parquet(f"{in_dir}/b0")
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        sdf = spark.readStream.schema("k int, v double").parquet(f"{in_dir}/*")
+        q = (
+            sdf.groupBy("k").agg(F.sum("v").alias("total"))
+            .writeStream.outputMode("complete").format("memory")
+            .queryName("sr_test").option("checkpointLocation", ckpt).start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    state = spark.read.format("statestore").load(ckpt)
+    got = {r["key"]["k"]: r["value"]["sum"] for r in state.collect()}
+    expected = {
+        r["k"]: r["total"]
+        for r in spark.read.parquet(f"{in_dir}/b0")
+        .groupBy("k").agg(F.sum("v").alias("total")).collect()
+    }
+    assert got == expected

@@ -584,3 +584,43 @@ def q_events_scd2(spark, sf_dir):
         F.lead("ts_sec").over(wseg).alias("valid_to"),
         F.lead("ts_sec").over(wseg).isNull().alias("is_current"),
     )
+
+
+@register(
+    "q_events_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(*) FILTER (
+             WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 1
+           ) AS BIGINT) AS n_odd_k,
+           CAST(COUNT(*) FILTER (
+             WHERE json_extract_string(props, '$.missing') IS NULL
+           ) AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_variant_props(spark, sf_dir):
+    """Semi-structured props via Spark 4's VARIANT type: parse_json once
+    into the engine-native binary-shredded representation, then typed
+    variant_get extraction — the modern replacement for repeated
+    get_json_object string re-parses (q_events_json_extract is the
+    legacy twin). try_variant_get on an absent path returns NULL instead
+    of erroring, the contract a schema-drifting event feed needs.
+
+    Scale notes: VARIANT parses each props string once and stores typed
+    shredded bytes, so N extractions cost one parse + N binary probes —
+    with string JSON functions they cost N parses. Aggregations beyond
+    that are ordinary hash aggs."""
+    ev = load_events(spark, sf_dir)
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "long")
+    missing = F.try_variant_get("v", "$.missing", "string")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count(F.when(k % 2 == 1, 1)).cast("long").alias("n_odd_k"),
+        F.count(F.when(missing.isNull(), 1)).cast("long").alias("n_missing"),
+    )
