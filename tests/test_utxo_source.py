@@ -461,3 +461,41 @@ def test_truncated_compactsize_raises_at_parse_site(tmp_path, monkeypatch):
     monkeypatch.setattr(native, "frame_scan_native", lambda *a, **k: None)
     with pytest.raises(ValueError, match="truncated dump"):
         utxo_dump.index_utxo_dump(path, use_cache=False)
+
+
+def test_streaming_datasource_replays_snapshot(tmp_path, spark):
+    """readStream over the utxo_dump format: micro-batched replay must
+    reproduce the batch decode exactly, across multiple triggers bounded
+    by splits_per_trigger (backpressure), including a checkpoint-free
+    restartable offset sequence."""
+    import uuid
+
+    from utxo_to_parquet_spark.sources import register_utxo_datasource
+    from utxo_to_parquet_spark.sources.synthetic import synthetic_utxo_rows
+    from utxo_to_parquet_spark.sources.utxo_dump import write_utxo_dump
+
+    dump = str(tmp_path / "stream.dat")
+    write_utxo_dump(dump, synthetic_utxo_rows(20_000, seed=11))
+    register_utxo_datasource(spark)
+
+    sdf = (
+        spark.readStream.format("utxo_dump")
+        .option("chunk_rows", 5_000)
+        .option("splits_per_trigger", 1)
+        .load(dump)
+    )
+    name = "utxo_stream_" + uuid.uuid4().hex[:6]
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+
+    streamed = spark.table(name)
+    batch = spark.read.format("utxo_dump").option("chunk_rows", 5_000).load(dump)
+    assert streamed.count() == batch.count() == 20_000
+    assert n_batches >= 4  # one split per trigger → many micro-batches
+    # value-level equality, not just counts
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
