@@ -624,3 +624,102 @@ def q_events_variant_props(spark, sf_dir):
         F.count(F.when(k % 2 == 1, 1)).cast("long").alias("n_odd_k"),
         F.count(F.when(missing.isNull(), 1)).cast("long").alias("n_missing"),
     )
+
+
+PATH_TOP = 15
+
+
+@register(
+    "q_events_top_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+      FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+    )
+    SELECT path, CAST(n AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank
+    FROM paths ORDER BY n DESC, path LIMIT {PATH_TOP}
+    """,
+)
+def q_events_top_paths(spark, sf_dir):
+    """Sequential pattern discovery: the most frequent 3-step
+    event-type paths across all user timelines — funnel analysis
+    without a prescribed funnel. Two LEADs over the per-user
+    time-ordered window turn each event into its own trigram; the rest
+    is a hash count + top-k.
+
+    Scale notes: the only shuffle partitions by user_id (bounded,
+    high-cardinality — no skew pathology); trigram counting combines
+    map-side. Event-id tiebreak makes the sequence deterministic under
+    equal timestamps."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "event_type", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rw = W.orderBy(F.desc("n"), "path")
+    return (
+        paths.select("path", "n", F.row_number().over(rw).cast("long").alias("rank"))
+        .filter(F.col("rank") <= PATH_TOP)
+    )
+
+
+@register(
+    "q_events_markov_transition",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL
+          GROUP BY src, dst)
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6) AS p
+    FROM c
+    """,
+)
+def q_events_markov_transition(spark, sf_dir):
+    """First-order Markov transition matrix over user event sequences:
+    P(next event type | current), estimated from adjacent pairs in each
+    user's time-ordered stream. The behavioral-model building block
+    (next-action prediction, anomalous-transition scoring).
+
+    The row-normalizing denominator is a window SUM over the tiny
+    (src, dst) count table — type-pair cardinality squared, independent
+    of data size — so the heavy lifting is one user-partitioned LEAD
+    plus a combining hash count."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    c = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = W.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"),
+    )
