@@ -1938,3 +1938,89 @@ def q_window_cumulative_distinct(spark, sf_dir):
         "new_customers",
         F.sum("new_customers").over(w).cast("long").alias("cum_customers"),
     )
+
+
+# --- data-quality expectations (constraint-violation report) --------------
+
+
+@register(
+    "q_quality_expectations",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_checked FROM lineitem)
+    SELECT 'quantity_in_1_50' AS rule, n_checked,
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+                AS BIGINT) AS n_violations
+    FROM lineitem CROSS JOIN n GROUP BY n_checked
+    UNION ALL
+    SELECT 'discount_in_0_0p1', n_checked,
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+                AS BIGINT)
+    FROM lineitem CROSS JOIN n GROUP BY n_checked
+    UNION ALL
+    SELECT 'orderkey_not_null', n_checked,
+           CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+    FROM lineitem CROSS JOIN n GROUP BY n_checked
+    UNION ALL
+    SELECT 'orderkey_fk_orders', n_checked,
+           CAST(COUNT(*) FILTER (
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+           ) AS BIGINT)
+    FROM lineitem CROSS JOIN n GROUP BY n_checked
+    UNION ALL
+    SELECT 'line_id_unique', n_checked,
+           CAST(COALESCE(SUM(c), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+         CROSS JOIN n GROUP BY n_checked
+    """,
+)
+def q_quality_expectations(spark, sf_dir):
+    """Data-quality expectations: evaluate a rule set (range, not-null,
+    foreign-key, uniqueness) over a table and report violations per rule
+    — the validation gate a lake pipeline runs before publishing a
+    partition.
+
+    Engineered as three scans, not one per rule: all ROW-LOCAL rules
+    (range/null) fold into a single conditional aggregation; the FK rule
+    is one broadcast-able anti-join count; uniqueness is one keyed
+    aggregation. Adding row-local rules costs zero extra passes —
+    the shape stays fixed as the rule set grows."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    viol = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    n_checked = F.count(F.lit(1)).cast("long")
+    row_local = li.agg(
+        n_checked.alias("n_checked"),
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "quantity_in_1_50"
+        ),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "discount_in_0_0p1"
+        ),
+        viol(F.col("l_orderkey").isNull()).alias("orderkey_not_null"),
+    )
+    rules = row_local.unpivot(
+        ["n_checked"],
+        ["quantity_in_1_50", "discount_in_0_0p1", "orderkey_not_null"],
+        "rule",
+        "n_violations",
+    ).select("rule", "n_checked", "n_violations")
+
+    total = li.agg(n_checked.alias("n_checked"))
+    fk = (
+        li.join(F.broadcast(o.select("o_orderkey")),
+                li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .crossJoin(total)
+        .select(F.lit("orderkey_fk_orders").alias("rule"), "n_checked", "n_violations")
+    )
+    uniq = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_violations"))
+        .crossJoin(total)
+        .select(F.lit("line_id_unique").alias("rule"), "n_checked", "n_violations")
+    )
+    return rules.unionByName(fk).unionByName(uniq)

@@ -534,3 +534,63 @@ def q_utxo_set_diff(spark, sf_dir):
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("sats"))
     )
+
+
+@register(
+    "q_utxo_balance_gini",
+    oracle=f"""
+    WITH utxos AS ({UTXOS_CTE}),
+    bal AS (
+      SELECT script_hex, SUM(amount) AS balance
+      FROM utxos GROUP BY script_hex
+    ),
+    ranked AS (
+      SELECT balance,
+             ROW_NUMBER() OVER (ORDER BY balance, script_hex) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(balance) OVER () AS total
+      FROM bal
+    )
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_addresses,
+           CAST(ANY_VALUE(total) AS BIGINT) AS total_sats,
+           ROUND(2.0 * SUM(CAST(i AS DOUBLE) * balance)
+                 / (ANY_VALUE(n) * ANY_VALUE(total))
+                 - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def q_utxo_balance_gini(spark, sf_dir):
+    """Wealth-concentration analytics: the Gini coefficient of per-script
+    balances, via the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending balances — one aggregation to balances, one global
+    rank/total window, one final reduce.
+
+    Scale notes: the window runs over the ADDRESS-level rollup (already
+    aggregated, orders of magnitude smaller than the UTXO set). A global
+    rank at billion-address scale would swap in a two-pass rank (range
+    partition + per-partition offset), same formula."""
+    bal = (
+        utxos_df(spark, sf_dir)
+        .groupBy("script_hex")
+        .agg(F.sum("amount").alias("balance"))
+    )
+    from pyspark.sql import Window as W
+
+    wo = W.orderBy("balance", "script_hex")
+    wall = W.partitionBy()
+    ranked = bal.select(
+        "balance",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("balance").over(wall).alias("total"),
+    )
+    return ranked.agg(
+        F.any_value("n").cast("long").alias("n_addresses"),
+        F.any_value("total").cast("long").alias("total_sats"),
+        F.round(
+            2.0 * F.sum(F.col("i").cast("double") * F.col("balance"))
+            / (F.any_value("n") * F.any_value("total"))
+            - (F.any_value("n") + 1.0) / F.any_value("n"),
+            6,
+        ).alias("gini"),
+    )
