@@ -2024,3 +2024,46 @@ def q_quality_expectations(spark, sf_dir):
         .select(F.lit("line_id_unique").alias("rule"), "n_checked", "n_violations")
     )
     return rules.unionByName(fk).unionByName(uniq)
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(okey, node, depth) AS (
+      SELECT o_orderkey, o_orderkey, 0 FROM orders
+      UNION ALL
+      SELECT okey, node // 32, depth + 1 FROM walk WHERE node >= 32
+    )
+    SELECT node AS root_key,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           CAST(SUM(okey) AS BIGINT) AS sum_keys
+    FROM walk WHERE node < 32 GROUP BY node
+    """,
+)
+def q_recursive_cte(spark, sf_dir):
+    """Recursive CTE (WITH RECURSIVE, Spark 4): walk a synthetic
+    parent(k)=k div 32 hierarchy from every order up to its root and
+    aggregate per root — the iterate-to-fixpoint surface (transitive
+    closure / BOM explosion) expressed declaratively instead of a
+    driver-side loop. The engine unions per-level frontiers until the
+    recursion drains; each level is one distributed step, and the
+    WHERE node >= 32 guard bounds the depth (log32 of the key domain),
+    so the plan is a short fixed chain at any scale. The reference has
+    no iterative operators (SURVEY.md §2.3); this is the idiomatic
+    Spark-4 counterpart of its absence-noted "subqueries/CTEs" row."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_rec_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(okey, node, depth) AS (
+          SELECT o_orderkey, o_orderkey, 0 FROM orders_rec_v
+          UNION ALL
+          SELECT okey, node DIV 32, depth + 1 FROM walk WHERE node >= 32
+        )
+        SELECT node AS root_key,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MAX(depth) AS BIGINT) AS max_depth,
+               CAST(SUM(okey) AS BIGINT) AS sum_keys
+        FROM walk WHERE node < 32 GROUP BY node
+        """
+    )
