@@ -547,13 +547,28 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     v = emb.select("vec_id", "embedding").mapInPandas(
         keys, "vec_id long, e array<double>, nrm double, band int, bkey long"
     )
-    a = v.select(
-        F.col("vec_id").alias("dup_a"), F.col("e").alias("ea"),
-        F.col("nrm").alias("na"), "band", "bkey",
+    # candidate generation shuffles IDS ONLY — a multi-band collision is
+    # collapsed by distinct() BEFORE any vector is moved or any cosine is
+    # computed, so the verify step runs exactly once per unique pair and
+    # the (band, bkey) join's shuffle payload is 3 longs/row, not two
+    # 64-dim vectors/row. The vectors are re-attached afterwards from the
+    # keyed table (band 0 carries one row per vector).
+    ids = v.select("vec_id", "band", "bkey")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("dup_a"), F.col("b.vec_id").alias("dup_b")
+        )
+        .distinct()
     )
-    b = v.select(
-        F.col("vec_id").alias("dup_b"), F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"), "band", "bkey",
+    vec = v.filter(F.col("band") == 0).select("vec_id", "e", "nrm")
+    a = vec.select(
+        F.col("vec_id").alias("dup_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = vec.select(
+        F.col("vec_id").alias("dup_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
@@ -561,12 +576,11 @@ def q_dedup_embedding_lsh(spark, sf_dir):
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("dup_a") < F.col("dup_b"))
+        pairs.join(a, "dup_a")
+        .join(b, "dup_b")
         .withColumn("cos_raw", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
         .select("dup_a", "dup_b", F.round("cos_raw", 6).alias("cosine"))
-        .distinct()
     )
 
 
