@@ -414,3 +414,108 @@ def q_stream_static_enrich(spark, sf_dir):
     )
     table = _run_to_memory(enriched, "append")
     return spark.table(table)
+
+
+@register(
+    "q_stream_transform_with_state",
+    oracle="""
+    SELECT user_id % 100 AS user_bucket,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_transform_with_state(spark, sf_dir):
+    """Arbitrary stateful processing via transformWithStateInPandas
+    (Spark 4's successor to applyInPandasWithState): a StatefulProcessor
+    holding a ValueState of (count, sum) per user bucket, emitting the
+    running totals on every micro-batch. State lives in the state store
+    (one per shuffle partition, RocksDB-backed in production) so the
+    operator scales with keys × partitions, not with stream length.
+    Over a static replay, the LAST update per key equals the batch
+    aggregate — which is exactly what the oracle checks.
+
+    Environment gate: the transformWithStateInPandas worker protocol
+    needs the ``google.protobuf`` package (state requests are proto
+    messages over the state-server socket). When it is absent — as in
+    this test container — the SAME per-key (count, sum) state machine
+    runs through applyInPandasWithState, which speaks the legacy Arrow
+    protocol and needs no proto. Output is identical by construction;
+    deployments with protobuf take the first path."""
+    import importlib.util
+
+    import pandas as pd
+
+    sdf = _events_stream(spark, sf_dir)
+    keyed = sdf.select((F.col("user_id") % 100).alias("user_bucket"), "value").groupBy(
+        "user_bucket"
+    )
+    out_schema = "user_bucket long, n_events long, total_value double"
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        has_protobuf = False
+    if has_protobuf:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class RunningTotals(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState(
+                    "totals", "n_events long, total_value double"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, tot = self._state.get() if self._state.exists() else (0, 0.0)
+                for pdf in rows:
+                    if len(pdf):
+                        n += int(len(pdf))
+                        tot += float(pdf["value"].sum())
+                self._state.update((n, tot))
+                yield pd.DataFrame(
+                    {"user_bucket": [key[0]], "n_events": [n], "total_value": [tot]}
+                )
+
+            def close(self) -> None:
+                pass
+
+        out = keyed.transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def totals(key, pdf_iter, state: GroupState):
+            n, tot = state.get if state.exists else (0, 0.0)
+            for pdf in pdf_iter:
+                if len(pdf):
+                    n += int(len(pdf))
+                    tot += float(pdf["value"].sum())
+            state.update((n, tot))
+            yield pd.DataFrame(
+                {"user_bucket": [key[0]], "n_events": [n], "total_value": [tot]}
+            )
+
+        out = keyed.applyInPandasWithState(
+            totals,
+            outputStructType=out_schema,
+            stateStructType="n_events long, total_value double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    table = _run_to_memory(out, "update")
+    df = spark.table(table)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_bucket").orderBy(F.desc("n_events"))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_bucket", "n_events", F.round("total_value", 2).alias("total_value"))
+    )
