@@ -76,6 +76,7 @@ HEADLINE = [
     "q_text_bpe_merge_step",
     "q_text_contamination_ngram",
     "q_sim_pq_codes",
+    "q_recursive_cte",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

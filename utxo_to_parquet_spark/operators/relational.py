@@ -2067,3 +2067,56 @@ def q_recursive_cte(spark, sf_dir):
         FROM walk WHERE node < 32 GROUP BY node
         """
     )
+
+
+@register(
+    "q_scalar_try_arith",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             l_orderkey / NULLIF(l_linenumber - 3, 0) AS safe_ratio,
+             TRY_CAST(CASE WHEN l_linenumber <= 3
+                           THEN CAST(l_orderkey AS VARCHAR)
+                           ELSE 'k' || CAST(l_orderkey AS VARCHAR) END
+                      AS BIGINT) AS parsed
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN safe_ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_null,
+           ROUND(SUM(safe_ratio), 2) AS sum_ratio,
+           CAST(SUM(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cast_null,
+           CAST(SUM(parsed) AS BIGINT) AS sum_parsed
+    FROM t GROUP BY l_returnflag
+    """,
+)
+def q_scalar_try_arith(spark, sf_dir):
+    """Error-safe scalar surface (ANSI mode is the Spark 4 default, so
+    raw division/cast throw on bad input mid-job — fatal at 100 TB where
+    one poisoned row kills a stage): try_divide nulls out
+    division-by-zero and try_cast nulls malformed numeric strings, with
+    the null counts surfaced per group so data-quality loss is
+    observable instead of silent. The oracle expresses the same
+    semantics via NULLIF and TRY_CAST."""
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag",
+        F.try_divide(F.col("l_orderkey"), F.col("l_linenumber") - 3).alias("safe_ratio"),
+        F.expr(
+            "try_cast(CASE WHEN l_linenumber <= 3 THEN CAST(l_orderkey AS STRING)"
+            " ELSE concat('k', CAST(l_orderkey AS STRING)) END AS BIGINT)"
+        ).alias("parsed"),
+    )
+    return t.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("safe_ratio").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_div_null"),
+        F.round(F.sum("safe_ratio"), 2).alias("sum_ratio"),
+        F.sum(F.when(F.col("parsed").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cast_null"),
+        F.sum("parsed").cast("long").alias("sum_parsed"),
+    )

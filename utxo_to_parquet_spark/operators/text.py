@@ -1131,3 +1131,51 @@ def q_text_bpe_merge_step(spark, sf_dir):
         pairs.select("pair", "total", F.row_number().over(w).cast("long").alias("rank"))
         .filter(F.col("rank") <= BPE_TOP)
     )
+
+
+N_SHUFFLE_SHARDS = 16
+
+
+@register(
+    "q_text_shuffle_shard",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS skey
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(STRPOS('0123456789abcdef', substr(skey, 1, 1)) - 1 AS BIGINT)
+             AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY STRPOS('0123456789abcdef', substr(skey, 1, 1))
+             ORDER BY skey) AS BIGINT) AS pos,
+           source
+    FROM keyed
+    """,
+)
+def q_text_shuffle_shard(spark, sf_dir):
+    """Deterministic corpus shuffle + sharding — the final export step of
+    a training-data pipeline: every document gets a pseudo-random but
+    reproducible position (md5 of its id under a fixed salt) and a shard
+    (first hex nibble of the key, {N_SHUFFLE_SHARDS} shards). No global
+    sort anywhere: sharding is a hash partition and ordering is a
+    per-shard sort — exactly what write.partitionBy("shard") +
+    sortWithinPartitions(key) does at 100 TB, where a single global
+    ORDER BY would funnel the corpus through one range-partitioned
+    shuffle. Salted key (not raw md5(doc_id)) so re-exports with a new
+    salt draw an independent permutation."""
+    docs = load(spark, sf_dir, "documents")
+    skey = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle")))
+    keyed = docs.select("doc_id", "source", skey.alias("skey"))
+    shard = (F.instr(F.lit("0123456789abcdef"), F.substring("skey", 1, 1)) - 1).cast(
+        "long"
+    )
+    from pyspark.sql import Window as W
+
+    pos = F.row_number().over(W.partitionBy("shard").orderBy("skey")).cast("long")
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("pos", pos)
+        .select("doc_id", "shard", "pos", "source")
+    )
