@@ -2120,3 +2120,42 @@ def q_scalar_try_arith(spark, sf_dir):
         .alias("n_cast_null"),
         F.sum("parsed").cast("long").alias("sum_parsed"),
     )
+
+
+@register(
+    "q_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_discounted,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey
+    FROM lineitem
+    """,
+)
+def q_observe_metrics(spark, sf_dir):
+    """Run-time metrics via DataFrame.observe: the scan is instrumented
+    with named aggregates that accumulate DURING the job, so pipeline
+    telemetry (row counts, quality counters, watermark values) costs
+    zero extra passes — at 100 TB the alternative is a second
+    full-table validation scan after every write. The observed values
+    are collected from the one action and returned as a 1-row frame;
+    the oracle recomputes the same aggregates declaratively."""
+    from pyspark.sql import Observation
+
+    obs = Observation("lineitem_metrics")
+    li = load(spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("long")
+        .alias("n_discounted"),
+        F.max("l_orderkey").alias("max_orderkey"),
+    )
+    li.write.format("noop").mode("overwrite").save()  # one pass, no result set
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_price"], m["n_discounted"], m["max_orderkey"])],
+        "n_rows long, sum_price double, n_discounted long, max_orderkey long",
+    )
