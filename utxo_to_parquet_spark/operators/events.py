@@ -1,11 +1,15 @@
 """Event-stream analytics over the ``events`` fixture (batch semantics;
 the Structured Streaming variants live in ``streaming/``).
 
-The events parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-vectorized reader rejects by default; ``load_events`` flips the
-``nanosAsLong`` legacy conf (runtime-settable) and works on the raw
-nanosecond longs. All epoch math uses *integer* division — nanosecond
-epochs exceed 2^53, so a double round-trip would corrupt them.
+The events parquet has stored ``ts`` as TIMESTAMP(NANOS) in some fixture
+generations and TIMESTAMP(MICROS) in others (the builder's pandas/pyarrow
+default drifted ns→us between rounds). ``load_events`` handles both: the
+nanos path reads raw longs via the ``nanosAsLong`` legacy conf; the
+micros/millis path arrives as TIMESTAMP(_NTZ) and is converted with
+``unix_micros`` under the UTC session zone. Either way the column is
+normalized to a **nanosecond-epoch LONG** so all epoch math downstream is
+*integer* division — nanosecond epochs exceed 2^53, so a double
+round-trip would corrupt them.
 
 Timestamps never leave a query as raw TIMESTAMP — they are projected as
 epoch-second BIGINTs so Spark/DuckDB client-layer timezone handling can't
@@ -16,17 +20,34 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from .registry import register
 
 NS = 1_000_000_000
 
 
+def normalize_ts_ns(df, col: str = "ts"):
+    """Return ``df`` with ``col`` as nanosecond-epoch LONG regardless of
+    the parquet physical type it was read as:
+
+    - TIMESTAMP(NANOS) + ``nanosAsLong`` conf → already a long, no-op;
+    - TIMESTAMP(MICROS/MILLIS) → TimestampType/TimestampNTZType; the
+      session zone is UTC (session.py) so the NTZ→TZ cast is
+      epoch-preserving and ``unix_micros`` is exact integer micros.
+    """
+    if isinstance(df.schema[col].dataType, LongType):
+        return df
+    return df.withColumn(
+        col, F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)
+    )
+
+
 def load_events(spark, sf_dir):
     """events with ``ts`` as raw nanosecond epoch (long) and ``ts_sec``
     as floored epoch seconds."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = normalize_ts_ns(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return ev.withColumn("ts_sec", F.expr(f"ts div {NS}"))
 
 

@@ -14,15 +14,17 @@ from typing import Iterator
 
 from pyspark.sql import functions as F
 
+from ..operators.events import normalize_ts_ns
 from ..operators.registry import register
 
 NS = 1_000_000_000
 
 
 def _events_stream(spark, sf_dir):
-    """readStream over the events parquet (ts read as nanosecond long —
-    see operators/events.py) plus a real TimestampType column for
-    window()/watermark operators."""
+    """readStream over the events parquet (``ts`` normalized to a
+    nanosecond-epoch long whatever the fixture's physical type — see
+    operators/events.py:normalize_ts_ns) plus a real TimestampType
+    column for window()/watermark operators."""
     import os
     import tempfile
 
@@ -32,7 +34,7 @@ def _events_stream(spark, sf_dir):
     # fixture file through a temp dir symlink
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(stream_dir, "events.parquet"))
-    sdf = spark.readStream.schema(schema).parquet(stream_dir)
+    sdf = normalize_ts_ns(spark.readStream.schema(schema).parquet(stream_dir))
     return sdf.withColumn("event_ts", F.timestamp_seconds(F.expr(f"ts div {NS}")))
 
 
@@ -256,11 +258,9 @@ def q_stream_dedup(spark, sf_dir):
     stream_dir = tempfile.mkdtemp(prefix="events_dup_")
     os.symlink(src, os.path.join(stream_dir, "copy_a.parquet"))
     os.symlink(src, os.path.join(stream_dir, "copy_b.parquet"))
-    sdf = (
-        spark.readStream.schema(schema)
-        .parquet(stream_dir)
-        .withColumn("event_ts", F.timestamp_seconds(F.expr(f"ts div {NS}")))
-    )
+    sdf = normalize_ts_ns(
+        spark.readStream.schema(schema).parquet(stream_dir)
+    ).withColumn("event_ts", F.timestamp_seconds(F.expr(f"ts div {NS}")))
     deduped = (
         sdf.withWatermark("event_ts", "90 days")
         .dropDuplicatesWithinWatermark(["event_id"])
