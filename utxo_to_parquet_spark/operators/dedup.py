@@ -380,6 +380,12 @@ def q_dedup_simhash(spark, sf_dir):
 
 COSINE_DUP_THRESHOLD = 0.4
 
+# Hard ceiling for the ALL-PAIRS exact-cosine baseline: above this row
+# count the O(N²) join is refused outright (use q_dedup_embedding_lsh —
+# same threshold semantics, bucketed candidate generation). 100k rows ≈
+# 5e9 pairs is already the outer edge of sane for a verify baseline.
+COSINE_ALL_PAIRS_MAX_ROWS = 100_000
+
 
 @register(
     "q_dedup_embedding_cosine",
@@ -407,8 +413,20 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     threshold predicate is applied to the UNROUNDED score; both engines
     evaluate the identical left-to-right double summation, so the
     inclusion set is deterministic.
+
+    Guarded: refuses to run above COSINE_ALL_PAIRS_MAX_ROWS rows so the
+    all-pairs baseline can't be pointed at a production corpus by
+    accident — the one-row count() guard costs a column-pruned scan and
+    saves an accidental 10^13-pair join.
     """
     emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > COSINE_ALL_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"q_dedup_embedding_cosine is the O(N²) all-pairs verify baseline "
+            f"and refuses corpora over {COSINE_ALL_PAIRS_MAX_ROWS} rows "
+            f"(got {n}); use q_dedup_embedding_lsh for the scale path."
+        )
     v = emb.select(
         "vec_id",
         F.col("embedding").alias("e"),

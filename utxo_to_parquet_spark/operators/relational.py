@@ -894,21 +894,46 @@ def q_unpivot_metrics(spark, sf_dir):
     )
 
 
-@register("q_agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) next to the exact count —
     THE distinct-counting strategy at 100 TB: the sketch is fixed-size
     and mergeable, so the aggregation stays map-side partial + tiny
     shuffle regardless of cardinality, where exact COUNT(DISTINCT)
-    shuffles every distinct value. Sketch estimates are engine-specific
-    (rows-only driver check); the relative-error bound is asserted in
+    shuffles every distinct value.
+
+    The raw sketch estimate is engine-specific, so the CHECKABLE contract
+    is the error bound, not the estimate: emit the exact count plus a
+    boolean asserting the HLL estimate (rsd 0.02) landed within 5%
+    relative error. The oracle computes the exact count and a literal
+    TRUE — if Spark's sketch ever drifts past tolerance the value hash
+    breaks, which is exactly the regression this row should catch. The
+    tighter relative-error assertion lives in
     tests/test_scale_techniques.py.
     """
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    rel_err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col(
+        "exact_parts"
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n_rows",
+        (rel_err <= 0.05).alias("within_tol"),
     )
 
 

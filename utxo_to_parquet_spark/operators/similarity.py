@@ -25,8 +25,23 @@ from pyspark.sql import functions as F
 from .registry import load, register
 
 TOP_K = 5
-QUERY_MOD = 10  # vec_id % QUERY_MOD == 0 → query vector (keeps Q small)
+QUERY_MOD = 10  # vec_id % QUERY_MOD == 0 → query vector
+# Hard cap on the query set: at most Q_CAP query vectors, i.e. vec_id <
+# QUERY_MOD * Q_CAP. The query side is pulled to the driver and shipped in
+# task closures, so its size must be a CONSTANT, not a corpus fraction —
+# a %-only filter grows linearly with N and would OOM the driver at scale.
+Q_CAP = 64
+Q_MAX_ID = QUERY_MOD * Q_CAP
 N_PLANES = 8
+
+
+def _query_vectors(emb):
+    """The deterministic, constant-size query set: every QUERY_MOD-th
+    vec_id, capped at Q_CAP vectors by the id bound (ids are assigned
+    densely from 0, so the bound is a LIMIT that needs no sort)."""
+    return emb.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < Q_MAX_ID)
+    )
 
 
 def _dot(a, b):
@@ -74,7 +89,8 @@ def _norm(a):
     "q_sim_cosine_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
-               FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+               FROM embeddings
+               WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID}),
     c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings),
     sims AS (
       SELECT q_id, c_id,
@@ -97,17 +113,13 @@ def q_sim_cosine_topk(spark, sf_dir):
     is a per-query window on the rounded score with id tie-break, so the
     result is fully deterministic."""
     emb = load(spark, sf_dir, "embeddings")
-    # The query side is tiny by construction (vec_id % QUERY_MOD): pull
-    # it to the driver and ship it to every scoring task in the closure —
-    # the mapInPandas scorer then replaces the broadcast-join +
+    # The query side is a CONSTANT ≤ Q_CAP vectors (see _query_vectors):
+    # pull it to the driver and ship it to every scoring task in the
+    # closure — the mapInPandas scorer then replaces the broadcast-join +
     # interpreted higher-order dot products (~130 expression evals per
     # pair) with numpy batch arithmetic in dimension order (bit-identical
     # to the HOF/DuckDB summation; see lr_matmul).
-    q_pd = (
-        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select("vec_id", "embedding")
-        .toPandas()
-    )
+    q_pd = _query_vectors(emb).select("vec_id", "embedding").toPandas()
     Q = _to_matrix(q_pd["embedding"])
     q_ids = q_pd["vec_id"].to_numpy()
     _, q_sq = lr_matmul(Q, Q[:0])
@@ -260,7 +272,7 @@ N_PROBE = 2
       SELECT d.vec_id AS q_id, c.label,
              ROUND(SUM((d.v - c.cv) * (d.v - c.cv)), 6) AS dist
       FROM dims d JOIN centroids c ON d.dim = c.dim
-      WHERE d.vec_id % {QUERY_MOD} = 0
+      WHERE d.vec_id % {QUERY_MOD} = 0 AND d.vec_id < {Q_MAX_ID}
       GROUP BY d.vec_id, c.label
     ),
     probes AS (
@@ -271,7 +283,8 @@ N_PROBE = 2
       ) WHERE pr <= {N_PROBE}
     ),
     q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
-          FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+          FROM embeddings
+          WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID}),
     sims AS (
       SELECT q.q_id, c.vec_id AS c_id,
              ROUND(LIST_DOT_PRODUCT(q.qe, c.embedding::DOUBLE[])
@@ -312,7 +325,7 @@ def q_sim_ivf_topk(spark, sf_dir):
     ).select("label", "vec_id", (F.col("dim0") + 1).alias("dim"), "v")
     centroids = dims.groupBy("label", "dim").agg(F.avg("v").alias("cv"))
     qdist = (
-        dims.filter(F.col("vec_id") % QUERY_MOD == 0)
+        dims.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < Q_MAX_ID))
         .select(F.col("vec_id").alias("q_id"), "dim", "v")
         .join(F.broadcast(centroids.withColumnRenamed("label", "c_label")), "dim")
         .groupBy("q_id", "c_label")
@@ -326,17 +339,13 @@ def q_sim_ivf_topk(spark, sf_dir):
         .filter(F.col("pr") <= N_PROBE)
         .select("q_id", F.col("c_label").alias("label"))
     )
-    # probes (Q × N_PROBE rows) and the query vectors are bounded driver
-    # pulls (SCALING.md sanctions these); candidate scoring then runs as
-    # the vectorized per-label mapInPandas scorer — bit-identical to the
-    # HOF chain via lr_matmul — instead of a broadcast-join with
-    # interpreted per-pair dot products.
+    # probes (≤ Q_CAP × N_PROBE rows) and the query vectors (≤ Q_CAP) are
+    # CONSTANT-size driver pulls — bounded by Q_CAP, not by any corpus
+    # fraction; candidate scoring then runs as the vectorized per-label
+    # mapInPandas scorer — bit-identical to the HOF chain via lr_matmul —
+    # instead of a broadcast-join with interpreted per-pair dot products.
     probe_rows = probes.collect()
-    q_pd = (
-        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select("vec_id", "embedding")
-        .toPandas()
-    )
+    q_pd = _query_vectors(emb).select("vec_id", "embedding").toPandas()
     Q = _to_matrix(q_pd["embedding"])
     q_ids = q_pd["vec_id"].to_numpy()
     _, q_sq = lr_matmul(Q, Q[:0])
