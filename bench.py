@@ -77,6 +77,9 @@ HEADLINE = [
     "q_text_contamination_ngram",
     "q_sim_pq_codes",
     "q_recursive_cte",
+    # round 3: sketch-contract quantiles, per-domain caps
+    "q_agg_approx_percentile",
+    "q_text_source_cap",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

@@ -354,13 +354,8 @@ def _simhash_oracle() -> str:
     """
 
 
-@register("q_dedup_simhash", oracle=_simhash_oracle())
-def q_dedup_simhash(spark, sf_dir):
-    """16-bit SimHash fingerprints: per bit position, a majority vote of
-    token-hash bits (hex digit high-bit of md5), packed into an integer.
-    Near-dup pairs are then a small hamming-ball join on the fingerprint
-    (done in tests); the fingerprint computation is the heavy, per-token
-    part and is what's oracle-checked here."""
+def _simhash_df(spark, sf_dir):
+    """doc_id, simhash — the 16-bit per-document fingerprint."""
     docs = load(spark, sf_dir, "documents")
     tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     hexset = ["8", "9", "a", "b", "c", "d", "e", "f"]
@@ -376,6 +371,77 @@ def q_dedup_simhash(spark, sf_dir):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << (16 - b))).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return bits.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+@register("q_dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprints: per bit position, a majority vote of
+    token-hash bits (hex digit high-bit of md5), packed into an integer.
+    The fingerprint computation is the heavy, per-token part and is
+    what's oracle-checked here; pairing is q_dedup_simhash_pairs."""
+    return _simhash_df(spark, sf_dir)
+
+
+HAMMING_MAX = 2
+# pigeonhole banding: any pair within hamming distance HAMMING_MAX agrees
+# exactly on at least one of HAMMING_MAX+1 disjoint bit bands, so the
+# candidate join is an EQUI-join on (band, band_bits) — never all-pairs.
+# 16 bits → bands of 6/5/5 bits.
+_SIMHASH_BANDS = [(10, 0x3F), (5, 0x1F), (0, 0x1F)]  # (shift, mask)
+
+
+@register(
+    "q_dedup_simhash_pairs",
+    oracle=f"""
+    WITH fp AS ({_simhash_oracle()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+)
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: all (a, b) with hamming(fp_a, fp_b) <=
+    {HAMMING_MAX}, found WITHOUT an all-pairs join. Pigeonhole banding
+    (split the fingerprint into HAMMING_MAX+1 disjoint bit bands; a pair
+    within the hamming ball must match exactly on >= 1 band) turns
+    candidate generation into an equi-join on (band, band_bits), then the
+    exact hamming distance verifies candidates — the same
+    ban[d]-then-verify shape as MinHash-LSH, so it scales the same way.
+
+    The oracle is the all-pairs formulation (fine at oracle scale);
+    production widths are 64-bit fingerprints, where band buckets are
+    actually selective — at 16 bits this demonstrates the operator shape,
+    not a recall-tuned config (noted, not padded).
+    """
+    fp = _simhash_df(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("simhash", shift).bitwiseAND(mask).alias("bits"),
+            )
+            for i, (shift, mask) in enumerate(_SIMHASH_BANDS)
+        ]
+    )
+    keyed = fp.select(
+        "doc_id", "simhash", F.explode(bands).alias("bk")
+    ).select("doc_id", "simhash", "bk.band", "bk.bits")
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"), "band", "bits"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb"), "band", "bits"
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()  # a pair may match on several bands — dedupe BEFORE verify
+        .filter(hamming <= HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+    )
 
 
 COSINE_DUP_THRESHOLD = 0.4

@@ -675,6 +675,44 @@ def q_agg_percentiles(spark, sf_dir):
 
 
 @register(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50_exact,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS p95_exact,
+           TRUE AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_approx_percentile(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna sketch) next to the exact
+    interpolated percentile — the quantile strategy at 100 TB: the GK
+    sketch is bounded-size and mergeable, so the aggregation is map-side
+    partial + tiny shuffle, where exact percentile() buffers and sorts
+    every group value.
+
+    Same checkable contract as q_agg_approx_distinct: the sketch output
+    is engine-specific, so the row carries the EXACT percentiles plus a
+    boolean asserting the approx landed within 2% relative error of
+    them; the oracle computes the exact values and a literal TRUE. A
+    sketch regression flips the boolean and breaks the value hash."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_approx(l_extendedprice, array(0.5, 0.95), 1000)"
+        ).alias("approx"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("exact"),
+    )
+    rel = lambda i: F.abs(F.col("approx")[i] - F.col("exact")[i]) / F.col("exact")[i]
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("exact")[0], 4).alias("p50_exact"),
+        F.round(F.col("exact")[1], 4).alias("p95_exact"),
+        ((rel(0) <= 0.02) & (rel(1) <= 0.02)).alias("within_tol"),
+    )
+
+
+@register(
     "q_agg_grouping_sets",
     oracle="""
     SELECT o_orderpriority, o_orderstatus,

@@ -368,6 +368,42 @@ def q_text_bigram_novelty(spark, sf_dir):
     )
 
 
+SOURCE_CAP = 50
+
+
+@register(
+    "q_text_source_cap",
+    oracle=f"""
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {SOURCE_CAP}
+    """,
+)
+def q_text_source_cap(spark, sf_dir):
+    """Per-source document cap — the domain-cap op every pretraining
+    pipeline runs (keep at most N docs per domain so one crawl host
+    can't dominate the mixture). Selection is deterministic and
+    order-independent: rank docs inside each source by md5(doc_id)
+    (a seedless uniform shuffle both engines compute identically,
+    doc_id tie-break) and keep the first {SOURCE_CAP}.
+
+    Scale shape: one hash-partition shuffle on source + a per-partition
+    ranking window; no global sort. A skewed mega-source makes this the
+    classic hot-partition window — the scale fix is two-level capping
+    (cap per (source, salt) then re-rank the ≤ N·S survivors), the same
+    salting pattern as q_join_salted_skew."""
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("source", "doc_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 REDACT_PATTERN = r"\b(customer|key|value)\b"
 
 
