@@ -211,3 +211,51 @@ def test_runtime_bloom_filter_injected(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_simhash_pairs_plan_has_no_cross_join(spark):
+    """The hamming-ball pair join must be banded equi-join candidates +
+    exact verify — NEVER a cartesian/nested-loop product. A plan that
+    degrades to all-pairs is the failure mode this operator exists to
+    avoid at 100 TB."""
+    from utxo_to_parquet_spark.operators import all_queries
+
+    df = all_queries()["q_dedup_simhash_pairs"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidates come from a hash join on the band key
+    assert "hashJoin" in plan.replace("HashJoin", "hashJoin") or "SortMergeJoin" in plan
+
+
+def test_simhash_pairs_match_all_pairs_reference(spark):
+    """Banding must find EXACTLY the hamming<=k pairs the brute-force
+    all-pairs scan finds (pigeonhole guarantees recall=1, the verify
+    step guarantees precision=1)."""
+    from utxo_to_parquet_spark.operators import all_queries
+    from utxo_to_parquet_spark.operators.dedup import HAMMING_MAX, _simhash_df
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in all_queries()["q_dedup_simhash_pairs"](spark, SF_DIR).collect()
+    }
+    fps = {r.doc_id: r.simhash for r in _simhash_df(spark, SF_DIR).collect()}
+    ids = sorted(fps)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= HAMMING_MAX
+    }
+    assert got == expected
+
+
+def test_source_cap_single_shuffle_no_global_sort(spark):
+    """The per-source cap must cost ONE hash-partition exchange (the
+    window's partition key) and no range/global sort."""
+    from utxo_to_parquet_spark.operators import all_queries
+
+    df = all_queries()["q_text_source_cap"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

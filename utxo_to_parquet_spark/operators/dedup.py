@@ -18,6 +18,7 @@ frequency above a cap, which is also standard MinHash/LSH practice.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .registry import load, register
@@ -301,6 +302,13 @@ def q_dedup_connected_components(spark, sf_dir):
     large-star/small-star variant (Kiveris et al.) reduces rounds to
     O(log n); plain propagation is right-sized for dedup graphs, whose
     components are tiny and shallow."""
+    return _components_df(spark, sf_dir)
+
+
+def _components_df(spark, sf_dir):
+    """(doc_id, component) for every doc in the LSH pair graph — the
+    min-label propagation loop shared by q_dedup_connected_components
+    and q_dedup_canonical_pick."""
     pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -331,6 +339,59 @@ def q_dedup_connected_components(spark, sf_dir):
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component"))
+
+
+@register(
+    "q_dedup_canonical_pick",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle()}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
+    )
+    SELECT c.component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST((ARRAY_AGG(d.doc_id ORDER BY LEN(d.text) DESC, d.doc_id))[1]
+                AS BIGINT) AS kept_doc_id,
+           CAST(MAX(LEN(d.text)) AS BIGINT) AS kept_len
+    FROM comp c JOIN documents d USING (doc_id)
+    GROUP BY c.component
+    """,
+)
+def q_dedup_canonical_pick(spark, sf_dir):
+    """Canonical-representative selection — the step a dedup pipeline
+    runs AFTER clustering: inside each near-dup cluster keep exactly one
+    document, chosen by a deterministic quality rule (longest text,
+    doc_id tie-break), and drop the rest. Composes the MinHash-LSH pair
+    graph → connected components → per-cluster argmax window.
+
+    Scale shape: the components table is (doc_id, component) — narrow —
+    and the argmax is one ranking window partitioned by component (same
+    key the components agg already shuffled on). Nothing here is heavier
+    than the clustering that precedes it."""
+    comp = _components_df(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("len")
+    )
+    joined = comp.join(docs, "doc_id")
+    w = W.partitionBy("component").orderBy(F.desc("len"), "doc_id")
+    ranked = joined.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+        F.max("len").cast("long").alias("kept_len"),
+    )
 
 
 def _simhash_oracle() -> str:
