@@ -744,3 +744,105 @@ def q_events_markov_transition(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"),
     )
+
+
+@register(
+    "q_events_interval_overlap_join",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS s,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR FLOOR(EPOCH(ts)) - FLOOR(EPOCH(LAG(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+      SELECT user_id, s,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, sid, MIN(s) AS s_start, MAX(s) AS s_end
+      FROM sid GROUP BY user_id, sid
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(a.s_start AS BIGINT) AS start_a,
+           CAST(b.s_start AS BIGINT) AS start_b,
+           CAST(LEAST(a.s_end, b.s_end) - GREATEST(a.s_start, b.s_start)
+                AS BIGINT) AS overlap_sec
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id
+     AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+    """,
+)
+def q_events_interval_overlap_join(spark, sf_dir):
+    """Interval-overlap join (intervals x intervals — the shape range
+    joins can't express): which pairs of users had concurrently-active
+    sessions, and for how long. Sessions are the 30-min-gap islands per
+    user; a pair qualifies when the two intervals intersect.
+
+    Scale shape: a naive overlap join is a cross product with a residual
+    predicate (Spark would pick BroadcastNestedLoopJoin). Instead each
+    interval is exploded to the HOUR buckets it spans, candidates come
+    from an EQUI-join on the bucket (sessions are minutes long, so the
+    fan-out per interval is ~1-2 buckets), a distinct collapses pairs
+    that co-occupy several buckets, and the exact overlap predicate
+    verifies candidates — band-then-verify again, this time over time.
+    Bucket width tunes fan-out vs bucket population exactly like LSH
+    band width."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    prev = F.lag("ts_sec").over(w)
+    new_s = F.when(prev.isNull() | ((F.col("ts_sec") - prev) > 1800), 1).otherwise(0)
+    sid = (
+        ev.select("user_id", "ts_sec", "event_id")
+        .withColumn("new_s", new_s)
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    sess = sid.groupBy("user_id", "sid").agg(
+        F.min("ts_sec").alias("s_start"), F.max("ts_sec").alias("s_end")
+    )
+    HOUR = 3600
+    bucketed = sess.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_start") / HOUR), F.floor(F.col("s_end") / HOUR)
+            )
+        ).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("user_a"),
+        F.col("s_start").alias("start_a"),
+        F.col("s_end").alias("end_a"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("user_b"),
+        F.col("s_start").alias("start_b"),
+        F.col("s_end").alias("end_b"),
+        "bucket",
+    )
+    overlap = F.least("end_a", "end_b") - F.greatest("start_a", "start_b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .select("user_a", "user_b", "start_a", "start_b", "end_a", "end_b")
+        .distinct()
+        .filter(
+            (F.col("start_a") <= F.col("end_b")) & (F.col("start_b") <= F.col("end_a"))
+        )
+        .select(
+            "user_a",
+            "user_b",
+            "start_a",
+            "start_b",
+            overlap.cast("long").alias("overlap_sec"),
+        )
+    )

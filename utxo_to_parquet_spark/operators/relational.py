@@ -2222,3 +2222,43 @@ def q_observe_metrics(spark, sf_dir):
         [(m["n_rows"], m["sum_price"], m["n_discounted"], m["max_orderkey"])],
         "n_rows long, sum_price double, n_discounted long, max_orderkey long",
     )
+
+
+@register(
+    "q_table_fingerprint",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(bit_xor(('0x' || substr(md5(CONCAT_WS('|',
+                  CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR),
+                  CAST(l_suppkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                  l_returnflag, l_linestatus)), 1, 15))::BIGINT)
+                AS BIGINT) AS fingerprint
+    FROM lineitem
+    """,
+)
+def q_table_fingerprint(spark, sf_dir):
+    """Whole-table content fingerprint: xor-aggregate of a 60-bit hash of
+    each row's key columns — the anti-entropy primitive for validating
+    replicas/migrations without moving data (two sides exchange ONE row
+    each). XOR is commutative/associative, so the aggregation is fully
+    map-side partial with no ordering requirement, and any single-row
+    difference flips the fingerprint.
+
+    Hashes only the integer/flag columns whose text rendering is
+    engine-stable (floats render differently across engines — a
+    production fingerprint would hash their IEEE bits instead)."""
+    li = load(spark, sf_dir, "lineitem")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    h = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("long")
+    return li.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(h)").cast("long").alias("fingerprint"),
+    )
