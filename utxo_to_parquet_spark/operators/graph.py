@@ -18,24 +18,37 @@ DAMPING = 0.85
 PR_ITERS = 3
 
 
+# supplier node ids live above this offset so one LONG encodes both node
+# kinds; every iterative shuffle moves 8-byte ids instead of strings, and
+# the display form is rendered ONCE in the final projection
+_SUPP_OFFSET = 1 << 32
+
+
+def _render_node(col):
+    """Numeric node id -> the 'c<key>' / 's<key>' display form."""
+    return F.when(
+        F.col(col) < _SUPP_OFFSET,
+        F.concat(F.lit("c"), F.col(col).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), (F.col(col) - _SUPP_OFFSET).cast("string"))
+    )
+
+
 def _trade_edges(spark, sf_dir):
     """Undirected customer<->supplier edge list: one edge per distinct
     (customer, supplier) trading pair, materialized in both directions so
-    the random walk is symmetric. Node ids are 'c<key>' / 's<key>'."""
+    the random walk is symmetric. Node ids are LONGS (suppliers offset by
+    _SUPP_OFFSET) — iterative graph state shuffles narrow fixed-width
+    rows; strings appear only in each query's final projection."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    # dedup on the NUMERIC key pair and render node-id strings after:
-    # the distinct shuffles 16 bytes/row instead of two concatenated
-    # strings, and the concat runs once per distinct pair, not once per
-    # lineitem
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("s"),
         )
+        .distinct()
     )
     # both directions from ONE pass over pairs: a union of two selects
     # would give the join+distinct subtree two consumers and Spark would
@@ -118,7 +131,9 @@ def q_graph_pagerank(spark, sf_dir):
             .select(F.col("dst").alias("node"), "rank")
             .localCheckpoint(eager=False)
         )
-    return ranks.select("node", F.round("rank", 8).alias("rank"))
+    return ranks.select(
+        _render_node("node").alias("node"), F.round("rank", 8).alias("rank")
+    )
 
 
 BFS_HOPS = 3
@@ -175,9 +190,7 @@ def q_graph_bfs(spark, sf_dir):
     cust = load(spark, sf_dir, "customer")
     dist = (
         cust.filter(F.col("c_nationkey") == 0)
-        .select(
-            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
-        )
+        .select(F.col("c_custkey").cast("long").alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
     )
@@ -192,4 +205,4 @@ def q_graph_bfs(spark, sf_dir):
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=False)
         )
-    return dist
+    return dist.select(_render_node("node").alias("node"), "dist")
