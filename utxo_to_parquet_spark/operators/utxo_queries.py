@@ -300,7 +300,15 @@ def q_utxo_addresses(spark, sf_dir):
 
     @F.pandas_udf("string")
     def to_address(script_hex):
-        return script_hex.map(lambda h: script_to_address(bytes.fromhex(h)))
+        # script_hex is a function of a ~50-value bucket: run the pure-
+        # Python base58check once per DISTINCT script in the batch and
+        # broadcast-map the result, not once per row (round-2 lesson —
+        # any deterministic expression of a low-cardinality key computes
+        # at key cardinality)
+        table = {
+            h: script_to_address(bytes.fromhex(h)) for h in script_hex.unique()
+        }
+        return script_hex.map(table)
 
     u = utxos_df(spark, sf_dir)
     return (
