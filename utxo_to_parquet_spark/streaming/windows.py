@@ -519,3 +519,39 @@ def q_stream_transform_with_state(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_bucket", "n_events", F.round("total_value", 2).alias("total_value"))
     )
+
+
+@register(
+    "q_stream_available_now",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_available_now(spark, sf_dir):
+    """Trigger.AvailableNow drain: process everything currently in the
+    source across as many micro-batches as needed, then STOP — the
+    production shape for streaming backfills and catch-up runs (unlike
+    processAllAvailable, which is a test-harness call, AvailableNow is a
+    first-class trigger that respects per-batch source limits and
+    checkpoints between batches). Over the static fixture the drained
+    aggregate must equal the batch groupBy — which is what the oracle
+    checks."""
+    sdf = _events_stream(spark, sf_dir)
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    name = "stream_an_" + uuid.uuid4().hex[:8]
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table(name)
