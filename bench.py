@@ -77,9 +77,13 @@ HEADLINE = [
     "q_text_contamination_ngram",
     "q_sim_pq_codes",
     "q_recursive_cte",
-    # round 3: sketch-contract quantiles, per-domain caps
+    # round 3: sketch-contract quantiles, per-domain caps, overlap join,
+    # anti-entropy fingerprint, cluster-canonical pick
     "q_agg_approx_percentile",
     "q_text_source_cap",
+    "q_events_interval_overlap_join",
+    "q_table_fingerprint",
+    "q_dedup_canonical_pick",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000
