@@ -38,6 +38,34 @@ def all_oracles() -> dict[str, str]:
     return dict(_ORACLES)
 
 
+_VALIDATED_DIRS: set[str] = set()
+
+
 def load(spark, sf_dir: str, table: str):
-    """Read one driver fixture table (TESTDATA.md)."""
+    """Read one driver fixture table (TESTDATA.md).
+
+    First touch of a fixture directory validates EVERY table's parquet
+    footer against the expected schema (fixtures.py) — the round-2 ts
+    ns→us drift broke 26 queries with an opaque mid-plan
+    AnalysisException; this turns the next drift into an immediate error
+    naming table, column, and actual-vs-expected type. One footer pass
+    per directory per process (memoized), so the guard costs nothing in
+    steady state."""
+    if sf_dir not in _VALIDATED_DIRS:
+        from ..fixtures import EXPECTED_SCHEMAS, validate_fixtures
+
+        try:
+            validate_fixtures(sf_dir)
+        except FileNotFoundError:
+            # partial layouts (tests pointing at a tmp dir with one
+            # table) validate only what exists
+            import os
+
+            present = [
+                t
+                for t in EXPECTED_SCHEMAS
+                if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+            ]
+            validate_fixtures(sf_dir, tables=present)
+        _VALIDATED_DIRS.add(sf_dir)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
