@@ -123,3 +123,21 @@ def test_lr_matmul_bit_identical_to_hof_aggregate(spark):
     for r in hof:
         assert dots[r.vec_id, 0] == r.dot  # bitwise equality, no tolerance
         assert c_sq[r.vec_id] == r.sq
+
+
+def test_cc_largestar_equals_propagation(spark):
+    """Large-star/small-star must produce byte-identical component
+    labels to min-label propagation — same fixpoint, different round
+    complexity (O(log n) vs O(diameter))."""
+    from utxo_to_parquet_spark.operators import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    a = sorted(
+        (r.doc_id, r.component)
+        for r in qs["q_dedup_connected_components"](spark, sf).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.component) for r in qs["q_dedup_cc_largestar"](spark, sf).collect()
+    )
+    assert a == b and a

@@ -341,6 +341,101 @@ def _components_df(spark, sf_dir):
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component"))
 
 
+@register("q_dedup_cc_largestar", oracle=_cc_oracle())
+def q_dedup_cc_largestar(spark, sf_dir):
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the documented scale upgrade over plain min-label
+    propagation: rounds are O(log n) in the worst case instead of
+    O(graph diameter), which is what matters when a duplicate chain is
+    long (scraped mirror sites produce exactly those).
+
+    Each round is two grouped aggregations and two self-joins on the
+    node key — the same shuffle shape as propagation, just fewer rounds:
+
+    - large-star: every node's strictly-larger neighbors re-link to the
+      minimum of its closed neighborhood;
+    - small-star: the smaller-or-equal neighbors (and the node) re-link
+      to that minimum.
+
+    At the fixpoint the edge set is a union of stars whose centers are
+    the component minima, so the label table is the edge list itself.
+    Must produce byte-identical output to q_dedup_connected_components
+    (same oracle; cross-checked in tests/test_similarity.py)."""
+    raw = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # canonical undirected edge set (lo, hi), no self-loops
+    edges = (
+        raw.select(
+            F.least("doc_a", "doc_b").alias("lo"),
+            F.greatest("doc_a", "doc_b").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("lo").alias("doc_id"))
+        .union(edges.select(F.col("hi").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def closed_min(adj):
+        """m(u) = min(Γ(u) ∪ {u}) per node."""
+        return (
+            adj.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+
+    def canon(df):
+        return (
+            df.select(
+                F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    for _ in range(12):  # ≥ 2·log2(n) for any fixture graph here
+        adj = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = closed_min(adj)
+        # large-star: (v, m(u)) for v ∈ Γ(u), v > u
+        large = canon(
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        adj2 = large.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            large.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins2 = closed_min(adj2)
+        # small-star: (v, m(u)) for v ∈ Γ(u), v ≤ u, plus (u, m(u))
+        small_nbrs = (
+            adj2.join(mins2, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        small_self = mins2.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        new_edges = canon(small_nbrs.union(small_self)).localCheckpoint(eager=True)
+        # fixpoint: the canonical edge set stopped changing
+        if (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        ):
+            edges = new_edges
+            break
+        edges = new_edges
+    # stars: every edge is (root=lo, member=hi); roots label themselves
+    labels = edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("component"))
+    roots = nodes.join(
+        labels.select(F.col("doc_id").alias("n")), nodes.doc_id == F.col("n"), "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("component"))
+    return labels.union(roots)
+
+
 @register(
     "q_dedup_canonical_pick",
     oracle=f"""
