@@ -259,3 +259,20 @@ def test_source_cap_single_shuffle_no_global_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange rangepartitioning" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_plan_audit_core_families_clean(spark):
+    """The plan auditor (tools/plan_audit.py) must find no scale smells
+    in the core relational/window/dedup-banding families. The full sweep
+    runs as a tool; this is the fast regression slice."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import audit
+
+    findings = audit(
+        spark,
+        SF_DIR,
+        ["q_join_", "q_agg_", "q_window_", "q_dedup_simhash", "q_text_source_cap"],
+    )
+    assert findings == {}, findings

