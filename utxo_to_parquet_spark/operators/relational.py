@@ -2262,3 +2262,41 @@ def q_table_fingerprint(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("bit_xor(h)").cast("long").alias("fingerprint"),
     )
+
+
+@register(
+    "q_basket_pair_counts",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM b a JOIN b c
+      ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_basket_pair_counts(spark, sf_dir):
+    """Market-basket pair counts: how often two parts appear in the same
+    order — the co-occurrence aggregation under recommendation rules
+    (the counting core of FP-growth/apriori). Equi-self-join on the
+    basket key, pair ordered a < b to emit each pair once, kept when
+    support >= 2.
+
+    Scale shape: fan-out per basket is C(lines, 2) with TPC-H-bounded
+    lines-per-order (<= 7), so the join output is a small constant
+    multiple of the fact table — the skew failure mode of pair
+    self-joins (one giant basket) is structurally absent here; for
+    unbounded baskets the guard is the same DF-cap used by the shingle
+    index."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    c = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(c, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
