@@ -12,10 +12,45 @@ from __future__ import annotations
 
 import argparse
 import logging
+import sys
 import time
 
 
+def _query_main(argv: list[str]) -> None:
+    """``python -m utxo_to_parquet_spark query <name>`` — run one
+    registered operator against a fixture directory and print the head
+    of its result (the full library a reference user gets on top of the
+    converter)."""
+    parser = argparse.ArgumentParser(prog="utxo_to_parquet_spark query")
+    parser.add_argument("name", nargs="?", help="registered query name (omit with --list)")
+    parser.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="fixture directory")
+    parser.add_argument("--limit", type=int, default=20, help="rows to print (default 20)")
+    parser.add_argument("--list", action="store_true", help="list registered query names")
+    args = parser.parse_args(argv)
+
+    from .operators import all_oracles, all_queries
+
+    qs = all_queries()
+    if args.list or not args.name:
+        oracles = all_oracles()
+        for name in sorted(qs):
+            print(f"{name}  [{'oracle' if name in oracles else 'rows-only'}]")
+        return
+    if args.name not in qs:
+        sys.exit(f"unknown query {args.name!r}; see --list")
+
+    from .session import get_spark
+
+    spark = get_spark("utxo-to-parquet-query")
+    df = qs[args.name](spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+
+
 def main(argv: list[str] | None = None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "query":
+        _query_main(argv[1:])
+        return
     parser = argparse.ArgumentParser(
         prog="utxo_to_parquet_spark",
         description="Convert a Bitcoin Core dumptxoutset snapshot to query-optimized Parquet",

@@ -553,5 +553,8 @@ def q_stream_available_now(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()  # no-op after normal AvailableNow termination; kills a hung/errored query
     return spark.table(name)
