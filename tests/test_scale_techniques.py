@@ -276,3 +276,39 @@ def test_plan_audit_core_families_clean(spark):
         ["q_join_", "q_agg_", "q_window_", "q_dedup_simhash", "q_text_source_cap"],
     )
     assert findings == {}, findings
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Dynamic partition pruning: a fact table partitioned on a join key
+    joined to a FILTERED dim must scan only the partitions the dim's
+    rows select — at runtime, via a reused subquery, without the filter
+    appearing on the fact side of the query. The 100-TB effect is
+    skipping whole partition directories of a fact scan."""
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        fact_dir = str(tmp_path / "fact_by_flag")
+        li.write.partitionBy("l_returnflag").parquet(fact_dir)
+        fact = spark.read.parquet(fact_dir)
+        dim_dir = str(tmp_path / "dim_flags")
+        spark.createDataFrame(
+            [("A", "keep"), ("N", "drop"), ("R", "drop")],
+            "flag string, verdict string",
+        ).write.parquet(dim_dir)
+        # the dim must be the BROADCAST side with a selective filter —
+        # DPP reuses that broadcast result as a runtime partition filter
+        # on the fact scan
+        dim = F.broadcast(
+            spark.read.parquet(dim_dir).filter(F.col("verdict") == "keep")
+        )
+        joined = fact.join(dim, fact.l_returnflag == dim.flag).groupBy("flag").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        rows = {r.flag: r["count"] for r in joined.collect()}
+        expected = li.filter(F.col("l_returnflag") == "A").count()
+        assert rows == {"A": expected}
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
