@@ -488,7 +488,17 @@ def test_streaming_datasource_replays_snapshot(tmp_path, spark):
     q = sdf.writeStream.format("memory").queryName(name).outputMode("append").start()
     try:
         q.processAllAvailable()
+        # recentProgress is an ASYNC-updated buffer: all data is in the
+        # sink after processAllAvailable, but the progress events for the
+        # last batches may not have landed yet (seen flaking under heavy
+        # host throttle) — poll briefly instead of reading it once
+        import time as _time
+
+        deadline = _time.time() + 15
         n_batches = len(q.recentProgress)
+        while n_batches < 4 and _time.time() < deadline:
+            _time.sleep(0.25)
+            n_batches = len(q.recentProgress)
     finally:
         q.stop()
 
