@@ -846,3 +846,85 @@ def q_events_interval_overlap_join(spark, sf_dir):
             overlap.cast("long").alias("overlap_sec"),
         )
     )
+
+
+@register(
+    "q_events_scd2_lookup",
+    oracle="""
+    WITH typed AS (
+      SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id < 20
+    ),
+    starts AS (
+      SELECT user_id, ts_sec, event_type FROM typed
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state,
+             ts_sec AS valid_from,
+             LEAD(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec)
+               AS valid_to
+      FROM starts
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS ts_sec,
+           ROUND(e.value, 2) AS value,
+           d.state, CAST(d.valid_from AS BIGINT) AS state_since
+    FROM events e
+    JOIN dim d
+      ON d.user_id = e.user_id
+     AND d.valid_from <= FLOOR(EPOCH(e.ts))
+     AND (d.valid_to IS NULL OR FLOOR(EPOCH(e.ts)) < d.valid_to)
+    WHERE e.event_type = 'purchase' AND e.user_id < 20
+    """,
+)
+def q_events_scd2_lookup(spark, sf_dir):
+    """Point-in-time dimension resolution — the CONSUMER side of the
+    SCD2 build: each purchase event joins to the effective-dated segment
+    covering its timestamp, recovering the user's state as of the event.
+    This is how every warehouse fact query reads a versioned dimension.
+
+    Plan shape: an equi-join on user_id carrying the [valid_from,
+    valid_to) containment as a residual predicate inside the hash join —
+    no cross product; segments-per-user is small and bounded, so the
+    residual scan per probe row is O(segments), the standard SCD2 plan.
+    """
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    worder = W.partitionBy("user_id").orderBy("ts", "event_id")
+    typed = ev.select(
+        "user_id",
+        "ts_sec",
+        "event_type",
+        F.lag("event_type").over(worder).alias("prev_type"),
+    )
+    starts = typed.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    wseg = W.partitionBy("user_id").orderBy("ts_sec")
+    dim = starts.select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("event_type").alias("state"),
+        F.col("ts_sec").alias("valid_from"),
+        F.lead("ts_sec").over(wseg).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_sec", F.round("value", 2).alias("value")
+    )
+    return (
+        facts.join(
+            dim,
+            (F.col("user_id") == F.col("d_user_id"))
+            & (F.col("valid_from") <= F.col("ts_sec"))
+            & (F.col("valid_to").isNull() | (F.col("ts_sec") < F.col("valid_to"))),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts_sec",
+            "value",
+            "state",
+            F.col("valid_from").alias("state_since"),
+        )
+    )
