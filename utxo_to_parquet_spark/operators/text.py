@@ -1215,3 +1215,45 @@ def q_text_shuffle_shard(spark, sf_dir):
         .withColumn("pos", pos)
         .select("doc_id", "shard", "pos", "source")
     )
+
+
+N_CAP_SALTS = 8
+
+
+@register(
+    "q_text_source_cap_salted",
+    oracle=f"""
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {SOURCE_CAP}
+    """,
+)
+def q_text_source_cap_salted(spark, sf_dir):
+    """The skew-proof two-level form of q_text_source_cap, producing
+    IDENTICAL output (same oracle): a mega-source would make the single
+    ranking window one hot partition, so stage 1 ranks per (source,
+    salt) — {N_CAP_SALTS}-way spread of every source — and keeps each
+    salt's top {SOURCE_CAP}, a guaranteed superset of the global top
+    {SOURCE_CAP}; stage 2 re-ranks only the ≤ cap×salts survivors per
+    source. The heavy shuffle moves (source, salt)-partitioned rows;
+    the skewed key only ever sees cap×salts rows in stage 2 — the same
+    two-level trick as salted aggregation, applied to a ranking window.
+    """
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    salt = F.pmod(F.hash("doc_id"), F.lit(N_CAP_SALTS))
+    w1 = W.partitionBy("source", "salt").orderBy("key", "doc_id")
+    stage1 = (
+        docs.select("source", "doc_id", key.alias("key"), salt.alias("salt"))
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= SOURCE_CAP)
+    )
+    w2 = W.partitionBy("source").orderBy("key", "doc_id")
+    return (
+        stage1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("source", "doc_id", F.col("rn").cast("long").alias("rn"))
+    )
