@@ -489,13 +489,24 @@ def q_dedup_canonical_pick(spark, sf_dir):
     )
 
 
+# 32-bit fingerprints: at 16 bits the space is so small that ~12% of ALL
+# pairs of a 500-doc fixture landed within hamming 2 by chance — band
+# buckets weren't selective. 32 bits (one majority vote per md5 hex-digit
+# high bit) makes chance collisions negligible so surviving pairs reflect
+# actual token-distribution similarity; production systems use 64.
+SIMHASH_BITS = 32
+
+
 def _simhash_oracle() -> str:
     bit_cols = ",\n             ".join(
         f"SUM(CASE WHEN substr(md5(token), {b}, 1) IN ('8','9','a','b','c','d','e','f')"
         f" THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(1, 17)
+        for b in range(1, SIMHASH_BITS + 1)
     )
-    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << (16 - b)} ELSE 0 END)" for b in range(1, 17))
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << (SIMHASH_BITS - b)} ELSE 0 END)"
+        for b in range(1, SIMHASH_BITS + 1)
+    )
     return f"""
     WITH tokens AS (
       SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
@@ -511,7 +522,7 @@ def _simhash_oracle() -> str:
 
 
 def _simhash_df(spark, sf_dir):
-    """doc_id, simhash — the 16-bit per-document fingerprint."""
+    """doc_id, simhash — the {SIMHASH_BITS}-bit per-document fingerprint."""
     docs = load(spark, sf_dir, "documents")
     tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     hexset = ["8", "9", "a", "b", "c", "d", "e", "f"]
@@ -519,20 +530,23 @@ def _simhash_df(spark, sf_dir):
         F.sum(
             F.when(F.substring(F.md5("token"), b, 1).isin(hexset), 1).otherwise(-1)
         ).alias(f"s{b}")
-        for b in range(1, 17)
+        for b in range(1, SIMHASH_BITS + 1)
     ]
     bits = tokens.groupBy("doc_id").agg(*aggs)
     fp = None
-    for b in range(1, 17):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << (16 - b))).otherwise(F.lit(0))
+    for b in range(1, SIMHASH_BITS + 1):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << (SIMHASH_BITS - b))
+        ).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return bits.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 @register("q_dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark, sf_dir):
-    """16-bit SimHash fingerprints: per bit position, a majority vote of
-    token-hash bits (hex digit high-bit of md5), packed into an integer.
+    """{SIMHASH_BITS}-bit SimHash fingerprints: per bit position, a majority
+    vote of token-hash bits (hex digit high-bit of md5), packed into an
+    integer.
     The fingerprint computation is the heavy, per-token part and is
     what's oracle-checked here; pairing is q_dedup_simhash_pairs."""
     return _simhash_df(spark, sf_dir)
@@ -542,8 +556,8 @@ HAMMING_MAX = 2
 # pigeonhole banding: any pair within hamming distance HAMMING_MAX agrees
 # exactly on at least one of HAMMING_MAX+1 disjoint bit bands, so the
 # candidate join is an EQUI-join on (band, band_bits) — never all-pairs.
-# 16 bits → bands of 6/5/5 bits.
-_SIMHASH_BANDS = [(10, 0x3F), (5, 0x1F), (0, 0x1F)]  # (shift, mask)
+# 32 bits → bands of 11/11/10 bits.
+_SIMHASH_BANDS = [(21, 0x7FF), (10, 0x7FF), (0, 0x3FF)]  # (shift, mask)
 
 
 @register(
