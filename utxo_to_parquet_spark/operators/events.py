@@ -928,3 +928,82 @@ def q_events_scd2_lookup(spark, sf_dir):
             F.col("valid_from").alias("state_since"),
         )
     )
+
+
+@register(
+    "q_events_ks_drift",
+    oracle="""
+    WITH pooled AS (
+      SELECT value, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    totals AS (
+      SELECT
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_b
+      FROM pooled
+    ),
+    ranked AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb
+      FROM pooled
+    ),
+    per_value AS (
+      SELECT value, MAX(ca) AS ca, MAX(cb) AS cb FROM ranked GROUP BY value
+    )
+    SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(CAST(p.ca AS DOUBLE) / t.n_a
+                         - CAST(p.cb AS DOUBLE) / t.n_b)), 6) AS ks_distance
+    FROM per_value p, totals t
+    GROUP BY t.n_a, t.n_b
+    """,
+)
+def q_events_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two event populations — THE drift test a data
+    pipeline runs between yesterday's and today's feed (or between two
+    sources) before letting a batch into training. D = max over x of
+    |F_a(x) - F_b(x)|, computed from one pooled global sort: cumulative
+    per-group counts via an ordered window, collapsed per distinct value
+    (the CDF step lands AFTER ties), then a max over the ECDF gap.
+
+    Scale note: the global ORDER BY value is the honest cost of an exact
+    KS statistic (Spark range-partitions the sort, so it scales out);
+    the approximate twin at 100 TB bins values first (PSI-style) and
+    runs the same max over bin edges, turning the sort into a groupBy.
+    """
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pooled = ev.select("value", "event_type")
+    is_a = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    is_b = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    wcum = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    ranked = pooled.select(
+        "value",
+        F.sum(is_a).over(wcum).alias("ca"),
+        F.sum(is_b).over(wcum).alias("cb"),
+    )
+    per_value = ranked.groupBy("value").agg(
+        F.max("ca").alias("ca"), F.max("cb").alias("cb")
+    )
+    totals = pooled.agg(
+        F.sum(is_a).alias("n_a"), F.sum(is_b).alias("n_b")
+    )
+    gap = F.abs(
+        F.col("ca").cast("double") / F.col("n_a")
+        - F.col("cb").cast("double") / F.col("n_b")
+    )
+    return (
+        per_value.crossJoin(F.broadcast(totals))
+        .groupBy("n_a", "n_b")
+        .agg(F.round(F.max(gap), 6).alias("ks_distance"))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "ks_distance",
+        )
+    )
