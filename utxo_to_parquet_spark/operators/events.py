@@ -1007,3 +1007,62 @@ def q_events_ks_drift(spark, sf_dir):
             "ks_distance",
         )
     )
+
+
+@register(
+    "q_events_psi_drift",
+    oracle="""
+    WITH pooled AS (
+      SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    bins AS (
+      SELECT bin, SUM(a) AS ca, SUM(b) AS cb FROM pooled GROUP BY bin
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM bins)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_bins_skipped,
+           ROUND(SUM(CASE WHEN ca > 0 AND cb > 0
+                          THEN (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                               * LN((CAST(ca AS DOUBLE) / na) / (CAST(cb AS DOUBLE) / nb))
+                          ELSE 0 END), 6) AS psi
+    FROM bins, tot GROUP BY na, nb
+    """,
+)
+def q_events_psi_drift(spark, sf_dir):
+    """Population stability index between the same two event populations
+    as q_events_ks_drift — the BINNED drift metric, i.e. the 100-TB
+    shape: fixed-width value bins turn the exact KS's global sort into
+    one groupBy(bin) partial-agg shuffle, and the statistic is a sum
+    over bins (map-side combinable). Bins empty on either side are
+    skipped and counted (the standard practical PSI treatment — an
+    epsilon floor is the alternative when skips must contribute).
+    Thresholds in practice: <0.1 stable, 0.1-0.25 drifting, >0.25 act.
+    """
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pooled = ev.select(
+        F.floor(F.col("value") / 10).cast("long").alias("bin"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("b"),
+    )
+    bins = pooled.groupBy("bin").agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+    tot = bins.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    both = (F.col("ca") > 0) & (F.col("cb") > 0)
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    term = F.when(both, (pa - pb) * F.log(pa / pb)).otherwise(F.lit(0.0))
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum(F.when(both, 0).otherwise(1)).alias("n_bins_skipped"),
+            F.round(F.sum(term), 6).alias("psi"),
+        )
+        .select("n_bins", "n_bins_skipped", "psi")
+    )
