@@ -37,6 +37,8 @@ ALLOWED_NESTED_LOOP = {
     "q_quality_expectations",
     "q_text_perplexity_unigram",
     "q_utxo_coinbase_maturity",
+    "q_events_ks_drift",  # totals: 1-row (n_a, n_b) aggregate
+    "q_events_psi_drift",  # totals: 1-row (na, nb) aggregate
 }
 # streaming queries materialize through a memory sink; their returned
 # plan is a table scan, nothing to audit
