@@ -312,3 +312,32 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
         )
+
+
+def test_ks_drift_window_input_is_aggregate(spark):
+    """q_events_ks_drift's cumulative-CDF window must run over the
+    groupBy(value) AGGREGATE, never the raw event rows — the window is
+    single-task in Spark, so its input must be |distinct values|, not
+    |events|. Assert the plan below the Window hits a HashAggregate
+    before it reaches the parquet scan."""
+    from utxo_to_parquet_spark.operators import all_queries
+
+    df = all_queries()["q_events_ks_drift"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    widx = next(
+        i for i, line in enumerate(lines) if "Window " in line
+    )
+    below = lines[widx + 1 :]
+    agg_idx = next(
+        i for i, line in enumerate(below) if "HashAggregate" in line
+    )
+    scan_idx = next(
+        i
+        for i, line in enumerate(below)
+        if "Scan" in line and "parquet" in line.lower()
+    )
+    assert agg_idx < scan_idx, (
+        "KS window consumes the raw scan, not the per-value aggregate:\n"
+        + plan[:2000]
+    )

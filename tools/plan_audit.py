@@ -10,7 +10,11 @@ Smells flagged:
   library's contract is Arrow-batched only: ArrowEvalPython / mapInPandas
   / mapInArrow);
 - parquet scans with a top-level column-equality filter but NO pushed
-  filters (pushdown silently lost).
+  filters (pushdown silently lost);
+- ``Window`` fed by ``Exchange SinglePartition``: an unpartitioned
+  window funnels its whole input through ONE task (allowed only where
+  the window input is provably bounded — e.g. it is an upstream
+  aggregate over a small domain, not the raw fact rows).
 
 Usage: python tools/plan_audit.py [sf_dir] [name_filter ...]
 Exit code 1 if any unallowed smell is found — CI-able.
@@ -40,9 +44,36 @@ ALLOWED_NESTED_LOOP = {
     "q_events_ks_drift",  # totals: 1-row (n_a, n_b) aggregate
     "q_events_psi_drift",  # totals: 1-row (na, nb) aggregate
 }
+# queries whose unpartitioned window runs over a PROVABLY BOUNDED input
+# (an upstream aggregate over a small domain), never the raw fact rows —
+# each entry must say what bounds the window input
+ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
+    "q_events_ks_drift": (
+        "cumulative-CDF window runs over the groupBy(value) aggregate — "
+        "input is |distinct values|, not |events|; the raw population is "
+        "collapsed by a map-side-combinable shuffle first"
+    ),
+    "q_text_vocab_coverage": (
+        "running-coverage window runs over the per-token aggregate — "
+        "input is |vocabulary|, bounded and documented in text.py"
+    ),
+}
 # streaming queries materialize through a memory sink; their returned
 # plan is a table scan, nothing to audit
 SKIP_PREFIX = ("q_stream_",)
+
+
+def single_partition_windows(plan: str) -> bool:
+    """True if any Window operator in the plan tree is fed (within a few
+    lines, i.e. through at most a Sort) by an Exchange SinglePartition —
+    the shape where Spark executes the whole window in one task."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window " in line or line.strip().endswith("Window"):
+            for nxt in lines[i + 1 : i + 4]:
+                if "Exchange SinglePartition" in nxt:
+                    return True
+    return False
 
 
 def audit(spark, sf_dir: str, names: list[str]) -> dict[str, list[str]]:
@@ -68,6 +99,11 @@ def audit(spark, sf_dir: str, names: list[str]) -> dict[str, list[str]]:
             smells.append("BroadcastNestedLoopJoin")
         if "BatchEvalPython" in plan:
             smells.append("BatchEvalPython (row-at-a-time Python UDF)")
+        if (
+            single_partition_windows(plan)
+            and name not in ALLOWED_SINGLE_PARTITION_WINDOW
+        ):
+            smells.append("Window over Exchange SinglePartition (one-task window)")
         if smells:
             findings[name] = smells
     return findings

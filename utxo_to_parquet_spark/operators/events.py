@@ -966,32 +966,38 @@ def q_events_ks_drift(spark, sf_dir):
     distributions of two event populations — THE drift test a data
     pipeline runs between yesterday's and today's feed (or between two
     sources) before letting a batch into training. D = max over x of
-    |F_a(x) - F_b(x)|, computed from one pooled global sort: cumulative
-    per-group counts via an ordered window, collapsed per distinct value
-    (the CDF step lands AFTER ties), then a max over the ECDF gap.
+    |F_a(x) - F_b(x)|: per-group counts are FIRST collapsed per distinct
+    value with a plain groupBy (map-side combinable shuffle over the raw
+    events), and only the much smaller distinct-value relation flows
+    through the ordered cumulative window that builds the two ECDFs —
+    ties land on one row by construction, then a max over the ECDF gap.
 
-    Scale note: the global ORDER BY value is the honest cost of an exact
-    KS statistic (Spark range-partitions the sort, so it scales out);
-    the approximate twin at 100 TB bins values first (PSI-style) and
-    runs the same max over bin edges, turning the sort into a groupBy.
+    Scale note: an unpartitioned cumulative window runs in ONE task in
+    Spark (windows are not range-partitioned the way a global orderBy
+    is), so the window input must be bounded — here it is |distinct
+    values|, not |events|, because the groupBy collapses the population
+    before the window. For value domains too large even for that, the
+    binned twin q_events_psi_drift replaces the window with a pure
+    groupBy(bin) and is the 100-TB shape.
     """
     ev = load_events(spark, sf_dir).filter(
         F.col("event_type").isin("click", "purchase")
     )
-    pooled = ev.select("value", "event_type")
     is_a = F.when(F.col("event_type") == "click", 1).otherwise(0)
     is_b = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    deltas = (
+        ev.select("value", "event_type")
+        .groupBy("value")
+        .agg(F.sum(is_a).alias("da"), F.sum(is_b).alias("db"))
+    )
     wcum = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
-    ranked = pooled.select(
+    per_value = deltas.select(
         "value",
-        F.sum(is_a).over(wcum).alias("ca"),
-        F.sum(is_b).over(wcum).alias("cb"),
+        F.sum("da").over(wcum).alias("ca"),
+        F.sum("db").over(wcum).alias("cb"),
     )
-    per_value = ranked.groupBy("value").agg(
-        F.max("ca").alias("ca"), F.max("cb").alias("cb")
-    )
-    totals = pooled.agg(
-        F.sum(is_a).alias("n_a"), F.sum(is_b).alias("n_b")
+    totals = deltas.agg(
+        F.sum("da").alias("n_a"), F.sum("db").alias("n_b")
     )
     gap = F.abs(
         F.col("ca").cast("double") / F.col("n_a")
