@@ -53,6 +53,11 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "input is |distinct values|, not |events|; the raw population is "
         "collapsed by a map-side-combinable shuffle first"
     ),
+    "q_events_asof_join": (
+        "carry-in running max runs over the distinct time-bucket "
+        "relation — input is |buckets|, not rows; per-row work is in the "
+        "bucket-PARTITIONED window"
+    ),
     "q_text_vocab_coverage": (
         "running-coverage window runs over the per-token aggregate — "
         "input is |vocabulary|, bounded and documented in text.py"

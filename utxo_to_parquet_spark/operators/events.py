@@ -141,27 +141,111 @@ def q_events_sessionize(spark, sf_dir):
 )
 def q_events_asof_join(spark, sf_dir):
     """As-of join (Spark has no native one — SURVEY §2.3): for each signup,
-    the most recent error at-or-before it. Implemented as the union +
-    last-non-null-over-window composition; DuckDB's native ASOF JOIN is
-    the oracle. Comparison runs at full nanosecond resolution.
+    the most recent error at-or-before it, on ONE global timeline (the
+    keyless special case — the keyed shape is q_events_asof_join_keyed).
+    DuckDB's native ASOF JOIN is the oracle; comparison runs at full
+    nanosecond resolution.
 
-    Scale note: the window here is keyed by nothing (one global timeline),
-    correct for this semantics; a keyed as-of (per user/symbol) gains a
-    partitionBy and distributes cleanly.
+    Scale shape: a naive union + unpartitioned last-over-window funnels
+    every row through one task. Instead the timeline is TIME-BUCKETED
+    with carried boundary state: (1) per-bucket max error time via a
+    plain groupBy; (2) a running max over the small distinct-bucket
+    relation gives each bucket its carry-in (the most recent error in
+    any EARLIER bucket); (3) a window PARTITIONED BY bucket resolves
+    errors within the signup's own bucket; (4) coalesce(within-bucket,
+    carry-in) — an in-bucket error is always more recent than the carry.
+    Only step (2) is single-task, and its input is |buckets|, not rows.
+    """
+    ev = load_events(spark, sf_dir)
+    bucket_w = 3600  # seconds per timeline bucket
+    bucket = F.floor(F.col("ts_sec") / bucket_w).cast("long")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id",
+        "ts",
+        bucket.alias("bucket"),
+        F.lit(None).cast("long").alias("err_sec"),
+        F.lit(1).alias("kind"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "ts",
+        bucket.alias("bucket"),
+        F.col("ts_sec").alias("err_sec"),
+        F.lit(0).alias("kind"),
+    )
+    # carry-in per bucket: max error ts_sec over all strictly-earlier
+    # buckets (ts_sec is monotone in ts, so max ts_sec IS the last error)
+    err_bucket = errors.groupBy("bucket").agg(F.max("err_sec").alias("bmax"))
+    buckets = (
+        signups.select("bucket")
+        .union(errors.select("bucket"))
+        .distinct()
+        .join(err_bucket, "bucket", "left")
+    )
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    carry = buckets.select(
+        "bucket", F.max("bmax").over(wb).alias("carry_sec")
+    )
+    # kind=0 (error) sorts before kind=1 (signup) at equal ts → ties count
+    # as "at-or-before", matching the oracle's >=
+    win = W.partitionBy("bucket").orderBy("ts", "kind").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    merged = signups.unionByName(errors).withColumn(
+        "within_sec", F.last("err_sec", ignorenulls=True).over(win)
+    )
+    return (
+        merged.filter(F.col("kind") == 1)
+        .join(F.broadcast(carry), "bucket", "left")
+        .select(
+            "event_id",
+            F.coalesce("within_sec", "carry_sec").alias("last_error_epoch"),
+        )
+    )
+
+
+@register(
+    "q_events_asof_join_keyed",
+    oracle="""
+    SELECT s.event_id,
+           CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS last_error_epoch
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'signup') s
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                    WHERE event_type = 'error') e
+      ON s.user_id = e.user_id AND s.ts >= e.ts
+    """,
+)
+def q_events_asof_join_keyed(spark, sf_dir):
+    """KEYED as-of join — the shape that dominates in practice (per
+    user / symbol / device): for each signup, that same user's most
+    recent error at-or-before it. The union + last-non-null window now
+    carries ``partitionBy(user_id)``, so the work distributes across the
+    key domain with one hash shuffle and no single-task stage — this is
+    the registered default for as-of semantics at scale; the keyless
+    q_events_asof_join is the single-timeline special case. Oracle is
+    DuckDB's native ASOF JOIN with the key equality in the ON clause.
     """
     ev = load_events(spark, sf_dir)
     signups = ev.filter(F.col("event_type") == "signup").select(
-        "event_id", "ts", F.lit(None).cast("long").alias("err_sec"), F.lit(1).alias("kind")
+        "user_id",
+        "event_id",
+        "ts",
+        F.lit(None).cast("long").alias("err_sec"),
+        F.lit(1).alias("kind"),
     )
     errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
         F.lit(None).cast("long").alias("event_id"),
         "ts",
         F.col("ts_sec").alias("err_sec"),
         F.lit(0).alias("kind"),
     )
-    # kind=0 (error) sorts before kind=1 (signup) at equal ts → ties count
-    # as "at-or-before", matching the oracle's >=
-    w = W.orderBy("ts", "kind").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # kind=0 (error) before kind=1 (signup) at equal ts → ties are
+    # "at-or-before", matching the oracle's >=
+    w = W.partitionBy("user_id").orderBy("ts", "kind").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
     merged = signups.unionByName(errors).withColumn(
         "last_error_epoch", F.last("err_sec", ignorenulls=True).over(w)
     )
