@@ -649,66 +649,130 @@ def q_range_join(spark, sf_dir):
     """,
 )
 def q_agg_percentiles(spark, sf_dir):
-    """Exact interpolated percentiles per group (Spark ``percentile`` ==
-    DuckDB ``quantile_cont``). The exact form needs a per-group sort; at
-    100 TB the drop-in scale substitute is ``percentile_approx`` (GK
-    sketch, mergeable map-side, no sort) — same call shape, bounded
-    error instead of a shuffle-wide sort."""
+    """Exact interpolated percentiles per group, computed DISTRIBUTED —
+    no per-group value buffering anywhere. Spark's builtin exact
+    ``percentile`` collects and sorts every group value in one reducer,
+    which is the classic 100-TB OOM; instead this builds a (group,
+    distinct value) histogram with a map-side-combinable groupBy, runs
+    the cumulative-count window over that much smaller relation
+    (partitioned by group), and reconstructs the same interpolated
+    quantile (pos = q*(n-1), linear between the two bracketing order
+    statistics — identical to DuckDB ``quantile_cont`` / Spark
+    ``percentile``) from conditional-min aggregates over the ranks.
+    State per task is O(|distinct values in group|), not O(rows)."""
     li = load(spark, sf_dir, "lineitem")
-    # one percentile() call with a quantile array: the per-group value
-    # buffer is built and sorted once for all three quantiles, not three
-    # times.
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("ps"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "l_returnflag",
-            F.round(F.col("ps")[0], 4).alias("p50"),
-            F.round(F.col("ps")[1], 4).alias("p95"),
-            F.round(F.col("ps")[2], 4).alias("p99"),
-            "n",
-        )
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
     )
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wtot = W.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("n"),
+    )
+    quantiles = {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+
+    def pos(q):
+        return F.lit(q) * (F.col("n") - 1).cast("double")
+
+    # value at 0-indexed rank r = min distinct value whose cumulative
+    # count exceeds r; lo/hi bracket pos for the interpolation
+    aggs = [F.max("n").alias("n")]
+    for name, q in quantiles.items():
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= F.floor(pos(q)) + 1, F.col("l_extendedprice"))
+            ).alias(f"{name}_lo")
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= F.ceil(pos(q)) + 1, F.col("l_extendedprice"))
+            ).alias(f"{name}_hi")
+        )
+    agg = cum.groupBy("l_returnflag").agg(*aggs)
+    out = ["l_returnflag"]
+    for name, q in quantiles.items():
+        frac = pos(q) - F.floor(pos(q))
+        out.append(
+            F.round(
+                F.col(f"{name}_lo")
+                + frac * (F.col(f"{name}_hi") - F.col(f"{name}_lo")),
+                4,
+            ).alias(name)
+        )
+    out.append(F.col("n"))
+    return agg.select(*out)
 
 
 @register(
     "q_agg_approx_percentile",
     oracle="""
     SELECT l_returnflag,
-           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50_exact,
-           ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS p95_exact,
-           TRUE AS within_tol
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS within_rank_tol
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def q_agg_approx_percentile(spark, sf_dir):
-    """percentile_approx (Greenwald-Khanna sketch) next to the exact
-    interpolated percentile — the quantile strategy at 100 TB: the GK
-    sketch is bounded-size and mergeable, so the aggregation is map-side
-    partial + tiny shuffle, where exact percentile() buffers and sorts
-    every group value.
+    """percentile_approx (Greenwald-Khanna sketch) with a RANK-ENVELOPE
+    contract — the quantile strategy at 100 TB: the GK sketch is
+    bounded-size and mergeable (map-side partial + tiny shuffle), and
+    the check verifies exactly what GK guarantees: the returned value's
+    rank lies within eps*n of the target rank (eps = 1/accuracy). The
+    verification is a SECOND plain aggregation — count of values at or
+    below / strictly below the sketch output — so NOTHING in this query
+    buffers per-group values; both passes are map-side combinable.
+    (The old contract recomputed the exact percentile over the full
+    data next to the sketch — a per-group sort-buffer that defeats the
+    point of approximating. Exact-vs-approx value comparison now lives
+    in tests/test_relational_extra.py at fixture scale.)
 
-    Same checkable contract as q_agg_approx_distinct: the sketch output
-    is engine-specific, so the row carries the EXACT percentiles plus a
-    boolean asserting the approx landed within 2% relative error of
-    them; the oracle computes the exact values and a literal TRUE. A
-    sketch regression flips the boolean and breaks the value hash."""
-    li = load(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    With ties the value's rank is an interval [r_lt, r_le]; the check
+    asserts that interval intersects [q-eps, q+eps]. A sketch
+    regression flips the boolean and breaks the oracle value hash."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    sk = li.groupBy("l_returnflag").agg(
         F.expr(
             "percentile_approx(l_extendedprice, array(0.5, 0.95), 1000)"
-        ).alias("approx"),
-        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("exact"),
+        ).alias("approx")
     )
-    rel = lambda i: F.abs(F.col("approx")[i] - F.col("exact")[i]) / F.col("exact")[i]
-    return agg.select(
+    eps = 2.0 / 1000  # GK eps = 1/accuracy, doubled for interpolation slack
+    checked = (
+        li.join(F.broadcast(sk), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    (F.col("l_extendedprice") <= F.col("approx")[i]).cast("long")
+                ).alias(f"r{i}_le")
+                for i in (0, 1)
+            ],
+            *[
+                F.sum(
+                    (F.col("l_extendedprice") < F.col("approx")[i]).cast("long")
+                ).alias(f"r{i}_lt")
+                for i in (0, 1)
+            ],
+        )
+    )
+
+    def in_envelope(i, q):
+        nd = F.col("n").cast("double")
+        return (F.col(f"r{i}_lt") / nd <= q + eps) & (
+            F.col(f"r{i}_le") / nd >= q - eps
+        )
+
+    return checked.select(
         "l_returnflag",
-        F.round(F.col("exact")[0], 4).alias("p50_exact"),
-        F.round(F.col("exact")[1], 4).alias("p95_exact"),
-        ((rel(0) <= 0.02) & (rel(1) <= 0.02)).alias("within_tol"),
+        "n",
+        (in_envelope(0, 0.5) & in_envelope(1, 0.95)).alias("within_rank_tol"),
     )
 
 
