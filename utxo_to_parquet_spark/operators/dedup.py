@@ -522,21 +522,44 @@ def _simhash_oracle() -> str:
 
 
 def _simhash_df(spark, sf_dir):
-    """doc_id, simhash — the {SIMHASH_BITS}-bit per-document fingerprint."""
+    """doc_id, simhash — the {SIMHASH_BITS}-bit per-document fingerprint.
+
+    Bit b (1-indexed) is the majority vote, over a document's tokens, of
+    the high bit of hex digit b of md5(token) — the oracle's definition
+    verbatim. The hot path avoids per-bit string ops: each token's md5
+    is parsed ONCE into long chunks with conv(), all 32 vote bits come
+    from integer shifts, and the per-document aggregation is 32 plain
+    0/1 sums plus one count (the +-1 majority sum s_b > 0 is equivalent
+    to 2*cnt_b > n). Everything stays in whole-stage codegen."""
     docs = load(spark, sf_dir, "documents")
     tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    hexset = ["8", "9", "a", "b", "c", "d", "e", "f"]
-    aggs = [
-        F.sum(
-            F.when(F.substring(F.md5("token"), b, 1).isin(hexset), 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(1, SIMHASH_BITS + 1)
+    # md5 hex is 32 digits; split into 15/15/2-digit chunks so each
+    # parses into a signed 64-bit long (15 nibbles = 60 bits)
+    md5c = F.md5("token")
+    chunks = tokens.select(
+        "doc_id",
+        F.conv(F.substring(md5c, 1, 15), 16, 10).cast("long").alias("v1"),
+        F.conv(F.substring(md5c, 16, 15), 16, 10).cast("long").alias("v2"),
+        F.conv(F.substring(md5c, 31, 2), 16, 10).cast("long").alias("v3"),
+    )
+
+    def vote_bit(b: int):
+        # high bit of hex digit b: bit 3 of the digit's nibble within
+        # its chunk (digits are most-significant-first inside conv())
+        if b <= 15:
+            return F.shiftright("v1", 4 * (15 - b) + 3).bitwiseAND(1)
+        if b <= 30:
+            return F.shiftright("v2", 4 * (30 - b) + 3).bitwiseAND(1)
+        return F.shiftright("v3", 4 * (32 - b) + 3).bitwiseAND(1)
+
+    aggs = [F.count(F.lit(1)).alias("n_tok")] + [
+        F.sum(vote_bit(b)).alias(f"c{b}") for b in range(1, SIMHASH_BITS + 1)
     ]
-    bits = tokens.groupBy("doc_id").agg(*aggs)
+    bits = chunks.groupBy("doc_id").agg(*aggs)
     fp = None
     for b in range(1, SIMHASH_BITS + 1):
         term = F.when(
-            F.col(f"s{b}") > 0, F.lit(1 << (SIMHASH_BITS - b))
+            F.col(f"c{b}") * 2 > F.col("n_tok"), F.lit(1 << (SIMHASH_BITS - b))
         ).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return bits.select("doc_id", fp.cast("long").alias("simhash"))
@@ -579,10 +602,11 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     exact hamming distance verifies candidates — the same
     ban[d]-then-verify shape as MinHash-LSH, so it scales the same way.
 
-    The oracle is the all-pairs formulation (fine at oracle scale);
-    production widths are 64-bit fingerprints, where band buckets are
-    actually selective — at 16 bits this demonstrates the operator shape,
-    not a recall-tuned config (noted, not padded).
+    The oracle is the all-pairs formulation (fine at oracle scale).
+    The {SIMHASH_BITS}-bit fingerprint is banded 11/11/10; production
+    widths are 64-bit, where band buckets get even more selective — the
+    shape and guarantees are identical, only the chance-collision rate
+    changes (see the SIMHASH_BITS comment above).
     """
     fp = _simhash_df(spark, sf_dir)
     bands = F.array(
