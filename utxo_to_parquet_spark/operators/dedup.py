@@ -397,6 +397,19 @@ def q_dedup_cc_largestar(spark, sf_dir):
             .distinct()
         )
 
+    def fingerprint(df):
+        """(count, sum of 64-bit edge hashes) in ONE aggregation action.
+        Two canonical DISTINCT edge sets with equal count and equal
+        xxhash64 sum are equal up to a ~2^-64 collision — the cheap
+        convergence test (the alternative, count + exceptAll, re-scans
+        the edge set with two extra actions per round)."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    fp_prev = fingerprint(edges)
     for _ in range(12):  # ≥ 2·log2(n) for any fixture graph here
         adj = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
             edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
@@ -421,13 +434,11 @@ def q_dedup_cc_largestar(spark, sf_dir):
         small_self = mins2.select(F.col("u").alias("a"), F.col("m").alias("b"))
         new_edges = canon(small_nbrs.union(small_self)).localCheckpoint(eager=True)
         # fixpoint: the canonical edge set stopped changing
-        if (
-            new_edges.count() == edges.count()
-            and new_edges.exceptAll(edges).limit(1).count() == 0
-        ):
-            edges = new_edges
-            break
         edges = new_edges
+        fp_new = fingerprint(new_edges)
+        if fp_new == fp_prev:
+            break
+        fp_prev = fp_new
     # stars: every edge is (root=lo, member=hi); roots label themselves
     labels = edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("component"))
     roots = nodes.join(
