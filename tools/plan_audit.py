@@ -58,6 +58,11 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "relation — input is |buckets|, not rows; per-row work is in the "
         "bucket-PARTITIONED window"
     ),
+    "q_utxo_balance_gini": (
+        "two-pass global rank: the offset prefix-sum window runs over "
+        "the per-partition count relation — input is |partitions| (32 "
+        "rows), per-row ranking is partitioned by pid"
+    ),
     "q_text_vocab_coverage": (
         "running-coverage window runs over the per-token aggregate — "
         "input is |vocabulary|, bounded and documented in text.py"

@@ -570,13 +570,17 @@ def q_utxo_set_diff(spark, sf_dir):
 def q_utxo_balance_gini(spark, sf_dir):
     """Wealth-concentration analytics: the Gini coefficient of per-script
     balances, via the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
-    ascending balances — one aggregation to balances, one global
-    rank/total window, one final reduce.
+    ascending balances.
 
-    Scale notes: the window runs over the ADDRESS-level rollup (already
-    aggregated, orders of magnitude smaller than the UTXO set). A global
-    rank at billion-address scale would swap in a two-pass rank (range
-    partition + per-partition offset), same formula."""
+    The global rank is TWO-PASS, never a single-partition window:
+    (1) range-partition the address rollup on (balance, script_hex) —
+    range partition p holds keys strictly below partition p+1 — and
+    row_number WITHIN each partition, ordered by the same unique key;
+    (2) per-partition row counts (a tiny |partitions|-row relation)
+    prefix-sum into offsets, and global rank = offset + local rank.
+    Every per-row stage is partition-parallel; the only unpartitioned
+    window runs over the |partitions| count relation. n and Σx fold
+    into the final single-row reduce — no window-over-all at all."""
     bal = (
         utxos_df(spark, sf_dir)
         .groupBy("script_hex")
@@ -584,21 +588,42 @@ def q_utxo_balance_gini(spark, sf_dir):
     )
     from pyspark.sql import Window as W
 
-    wo = W.orderBy("balance", "script_hex")
-    wall = W.partitionBy()
-    ranked = bal.select(
-        "balance",
-        F.row_number().over(wo).alias("i"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("balance").over(wall).alias("total"),
+    # localCheckpoint pins the sampled range boundaries: the rank branch
+    # and the offset branch below must see the SAME pid assignment, and
+    # two independent executions of a range exchange may sample
+    # different split points
+    part = (
+        bal.repartitionByRange(32, "balance", "script_hex")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    return ranked.agg(
-        F.any_value("n").cast("long").alias("n_addresses"),
-        F.any_value("total").cast("long").alias("total_sats"),
-        F.round(
-            2.0 * F.sum(F.col("i").cast("double") * F.col("balance"))
-            / (F.any_value("n") * F.any_value("total"))
-            - (F.any_value("n") + 1.0) / F.any_value("n"),
-            6,
-        ).alias("gini"),
+    # pass 1: local rank inside each range partition (unique key order)
+    wloc = W.partitionBy("pid").orderBy("balance", "script_hex")
+    local = part.withColumn("local_i", F.row_number().over(wloc))
+    # pass 2: per-partition counts → exclusive prefix-sum offsets
+    woff = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("pid", F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"))
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "balance", (F.col("off") + F.col("local_i")).alias("i")
+    )
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("balance").alias("total"),
+            F.sum(F.col("i").cast("double") * F.col("balance")).alias("s"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_addresses"),
+            F.col("total").cast("long").alias("total_sats"),
+            F.round(
+                2.0 * F.col("s")
+                / (F.col("n").cast("double") * F.col("total").cast("double"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+        )
     )
