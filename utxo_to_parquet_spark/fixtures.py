@@ -104,7 +104,10 @@ def validate_fixtures(sf_dir: str, tables: list[str] | None = None) -> list[str]
     import pyarrow.parquet as pq
 
     checked = []
-    for table in tables or sorted(EXPECTED_SCHEMAS):
+    # `tables if ... is not None`, NOT `tables or ...`: an explicit empty
+    # list means "validate nothing" (registry.load's partial-layout
+    # fallback passes exactly the tables present, which may be none)
+    for table in tables if tables is not None else sorted(EXPECTED_SCHEMAS):
         path = os.path.join(sf_dir, f"{table}.parquet")
         if not os.path.exists(path):
             raise FileNotFoundError(f"fixture table missing: {path}")

@@ -642,20 +642,21 @@ def q_events_streaks(spark, sf_dir):
     "q_events_scd2",
     oracle="""
     WITH typed AS (
-      SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec, event_type,
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec, event_type,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
       FROM events WHERE user_id < 20
     ),
     starts AS (
-      SELECT user_id, ts_sec, event_type FROM typed
+      SELECT user_id, ts, event_id, ts_sec, event_type FROM typed
       WHERE prev_type IS NULL OR prev_type <> event_type
     )
     SELECT user_id, event_type,
            ts_sec AS valid_from,
-           LEAD(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec)
+           LEAD(ts_sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              AS valid_to,
-           CAST(LEAD(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec)
+           CAST(LEAD(ts_sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                 IS NULL AS BOOLEAN) AS is_current
     FROM starts
     """,
@@ -666,14 +667,18 @@ def q_events_scd2(spark, sf_dir):
     the current state — the dimension-versioning shape every warehouse
     maintains. Two windows over the SAME user partitioning (change
     detection via lag, interval close via lead), so Spark plans one
-    exchange and sorts twice within it — no join, no iteration. The
-    lag key includes event_id to break timestamp ties deterministically;
-    both engines then see identical segment boundaries. The user filter
-    bounds the checked output; the plan is unchanged without it."""
+    exchange and sorts twice within it — no join, no iteration. BOTH
+    window keys include (ts, event_id) to break timestamp ties
+    deterministically — two state changes inside one second would make
+    a ts_sec-ordered LEAD nondeterministic and let Spark and DuckDB
+    legitimately disagree. The user filter bounds the checked output;
+    the plan is unchanged without it."""
     ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
     worder = W.partitionBy("user_id").orderBy("ts", "event_id")
     typed = ev.select(
         "user_id",
+        "ts",
+        "event_id",
         "ts_sec",
         "event_type",
         F.lag("event_type").over(worder).alias("prev_type"),
@@ -681,7 +686,7 @@ def q_events_scd2(spark, sf_dir):
     starts = typed.filter(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
     )
-    wseg = W.partitionBy("user_id").orderBy("ts_sec")
+    wseg = W.partitionBy("user_id").orderBy("ts", "event_id")
     return starts.select(
         "user_id",
         "event_type",
@@ -936,19 +941,20 @@ def q_events_interval_overlap_join(spark, sf_dir):
     "q_events_scd2_lookup",
     oracle="""
     WITH typed AS (
-      SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec, event_type,
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec, event_type,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
       FROM events WHERE user_id < 20
     ),
     starts AS (
-      SELECT user_id, ts_sec, event_type FROM typed
+      SELECT user_id, ts, event_id, ts_sec, event_type FROM typed
       WHERE prev_type IS NULL OR prev_type <> event_type
     ),
     dim AS (
       SELECT user_id, event_type AS state,
              ts_sec AS valid_from,
-             LEAD(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec)
+             LEAD(ts_sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS valid_to
       FROM starts
     )
@@ -974,11 +980,16 @@ def q_events_scd2_lookup(spark, sf_dir):
     valid_to) containment as a residual predicate inside the hash join —
     no cross product; segments-per-user is small and bounded, so the
     residual scan per probe row is O(segments), the standard SCD2 plan.
+    The segment window orders by (ts, event_id) — same-second state
+    changes would otherwise make valid_to, and hence the joined state,
+    nondeterministic between engines.
     """
     ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
     worder = W.partitionBy("user_id").orderBy("ts", "event_id")
     typed = ev.select(
         "user_id",
+        "ts",
+        "event_id",
         "ts_sec",
         "event_type",
         F.lag("event_type").over(worder).alias("prev_type"),
@@ -986,7 +997,7 @@ def q_events_scd2_lookup(spark, sf_dir):
     starts = typed.filter(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
     )
-    wseg = W.partitionBy("user_id").orderBy("ts_sec")
+    wseg = W.partitionBy("user_id").orderBy("ts", "event_id")
     dim = starts.select(
         F.col("user_id").alias("d_user_id"),
         F.col("event_type").alias("state"),

@@ -20,8 +20,12 @@ PR_ITERS = 3
 
 # supplier node ids live above this offset so one LONG encodes both node
 # kinds; every iterative shuffle moves 8-byte ids instead of strings, and
-# the display form is rendered ONCE in the final projection
-_SUPP_OFFSET = 1 << 32
+# the display form is rendered ONCE in the final projection. The tag bit
+# sits at 2^48 — far above any realistic key width (TPC-H custkey tops
+# out near SF*150k ≈ 1.5e10 ≈ 2^34 even at SF 100k); an offset near the
+# key range (e.g. 2^32) would silently alias big customer ids into the
+# supplier space
+_SUPP_OFFSET = 1 << 48
 
 
 def _render_node(col):
