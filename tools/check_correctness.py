@@ -5,6 +5,10 @@ DuckDB (same parquet tables as pre-registered views), comparing:
 row count, sorted column names, and an order-insensitive value hash.
 
 Usage: python tools/check_correctness.py [sf_dir] [name_filter ...]
+                                         [--json out.json]
+
+``--json`` additionally writes a per-query artifact (status, rows,
+value hash, wall seconds) — the durable record of a full-registry run.
 """
 
 from __future__ import annotations
@@ -54,8 +58,14 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    name_filter = args[1:]
 
     import duckdb
 
@@ -75,6 +85,7 @@ def main():
 
     n_pass = n_fail = n_rowsonly = 0
     failures = []
+    records = {}
     for name, fn in sorted(qs.items()):
         t0 = time.time()
         try:
@@ -86,10 +97,16 @@ def main():
             traceback.print_exc()
             n_fail += 1
             failures.append(name)
+            records[name] = {"status": "err", "err": traceback.format_exc()[-300:]}
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1
+            records[name] = {
+                "status": "rows_only",
+                "rows": len(srows),
+                "sec": round(time.time() - t0, 1),
+            }
             continue
         try:
             rel = con.sql(oracles[name])
@@ -100,10 +117,17 @@ def main():
             traceback.print_exc()
             n_fail += 1
             failures.append(name)
+            records[name] = {"status": "err", "err": traceback.format_exc()[-300:]}
             continue
         sn, sh = table_hash(scols, srows)
         dn, dh = table_hash(dcols, drows)
         schema_ok = sorted(scols) == sorted(dcols)
+        records[name] = {
+            "status": "pass" if (sn == dn and sh == dh and schema_ok) else "fail",
+            "rows": sn,
+            "hash": sh,
+            "sec": round(time.time() - t0, 1),
+        }
         if sn == dn and sh == dh and schema_ok:
             print(f"PASS  {name}: {sn} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
@@ -127,6 +151,22 @@ def main():
             failures.append(name)
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rowsonly,
+                    "queries": records,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     if failures:
         print("failures:", " ".join(failures))
         sys.exit(1)
