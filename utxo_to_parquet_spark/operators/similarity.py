@@ -638,3 +638,277 @@ def q_sim_pq_codes(spark, sf_dir):
         "code3",
         F.round("quant_err", 6).alias("quant_err"),
     )
+
+
+# --- IVF-PQ with exact re-rank (the production ANN composition) -----------
+
+IVFPQ_RERANK = 4 * TOP_K  # ADC shortlist size per query
+
+
+@register(
+    "q_sim_ivfpq_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    dims AS (
+      SELECT label, vec_id, UNNEST(embedding::DOUBLE[]) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    centroids AS (
+      SELECT label, dim, AVG(v) AS cv FROM dims GROUP BY label, dim
+    ),
+    qdist AS (
+      SELECT d.vec_id AS q_id, c.label,
+             ROUND(SUM((d.v - c.cv) * (d.v - c.cv)), 6) AS dist
+      FROM dims d JOIN centroids c ON d.dim = c.dim
+      WHERE d.vec_id % {QUERY_MOD} = 0 AND d.vec_id < {Q_MAX_ID}
+      GROUP BY d.vec_id, c.label
+    ),
+    probes AS (
+      SELECT q_id, label FROM (
+        SELECT q_id, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, label) AS pr
+        FROM qdist
+      ) WHERE pr <= {N_PROBE}
+    ),
+    cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {PQ_K}),
+    sub AS (SELECT UNNEST(range(0, {PQ_M})) AS m),
+    cdist AS (
+      SELECT v.vec_id, sub.m, cent.cid,
+             LIST_DOT_PRODUCT(list_slice(v.e, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}),
+                              list_slice(v.e, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}))
+             - 2 * LIST_DOT_PRODUCT(list_slice(v.e, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}),
+                                    list_slice(cent.c, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}))
+             + LIST_DOT_PRODUCT(list_slice(cent.c, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}),
+                                list_slice(cent.c, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}))
+               AS d2
+      FROM v CROSS JOIN sub CROSS JOIN cent
+    ),
+    codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        FROM cdist
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM v
+          WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID}),
+    qdt AS (
+      SELECT q.q_id, sub.m, cent.cid,
+             LIST_DOT_PRODUCT(list_slice(q.qe, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}),
+                              list_slice(q.qe, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}))
+             - 2 * LIST_DOT_PRODUCT(list_slice(q.qe, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}),
+                                    list_slice(cent.c, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}))
+             + LIST_DOT_PRODUCT(list_slice(cent.c, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}),
+                                list_slice(cent.c, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}))
+               AS d2
+      FROM q CROSS JOIN sub CROSS JOIN cent
+    ),
+    adc AS (
+      SELECT p.q_id, c.vec_id AS c_id,
+             ((MAX(CASE WHEN codes.m = 0 THEN qdt.d2 END)
+               + MAX(CASE WHEN codes.m = 1 THEN qdt.d2 END))
+               + MAX(CASE WHEN codes.m = 2 THEN qdt.d2 END))
+               + MAX(CASE WHEN codes.m = 3 THEN qdt.d2 END) AS adc
+      FROM probes p
+      JOIN v c ON c.label = p.label
+      JOIN codes ON codes.vec_id = c.vec_id
+      JOIN qdt ON qdt.q_id = p.q_id AND qdt.m = codes.m AND qdt.cid = codes.cid
+      WHERE c.vec_id <> p.q_id
+      GROUP BY p.q_id, c.vec_id
+    ),
+    short AS (
+      SELECT q_id, c_id, adc FROM (
+        SELECT q_id, c_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS ra
+        FROM adc
+      ) WHERE ra <= {IVFPQ_RERANK}
+    ),
+    rerank AS (
+      SELECT s.q_id, s.c_id, s.adc,
+             LIST_DOT_PRODUCT(q.qe, cv.e)
+               / (SQRT(LIST_DOT_PRODUCT(q.qe, q.qe))
+                  * SQRT(LIST_DOT_PRODUCT(cv.e, cv.e))) AS cosine
+      FROM short s JOIN q ON q.q_id = s.q_id JOIN v cv ON cv.vec_id = s.c_id
+    )
+    SELECT q_id, c_id, ROUND(adc, 6) AS adc, ROUND(cosine, 6) AS cosine,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT q_id, c_id, adc, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+      FROM rerank
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def q_sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ with exact re-rank — the composition production ANN
+    systems actually run at 100 TB (FAISS's IndexIVFPQ shape): the IVF
+    coarse quantizer (per-label centroids, {N_PROBE} probes) prunes the
+    corpus to a few posting lists; PQ asymmetric-distance scoring
+    ({PQ_M}x{PQ_SUB}-dim subspaces, {PQ_K}-entry codebooks) ranks every
+    candidate in the probed lists from compact codes without touching
+    the raw vectors; the top {IVFPQ_RERANK} per query are re-ranked
+    with exact cosine to emit the final top {TOP_K}.
+
+    Composes the verified pieces: probe selection is q_sim_ivf_topk's,
+    the codebook/encoding is q_sim_pq_codes's (deterministic first-
+    {PQ_K}-vectors codebook so the oracle reproduces it), and the
+    re-rank is q_sim_cosine_topk's scoring. All floating-point paths
+    keep strict left-to-right accumulation (lr_matmul pattern), and the
+    ADC sum adds subspace terms in m order on both engines, so ranks —
+    including the shortlist cut — are decided on bit-identical doubles.
+
+    Plan shape: centroids and codebook are constant-size driver pulls;
+    ADC scoring is one Arrow-batched pass over the probed cells (an
+    equi-join shape on label, like IVF); the re-rank touches only
+    |queries| x {IVFPQ_RERANK} rows. Nothing scales with corpus size
+    except the embarrassingly-parallel encode+score pass.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    # --- IVF probe selection (same construction as q_sim_ivf_topk) ---
+    dims = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"),
+    ).select("label", "vec_id", (F.col("dim0") + 1).alias("dim"), "v")
+    centroids = dims.groupBy("label", "dim").agg(F.avg("v").alias("cv"))
+    qdist = (
+        dims.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < Q_MAX_ID))
+        .select(F.col("vec_id").alias("q_id"), "dim", "v")
+        .join(F.broadcast(centroids.withColumnRenamed("label", "c_label")), "dim")
+        .groupBy("q_id", "c_label")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))), 6
+            ).alias("dist")
+        )
+    )
+    probes = (
+        qdist.withColumn(
+            "pr",
+            F.row_number().over(W.partitionBy("q_id").orderBy("dist", "c_label")),
+        )
+        .filter(F.col("pr") <= N_PROBE)
+        .select("q_id", F.col("c_label").alias("label"))
+    )
+    # constant-size driver pulls: probes (<= Q_CAP*N_PROBE), queries
+    # (<= Q_CAP), codebook (PQ_K)
+    probe_rows = probes.collect()
+    q_pd = _query_vectors(emb).select("vec_id", "embedding").toPandas()
+    Q = _to_matrix(q_pd["embedding"])
+    q_ids = q_pd["vec_id"].to_numpy()
+    q_index = {int(qid): i for i, qid in enumerate(q_ids)}
+    _, q_sq = lr_matmul(Q, Q[:0])
+    q_norm = np.sqrt(q_sq)
+    cent_pd = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    C = _to_matrix(cent_pd["embedding"])  # (PQ_K, dim) in cid order
+    # per-query ADC tables, left-to-right slice accumulation per subspace
+    nq = Q.shape[0]
+    qdt = np.zeros((nq, PQ_M, PQ_K))
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
+        aa = np.zeros(nq)
+        ac = np.zeros((nq, PQ_K))
+        cc = np.zeros(PQ_K)
+        for i in range(lo, hi):
+            qi = Q[:, i]
+            ci = C[:, i]
+            aa += qi * qi
+            ac += qi[:, None] * ci[None, :]
+            cc += ci * ci
+        qdt[:, m, :] = aa[:, None] - 2 * ac + cc[None, :]
+    probe_map: dict[int, list[int]] = {}
+    for r in probe_rows:
+        probe_map.setdefault(int(r.label), []).append(q_index[int(r.q_id)])
+
+    def adc_score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for label, grp in pdf.groupby("label"):
+                qs = probe_map.get(int(label))
+                if not qs:
+                    continue
+                qs = np.array(sorted(qs))
+                A = _to_matrix(grp["embedding"])
+                n = A.shape[0]
+                c_ids = grp["vec_id"].to_numpy()
+                # PQ-encode the candidates (q_sim_pq_codes construction)
+                codes = np.zeros((n, PQ_M), dtype=np.int64)
+                for m in range(PQ_M):
+                    lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
+                    aa = np.zeros(n)
+                    ac = np.zeros((n, PQ_K))
+                    cc = np.zeros(PQ_K)
+                    for i in range(lo, hi):
+                        ai = A[:, i]
+                        ci = C[:, i]
+                        aa += ai * ai
+                        ac += ai[:, None] * ci[None, :]
+                        cc += ci * ci
+                    d2 = aa[:, None] - 2 * ac + cc[None, :]
+                    codes[:, m] = np.argmin(d2, axis=1)  # lowest cid on ties
+                # ADC: sum the per-subspace table entries in m order
+                adc = np.zeros((n, len(qs)))
+                for m in range(PQ_M):
+                    adc += qdt[qs, m, :][:, codes[:, m]].T
+                out = pd.DataFrame(
+                    {
+                        "q_id": np.tile(q_ids[qs], n),
+                        "c_id": np.repeat(c_ids, len(qs)),
+                        "adc": adc.ravel(),
+                    }
+                )
+                yield out[out.q_id != out.c_id]
+
+    adc_df = emb.select("vec_id", "label", "embedding").mapInPandas(
+        adc_score, "q_id long, c_id long, adc double"
+    )
+    wa = W.partitionBy("q_id").orderBy("adc", "c_id")
+    short = (
+        adc_df.withColumn("ra", F.row_number().over(wa))
+        .filter(F.col("ra") <= IVFPQ_RERANK)
+        .select("q_id", "c_id", "adc")
+    )
+
+    def rerank(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _to_matrix(pdf["embedding"])
+            dots, c_sq = lr_matmul(A, Q)
+            qi = np.array([q_index[int(x)] for x in pdf["q_id"]])
+            rows = np.arange(len(pdf))
+            cos = dots[rows, qi] / (q_norm[qi] * np.sqrt(c_sq))
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(),
+                    "c_id": pdf["c_id"].to_numpy(),
+                    "adc": pdf["adc"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
+    reranked = (
+        emb.select(F.col("vec_id").alias("c_id"), "embedding")
+        .join(F.broadcast(short), "c_id")
+        .select("q_id", "c_id", "adc", "embedding")
+        .mapInPandas(rerank, "q_id long, c_id long, adc double, cosine double")
+    )
+    wr = W.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        reranked.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("adc", 6).alias("adc"),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
