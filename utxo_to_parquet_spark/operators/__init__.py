@@ -14,6 +14,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     similarity,
     multimodal,
     graph,
+    pipeline,
 )
 from ..streaming import windows  # noqa: F401  (streaming query registration)
 from .registry import all_queries, all_oracles

@@ -1,0 +1,172 @@
+"""End-to-end training-data preparation pipeline — the capstone
+composition of the library's cleaning operators into the one dataflow a
+pretraining corpus actually runs through before tokenization:
+
+    exact dedup -> quality filter -> language filter -> per-source cap
+    -> deterministic train/test split -> mixture manifest
+
+Every stage reuses the exact semantics of its standalone operator
+(q_dedup_exact, q_text_quality_stats, q_text_language_id,
+q_text_source_cap, hash split), so the pipeline is verified twice: each
+stage against its own oracle elsewhere in the registry, and the fused
+dataflow against the composed DuckDB oracle here.
+
+The reference has no pipeline surface (it is a converter,
+src/main.rs:1-288); this belongs to the driver-mandated training-data
+extension family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import load, register
+from .text import _LANG_MARKERS, _occurrences_col, _occurrences_sql, SOURCE_CAP
+
+MIN_WORDS = 25      # drop the short tail (fixture words span 10..99)
+TRAIN_HEX = "0123456789ab"  # md5 first hex digit in this set -> train (12/16)
+
+
+def _langpred_sql() -> str:
+    """lang_predicted expression set, reusing q_text_language_id's
+    scoring verbatim (marker-occurrence argmax, declaration-order
+    tie-break)."""
+    score_cols = []
+    for lang, words in _LANG_MARKERS.items():
+        parts = " + ".join(_occurrences_sql("lower(text)", w) for w in words)
+        score_cols.append(f"({parts}) AS score_{lang}")
+    langs = list(_LANG_MARKERS)
+    cases = []
+    for lang in langs:
+        conds = [f"score_{lang} >= score_{o}" for o in langs if o != lang]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return (
+        ",\n             ".join(score_cols),
+        "CASE " + " ".join(cases) + " ELSE 'und' END",
+    )
+
+
+_SCORES_SQL, _PRED_SQL = _langpred_sql()
+
+
+@register(
+    "q_pipeline_training_prep",
+    oracle=f"""
+    WITH deduped AS (
+      -- exact dedup: keep the smallest doc_id per content hash
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY md5(lower(text))
+    ),
+    survivors AS (
+      SELECT d.doc_id, d.source, d.lang, d.text,
+             LENGTH(d.text) - LENGTH(REPLACE(d.text, ' ', '')) + 1 AS n_words
+      FROM documents d JOIN deduped USING (doc_id)
+    ),
+    scored AS (
+      SELECT doc_id, source, lang, n_words,
+             {_SCORES_SQL}
+      FROM survivors
+      WHERE n_words >= {MIN_WORDS}
+    ),
+    lang_ok AS (
+      SELECT doc_id, source, n_words
+      FROM (SELECT *, {_PRED_SQL} AS lang_predicted FROM scored)
+      WHERE lang_predicted = lang
+    ),
+    capped AS (
+      SELECT doc_id, source, n_words FROM (
+        SELECT doc_id, source, n_words,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rn
+        FROM lang_ok
+      ) WHERE rn <= {SOURCE_CAP}
+    )
+    SELECT source,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                     IN ({", ".join(repr(c) for c in TRAIN_HEX)})
+                THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM capped
+    GROUP BY 1, 2
+    """,
+)
+def q_pipeline_training_prep(spark, sf_dir):
+    """Training-corpus preparation, fused: exact dedup (min doc_id per
+    content hash), quality floor (>= {MIN_WORDS} words), language
+    confidence (marker-argmax prediction must agree with the labeled
+    lang — the cheap proxy for a langid-confidence threshold),
+    per-source cap ({SOURCE_CAP} docs, md5-ranked — one crawl host
+    can't dominate), and a deterministic md5 train/test split (12/16
+    hex prefixes -> train), emitting the per-(source, split) mixture
+    manifest with document and word totals.
+
+    Scale shape, stage by stage: the dedup is one map-side-combinable
+    groupBy on the content hash; quality and language are pure per-row
+    column expressions (whole-stage codegen, no shuffle); the cap is
+    one hash-partition window on source (salted twin:
+    q_text_source_cap_salted); the split is a stateless hash; the
+    manifest is a tiny final aggregation. Two shuffles total at any
+    corpus size — hash(dedup key) and hash(source) — plus the manifest
+    reduce. Nothing is iterative, nothing collects.
+    """
+    docs = load(spark, sf_dir, "documents")
+    # 1. exact dedup (q_dedup_exact semantics on the real corpus)
+    kept = (
+        docs.groupBy(F.md5(F.lower(F.col("text"))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    text = F.col("text")
+    n_words = (
+        F.length(text) - F.length(F.regexp_replace(text, " ", "")) + 1
+    ).cast("long")
+    survivors = docs.join(kept, "doc_id").select(
+        "doc_id", "source", "lang", "text", n_words.alias("n_words")
+    )
+    # 2. quality floor
+    survivors = survivors.filter(F.col("n_words") >= MIN_WORDS)
+    # 3. language confidence (q_text_language_id scoring verbatim)
+    lower = F.lower(F.col("text"))
+    scores = {
+        lang: sum(
+            (_occurrences_col(lower, w) for w in words), F.lit(0).cast("long")
+        )
+        for lang, words in _LANG_MARKERS.items()
+    }
+    langs = list(_LANG_MARKERS)
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = expr.otherwise("und")
+    lang_ok = survivors.filter(pred == F.col("lang")).select(
+        "doc_id", "source", "n_words"
+    )
+    # 4. per-source cap (q_text_source_cap semantics)
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    capped = (
+        lang_ok.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .drop("rn")
+    )
+    # 5. deterministic split + mixture manifest
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            *list(TRAIN_HEX)
+        ),
+        "train",
+    ).otherwise("test")
+    return capped.groupBy("source", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+    )
