@@ -341,3 +341,32 @@ def test_ks_drift_window_input_is_aggregate(spark):
         "KS window consumes the raw scan, not the per-value aggregate:\n"
         + plan[:2000]
     )
+
+
+def test_single_partition_window_detector(spark):
+    """The plan auditor's unpartitioned-window smell must fire on a
+    Window fed by Exchange SinglePartition and stay quiet on a properly
+    partitioned window."""
+    import sys
+
+    from pyspark.sql import Window as W
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import single_partition_windows
+
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    bad = df.withColumn(
+        "c",
+        F.sum("v").over(
+            W.orderBy("id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    good = df.withColumn(
+        "c", F.sum("v").over(W.partitionBy("v").orderBy("id"))
+    )
+    assert single_partition_windows(
+        bad._jdf.queryExecution().executedPlan().toString()
+    )
+    assert not single_partition_windows(
+        good._jdf.queryExecution().executedPlan().toString()
+    )
