@@ -84,6 +84,12 @@ HEADLINE = [
     "q_events_interval_overlap_join",
     "q_table_fingerprint",
     "q_dedup_canonical_pick",
+    # round 4: keyed as-of, IVF-PQ re-rank, KS drift (re-shaped window),
+    # fused training-prep pipeline
+    "q_events_asof_join_keyed",
+    "q_sim_ivfpq_topk",
+    "q_events_ks_drift",
+    "q_pipeline_training_prep",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000
