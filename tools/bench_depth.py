@@ -3,16 +3,16 @@ snapshot, framing sidecar cold AND warm, with peak-RSS accounting.
 
 The sf-scale fixtures (<1M rows) can't surface int32-offset bugs,
 framing-pass scaling, or memory growth in the decode tasks; this run
-validates SCALING.md's mainnet projection (~90 s for 177.5M rows on
-this box => >=2M rows/s end-to-end at depth) on a dump big enough to
-exercise hundreds of splits.
+validates SCALING.md's mainnet projection (~1.4M rows/s warm at depth
+=> ~2.1 min for the 177.5M-row mainnet snapshot on this box) on a dump
+big enough to exercise hundreds of splits.
 
 Usage: python tools/bench_depth.py [n_rows] [out_json]
 Writes one JSON line (default BENCH_depth.json) with cold/warm wall
 times, rows/s, and peak RSS of the Python driver and the local-mode
-JVM. Deterministic input (seeded blocks), best-effort single run — the
-host-noise policy (best-of-N) applies to the small bench, not this
-multi-minute stress.
+JVM. Deterministic input (seeded blocks); the convert reps run
+best-of-3 per the host-noise policy (several-fold CPU swings on this
+box), with the framing sidecar removed before each cold rep.
 """
 
 from __future__ import annotations

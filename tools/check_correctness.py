@@ -62,6 +62,10 @@ def main():
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print(__doc__.strip().splitlines()[0])
+            print("usage: check_correctness.py [sf_dir] [filter ...] --json OUT")
+            sys.exit(2)
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"

@@ -23,6 +23,7 @@ Exit code 1 if any unallowed smell is found — CI-able.
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -73,16 +74,55 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
 SKIP_PREFIX = ("q_stream_",)
 
 
+# operators that preserve their child's partitioning: walking through
+# them from a Window still leads to the exchange that decided the
+# window's distribution. Anything else (join, aggregate, scan, union)
+# ends the chain — the window inherits THAT operator's partitioning.
+_PARTITION_PRESERVING = (
+    "Sort",
+    "Project",
+    "Filter",
+    "AQEShuffleRead",
+    "ShuffleQueryStage",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "ColumnarToRow",
+    "Coalesce",
+    "ReusedExchange",
+)
+
+_OP_PREFIX_RE = re.compile(r"^[\s:+\-]*(?:\*\(\d+\)\s*)?")
+
+
+def _op_name(line: str) -> str:
+    """Operator name with tree glyphs (':  +- ') and codegen markers
+    ('*(3) ') stripped."""
+    s = _OP_PREFIX_RE.sub("", line)
+    return s.split(" ", 1)[0].split("[", 1)[0]
+
+
 def single_partition_windows(plan: str) -> bool:
-    """True if any Window operator in the plan tree is fed (within a few
-    lines, i.e. through at most a Sort) by an Exchange SinglePartition —
-    the shape where Spark executes the whole window in one task."""
+    """True if any Window operator's child chain reaches an ``Exchange
+    SinglePartition`` before any partition-changing operator — the shape
+    where Spark executes the whole window in one task. Walks the
+    indented child chain through partition-preserving operators (Sort /
+    Project / AQEShuffleRead / codegen wrappers, any depth) rather than
+    a fixed lookahead, so AQE final plans with deeper chains are still
+    caught."""
     lines = plan.splitlines()
     for i, line in enumerate(lines):
-        if "Window " in line or line.strip().endswith("Window"):
-            for nxt in lines[i + 1 : i + 4]:
-                if "Exchange SinglePartition" in nxt:
-                    return True
+        if _op_name(line) != "Window":
+            continue
+        for nxt in lines[i + 1 :]:
+            if "Exchange SinglePartition" in nxt:
+                return True
+            op = _op_name(nxt)
+            if not op:
+                continue
+            if op == "Exchange":  # partitioned exchange — fine
+                break
+            if op not in _PARTITION_PRESERVING:
+                break  # window inherits this operator's partitioning
     return False
 
 

@@ -434,10 +434,18 @@ def q_dedup_cc_largestar(spark, sf_dir):
         small_self = mins2.select(F.col("u").alias("a"), F.col("m").alias("b"))
         new_edges = canon(small_nbrs.union(small_self)).localCheckpoint(eager=True)
         # fixpoint: the canonical edge set stopped changing
-        edges = new_edges
+        prev_edges, edges = edges, new_edges
         fp_new = fingerprint(new_edges)
         if fp_new == fp_prev:
-            break
+            # belt-and-braces: fingerprint equality is probabilistic
+            # (~2^-64 xxhash64-sum collision). Confirm exactly on the
+            # TERMINATING round only — two exceptAll actions once per
+            # query, not per round (both sides are localCheckpointed).
+            if (
+                new_edges.exceptAll(prev_edges).isEmpty()
+                and prev_edges.exceptAll(new_edges).isEmpty()
+            ):
+                break
         fp_prev = fp_new
     # stars: every edge is (root=lo, member=hi); roots label themselves
     labels = edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("component"))

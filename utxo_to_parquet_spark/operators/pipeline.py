@@ -103,28 +103,33 @@ def q_pipeline_training_prep(spark, sf_dir):
     hex prefixes -> train), emitting the per-(source, split) mixture
     manifest with document and word totals.
 
-    Scale shape, stage by stage: the dedup is one map-side-combinable
-    groupBy on the content hash; quality and language are pure per-row
-    column expressions (whole-stage codegen, no shuffle); the cap is
-    one hash-partition window on source (salted twin:
-    q_text_source_cap_salted); the split is a stateless hash; the
-    manifest is a tiny final aggregation. Two shuffles total at any
-    corpus size — hash(dedup key) and hash(source) — plus the manifest
-    reduce. Nothing is iterative, nothing collects.
+    Scale shape, stage by stage: the dedup is ONE hash-partitioned
+    window on the content hash (row_number == 1 keeps the min-doc_id
+    duplicate) — no groupBy-then-join-back, so survivors keep their
+    columns without a second corpus-sized exchange; quality and
+    language are pure per-row column expressions (whole-stage codegen,
+    no shuffle); the cap is one hash-partition window on source
+    (salted twin: q_text_source_cap_salted); the split is a stateless
+    hash; the manifest is a tiny final aggregation. Two corpus-sized
+    shuffles total at any corpus size — hash(content hash) and
+    hash(source) — plus the tiny manifest reduce. Nothing is
+    iterative, nothing collects. (The content-hash window partitions
+    on a near-unique key, so its per-partition groups are the
+    duplicate sets themselves — bounded by the corpus's duplication
+    factor, never a skew hotspot.)
     """
     docs = load(spark, sf_dir, "documents")
-    # 1. exact dedup (q_dedup_exact semantics on the real corpus)
-    kept = (
-        docs.groupBy(F.md5(F.lower(F.col("text"))).alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
     text = F.col("text")
     n_words = (
         F.length(text) - F.length(F.regexp_replace(text, " ", "")) + 1
     ).cast("long")
-    survivors = docs.join(kept, "doc_id").select(
-        "doc_id", "source", "lang", "text", n_words.alias("n_words")
+    # 1. exact dedup (q_dedup_exact semantics on the real corpus):
+    # min-doc_id winner per content hash via one window, one shuffle
+    dw = W.partitionBy(F.md5(F.lower(text))).orderBy("doc_id")
+    survivors = (
+        docs.withColumn("_rn", F.row_number().over(dw))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "source", "lang", "text", n_words.alias("n_words"))
     )
     # 2. quality floor
     survivors = survivors.filter(F.col("n_words") >= MIN_WORDS)
