@@ -288,36 +288,84 @@ def q_utxo_amount_histogram(spark, sf_dir):
     )
 
 
-@register("q_utxo_addresses")  # rows-only: base58check needs bigint arithmetic
+def _address_vectors() -> list[tuple[str, str]]:
+    """(script_hex, address) for the derived view's {N_SCRIPTS} P2PKH
+    scripts, computed once driver-side by the same kernel the pytest
+    public test vectors gate (genesis-block P2PKH etc.,
+    tests/test_kernels.py). Embedded in the DuckDB oracle as a VALUES
+    table so the differential proves the Spark-side UDF plumbing
+    (Arrow batching, null handling, join/rollup) end-to-end."""
+    from ..kernels.address import script_to_address
+
+    out = []
+    for k in range(N_SCRIPTS):
+        h = "76a914" + hashlib.sha256(f"s{k}".encode()).hexdigest()[:40] + "88ac"
+        out.append((h, script_to_address(bytes.fromhex(h))))
+    return out
+
+
+@register(
+    "q_utxo_addresses",
+    oracle=f"""
+    WITH utxos AS ({UTXOS_CTE}),
+    per_script AS (
+      SELECT script_hex, COUNT(*) AS n_utxos,
+             CAST(SUM(amount) AS BIGINT) AS balance
+      FROM utxos GROUP BY script_hex
+    ),
+    vectors(script_hex, address) AS (VALUES {{VECTORS}})
+    SELECT v.address,
+           CAST(SUM(p.n_utxos) AS BIGINT) AS n_utxos,
+           CAST(SUM(p.balance) AS BIGINT) AS balance
+    FROM per_script p JOIN vectors v USING (script_hex)
+    GROUP BY v.address
+    ORDER BY balance DESC, address LIMIT 25
+    """.replace(
+        "{VECTORS}",
+        ", ".join(f"('{s}', '{a}')" for s, a in _address_vectors()),
+    ),
+)
 def q_utxo_addresses(spark, sf_dir):
-    """Script → address decoding (base58check, kernels/address.py) over
-    the derived utxos view, as an Arrow-batched pandas UDF — the
-    in-engine version of the address rendering the reference delegates
-    to block explorers (README.md:52-107). Aggregates balances per
-    address: the canonical wallet-analytics rollup.
+    """Script → address decoding (base58check/bech32,
+    kernels/address.py) over the derived utxos view — the in-engine
+    version of the address rendering the reference delegates to block
+    explorers (README.md:52-107) — rolled up to per-address balances:
+    the canonical wallet-analytics query.
+
+    Scale shape — AGGREGATE THEN ENCODE: the per-script balance rollup
+    runs first (one map-side-combinable shuffle collapsing |rows| to
+    |distinct scripts|), and the pandas UDF encodes each DISTINCT
+    script exactly once on the aggregate, so the Python/Arrow cost is
+    O(|scripts|), never O(|rows|) — the same memoization discipline as
+    sources/native.py's txid render. The address rollup and sort then
+    operate at script cardinality. The address kernel's ground truth is
+    held by public test vectors in tests/test_kernels.py; the DuckDB
+    oracle's broadcast vector table proves the Spark plumbing
+    end-to-end.
     """
     from ..kernels.address import script_to_address
 
     @F.pandas_udf("string")
     def to_address(script_hex):
-        # script_hex is a function of a ~50-value bucket: run the pure-
-        # Python base58check once per DISTINCT script in the batch and
-        # broadcast-map the result, not once per row (round-2 lesson —
-        # any deterministic expression of a low-cardinality key computes
-        # at key cardinality)
+        # input is the per-script AGGREGATE (one row per distinct
+        # script); still memoize within the batch for safety
         table = {
             h: script_to_address(bytes.fromhex(h)) for h in script_hex.unique()
         }
         return script_hex.map(table)
 
     u = utxos_df(spark, sf_dir)
+    per_script = u.groupBy("script_hex").agg(
+        F.count(F.lit(1)).alias("n_utxos"),
+        F.sum("amount").alias("balance"),
+    )
     return (
-        u.withColumn("address", to_address("script_hex"))
+        per_script.withColumn("address", to_address("script_hex"))
         .filter(F.col("address").isNotNull())
         .groupBy("address")
         .agg(
-            F.count(F.lit(1)).alias("n_utxos"),
-            F.sum("amount").alias("balance"),
+            F.sum("n_utxos").alias("n_utxos"),
+            F.sum("balance").alias("balance"),
         )
         .orderBy(F.desc("balance"), "address")
         .limit(25)
