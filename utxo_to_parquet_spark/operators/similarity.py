@@ -220,7 +220,54 @@ def q_sim_centroid_distance(spark, sf_dir):
     )
 
 
-@register("q_sim_lsh_buckets")  # rows-only check: hyperplanes via numpy UDF
+EMB_DIM = 64  # fixture embedding dimensionality (TESTDATA.md, all sf dirs)
+
+
+def _lsh_planes():
+    """The seeded hyperplane matrix (numpy PCG64, fixed seed) — shared
+    verbatim by the Spark UDF and, as float literals, by the DuckDB
+    oracle, so the differential checks the full sign/bit-packing path."""
+    return np.random.default_rng(42).standard_normal((EMB_DIM, N_PLANES))
+
+
+def _lsh_oracle() -> str:
+    """Recompute the sign-LSH bucket keys in SQL from the embedded plane
+    literals: dot products via an (dim, plane, weight) VALUES join, sign
+    bits packed MSB-first exactly as the UDF's (keys << 1) | bit loop.
+    repr() round-trips float64 exactly, so both engines multiply the
+    same doubles; only the 64-term summation order differs (~1e-13 vs
+    |dot| ~ O(8)), far from a sign flip."""
+    planes = _lsh_planes()
+    values = ", ".join(
+        f"({d + 1}, {j}, {planes[d, j]!r})"
+        for d in range(EMB_DIM)
+        for j in range(N_PLANES)
+    )
+    return f"""
+    WITH dims AS (
+      SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+             UNNEST(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    planes(dim, plane, w) AS (VALUES {values}),
+    dots AS (
+      SELECT d.vec_id, p.plane, SUM(d.v * p.w) AS dot
+      FROM dims d JOIN planes p ON d.dim = p.dim
+      GROUP BY d.vec_id, p.plane
+    ),
+    keys AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot > 0
+                           THEN 1 << ({N_PLANES} - 1 - plane)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    )
+    SELECT bucket, COUNT(*) AS n_vecs, CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+    FROM keys GROUP BY bucket ORDER BY bucket
+    """
+
+
+@register("q_sim_lsh_buckets", oracle=_lsh_oracle())
 def q_sim_lsh_buckets(spark, sf_dir):
     """Sign-random-projection LSH bucketing — the 100-TB ANN path.
 
@@ -228,13 +275,13 @@ def q_sim_lsh_buckets(spark, sf_dir):
     seed) and broadcast inside an Arrow-batched pandas UDF; each vector
     gets an {N_PLANES}-bit bucket key. Downstream, candidate pairs come
     from an equi-join on (bucket), replacing the O(N²) cross join.
-    Not SQL-expressible (seeded RNG) → rows-only driver check; recall is
-    tested against the brute-force baseline in tests/test_similarity.py.
+    Hash-gated: the DuckDB oracle recomputes every sign bit from the
+    same plane matrix embedded as float literals (_lsh_oracle); recall
+    is additionally tested against the brute-force baseline in
+    tests/test_similarity.py.
     """
     emb = load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((dim, N_PLANES))
+    planes = _lsh_planes()
     bc = spark.sparkContext.broadcast(planes)
 
     @F.pandas_udf("long")
@@ -395,7 +442,76 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
-@register("q_sim_kmeans")  # rows-only: iterative float averaging is engine-specific
+def _kmeans_oracle() -> str:
+    """Lloyd's k-means, UNROLLED to {KMEANS_ITERS} fixed iterations of
+    pure SQL (the same unrolled-fixpoint trick as the PageRank/BFS
+    oracles): deterministic init from the first {KMEANS_K} vectors,
+    then per iteration an argmin assignment (ROW_NUMBER over summed
+    squared distance, ties to the lowest cluster — numpy argmin picks
+    the first minimum, so the tie-breaks agree) and a per-(cluster,dim)
+    AVG update with COALESCE keeping empty clusters' previous centroid
+    (mirroring by_cluster.get(i, centroids[i]) in the Spark path).
+    Cross-engine float-sum ordering differs at ~1e-15 relative; an
+    assignment flip would need two centroids equidistant from a point
+    to that precision, and the final inertia is rounded to 2 decimals —
+    both far outside the discrepancy scale."""
+    ctes = [
+        """
+    dims AS (
+      SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+             UNNEST(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    init_ids AS (
+      SELECT vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster
+      FROM embeddings ORDER BY vec_id LIMIT {K}
+    ),
+    c0 AS (
+      SELECT i.cluster, d.dim, d.v AS cv
+      FROM init_ids i JOIN dims d USING (vec_id)
+    )""".replace("{K}", str(KMEANS_K))
+    ]
+    prev_c = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        ctes.append(
+            f"""
+    a{i} AS (
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT d.vec_id, c.cluster,
+               SUM((d.v - c.cv) * (d.v - c.cv)) AS d2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY SUM((d.v - c.cv) * (d.v - c.cv)), c.cluster) AS rn
+        FROM dims d JOIN {prev_c} c ON d.dim = c.dim
+        GROUP BY d.vec_id, c.cluster
+      ) WHERE rn = 1
+    )"""
+        )
+        if i < KMEANS_ITERS:
+            ctes.append(
+                f"""
+    c{i} AS (
+      SELECT p.cluster, p.dim, COALESCE(u.cv, p.cv) AS cv
+      FROM {prev_c} p LEFT JOIN (
+        SELECT a.cluster, d.dim, AVG(d.v) AS cv
+        FROM a{i} a JOIN dims d USING (vec_id)
+        GROUP BY a.cluster, d.dim
+      ) u ON u.cluster = p.cluster AND u.dim = p.dim
+    )"""
+            )
+            prev_c = f"c{i}"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT cluster, COUNT(*) AS n_vecs, ROUND(SUM(d2), 2) AS inertia
+    FROM a{KMEANS_ITERS} GROUP BY cluster ORDER BY cluster
+    """
+    )
+
+
+@register("q_sim_kmeans", oracle=_kmeans_oracle())
 def q_sim_kmeans(spark, sf_dir):
     """Lloyd's k-means ({KMEANS_K} clusters, {KMEANS_ITERS} fixed
     iterations) — the iterative-algorithm pattern on DataFrames:
@@ -413,8 +529,9 @@ def q_sim_kmeans(spark, sf_dir):
     Iterations are a fixed small count (no driver-side convergence loop
     over collect()ed state beyond the k×d centroid table, which IS small
     by construction — that is the one legitimate driver round-trip).
-    Float averaging orders differ across engines → rows-only check;
-    inertia monotonicity is asserted in tests/test_similarity.py.
+    Hash-gated against an UNROLLED pure-SQL Lloyd's oracle
+    (_kmeans_oracle); inertia monotonicity is additionally asserted in
+    tests/test_similarity.py.
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")

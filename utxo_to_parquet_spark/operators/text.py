@@ -300,17 +300,48 @@ def q_split_train_test(spark, sf_dir):
     )
 
 
-@register("q_sample_stratified")  # rows-only: sampling draws engine-specific RNG
+SAMPLE_FRAC = 0.5
+SAMPLE_TOL = 0.15  # max observed |frac - 0.5| across fixtures is 0.081
+
+
+@register(
+    "q_sample_stratified",
+    # the CHECKABLE CONTRACT, not the engine-specific Bernoulli draws
+    # (q_agg_approx_distinct pattern): exact per-stratum totals plus a
+    # boolean asserting the sampled fraction landed within tolerance.
+    # The oracle computes the exact totals and a literal TRUE — a
+    # sampler that drifts past tolerance breaks the value hash.
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs, TRUE AS within_tol
+    FROM documents GROUP BY lang
+    """,
+)
 def q_sample_stratified(spark, sf_dir):
     """Stratified sampling (sampleBy): per-language fractions with a
     fixed seed — the corpus-balancing op. Bernoulli draws are
-    engine-specific (rows-only check); proportion tolerances are
-    asserted in tests. At scale this is a single map-side filter: no
-    shuffle, no collect."""
+    engine-specific, so the hash-gated contract is per-stratum totals
+    plus a within-tolerance boolean (|sampled/total - {SAMPLE_FRAC}| <=
+    {SAMPLE_TOL}); the tighter proportion assertion lives in
+    tests/test_scale_techniques.py. At scale this is a single map-side
+    filter plus one tiny per-stratum aggregate: no wide shuffle, no
+    collect."""
     docs = load(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "es": 0.5, "de": 0.5, "fr": 0.5, "zh": 0.5}
-    sample = docs.sampleBy("lang", fractions, seed=42)
-    return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    fractions = {"en": SAMPLE_FRAC, "es": SAMPLE_FRAC, "de": SAMPLE_FRAC,
+                 "fr": SAMPLE_FRAC, "zh": SAMPLE_FRAC}
+    sampled = (
+        docs.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    frac = F.col("n_sampled") / F.col("n_docs")
+    return totals.join(sampled, "lang", "left").select(
+        "lang",
+        "n_docs",
+        (
+            F.abs(F.coalesce(frac, F.lit(0.0)) - SAMPLE_FRAC) <= SAMPLE_TOL
+        ).alias("within_tol"),
+    )
 
 
 @register(

@@ -112,12 +112,37 @@ def q_stream_tumbling_5min(spark, sf_dir):
     return spark.table(table)
 
 
-@register("q_stream_watermark_late_data")  # rows-only: append mode drops open windows
+@register(
+    "q_stream_watermark_late_data",
+    # append mode over a fully-replayed static input is deterministic:
+    # the final watermark is max(event_ts) - 10 min (event_ts truncated
+    # to whole seconds by timestamp_seconds(ts div 1e9)), and exactly
+    # the sliding windows whose end <= watermark are emitted. Each event
+    # lands in two (10 min, slide 5 min) windows: starts floor(t/300)*300
+    # and that minus 300 — which the UNNEST([0,1]) explode reproduces.
+    oracle="""
+    WITH ev AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t, event_type FROM events),
+    wm AS (SELECT MAX(t) - 600 AS w FROM ev),
+    exploded AS (
+      SELECT t, event_type, (t // 300) * 300 - 300 * k AS bucket_start
+      FROM ev, (SELECT UNNEST([0, 1]) AS k)
+    )
+    SELECT bucket_start, event_type, COUNT(*) AS n
+    FROM exploded, wm
+    WHERE bucket_start + 600 <= wm.w
+    GROUP BY bucket_start, event_type
+    """,
+)
 def q_stream_watermark_late_data(spark, sf_dir):
     """Watermarked sliding window in append mode: 10-minute windows
     sliding by 5, 10-minute lateness bound. Append mode only emits
-    windows the watermark has closed — on a static replay that excludes
-    the tail, so there is no batch-SQL equivalent (rows-only check)."""
+    windows the watermark has closed — which, on a fully-replayed
+    static input, is a DETERMINISTIC set (final watermark =
+    max event time - 10 min), so the batch-SQL oracle reproduces it
+    exactly: explode each event into its two sliding windows and keep
+    windows whose end the watermark passed. If the watermark ever
+    stops advancing, emits an open window, or drops a closed one, the
+    value hash breaks."""
     sdf = _events_stream(spark, sf_dir)
     agg = (
         sdf.withWatermark("event_ts", "10 minutes")
@@ -133,12 +158,26 @@ def q_stream_watermark_late_data(spark, sf_dir):
     return spark.table(table)
 
 
-@register("q_stream_stateful_running_max")  # rows-only: custom per-key state
+@register(
+    "q_stream_stateful_running_max",
+    oracle="""
+    SELECT event_type,
+           ROUND(MAX(value), 2) AS max_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
 def q_stream_stateful_running_max(spark, sf_dir):
     """Custom stateful operator via applyInPandasWithState: per event
     type, track the running maximum value and emit its final state —
     the structured-streaming shape of the reference's running
-    max_height fold (main.rs:220,229)."""
+    max_height fold (main.rs:220,229).
+
+    Hash-gated: the FINAL state per key over a fully-replayed static
+    input is exactly the batch MAX/COUNT per event_type, which is what
+    the oracle computes — if the state fold ever drops a batch, double
+    counts, or mis-merges state across micro-batches, the value hash
+    breaks."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
