@@ -351,6 +351,45 @@ def test_ks_drift_window_input_is_aggregate(spark):
     )
 
 
+def test_allowlisted_single_partition_windows_fed_by_aggregates(spark):
+    """Every ALLOWED_SINGLE_PARTITION_WINDOW entry justifies itself by
+    claiming the one-task window's input is an upstream AGGREGATE over
+    a bounded domain. Make the prose executable: for each allowlisted
+    query, every SinglePartition-fed window must reach an aggregate
+    operator below its exchange BEFORE any scan — and at least one such
+    window must exist (else the allowlist entry is stale)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_audit import (
+        _AGGREGATE_OPS,
+        ALLOWED_SINGLE_PARTITION_WINDOW,
+        single_partition_window_inputs,
+    )
+    from utxo_to_parquet_spark.operators import all_queries
+
+    qs = all_queries()
+    for name in ALLOWED_SINGLE_PARTITION_WINDOW:
+        df = qs[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        chains = single_partition_window_inputs(plan)
+        assert chains, (
+            f"{name}: allowlisted but no SinglePartition-fed window in "
+            f"its plan — stale allowlist entry"
+        )
+        for ops in chains:
+            agg = next(
+                (i for i, o in enumerate(ops) if o in _AGGREGATE_OPS), None
+            )
+            scan = next(
+                (i for i, o in enumerate(ops) if "Scan" in o), len(ops)
+            )
+            assert agg is not None and agg < scan, (
+                f"{name}: one-task window fed by a non-aggregate "
+                f"(chain below exchange: {ops})"
+            )
+
+
 def test_single_partition_window_detector(spark):
     """The plan auditor's unpartitioned-window smell must fire on a
     Window fed by Exchange SinglePartition and stay quiet on a properly

@@ -98,7 +98,7 @@ def _op_name(line: str) -> str:
     """Operator name with tree glyphs (':  +- ') and codegen markers
     ('*(3) ') stripped."""
     s = _OP_PREFIX_RE.sub("", line)
-    return s.split(" ", 1)[0].split("[", 1)[0]
+    return s.split(" ", 1)[0].split("[", 1)[0].split("(", 1)[0]
 
 
 def single_partition_windows(plan: str) -> bool:
@@ -124,6 +124,44 @@ def single_partition_windows(plan: str) -> bool:
             if op not in _PARTITION_PRESERVING:
                 break  # window inherits this operator's partitioning
     return False
+
+
+_AGGREGATE_OPS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+
+def single_partition_window_inputs(plan: str) -> list[list[str]]:
+    """For each Window fed by an Exchange SinglePartition, the operator
+    names below that exchange down to (and including) the first scan.
+
+    This is the ALLOWLIST'S SELF-CHECK: every
+    ALLOWED_SINGLE_PARTITION_WINDOW justification claims the window's
+    input is an upstream AGGREGATE over a bounded domain — so an
+    aggregate operator must appear in this chain before the scan. The
+    pytest in tests/test_scale_techniques.py asserts exactly that for
+    every allowlisted query; a refactor that silently feeds one of
+    these windows raw fact rows fails the test, not just the prose."""
+    lines = plan.splitlines()
+    chains: list[list[str]] = []
+    for i, line in enumerate(lines):
+        if _op_name(line) != "Window":
+            continue
+        for j in range(i + 1, len(lines)):
+            if "Exchange SinglePartition" in lines[j]:
+                ops = []
+                for k in range(j + 1, len(lines)):
+                    o = _op_name(lines[k])
+                    if o:
+                        ops.append(o)
+                    if "Scan" in lines[k]:
+                        break
+                chains.append(ops)
+                break
+            op = _op_name(lines[j])
+            if not op:
+                continue
+            if op == "Exchange" or op not in _PARTITION_PRESERVING:
+                break
+    return chains
 
 
 def audit(spark, sf_dir: str, names: list[str]) -> dict[str, list[str]]:
