@@ -997,7 +997,11 @@ def q_dedup_repeated_spans(spark, sf_dir):
     span-level companion to whole-document dedup (headers, license
     blurbs, navigation chrome repeat across pages long before full docs
     collide). sequence+explode keeps span generation map-side and
-    data-proportional; the single shuffle is the groupBy on span hash.
+    data-proportional; the COUNT(DISTINCT doc_id) aggregate costs two
+    chained shuffles — hash on (span_md5, doc_id) for the per-doc
+    collapse, then hash on span_md5 over the already-collapsed
+    relation (Spark's distinct-aggregate rewrite; the second shuffle
+    moves at most one row per (span, doc)).
     At 100 TB the span table is the big intermediate — hashing down to
     md5 (not carrying span text) keeps shuffle bytes at 32+8 per span
     regardless of span width. Short tail spans are dropped so every

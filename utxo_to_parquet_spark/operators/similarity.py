@@ -201,7 +201,12 @@ def q_sim_centroid_distance(spark, sf_dir):
     """Per-label centroids (the IVF coarse-quantizer building block):
     explode to (vec, dim, value), average into centroids, join back for
     distances. This is the posting-list construction step of an IVF
-    index, expressed as two shuffles on (label, dim)."""
+    index. Three shuffles of the exploded relation: hash(label, dim)
+    for the centroid average, hash(label, dim) again on the probe side
+    of the join back (the centroid side reuses the first exchange), and
+    hash(label, vec_id) for the per-vector distance re-aggregation; the
+    final per-label rollup partial-aggregates map-side over |labels|
+    rows."""
     emb = load(spark, sf_dir, "embeddings")
     dims = emb.select(
         "label",
