@@ -3,9 +3,11 @@ snapshot, framing sidecar cold AND warm, with peak-RSS accounting.
 
 The sf-scale fixtures (<1M rows) can't surface int32-offset bugs,
 framing-pass scaling, or memory growth in the decode tasks; this run
-validates SCALING.md's mainnet projection (~1.4M rows/s warm at depth
-=> ~2.1 min for the 177.5M-row mainnet snapshot on this box) on a dump
-big enough to exercise hundreds of splits.
+validates SCALING.md's mainnet projection (best warm 5.49M rows/s at
+20M-row depth => well under a minute for the 177.5M-row mainnet
+snapshot on a quiet 32-core box; ~2 min under the documented
+several-fold host-CPU noise) on a dump big enough to exercise
+hundreds of splits.
 
 Usage: python tools/bench_depth.py [n_rows] [out_json]
 Writes one JSON line (default BENCH_depth.json) with cold/warm wall
