@@ -1,0 +1,182 @@
+"""Query-path weak-scaling probe: time representative operators at 1x /
+4x / 16x the sf0.1 corpus and record the observed scaling exponent.
+
+SCALING.md argues every operator's plan shape survives a 100x scale-up;
+this tool measures it. Scaled corpora are built as k independent copies
+of the sf0.1 tables with disjoint id spaces:
+
+- documents: copy i shifts doc_id by i*10M and suffixes every word with
+  "c{i}" — the per-copy duplicate/shingle structure is preserved exactly
+  while shingles never collide across copies, so candidate-pair counts
+  grow linearly in k (k independent corpora), not quadratically the way
+  naive text duplication would inflate every LSH bucket.
+- embeddings: copy i shifts vec_id by i*10M, vectors unchanged. ANN
+  query sets are Q_CAP/id-bounded constants, so corpus growth scales the
+  scan/posting-list side only — the shape a growing corpus really has.
+- events: copy i shifts event_id by i*10M and ts by i*(span + 2 days)
+  — the "more history" growth direction. Disjoint time ranges keep
+  CONCURRENCY constant, so interval-overlap output grows linearly; the
+  first probe draft salted user_id at shared timestamps instead, and the
+  overlap join's output (correctly) exploded quadratically — k
+  concurrent copies of every interval really do overlap pairwise. Same
+  users across copies means per-user timelines grow k-fold, which is the
+  harder direction for sessionize/window partitions anyway.
+
+Other tables are symlinked from the base dir so fixture validation and
+any dimension reads see the real files.
+
+Usage: python tools/bench_query_scale.py [out_json]
+Writes one JSON object (default BENCH_qscale.json) with per-op best-of-2
+seconds at each scale and the fitted exponent
+log(t_16/t_1)/log(16) — 1.0 = linear; fixed per-job overhead pulls the
+number below 1 at these corpus sizes, superlinear candidate explosion
+pushes it above.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = sys.argv[1] if len(sys.argv) > 1 else "BENCH_qscale.json"
+SCALES = [1, 4, 16]
+ID_OFFSET = 10_000_000
+WORK = "/tmp/qscale"
+
+OPS = {
+    # documents-shaped: dedup candidate generation + text analytics
+    "q_dedup_exact": "documents",
+    "q_dedup_minhash_lsh": "documents",
+    "q_dedup_simhash_pairs": "documents",
+    "q_text_token_freq": "documents",
+    "q_pipeline_training_prep": "documents",
+    # embeddings-shaped: ANN scan/posting-list growth
+    "q_sim_cosine_topk": "embeddings",
+    "q_sim_ivf_topk": "embeddings",
+    # events-shaped: sessionization + banded interval join
+    "q_events_sessionize": "events",
+    "q_events_interval_overlap_join": "events",
+}
+
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _salt_words(text: str, tag: str) -> str:
+    return re.sub(r"(\S+)", lambda m: m.group(1) + tag, text)
+
+
+def build_copies(k_max: int) -> None:
+    """Materialize per-copy parquet shards /tmp/qscale/copies/<table>_<i>."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cdir = os.path.join(WORK, "copies")
+    os.makedirs(cdir, exist_ok=True)
+    for table in ("documents", "embeddings", "events"):
+        src = pq.read_table(os.path.join(BASE, f"{table}.parquet"))
+        schema = src.schema
+        df0 = src.to_pandas()
+        for i in range(k_max):
+            dst = os.path.join(cdir, f"{table}_{i}.parquet")
+            if os.path.exists(dst):
+                continue
+            if i == 0:
+                pq.write_table(src, dst)
+                continue
+            df = df0.copy()
+            if table == "documents":
+                df["doc_id"] = df["doc_id"] + i * ID_OFFSET
+                tag = f"c{i}"
+                df["text"] = df["text"].map(lambda t: _salt_words(t, tag))
+                df["n_chars"] = df["text"].str.len()
+            elif table == "embeddings":
+                df["vec_id"] = df["vec_id"] + i * ID_OFFSET
+            else:  # events
+                df["event_id"] = df["event_id"] + i * ID_OFFSET
+                import pandas as pd
+
+                span = df0["ts"].max() - df0["ts"].min()
+                df["ts"] = df["ts"] + i * (span + pd.Timedelta(days=2))
+            pq.write_table(
+                pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+                dst,
+            )
+            print(f"built {table} copy {i}", flush=True)
+
+
+def build_scale_dir(k: int) -> str:
+    """Assemble a fixture dir for scale k: scaled tables are concatenated
+    copies 0..k-1; every other table symlinks to the base fixture."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(WORK, f"x{k}")
+    os.makedirs(d, exist_ok=True)
+    for t in ALL_TABLES:
+        p = os.path.join(d, f"{t}.parquet")
+        if t in ("documents", "embeddings", "events"):
+            if not os.path.exists(p):
+                parts = [
+                    pq.read_table(os.path.join(WORK, "copies", f"{t}_{i}.parquet"))
+                    for i in range(k)
+                ]
+                import pyarrow as pa
+
+                pq.write_table(pa.concat_tables(parts), p)
+        elif not os.path.exists(p):
+            os.symlink(os.path.join(BASE, f"{t}.parquet"), p)
+    return d
+
+
+def main() -> None:
+    from utxo_to_parquet_spark.operators import all_queries
+    from utxo_to_parquet_spark.session import get_spark
+
+    build_copies(max(SCALES))
+    dirs = {k: build_scale_dir(k) for k in SCALES}
+
+    spark = get_spark("bench_query_scale")
+    qs = all_queries()
+    # warm: python workers, parquet reader, JIT
+    spark.read.parquet(f"{BASE}/region.parquet").count()
+    for name in OPS:
+        qs[name](spark, dirs[1]).collect()
+
+    result: dict[str, dict] = {}
+    for name, shape in OPS.items():
+        secs = {}
+        for k in SCALES:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                n = len(qs[name](spark, dirs[k]).collect())
+                best = min(best, time.time() - t0)
+            secs[str(k)] = round(best, 2)
+            print(f"{name} x{k}: {secs[str(k)]}s ({n} rows)", flush=True)
+        import math
+
+        expo = math.log(max(secs["16"], 1e-9) / max(secs["1"], 1e-9)) / math.log(16)
+        result[name] = {"table": shape, "sec": secs, "exponent": round(expo, 2)}
+
+    line = {
+        "metric": "query_weak_scaling",
+        "base": BASE,
+        "scales": SCALES,
+        "copies_note": "disjoint id spaces + word-salted text: k independent corpora",
+        "ops": result,
+    }
+    with open(OUT, "w") as f:
+        f.write(json.dumps(line) + "\n")
+    print(json.dumps(line), flush=True)
+
+
+if __name__ == "__main__":
+    main()
