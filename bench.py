@@ -90,6 +90,8 @@ HEADLINE = [
     "q_sim_ivfpq_topk",
     "q_events_ks_drift",
     "q_pipeline_training_prep",
+    # round 5: incremental batch-vs-corpus dedup probe
+    "q_dedup_incremental",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

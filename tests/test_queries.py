@@ -58,6 +58,29 @@ def test_oracle_keys_subset():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_incremental_dedup_agrees_with_pair_query(spark):
+    """q_dedup_incremental's verdicts must be consistent with the full
+    pair query: a batch doc is kept iff NO q_dedup_minhash_lsh pair
+    links it to a corpus doc or an earlier batch doc."""
+    from utxo_to_parquet_spark.operators.dedup import BATCH_MOD
+
+    inc = {r.doc_id: r.kept for r in QUERIES["q_dedup_incremental"](spark, SF_DIR).collect()}
+    pairs = QUERIES["q_dedup_minhash_lsh"](spark, SF_DIR).collect()
+    colliding = set()
+    for r in pairs:
+        lo, hi = r.doc_a, r.doc_b  # doc_a < doc_b by construction
+        # the higher doc collides with any partner (corpus, or an earlier
+        # batch doc — lo < hi always); the lower one only with a corpus doc
+        if hi % BATCH_MOD == 0:
+            colliding.add(hi)
+        if lo % BATCH_MOD == 0 and hi % BATCH_MOD != 0:
+            colliding.add(lo)
+    for doc_id, kept in inc.items():
+        assert kept == (doc_id not in colliding), doc_id
+    # the probe is non-degenerate both ways on this fixture
+    assert any(inc.values()) and not all(inc.values())
+
+
 def test_leakage_safe_split_never_splits_a_cluster(spark):
     """Every near-dup cluster must land entirely in one split — the
     operator's whole reason to exist."""

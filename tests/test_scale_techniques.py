@@ -79,6 +79,22 @@ def test_broadcast_join_no_shuffle_on_fact_side(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_incremental_dedup_broadcasts_the_batch(spark):
+    """q_dedup_incremental's corpus probe must be a broadcast hash join
+    with the BATCH side built — the corpus band index is never shuffled
+    for the probe (its only exchange is the signature aggregation). A
+    regression to a shuffle join here silently turns per-increment cost
+    from O(batch) into O(corpus)."""
+    from utxo_to_parquet_spark.operators import all_queries
+
+    df = all_queries()["q_dedup_incremental"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere in the probe pipeline
+    assert "SortMergeJoin" not in plan
+
+
 def test_salted_join_spreads_partitions(spark):
     """The salted join's shuffle key must include the salt: hot-key rows
     land in N_SALTS different partitions instead of one."""

@@ -54,6 +54,7 @@ OPS = {
     "q_dedup_exact": "documents",
     "q_dedup_minhash_lsh": "documents",
     "q_dedup_simhash_pairs": "documents",
+    "q_dedup_incremental": "documents",
     "q_text_token_freq": "documents",
     "q_pipeline_training_prep": "documents",
     # embeddings-shaped: ANN scan/posting-list growth

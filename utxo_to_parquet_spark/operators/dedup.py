@@ -161,7 +161,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_bands_cte() -> str:
+    """The shared WITH-clause prefix reproducing the LSH band index
+    (``bands``: doc_id, band, band_key) in DuckDB — composed by the pair
+    oracle, the clustering oracles, and the incremental-dedup oracle."""
     mins = ",\n             ".join(
         f"MIN(({a} * x + {b}) % {MINHASH_P}) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_AB)
@@ -176,8 +179,7 @@ def _minhash_oracle() -> str:
         f"SELECT doc_id, {b0} AS band, bk{b0} AS band_key FROM keys"
         for b0 in range(N_SEEDS // BAND_SIZE)
     )
-    return f"""
-    WITH shingles AS ({_SHINGLES_DUCK}),
+    return f"""shingles AS ({_SHINGLES_DUCK}),
     xs AS (
       SELECT doc_id,
              ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS x
@@ -193,7 +195,12 @@ def _minhash_oracle() -> str:
            {band_keys}
       FROM sig
     ),
-    bands AS ({band_rows})
+    bands AS ({band_rows})"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_bands_cte()}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            COUNT(*) AS n_shared_bands
     FROM bands a JOIN bands b
@@ -202,10 +209,12 @@ def _minhash_oracle() -> str:
     """
 
 
-def _minhash_pairs(spark, sf_dir):
-    """Candidate near-dup pairs (doc_a < doc_b, n_shared_bands) via
-    MinHash + LSH banding — shared by q_dedup_minhash_lsh and the
-    connected-components clustering built on top of it."""
+def _minhash_bands_df(spark, sf_dir):
+    """(doc_id, band, band_key) — the LSH band index over every
+    document's MinHash signature. In a production pipeline this is the
+    PERSISTED index table (bucketed by (band, band_key)); here it is the
+    shared plan fragment behind the pair join, the clustering queries,
+    and the incremental batch-vs-corpus probe."""
     sh = _shingles_df(spark, sf_dir)
     x = (
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % MINHASH_P
@@ -230,9 +239,16 @@ def _minhash_pairs(spark, sf_dir):
             for b in range(N_SEEDS // BAND_SIZE)
         ]
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(band_structs).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def _minhash_pairs(spark, sf_dir):
+    """Candidate near-dup pairs (doc_a < doc_b, n_shared_bands) via
+    MinHash + LSH banding — shared by q_dedup_minhash_lsh and the
+    connected-components clustering built on top of it."""
+    bands = _minhash_bands_df(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -263,6 +279,101 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     layout.
     """
     return _minhash_pairs(spark, sf_dir)
+
+
+BATCH_MOD = 5  # doc_id % BATCH_MOD == 0 models the newly-ingested batch
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {_minhash_bands_cte()},
+    batch AS (SELECT doc_id FROM documents WHERE doc_id % {BATCH_MOD} = 0),
+    corpus_hits AS (
+      SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id % {BATCH_MOD} = 0 AND b.doc_id % {BATCH_MOD} <> 0
+      GROUP BY 1
+    ),
+    batch_hits AS (
+      SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id % {BATCH_MOD} = 0 AND b.doc_id % {BATCH_MOD} = 0
+        AND b.doc_id < a.doc_id
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(ch.n, 0) AS BIGINT) AS n_corpus_matches,
+           CAST(COALESCE(bh.n, 0) AS BIGINT) AS n_batch_matches,
+           (COALESCE(ch.n, 0) = 0 AND COALESCE(bh.n, 0) = 0) AS kept
+    FROM batch d
+      LEFT JOIN corpus_hits ch ON ch.doc_id = d.doc_id
+      LEFT JOIN batch_hits bh ON bh.doc_id = d.doc_id
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: probe a newly-ingested batch (doc_id %
+    {BATCH_MOD} == 0) against the EXISTING corpus's MinHash band index
+    without re-pairing the corpus against itself — the production shape
+    for a continuously-ingesting pipeline, where the index is a
+    persisted table and only additions are processed per run.
+
+    Per batch doc: how many corpus docs share an LSH band
+    (n_corpus_matches), how many EARLIER batch docs do
+    (n_batch_matches — first-occurrence-wins within the batch), and the
+    admission verdict ``kept`` (no collision either way).
+
+    Scale shape: the batch band list is broadcast
+    (batch size ≪ corpus by definition of an ingest increment), so the
+    corpus probe is a map-side hash join over the index scan — the
+    corpus is never shuffled, and the only shuffles are the batch-sized
+    aggregations. Within-batch pairing is batch×batch, bounded by the
+    increment size. Batch docs with <3 words have no bands and are
+    admitted with zero matches (the left joins keep them).
+    """
+    bands = _minhash_bands_df(spark, sf_dir)
+    batch_bands = bands.filter(F.col("doc_id") % BATCH_MOD == 0)
+    corpus_bands = bands.filter(F.col("doc_id") % BATCH_MOD != 0)
+    corpus_hits = (
+        F.broadcast(batch_bands).alias("a")
+        .join(
+            corpus_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.countDistinct(F.col("b.doc_id")).alias("ch"))
+    )
+    batch_hits = (
+        batch_bands.alias("a")
+        .join(
+            F.broadcast(batch_bands).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.countDistinct(F.col("b.doc_id")).alias("bh"))
+    )
+    batch_docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % BATCH_MOD == 0)
+        .select("doc_id")
+    )
+    return (
+        # the hit tables are batch-sized aggregates — broadcast both so
+        # the final assembly never sort-merges
+        batch_docs.join(F.broadcast(corpus_hits), "doc_id", "left_outer")
+        .join(F.broadcast(batch_hits), "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("ch", F.lit(0)).alias("n_corpus_matches"),
+            F.coalesce("bh", F.lit(0)).alias("n_batch_matches"),
+            (F.coalesce("ch", F.lit(0)) + F.coalesce("bh", F.lit(0)) == 0).alias("kept"),
+        )
+    )
 
 
 def _cc_oracle() -> str:
