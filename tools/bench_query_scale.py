@@ -26,7 +26,7 @@ Other tables are symlinked from the base dir so fixture validation and
 any dimension reads see the real files.
 
 Usage: python tools/bench_query_scale.py [out_json]
-Writes one JSON object (default BENCH_qscale.json) with per-op best-of-2
+Writes one JSON object (default BENCH_qscale.json) with per-op best-of-3
 seconds at each scale and the fitted exponent
 log(t_16/t_1)/log(16) — 1.0 = linear; fixed per-job overhead pulls the
 number below 1 at these corpus sizes, superlinear candidate explosion
@@ -156,7 +156,7 @@ def main() -> None:
         secs = {}
         for k in SCALES:
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 n = len(qs[name](spark, dirs[k]).collect())
                 best = min(best, time.time() - t0)
