@@ -90,8 +90,9 @@ HEADLINE = [
     "q_sim_ivfpq_topk",
     "q_events_ks_drift",
     "q_pipeline_training_prep",
-    # round 5: incremental batch-vs-corpus dedup probe
+    # round 5: incremental batch-vs-corpus dedup probe, MG heavy hitters
     "q_dedup_incremental",
+    "q_text_heavy_hitters",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

@@ -81,6 +81,39 @@ def test_incremental_dedup_agrees_with_pair_query(spark):
     assert any(inc.values()) and not all(inc.values())
 
 
+def test_misra_gries_kernel_bounds():
+    """The MG partial summary must (a) never hold more than HH_K
+    counters, and (b) undercount any token by at most n/(K+1) — checked
+    against exact counts on a skewed synthetic stream, no Spark needed."""
+    import collections
+    import random
+
+    import pandas as pd
+
+    from utxo_to_parquet_spark.operators.text import HH_K, _mg_partial
+
+    rng = random.Random(11)
+    # zipf-ish: a few hot tokens + a long tail far wider than HH_K
+    stream = [f"hot{i}" for i in range(5) for _ in range(2000)]
+    stream += [f"tail{rng.randrange(5000)}" for _ in range(30000)]
+    rng.shuffle(stream)
+    batches = [
+        pd.DataFrame({"token": stream[i : i + 4096]})
+        for i in range(0, len(stream), 4096)
+    ]
+    (summary,) = list(_mg_partial(iter(batches)))
+    assert len(summary) <= HH_K
+    exact = collections.Counter(stream)
+    n = len(stream)
+    approx = dict(zip(summary["token"], summary["mg_count"]))
+    for tok, c in exact.items():
+        assert exact[tok] - approx.get(tok, 0) <= n // (HH_K + 1) + 1, tok
+    # every true heavy hitter survived
+    for tok, c in exact.items():
+        if c * (HH_K + 1) > n:
+            assert tok in approx, tok
+
+
 def test_leakage_safe_split_never_splits_a_cluster(spark):
     """Every near-dup cluster must land entirely in one split — the
     operator's whole reason to exist."""

@@ -44,6 +44,7 @@ ALLOWED_NESTED_LOOP = {
     "q_utxo_coinbase_maturity",
     "q_events_ks_drift",  # totals: 1-row (n_a, n_b) aggregate
     "q_events_psi_drift",  # totals: 1-row (na, nb) aggregate
+    "q_text_heavy_hitters",  # total token count: 1-row aggregate attach
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —

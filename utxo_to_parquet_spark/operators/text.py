@@ -1,7 +1,11 @@
 """Text analysis operators for a training-data pipeline, over ``documents``.
 
 All expressions are JVM-side built-ins (no Python UDFs) so they stay in
-whole-stage codegen; every query is oracle-checked against DuckDB.
+whole-stage codegen; every query is oracle-checked against DuckDB. The
+one deliberate exception is the Misra-Gries heavy-hitters sketch at the
+bottom — a bounded-memory per-partition summary that has no built-in
+equivalent, implemented as Arrow-batched ``mapInPandas`` (the sanctioned
+Python path, never row-at-a-time).
 """
 
 from __future__ import annotations
@@ -1287,4 +1291,99 @@ def q_text_source_cap_salted(spark, sf_dir):
         stage1.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= SOURCE_CAP)
         .select("source", "doc_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+HH_K = 200  # Misra-Gries summary capacity per partition
+
+
+def _mg_partial(batches):
+    """Misra-Gries partial summary over one partition's token batches.
+
+    Bounded memory: at most HH_K counters survive each batch (the
+    generalized reduction subtracts the (K+1)-th largest count from
+    everyone and keeps positives). Each reduction removes ≥ m*(K+1)
+    total mass, so the sum of subtracted m's — the maximum undercount
+    of any single token — is ≤ n_p/(K+1). Module-level so the theorem
+    is unit-testable without Spark (tests/test_queries.py)."""
+    import pandas as pd
+
+    counts: dict[str, int] = {}
+    for pdf in batches:
+        for tok, c in pdf["token"].value_counts().items():
+            counts[tok] = counts.get(tok, 0) + int(c)
+        if len(counts) > HH_K:
+            m = sorted(counts.values(), reverse=True)[HH_K]
+            counts = {t: c - m for t, c in counts.items() if c > m}
+    yield pd.DataFrame(
+        {
+            "token": pd.Series(list(counts), dtype="object"),
+            "mg_count": pd.Series(list(counts.values()), dtype="int64"),
+        }
+    )
+
+
+@register(
+    "q_text_heavy_hitters",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tokens),
+    exact AS (SELECT token, COUNT(*) AS exact_count FROM tokens GROUP BY token)
+    SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
+           TRUE AS within_bound
+    FROM exact, tot
+    WHERE exact_count * {HH_K + 1} > n
+    """,
+)
+def q_text_heavy_hitters(spark, sf_dir):
+    """Approximate heavy hitters via a distributed Misra-Gries sketch:
+    every token with frequency above N/(K+1) (K = {HH_K}), found without
+    a full-vocabulary aggregation.
+
+    This is the custom-sketch shape Spark lacks as a built-in: a
+    BOUNDED-MEMORY streaming summary per partition (``mapInPandas``
+    holds at most ~K counters however many tokens stream through),
+    merged by an ordinary groupBy-sum over the ≤ K×partitions summary
+    rows. Misra-Gries guarantees (a) per-partition undercount ≤
+    n_p/(K+1), so globally exact − approx ≤ N/(K+1), and (b) every
+    token with exact count > N/(K+1) survives in some summary. The
+    query exposes both theorems as checkable contract columns: a heavy
+    token missing from the candidate set would drop an output row (hash
+    fail), and ``within_bound`` flips to false if the merged estimate
+    ever undercounts by more than N/(K+1). Exact counts are computed
+    for the CANDIDATE tokens only (a broadcast semi-join), never for
+    the full vocabulary — at 100 TB the full-vocab groupBy this
+    replaces is the shuffle you cannot afford, while candidates are
+    bounded by K × n_partitions regardless of corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    summaries = tokens.mapInPandas(_mg_partial, "token string, mg_count long")
+    approx = summaries.groupBy("token").agg(F.sum("mg_count").alias("approx_count"))
+
+    # exact counts for candidates only: broadcast the bounded candidate
+    # set into a semi-join on the token stream, then aggregate
+    candidates = approx.select("token")
+    exact = (
+        tokens.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    # N as a 1-row scalar attach (allowlisted broadcast NLJ shape)
+    total = tokens.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        exact.join(F.broadcast(approx), "token", "left_outer")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("exact_count") * (HH_K + 1) > F.col("n"))
+        .select(
+            "token",
+            "exact_count",
+            (
+                (F.col("exact_count") - F.coalesce("approx_count", F.lit(0)))
+                * (HH_K + 1)
+                <= F.col("n")
+            ).alias("within_bound"),
+        )
     )
