@@ -89,3 +89,23 @@ def test_state_store_reader_exposes_checkpoint_state(tmp_path, spark):
         .groupBy("k").agg(F.sum("v").alias("total")).collect()
     }
     assert got == expected
+
+
+def test_stream_incremental_dedup_matches_batch_probe(spark):
+    """The streaming admission query's corpus-probe verdicts must equal
+    the batch q_dedup_incremental's corpus half on the same fixture —
+    the per-row HOF MinHash path and the batch explode+groupBy path must
+    produce identical band keys."""
+    from utxo_to_parquet_spark.operators import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    stream = {
+        r.doc_id: (r.n_corpus_matches, r.kept)
+        for r in qs["q_stream_incremental_dedup"](spark, sf).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_corpus_matches, r.n_corpus_matches == 0)
+        for r in qs["q_dedup_incremental"](spark, sf).collect()
+    }
+    assert stream == batch

@@ -597,3 +597,139 @@ def q_stream_available_now(spark, sf_dir):
         finally:
             q.stop()  # no-op after normal AvailableNow termination; kills a hung/errored query
     return spark.table(name)
+
+
+def _documents_stream(spark, sf_dir):
+    """readStream over the documents parquet (temp-dir symlink, same
+    mechanism as _events_stream)."""
+    import os
+    import tempfile
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream_dir = tempfile.mkdtemp(prefix="documents_stream_")
+    os.symlink(
+        f"{sf_dir}/documents.parquet", os.path.join(stream_dir, "documents.parquet")
+    )
+    return spark.readStream.schema(schema).parquet(stream_dir)
+
+
+def _incremental_oracle() -> str:
+    from ..operators.dedup import BATCH_MOD, _minhash_bands_cte
+
+    return f"""
+    WITH {_minhash_bands_cte()},
+    batch AS (SELECT doc_id FROM documents WHERE doc_id % {BATCH_MOD} = 0),
+    corpus_hits AS (
+      SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id % {BATCH_MOD} = 0 AND b.doc_id % {BATCH_MOD} <> 0
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(ch.n, 0) AS BIGINT) AS n_corpus_matches,
+           (COALESCE(ch.n, 0) = 0) AS kept
+    FROM batch d LEFT JOIN corpus_hits ch ON ch.doc_id = d.doc_id
+    """
+
+
+@register("q_stream_incremental_dedup", oracle=_incremental_oracle())
+def q_stream_incremental_dedup(spark, sf_dir):
+    """Streaming admission control: newly-arriving documents probe the
+    STATIC corpus band index as they stream in — the online form of
+    q_dedup_incremental (operators/dedup.py), sharing its oracle's
+    corpus-probe half.
+
+    The streaming half is deliberately SHUFFLE-FREE on the stream side:
+    the MinHash signature is a function of one row's text, so it is
+    computed per row with higher-order functions (transform/array_min
+    over the shingle array — one md5 per shingle feeding all seeds, the
+    same family as the batch path, bit-identical band keys) instead of
+    the batch path's explode + groupBy-min, which would be a streaming
+    aggregation needing watermark semantics. Band rows then join the
+    static index per micro-batch (stream-static inner join, no state
+    buffering) and matches land in the sink in append mode. The summary
+    (match count + admission verdict per batch doc) is a batch
+    aggregation over the materialized sink — in production, the sink is
+    the admission log and this summary is its reader."""
+    from ..operators.dedup import (
+        BAND_SIZE,
+        BATCH_MOD,
+        MINHASH_AB,
+        MINHASH_P,
+        N_SEEDS,
+        _minhash_bands_df,
+    )
+
+    sdf = (
+        _documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % BATCH_MOD == 0)
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 3)
+        .withColumn(
+            "shingles",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(words) - 3),"
+                    " i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"
+                )
+            ),
+        )
+        .withColumn(
+            "xs",
+            F.expr(
+                f"transform(shingles,"
+                f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+                f" % {MINHASH_P})"
+            ),
+        )
+    )
+    for i, (a, b) in enumerate(MINHASH_AB):
+        sdf = sdf.withColumn(
+            f"mh{i}", F.expr(f"array_min(transform(xs, x -> ({a} * x + {b}) % {MINHASH_P}))")
+        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{i}") for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_SEEDS // BAND_SIZE)
+        ]
+    )
+    stream_bands = sdf.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    corpus_index = (
+        _minhash_bands_df(spark, sf_dir)
+        .filter(F.col("doc_id") % BATCH_MOD != 0)
+        .select(
+            F.col("doc_id").alias("corpus_doc_id"), "band", "band_key"
+        )
+    )
+    matches = stream_bands.join(corpus_index, ["band", "band_key"]).select(
+        "doc_id", "corpus_doc_id"
+    )
+    table = _run_to_memory(matches, "append")
+    hits = (
+        spark.table(table)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("corpus_doc_id").alias("n"))
+    )
+    batch_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % BATCH_MOD == 0)
+        .select("doc_id")
+    )
+    return batch_docs.join(F.broadcast(hits), "doc_id", "left_outer").select(
+        "doc_id",
+        F.coalesce("n", F.lit(0)).alias("n_corpus_matches"),
+        (F.coalesce("n", F.lit(0)) == 0).alias("kept"),
+    )
