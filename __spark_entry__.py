@@ -36,7 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; queries
-    without an entry here (seeded-RNG LSH, pandas-UDF feature extraction,
-    streaming) get the driver's rows-only check."""
+    """DuckDB-equivalent SQL for EVERY registered query (185/185 since
+    round 5): semantics that aren't directly SQL-expressible — seeded-RNG
+    LSH, sketches, pandas-UDF feature extraction, streaming state — are
+    gated via deterministic-replay oracles or theorem-backed contract
+    columns rather than the weaker rows-only check."""
     return all_oracles()
