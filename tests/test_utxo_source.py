@@ -413,6 +413,26 @@ def test_multi_file_dump_directory(tmp_path, spark):
     assert df2.count() == len(all_rows)
 
 
+def test_multi_file_corrupt_shard_fails_loudly(tmp_path, spark):
+    """One corrupt shard in a directory input must raise during the
+    framing pass (not silently drop the shard or emit garbage rows) —
+    the validation contract (S13) holds file-by-file on sharded inputs."""
+    import pytest
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    write_utxo_dump(str(shard_dir / "part0.dump"), synthetic_utxo_rows(500, seed=60))
+    write_utxo_dump(str(shard_dir / "part1.dump"), synthetic_utxo_rows(500, seed=61))
+    bad = shard_dir / "part1.dump"
+    data = bytearray(bad.read_bytes())
+    data[:5] = b"BOGUS"  # clobber the magic
+    bad.write_bytes(bytes(data))
+    from utxo_to_parquet_spark.sources import read_utxo_dump_with_header
+
+    with pytest.raises(ValueError):
+        read_utxo_dump_with_header(spark, str(shard_dir), chunk_rows=300)
+
+
 def test_partitioned_global_sort_combined(tmp_path, spark):
     """partition_by_height_epoch + global_sort together: hive partitions
     with range-partitioned, script-sorted files inside each."""
