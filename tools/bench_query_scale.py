@@ -56,6 +56,7 @@ OPS = {
     "q_dedup_simhash_pairs": "documents",
     "q_dedup_incremental": "documents",
     "q_text_token_freq": "documents",
+    "q_text_heavy_hitters": "documents",
     "q_pipeline_training_prep": "documents",
     # embeddings-shaped: ANN scan/posting-list growth
     "q_sim_cosine_topk": "embeddings",
