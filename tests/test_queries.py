@@ -102,7 +102,11 @@ def test_misra_gries_kernel_bounds():
         for i in range(0, len(stream), 4096)
     ]
     (summary,) = list(_mg_partial(iter(batches)))
+    sentinel = summary[summary["token"].isnull()]
+    summary = summary[summary["token"].notnull()]
     assert len(summary) <= HH_K
+    # the sentinel row carries the partition's exact total token count
+    assert list(sentinel["mg_count"]) == [len(stream)]
     exact = collections.Counter(stream)
     n = len(stream)
     approx = dict(zip(summary["token"], summary["mg_count"]))

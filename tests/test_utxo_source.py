@@ -413,6 +413,27 @@ def test_multi_file_dump_directory(tmp_path, spark):
     assert df2.count() == len(all_rows)
 
 
+def test_interrupted_write_fails_loudly_on_read(tmp_path):
+    """A dump whose writer crashed mid-stream must be rejected by the
+    framing pass, not parse as a valid empty/truncated snapshot — the
+    streaming writer holds an impossible count (2^64-1) in the header
+    until the stream completes."""
+    import pytest
+
+    from utxo_to_parquet_spark.sources.utxo_dump import index_utxo_dump
+
+    path = str(tmp_path / "crashed.dump")
+
+    def exploding_rows():
+        yield from synthetic_utxo_rows(100, seed=1)
+        raise RuntimeError("simulated mid-write crash")
+
+    with pytest.raises(RuntimeError):
+        write_utxo_dump(path, exploding_rows())
+    with pytest.raises(ValueError):
+        index_utxo_dump(path, use_cache=False)
+
+
 def test_multi_file_corrupt_shard_fails_loudly(tmp_path, spark):
     """One corrupt shard in a directory input must raise during the
     framing pass (not silently drop the shard or emit garbage rows) —

@@ -77,9 +77,28 @@ def _salt_words(text: str, tag: str) -> str:
 
 
 def build_copies(k_max: int) -> None:
-    """Materialize per-copy parquet shards /tmp/qscale/copies/<table>_<i>."""
+    """Materialize per-copy parquet shards /tmp/qscale/copies/<table>_<i>.
+
+    The cache is stamped with the BASE fixture path: a re-run against a
+    different (or regenerated) base clears the work dir instead of
+    silently mixing stale copies into the published exponents."""
+    import shutil
+
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    stamp = os.path.join(WORK, "base.stamp")
+    base_key = f"{BASE}\n" + "\n".join(
+        f"{t}:{os.path.getmtime(os.path.join(BASE, f'{t}.parquet'))}"
+        for t in ("documents", "embeddings", "events")
+    )
+    if os.path.isdir(WORK):
+        old = open(stamp).read() if os.path.exists(stamp) else None
+        if old != base_key:
+            shutil.rmtree(WORK)
+    os.makedirs(WORK, exist_ok=True)
+    with open(stamp, "w") as f:
+        f.write(base_key)
 
     cdir = os.path.join(WORK, "copies")
     os.makedirs(cdir, exist_ok=True)
@@ -133,7 +152,7 @@ def build_scale_dir(k: int) -> str:
                 import pyarrow as pa
 
                 pq.write_table(pa.concat_tables(parts), p)
-        elif not os.path.exists(p):
+        elif not os.path.lexists(p):  # lexists: a dangling symlink still counts
             os.symlink(os.path.join(BASE, f"{t}.parquet"), p)
     return d
 

@@ -37,6 +37,51 @@ import random as _random
 _rng = _random.Random(7)
 MINHASH_AB = [(_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P)) for _ in range(N_SEEDS)]
 
+# SQL fragments shared between the batch path here and the streaming
+# per-row path (streaming/windows.py) — single source of truth for the
+# "bit-identical band keys" contract: a tweak to shingle size, hash
+# width, or the affine family changes BOTH paths or neither.
+SHINGLE_TRANSFORM_SQL = (
+    "transform(sequence(0, size(words) - 3),"
+    " i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"
+)
+
+
+def x_hash_sql(var: str) -> str:
+    """The 60-bit md5 prefix hash feeding every MinHash seed."""
+    return (
+        f"cast(conv(substring(md5({var}), 1, 15), 16, 10) as bigint)"
+        f" % {MINHASH_P}"
+    )
+
+
+def mh_sql(i: int, xs: str = "xs") -> str:
+    """Per-row form of seed i's min-hash over an x-value array column —
+    used by the streaming path, where the signature must be a function
+    of one row (no groupBy-min)."""
+    a, b = MINHASH_AB[i]
+    return f"array_min(transform({xs}, x -> ({a} * x + {b}) % {MINHASH_P}))"
+
+
+def minhash_band_structs():
+    """The banded key array over mh0..mh{N_SEEDS-1} columns — shared by
+    the batch index builder and the streaming per-row path."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{i}") for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_SEEDS // BAND_SIZE)
+        ]
+    )
+
+
 _SHINGLES_DUCK = """
   SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
            RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 1, 1)),
@@ -60,14 +105,7 @@ def _shingles_df(spark, sf_dir):
         .filter(F.size("words") >= 3)
         .select(
             "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(0, size(words) - 3),"
-                        " i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"
-                    )
-                )
-            ).alias("shingle"),
+            F.explode(F.array_distinct(F.expr(SHINGLE_TRANSFORM_SQL))).alias("shingle"),
         )
     )
 
@@ -216,31 +254,15 @@ def _minhash_bands_df(spark, sf_dir):
     shared plan fragment behind the pair join, the clustering queries,
     and the incremental batch-vs-corpus probe."""
     sh = _shingles_df(spark, sf_dir)
-    x = (
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % MINHASH_P
-    ).alias("x")
-    xs = sh.select("doc_id", x)
+    xs = sh.select("doc_id", F.expr(x_hash_sql("shingle")).alias("x"))
     sig = xs.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
             for i, (a, b) in enumerate(MINHASH_AB)
         ]
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("long").alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"mh{i}") for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(N_SEEDS // BAND_SIZE)
-        ]
-    )
     return sig.select(
-        "doc_id", F.explode(band_structs).alias("bk")
+        "doc_id", F.explode(minhash_band_structs()).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 

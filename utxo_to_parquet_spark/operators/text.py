@@ -1304,12 +1304,16 @@ def _mg_partial(batches):
     generalized reduction subtracts the (K+1)-th largest count from
     everyone and keeps positives). Each reduction removes ≥ m*(K+1)
     total mass, so the sum of subtracted m's — the maximum undercount
-    of any single token — is ≤ n_p/(K+1). Module-level so the theorem
-    is unit-testable without Spark (tests/test_queries.py)."""
+    of any single token — is ≤ n_p/(K+1). The partition's TOTAL token
+    count rides along as one sentinel row (token=NULL) so the global N
+    needs no second scan of the corpus. Module-level so the theorem is
+    unit-testable without Spark (tests/test_queries.py)."""
     import pandas as pd
 
     counts: dict[str, int] = {}
+    n_p = 0
     for pdf in batches:
+        n_p += len(pdf)
         for tok, c in pdf["token"].value_counts().items():
             counts[tok] = counts.get(tok, 0) + int(c)
         if len(counts) > HH_K:
@@ -1317,8 +1321,8 @@ def _mg_partial(batches):
             counts = {t: c - m for t, c in counts.items() if c > m}
     yield pd.DataFrame(
         {
-            "token": pd.Series(list(counts), dtype="object"),
-            "mg_count": pd.Series(list(counts.values()), dtype="int64"),
+            "token": pd.Series(list(counts) + [None], dtype="object"),
+            "mg_count": pd.Series(list(counts.values()) + [n_p], dtype="int64"),
         }
     )
 
@@ -1361,7 +1365,23 @@ def q_text_heavy_hitters(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
     summaries = tokens.mapInPandas(_mg_partial, "token string, mg_count long")
-    approx = summaries.groupBy("token").agg(F.sum("mg_count").alias("approx_count"))
+    # ONE aggregation over the summaries (null sentinel included as its
+    # own group) feeds both the candidate estimates and the global N.
+    # It is localCheckpoint-ed because its two consumers land in
+    # different AQE-planned subtrees (one inside the broadcast subquery)
+    # where exchange reuse does not apply — without it the corpus-wide
+    # sketch pass executes twice. The checkpoint is safe at any scale:
+    # merged is bounded by K × n_partitions + 1 rows regardless of
+    # corpus size. (On a cluster this would be checkpoint() or a cached
+    # table; localCheckpoint is the local-mode form.)
+    merged = (
+        summaries.groupBy("token")
+        .agg(F.sum("mg_count").alias("mg_sum"))
+        .localCheckpoint(eager=True)
+    )
+    approx = merged.filter(F.col("token").isNotNull()).select(
+        "token", F.col("mg_sum").alias("approx_count")
+    )
 
     # exact counts for candidates only: broadcast the bounded candidate
     # set into a semi-join on the token stream, then aggregate
@@ -1372,7 +1392,9 @@ def q_text_heavy_hitters(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
     # N as a 1-row scalar attach (allowlisted broadcast NLJ shape)
-    total = tokens.agg(F.count(F.lit(1)).alias("n"))
+    total = merged.filter(F.col("token").isNull()).select(
+        F.col("mg_sum").alias("n")
+    )
     return (
         exact.join(F.broadcast(approx), "token", "left_outer")
         .crossJoin(F.broadcast(total))

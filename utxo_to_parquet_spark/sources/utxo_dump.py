@@ -83,9 +83,13 @@ def write_utxo_dump(
     buffered, so driver RSS stays O(1) in the row count — the 20M-row
     depth bench previously doubled driver RSS because this function
     materialized ``list(rows)`` just to know the header's coin count.
-    Instead the header is written with a zero count and the fixed-width
-    8-byte LE count field (last 8 bytes of the header) is patched once
-    the stream is exhausted.
+    The header is first written with an IMPOSSIBLE count (2^64-1) and
+    the fixed-width 8-byte LE count field (last 8 bytes of the header)
+    is patched once the stream is exhausted — so a crash or generator
+    error mid-write leaves a file that readers reject loudly (framing
+    hits EOF long before 2^64-1 rows), never one that silently parses
+    as a valid empty or truncated snapshot (the S13 fail-loudly
+    contract).
     """
 
     def _write_group(f, txid: bytes, coins: list) -> None:
@@ -99,7 +103,9 @@ def write_utxo_dump(
 
     n = 0
     with open(path, "wb") as f:
-        header = build_header(0, version=version, network=network, block_hash=block_hash)
+        header = build_header(
+            2**64 - 1, version=version, network=network, block_hash=block_hash
+        )
         f.write(header)
         cur_txid: bytes | None = None
         coins: list[tuple[int, int, bool, int, bytes]] = []

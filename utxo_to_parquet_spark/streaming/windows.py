@@ -599,18 +599,25 @@ def q_stream_available_now(spark, sf_dir):
     return spark.table(name)
 
 
+_DOC_STREAM_DIRS: dict[str, str] = {}
+
+
 def _documents_stream(spark, sf_dir):
     """readStream over the documents parquet (temp-dir symlink, same
-    mechanism as _events_stream)."""
+    mechanism as _events_stream). The symlink dir is memoized per
+    fixture path so repeated invocations (the 185-query gate runs this
+    many times per session) reuse one dir instead of leaking a mkdtemp
+    per call."""
     import os
     import tempfile
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream_dir = tempfile.mkdtemp(prefix="documents_stream_")
-    os.symlink(
-        f"{sf_dir}/documents.parquet", os.path.join(stream_dir, "documents.parquet")
-    )
-    return spark.readStream.schema(schema).parquet(stream_dir)
+    src = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(src).schema
+    if src not in _DOC_STREAM_DIRS:
+        stream_dir = tempfile.mkdtemp(prefix="documents_stream_")
+        os.symlink(src, os.path.join(stream_dir, "documents.parquet"))
+        _DOC_STREAM_DIRS[src] = stream_dir
+    return spark.readStream.schema(schema).parquet(_DOC_STREAM_DIRS[src])
 
 
 def _incremental_oracle() -> str:
@@ -653,12 +660,13 @@ def q_stream_incremental_dedup(spark, sf_dir):
     aggregation over the materialized sink — in production, the sink is
     the admission log and this summary is its reader."""
     from ..operators.dedup import (
-        BAND_SIZE,
         BATCH_MOD,
         MINHASH_AB,
-        MINHASH_P,
-        N_SEEDS,
+        SHINGLE_TRANSFORM_SQL,
         _minhash_bands_df,
+        mh_sql,
+        minhash_band_structs,
+        x_hash_sql,
     )
 
     sdf = (
@@ -666,44 +674,13 @@ def q_stream_incremental_dedup(spark, sf_dir):
         .filter(F.col("doc_id") % BATCH_MOD == 0)
         .select("doc_id", F.split("text", " ").alias("words"))
         .filter(F.size("words") >= 3)
-        .withColumn(
-            "shingles",
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(0, size(words) - 3),"
-                    " i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"
-                )
-            ),
-        )
-        .withColumn(
-            "xs",
-            F.expr(
-                f"transform(shingles,"
-                f" s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
-                f" % {MINHASH_P})"
-            ),
-        )
+        .withColumn("shingles", F.array_distinct(F.expr(SHINGLE_TRANSFORM_SQL)))
+        .withColumn("xs", F.expr(f"transform(shingles, s -> {x_hash_sql('s')})"))
     )
-    for i, (a, b) in enumerate(MINHASH_AB):
-        sdf = sdf.withColumn(
-            f"mh{i}", F.expr(f"array_min(transform(xs, x -> ({a} * x + {b}) % {MINHASH_P}))")
-        )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("long").alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"mh{i}") for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(N_SEEDS // BAND_SIZE)
-        ]
-    )
+    for i in range(len(MINHASH_AB)):
+        sdf = sdf.withColumn(f"mh{i}", F.expr(mh_sql(i)))
     stream_bands = sdf.select(
-        "doc_id", F.explode(band_structs).alias("bk")
+        "doc_id", F.explode(minhash_band_structs()).alias("bk")
     ).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
