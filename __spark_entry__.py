@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for EVERY registered query (185/185 since
+    """DuckDB-equivalent SQL for EVERY registered query (186/186 since
     round 5): semantics that aren't directly SQL-expressible — seeded-RNG
     LSH, sketches, pandas-UDF feature extraction, streaming state — are
     gated via deterministic-replay oracles or theorem-backed contract

@@ -90,9 +90,11 @@ HEADLINE = [
     "q_sim_ivfpq_topk",
     "q_events_ks_drift",
     "q_pipeline_training_prep",
-    # round 5: incremental batch-vs-corpus dedup probe, MG heavy hitters
+    # round 5: incremental batch-vs-corpus dedup probe, MG heavy hitters,
+    # asymmetric containment
     "q_dedup_incremental",
     "q_text_heavy_hitters",
+    "q_dedup_containment",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

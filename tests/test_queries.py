@@ -81,7 +81,41 @@ def test_incremental_dedup_agrees_with_pair_query(spark):
     assert any(inc.values()) and not all(inc.values())
 
 
-def test_misra_gries_kernel_bounds():
+def test_containment_catches_doc_in_doc_that_jaccard_misses(tmp_path, spark):
+    """A short document fully embedded in a long one must score
+    containment 1.0 while its Jaccard stays low — the asymmetric case
+    q_dedup_containment exists for."""
+    words = [f"w{i}" for i in range(60)]
+    long_doc = " ".join(words)
+    short_doc = " ".join(words[20:30])  # contiguous slice: every trigram shared
+    rows = [
+        (1, long_doc, "en", "web", len(long_doc)),
+        (2, short_doc, "en", "web", len(short_doc)),
+        (3, " ".join(f"z{i}" for i in range(30)), "en", "web", 100),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # single parquet FILE (not Spark's directory layout) with the
+    # fixture schema, so the footer guard validates it like the driver's
+    base = pq.read_schema(f"{SF_DIR}/documents.parquet")
+    table = pa.Table.from_pylist(
+        [
+            dict(zip(["doc_id", "text", "lang", "source", "n_chars"], r))
+            for r in rows
+        ],
+        schema=base,
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    out = {
+        (r.doc_a, r.doc_b): (r.containment, r.jaccard)
+        for r in QUERIES["q_dedup_containment"](spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in out
+    cont, jac = out[(1, 2)]
+    assert cont == 1.0  # all 8 of the short doc's trigrams appear in the long doc
+    assert jac < 0.2  # symmetric similarity stays low: 8 / 58 shared
+    assert all(3 not in pair for pair in out)  # unrelated doc pairs with nothing
     """The MG partial summary must (a) never hold more than HH_K
     counters, and (b) undercount any token by at most n/(K+1) — checked
     against exact counts on a skewed synthetic stream, no Spark needed."""

@@ -199,6 +199,83 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+CONTAINMENT_MIN = 0.5  # the smaller doc must be half-contained in the larger
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_DUCK}),
+    filtered AS (
+      SELECT doc_id, shingle FROM shingles
+      WHERE shingle IN (SELECT shingle FROM shingles GROUP BY shingle
+                        HAVING COUNT(DISTINCT doc_id) <= {DF_CAP})
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM filtered GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM filtered a JOIN filtered b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(common AS BIGINT) AS common,
+           ROUND(CAST(common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 4)
+             AS containment,
+           ROUND(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 4)
+             AS jaccard
+    FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= {CONTAINMENT_MIN}
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric near-dup detection via shingle CONTAINMENT —
+    |A∩B| / min(|A|, |B|): a short document quoted or embedded inside a
+    long one scores near 1.0 here while its symmetric Jaccard
+    (|A∩B| / |A∪B|) stays near |A|/|B| and slips under any Jaccard
+    threshold. This is the standard second pass next to Jaccard dedup in
+    training-data pipelines (boilerplate inclusion, quote extraction,
+    doc-in-doc duplication). Same scale shape as q_dedup_ngram_jaccard:
+    inverted shingle index with the document-frequency skew cap, pair
+    counts from an equi-join, per-doc sizes broadcast back — the
+    containment denominator is just the SMALLER set size instead of the
+    union."""
+    sh = _shingles_df(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("shingle")
+    )
+    filtered = sh.join(df_ok, "shingle")
+    sizes = filtered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("common").cast("double") / F.least("n_a", "n_b")
+    jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(cont >= CONTAINMENT_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            F.round(cont, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
 def _minhash_bands_cte() -> str:
     """The shared WITH-clause prefix reproducing the LSH band index
     (``bands``: doc_id, band, band_key) in DuckDB — composed by the pair
