@@ -116,6 +116,60 @@ def test_containment_catches_doc_in_doc_that_jaccard_misses(tmp_path, spark):
     assert cont == 1.0  # all 8 of the short doc's trigrams appear in the long doc
     assert jac < 0.2  # symmetric similarity stays low: 8 / 58 shared
     assert all(3 not in pair for pair in out)  # unrelated doc pairs with nothing
+
+
+def test_levenshtein_blocking_bounds_hot_block(tmp_path, spark):
+    """On a worst-case fixture — one language, every document in the
+    same length bucket — the refined blocking key (lang x 25-char bucket
+    x first token) must still split the corpus into bounded blocks, and
+    near-duplicates sharing a first token must still be found. Under the
+    old (lang, 50-char-bucket) key this fixture is ONE block of 60 docs
+    (1770 candidate pairs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    # 12 first tokens x 5 docs each; identical length so every doc lands
+    # in the same length bucket. Within a token group, doc j differs from
+    # doc 0 by j single-char tweaks in the tail -> edit distance <= 10.
+    rows = []
+    doc_id = 0
+    for t in range(12):
+        for j in range(5):
+            tail = "".join("ab"[(j >> i) & 1] for i in range(4))
+            text = f"tok{t:02d} " + "x" * 30 + tail + " " + "pad " * 10
+            rows.append((doc_id, text, "en", "web", len(text)))
+            doc_id += 1
+    base = pq.read_schema(f"{SF_DIR}/documents.parquet")
+    table = pa.Table.from_pylist(
+        [dict(zip(["doc_id", "text", "lang", "source", "n_chars"], r)) for r in rows],
+        schema=base,
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    blocks = (
+        docs.groupBy(
+            "lang",
+            (F.col("n_chars") / 25).cast("long"),
+            F.split("text", " ").getItem(0),
+        )
+        .count()
+        .agg(F.max("count").alias("mx"), F.count(F.lit(1)).alias("n_blocks"))
+        .first()
+    )
+    assert blocks.mx <= 5  # refined key bounds the hot block
+    assert blocks.n_blocks == 12  # one block per first token
+
+    pairs = QUERIES["q_text_fuzzy_levenshtein"](spark, str(tmp_path)).collect()
+    # every within-token pair survives (edit distance <= 8 < threshold)
+    assert len(pairs) == 12 * 10
+    assert all(r.doc_a // 5 == r.doc_b // 5 for r in pairs)
+    assert all(r.edit_dist <= 10 for r in pairs)
+
+
+def test_mg_partial_bounded_and_within_undercount():
     """The MG partial summary must (a) never hold more than HH_K
     counters, and (b) undercount any token by at most n/(K+1) — checked
     against exact counts on a skewed synthetic stream, no Spark needed."""

@@ -58,6 +58,12 @@ OPS = {
     "q_text_token_freq": "documents",
     "q_text_heavy_hitters": "documents",
     "q_pipeline_training_prep": "documents",
+    # quadratic-risk: pair/frontier growth could go superlinear if the
+    # blocking/delta structure failed — the probe proves it doesn't
+    "q_dedup_containment": "documents",
+    "q_dedup_connected_components": "documents",
+    "q_text_fuzzy_levenshtein": "documents",
+    "q_graph_bfs": "graph",
     # embeddings-shaped: ANN scan/posting-list growth
     "q_sim_cosine_topk": "embeddings",
     "q_sim_ivf_topk": "embeddings",
@@ -65,6 +71,12 @@ OPS = {
     "q_events_sessionize": "events",
     "q_events_interval_overlap_join": "events",
 }
+
+# tables replicated with shifted keys (k disjoint subgraphs) so the BFS
+# frontier / edge list grows linearly in k while diameter stays fixed —
+# the weak-scaling direction a sharded trade graph really has
+GRAPH_TABLES = ("customer", "orders", "lineitem")
+SCALED_TABLES = ("documents", "embeddings", "events") + GRAPH_TABLES
 
 ALL_TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -90,7 +102,7 @@ def build_copies(k_max: int) -> None:
     stamp = os.path.join(WORK, "base.stamp")
     base_key = f"{BASE}\n" + "\n".join(
         f"{t}:{os.path.getmtime(os.path.join(BASE, f'{t}.parquet'))}"
-        for t in ("documents", "embeddings", "events")
+        for t in SCALED_TABLES
     )
     if os.path.isdir(WORK):
         old = open(stamp).read() if os.path.exists(stamp) else None
@@ -102,7 +114,7 @@ def build_copies(k_max: int) -> None:
 
     cdir = os.path.join(WORK, "copies")
     os.makedirs(cdir, exist_ok=True)
-    for table in ("documents", "embeddings", "events"):
+    for table in SCALED_TABLES:
         src = pq.read_table(os.path.join(BASE, f"{table}.parquet"))
         schema = src.schema
         df0 = src.to_pandas()
@@ -121,6 +133,16 @@ def build_copies(k_max: int) -> None:
                 df["n_chars"] = df["text"].str.len()
             elif table == "embeddings":
                 df["vec_id"] = df["vec_id"] + i * ID_OFFSET
+            elif table == "customer":
+                # nationkey unchanged: BFS sources (c_nationkey = 0)
+                # grow linearly with the copies
+                df["c_custkey"] = df["c_custkey"] + i * ID_OFFSET
+            elif table == "orders":
+                df["o_orderkey"] = df["o_orderkey"] + i * ID_OFFSET
+                df["o_custkey"] = df["o_custkey"] + i * ID_OFFSET
+            elif table == "lineitem":
+                df["l_orderkey"] = df["l_orderkey"] + i * ID_OFFSET
+                df["l_suppkey"] = df["l_suppkey"] + i * ID_OFFSET
             else:  # events
                 df["event_id"] = df["event_id"] + i * ID_OFFSET
                 import pandas as pd
@@ -143,7 +165,7 @@ def build_scale_dir(k: int) -> str:
     os.makedirs(d, exist_ok=True)
     for t in ALL_TABLES:
         p = os.path.join(d, f"{t}.parquet")
-        if t in ("documents", "embeddings", "events"):
+        if t in SCALED_TABLES:
             if not os.path.exists(p):
                 parts = [
                     pq.read_table(os.path.join(WORK, "copies", f"{t}_{i}.parquet"))

@@ -182,31 +182,45 @@ def _bfs_oracle() -> str:
 def q_graph_bfs(spark, sf_dir):
     """Multi-source BFS: minimum hop distance from every nation-0
     customer to each reachable node of the trade graph, {BFS_HOPS} hops.
-    Each expansion is one join (frontier onto edge source) + one
-    min-aggregation — the same scalable recurrence as PageRank but over
-    a monotone (min, +1) semiring instead of (sum, ×). The running
-    distance table stays a (node, dist) DataFrame partitioned by node;
-    localCheckpoint flattens lineage so pass N doesn't replan passes
-    1..N-1. Real BFS at scale adds frontier-only expansion (join just
-    the rows that improved last pass); at {BFS_HOPS} hops the dense form
-    is simpler and shuffles the same order of bytes."""
+
+    Frontier-delta (level-synchronous) form: each pass joins the edge
+    list against ONLY the nodes discovered in the previous pass, then
+    anti-joins the expansion against the settled distance table to find
+    genuinely new nodes. With unit edge weights every candidate at pass
+    k has distance exactly k, and anything already settled was reached
+    at < k — so no min-aggregation over the full table is ever needed,
+    and the per-pass shuffle is O(frontier expansion), not O(reachable
+    set). This is the shape that survives 100x: on a high-diameter
+    graph the dense form re-shuffles the entire reachable set every
+    hop (the round-5 bottleneck, 2.8 s), while the delta form's work
+    tracks the BFS wavefront. An empty frontier short-circuits the
+    remaining passes (the oracle's extra CTE levels are no-ops then
+    too, so results stay byte-identical)."""
     edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     cust = load(spark, sf_dir, "customer")
-    dist = (
+    frontier = (
         cust.filter(F.col("c_nationkey") == 0)
         .select(F.col("c_custkey").cast("long").alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=False)
     )
-    for _ in range(BFS_HOPS):
-        expanded = (
-            edges.join(dist, edges.src == dist.node)
-            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+    dist = frontier
+    for k in range(1, BFS_HOPS + 1):
+        reached = (
+            edges.join(frontier.select("node"), edges.src == F.col("node"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
         )
-        dist = (
-            dist.unionByName(expanded)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+        # distinct() hash-partitions `reached` on node; the anti-join
+        # reuses that exchange, so the only full-table shuffle per pass
+        # is the settled side of the anti-join
+        frontier = (
+            reached.join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(k).cast("long"))
             .localCheckpoint(eager=False)
         )
+        if frontier.isEmpty():
+            break
+        dist = dist.unionByName(frontier)
     return dist.select(_render_node("node").alias("node"), "dist")

@@ -757,39 +757,48 @@ def q_pipeline_clean_corpus(spark, sf_dir):
     "q_text_fuzzy_levenshtein",
     oracle="""
     WITH d AS (
-      SELECT doc_id, lang, n_chars // 50 AS blk, substr(text, 1, 40) AS pfx
+      SELECT doc_id, lang, n_chars // 25 AS blk,
+             string_split(text, ' ')[1] AS tok0,
+             substr(text, 1, 40) AS pfx
       FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist,
            ROUND(1.0 - levenshtein(a.pfx, b.pfx) / 40.0, 4) AS prefix_sim
     FROM d a JOIN d b
-      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+      ON a.lang = b.lang AND a.blk = b.blk AND a.tok0 = b.tok0
+         AND a.doc_id < b.doc_id
     WHERE levenshtein(a.pfx, b.pfx) <= 10
     """,
 )
 def q_text_fuzzy_levenshtein(spark, sf_dir):
     """Blocked fuzzy matching by edit distance: candidate pairs come from
-    a cheap blocking key (language × length bucket), then the quadratic
-    levenshtein runs only within blocks — the classic record-linkage
-    shape that turns an O(n²) corpus comparison into
+    a cheap blocking key (language × fine length bucket × first token),
+    then the quadratic levenshtein runs only within blocks — the classic
+    record-linkage shape that turns an O(n²) corpus comparison into
     sum-over-blocks O(b²). The distance runs on a fixed 40-char prefix
     so per-pair cost is bounded no matter how long documents get.
     At scale the block key is the shuffle key; a hot block (one giant
-    language) is the skew risk — refine the key (finer length buckets,
-    add a first-token hash) rather than salting, since blocking keys are
-    semantic. levenshtein() is JVM-side (no Python in the pair loop),
-    and the Spark side passes the threshold so the banded O(k·n)
-    algorithm early-abandons hopeless pairs instead of filling the full
-    O(n²) DP table — the threshold must be well under the string length
-    for the band to prune (k=10 on 40 chars ≈ 2× fewer cells, with most
-    pairs abandoned after a few rows)."""
+    language) is the skew risk, so the key is refined — 25-char length
+    buckets plus the document's first token — rather than salted,
+    because blocking keys are semantic: first-token equality is a real
+    similarity signal for near-duplicate prose (an edit-distance-10
+    prefix match that disagrees on the leading word is already spending
+    most of its budget), whereas a salt would split true pairs at
+    random. test_levenshtein_blocking_bounds_hot_block pins the skew
+    bound on a single-language fixture. levenshtein() is JVM-side (no
+    Python in the pair loop), and the Spark side passes the threshold so
+    the banded O(k·n) algorithm early-abandons hopeless pairs instead of
+    filling the full O(n²) DP table — the threshold must be well under
+    the string length for the band to prune (k=10 on 40 chars ≈ 2× fewer
+    cells, with most pairs abandoned after a few rows)."""
     d = (
         load(spark, sf_dir, "documents")
         .select(
             "doc_id",
             "lang",
-            (F.col("n_chars") / 50).cast("long").alias("blk"),
+            (F.col("n_chars") / 25).cast("long").alias("blk"),
+            F.split("text", " ").getItem(0).alias("tok0"),
             F.substring("text", 1, 40).alias("pfx"),
         )
     )
@@ -800,6 +809,7 @@ def q_text_fuzzy_levenshtein(spark, sf_dir):
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.tok0") == F.col("b.tok0"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(dist >= 0)

@@ -605,7 +605,7 @@ _DOC_STREAM_DIRS: dict[str, str] = {}
 def _documents_stream(spark, sf_dir):
     """readStream over the documents parquet (temp-dir symlink, same
     mechanism as _events_stream). The symlink dir is memoized per
-    fixture path so repeated invocations (the 185-query gate runs this
+    fixture path so repeated invocations (the full-registry gate runs this
     many times per session) reuse one dir instead of leaking a mkdtemp
     per call."""
     import os
