@@ -272,3 +272,97 @@ class TestAddress:
         # 32-byte program (P2WSH) encodes too; other shapes do not
         assert witness_script_to_address(bytes([0x00, 0x20]) + b"\x01" * 32)
         assert witness_script_to_address(b"\x51\x14" + b"\x01" * 20) is None
+
+
+# ---------------------------------------------------------------- image
+
+
+def test_ppm_roundtrip_random():
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (6, 5), (7, 8), (16, 3)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        dw, dh, out = decode_ppm(encode_ppm(arr))
+        assert (dw, dh) == (w, h)
+        assert (out == arr).all()
+
+
+def test_ppm_header_comments_and_whitespace():
+    """The P6 header grammar allows comments between any two tokens and
+    arbitrary whitespace runs; the raster must start exactly one byte
+    after the maxval."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_ppm
+
+    raster = bytes(range(2 * 1 * 3))
+    payload = b"P6 # comment\n  2 # width done\n\t1\n# before maxval\n255 " + raster
+    w, h, px = decode_ppm(payload)
+    assert (w, h) == (2, 1)
+    assert px.tobytes() == raster
+    # whitespace-valued raster bytes right after the maxval terminator
+    # must NOT be consumed as header whitespace
+    raster2 = b"\n\n\n\n\n\n"
+    w, h, px = decode_ppm(b"P6\n2 1\n255\n" + raster2)
+    assert px.tobytes() == raster2
+
+
+def test_bmp_roundtrip_every_padding_case():
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(4)
+    for w in (5, 6, 7, 8):  # strides pad 1, 2, 3, 0 bytes
+        arr = rng.integers(0, 256, size=(6, w, 3), dtype=np.uint8)
+        payload = encode_bmp(arr)
+        assert len(payload) == 54 + ((w * 3 + 3) & ~3) * 6
+        dw, dh, out = decode_bmp(payload)
+        assert (dw, dh) == (w, 6)
+        assert (out == arr).all()
+
+
+def test_bmp_is_really_bottom_up_bgr():
+    """Pin the storage layout itself, not just the roundtrip: the first
+    raster byte of the file must be the BLUE channel of the BOTTOM-LEFT
+    pixel. A matched encoder/decoder bug pair would pass a roundtrip;
+    this asserts against the spec."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_bmp, encode_bmp
+
+    arr = np.zeros((2, 1, 3), dtype=np.uint8)
+    arr[0, 0] = (1, 2, 3)  # top pixel RGB
+    arr[1, 0] = (4, 5, 6)  # bottom pixel RGB
+    payload = encode_bmp(arr)
+    assert payload[54:57] == bytes((6, 5, 4))  # bottom row first, BGR
+    # top-down variant (negative height) decodes too
+    import struct
+
+    neg = bytearray(payload)
+    struct.pack_into("<i", neg, 14 + 8, -2)
+    flipped = bytes(neg)
+    _, _, out = decode_bmp(flipped)
+    assert (out == arr[::-1]).all()
+
+
+def test_image_decode_errors_are_loud():
+    import numpy as np
+    import pytest
+
+    from utxo_to_parquet_spark.kernels.image import (
+        decode_image,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    with pytest.raises(ValueError, match="unknown image magic"):
+        decode_image(b"GIF89a...")
+    full = encode_ppm(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        decode_ppm(full[:-1])
+    with pytest.raises(ValueError, match="maxval 255"):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\0" * 6)

@@ -1,0 +1,126 @@
+"""Streaming weak-scaling probe: throughput and checkpoint state size
+for the streaming ops at 1x / 4x / 16x input replay.
+
+The batch registry has BENCH_qscale.json; the streaming family had no
+scale artifact (round-5 verdict gap #4). This reuses the qscale scaled
+corpora (word-salted documents, time-shifted events — see
+bench_query_scale's module docstring for why those growth directions
+are the honest ones) and, per (op, scale):
+
+- wall seconds for the registered callable, which drives the stream to
+  completion over the static input (best-of-2: the scaling curve, not
+  the absolute latency, is the artifact);
+- input rows/s over the streamed side;
+- on-disk checkpoint size after the run — the state the op would carry
+  in production. q_stream_incremental_dedup is designed stream-side
+  shuffle-free (stream-static join, no state buffering), so its
+  checkpoint must stay near-constant while input grows 16x; the
+  watermarked sliding window's state tracks open windows (time span),
+  not row count. Superlinear state growth here would falsify the
+  module's scaling claims.
+
+Usage: python tools/bench_stream_scale.py [out_json]
+Writes one JSON line (default BENCH_stream_scale.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "BENCH_stream_scale.json"
+
+OPS = {
+    # op -> (streamed table, streamed-row filter factor description)
+    "q_stream_incremental_dedup": "documents",
+    "q_stream_watermark_late_data": "events",
+    "q_stream_tumbling_5min": "events",
+}
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            try:
+                total += os.path.getsize(os.path.join(root, n))
+            except OSError:
+                pass
+    return total
+
+
+def main() -> None:
+    import pyarrow.parquet as pq
+
+    from tools.bench_query_scale import SCALES, build_copies, build_scale_dir
+    from utxo_to_parquet_spark.operators import all_queries
+    from utxo_to_parquet_spark.session import get_spark
+
+    build_copies(max(SCALES))
+    dirs = {k: build_scale_dir(k) for k in SCALES}
+
+    spark = get_spark("bench_stream_scale")
+    qs = all_queries()
+    # warm python workers / stream machinery once
+    for name in OPS:
+        qs[name](spark, dirs[1]).collect()
+
+    result: dict[str, dict] = {}
+    for name, table in OPS.items():
+        cells = {}
+        for k in SCALES:
+            in_rows = pq.ParquetFile(
+                os.path.join(dirs[k], f"{table}.parquet")
+            ).metadata.num_rows
+            best, state = float("inf"), 0
+            for _ in range(2):
+                ckpt = tempfile.mkdtemp(prefix=f"stream_ckpt_{name}_x{k}_")
+                spark.conf.set("spark.sql.streaming.checkpointLocation", ckpt)
+                try:
+                    t0 = time.time()
+                    n_out = qs[name](spark, dirs[k]).count()
+                    best = min(best, time.time() - t0)
+                    state = dir_bytes(ckpt)
+                finally:
+                    spark.conf.unset("spark.sql.streaming.checkpointLocation")
+            cells[str(k)] = {
+                "sec": round(best, 2),
+                "input_rows": in_rows,
+                "rows_per_sec": int(in_rows / best),
+                "out_rows": n_out,
+                "checkpoint_bytes": state,
+            }
+            print(f"{name} x{k}: {json.dumps(cells[str(k)])}", flush=True)
+        import math
+
+        expo = math.log(
+            max(cells["16"]["sec"], 1e-9) / max(cells["1"]["sec"], 1e-9)
+        ) / math.log(16)
+        result[name] = {
+            "streamed_table": table,
+            "cells": cells,
+            "exponent": round(expo, 2),
+            "state_growth_16x": round(
+                cells["16"]["checkpoint_bytes"]
+                / max(cells["1"]["checkpoint_bytes"], 1),
+                2,
+            ),
+        }
+
+    line = {
+        "metric": "stream_weak_scaling",
+        "scales": SCALES,
+        "ops": result,
+    }
+    with open(OUT, "w") as f:
+        f.write(json.dumps(line) + "\n")
+    print(json.dumps(line), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -70,9 +70,11 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "input is |vocabulary|, bounded and documented in text.py"
     ),
 }
-# streaming queries materialize through a memory sink; their returned
-# plan is a table scan, nothing to audit
-SKIP_PREFIX = ("q_stream_",)
+# streaming queries materialize through a memory sink, so the returned
+# DataFrame's plan is just a table scan; the EXECUTED micro-batch plan
+# is captured by streaming/windows.py:_capture_stream_plan while the
+# query object is live, and that is what gets audited here
+STREAM_PREFIX = "q_stream_"
 
 
 # operators that preserve their child's partitioning: walking through
@@ -170,14 +172,25 @@ def audit(spark, sf_dir: str, names: list[str]) -> dict[str, list[str]]:
 
     qs = all_queries()
     findings: dict[str, list[str]] = {}
+    from utxo_to_parquet_spark.streaming import windows as stream_windows
+
     for name in sorted(qs):
         if names and not any(f in name for f in names):
             continue
-        if name.startswith(SKIP_PREFIX):
-            continue
+        streaming = name.startswith(STREAM_PREFIX)
         try:
-            df = qs[name](spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            if streaming:
+                # running the callable drives the stream to completion;
+                # the executed micro-batch plan is captured en route
+                stream_windows.LAST_STREAM_PLANS.pop("latest", None)
+                qs[name](spark, sf_dir)
+                plan = stream_windows.LAST_STREAM_PLANS.get("latest")
+                if plan is None:
+                    findings[name] = ["PLAN-ERROR no micro-batch plan captured"]
+                    continue
+            else:
+                df = qs[name](spark, sf_dir)
+                plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001 - report, don't abort the sweep
             findings[name] = [f"PLAN-ERROR {type(e).__name__}: {e}"[:200]]
             continue

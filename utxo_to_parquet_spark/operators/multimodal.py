@@ -175,12 +175,105 @@ def q_mm_frame_sample(spark, sf_dir):
 
 
 def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
-    """Placeholder for a real image decode (PIL/libvips not installed).
+    """Placeholder for natively-coded formats (JPEG/PNG/video — PIL,
+    libvips, ffmpeg are not installed here).
 
-    A production deployment swaps this for the actual codec; the
-    mapInPandas plumbing above is unchanged by that swap.
+    Formats decodable in pure Python are NOT stubbed: kernels/image.py
+    implements real PPM (P6) and 24-bit BMP codecs, exercised
+    end-to-end by ``q_mm_decode_pixel_stats``. A production deployment
+    swaps this stub for the native codec; the mapInPandas plumbing is
+    unchanged by that swap.
     """
-    raise NotImplementedError("image codecs are not available in this environment")
+    raise NotImplementedError(
+        "native image codecs (JPEG/PNG) are not available in this environment;"
+        " see kernels/image.py for the pure-Python PPM/BMP formats"
+    )
+
+
+IMG_H = 6  # synthesized image height; width varies 5..8 to hit every
+# BMP row-padding case (3*5=15 -> pad 1, 18 -> 2, 21 -> 3, 24 -> 0)
+
+
+@register(
+    "q_mm_decode_pixel_stats",
+    # the oracle recomputes the DECODED pixel buffer independently: the
+    # synthesized image's pixels are the text bytes cycled to fill
+    # width x IMG_H x 3, so per-channel byte sums and the buffer sha are
+    # pure string arithmetic. Any codec bug — BMP row flip, BGR/RGB
+    # swap, padding miscount, PPM header off-by-one — changes sums or
+    # sha and breaks the hash gate.
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(5 + doc_id % 4 AS BIGINT) AS width,
+             CAST({IMG_H} AS BIGINT) AS height,
+             CASE WHEN doc_id % 2 = 1 THEN 'bmp' ELSE 'ppm' END AS fmt,
+             substr(repeat(text, CAST(CEIL(144.0 / LENGTH(text)) AS BIGINT)),
+                    1, CAST((5 + doc_id % 4) * {IMG_H} * 3 AS INT)) AS px
+      FROM documents
+    )
+    SELECT doc_id, fmt, width, height,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, width * height),
+             i -> ASCII(substr(px, CAST(i * 3 + 1 AS INT), 1)))) AS BIGINT) AS sum_r,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, width * height),
+             i -> ASCII(substr(px, CAST(i * 3 + 2 AS INT), 1)))) AS BIGINT) AS sum_g,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, width * height),
+             i -> ASCII(substr(px, CAST(i * 3 + 3 AS INT), 1)))) AS BIGINT) AS sum_b,
+           substr(sha256(px), 1, 16) AS px_sha
+    FROM img
+    """,
+)
+def q_mm_decode_pixel_stats(spark, sf_dir):
+    """REAL image decode end-to-end: each document becomes a small RGB
+    image (text bytes cycled into width x {IMG_H} pixels, width varying
+    5..8 so every BMP row-padding case occurs), encoded as binary PPM
+    (even doc_ids) or 24-bit BMP (odd doc_ids — bottom-up BGR rows with
+    padding), then DECODED by the pure-Python codecs in
+    kernels/image.py, with per-channel byte sums and a pixel-buffer
+    checksum emitted per image. Encode and decode are independent code
+    paths meeting at the format spec; the DuckDB oracle recomputes the
+    expected pixel buffer from the text alone, so a row-order, channel-
+    order, or padding bug in EITHER path breaks the hash. Runs as one
+    Arrow-batched mapInPandas pass — per-partition, no shuffle, the
+    exact plumbing a native-codec deployment would reuse."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.image import decode_image, encode_bmp, encode_ppm
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "fmt", "width", "height", "sum_r", "sum_g", "sum_b", "px_sha")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                w, h = 5 + doc_id % 4, IMG_H
+                n = w * h * 3
+                raw = (text.encode("utf-8") * -(-n // len(text)))[:n]
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                payload = encode_bmp(arr) if doc_id % 2 else encode_ppm(arr)
+                fmt, dw, dh, px = decode_image(payload)
+                assert (dw, dh) == (w, h), (doc_id, dw, dh)
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+                out["px_sha"].append(_hashlib.sha256(px.tobytes()).hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        decode_stats,
+        "doc_id long, fmt string, width long, height long,"
+        " sum_r long, sum_g long, sum_b long, px_sha string",
+    )
 
 
 RESIZE_TO = 16

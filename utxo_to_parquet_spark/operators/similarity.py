@@ -355,8 +355,12 @@ N_PROBE = 2
     ) WHERE rn <= {TOP_K}
     """,
 )
-def q_sim_ivf_topk(spark, sf_dir):
+def q_sim_ivf_topk(spark, sf_dir, n_probe: int | None = None):
     """IVF-style approximate top-k: the 100-TB alternative to brute force.
+
+    ``n_probe`` overrides the registered {N_PROBE}-probe default — the
+    standard recall/cost knob; tools/bench_ann_recall.py sweeps it and
+    records the recall@k curve vs the brute-force twin.
 
     The coarse quantizer is the per-label centroid (labels are the
     posting-list partitions); each query probes its {N_PROBE} nearest
@@ -369,6 +373,7 @@ def q_sim_ivf_topk(spark, sf_dir):
     partition-pruned exactly like an IVF index's inverted lists. No
     driver-side collect anywhere.
     """
+    n_probe = N_PROBE if n_probe is None else int(n_probe)
     emb = load(spark, sf_dir, "embeddings")
     dims = emb.select(
         "label",
@@ -388,7 +393,7 @@ def q_sim_ivf_topk(spark, sf_dir):
             "pr",
             F.row_number().over(W.partitionBy("q_id").orderBy("dist", "c_label")),
         )
-        .filter(F.col("pr") <= N_PROBE)
+        .filter(F.col("pr") <= n_probe)
         .select("q_id", F.col("c_label").alias("label"))
     )
     # probes (≤ Q_CAP × N_PROBE rows) and the query vectors (≤ Q_CAP) are
@@ -862,7 +867,7 @@ IVFPQ_RERANK = 4 * TOP_K  # ADC shortlist size per query
     ) WHERE rn <= {TOP_K}
     """,
 )
-def q_sim_ivfpq_topk(spark, sf_dir):
+def q_sim_ivfpq_topk(spark, sf_dir, n_probe: int | None = None):
     """IVF-PQ with exact re-rank — the composition production ANN
     systems actually run at 100 TB (FAISS's IndexIVFPQ shape): the IVF
     coarse quantizer (per-label centroids, {N_PROBE} probes) prunes the
@@ -885,7 +890,11 @@ def q_sim_ivfpq_topk(spark, sf_dir):
     equi-join shape on label, like IVF); the re-rank touches only
     |queries| x {IVFPQ_RERANK} rows. Nothing scales with corpus size
     except the embarrassingly-parallel encode+score pass.
+
+    ``n_probe`` overrides the registered {N_PROBE}-probe default (the
+    recall/cost knob swept by tools/bench_ann_recall.py).
     """
+    n_probe = N_PROBE if n_probe is None else int(n_probe)
     emb = load(spark, sf_dir, "embeddings")
     # --- IVF probe selection (same construction as q_sim_ivf_topk) ---
     dims = emb.select(
@@ -910,7 +919,7 @@ def q_sim_ivfpq_topk(spark, sf_dir):
             "pr",
             F.row_number().over(W.partitionBy("q_id").orderBy("dist", "c_label")),
         )
-        .filter(F.col("pr") <= N_PROBE)
+        .filter(F.col("pr") <= n_probe)
         .select("q_id", F.col("c_label").alias("label"))
     )
     # constant-size driver pulls: probes (<= Q_CAP*N_PROBE), queries

@@ -63,6 +63,22 @@ class _stream_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
+# executed physical plan of the most recently completed micro-batch,
+# keyed "latest" — read by tools/plan_audit.py, which runs one streaming
+# query at a time and then audits this instead of the memory-sink scan
+# the registered callable returns. Batch queries expose executedPlan()
+# directly; a streaming plan only exists per-trigger, so it must be
+# captured here while the query object is live.
+LAST_STREAM_PLANS: dict[str, str] = {}
+
+
+def _capture_stream_plan(q) -> None:
+    try:
+        LAST_STREAM_PLANS["latest"] = q._jsq.explainInternal(False)
+    except Exception:  # noqa: BLE001 - diagnostics must never fail the query
+        pass
+
+
 def _run_to_memory(agg_df, output_mode: str):
     """Drive a streaming aggregation to completion against the static
     input; returns the materialized result table."""
@@ -76,6 +92,7 @@ def _run_to_memory(agg_df, output_mode: str):
         )
         try:
             q.processAllAvailable()
+            _capture_stream_plan(q)
         finally:
             q.stop()
     return name
@@ -406,6 +423,7 @@ def q_stream_foreachbatch_sink(spark, sf_dir):
         q = agg.writeStream.outputMode("complete").foreachBatch(write_batch).start()
         try:
             q.processAllAvailable()
+            _capture_stream_plan(q)
         finally:
             q.stop()
     return spark.read.parquet(out_dir)
@@ -594,6 +612,7 @@ def q_stream_available_now(spark, sf_dir):
         )
         try:
             q.awaitTermination(120)
+            _capture_stream_plan(q)
         finally:
             q.stop()  # no-op after normal AvailableNow termination; kills a hung/errored query
     return spark.table(name)
