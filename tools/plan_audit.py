@@ -69,6 +69,12 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "running-coverage window runs over the per-token aggregate — "
         "input is |vocabulary|, bounded and documented in text.py"
     ),
+    "q_pipeline_sequence_pack": (
+        "two-pass global prefix sum (gini construction): the offset "
+        "window runs over the per-partition token-totals relation — "
+        "input is |partitions| (32 rows); per-doc cumsum is in the "
+        "pid-PARTITIONED window"
+    ),
 }
 # streaming queries materialize through a memory sink, so the returned
 # DataFrame's plan is just a table scan; the EXECUTED micro-batch plan

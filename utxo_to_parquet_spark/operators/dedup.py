@@ -1240,3 +1240,63 @@ def q_dedup_repeated_spans(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+EVAL_MOD = 7  # doc_id % EVAL_MOD == 1 models the held-out benchmark set
+DECON_MIN_SHARED = 4  # shared distinct shingles that flag contamination
+
+
+@register(
+    "q_dedup_decontaminate",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_DUCK}),
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM shingles WHERE doc_id % {EVAL_MOD} = 1
+    ),
+    train AS (SELECT * FROM shingles WHERE doc_id % {EVAL_MOD} <> 1)
+    SELECT t.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(COUNT(e.shingle) AS BIGINT) AS n_shared,
+           ROUND(COUNT(e.shingle) * 1.0 / COUNT(*), 4) AS shared_ratio,
+           (COUNT(e.shingle) >= {DECON_MIN_SHARED}) AS contaminated
+    FROM train t LEFT JOIN eval_sh e ON t.shingle = e.shingle
+    GROUP BY t.doc_id
+    """,
+)
+def q_dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents whose n-gram
+    content overlaps the held-out evaluation set (doc_id % {EVAL_MOD}
+    == 1 models the benchmark docs) — the pretraining hygiene pass that
+    keeps eval answers out of the training corpus.
+
+    The scalable shape is deliberately NOT a doc-pair join: the eval
+    side is collapsed to its distinct-shingle SET first, so the overlap
+    count is a left join of training shingles against a deduplicated
+    key relation — each training shingle matches at most one eval row,
+    output is bounded by the training shingle count, and no stop-
+    shingle can explode the join the way a doc x doc candidate join
+    would. Per-doc totals then come from ONE aggregation (COUNT(*) vs
+    COUNT(match)). At 100 TB both sides shuffle on the shingle hash;
+    the eval set is usually small enough that a real deployment could
+    broadcast it, but the equi-join form here needs no such assumption.
+    Reuses the exact trigram shingle pipeline of the dedup family
+    (SHINGLE_TRANSFORM_SQL), so "overlap" means the same thing in
+    dedup and decontamination."""
+    sh = _shingles_df(spark, sf_dir)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 1)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = sh.filter(F.col("doc_id") % EVAL_MOD != 1)
+    return (
+        train.join(eval_sh, "shingle", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_shared"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("shared_ratio"),
+            (F.count("hit") >= DECON_MIN_SHARED).alias("contaminated"),
+        )
+    )

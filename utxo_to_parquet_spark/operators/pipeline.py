@@ -175,3 +175,78 @@ def q_pipeline_training_prep(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").alias("total_words"),
     )
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "q_pipeline_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % {PACK_BUDGET} AS BIGINT) AS pack_offset,
+           ((cum - n_tokens) // {PACK_BUDGET} <> (cum - 1) // {PACK_BUDGET})
+             AS crosses_boundary
+    FROM c
+    """,
+)
+def q_pipeline_sequence_pack(spark, sf_dir):
+    """Sequence packing: assign every document a position in the
+    concatenate-then-chunk token stream (fixed {PACK_BUDGET}-token
+    packs, deterministic doc_id order) — the step that turns a cleaned
+    corpus into fixed-length training sequences with no padding waste.
+    Each document gets its pack id, its token offset within the pack,
+    and whether it straddles a pack boundary (the fraction of split
+    documents is the packing-quality metric trainers watch).
+
+    The global running token sum is TWO-PASS, never a single-partition
+    window (same construction as q_utxo_balance_gini): range-partition
+    on doc_id, cumsum WITHIN each partition, then prefix-sum the tiny
+    per-partition totals relation into offsets and add. Every per-row
+    stage is partition-parallel; the only unpartitioned window runs
+    over the |partitions| totals. The oracle is the directly-written
+    global window — byte-identical results, different (scalable)
+    physical plan."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    # localCheckpoint pins sampled range boundaries: the cumsum branch
+    # and the totals branch must see the SAME pid assignment
+    part = (
+        docs.repartitionByRange(32, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wloc = W.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    local = part.withColumn("local_cum", F.sum("n_tokens").over(wloc))
+    woff = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .select("pid", F.coalesce(F.sum("tok").over(woff), F.lit(0)).alias("off"))
+    )
+    cum = F.col("off") + F.col("local_cum")
+    start = cum - F.col("n_tokens")
+    return local.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / PACK_BUDGET).cast("long").alias("pack_id"),
+        (start % PACK_BUDGET).cast("long").alias("pack_offset"),
+        (F.floor(start / PACK_BUDGET) != F.floor((cum - 1) / PACK_BUDGET)).alias(
+            "crosses_boundary"
+        ),
+    )

@@ -1419,3 +1419,82 @@ def q_text_heavy_hitters(spark, sf_dir):
             ).alias("within_bound"),
         )
     )
+
+
+PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+"
+PII_PHONE_RE = "555-[0-9][0-9][0-9][0-9]"
+
+
+@register(
+    "q_text_pii_redact",
+    # the fixture corpus is a digit-free word soup, so PII is PLANTED
+    # deterministically (every 3rd doc gets an email + phone derived
+    # from its doc_id) by identical expressions on both engines — the
+    # detection/redaction path is then exercised non-degenerately and
+    # value-checked, including the negative (untouched) docs. Patterns
+    # avoid regex escapes entirely ([.] not \\.) so the same literal
+    # string means the same thing to Java regex and RE2.
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(LEN(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           (LEN(regexp_extract_all(t, '{PII_EMAIL_RE}')) > 0
+            OR LEN(regexp_extract_all(t, '{PII_PHONE_RE}')) > 0) AS has_pii,
+           md5(regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def q_text_pii_redact(spark, sf_dir):
+    """PII detection + redaction — the compliance pass every training
+    corpus goes through before release. Emails and phone-shaped strings
+    are counted (regexp_extract_all) and masked (regexp_replace to
+    typed placeholders); the emitted md5 of the redacted text lets the
+    oracle verify the REDACTION, not just the counts, without hauling
+    full text through the comparator. All JVM-side regex on column
+    expressions — no Python, no shuffle, embarrassingly parallel, so
+    the pass costs one scan at any corpus size. The fixture has no
+    natural PII, so every 3rd document gets a deterministic planted
+    email/phone (same expression in the oracle) making both the
+    positive and negative paths load-bearing."""
+    docs = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    n_emails = F.size(F.expr(f"regexp_extract_all(t, '{PII_EMAIL_RE}', 0)"))
+    n_phones = F.size(F.expr(f"regexp_extract_all(t, '{PII_PHONE_RE}', 0)"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        docs.select("doc_id", aug.alias("t"))
+        .select(
+            "doc_id",
+            n_emails.cast("long").alias("n_emails"),
+            n_phones.cast("long").alias("n_phones"),
+            ((n_emails > 0) | (n_phones > 0)).alias("has_pii"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+    )
