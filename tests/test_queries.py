@@ -222,3 +222,72 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
     # and both splits are non-degenerate at ~80/20
     counts = {r.split: r.n for r in df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts["train"] > counts["test"] > 0
+
+
+def test_decontaminate_flags_eval_overlap_only(tmp_path, spark):
+    """A training doc sharing a long span with an eval doc must be
+    flagged; an unrelated training doc must come back clean — and every
+    training doc appears exactly once (the admission-verdict contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    words = [f"e{i}" for i in range(20)]
+    eval_doc = " ".join(words)  # doc_id 1: 1 % 7 == 1 -> eval set
+    leaky = " ".join(["x0", "x1"] + words[5:15] + ["x2", "x3"])  # shares 8 trigrams
+    clean = " ".join(f"z{i}" for i in range(20))
+    rows = [
+        (1, eval_doc, "en", "web", len(eval_doc)),
+        (2, leaky, "en", "web", len(leaky)),
+        (3, clean, "en", "web", len(clean)),
+    ]
+    base = pq.read_schema(f"{SF_DIR}/documents.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(
+            [dict(zip(["doc_id", "text", "lang", "source", "n_chars"], r)) for r in rows],
+            schema=base,
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {r.doc_id: r for r in QUERIES["q_dedup_decontaminate"](spark, str(tmp_path)).collect()}
+    assert set(out) == {2, 3}  # every training doc, eval doc excluded
+    assert out[2].contaminated and out[2].n_shared == 8
+    assert not out[3].contaminated and out[3].n_shared == 0
+    assert out[3].shared_ratio == 0.0
+
+
+def test_pii_redact_counts_and_masks(spark):
+    """Planted docs (doc_id % 3 == 0) must report exactly one email and
+    one phone; unplanted docs must be PII-free with redacted_md5 equal
+    to md5 of the raw text (redaction touched nothing)."""
+    from pyspark.sql import functions as F
+
+    out = QUERIES["q_text_pii_redact"](spark, SF_DIR)
+    planted = out.filter(F.col("doc_id") % 3 == 0)
+    rest = out.filter(F.col("doc_id") % 3 != 0)
+    assert planted.filter("n_emails != 1 OR n_phones != 1 OR NOT has_pii").count() == 0
+    assert rest.filter("n_emails != 0 OR n_phones != 0 OR has_pii").count() == 0
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("raw_md5")
+    )
+    untouched = rest.join(docs, "doc_id")
+    assert untouched.filter("redacted_md5 != raw_md5").count() == 0
+
+
+def test_sequence_pack_is_a_contiguous_token_stream(spark):
+    """The pack assignment must tile the corpus token stream exactly:
+    offsets stay within budget, consecutive docs chain (next start =
+    prev start + prev tokens), and crossing flags match the arithmetic."""
+    from utxo_to_parquet_spark.operators.pipeline import PACK_BUDGET
+
+    rows = sorted(
+        QUERIES["q_pipeline_sequence_pack"](spark, SF_DIR).collect(),
+        key=lambda r: r.doc_id,
+    )
+    pos = 0
+    for r in rows:
+        assert 0 <= r.pack_offset < PACK_BUDGET
+        assert r.pack_id == pos // PACK_BUDGET
+        assert r.pack_offset == pos % PACK_BUDGET
+        end = pos + r.n_tokens - 1
+        assert r.crosses_boundary == (pos // PACK_BUDGET != end // PACK_BUDGET)
+        pos += r.n_tokens

@@ -1281,7 +1281,16 @@ def q_dedup_decontaminate(spark, sf_dir):
     broadcast it, but the equi-join form here needs no such assumption.
     Reuses the exact trigram shingle pipeline of the dedup family
     (SHINGLE_TRANSFORM_SQL), so "overlap" means the same thing in
-    dedup and decontamination."""
+    dedup and decontamination.
+
+    Complements q_text_contamination_ngram (text.py), which is the
+    LEAK REPORT: 5-gram shingles against a benchmark slice defined by
+    source, broadcast eval side, emitting only the contaminated docs
+    with their overlap fractions. This op is the ADMISSION VERDICT:
+    every training doc gets a row (the clean majority included — the
+    output a filter stage consumes directly), eval membership is
+    id-based, and the join is the no-broadcast-assumption equi-join
+    shape for when the eval set itself is corpus-sized."""
     sh = _shingles_df(spark, sf_dir)
     eval_sh = (
         sh.filter(F.col("doc_id") % EVAL_MOD == 1)

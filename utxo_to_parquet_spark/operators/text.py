@@ -459,7 +459,10 @@ def q_text_redact_denylist(spark, sf_dir):
     so a term deny-list exercises the identical machinery): count and
     replace every match, emit a hash of the scrubbed text. Pure JVM
     regexp — no Python in the row path. Note DuckDB needs the 'g' flag
-    where Spark's regexp_replace is global by default."""
+    where Spark's regexp_replace is global by default.
+    q_text_pii_redact closes the no-digits gap: it plants
+    deterministic emails/phones and runs the REAL PII patterns with
+    typed placeholders and per-type counts."""
     docs = load(spark, sf_dir, "documents")
     pat = REDACT_PATTERN
     return docs.select(
@@ -1115,7 +1118,11 @@ def q_text_contamination_ngram(spark, sf_dir):
     the benchmark suite, megabytes not terabytes) — broadcast it; the
     train side then never shuffles its full shingle stream, only its
     per-doc aggregates. A seen-at-eval Bloom filter is the drop-in
-    replacement when even distinct eval shingles outgrow broadcast."""
+    replacement when even distinct eval shingles outgrow broadcast.
+    The twin op q_dedup_decontaminate (dedup.py) is the admission-
+    verdict form: one row per training doc including the clean ones,
+    trigram shingles shared with the dedup family, and the equi-join
+    shape that needs no broadcastability assumption."""
     docs = load(spark, sf_dir, "documents")
     w = F.split("text", " ")
     tok = docs.select("doc_id", "source", w.alias("w"))
@@ -1467,7 +1474,9 @@ def q_text_pii_redact(spark, sf_dir):
     the pass costs one scan at any corpus size. The fixture has no
     natural PII, so every 3rd document gets a deterministic planted
     email/phone (same expression in the oracle) making both the
-    positive and negative paths load-bearing."""
+    positive and negative paths load-bearing — the non-degenerate twin
+    of q_text_redact_denylist, whose term deny-list stands in for PII
+    on the digit-free natural corpus."""
     docs = load(spark, sf_dir, "documents")
     aug = F.concat(
         F.col("text"),
