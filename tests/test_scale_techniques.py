@@ -433,3 +433,34 @@ def test_single_partition_window_detector(spark):
     assert not single_partition_windows(
         good._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_bfs_expands_frontier_not_settled_set(spark):
+    """q_graph_bfs's per-hop job must keep the frontier-delta shape:
+    new nodes come from a LeftAnti join of the expansion against the
+    settled set, and no pass re-aggregates the full distance table (the
+    dense form's min-groupBy over dist). A regression to dense
+    expansion turns each hop's shuffle from O(wavefront) into
+    O(reachable set). The returned DataFrame's own plan is lineage-
+    truncated by the per-pass localCheckpoints, so the gate runs on the
+    step function q_graph_bfs actually loops over."""
+    from utxo_to_parquet_spark.operators.graph import (
+        _bfs_frontier_step,
+        _trade_edges,
+    )
+
+    edges = _trade_edges(spark, SF_DIR)
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    frontier = (
+        cust.filter(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").cast("long").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    step = _bfs_frontier_step(edges, frontier, frontier, 1)
+    assert step.count() > 0  # the hop discovers suppliers
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan  # the settled-set subtraction
+    # the dense form's signature: a min(dist) aggregation over the
+    # unioned distance table. The delta form needs no min at all.
+    assert "min(dist" not in plan and "partial_min" not in plan

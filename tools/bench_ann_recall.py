@@ -11,6 +11,22 @@ host-noise policy's best-of-3 matters for headline timings only).
 Recall@k here = |approx top-k IDs ∩ exact top-k IDs| / k per query,
 averaged over queries — the FAISS-convention intersection recall.
 
+Two sweeps are recorded:
+
+- "fixture": the driver corpus, whose labels carry ZERO geometry
+  (measured: mean within-label cosine == across-label == 0.0 — the
+  vectors are isotropic). Probing m of n information-free lists can
+  only find ~m/n of the true neighbors, so this curve is linear BY
+  CONSTRUCTION — it is the honest floor, and a useful diagnostic: a
+  linear recall curve in production means your coarse quantizer is
+  uncorrelated with the data and you are paying IVF's machinery for
+  nothing.
+- "clustered": a synthetic corpus of gaussian blobs with label = blob,
+  same schema, same operator. With a geometry-correlated quantizer the
+  curve bends hard — high recall at 1-2 probes — which is the regime
+  IVF is built for (on real corpora the blobs come from k-means, e.g.
+  q_sim_kmeans's centroids).
+
 Usage: python tools/bench_ann_recall.py [sf_dir] [out_json]
 Writes one JSON line (default BENCH_ann_recall.json).
 """
@@ -35,29 +51,46 @@ def topk_sets(rows) -> dict[int, set[int]]:
     return out
 
 
-def main() -> None:
-    from pyspark.sql import functions as F
+def build_clustered_fixture(n_rows: int, n_blobs: int, dim: int) -> str:
+    """Gaussian-blob embeddings with label = blob id, written in the
+    fixture schema; query ids (vec_id % QUERY_MOD == 0) fall in blobs
+    like everything else. Blob centers are well-separated (scale 4x the
+    within-blob sigma) so the coarse quantizer has real signal."""
+    import tempfile
 
-    from utxo_to_parquet_spark.operators import similarity as sim
-    from utxo_to_parquet_spark.operators.registry import load
-    from utxo_to_parquet_spark.session import get_spark
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    spark = get_spark("bench_ann_recall")
-    n_labels = (
-        load(spark, SF_DIR, "embeddings").select("label").distinct().count()
+    rng = np.random.default_rng(17)
+    centers = rng.normal(0.0, 4.0, size=(n_blobs, dim))
+    blob = rng.integers(0, n_blobs, size=n_rows)
+    vecs = centers[blob] + rng.normal(0.0, 1.0, size=(n_rows, dim))
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(n_rows), type=pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array(blob.astype(np.int32), type=pa.int32()),
+        }
     )
-    print(f"{n_labels} posting lists (labels); TOP_K={sim.TOP_K}", flush=True)
+    d = tempfile.mkdtemp(prefix="ann_clustered_")
+    pq.write_table(table, os.path.join(d, "embeddings.parquet"))
+    return d
 
-    truth = topk_sets(sim.q_sim_cosine_topk(spark, SF_DIR).collect())
+
+def sweep(spark, sim, sf_dir: str, n_labels: int) -> dict:
+    truth = topk_sets(sim.q_sim_cosine_topk(spark, sf_dir).collect())
     n_q = len(truth)
-
     curves: dict[str, list[dict]] = {"ivf": [], "ivfpq": []}
     for n_probe in range(1, n_labels + 1):
         for name, fn in (("ivf", sim.q_sim_ivf_topk), ("ivfpq", sim.q_sim_ivfpq_topk)):
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                rows = fn(spark, SF_DIR, n_probe=n_probe).collect()
+                rows = fn(spark, sf_dir, n_probe=n_probe).collect()
                 best = min(best, time.time() - t0)
             approx = topk_sets(rows)
             recall = sum(
@@ -70,14 +103,32 @@ def main() -> None:
             }
             curves[name].append(point)
             print(f"{name} n_probe={n_probe}: {json.dumps(point)}", flush=True)
+    return {"n_queries": n_q, "curves": curves}
+
+
+def main() -> None:
+    from utxo_to_parquet_spark.operators import similarity as sim
+    from utxo_to_parquet_spark.operators.registry import load
+    from utxo_to_parquet_spark.session import get_spark
+
+    spark = get_spark("bench_ann_recall")
+    n_labels = (
+        load(spark, SF_DIR, "embeddings").select("label").distinct().count()
+    )
+    print(f"fixture: {n_labels} posting lists; TOP_K={sim.TOP_K}", flush=True)
+    fixture = sweep(spark, sim, SF_DIR, n_labels)
+
+    clustered_dir = build_clustered_fixture(n_rows=2000, n_blobs=n_labels, dim=64)
+    print("clustered blobs:", clustered_dir, flush=True)
+    clustered = sweep(spark, sim, clustered_dir, n_labels)
 
     line = {
         "metric": "ann_recall_vs_nprobe",
         "sf_dir": SF_DIR,
         "top_k": sim.TOP_K,
-        "n_queries": n_q,
         "n_labels": n_labels,
-        "curves": curves,
+        "fixture": fixture,
+        "clustered_blobs": clustered,
     }
     with open(OUT, "w") as f:
         f.write(json.dumps(line) + "\n")

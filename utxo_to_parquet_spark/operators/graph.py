@@ -207,20 +207,30 @@ def q_graph_bfs(spark, sf_dir):
     )
     dist = frontier
     for k in range(1, BFS_HOPS + 1):
-        reached = (
-            edges.join(frontier.select("node"), edges.src == F.col("node"))
-            .select(F.col("dst").alias("node"))
-            .distinct()
-        )
-        # distinct() hash-partitions `reached` on node; the anti-join
-        # reuses that exchange, so the only full-table shuffle per pass
-        # is the settled side of the anti-join
-        frontier = (
-            reached.join(dist.select("node"), "node", "left_anti")
-            .withColumn("dist", F.lit(k).cast("long"))
-            .localCheckpoint(eager=False)
+        frontier = _bfs_frontier_step(edges, frontier, dist, k).localCheckpoint(
+            eager=False
         )
         if frontier.isEmpty():
             break
         dist = dist.unionByName(frontier)
     return dist.select(_render_node("node").alias("node"), "dist")
+
+
+def _bfs_frontier_step(edges, frontier, dist, k: int):
+    """One frontier expansion: nodes first reached at distance k.
+
+    Separated out so the plan-level test can gate the shape of the real
+    per-hop job (test_bfs_expands_frontier_not_settled_set): the
+    expansion joins ONLY the frontier, and new nodes come from a
+    LeftAnti against the settled set — no min-aggregation over the full
+    distance table anywhere. distinct() hash-partitions `reached` on
+    node; the anti-join reuses that exchange, so the only full-table
+    shuffle per pass is the settled side of the anti-join."""
+    reached = (
+        edges.join(frontier.select("node"), edges.src == F.col("node"))
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    return reached.join(dist.select("node"), "node", "left_anti").withColumn(
+        "dist", F.lit(k).cast("long")
+    )
