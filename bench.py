@@ -95,6 +95,12 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_text_heavy_hitters",
     "q_dedup_containment",
+    # round 6: real image decode, admission-verdict decontamination,
+    # planted-PII redaction, sequence packing
+    "q_mm_decode_pixel_stats",
+    "q_dedup_decontaminate",
+    "q_text_pii_redact",
+    "q_pipeline_sequence_pack",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

@@ -84,6 +84,13 @@ def build_clustered_fixture(n_rows: int, n_blobs: int, dim: int) -> str:
 def sweep(spark, sim, sf_dir: str, n_labels: int) -> dict:
     truth = topk_sets(sim.q_sim_cosine_topk(spark, sf_dir).collect())
     n_q = len(truth)
+
+    def recall_of(rows) -> float:
+        approx = topk_sets(rows)
+        return sum(
+            len(approx.get(q, set()) & ids) / len(ids) for q, ids in truth.items()
+        ) / n_q
+
     curves: dict[str, list[dict]] = {"ivf": [], "ivfpq": []}
     for n_probe in range(1, n_labels + 1):
         for name, fn in (("ivf", sim.q_sim_ivf_topk), ("ivfpq", sim.q_sim_ivfpq_topk)):
@@ -92,18 +99,31 @@ def sweep(spark, sim, sf_dir: str, n_labels: int) -> dict:
                 t0 = time.time()
                 rows = fn(spark, sf_dir, n_probe=n_probe).collect()
                 best = min(best, time.time() - t0)
-            approx = topk_sets(rows)
-            recall = sum(
-                len(approx.get(q, set()) & ids) / len(ids) for q, ids in truth.items()
-            ) / n_q
             point = {
                 "n_probe": n_probe,
-                "recall_at_k": round(recall, 4),
+                "recall_at_k": round(recall_of(rows), 4),
                 "sec": round(best, 2),
             }
             curves[name].append(point)
             print(f"{name} n_probe={n_probe}: {json.dumps(point)}", flush=True)
-    return {"n_queries": n_q, "curves": curves}
+    # the IVF-PQ composition's OTHER knob: when the coarse quantizer is
+    # good, recall is capped by ADC ranking quality and recovered by a
+    # deeper exact re-rank — so sweep shortlist depth at full probes
+    rerank_curve = []
+    for rerank_n in (
+        sim.TOP_K,
+        2 * sim.TOP_K,
+        4 * sim.TOP_K,
+        16 * sim.TOP_K,
+        64 * sim.TOP_K,
+    ):
+        rows = sim.q_sim_ivfpq_topk(
+            spark, sf_dir, n_probe=n_labels, rerank_n=rerank_n
+        ).collect()
+        point = {"rerank_n": rerank_n, "recall_at_k": round(recall_of(rows), 4)}
+        rerank_curve.append(point)
+        print(f"ivfpq rerank_n={rerank_n}: {json.dumps(point)}", flush=True)
+    return {"n_queries": n_q, "curves": curves, "ivfpq_rerank_sweep": rerank_curve}
 
 
 def main() -> None:

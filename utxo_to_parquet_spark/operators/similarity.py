@@ -867,7 +867,7 @@ IVFPQ_RERANK = 4 * TOP_K  # ADC shortlist size per query
     ) WHERE rn <= {TOP_K}
     """,
 )
-def q_sim_ivfpq_topk(spark, sf_dir, n_probe: int | None = None):
+def q_sim_ivfpq_topk(spark, sf_dir, n_probe: int | None = None, rerank_n: int | None = None):
     """IVF-PQ with exact re-rank — the composition production ANN
     systems actually run at 100 TB (FAISS's IndexIVFPQ shape): the IVF
     coarse quantizer (per-label centroids, {N_PROBE} probes) prunes the
@@ -891,10 +891,15 @@ def q_sim_ivfpq_topk(spark, sf_dir, n_probe: int | None = None):
     |queries| x {IVFPQ_RERANK} rows. Nothing scales with corpus size
     except the embarrassingly-parallel encode+score pass.
 
-    ``n_probe`` overrides the registered {N_PROBE}-probe default (the
-    recall/cost knob swept by tools/bench_ann_recall.py).
+    ``n_probe`` and ``rerank_n`` override the registered defaults
+    ({N_PROBE} probes, {IVFPQ_RERANK}-deep shortlist) — the two
+    recall/cost knobs of the composition, both swept by
+    tools/bench_ann_recall.py. When the coarse quantizer is good,
+    recall is bounded by ADC ranking quality, and the recovery lever is
+    the re-rank depth, not more probes.
     """
     n_probe = N_PROBE if n_probe is None else int(n_probe)
+    rerank_n = IVFPQ_RERANK if rerank_n is None else int(rerank_n)
     emb = load(spark, sf_dir, "embeddings")
     # --- IVF probe selection (same construction as q_sim_ivf_topk) ---
     dims = emb.select(
@@ -1003,7 +1008,7 @@ def q_sim_ivfpq_topk(spark, sf_dir, n_probe: int | None = None):
     wa = W.partitionBy("q_id").orderBy("adc", "c_id")
     short = (
         adc_df.withColumn("ra", F.row_number().over(wa))
-        .filter(F.col("ra") <= IVFPQ_RERANK)
+        .filter(F.col("ra") <= rerank_n)
         .select("q_id", "c_id", "adc")
     )
 
