@@ -36,8 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for EVERY registered query (186/186 since
-    round 5): semantics that aren't directly SQL-expressible — seeded-RNG
+    """DuckDB-equivalent SQL for EVERY registered query (full coverage
+    since round 5): semantics that aren't directly SQL-expressible — seeded-RNG
     LSH, sketches, pandas-UDF feature extraction, streaming state — are
     gated via deterministic-replay oracles or theorem-backed contract
     columns rather than the weaker rows-only check."""

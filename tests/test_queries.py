@@ -291,3 +291,134 @@ def test_sequence_pack_is_a_contiguous_token_stream(spark):
         end = pos + r.n_tokens - 1
         assert r.crosses_boundary == (pos // PACK_BUDGET != end // PACK_BUDGET)
         pos += r.n_tokens
+
+
+def _write_docs(tmp_path, rows):
+    """rows: (doc_id, text, lang, source) — n_chars derived."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/documents.parquet")
+    table = pa.Table.from_pylist(
+        [
+            dict(doc_id=i, text=t, lang=g, source=s, n_chars=len(t))
+            for i, t, g, s in rows
+        ],
+        schema=base,
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+
+def _write_embeddings(tmp_path, rows):
+    """rows: (vec_id, embedding list[float], label)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/embeddings.parquet")
+    table = pa.Table.from_pylist(
+        [dict(vec_id=i, embedding=e, label=l) for i, e, l in rows],
+        schema=base,
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+
+
+def test_semantic_dedup_keeps_seeds_and_dissimilar_members(tmp_path, spark):
+    """SemDeDup contract on a constructed space: two orthogonal seeds,
+    one near-seed duplicate per cluster (dropped — a lower-id cluster
+    member is within SEM_TAU), and one member that is NEAREST to seed 0
+    yet below the cosine threshold to every earlier member (kept)."""
+    _write_embeddings(
+        tmp_path,
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.0, 1.0, 0.0, 0.0], 0),
+            (10, [1.0, 0.01, 0.0, 0.0], 0),  # ~dup of seed 0
+            (11, [0.3, 0.0, 0.954, 0.0], 0),  # cluster 0, cos(seed0)=0.3
+            (12, [0.01, 1.0, 0.0, 0.0], 0),  # ~dup of seed 1
+        ],
+    )
+    out = {
+        r.vec_id: r
+        for r in QUERIES["q_dedup_semantic"](spark, str(tmp_path)).collect()
+    }
+    assert {v: out[v].cluster for v in out} == {0: 0, 1: 1, 10: 0, 11: 0, 12: 1}
+    assert {v: out[v].keep for v in out} == {
+        0: True,
+        1: True,
+        10: False,
+        11: True,
+        12: False,
+    }
+    assert out[10].n_earlier_dups >= 1 and out[12].n_earlier_dups >= 1
+    assert out[11].n_earlier_dups == 0
+
+
+def test_knn_graph_ranks_within_block_and_respects_blocking(tmp_path, spark):
+    """Neighbor order follows exact cosine within the label block, and a
+    bit-identical vector OUTSIDE the block contributes no edge — the
+    single-probe recall boundary the docstring documents."""
+    _write_embeddings(
+        tmp_path,
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [1.0, 0.1], 0),
+            (2, [0.0, 1.0], 0),
+            (3, [1.0, 0.05], 0),
+            (4, [1.0, 0.0], 1),  # identical to vec 0 but in another block
+        ],
+    )
+    out = QUERIES["q_sim_knn_graph"](spark, str(tmp_path)).collect()
+    src0 = sorted(
+        ((r.nn_rank, r.dst) for r in out if r.src == 0),
+    )
+    assert src0 == [(1, 3), (2, 1), (3, 2)]
+    # vec 4's block has no other member: it emits and receives no edges
+    assert all(r.src != 4 and r.dst != 4 for r in out)
+
+
+def test_bm25_rewards_tf_and_penalizes_length(tmp_path, spark):
+    """On a corpus where exactly three docs contain the query terms, the
+    ranking must follow BM25's two levers: higher tf wins at comparable
+    length, and pure padding (same tf, 4x the length) loses."""
+    q = " ".join(f"q{j}" for j in range(1, 9))  # q1..q8: df=3 -> ranks 5..12
+    head = "h1 h2 h3 h4"
+    rows = [
+        # 20 background docs: head terms (df=23 -> ranks 1..4) + unique fillers
+        (i, f"{head} " + " ".join(f"f{i}x{j}" for j in range(6)), "en", "web")
+        for i in range(1, 21)
+    ] + [
+        (25, f"{head} {q} {q}", "en", "web"),  # tf=2, dl=20
+        (26, f"{head} {q}", "en", "web"),  # tf=1, dl=12
+        (27, f"{head} {q} " + " ".join(f"pad{j}" for j in range(36)), "en", "web"),
+    ]
+    _write_docs(tmp_path, rows)
+    out = QUERIES["q_text_bm25_topk"](spark, str(tmp_path)).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append((r.bm25_rank, r.doc_id, r.score))
+    assert set(by_query) == {0, 1}
+    for qid, hits in by_query.items():
+        assert sorted(hits)[:3] == [
+            (1, 25, sorted(hits)[0][2]),
+            (2, 26, sorted(hits)[1][2]),
+            (3, 27, sorted(hits)[2][2]),
+        ]
+        scores = [s for _, _, s in sorted(hits)]
+        assert scores[0] > scores[1] > scores[2] > 0
+
+
+def test_cross_source_overlap_counts_unordered_source_pairs(tmp_path, spark):
+    """Two byte-identical docs in different sources yield exactly one
+    (least, greatest) source-pair row; the unrelated doc contributes
+    nothing."""
+    text = " ".join(f"w{i}" for i in range(30))
+    _write_docs(
+        tmp_path,
+        [
+            (1, text, "en", "web"),
+            (2, text, "en", "books"),
+            (3, " ".join(f"z{i}" for i in range(30)), "en", "web"),
+        ],
+    )
+    out = QUERIES["q_dedup_cross_source_overlap"](spark, str(tmp_path)).collect()
+    assert [(r.source_a, r.source_b, r.n_pairs) for r in out] == [("books", "web", 1)]

@@ -45,6 +45,9 @@ ALLOWED_NESTED_LOOP = {
     "q_events_ks_drift",  # totals: 1-row (n_a, n_b) aggregate
     "q_events_psi_drift",  # totals: 1-row (na, nb) aggregate
     "q_text_heavy_hitters",  # total token count: 1-row aggregate attach
+    # seed-centroid assignment: crossJoin(broadcast(SEM_K-row seed
+    # table)) — constant-size build side, the sanctioned NLJ shape
+    "q_dedup_semantic",
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —
@@ -68,6 +71,11 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
     "q_text_vocab_coverage": (
         "running-coverage window runs over the per-token aggregate — "
         "input is |vocabulary|, bounded and documented in text.py"
+    ),
+    "q_text_bm25_topk": (
+        "query-term selection window runs over the term-df aggregate — "
+        "input is |vocabulary|, not |postings|; document ranking uses "
+        "salted-then-global two-phase windows, both partitioned"
     ),
     "q_pipeline_sequence_pack": (
         "two-pass global prefix sum (gini construction): the offset "

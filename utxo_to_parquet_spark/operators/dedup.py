@@ -1309,3 +1309,181 @@ def q_dedup_decontaminate(spark, sf_dir):
             (F.count("hit") >= DECON_MIN_SHARED).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (the SemDeDup shape, Abbas et al. 2023): block the
+# embedding space by nearest seed centroid, then prune within each block
+# by exact cosine against earlier-kept members. The cluster assignment
+# turns the O(N^2) all-pairs cosine into per-cluster joins — at 100 TB
+# the seed table comes from a k-means run (q_sim_kmeans) and each
+# posting-list-sized cluster is compared independently.
+
+SEM_K = 8  # seed centroids: the first SEM_K vectors by vec_id
+SEM_TAU = 0.4  # within-cluster cosine prune threshold
+
+
+def _vdot(a, b):
+    """Left-to-right double dot product — bit-identical to DuckDB's
+    LIST_DOT_PRODUCT (see similarity.py's lr_matmul note)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]) AS sq
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS seed_id, e AS se, sq AS ssq FROM v WHERE vec_id < {SEM_K}
+    ),
+    assign AS (
+      SELECT vec_id, e, sq, seed_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY sq - 2.0 * LIST_DOT_PRODUCT(e, se) + ssq, seed_id
+             ) AS rn
+      FROM v CROSS JOIN seeds
+    ),
+    clustered AS (
+      SELECT vec_id, e, seed_id AS cluster, SQRT(sq) AS nrm
+      FROM assign WHERE rn = 1
+    ),
+    drops AS (
+      SELECT a.vec_id, COUNT(*) AS n_earlier_dups
+      FROM clustered a JOIN clustered b
+        ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+      WHERE LIST_DOT_PRODUCT(a.e, b.e) / (a.nrm * b.nrm) >= {SEM_TAU}
+      GROUP BY 1
+    )
+    SELECT c.vec_id, CAST(c.cluster AS BIGINT) AS cluster,
+           CAST(COALESCE(d.n_earlier_dups, 0) AS BIGINT) AS n_earlier_dups,
+           d.vec_id IS NULL AS keep
+    FROM clustered c LEFT JOIN drops d ON c.vec_id = d.vec_id
+    """,
+)
+def q_dedup_semantic(spark, sf_dir):
+    """Semantic dedup, SemDeDup-style: assign every embedding to its
+    nearest of {SEM_K} deterministic seed centroids (the first {SEM_K}
+    vectors by vec_id — in production the centroids from q_sim_kmeans),
+    then within each cluster drop any vector whose cosine to an
+    EARLIER-id cluster member reaches {SEM_TAU} (greedy keep-first, so
+    membership needs no fixpoint).
+
+    Plan shape and why it scales: the assignment is a crossJoin against
+    a broadcast {SEM_K}-row seed table (constant-size build side — the
+    one sanctioned NLJ shape), and the dedup join is an EQUI-join on the
+    cluster id, so the quadratic pair work is bounded per cluster
+    instead of per corpus. Distances use the identical
+    ``sq - 2*dot + ssq`` expansion in both engines with left-to-right
+    dot products, so argmin assignment and the threshold inclusion set
+    are bit-deterministic (seed-id tiebreak on exact distance ties).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        _vdot(F.col("embedding"), F.col("embedding")).alias("sq"),
+    )
+    seeds = v.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("e").alias("se"),
+        F.col("sq").alias("ssq"),
+    )
+    assign = v.crossJoin(F.broadcast(seeds)).withColumn(
+        "dist",
+        F.col("sq") - F.lit(2.0) * _vdot(F.col("e"), F.col("se")) + F.col("ssq"),
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "seed_id")
+    clustered = (
+        assign.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "e",
+            F.col("seed_id").alias("cluster"),
+            F.sqrt("sq").alias("nrm"),
+        )
+    )
+    a = clustered.select(
+        "vec_id",
+        F.col("e").alias("ea"),
+        F.col("cluster").alias("ca"),
+        F.col("nrm").alias("na"),
+    )
+    b = clustered.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("cluster").alias("cb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _vdot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    drops = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_b") < F.col("vec_id")))
+        .filter(cos >= SEM_TAU)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_earlier_dups"))
+    )
+    return (
+        clustered.join(drops, "vec_id", "left_outer")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce("n_earlier_dups", F.lit(0)).cast("long").alias("n_earlier_dups"),
+            F.col("n_earlier_dups").isNull().alias("keep"),
+        )
+    )
+
+
+@register(
+    "q_dedup_cross_source_overlap",
+    oracle=f"""
+    WITH {_minhash_bands_cte()},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def q_dedup_cross_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: how many MinHash-LSH near-dup
+    candidate pairs fall between each (unordered) pair of sources — the
+    diagnostic a corpus curator reads before deciding which source to
+    drop or down-weight when two crawls overlap.
+
+    Reuses the shared band index (_minhash_pairs) so the pair semantics
+    are bit-identical to q_dedup_minhash_lsh; the source attach is two
+    equi-joins on doc_id (at 100 TB, (doc_id, source) is a thin
+    projection of the corpus — the pair table is orders of magnitude
+    smaller, so both joins shuffle only pair-table-sized data after AQE
+    sizes them). LEAST/GREATEST canonicalizes the source pair so each
+    unordered pair counts once."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1048,3 +1048,88 @@ def q_sim_ivfpq_topk(spark, sf_dir, n_probe: int | None = None, rerank_n: int | 
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus k-NN graph: every vector's top neighbors, blocked by the coarse
+# partition (label) so the all-pairs cross join becomes a per-block
+# equi-join — the standard first step of graph-based dedup/curation
+# (kNN-graph clustering, connectivity-based filtering).
+
+KNN_K = 3
+
+
+@register(
+    "q_sim_knn_graph",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e,
+             SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             LIST_DOT_PRODUCT(a.e, b.e) / (a.nrm * b.nrm) AS cos_raw
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_raw DESC, dst) AS rn
+      FROM pairs
+    )
+    SELECT src, dst, CAST(rn AS BIGINT) AS nn_rank, ROUND(cos_raw, 6) AS cosine
+    FROM ranked WHERE rn <= {KNN_K}
+    """,
+)
+def q_sim_knn_graph(spark, sf_dir):
+    """Corpus-to-corpus k-NN graph: each vector's top-{KNN_K} cosine
+    neighbors WITHIN its coarse block (``label`` — in production the IVF
+    posting list / k-means cluster id). Unlike q_sim_cosine_topk, BOTH
+    sides are corpus-sized, so the block key is what makes this feasible:
+    the join is an equi-join on label (shuffle-hash, co-partitioned),
+    never a cross join, and the quadratic term is bounded by the largest
+    block, not the corpus.
+
+    The per-src top-k window partitions by src (millions of small
+    partitions — the scalable window shape); ordering is on the raw
+    double score (identical left-to-right dot products in both engines)
+    with dst-id tiebreak, so ranks are deterministic. At 100 TB you'd
+    add multi-probe (join each vector to its R nearest block ids, the
+    q_sim_ivf_topk shape) to recover cross-block edges; the single-probe
+    form here is the recall floor with the same plan."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("e"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("src"),
+        "label",
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("dst"),
+        "label",
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("cos_raw", cos)
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cos_raw"), F.asc("dst"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select(
+            "src",
+            "dst",
+            F.col("rn").cast("long").alias("nn_rank"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )

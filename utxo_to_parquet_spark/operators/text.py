@@ -1507,3 +1507,160 @@ def q_text_pii_redact(spark, sf_dir):
             F.md5(redacted).alias("redacted_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: the inverted-index ranking function search/RAG corpora
+# are scored with. The query set is derived deterministically from the
+# corpus itself (mid-document-frequency terms), so the oracle reproduces
+# it without any literal tied to one fixture.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 5
+BM25_RANK_LO = 5  # skip the ultra-common head terms
+BM25_RANK_HI = 12  # 8 mid-df terms -> 2 queries x 4 terms
+BM25_SALT = 16
+
+
+@register(
+    "q_text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM doclen
+    ),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    qterms AS (
+      SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+      FROM dft
+    ),
+    qsel AS (
+      SELECT term,
+             (rn - {BM25_RANK_LO}) // 4 AS query_id,
+             (rn - {BM25_RANK_LO}) % 4 AS tpos,
+             LN(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+      FROM qterms CROSS JOIN stats
+      WHERE rn BETWEEN {BM25_RANK_LO} AND {BM25_RANK_HI}
+    ),
+    tf AS (
+      SELECT t.doc_id, q.query_id, q.tpos, q.idf, COUNT(*) AS tf
+      FROM toks t JOIN qsel q ON t.term = q.term
+      GROUP BY 1, 2, 3, 4
+    ),
+    contrib AS (
+      SELECT f.query_id, f.doc_id, f.tpos,
+             (f.idf * (f.tf * ({BM25_K1} + 1.0))) /
+             (f.tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * (d.dl / s.avgdl))) AS c
+      FROM tf f JOIN doclen d ON f.doc_id = d.doc_id CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             COALESCE(MAX(CASE WHEN tpos = 0 THEN c END), 0.0)
+           + COALESCE(MAX(CASE WHEN tpos = 1 THEN c END), 0.0)
+           + COALESCE(MAX(CASE WHEN tpos = 2 THEN c END), 0.0)
+           + COALESCE(MAX(CASE WHEN tpos = 3 THEN c END), 0.0) AS score_raw
+      FROM contrib GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score_raw,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score_raw DESC, doc_id
+             ) AS rn
+      FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           CAST(rn AS BIGINT) AS bm25_rank, ROUND(score_raw, 6) AS score
+    FROM ranked WHERE rn <= {BM25_TOP}
+    """,
+)
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 top-{BM25_TOP} retrieval over the corpus for a
+    corpus-derived query set: terms ranked {BM25_RANK_LO}..{BM25_RANK_HI}
+    by document frequency (skipping the stopword-like head) form two
+    4-term queries; each document is scored with
+    idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)), k1={BM25_K1},
+    b={BM25_B}.
+
+    Scale shape: the scoring join is the inverted-index equi-join —
+    postings (term, doc) join the broadcast 8-row query-term table, so
+    only postings of query terms are ever shuffled; corpus stats
+    (n_docs, avgdl) are two scalar aggregates a production system
+    precomputes. Per-term contributions are pivoted to fixed columns and
+    summed in a FIXED left-to-right order (not a float groupBy-sum), so
+    scores are bit-identical across engines and partitionings. Top-k per
+    query is two-phase: a salted local top-{BM25_TOP} bounds every
+    window partition, then the global window ranks only the
+    {BM25_SALT}x{BM25_TOP} survivors — no corpus-sized single window at
+    any scale. The term-selection window runs over the term-df
+    aggregate (|vocabulary| rows, bounded)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs, tot = doclen.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).first()
+    avgdl = tot / n_docs  # exact int ratio -> same double as the oracle's
+    dft = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    wq = W.orderBy(F.desc("df"), F.asc("term"))
+    qsel = (
+        dft.withColumn("rn", F.row_number().over(wq))
+        .filter((F.col("rn") >= BM25_RANK_LO) & (F.col("rn") <= BM25_RANK_HI))
+        .select(
+            "term",
+            F.floor((F.col("rn") - BM25_RANK_LO) / 4).cast("long").alias("query_id"),
+            ((F.col("rn") - BM25_RANK_LO) % 4).alias("tpos"),
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    tf = (
+        toks.join(F.broadcast(qsel), "term")
+        .groupBy("doc_id", "query_id", "tpos", "idf")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(doclen, "doc_id")
+    )
+    contrib = (F.col("idf") * (F.col("tf") * (F.lit(BM25_K1) + F.lit(1.0)))) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * ((F.lit(1.0) - F.lit(BM25_B)) + F.lit(BM25_B) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        tf.withColumn("c", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("tpos") == k, F.col("c"))).alias(f"c{k}")
+                for k in range(4)
+            ]
+        )
+        .withColumn(
+            "score_raw",
+            F.coalesce("c0", F.lit(0.0))
+            + F.coalesce("c1", F.lit(0.0))
+            + F.coalesce("c2", F.lit(0.0))
+            + F.coalesce("c3", F.lit(0.0)),
+        )
+    )
+    w1 = W.partitionBy("query_id", "salt").orderBy(F.desc("score_raw"), F.asc("doc_id"))
+    w2 = W.partitionBy("query_id").orderBy(F.desc("score_raw"), F.asc("doc_id"))
+    return (
+        scored.withColumn("salt", F.col("doc_id") % BM25_SALT)
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= BM25_TOP)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= BM25_TOP)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "doc_id",
+            F.col("rn").cast("long").alias("bm25_rank"),
+            F.round("score_raw", 6).alias("score"),
+        )
+    )
