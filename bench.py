@@ -101,6 +101,12 @@ HEADLINE = [
     "q_dedup_decontaminate",
     "q_text_pii_redact",
     "q_pipeline_sequence_pack",
+    # round 6b: BM25 retrieval, semantic dedup, kNN graph, cross-source
+    # overlap matrix
+    "q_text_bm25_topk",
+    "q_dedup_semantic",
+    "q_sim_knn_graph",
+    "q_dedup_cross_source_overlap",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

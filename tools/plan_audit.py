@@ -45,9 +45,6 @@ ALLOWED_NESTED_LOOP = {
     "q_events_ks_drift",  # totals: 1-row (n_a, n_b) aggregate
     "q_events_psi_drift",  # totals: 1-row (na, nb) aggregate
     "q_text_heavy_hitters",  # total token count: 1-row aggregate attach
-    # seed-centroid assignment: crossJoin(broadcast(SEM_K-row seed
-    # table)) — constant-size build side, the sanctioned NLJ shape
-    "q_dedup_semantic",
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —

@@ -1323,16 +1323,6 @@ SEM_K = 8  # seed centroids: the first SEM_K vectors by vec_id
 SEM_TAU = 0.4  # within-cluster cosine prune threshold
 
 
-def _vdot(a, b):
-    """Left-to-right double dot product — bit-identical to DuckDB's
-    LIST_DOT_PRODUCT (see similarity.py's lr_matmul note)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 @register(
     "q_dedup_semantic",
     oracle=f"""
@@ -1377,68 +1367,78 @@ def q_dedup_semantic(spark, sf_dir):
     EARLIER-id cluster member reaches {SEM_TAU} (greedy keep-first, so
     membership needs no fixpoint).
 
-    Plan shape and why it scales: the assignment is a crossJoin against
-    a broadcast {SEM_K}-row seed table (constant-size build side — the
-    one sanctioned NLJ shape), and the dedup join is an EQUI-join on the
-    cluster id, so the quadratic pair work is bounded per cluster
-    instead of per corpus. Distances use the identical
-    ``sq - 2*dot + ssq`` expansion in both engines with left-to-right
-    dot products, so argmin assignment and the threshold inclusion set
-    are bit-deterministic (seed-id tiebreak on exact distance ties).
+    Plan shape and why it scales: assignment is a stateless mapInPandas
+    over the corpus with the {SEM_K}-row seed matrix in the task closure
+    (constant-size, the Q_CAP pattern from similarity.py) — no join, no
+    shuffle; the within-cluster compare is ONE applyInPandas grouped by
+    cluster id (a single hash shuffle of the corpus), scoring each
+    cluster with numpy in row-chunks so peak memory is O(chunk x
+    cluster), never cluster². Distances use the identical
+    ``(sq - 2*dot) + ssq`` expansion and all dot products accumulate
+    left-to-right (lr_matmul), so argmin assignment and the threshold
+    inclusion set are bit-deterministic across engines (np.argmin's
+    first-minimum rule IS the seed-id tiebreak, seeds sorted by id).
     """
+    import pandas as pd
+
+    from .similarity import _to_matrix, lr_matmul
+
     emb = load(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id",
-        F.col("embedding").alias("e"),
-        _vdot(F.col("embedding"), F.col("embedding")).alias("sq"),
+    seed_rows = sorted(
+        emb.filter(F.col("vec_id") < SEM_K).select("vec_id", "embedding").collect()
+    )  # constant-bounded: at most SEM_K rows by construction
+    S = _to_matrix(pd.Series([r.embedding for r in seed_rows]))
+    seed_ids = _np.array([r.vec_id for r in seed_rows])
+    _, s_sq = lr_matmul(S, S[:0])
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _to_matrix(pdf["embedding"])
+            dots, c_sq = lr_matmul(C, S)
+            dist = (c_sq[:, None] - 2.0 * dots) + s_sq[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cluster": seed_ids[_np.argmin(dist, axis=1)],
+                }
+            )
+
+    clustered = emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, embedding array<float>, cluster long"
     )
-    seeds = v.filter(F.col("vec_id") < SEM_K).select(
-        F.col("vec_id").alias("seed_id"),
-        F.col("e").alias("se"),
-        F.col("sq").alias("ssq"),
-    )
-    assign = v.crossJoin(F.broadcast(seeds)).withColumn(
-        "dist",
-        F.col("sq") - F.lit(2.0) * _vdot(F.col("e"), F.col("se")) + F.col("ssq"),
-    )
-    w = W.partitionBy("vec_id").orderBy("dist", "seed_id")
-    clustered = (
-        assign.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "e",
-            F.col("seed_id").alias("cluster"),
-            F.sqrt("sq").alias("nrm"),
+
+    def dedup_cluster(pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        M = _to_matrix(pdf["embedding"])
+        m = len(pdf)
+        n_dups = _np.zeros(m, dtype=_np.int64)
+        _, all_sq = lr_matmul(M, M[:0])
+        nrm = _np.sqrt(all_sq)
+        chunk = 1024
+        for i0 in range(0, m, chunk):
+            i1 = min(i0 + chunk, m)
+            dots, _ = lr_matmul(M[i0:i1], M)
+            cos = dots / (nrm[i0:i1, None] * nrm[None, :])
+            hit = cos >= SEM_TAU
+            # only EARLIER vec_ids (j < global row index) count
+            cols = _np.arange(m)[None, :]
+            rows = _np.arange(i0, i1)[:, None]
+            n_dups[i0:i1] = (hit & (cols < rows)).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster": pdf["cluster"],
+                "n_earlier_dups": n_dups,
+                "keep": n_dups == 0,
+            }
         )
-    )
-    a = clustered.select(
-        "vec_id",
-        F.col("e").alias("ea"),
-        F.col("cluster").alias("ca"),
-        F.col("nrm").alias("na"),
-    )
-    b = clustered.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("e").alias("eb"),
-        F.col("cluster").alias("cb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = _vdot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    drops = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_b") < F.col("vec_id")))
-        .filter(cos >= SEM_TAU)
-        .groupBy("vec_id")
-        .agg(F.count(F.lit(1)).alias("n_earlier_dups"))
-    )
-    return (
-        clustered.join(drops, "vec_id", "left_outer")
-        .select(
-            "vec_id",
-            F.col("cluster").cast("long").alias("cluster"),
-            F.coalesce("n_earlier_dups", F.lit(0)).cast("long").alias("n_earlier_dups"),
-            F.col("n_earlier_dups").isNull().alias("keep"),
-        )
+
+    return clustered.groupBy("cluster").applyInPandas(
+        dedup_cluster,
+        "vec_id long, cluster long, n_earlier_dups long, keep boolean",
     )
 
 

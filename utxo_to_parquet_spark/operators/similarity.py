@@ -1090,46 +1090,56 @@ def q_sim_knn_graph(spark, sf_dir):
     never a cross join, and the quadratic term is bounded by the largest
     block, not the corpus.
 
-    The per-src top-k window partitions by src (millions of small
-    partitions — the scalable window shape); ordering is on the raw
-    double score (identical left-to-right dot products in both engines)
-    with dst-id tiebreak, so ranks are deterministic. At 100 TB you'd
-    add multi-probe (join each vector to its R nearest block ids, the
-    q_sim_ivf_topk shape) to recover cross-block edges; the single-probe
-    form here is the recall floor with the same plan."""
+    Execution: ONE applyInPandas grouped by label — a single hash
+    shuffle of the corpus; inside each block the pairwise scores come
+    from numpy in row-chunks (peak memory O(chunk x block), never
+    block²) with left-to-right accumulation (lr_matmul), so scores are
+    bit-identical to the oracle's LIST_DOT_PRODUCT and the
+    (score DESC, dst ASC) neighbor ranking is deterministic. At 100 TB
+    you'd add multi-probe (join each vector to its R nearest block ids,
+    the q_sim_ivf_topk shape) to recover cross-block edges; the
+    single-probe form here is the recall floor with the same plan."""
     emb = load(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id",
-        "label",
-        F.col("embedding").alias("e"),
-        _norm(F.col("embedding")).alias("nrm"),
-    )
-    a = v.select(
-        F.col("vec_id").alias("src"),
-        "label",
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("dst"),
-        "label",
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    pairs = (
-        a.join(b, "label")
-        .filter(F.col("src") != F.col("dst"))
-        .withColumn("cos_raw", cos)
-    )
-    w = W.partitionBy("src").orderBy(F.desc("cos_raw"), F.asc("dst"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KNN_K)
-        .select(
-            "src",
-            "dst",
-            F.col("rn").cast("long").alias("nn_rank"),
-            F.round("cos_raw", 6).alias("cosine"),
+
+    def knn_block(pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"src": [], "dst": [], "nn_rank": [], "cos_raw": []}
+            ).astype({"src": "int64", "dst": "int64", "nn_rank": "int64", "cos_raw": "float64"})
+        M = _to_matrix(pdf["embedding"])
+        ids = pdf["vec_id"].to_numpy()
+        _, sq = lr_matmul(M, M[:0])
+        nrm = np.sqrt(sq)
+        k = min(KNN_K, m - 1)
+        srcs, dsts, ranks, coss = [], [], [], []
+        chunk = 1024
+        for i0 in range(0, m, chunk):
+            i1 = min(i0 + chunk, m)
+            dots, _ = lr_matmul(M[i0:i1], M)
+            cos = dots / (nrm[i0:i1, None] * nrm[None, :])
+            for r in range(i1 - i0):
+                row = cos[r]
+                mask = np.arange(m) != (i0 + r)
+                cand = np.where(mask)[0]
+                # (cos DESC, dst ASC): lexsort keys are last-key-primary
+                order = cand[np.lexsort((ids[cand], -row[cand]))][:k]
+                srcs.extend([ids[i0 + r]] * len(order))
+                dsts.extend(ids[order])
+                ranks.extend(range(1, len(order) + 1))
+                coss.extend(row[order])
+        return pd.DataFrame(
+            {"src": srcs, "dst": dsts, "nn_rank": ranks, "cos_raw": coss}
         )
+
+    edges = (
+        emb.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(
+            knn_block, "src long, dst long, nn_rank long, cos_raw double"
+        )
+    )
+    return edges.select(
+        "src", "dst", "nn_rank", F.round("cos_raw", 6).alias("cosine")
     )
