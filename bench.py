@@ -107,6 +107,9 @@ HEADLINE = [
     "q_dedup_semantic",
     "q_sim_knn_graph",
     "q_dedup_cross_source_overlap",
+    # round 6c: per-key sequential recurrence, degree-ordered triangles
+    "q_events_ewma",
+    "q_graph_triangles",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

@@ -422,3 +422,55 @@ def test_cross_source_overlap_counts_unordered_source_pairs(tmp_path, spark):
     )
     out = QUERIES["q_dedup_cross_source_overlap"](spark, str(tmp_path)).collect()
     assert [(r.source_a, r.source_b, r.n_pairs) for r in out] == [("books", "web", 1)]
+
+
+def test_ewma_recurrence_on_known_sequence(tmp_path, spark):
+    """y1=1, y2=0.3*2+0.7*1=1.3, y3=0.3*3+0.7*1.3=1.81 — and ordering
+    must follow (ts, event_id), not insertion order."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/events.parquet")
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        # deliberately written out of time order
+        dict(event_id=3, ts=t0 + dt.timedelta(minutes=2), user_id=7,
+             event_type="m", value=3.0, props="{}"),
+        dict(event_id=1, ts=t0, user_id=7, event_type="m", value=1.0, props="{}"),
+        dict(event_id=2, ts=t0 + dt.timedelta(minutes=1), user_id=7,
+             event_type="m", value=2.0, props="{}"),
+        dict(event_id=4, ts=t0, user_id=8, event_type="m", value=5.0, props="{}"),
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "events.parquet"),
+    )
+    out = {r.user_id: r for r in QUERIES["q_events_ewma"](spark, str(tmp_path)).collect()}
+    assert out[7].n_events == 3 and abs(out[7].ewma - 1.81) < 1e-9
+    assert out[8].n_events == 1 and out[8].ewma == 5.0  # seed = first value
+
+
+def test_triangles_count_dup_cluster_corners_once(tmp_path, spark):
+    """Three identical docs form exactly one triangle (each corner
+    participates once); a separate identical PAIR and a unique doc
+    contribute no triangles."""
+    a = " ".join(f"w{i}" for i in range(30))
+    b = " ".join(f"y{i}" for i in range(30))
+    _write_docs(
+        tmp_path,
+        [
+            (1, a, "en", "web"),
+            (2, a, "en", "web"),
+            (3, a, "en", "web"),
+            (10, b, "en", "web"),
+            (11, b, "en", "web"),
+            (20, " ".join(f"z{i}" for i in range(30)), "en", "web"),
+        ],
+    )
+    out = {
+        r.doc_id: r.n_triangles
+        for r in QUERIES["q_graph_triangles"](spark, str(tmp_path)).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}

@@ -67,6 +67,16 @@ OPS = {
     # embeddings-shaped: ANN scan/posting-list growth
     "q_sim_cosine_topk": "embeddings",
     "q_sim_ivf_topk": "embeddings",
+    # round 6: retrieval + cross-source diagnostics, and the two
+    # blocked-quadratic embedding ops. NOTE: the fixture's blocking is
+    # FIXED (SEM_K seeds / a constant label set), so per-block size
+    # grows with the corpus here and the measured exponent is expected
+    # superlinear — production scales the centroid/list count with N,
+    # which keeps block size constant (see SCALING.md)
+    "q_text_bm25_topk": "documents",
+    "q_dedup_cross_source_overlap": "documents",
+    "q_dedup_semantic": "embeddings",
+    "q_sim_knn_graph": "embeddings",
     # events-shaped: sessionization + banded interval join
     "q_events_sessionize": "events",
     "q_events_interval_overlap_join": "events",

@@ -1167,3 +1167,62 @@ def q_events_psi_drift(spark, sf_dir):
         )
         .select("n_bins", "n_bins_skipped", "psi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially weighted moving average — the per-key sequential
+# recurrence pattern (monitoring smoothing, feature decay). The fold is
+# y_t = a*x_t + (1-a)*y_{t-1}, seeded with the first observation.
+
+EWMA_ALPHA = 0.3
+
+
+@register(
+    "q_events_ewma",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, LIST(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, CAST(LEN(vals) AS BIGINT) AS n_events,
+           ROUND(list_reduce(
+             vals,
+             (acc, x) -> ({EWMA_ALPHA} * x) + ((1.0 - {EWMA_ALPHA}) * acc)
+           ), 6) AS ewma
+    FROM seq
+    """,
+)
+def q_events_ewma(spark, sf_dir):
+    """Per-user EWMA of ``value`` (alpha={EWMA_ALPHA}) over the
+    time-ordered event sequence — the per-key sequential-state
+    recurrence that resists naive parallelization.
+
+    Execution is ONE groupBy(user) shuffle; the recurrence runs entirely
+    JVM-side as ``aggregate()`` over the time-sorted per-user value
+    array (no Python, no second shuffle, no per-row window join). Both
+    engines seed with the first value and fold with the identical
+    ``(a*x) + ((1.0-a)*acc)`` expression, so results are bit-identical.
+    The per-key array is the same bounded state any sequential per-key
+    scan carries (the streaming twin of this shape is
+    applyInPandasWithState); keys are independent, so 1000 executors
+    each fold their own users."""
+    ev = load_events(spark, sf_dir)
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+                lambda s: s["value"],
+            ).alias("vals")
+        )
+    )
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size("vals") - 1),
+        F.element_at("vals", 1),
+        lambda acc, x: (F.lit(EWMA_ALPHA) * x) + ((F.lit(1.0) - F.lit(EWMA_ALPHA)) * acc),
+    )
+    return seq.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.round(fold, 6).alias("ewma"),
+    )

@@ -234,3 +234,97 @@ def _bfs_frontier_step(edges, frontier, dist, k: int):
     return reached.join(dist.select("node"), "node", "left_anti").withColumn(
         "dist", F.lit(k).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the MinHash near-dup pair graph (dedup.py):
+# triangles reveal transitive dup clusters that pairwise counts hide.
+
+
+def _triangle_oracle() -> str:
+    from .dedup import _minhash_bands_cte
+
+    return f"""
+    WITH {_minhash_bands_cte()},
+    pairs AS (
+      SELECT a.doc_id AS pa, b.doc_id AS pb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d
+      FROM (SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs)
+      GROUP BY 1
+    ),
+    ori AS (
+      SELECT CASE WHEN (da.d, p.pa) < (db.d, p.pb) THEN p.pa ELSE p.pb END AS u,
+             CASE WHEN (da.d, p.pa) < (db.d, p.pb) THEN p.pb ELSE p.pa END AS v
+      FROM pairs p
+        JOIN deg da ON da.node = p.pa
+        JOIN deg db ON db.node = p.pb
+    ),
+    ov AS (SELECT u, v, d AS dv FROM ori JOIN deg ON deg.node = ori.v),
+    tri AS (
+      SELECT w1.u AS x, w1.v AS y, w2.v AS z
+      FROM ov w1
+        JOIN ov w2 ON w1.u = w2.u AND (w1.dv, w1.v) < (w2.dv, w2.v)
+        JOIN ori e ON e.u = w1.v AND e.v = w2.v
+    )
+    SELECT node AS doc_id, COUNT(*) AS n_triangles
+    FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    GROUP BY 1
+    """
+
+
+@register("q_graph_triangles", oracle=_triangle_oracle())
+def q_graph_triangles(spark, sf_dir):
+    """Per-document triangle participation in the near-dup candidate
+    graph (edges = q_dedup_minhash_lsh pairs) — the degree-ordered
+    compact-forward algorithm: orient every edge from its
+    lower-(degree, id) endpoint to the higher one, enumerate wedges by
+    joining oriented edges on their source, and close each wedge with
+    one more equi-join. Orientation bounds each node's out-degree by
+    O(sqrt(E)) on any graph, so wedge fan-out — the quadratic term a
+    skewed hub would otherwise explode — is capped regardless of raw
+    degree skew; every step is an equi-join + aggregation, no
+    cross-product anywhere. Each triangle is counted exactly once by
+    construction, then unpivoted to its three corners."""
+    from .dedup import _minhash_pairs
+
+    pairs = _minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb")
+    )
+    deg = (
+        pairs.select(F.explode(F.array("pa", "pb")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("db"))
+    lower = F.struct("da", "pa") < F.struct("db", "pb")
+    ori = (
+        pairs.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.when(lower, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+            F.when(lower, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        )
+    )
+    ov = ori.join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    w1 = ov.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    w2 = ov.select(F.col("u"), F.col("v").alias("z"), F.col("dv").alias("dz"))
+    wedges = w1.join(w2, "u").filter(
+        F.struct("dy", "y") < F.struct("dz", "z")
+    )
+    closing = ori.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedges.join(closing, ["y", "z"]).select("u", "y", "z")
+    return (
+        tri.select(F.explode(F.array("u", "y", "z")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

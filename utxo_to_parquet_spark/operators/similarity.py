@@ -1117,20 +1117,26 @@ def q_sim_knn_graph(spark, sf_dir):
         chunk = 1024
         for i0 in range(0, m, chunk):
             i1 = min(i0 + chunk, m)
+            b = i1 - i0
             dots, _ = lr_matmul(M[i0:i1], M)
             cos = dots / (nrm[i0:i1, None] * nrm[None, :])
-            for r in range(i1 - i0):
-                row = cos[r]
-                mask = np.arange(m) != (i0 + r)
-                cand = np.where(mask)[0]
-                # (cos DESC, dst ASC): lexsort keys are last-key-primary
-                order = cand[np.lexsort((ids[cand], -row[cand]))][:k]
-                srcs.extend([ids[i0 + r]] * len(order))
-                dsts.extend(ids[order])
-                ranks.extend(range(1, len(order) + 1))
-                coss.extend(row[order])
+            scored = cos.copy()
+            scored[np.arange(b), np.arange(i0, i1)] = -np.inf  # self sorts last
+            # rows are vec_id-sorted, so a STABLE descending sort's tie
+            # order IS the dst-id-ascending tiebreak — one vectorized
+            # argsort instead of a per-row lexsort
+            order = np.argsort(-scored, axis=1, kind="stable")[:, :k]
+            srcs.append(np.repeat(ids[i0:i1], k))
+            dsts.append(ids[order].ravel())
+            ranks.append(np.tile(np.arange(1, k + 1), b))
+            coss.append(np.take_along_axis(cos, order, axis=1).ravel())
         return pd.DataFrame(
-            {"src": srcs, "dst": dsts, "nn_rank": ranks, "cos_raw": coss}
+            {
+                "src": np.concatenate(srcs),
+                "dst": np.concatenate(dsts),
+                "nn_rank": np.concatenate(ranks),
+                "cos_raw": np.concatenate(coss),
+            }
         )
 
     edges = (
