@@ -109,3 +109,26 @@ def test_stream_incremental_dedup_matches_batch_probe(spark):
         for r in qs["q_dedup_incremental"](spark, sf).collect()
     }
     assert stream == batch
+
+
+def test_stream_ewma_matches_batch_across_real_microbatches(spark):
+    """The streaming EWMA must equal the batch recurrence bit-for-bit
+    AND must have earned that equality across multiple micro-batch
+    commits — a single-batch replay would make the order-sensitivity
+    claim vacuous."""
+    import os
+
+    from utxo_to_parquet_spark.operators import all_queries
+    from utxo_to_parquet_spark.streaming.windows import (
+        _ORDERED_STREAM_DIRS,
+        q_stream_ewma,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    stream_rows = {r.user_id: (r.n_events, r.ewma) for r in qs["q_stream_ewma"](spark, sf).collect()}
+    batch_rows = {r.user_id: (r.n_events, r.ewma) for r in qs["q_events_ewma"](spark, sf).collect()}
+    assert stream_rows == batch_rows
+    replay_dir = _ORDERED_STREAM_DIRS[f"{sf}/events.parquet"]
+    n_files = len([f for f in os.listdir(replay_dir) if f.endswith(".parquet")])
+    assert n_files >= 2, "replay collapsed to one micro-batch"

@@ -1177,9 +1177,11 @@ def q_events_psi_drift(spark, sf_dir):
 EWMA_ALPHA = 0.3
 
 
-@register(
-    "q_events_ewma",
-    oracle=f"""
+def ewma_oracle() -> str:
+    """Shared by the batch op and its streaming twin
+    (streaming/windows.py:q_stream_ewma) — one source of truth for the
+    recurrence the two paths must both reproduce bit-identically."""
+    return f"""
     WITH seq AS (
       SELECT user_id, LIST(value ORDER BY ts, event_id) AS vals
       FROM events GROUP BY 1
@@ -1190,8 +1192,10 @@ EWMA_ALPHA = 0.3
              (acc, x) -> ({EWMA_ALPHA} * x) + ((1.0 - {EWMA_ALPHA}) * acc)
            ), 6) AS ewma
     FROM seq
-    """,
-)
+    """
+
+
+@register("q_events_ewma", oracle=ewma_oracle())
 def q_events_ewma(spark, sf_dir):
     """Per-user EWMA of ``value`` (alpha={EWMA_ALPHA}) over the
     time-ordered event sequence — the per-key sequential-state

@@ -729,3 +729,123 @@ def q_stream_incremental_dedup(spark, sf_dir):
         F.coalesce("n", F.lit(0)).alias("n_corpus_matches"),
         (F.coalesce("n", F.lit(0)) == 0).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA: the ORDER-SENSITIVE per-key recurrence across
+# micro-batch commits — unlike running-max (order-insensitive), this
+# state fold is only correct if rows reach it in event-time order, so
+# the replay source is built time-ordered the way a production log
+# source (Kafka per-partition order, date-partitioned files) is.
+
+_ORDERED_STREAM_DIRS: dict[str, str] = {}
+EWMA_REPLAY_BATCHES = 4
+
+
+def _events_time_ordered_stream(spark, sf_dir):
+    """Multi-batch, TIME-ORDERED replay of the events fixture: the
+    corpus is range-split on ts into EWMA_REPLAY_BATCHES parquet files
+    written oldest-range-first (the file source admits oldest mod-time
+    first), and the reader caps maxFilesPerTrigger=1 — so per-key state
+    crosses EWMA_REPLAY_BATCHES real micro-batch commits in event-time
+    order. Range splitting (not row chunking) guarantees ts ties never
+    straddle a batch boundary. Memoized per fixture dir; the split is
+    executor-side (filter + write), never a driver collect."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.events import load_events
+
+    src_key = f"{sf_dir}/events.parquet"
+    if src_key not in _ORDERED_STREAM_DIRS:
+        stream_dir = tempfile.mkdtemp(prefix="events_ordered_stream_")
+        ev = load_events(spark, sf_dir)
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        span = max(hi - lo + 1, 1)
+        for i in range(EWMA_REPLAY_BATCHES):
+            a = lo + span * i // EWMA_REPLAY_BATCHES
+            b = lo + span * (i + 1) // EWMA_REPLAY_BATCHES
+            tmp = os.path.join(stream_dir, f"_tmp{i}")
+            (
+                ev.filter((F.col("ts") >= a) & (F.col("ts") < b))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            if part:  # a skewed ts distribution can leave a range empty
+                shutil.move(
+                    os.path.join(tmp, part[0]),
+                    os.path.join(stream_dir, f"b{i:02d}.parquet"),
+                )
+            shutil.rmtree(tmp)
+        _ORDERED_STREAM_DIRS[src_key] = stream_dir
+    d = _ORDERED_STREAM_DIRS[src_key]
+    schema = spark.read.parquet(d).schema
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+
+
+def _ewma_stream_oracle() -> str:
+    from ..operators.events import ewma_oracle
+
+    return ewma_oracle()
+
+
+@register("q_stream_ewma", oracle=_ewma_stream_oracle())
+def q_stream_ewma(spark, sf_dir):
+    """Streaming twin of q_events_ewma via applyInPandasWithState: per
+    user, the state row carries (ewma, n_events); each micro-batch sorts
+    its slice by (ts, event_id) and folds with the IDENTICAL
+    ``(a*x) + ((1.0-a)*acc)`` expression the batch op and the DuckDB
+    oracle use, seeding from the first observation (n_events=0 marks an
+    unseeded key). Because the fold is order-sensitive, hash-equality
+    with the batch recurrence proves not just that no batch was dropped
+    or double-counted but that state crossed every commit in event-time
+    order — a strictly stronger gate than the order-insensitive
+    running-max contract."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.events import EWMA_ALPHA
+
+    sdf = _events_time_ordered_stream(spark, sf_dir)
+
+    def fold(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
+        y, n = state.get if state.exists else (0.0, 0)
+        chunks = [pdf[["ts", "event_id", "value"]] for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for x in batch["value"]:
+                x = float(x)
+                if n == 0:
+                    y = x
+                else:
+                    y = EWMA_ALPHA * x + (1.0 - EWMA_ALPHA) * y
+                n += 1
+        state.update((y, n))
+        yield pd.DataFrame({"user_id": [key[0]], "ewma": [y], "n_events": [n]})
+
+    out = (
+        sdf.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType="user_id long, ewma double, n_events long",
+            stateStructType="ewma double, n_events long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    table = _run_to_memory(out, "update")
+    df = spark.table(table)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
+    )
