@@ -44,7 +44,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = sys.argv[1] if len(sys.argv) > 1 else "BENCH_qscale.json"
+_POS = [a for a in sys.argv[1:] if not a.startswith("--")]
+OUT = _POS[0] if _POS else "BENCH_qscale.json"
+# --variants-only: skip the main OPS sweep and run only the mitigation
+# variants (e.g. seeds ∝ corpus) — for a quick follow-up measurement
+# without re-timing all 19 ops
+VARIANTS_ONLY = "--variants-only" in sys.argv
 SCALES = [1, 4, 16]
 ID_OFFSET = 10_000_000
 WORK = "/tmp/qscale"
@@ -203,21 +208,46 @@ def main() -> None:
     for name in OPS:
         qs[name](spark, dirs[1]).collect()
 
-    result: dict[str, dict] = {}
-    for name, shape in OPS.items():
+    import math
+
+    def cells(run_one) -> dict:
         secs = {}
         for k in SCALES:
             best = float("inf")
             for _ in range(3):
                 t0 = time.time()
-                n = len(qs[name](spark, dirs[k]).collect())
+                n = len(run_one(k).collect())
                 best = min(best, time.time() - t0)
             secs[str(k)] = round(best, 2)
-            print(f"{name} x{k}: {secs[str(k)]}s ({n} rows)", flush=True)
-        import math
-
+            label = getattr(run_one, "__name__", "?")
+            print(f"{label} x{k}: {secs[str(k)]}s ({n} rows)", flush=True)
         expo = math.log(max(secs["16"], 1e-9) / max(secs["1"], 1e-9)) / math.log(16)
-        result[name] = {"table": shape, "sec": secs, "exponent": round(expo, 2)}
+        return {"sec": secs, "exponent": round(expo, 2)}
+
+    result: dict[str, dict] = {}
+    if not VARIANTS_ONLY:
+        for name, shape in OPS.items():
+            def run_one(k, _n=name):
+                return qs[_n](spark, dirs[k])
+
+            run_one.__name__ = name
+            result[name] = {"table": shape, **cells(run_one)}
+
+    # mitigation variant: the blocked-quadratic ops' superlinear
+    # exponents above are a fixed-block-count artifact. Scaling the seed
+    # count with the corpus — what production k-means does — must keep
+    # block sizes bounded and pull the exponent back to ~linear.
+    from utxo_to_parquet_spark.operators.dedup import SEM_K, q_dedup_semantic
+
+    def run_scaled_seeds(k):
+        return q_dedup_semantic(spark, dirs[k], sem_k=SEM_K * k)
+
+    run_scaled_seeds.__name__ = "q_dedup_semantic[seeds=8k]"
+    result["q_dedup_semantic_scaled_seeds"] = {
+        "table": "embeddings",
+        "note": f"sem_k = {SEM_K}*k: centroid count grows with the corpus",
+        **cells(run_scaled_seeds),
+    }
 
     line = {
         "metric": "query_weak_scaling",

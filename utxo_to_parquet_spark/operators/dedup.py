@@ -1359,7 +1359,7 @@ SEM_TAU = 0.4  # within-cluster cosine prune threshold
     FROM clustered c LEFT JOIN drops d ON c.vec_id = d.vec_id
     """,
 )
-def q_dedup_semantic(spark, sf_dir):
+def q_dedup_semantic(spark, sf_dir, sem_k: int | None = None):
     """Semantic dedup, SemDeDup-style: assign every embedding to its
     nearest of {SEM_K} deterministic seed centroids (the first {SEM_K}
     vectors by vec_id — in production the centroids from q_sim_kmeans),
@@ -1378,15 +1378,23 @@ def q_dedup_semantic(spark, sf_dir):
     left-to-right (lr_matmul), so argmin assignment and the threshold
     inclusion set are bit-deterministic across engines (np.argmin's
     first-minimum rule IS the seed-id tiebreak, seeds sorted by id).
+
+    ``sem_k`` overrides the registered {SEM_K}-seed default (the oracle
+    pins {SEM_K}) — the centroid-count knob production scales with the
+    corpus; tools/bench_query_scale.py's mitigation probe sweeps it to
+    show block sizes (and the weak-scaling exponent) stay bounded when
+    seeds grow ∝ N.
     """
     import pandas as pd
 
     from .similarity import _to_matrix, lr_matmul
 
+    if sem_k is None:
+        sem_k = SEM_K
     emb = load(spark, sf_dir, "embeddings")
     seed_rows = sorted(
-        emb.filter(F.col("vec_id") < SEM_K).select("vec_id", "embedding").collect()
-    )  # constant-bounded: at most SEM_K rows by construction
+        emb.filter(F.col("vec_id") < sem_k).select("vec_id", "embedding").collect()
+    )  # constant-bounded: at most sem_k rows by construction
     S = _to_matrix(pd.Series([r.embedding for r in seed_rows]))
     seed_ids = _np.array([r.vec_id for r in seed_rows])
     _, s_sq = lr_matmul(S, S[:0])
