@@ -69,11 +69,10 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "running-coverage window runs over the per-token aggregate — "
         "input is |vocabulary|, bounded and documented in text.py"
     ),
-    "q_text_bm25_topk": (
-        "query-term selection window runs over the term-df aggregate — "
-        "input is |vocabulary|, not |postings|; document ranking uses "
-        "salted-then-global two-phase windows, both partitioned"
-    ),
+    # q_text_bm25_topk needs no entry: its term-selection window's
+    # rn <= 12 filter lets Spark rewrite the unpartitioned window into
+    # TakeOrderedAndProject(limit=12) — per-partition top-k + merge, no
+    # Exchange SinglePartition in the executed plan at all
     "q_pipeline_sequence_pack": (
         "two-pass global prefix sum (gini construction): the offset "
         "window runs over the per-partition token-totals relation — "
