@@ -237,6 +237,53 @@ def test_runtime_bloom_filter_injected(spark):
         )
 
 
+def test_explicit_bloom_prune_contract(spark):
+    """The DataFrame-native bloom filter (q_join_bloom_prune's
+    bloom_build/bloom_probe) honors the bloom contract: NO false
+    negatives (every truly-matching fact row survives the probe) and a
+    false-positive count within the analytic bound for m/k/n — so the
+    exact join downstream sees a superset of the matches that is at
+    most fpr*|fact| rows bigger. Also pins the plan shape: the probe is
+    a Filter fed by a 1-row BroadcastNestedLoopJoin, not a shuffle."""
+    import math
+
+    from utxo_to_parquet_spark.operators.relational import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        bloom_build,
+        bloom_probe,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    dim = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    pruned = bloom_probe(li, "l_orderkey", bloom_build(dim, "o_orderkey"))
+    exact = li.join(dim, li.l_orderkey == dim.o_orderkey, "semi")
+    n_fact = li.count()
+    n_exact = exact.count()
+    n_pruned = pruned.count()
+    # no false negatives: pruned ⊇ exact (anti-join of exact vs pruned empty)
+    assert exact.exceptAll(pruned).count() == 0
+    # false positives bounded: fpr = (1 - e^(-k*n/m))^k with 3x slack
+    n_keys = dim.count()
+    fpr = (1.0 - math.exp(-BLOOM_HASHES * n_keys / BLOOM_BITS)) ** BLOOM_HASHES
+    assert n_pruned - n_exact <= max(3, 3 * fpr * n_fact), (
+        f"{n_pruned - n_exact} false positives vs bound {3 * fpr * n_fact:.2f}"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row sketch attach
+    assert "element_at" in plan  # the bit-test probe filter
+    # the only hash exchange allowed is the build side's bounded
+    # groupBy(word) (≤2048 groups); the fact side must reach the probe
+    # filter shuffle-free
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "word#" in line, f"fact-side shuffle in probe plan: {line}"
+
+
 def test_simhash_pairs_plan_has_no_cross_join(spark):
     """The hamming-ball pair join must be banded equi-join candidates +
     exact verify — NEVER a cartesian/nested-loop product. A plan that

@@ -2364,3 +2364,108 @@ def q_basket_pair_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+# --- bloom-filter runtime join pruning: the explicit semi-join filter -----
+
+BLOOM_BITS = 1 << 17  # m: 131072 bits = 2048 longs = 16 KiB broadcast
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_HASHES = 5  # k: fpr ~ (1 - e^(-k*n/m))^k ~ 2e-7 at n~1.2k keys
+
+
+def bloom_build(dim, key: str):
+    """Fold the dim side's join keys into a bit-packed bloom filter:
+    one row, one ``array<long>`` of {BLOOM_WORDS} words (16 KiB). Two
+    bounded aggregates — per-word bit_or (≤{BLOOM_WORDS} groups), then a
+    single-row map assembly — so the build cost is one pass over the dim
+    keys regardless of dim size."""
+    seeds = F.array(*[F.lit(i) for i in range(BLOOM_HASHES)])
+    return (
+        dim.select(F.explode(seeds).alias("seed"), key)
+        .select(F.pmod(F.xxhash64(key, "seed"), F.lit(BLOOM_BITS)).alias("pos"))
+        .select(
+            F.shiftright("pos", 6).cast("int").alias("word"),
+            F.col("pos").bitwiseAND(F.lit(63)).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("w"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("word", "w"))).alias("m"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BLOOM_WORDS - 1)),
+                lambda i: F.coalesce(F.try_element_at("m", i), F.lit(0).cast("long")),
+            ).alias("bf")
+        )
+    )
+
+
+def bloom_probe(fact, key: str, bf):
+    """Prune ``fact`` to rows whose ``key`` MIGHT be in the bloom filter
+    ``bf`` (1-row DataFrame from :func:`bloom_build`). The sketch reaches
+    every row via a 1-row broadcast nested-loop attach; each row then
+    pays {BLOOM_HASHES} xxhash64 probes + bit tests, all JVM codegen —
+    no shuffle, no Python. False positives pass (the caller's exact join
+    removes them); true matches always pass."""
+    probed = fact.crossJoin(F.broadcast(bf))
+    for i in range(BLOOM_HASHES):
+        probed = probed.withColumn(
+            f"_p{i}", F.pmod(F.xxhash64(key, F.lit(i)), F.lit(BLOOM_BITS))
+        )
+    hit = F.lit(True)
+    for i in range(BLOOM_HASHES):
+        hit = hit & (
+            F.expr(
+                f"element_at(bf, cast(shiftright(_p{i}, 6) as int) + 1)"
+                f" & shiftleft(1L, cast(_p{i} & 63 as int))"
+            )
+            != 0
+        )
+    return probed.filter(hit).select(fact.columns)
+
+
+@register(
+    "q_join_bloom_prune",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '1999-01-01'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_bloom_prune(spark, sf_dir):
+    """Explicit bloom-filter runtime join pruning — the 100-TB semi-join
+    shape Spark's InjectRuntimeFilter automates, built here as a
+    first-class DataFrame op (``bloom_filter_agg``/``might_contain`` are
+    not publicly registered). The selective dim side ({BLOOM_HASHES}
+    xxhash64 probes per key) is folded into a {BLOOM_WORDS}-long
+    bit-packed array — two bounded aggregates, 16 KiB total — then
+    attached to every fact row via a 1-row broadcast, so the fact table
+    is pruned by pure JVM bit tests BEFORE the exact join's shuffle.
+    False positives survive the bloom test but die in the exact
+    (semi) join, so the result is value-identical to the plain semi
+    join — exactly what the oracle checks. At 100 TB this is the
+    pattern that turns a 100%-scan shuffle join into a <1%-scan one
+    when the dim side is too big to broadcast whole but its key
+    FINGERPRINT is not."""
+    orders = load(spark, sf_dir, "orders")
+    dim = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+    ).select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem")
+    bf = bloom_build(dim, "o_orderkey")
+    pruned = bloom_probe(li, "l_orderkey", bf)
+    return (
+        pruned.join(F.broadcast(dim), pruned.l_orderkey == dim.o_orderkey, "semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
