@@ -474,3 +474,27 @@ def test_triangles_count_dup_cluster_corners_once(tmp_path, spark):
         for r in QUERIES["q_graph_triangles"](spark, str(tmp_path)).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_weighted_aes_sample_skews_toward_long_docs(spark):
+    """A-ES with w = n_chars must overrepresent long documents: the
+    sample's mean length exceeds the corpus mean (deterministic on the
+    fixed sf0.001 fixtures), every rank 1..AES_K appears exactly once,
+    and membership is stable across re-evaluation (hash-derived u)."""
+    from utxo_to_parquet_spark.operators.text import AES_K
+
+    sf = "/root/testdata/sf0.001"
+    sample = QUERIES["q_sample_weighted_aes"](spark, sf)
+    rows = sample.collect()
+    assert sorted(r.sample_rank for r in rows) == list(range(1, AES_K + 1))
+    corpus_mean = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .agg({"n_chars": "avg"})
+        .first()[0]
+    )
+    sample_mean = sum(r.weight for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (
+        f"sample mean {sample_mean:.1f} <= corpus mean {corpus_mean:.1f}"
+    )
+    again = {r.doc_id for r in QUERIES["q_sample_weighted_aes"](spark, sf).collect()}
+    assert again == {r.doc_id for r in rows}

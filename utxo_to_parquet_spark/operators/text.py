@@ -931,6 +931,62 @@ def q_sample_stratified_hash(spark, sf_dir):
     )
 
 
+AES_K = 64  # weighted-sample size
+
+
+@register(
+    "q_sample_weighted_aes",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(
+               -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    + 0.5) / 4294967296.0) / n_chars,
+               9) AS sel_key
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight, sel_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY sel_key, doc_id) AS BIGINT)
+             AS sample_rank
+    FROM keyed
+    QUALIFY sample_rank <= {AES_K}
+    """,
+)
+def q_sample_weighted_aes(spark, sf_dir):
+    """Weighted reservoir sampling without replacement (Efraimidis–
+    Spirakis A-ES): each doc draws a deterministic uniform u from its
+    key hash and competes with exponential key -ln(u)/w, w = n_chars —
+    the {AES_K} smallest keys ARE a length-weighted sample without
+    replacement, the primitive behind length- or quality-proportional
+    training-mix construction. The hash-derived u (same md5 recipe as
+    q_sample_hash_percent) makes membership a pure function of the row
+    key: resumable, backfill-stable, and oracle-checkable, unlike
+    rand()-based weighted sampling. Keys are rounded to 9 decimals
+    BEFORE ranking so cross-engine float ulps can't flip the order;
+    ties break on doc_id. Scale shape: the key is a map-side
+    expression and the global top-{AES_K} is a constant-k
+    rank-then-filter Spark rewrites to TakeOrderedAndProject
+    (per-partition heap + single merge) — no corpus-wide shuffle, no
+    single-partition window, at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    u = (bucket + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round(-F.log(u) / F.col("n_chars"), 9).alias("sel_key"),
+    )
+    w = W.orderBy("sel_key", "doc_id")
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= AES_K)
+    )
+
+
 # --- unigram LM perplexity-proxy quality scoring -------------------------
 
 
