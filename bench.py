@@ -110,6 +110,9 @@ HEADLINE = [
     # round 6c: per-key sequential recurrence, degree-ordered triangles
     "q_events_ewma",
     "q_graph_triangles",
+    # round 6d: explicit bloom runtime filter, A-ES weighted sampling
+    "q_join_bloom_prune",
+    "q_sample_weighted_aes",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

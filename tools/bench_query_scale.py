@@ -85,6 +85,8 @@ OPS = {
     # events-shaped: sessionization + banded interval join
     "q_events_sessionize": "events",
     "q_events_interval_overlap_join": "events",
+    # round 6d: map-side key + constant-k TakeOrdered — expect ~flat
+    "q_sample_weighted_aes": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

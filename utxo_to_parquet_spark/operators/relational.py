@@ -2469,3 +2469,60 @@ def q_join_bloom_prune(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+# --- schema-evolution read: mergeSchema over drifted parquet parts --------
+
+@register(
+    "q_schema_evolution_read",
+    oracle="""
+    WITH merged AS (
+      SELECT source, CAST(NULL AS BIGINT) AS quality
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT source, CAST(n_chars % 100 AS BIGINT) AS quality
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(quality) AS BIGINT) AS n_scored,
+           CAST(SUM(COALESCE(quality, 0)) AS BIGINT) AS sum_quality
+    FROM merged GROUP BY source
+    """,
+)
+def q_schema_evolution_read(spark, sf_dir):
+    """Schema-evolution read: a table whose later files carry a column
+    the earlier ones predate — the normal state of any lake that has
+    been written to for years. The query materializes two REAL parquet
+    parts with different physical schemas (v1: doc_id/source/n_chars;
+    v2 adds a quality score), then merge-reads them with
+    ``mergeSchema=true`` so v1 rows surface the missing column as NULL,
+    and aggregates per source. The oracle reconstructs the same logical
+    union from the registered view, so the gate checks the physical
+    round-trip, not just the arithmetic. Scale note: mergeSchema unions
+    schemas from file footers at planning time — O(files) on the
+    driver — so production pins the merged schema in a catalog and
+    passes it explicitly; the read path exercised here (missing-column
+    null fill inside the vectorized reader) is the same either way."""
+    import hashlib
+
+    docs = load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_schema_evo_{tag}"
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source", "n_chars")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("n_chars") % 100).cast("long").alias("quality"),
+    )
+    v1.write.mode("overwrite").parquet(f"{base}/epoch=1")
+    v2.write.mode("overwrite").parquet(f"{base}/epoch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/epoch=1", f"{base}/epoch=2"
+    )
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("quality").alias("n_scored"),
+        F.sum(F.coalesce("quality", F.lit(0))).cast("long").alias("sum_quality"),
+    )
