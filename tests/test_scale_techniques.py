@@ -511,3 +511,30 @@ def test_bfs_expands_frontier_not_settled_set(spark):
     # the dense form's signature: a min(dist) aggregation over the
     # unioned distance table. The delta form needs no min at all.
     assert "min(dist" not in plan and "partial_min" not in plan
+
+
+def test_hll_sketch_survives_parquet_round_trip(spark, tmp_path):
+    """The silver-table claim behind q_agg_hll_union: an HLL sketch
+    written to parquet as a binary column and read back unions to the
+    same estimate as the never-persisted sketch — so distinct-count
+    rollups really can run from stored sketches without raw data."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    silver = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    direct = {
+        r.l_returnflag: r.est
+        for r in silver.groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    path = str(tmp_path / "silver")
+    silver.write.parquet(path)
+    stored = {
+        r.l_returnflag: r.est
+        for r in spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    assert stored == direct

@@ -2526,3 +2526,46 @@ def q_schema_evolution_read(spark, sf_dir):
         F.count("quality").alias("n_scored"),
         F.sum(F.coalesce("quality", F.lit(0))).cast("long").alias("sum_quality"),
     )
+
+
+# --- HLL sketch build + union: re-aggregatable distinct counts ------------
+
+@register(
+    "q_agg_hll_union",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS merged_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_hll_union(spark, sf_dir):
+    """DataSketches HLL build-then-union — the silver-table pattern for
+    distinct counts at 100 TB: fine-grained sketches (here per
+    returnflag x linestatus) are persisted once, then any coarser rollup
+    unions the KB-sized sketches instead of re-scanning raw data
+    (hll_sketch_agg -> hll_union_agg -> hll_sketch_estimate). This is
+    strictly stronger than approx_count_distinct
+    (q_agg_approx_distinct): the sketch is a first-class VALUE that
+    survives storage and re-aggregation, not just an aggregate's
+    internal state. The checkable contract is the error bound of the
+    UNIONED estimate vs the exact count (oracle emits literal TRUE);
+    sketch-drift past 5% breaks the value hash."""
+    li = load(spark, sf_dir, "lineitem")
+    silver = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = silver.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return merged.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("est") - F.col("exact_parts")) / F.col("exact_parts")
+            <= 0.05
+        ).alias("merged_within_tol"),
+    )
