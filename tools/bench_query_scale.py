@@ -45,11 +45,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _POS = [a for a in sys.argv[1:] if not a.startswith("--")]
-OUT = _POS[0] if _POS else "BENCH_qscale.json"
 # --variants-only: skip the main OPS sweep and run only the mitigation
 # variants (e.g. seeds ∝ corpus) — for a quick follow-up measurement
-# without re-timing all 19 ops
+# without re-timing the whole op list
 VARIANTS_ONLY = "--variants-only" in sys.argv
+# a variants-only record must not silently replace the durable full
+# sweep artifact — default it to its own file
+OUT = _POS[0] if _POS else (
+    "BENCH_qscale_variants.json" if VARIANTS_ONLY else "BENCH_qscale.json"
+)
 SCALES = [1, 4, 16]
 ID_OFFSET = 10_000_000
 WORK = "/tmp/qscale"
@@ -205,10 +209,12 @@ def main() -> None:
 
     spark = get_spark("bench_query_scale")
     qs = all_queries()
-    # warm: python workers, parquet reader, JIT
+    # warm: python workers, parquet reader, JIT — only the ops that will
+    # actually be timed (variants-only runs skip the full-list warm-up)
     spark.read.parquet(f"{BASE}/region.parquet").count()
-    for name in OPS:
-        qs[name](spark, dirs[1]).collect()
+    if not VARIANTS_ONLY:
+        for name in OPS:
+            qs[name](spark, dirs[1]).collect()
 
     import math
 

@@ -1332,7 +1332,8 @@ SEM_TAU = 0.4  # within-cluster cosine prune threshold
       FROM embeddings
     ),
     seeds AS (
-      SELECT vec_id AS seed_id, e AS se, sq AS ssq FROM v WHERE vec_id < {SEM_K}
+      SELECT vec_id AS seed_id, e AS se, sq AS ssq FROM v
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {SEM_K}
     ),
     assign AS (
       SELECT vec_id, e, sq, seed_id,
@@ -1393,8 +1394,10 @@ def q_dedup_semantic(spark, sf_dir, sem_k: int | None = None):
         sem_k = SEM_K
     emb = load(spark, sf_dir, "embeddings")
     seed_rows = sorted(
-        emb.filter(F.col("vec_id") < sem_k).select("vec_id", "embedding").collect()
-    )  # constant-bounded: at most sem_k rows by construction
+        emb.orderBy("vec_id").limit(sem_k).select("vec_id", "embedding").collect()
+    )  # constant-bounded TakeOrdered pull: at most sem_k rows
+    if not seed_rows:
+        raise ValueError("q_dedup_semantic: embeddings table is empty — no seeds")
     S = _to_matrix(pd.Series([r.embedding for r in seed_rows]))
     seed_ids = _np.array([r.vec_id for r in seed_rows])
     _, s_sq = lr_matmul(S, S[:0])

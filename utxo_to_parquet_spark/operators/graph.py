@@ -296,8 +296,15 @@ def q_graph_triangles(spark, sf_dir):
     construction, then unpivoted to its three corners."""
     from .dedup import _minhash_pairs
 
-    pairs = _minhash_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb")
+    # checkpoint the expensive band-join subtree: deg, the orientation
+    # join, and the wedge-closing join all consume it — without this the
+    # shingle+band+pair pipeline re-executes wherever ReusedExchange
+    # fails to unify the divergent subplans (same convention as
+    # _trade_edges/BFS above)
+    pairs = (
+        _minhash_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
+        .localCheckpoint(eager=False)
     )
     deg = (
         pairs.select(F.explode(F.array("pa", "pb")).alias("node"))
@@ -314,6 +321,7 @@ def q_graph_triangles(spark, sf_dir):
             F.when(lower, F.col("pa")).otherwise(F.col("pb")).alias("u"),
             F.when(lower, F.col("pb")).otherwise(F.col("pa")).alias("v"),
         )
+        .localCheckpoint(eager=False)  # 3 consumers: wedge ends + closing
     )
     ov = ori.join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
     w1 = ov.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))

@@ -251,6 +251,15 @@ def q_mm_decode_pixel_stats(spark, sf_dir):
                    ("doc_id", "fmt", "width", "height", "sum_r", "sum_g", "sum_b", "px_sha")}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
+                if not text or not text.isascii():
+                    # the oracle's pixel recipe is character arithmetic;
+                    # bytes == chars only for non-empty ASCII — fail loud
+                    # rather than silently diverge from the gate
+                    raise ValueError(
+                        f"q_mm_decode_pixel_stats: doc {doc_id} has empty or"
+                        " non-ASCII text; the synthesized-pixel contract"
+                        " requires non-empty ASCII"
+                    )
                 w, h = 5 + doc_id % 4, IMG_H
                 n = w * h * 3
                 raw = (text.encode("utf-8") * -(-n // len(text)))[:n]

@@ -2461,8 +2461,13 @@ def q_join_bloom_prune(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     bf = bloom_build(dim, "o_orderkey")
     pruned = bloom_probe(li, "l_orderkey", bf)
+    # no broadcast hint on the exact join: the pattern's premise is a dim
+    # too big to broadcast whole — after the bloom prune both join inputs
+    # are small fractions, and Catalyst picks broadcast vs shuffle from
+    # stats (here it still broadcasts; at 100 TB it would shuffle the
+    # <1% survivors, which is the point)
     return (
-        pruned.join(F.broadcast(dim), pruned.l_orderkey == dim.o_orderkey, "semi")
+        pruned.join(dim, pruned.l_orderkey == dim.o_orderkey, "semi")
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -2504,11 +2509,12 @@ def q_schema_evolution_read(spark, sf_dir):
     driver — so production pins the merged schema in a catalog and
     passes it explicitly; the read path exercised here (missing-column
     null fill inside the vectorized reader) is the same either way."""
-    import hashlib
+    import tempfile
 
     docs = load(spark, sf_dir, "documents")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = f"/tmp/spark_graft_schema_evo_{tag}"
+    # per-invocation dir (streaming-fixture pattern): concurrent sessions
+    # on the same fixture must not race on overwrite-while-read
+    base = tempfile.mkdtemp(prefix="schema_evo_")
     v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source", "n_chars")
     v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id",
