@@ -323,10 +323,14 @@ def _write_embeddings(tmp_path, rows):
 
 
 def test_semantic_dedup_keeps_seeds_and_dissimilar_members(tmp_path, spark):
-    """SemDeDup contract on a constructed space: two orthogonal seeds,
-    one near-seed duplicate per cluster (dropped — a lower-id cluster
-    member is within SEM_TAU), and one member that is NEAREST to seed 0
-    yet below the cosine threshold to every earlier member (kept)."""
+    """SemDeDup contract on a constructed space: two orthogonal seeds
+    (sem_k=2 pins the seed count — seeds are the two lowest-rank
+    vectors), one near-seed duplicate per cluster (dropped — a lower-id
+    cluster member is within SEM_TAU), and one member that is NEAREST to
+    seed 0 yet below the cosine threshold to every earlier member
+    (kept)."""
+    from utxo_to_parquet_spark.operators.dedup import q_dedup_semantic
+
     _write_embeddings(
         tmp_path,
         [
@@ -339,7 +343,7 @@ def test_semantic_dedup_keeps_seeds_and_dissimilar_members(tmp_path, spark):
     )
     out = {
         r.vec_id: r
-        for r in QUERIES["q_dedup_semantic"](spark, str(tmp_path)).collect()
+        for r in q_dedup_semantic(spark, str(tmp_path), sem_k=2).collect()
     }
     assert {v: out[v].cluster for v in out} == {0: 0, 1: 1, 10: 0, 11: 0, 12: 1}
     assert {v: out[v].keep for v in out} == {
