@@ -849,3 +849,64 @@ def q_stream_ewma(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", F.round("ewma", 6).alias("ewma"))
     )
+
+
+@register(
+    "q_stream_hll_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS multi_batch,
+           TRUE AS merged_within_tol
+    FROM events
+    """,
+)
+def q_stream_hll_distinct(spark, sf_dir):
+    """Streaming incremental sketch maintenance: each micro-batch folds
+    its users into ONE DataSketches HLL row appended to a parquet sketch
+    table (foreachBatch), and the final distinct-user estimate is
+    hll_union_agg over the per-batch sketches — the production shape for
+    streaming distinct counts, where state is a KB-sized mergeable value
+    per commit instead of a distinct-keys store that grows with
+    cardinality. Replays the time-ordered {EWMA_REPLAY_BATCHES}-file
+    source (maxFilesPerTrigger=1) so the union genuinely crosses
+    multiple commits: ``multi_batch`` asserts >=2 sketch rows landed,
+    and ``merged_within_tol`` asserts the unioned estimate is within 5%
+    of the exact batch-side distinct count (oracle emits literal TRUE
+    for both — sketch drift or a single-commit replay breaks the
+    hash)."""
+    import tempfile
+
+    from ..operators.events import load_events
+
+    sdf = _events_time_ordered_stream(spark, sf_dir)
+    sk_dir = tempfile.mkdtemp(prefix="hll_sink_") + "/sketches"
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(sk_dir)
+        )
+
+    with _stream_partitions(spark):
+        q = sdf.writeStream.outputMode("append").foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+            _capture_stream_plan(q)
+        finally:
+            q.stop()
+    merged = spark.read.parquet(sk_dir).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )
+    exact = load_events(spark, sf_dir).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.crossJoin(merged).select(
+        "exact_users",
+        (F.col("n_sketches") >= 2).alias("multi_batch"),
+        (
+            F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
+            <= 0.05
+        ).alias("merged_within_tol"),
+    )
