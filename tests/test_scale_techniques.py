@@ -538,3 +538,65 @@ def test_hll_sketch_survives_parquet_round_trip(spark, tmp_path):
         .collect()
     }
     assert stored == direct
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's automatic skew handling — the runtime complement to the
+    manual salting op (q_join_salted_skew): with 90% of fact rows on one
+    key, the executed plan must show SortMergeJoin(skew=true) fed by an
+    AQEShuffleRead that split the hot partition, and the result must
+    equal the non-adaptive join. This is the default path for skews AQE
+    CAN detect; the salting op remains for those it can't."""
+    keep = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+    }
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        li = spark.range(0, 400_000).select(
+            F.when(F.rand(7) < 0.9, F.lit(1))
+            .otherwise((F.col("id") % 1000) + 2)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 1002).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = li.join(dim, "k").groupBy().agg(
+            F.sum("v").alias("sv"), F.sum("w").alias("sw")
+        )
+        got = j.collect()[0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan[:1500]
+        assert "skewed" in plan, "AQEShuffleRead did not split the hot partition"
+    finally:
+        for k in tuned:
+            if k in keep:
+                spark.conf.set(k, keep[k])
+            else:
+                spark.conf.unset(k)
+    # correctness unchanged vs the non-tuned plan
+    li2 = spark.range(0, 400_000).select(
+        F.when(F.rand(7) < 0.9, F.lit(1))
+        .otherwise((F.col("id") % 1000) + 2)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim2 = spark.range(0, 1002).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    ref = (
+        li2.join(dim2, "k")
+        .groupBy()
+        .agg(F.sum("v").alias("sv"), F.sum("w").alias("sw"))
+        .collect()[0]
+    )
+    assert (got.sv, got.sw) == (ref.sv, ref.sw)
