@@ -113,6 +113,9 @@ HEADLINE = [
     # round 6d: explicit bloom runtime filter, A-ES weighted sampling
     "q_join_bloom_prune",
     "q_sample_weighted_aes",
+    # round 6e: sketch build/union, schema evolution
+    "q_agg_hll_union",
+    "q_schema_evolution_read",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000
