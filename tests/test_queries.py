@@ -487,7 +487,7 @@ def test_weighted_aes_sample_skews_toward_long_docs(spark):
     and membership is stable across re-evaluation (hash-derived u)."""
     from utxo_to_parquet_spark.operators.text import AES_K
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_DIR
     sample = QUERIES["q_sample_weighted_aes"](spark, sf)
     rows = sample.collect()
     assert sorted(r.sample_rank for r in rows) == list(range(1, AES_K + 1))

@@ -210,9 +210,12 @@ def main() -> None:
     spark = get_spark("bench_query_scale")
     qs = all_queries()
     # warm: python workers, parquet reader, JIT — only the ops that will
-    # actually be timed (variants-only runs skip the full-list warm-up)
+    # actually be timed (variants-only runs warm just the variant's op so
+    # its cells share the full sweep's warm-up conditions)
     spark.read.parquet(f"{BASE}/region.parquet").count()
-    if not VARIANTS_ONLY:
+    if VARIANTS_ONLY:
+        qs["q_dedup_semantic"](spark, dirs[1]).collect()
+    else:
         for name in OPS:
             qs[name](spark, dirs[1]).collect()
 

@@ -2478,6 +2478,9 @@ def q_join_bloom_prune(spark, sf_dir):
 
 # --- schema-evolution read: mergeSchema over drifted parquet parts --------
 
+_SCHEMA_EVO_DIRS: dict[str, str] = {}
+
+
 @register(
     "q_schema_evolution_read",
     oracle="""
@@ -2512,18 +2515,25 @@ def q_schema_evolution_read(spark, sf_dir):
     import tempfile
 
     docs = load(spark, sf_dir, "documents")
-    # per-invocation dir (streaming-fixture pattern): concurrent sessions
-    # on the same fixture must not race on overwrite-while-read
-    base = tempfile.mkdtemp(prefix="schema_evo_")
-    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source", "n_chars")
-    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
-        "doc_id",
-        "source",
-        "n_chars",
-        (F.col("n_chars") % 100).cast("long").alias("quality"),
-    )
-    v1.write.mode("overwrite").parquet(f"{base}/epoch=1")
-    v2.write.mode("overwrite").parquet(f"{base}/epoch=2")
+    # one mkdtemp per (process, fixture), memoized: unique per process so
+    # concurrent sessions never race on overwrite-while-read, memoized so
+    # repeated invocations (gate + bench run this many times per session)
+    # don't leak a full table copy each call
+    if sf_dir not in _SCHEMA_EVO_DIRS:
+        base = tempfile.mkdtemp(prefix="schema_evo_")
+        v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "source", "n_chars"
+        )
+        v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("n_chars") % 100).cast("long").alias("quality"),
+        )
+        v1.write.mode("overwrite").parquet(f"{base}/epoch=1")
+        v2.write.mode("overwrite").parquet(f"{base}/epoch=2")
+        _SCHEMA_EVO_DIRS[sf_dir] = base
+    base = _SCHEMA_EVO_DIRS[sf_dir]
     merged = spark.read.option("mergeSchema", "true").parquet(
         f"{base}/epoch=1", f"{base}/epoch=2"
     )

@@ -739,6 +739,7 @@ def q_stream_incremental_dedup(spark, sf_dir):
 # source (Kafka per-partition order, date-partitioned files) is.
 
 _ORDERED_STREAM_DIRS: dict[str, str] = {}
+_HLL_SINK_DIRS: dict[str, str] = {}
 EWMA_REPLAY_BATCHES = 4
 
 
@@ -874,12 +875,22 @@ def q_stream_hll_distinct(spark, sf_dir):
     of the exact batch-side distinct count (oracle emits literal TRUE
     for both — sketch drift or a single-commit replay breaks the
     hash)."""
+    import os
+    import shutil
     import tempfile
 
     from ..operators.events import load_events
 
     sdf = _events_time_ordered_stream(spark, sf_dir)
-    sk_dir = tempfile.mkdtemp(prefix="hll_sink_") + "/sketches"
+    # one memoized mkdtemp per (process, fixture), CLEARED each run: the
+    # sink appends, so stale sketches from a prior invocation would
+    # inflate n_sketches/est; unique-per-process avoids cross-session
+    # races, memoization bounds the /tmp footprint to one dir
+    if sf_dir not in _HLL_SINK_DIRS:
+        _HLL_SINK_DIRS[sf_dir] = tempfile.mkdtemp(prefix="hll_sink_")
+    sk_dir = _HLL_SINK_DIRS[sf_dir] + "/sketches"
+    shutil.rmtree(sk_dir, ignore_errors=True)
+    os.makedirs(sk_dir)
 
     def write_batch(batch_df, batch_id):
         (
