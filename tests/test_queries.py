@@ -502,3 +502,24 @@ def test_weighted_aes_sample_skews_toward_long_docs(spark):
     )
     again = {r.doc_id for r in QUERIES["q_sample_weighted_aes"](spark, sf).collect()}
     assert again == {r.doc_id for r in rows}
+
+
+def test_snm_pairs_within_banding_ball_are_found_by_banding(spark):
+    """Cross-operator consistency: banding is COMPLETE inside its
+    hamming ball, so every sorted-neighborhood pair with hamming <=
+    HAMMING_MAX must also be reported by q_dedup_simhash_pairs; SNM's
+    extra pairs (hamming in (HAMMING_MAX, SNM_TAU]) are its wider-recall
+    trade, and its misses are pairs banding finds but sorted order
+    separates."""
+    from utxo_to_parquet_spark.operators.dedup import HAMMING_MAX
+
+    snm = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_sorted_neighborhood"](spark, SF_DIR).collect()
+        if r.hamming <= HAMMING_MAX
+    }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_simhash_pairs"](spark, SF_DIR).collect()
+    }
+    assert snm <= banded, snm - banded

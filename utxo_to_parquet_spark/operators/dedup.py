@@ -1319,6 +1319,80 @@ def q_dedup_decontaminate(spark, sf_dir):
 # the seed table comes from a k-means run (q_sim_kmeans) and each
 # posting-list-sized cluster is compared independently.
 
+SNM_BUCKET_SHIFT = 24  # bucket = top 8 fingerprint bits -> 256 range buckets
+SNM_WINDOW = 2  # compare each doc to its next 2 neighbors in sorted order
+SNM_TAU = 8  # hamming threshold for a reported neighbor pair
+
+
+def _snm_oracle() -> str:
+    leads = ",\n             ".join(
+        f"LEAD(simhash, {i}) OVER w AS n{i}, LEAD(doc_id, {i}) OVER w AS d{i}"
+        for i in range(1, SNM_WINDOW + 1)
+    )
+    branches = "\n      UNION ALL\n".join(
+        f"""      SELECT LEAST(doc_id, d{i}) AS doc_a, GREATEST(doc_id, d{i}) AS doc_b,
+             CAST(bit_count(xor(simhash, n{i})) AS BIGINT) AS hamming
+      FROM ranked WHERE d{i} IS NOT NULL
+        AND bit_count(xor(simhash, n{i})) <= {SNM_TAU}"""
+        for i in range(1, SNM_WINDOW + 1)
+    )
+    return f"""
+    WITH fp AS ({_simhash_oracle()}),
+    ranked AS (
+      SELECT doc_id, simhash,
+             {leads}
+      FROM fp
+      WINDOW w AS (PARTITION BY simhash // {1 << SNM_BUCKET_SHIFT}
+                   ORDER BY simhash, doc_id)
+    )
+{branches}
+    """
+
+
+@register("q_dedup_sorted_neighborhood", oracle=_snm_oracle())
+def q_dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood (SNM) near-dup candidates: sort fingerprints
+    within {1 << (SIMHASH_BITS - SNM_BUCKET_SHIFT)} range buckets (top
+    byte of the simhash) and compare each document only to its next
+    {SNM_WINDOW} sorted neighbors, reporting pairs within hamming
+    {SNM_TAU} — the classic record-linkage alternative to banded
+    equi-joins when a total order on the fingerprint is meaningful
+    (similar fingerprints sort near each other). Cost is one shuffle on
+    the bucket key + a partitioned-window sort + O(n*{SNM_WINDOW}) JVM
+    bit compares: no pair explosion is POSSIBLE, by construction, at any
+    skew — the trade is recall (pairs straddling a bucket boundary, or
+    >{SNM_WINDOW} ranks apart, are missed; banding has no such misses
+    inside its hamming ball). Production widens recall with more/
+    overlapping passes under different sort keys, not wider windows. The
+    bucket count (top-k bits) is the parallelism knob — at 100 TB use
+    enough bits that a bucket fits an executor's sort buffer."""
+    fp = _simhash_df(spark, sf_dir)
+    w = (
+        W.partitionBy("bucket").orderBy("simhash", "doc_id")
+    )
+    ranked = fp.withColumn(
+        "bucket", F.shiftright("simhash", SNM_BUCKET_SHIFT)
+    )
+    for i in range(1, SNM_WINDOW + 1):
+        ranked = ranked.withColumn(f"n{i}", F.lead("simhash", i).over(w)).withColumn(
+            f"d{i}", F.lead("doc_id", i).over(w)
+        )
+    branches = []
+    for i in range(1, SNM_WINDOW + 1):
+        ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col(f"n{i}")))
+        branches.append(
+            ranked.filter(F.col(f"d{i}").isNotNull() & (ham <= SNM_TAU)).select(
+                F.least("doc_id", f"d{i}").alias("doc_a"),
+                F.greatest("doc_id", f"d{i}").alias("doc_b"),
+                ham.cast("long").alias("hamming"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 SEM_K = 8  # seed centroids: the first SEM_K vectors by vec_id
 SEM_TAU = 0.4  # within-cluster cosine prune threshold
 
