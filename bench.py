@@ -113,9 +113,10 @@ HEADLINE = [
     # round 6d: explicit bloom runtime filter, A-ES weighted sampling
     "q_join_bloom_prune",
     "q_sample_weighted_aes",
-    # round 6e: sketch build/union, schema evolution
+    # round 6e: sketch build/union, schema evolution, SNM dedup
     "q_agg_hll_union",
     "q_schema_evolution_read",
+    "q_dedup_sorted_neighborhood",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000
