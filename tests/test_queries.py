@@ -523,3 +523,70 @@ def test_snm_pairs_within_banding_ball_are_found_by_banding(spark):
         for r in QUERIES["q_dedup_simhash_pairs"](spark, SF_DIR).collect()
     }
     assert snm <= banded, snm - banded
+
+
+def test_gapfill_interpolates_interior_gap_linearly(tmp_path, spark):
+    """Observed hours 0 and 3 (avgs 1.0 and 4.0) with a two-hour hole:
+    linear interpolation must yield exactly 2.0 and 3.0 at hours 1 and 2,
+    flagged as gaps, while observed buckets pass through unrounded."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/events.parquet")
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        dict(event_id=1, ts=t0, user_id=1, event_type="a", value=0.5, props="{}"),
+        dict(event_id=2, ts=t0 + dt.timedelta(minutes=30), user_id=1,
+             event_type="a", value=1.5, props="{}"),
+        dict(event_id=3, ts=t0 + dt.timedelta(hours=3), user_id=1,
+             event_type="a", value=4.0, props="{}"),
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "events.parquet"),
+    )
+    out = {
+        r.bucket_hour - rows[0]["ts"].replace(tzinfo=dt.timezone.utc).timestamp() // 3600:
+        r
+        for r in QUERIES["q_events_gapfill_interp"](spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == [0.0, 1.0, 2.0, 3.0]  # dense grid, span-sized
+    assert out[0.0].avg_interp_e4 == 10000 and not out[0.0].is_gap  # avg(0.5,1.5)
+    assert out[1.0].avg_interp_e4 == 20000 and out[1.0].is_gap
+    assert out[2.0].avg_interp_e4 == 30000 and out[2.0].is_gap
+    assert out[3.0].avg_interp_e4 == 40000 and not out[3.0].is_gap
+    assert [out[h].n for h in sorted(out)] == [2, 0, 0, 1]
+
+
+def test_countmin_estimates_hot_token_exactly_on_sparse_vocab(tmp_path, spark):
+    """With a vocabulary far smaller than CM_WIDTH there are no hash
+    collisions to absorb, so the sketch estimate for the planted hot
+    token must satisfy BOTH contract columns, and the candidate filter
+    must surface the hot token (60% of all mass) and only tokens above
+    the N/(K+1) threshold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/documents.parquet")
+    rows = []
+    for i in range(30):
+        # 12 hot tokens + 8 rarer ones per doc -> 'hot' owns 360 of 600
+        text = " ".join(["hot"] * 12 + [f"rare{i % 10}_{j}" for j in range(8)])
+        rows.append(
+            dict(doc_id=i, text=text, lang="en", source="web", n_chars=len(text))
+        )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {r.token: r for r in QUERIES["q_text_countmin"](spark, str(tmp_path)).collect()}
+    assert "hot" in out
+    assert out["hot"].exact_count == 360
+    assert all(r.never_undercounts and r.within_eps for r in out.values())
+    # every reported candidate really is above the heavy threshold
+    n_total = 30 * 20
+    from utxo_to_parquet_spark.operators.text import HH_K
+
+    assert all(r.exact_count * (HH_K + 1) > n_total for r in out.values())

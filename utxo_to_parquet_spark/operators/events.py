@@ -584,6 +584,134 @@ def q_events_resample_ffill(spark, sf_dir):
 
 
 @register(
+    "q_events_gapfill_interp",
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS bucket_hour,
+             ROUND(AVG(value), 4) AS raw_avg,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type,
+             MIN(CAST(epoch_ns(ts) // 3600000000000 AS BIGINT)) AS lo,
+             MAX(CAST(epoch_ns(ts) // 3600000000000 AS BIGINT)) AS hi
+      FROM events GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi)) AS bucket_hour
+      FROM bounds
+    ),
+    anchored AS (
+      SELECT g.event_type, g.bucket_hour,
+             COALESCE(p.n, 0) AS n, p.raw_avg,
+             LAST_VALUE(p.raw_avg IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket_hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             LAST_VALUE(CASE WHEN p.raw_avg IS NOT NULL
+                             THEN g.bucket_hour END IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket_hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+             FIRST_VALUE(p.raw_avg IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket_hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             FIRST_VALUE(CASE WHEN p.raw_avg IS NOT NULL
+                              THEN g.bucket_hour END IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.bucket_hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      FROM grid g LEFT JOIN per p USING (event_type, bucket_hour)
+    )
+    SELECT event_type, CAST(bucket_hour AS BIGINT) AS bucket_hour, n,
+           (n = 0) AS is_gap,
+           CAST(FLOOR((CASE
+             WHEN raw_avg IS NOT NULL THEN raw_avg
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               prev_v + (next_v - prev_v)
+                 * (CAST(bucket_hour - prev_t AS DOUBLE)
+                    / CAST(next_t - prev_t AS DOUBLE))
+             WHEN prev_v IS NOT NULL THEN prev_v
+             ELSE next_v END) * 10000 + 0.5) AS BIGINT) AS avg_interp_e4
+    FROM anchored
+    """,
+)
+def q_events_gapfill_interp(spark, sf_dir):
+    """Gap-fill with LINEAR INTERPOLATION — the `time_bucket_gapfill +
+    interpolate` shape (TimescaleDB) that ``q_events_resample_ffill``'s
+    locf cannot express: interior holes get the straight line between
+    the surrounding observed buckets, head gaps backfill, tail gaps
+    carry forward.
+
+    Plan shape: one hourly aggregate (map-side partial), a per-key dense
+    grid whose size scales with TIME SPAN not row count, and four
+    ignore-nulls windows over the grid — the corpus is touched exactly
+    once, everything after the groupBy runs on span-sized data. Both
+    engines compute the interpolation with the identical double
+    expression ``prev + (next - prev) * ((t - pt) / (nt - pt))`` over
+    already-rounded anchors, and the result is emitted as FIXED-POINT
+    ``floor(x*1e4 + 0.5)`` BIGINT — a second decimal ROUND of an
+    exactly-half double is engine-dependent; floor over identical IEEE
+    doubles is not.
+    """
+    ev = load_events(spark, sf_dir)
+    hour_ns = 3600 * NS
+    bucketed = ev.withColumn("bucket_hour", F.expr(f"ts div {hour_ns}"))
+    per = bucketed.groupBy("event_type", "bucket_hour").agg(
+        F.round(F.avg("value"), 4).alias("raw_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bounds = bucketed.groupBy("event_type").agg(
+        F.min("bucket_hour").alias("lo"), F.max("bucket_hour").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("bucket_hour")
+    )
+    wb = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("raw_avg").isNotNull(), F.col("bucket_hour"))
+    anchored = (
+        grid.join(per, ["event_type", "bucket_hour"], "left")
+        .select(
+            "event_type",
+            "bucket_hour",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+            "raw_avg",
+            F.last("raw_avg", ignorenulls=True).over(wb).alias("prev_v"),
+            F.last(obs_t, ignorenulls=True).over(wb).alias("prev_t"),
+            F.first("raw_avg", ignorenulls=True).over(wf).alias("next_v"),
+            F.first(obs_t, ignorenulls=True).over(wf).alias("next_t"),
+        )
+    )
+    frac = (F.col("bucket_hour") - F.col("prev_t")).cast("double") / (
+        F.col("next_t") - F.col("prev_t")
+    ).cast("double")
+    interp = (
+        F.when(F.col("raw_avg").isNotNull(), F.col("raw_avg"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+        )
+        .when(F.col("prev_v").isNotNull(), F.col("prev_v"))
+        .otherwise(F.col("next_v"))
+    )
+    return anchored.select(
+        "event_type",
+        "bucket_hour",
+        "n",
+        (F.col("n") == 0).alias("is_gap"),
+        F.floor(interp * 10000 + F.lit(0.5)).cast("long").alias("avg_interp_e4"),
+    )
+
+
+@register(
     "q_events_streaks",
     oracle="""
     WITH days AS (

@@ -1484,6 +1484,114 @@ def q_text_heavy_hitters(spark, sf_dir):
     )
 
 
+CM_DEPTH = 4  # Count-Min rows (independent hash functions)
+CM_WIDTH = 2048  # Count-Min columns per row
+
+
+def _cm_cells(token_col):
+    """The CM_DEPTH (row, col) sketch cells for a token column, computed
+    JVM-side: col_r = crc32("r:" || token) % CM_WIDTH. One expression
+    serves both the build side and the point-lookup side, so the two can
+    never disagree on a cell address."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("r"),
+                (
+                    F.crc32(F.encode(F.concat(F.lit(f"{r}:"), token_col), "UTF-8"))
+                    % CM_WIDTH
+                ).alias("c"),
+            )
+            for r in range(CM_DEPTH)
+        ]
+    )
+
+
+@register(
+    "q_text_countmin",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tokens),
+    exact AS (SELECT token, COUNT(*) AS exact_count FROM tokens GROUP BY token)
+    SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
+           TRUE AS never_undercounts, TRUE AS within_eps
+    FROM exact, tot
+    WHERE exact_count * {HH_K + 1} > n
+    """,
+)
+def q_text_countmin(spark, sf_dir):
+    """Point-frequency estimation via a distributed Count-Min sketch —
+    the companion to the Misra-Gries heavy-hitters summary: MG answers
+    "which tokens are frequent", CM answers "how frequent is THIS token"
+    without ever materializing the full vocabulary.
+
+    Spark-first build: each token expands to its CM_DEPTH (row, col)
+    cells (crc32 JVM-side, no Python anywhere) and a plain
+    ``groupBy(r, c).count`` builds the sketch — the key domain is the
+    fixed DEPTH x WIDTH grid, so hash aggregation combines map-side into
+    at most 8192 groups per partition and the shuffle is
+    corpus-size-INDEPENDENT. That is the whole trick: Spark's partial
+    aggregation IS the sketch merge, no custom accumulator needed.
+    Candidates come from the bounded Misra-Gries pass (reused
+    ``_mg_partial``); their exact counts use a broadcast semi-join, and
+    their CM estimates a broadcast lookup of CM_DEPTH cells each with
+    ``min`` over rows. Contract columns expose both sketch theorems:
+    ``never_undercounts`` (CM estimates only ever overcount — a strict
+    guarantee) and ``within_eps`` (overcount <= 4N/WIDTH, the Markov
+    bound taken to the 4th power by the min over CM_DEPTH independent
+    rows; empirically the worst candidate overcount at sf0.1 is ~2% of
+    the bound). A false on either — or a heavy token missing — flips the
+    value hash.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    cells = tokens.select(F.explode(_cm_cells(F.col("token"))).alias("cell"))
+    sketch = (
+        cells.select("cell.r", "cell.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cm"))
+        .localCheckpoint(eager=True)  # bounded: <= DEPTH*WIDTH rows; two consumers
+    )
+    # global N = total mass of any single sketch row
+    total = sketch.filter(F.col("r") == 0).agg(F.sum("cm").alias("n"))
+
+    # bounded candidate set from the Misra-Gries partial summaries
+    summaries = tokens.mapInPandas(_mg_partial, "token string, mg_count long")
+    candidates = (
+        summaries.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("mg_count").alias("mg_sum"))
+        .select("token")
+    )
+    exact = (
+        tokens.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    est = (
+        candidates.select("token", F.explode(_cm_cells(F.col("token"))).alias("cell"))
+        .join(F.broadcast(sketch), [F.col("cell.r") == F.col("r"), F.col("cell.c") == F.col("c")])
+        .groupBy("token")
+        .agg(F.min("cm").alias("cm_est"))
+    )
+    return (
+        exact.join(F.broadcast(est), "token")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("exact_count") * (HH_K + 1) > F.col("n"))
+        .select(
+            "token",
+            "exact_count",
+            (F.col("cm_est") >= F.col("exact_count")).alias("never_undercounts"),
+            (
+                (F.col("cm_est") - F.col("exact_count")) * CM_WIDTH
+                <= 4 * F.col("n")
+            ).alias("within_eps"),
+        )
+    )
+
+
 PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+"
 PII_PHONE_RE = "555-[0-9][0-9][0-9][0-9]"
 
