@@ -590,3 +590,47 @@ def test_countmin_estimates_hot_token_exactly_on_sparse_vocab(tmp_path, spark):
     from utxo_to_parquet_spark.operators.text import HH_K
 
     assert all(r.exact_count * (HH_K + 1) > n_total for r in out.values())
+
+
+def test_quantile_sketch_rank_error_theorem_host_side():
+    """The per-batch summary + merge must answer every target quantile
+    within the advertised rank bound on an adversarial (sorted, then
+    shuffled, heavy-tied) stream — no Spark needed."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from utxo_to_parquet_spark.operators.relational import (
+        QS_CAP,
+        QS_TARGETS,
+        _qs_merge,
+        _qs_partial,
+    )
+
+    rng = np.random.default_rng(7)
+    # lognormal body + 20% exact ties at one value + a sorted run
+    vals = np.concatenate(
+        [
+            rng.lognormal(3, 1, 40000),
+            np.full(10000, 42.0),
+            np.sort(rng.uniform(0, 5, 10000)),
+        ]
+    )
+    rng.shuffle(vals)
+    batches = [
+        pd.DataFrame({"v": vals[i : i + 3000]}) for i in range(0, len(vals), 3000)
+    ]
+    parts = pd.concat(list(_qs_partial(iter(batches))), ignore_index=True)
+    # bounded emission: <= QS_CAP + 2 rows per batch (incl. sentinel)
+    assert len(parts) <= (QS_CAP + 2) * len(batches)
+    out = _qs_merge(parts)
+    svals = np.sort(vals)
+    n = len(vals)
+    for r in out.itertuples():
+        assert r.n == n
+        lt = int((svals < r.approx).sum())
+        le = int((svals <= r.approx).sum())
+        t = max(1, math.ceil(r.q * n))
+        # true rank interval of the answered value intersects the window
+        assert lt + 1 <= t + r.bound and le >= t - r.bound, (r.q, lt, le, t, r.bound)

@@ -45,6 +45,7 @@ ALLOWED_NESTED_LOOP = {
     "q_events_ks_drift",  # totals: 1-row (n_a, n_b) aggregate
     "q_events_psi_drift",  # totals: 1-row (na, nb) aggregate
     "q_text_heavy_hitters",  # total token count: 1-row aggregate attach
+    "q_text_countmin",  # total token count: 1-row sketch-row-sum attach
     "q_join_bloom_prune",  # bloom sketch attach: 1-row 16 KiB bit array
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input

@@ -2585,3 +2585,132 @@ def q_agg_hll_union(spark, sf_dir):
             <= 0.05
         ).alias("merged_within_tol"),
     )
+
+
+QS_CAP = 512  # summary points kept per Arrow batch
+QS_TARGETS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+def _qs_partial(batches):
+    """Mergeable quantile summary over one partition's Arrow batches.
+
+    Per batch: sort, then keep every ceil(n_b/QS_CAP)-th order statistic
+    with a weight equal to the number of raw values it covers — weights
+    sum to n_b exactly and the cumulative weight of each kept point IS
+    its exact in-batch rank, so the only rank uncertainty is the <= k_b
+    gap between kept points. A (v=NULL, w=n_b) sentinel per batch lets
+    the merger count batches B and recover N without a second corpus
+    pass. Memory is bounded by one Arrow batch, not the partition.
+    Module-level so the rank-error theorem is unit-testable without
+    Spark."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        vals = np.sort(pdf["v"].to_numpy(dtype="float64"))
+        n_b = len(vals)
+        if n_b == 0:
+            continue
+        k = math.ceil(n_b / QS_CAP)
+        idx = np.arange(k - 1, n_b, k)
+        if idx[-1] != n_b - 1:
+            idx = np.append(idx, n_b - 1)
+        w = np.diff(np.append(-1, idx))
+        yield pd.DataFrame(
+            {
+                "v": np.append(vals[idx], np.nan),
+                "w": np.append(w, n_b).astype("int64"),
+                "sentinel": [False] * len(idx) + [True],
+            }
+        )
+
+
+def _qs_merge(pdf):
+    """Merge all partial summaries (bounded: <= QS_CAP x B + B rows) and
+    answer the QS_TARGETS quantiles with a per-answer worst-case rank
+    error of 2*ceil(N/QS_CAP) + B + 2: each batch contributes <= k_b =
+    ceil(n_b/QS_CAP) <= n_b/QS_CAP + 1 gap uncertainty (sums to N/QS_CAP
+    + B) and the final selection adds one more inter-point gap."""
+    import math
+
+    import pandas as pd
+
+    sent = pdf[pdf["sentinel"]]
+    b = len(sent)
+    n = int(sent["w"].sum())
+    pts = pdf[~pdf["sentinel"]].sort_values("v")
+    cum = pts["w"].cumsum().to_numpy()
+    vals = pts["v"].to_numpy()
+    bound = 2 * math.ceil(n / QS_CAP) + b + 2
+    out = []
+    for q in QS_TARGETS:
+        t = max(1, math.ceil(q * n))
+        i = int((cum >= t).argmax())
+        out.append((q, float(vals[i]), t, n, bound))
+    return pd.DataFrame(
+        out, columns=["q", "approx", "target_rank", "n", "bound"]
+    )
+
+
+@register(
+    "q_agg_quantile_sketch",
+    oracle="""
+    SELECT CAST(q AS DOUBLE) AS q, (SELECT COUNT(*) FROM lineitem) AS n,
+           TRUE AS within_rank_bound
+    FROM (VALUES (0.01), (0.25), (0.5), (0.75), (0.99)) AS t(q)
+    """,
+)
+def q_agg_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch over ``l_extendedprice`` — the custom
+    re-aggregatable summary family's third member (HLL: distinct, CM/MG:
+    frequency, this: rank/quantile), for when ``approx_percentile`` must
+    be computed bottom-up across pre-aggregated shards rather than in
+    one pass.
+
+    Shape: ``mapInPandas`` emits a <= QS_CAP-point weighted summary per
+    Arrow batch (exact in-batch ranks at the kept points, sentinel rows
+    carry batch counts), a single bounded ``applyInPandas`` group merges
+    them — summary traffic is QS_CAP x B rows regardless of corpus size
+    — and the theorem "every answer's true rank is within 2N/QS_CAP +
+    B + 2 of target" is then CHECKED against the corpus: the five
+    answer values (a fixed, Q_CAP-style constant pull) go back in as
+    literals and one exact counting pass computes each value's true rank
+    interval. ``within_rank_bound`` flips false — failing the hash — if
+    the sketch ever answers outside its guarantee, under any
+    partitioning or batch layout.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    summaries = li.mapInPandas(_qs_partial, "v double, w long, sentinel boolean")
+    merged = (
+        summaries.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            lambda _, pdf: _qs_merge(pdf),
+            "q double, approx double, target_rank long, n long, bound long",
+        )
+        .collect()  # bounded: exactly len(QS_TARGETS) rows
+    )
+    # one exact pass: the true rank interval [lt+1, le] of each answer
+    aggs = []
+    for i, r in enumerate(merged):
+        aggs.append(F.sum((F.col("v") < r.approx).cast("long")).alias(f"lt{i}"))
+        aggs.append(F.sum((F.col("v") <= r.approx).cast("long")).alias(f"le{i}"))
+    ranks = li.agg(*aggs).collect()[0]
+    rows = [
+        (
+            r.q,
+            r.n,
+            bool(
+                ranks[f"lt{i}"] + 1 <= r.target_rank + r.bound
+                and ranks[f"le{i}"] >= r.target_rank - r.bound
+            ),
+        )
+        for i, r in enumerate(merged)
+    ]
+    return spark.createDataFrame(
+        rows, "q double, n long, within_rank_bound boolean"
+    )
