@@ -634,3 +634,28 @@ def test_quantile_sketch_rank_error_theorem_host_side():
         t = max(1, math.ceil(r.q * n))
         # true rank interval of the answered value intersects the window
         assert lt + 1 <= t + r.bound and le >= t - r.bound, (r.q, lt, le, t, r.bound)
+
+
+def test_kmv_partial_keeps_k_smallest_distinct_per_label():
+    """The per-partition KMV partial must emit each label's KMV_K
+    smallest DISTINCT hashes across batches — dedup included — so the
+    global k-min merge never loses a candidate it needs."""
+    import numpy as np
+    import pandas as pd
+
+    from utxo_to_parquet_spark.operators.relational import KMV_K, _kmv_partial
+
+    rng = np.random.default_rng(3)
+    h1 = rng.integers(0, 2**62, 5000)
+    batches = [
+        pd.DataFrame({"lbl": [1] * 5000, "h": h1}),
+        pd.DataFrame(
+            {"lbl": [1] * 5000 + [2] * 10, "h": np.concatenate([h1, np.arange(10)])}
+        ),
+    ]
+    (out,) = list(_kmv_partial(iter(batches)))
+    g1 = np.sort(out[out["lbl"] == 1]["h"].to_numpy())
+    expect = np.unique(h1)[:KMV_K]
+    assert np.array_equal(g1, expect)  # distinct, smallest, capped at K
+    g2 = np.sort(out[out["lbl"] == 2]["h"].to_numpy())
+    assert np.array_equal(g2, np.arange(10))  # below K: kept in full

@@ -2714,3 +2714,121 @@ def q_agg_quantile_sketch(spark, sf_dir):
     return spark.createDataFrame(
         rows, "q double, n long, within_rank_bound boolean"
     )
+
+
+KMV_K = 1024  # k-minimum-values kept per set
+
+
+def _kmv_partial(batches):
+    """Per-partition k-min partial: for each set label, the KMV_K
+    smallest distinct 63-bit hashes seen in this partition — bounded
+    memory (labels x KMV_K longs) however many rows stream through, so
+    the downstream merge sees <= labels x KMV_K x partitions rows
+    instead of the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    mins: dict = {}
+    for pdf in batches:
+        for lbl, grp in pdf.groupby("lbl"):
+            h = grp["h"].to_numpy(dtype="int64")
+            prev = mins.get(lbl)
+            allh = h if prev is None else np.concatenate([prev, h])
+            mins[lbl] = np.unique(allh)[:KMV_K]
+    if mins:
+        yield pd.DataFrame(
+            {
+                "lbl": np.repeat(
+                    list(mins), [len(v) for v in mins.values()]
+                ),
+                "h": np.concatenate(list(mins.values())),
+            }
+        )
+
+
+@register(
+    "q_agg_kmv_intersect",
+    oracle="""
+    WITH sets AS (
+      SELECT DISTINCT CAST(l_quantity AS BIGINT) AS lbl, l_partkey AS p
+      FROM lineitem WHERE l_quantity <= 3
+    )
+    SELECT a.lbl AS lbl_a, b.lbl AS lbl_b,
+           CAST(COUNT(*) AS BIGINT) AS exact_common,
+           TRUE AS within_tol
+    FROM sets a JOIN sets b ON a.p = b.p AND a.lbl < b.lbl
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_kmv_intersect(spark, sf_dir):
+    """Distinct-set INTERSECTION estimation via KMV/theta sketches —
+    the set algebra HLL cannot do (HLL unions merge fine, but
+    intersections need the theta trick: keep each set's KMV_K smallest
+    distinct hashes; below the cut θ = min(θ_a, θ_b) the two sketches
+    are uniform samples of their sets, so |{common hashes < θ}| / θ
+    estimates the intersection). Sets here are 'partkeys ever shipped
+    with quantity q' for q=1,2,3 — each covers ~45% of parts and
+    pairwise overlaps only partially, so the estimator genuinely
+    estimates (sets exceed KMV_K at sf0.1; below that the sketches
+    hold the full sets and the estimate is exact by construction —
+    both regimes are exercised across the gate + bench scales).
+
+    Scale shape: one distinct on (label, key), a bounded per-partition
+    k-min partial (``mapInPandas``), a window over the <= labels x
+    KMV_K x partitions summary rows, then all pairwise work happens on
+    sketches (labels x KMV_K rows, broadcast). The exact pairwise
+    intersection — the full self-join this sketch replaces at 100 TB —
+    is computed once as the contract reference; ``within_tol`` flips
+    the hash if the estimate strays past max(25%, 64) of exact.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    sets = (
+        li.filter(F.col("l_quantity") <= 3)
+        .select(
+            F.col("l_quantity").cast("long").alias("lbl"),
+            F.col("l_partkey").alias("p"),
+        )
+        .distinct()
+    )
+    hashed = sets.select(
+        "lbl", F.shiftrightunsigned(F.xxhash64("p"), 1).alias("h")
+    )
+    partials = hashed.mapInPandas(_kmv_partial, "lbl long, h long")
+    w = W.partitionBy("lbl").orderBy("h")
+    sk = (
+        partials.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .localCheckpoint(eager=True)  # bounded: labels x KMV_K rows; reused 3x
+    )
+    two63 = float(1 << 63)
+    theta = sk.groupBy("lbl").agg(
+        F.when(F.count(F.lit(1)) >= KMV_K, F.max("h") / two63)
+        .otherwise(F.lit(1.0))
+        .alias("theta")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    common = (
+        a.join(F.broadcast(b), (F.col("a.h") == F.col("b.h")) & (F.col("a.lbl") < F.col("b.lbl")))
+        .select(F.col("a.lbl").alias("lbl_a"), F.col("b.lbl").alias("lbl_b"), F.col("a.h").alias("h"))
+        .join(F.broadcast(theta.select(F.col("lbl").alias("lbl_a"), F.col("theta").alias("th_a"))), "lbl_a")
+        .join(F.broadcast(theta.select(F.col("lbl").alias("lbl_b"), F.col("theta").alias("th_b"))), "lbl_b")
+        .withColumn("th", F.least("th_a", "th_b"))
+        .filter(F.col("h") / two63 < F.col("th"))
+        .groupBy("lbl_a", "lbl_b", "th")
+        .agg((F.count(F.lit(1)) / F.col("th")).alias("est"))
+    )
+    exact = (
+        sets.alias("x")
+        .join(sets.alias("y"), (F.col("x.p") == F.col("y.p")) & (F.col("x.lbl") < F.col("y.lbl")))
+        .groupBy(F.col("x.lbl").alias("lbl_a"), F.col("y.lbl").alias("lbl_b"))
+        .agg(F.count(F.lit(1)).alias("exact_common"))
+    )
+    return exact.join(F.broadcast(common), ["lbl_a", "lbl_b"], "left").select(
+        "lbl_a",
+        "lbl_b",
+        "exact_common",
+        (
+            F.abs(F.coalesce("est", F.lit(0.0)) - F.col("exact_common"))
+            <= F.greatest(0.25 * F.col("exact_common"), F.lit(64.0))
+        ).alias("within_tol"),
+    )

@@ -617,6 +617,66 @@ def q_text_chunk_fixed(spark, sf_dir):
     )
 
 
+CHUNK_WINDOW = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = 16)
+
+
+@register(
+    "q_text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS tok,
+             LEN(STRING_SPLIT(text, ' ')) AS n
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    starts AS (
+      SELECT doc_id, tok, n, UNNEST(range(0, n, {CHUNK_STRIDE})) AS s
+      FROM toks
+    )
+    SELECT doc_id, CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(LEAST(n - s, {CHUNK_WINDOW}) AS BIGINT) AS n_tok,
+           md5(ARRAY_TO_STRING(tok[s + 1 : s + {CHUNK_WINDOW}], ' '))
+             AS chunk_md5
+    FROM starts
+    WHERE s = 0 OR s < n - {CHUNK_WINDOW - CHUNK_STRIDE}
+    """,
+)
+def q_text_chunk_overlap(spark, sf_dir):
+    """Sliding-window TOKEN chunking with overlap — the context-window
+    preparation shape for embedding/retrieval pipelines, where adjacent
+    chunks share CHUNK_WINDOW − CHUNK_STRIDE tokens so no phrase is
+    ever split across a hard boundary (``q_text_chunk_fixed`` is the
+    overlap-free character variant).
+
+    A start is emitted when it contributes tokens beyond the previous
+    chunk's reach (``s < n − overlap``), so short documents yield
+    exactly one chunk and no chunk is a suffix of its predecessor.
+    Pure sequence+explode+slice — no UDF, map-side only, row growth
+    bounded by ~n/STRIDE per doc at any scale."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("tok")
+    ).withColumn("n", F.size("tok"))
+    overlap = CHUNK_WINDOW - CHUNK_STRIDE
+    starts = toks.select(
+        "doc_id",
+        "tok",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    ).filter((F.col("s") == 0) | (F.col("s") < F.col("n") - overlap))
+    piece = F.slice("tok", F.col("s") + 1, CHUNK_WINDOW)
+    return starts.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.least(F.col("n") - F.col("s"), F.lit(CHUNK_WINDOW))
+        .cast("long")
+        .alias("n_tok"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
 PACK_BUDGET = 2048
 
 
