@@ -1358,3 +1358,92 @@ def q_events_ewma(spark, sf_dir):
         F.size("vals").cast("long").alias("n_events"),
         F.round(fold, 6).alias("ewma"),
     )
+
+
+@register(
+    "q_events_changepoint_cusum",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS bucket_hour,
+             ROUND(AVG(value), 4) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    centered AS (
+      SELECT event_type, bucket_hour, x,
+             ROUND(AVG(x) OVER (PARTITION BY event_type), 6) AS mu,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM hourly
+    ),
+    cusum AS (
+      SELECT event_type, bucket_hour, n,
+             SUM(x - mu) OVER (PARTITION BY event_type ORDER BY bucket_hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM centered
+    ),
+    ranked AS (
+      SELECT event_type, bucket_hour, n, ABS(s) AS sabs,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY ABS(s) DESC, bucket_hour) AS rn
+      FROM cusum
+    )
+    SELECT event_type, CAST(bucket_hour AS BIGINT) AS cp_bucket,
+           CAST(n AS BIGINT) AS n_buckets,
+           CAST(FLOOR(sabs * 10000 + 0.5) AS BIGINT) AS cusum_e4
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_events_changepoint_cusum(spark, sf_dir):
+    """Offline change-point detection per event type via the CUSUM
+    statistic: over the hourly mean series, the running sum of
+    deviations from the series mean peaks (in absolute value) at the
+    most likely level-shift point — the classic single-change estimator
+    (Page's cumulative-sum test, batch form).
+
+    Determinism across engines is engineered, not hoped for: hourly
+    means and the series mean are rounded BEFORE the cumulative sum, the
+    cumulative sum itself is order-fixed by the window (sequential adds
+    in bucket order on both engines, so IEEE doubles agree bit-for-bit),
+    ties break on the earlier bucket, and the peak is emitted as
+    fixed-point BIGINT. Scale shape: one corpus aggregate, then
+    span-sized windows per key — same footprint as the gap-fill family.
+    """
+    ev = load_events(spark, sf_dir)
+    hour_ns = 3600 * NS
+    hourly = (
+        ev.withColumn("bucket_hour", F.expr(f"ts div {hour_ns}"))
+        .groupBy("event_type", "bucket_hour")
+        .agg(F.round(F.avg("value"), 4).alias("x"))
+    )
+    wk = W.partitionBy("event_type")
+    centered = hourly.select(
+        "event_type",
+        "bucket_hour",
+        "x",
+        F.round(F.avg("x").over(wk), 6).alias("mu"),
+        F.count(F.lit(1)).over(wk).alias("n"),
+    )
+    ws = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cusum = centered.select(
+        "event_type",
+        "bucket_hour",
+        "n",
+        F.sum(F.col("x") - F.col("mu")).over(ws).alias("s"),
+    )
+    wr = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("bucket_hour")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("bucket_hour").alias("cp_bucket"),
+            F.col("n").cast("long").alias("n_buckets"),
+            F.floor(F.abs("s") * 10000 + F.lit(0.5)).cast("long").alias("cusum_e4"),
+        )
+    )
