@@ -12,6 +12,7 @@ from __future__ import annotations
 import uuid
 from typing import Iterator
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.events import normalize_ts_ns
@@ -920,4 +921,123 @@ def q_stream_hll_distinct(spark, sf_dir):
             F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
             <= 0.05
         ).alias("merged_within_tol"),
+    )
+
+
+_CM_SINK_DIRS: dict[str, str] = {}
+CM_STREAM_TOP = 10
+
+
+@register(
+    "q_stream_countmin",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+    ),
+    top AS (
+      SELECT user_id, exact_n,
+             ROW_NUMBER() OVER (ORDER BY exact_n DESC, user_id) AS rn
+      FROM counts
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           TRUE AS multi_commit, TRUE AS never_undercounts,
+           TRUE AS within_eps
+    FROM top WHERE rn <= {CM_STREAM_TOP}
+    """,
+)
+def q_stream_countmin(spark, sf_dir):
+    """Streaming Count-Min maintenance — the LINEAR-sketch twin of
+    ``q_stream_hll_distinct``'s union sketch: each micro-batch appends
+    its own bounded (row, col, count) cell table (a groupBy over the
+    fixed DEPTH x WIDTH grid, so per-commit state is KBs regardless of
+    batch size), and merging commits is plain ``SUM`` per cell because
+    CM sketches are additive. Point lookups for the busiest
+    {CM_STREAM_TOP} users (exact twin computed batch-side with a
+    deterministic tiebreak) must satisfy both CM theorems over the
+    SUMMED sketch — ``never_undercounts`` and the 4N/WIDTH ``within_eps``
+    bound — and ``multi_commit`` pins that the merge genuinely crossed
+    >= 2 commits. Cell addressing reuses the batch operator's
+    ``_cm_cells`` expression, so streaming and batch sketches are
+    bit-compatible and could be unioned freely."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.events import load_events
+    from ..operators.text import _cm_cells
+
+    sdf = _events_time_ordered_stream(spark, sf_dir)
+    if sf_dir not in _CM_SINK_DIRS:
+        _CM_SINK_DIRS[sf_dir] = tempfile.mkdtemp(prefix="cm_sink_")
+    sk_dir = _CM_SINK_DIRS[sf_dir] + "/cells"
+    shutil.rmtree(sk_dir, ignore_errors=True)
+    os.makedirs(sk_dir)
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.select(
+                F.explode(
+                    _cm_cells(F.col("user_id").cast("string"))
+                ).alias("cell")
+            )
+            .select("cell.r", "cell.c")
+            .groupBy("r", "c")
+            .agg(F.count(F.lit(1)).alias("cm"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sk_dir)
+        )
+
+    with _stream_partitions(spark):
+        q = sdf.writeStream.outputMode("append").foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+            _capture_stream_plan(q)
+        finally:
+            q.stop()
+
+    cells = spark.read.parquet(sk_dir)
+    merged = (
+        cells.groupBy("r", "c").agg(F.sum("cm").alias("cm")).localCheckpoint(eager=True)
+    )
+    n_commits = cells.select("batch_id").distinct().count()
+    total = merged.filter(F.col("r") == 0).agg(F.sum("cm").alias("n"))
+
+    ev = load_events(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    # TakeOrderedAndProject: map-side partial top-k, never a one-task
+    # global sort; the (exact_n, user_id) total order makes the cut
+    # deterministic under count ties
+    top = (
+        counts.orderBy(F.col("exact_n").desc(), F.col("user_id"))
+        .limit(CM_STREAM_TOP)
+        .localCheckpoint(eager=True)  # bounded: CM_STREAM_TOP rows; reused twice
+    )
+    est = (
+        top.select(
+            "user_id",
+            F.explode(_cm_cells(F.col("user_id").cast("string"))).alias("cell"),
+        )
+        .join(
+            F.broadcast(merged),
+            [F.col("cell.r") == F.col("r"), F.col("cell.c") == F.col("c")],
+        )
+        .groupBy("user_id")
+        .agg(F.min("cm").alias("cm_est"))
+    )
+    from ..operators.text import CM_WIDTH
+
+    return (
+        top.join(F.broadcast(est), "user_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "exact_n",
+            F.lit(n_commits >= 2).alias("multi_commit"),
+            (F.col("cm_est") >= F.col("exact_n")).alias("never_undercounts"),
+            (
+                (F.col("cm_est") - F.col("exact_n")) * CM_WIDTH <= 4 * F.col("n")
+            ).alias("within_eps"),
+        )
     )
