@@ -117,6 +117,14 @@ HEADLINE = [
     "q_agg_hll_union",
     "q_schema_evolution_read",
     "q_dedup_sorted_neighborhood",
+    # round 7: gap-fill interpolation, CUSUM change-point, the Count-Min /
+    # quantile / KMV sketch family, overlapping token chunking
+    "q_events_gapfill_interp",
+    "q_events_changepoint_cusum",
+    "q_text_countmin",
+    "q_agg_quantile_sketch",
+    "q_agg_kmv_intersect",
+    "q_text_chunk_overlap",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

@@ -49,6 +49,13 @@ _POS = [a for a in sys.argv[1:] if not a.startswith("--")]
 # variants (e.g. seeds ∝ corpus) — for a quick follow-up measurement
 # without re-timing the whole op list
 VARIANTS_ONLY = "--variants-only" in sys.argv
+# --ops a,b,c: time only the named ops and MERGE their cells into the
+# existing artifact — for adding newly-registered ops without re-timing
+# (and re-noising) the whole sweep
+OPS_FILTER: set[str] = set()
+for _a in sys.argv[1:]:
+    if _a.startswith("--ops="):
+        OPS_FILTER = set(_a[len("--ops="):].split(","))
 # a variants-only record must not silently replace the durable full
 # sweep artifact — default it to its own file
 OUT = _POS[0] if _POS else (
@@ -91,6 +98,15 @@ OPS = {
     "q_events_interval_overlap_join": "events",
     # round 6d: map-side key + constant-k TakeOrdered — expect ~flat
     "q_sample_weighted_aes": "documents",
+    # round 7 sketch family: shuffle is sketch-sized (CM grid / QS_CAP x B
+    # summaries / labels x KMV_K minima), so wall time should track the
+    # single map-side scan — expect ~linear-or-below exponents
+    "q_text_countmin": "documents",
+    "q_agg_quantile_sketch": "graph",
+    "q_agg_kmv_intersect": "graph",
+    # round 7 span-grid ops: corpus-sized aggregate, span-sized windows
+    "q_events_gapfill_interp": "events",
+    "q_events_changepoint_cusum": "events",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS
@@ -217,6 +233,8 @@ def main() -> None:
         qs["q_dedup_semantic"](spark, dirs[1]).collect()
     else:
         for name in OPS:
+            if OPS_FILTER and name not in OPS_FILTER:
+                continue
             qs[name](spark, dirs[1]).collect()
 
     import math
@@ -236,8 +254,13 @@ def main() -> None:
         return {"sec": secs, "exponent": round(expo, 2)}
 
     result: dict[str, dict] = {}
+    if OPS_FILTER and os.path.exists(OUT):
+        with open(OUT) as f:
+            result = json.load(f).get("ops", {})
     if not VARIANTS_ONLY:
         for name, shape in OPS.items():
+            if OPS_FILTER and name not in OPS_FILTER:
+                continue
             def run_one(k, _n=name):
                 return qs[_n](spark, dirs[k])
 
@@ -248,6 +271,19 @@ def main() -> None:
     # exponents above are a fixed-block-count artifact. Scaling the seed
     # count with the corpus — what production k-means does — must keep
     # block sizes bounded and pull the exponent back to ~linear.
+    if OPS_FILTER:
+        line = {
+            "metric": "query_weak_scaling",
+            "base": BASE,
+            "scales": SCALES,
+            "copies_note": "disjoint id spaces + word-salted text: k independent corpora",
+            "ops": result,
+        }
+        with open(OUT, "w") as f:
+            f.write(json.dumps(line) + "\n")
+        print(json.dumps(line), flush=True)
+        return
+
     from utxo_to_parquet_spark.operators.dedup import SEM_K, q_dedup_semantic
 
     def run_scaled_seeds(k):
