@@ -250,3 +250,62 @@ def q_pipeline_sequence_pack(spark, sf_dir):
             "crosses_boundary"
         ),
     )
+
+
+@register(
+    "q_pipeline_dataset_card",
+    oracle="""
+    WITH hashed AS (
+      SELECT source, lang, n_chars, text, md5(text) AS h,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    dupmark AS (
+      SELECT source, lang, n_chars, n_tok,
+             COUNT(*) OVER (PARTITION BY h) > 1 AS is_dup
+      FROM hashed
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) FILTER (WHERE n_chars < 200) AS BIGINT)
+             AS n_short_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM dupmark GROUP BY source, lang
+    """,
+)
+def q_pipeline_dataset_card(spark, sf_dir):
+    """The dataset card: per (source, language) slice, the statistics a
+    training-data release publishes — document/token/char volumes,
+    exact-duplicate exposure, and short-document counts — computed in
+    ONE pass over the corpus plus one content-hash shuffle.
+
+    Shape: a window count over md5(text) marks duplicate membership
+    (hash-partitioned, the same key the exact-dedup family shuffles on),
+    then a single groupBy(source, lang) rolls everything up map-side.
+    All outputs are exact integers — no float drift surface at all. At
+    100 TB this is two shuffles: one on content hash (unavoidable for
+    exact dup exposure), one on the (source, lang) card key whose
+    cardinality is the number of published slices, not rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    wdup = W.partitionBy(F.md5("text"))
+    marked = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        (F.count(F.lit(1)).over(wdup) > 1).alias("is_dup"),
+    )
+    return marked.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum((F.col("n_chars") < 200).cast("long")).alias("n_short_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
