@@ -141,3 +141,34 @@ def test_cc_largestar_equals_propagation(spark):
         (r.doc_id, r.component) for r in qs["q_dedup_cc_largestar"](spark, sf).collect()
     )
     assert a == b and a
+
+
+def test_whitening_decorrelates_a_correlated_corpus(tmp_path, spark):
+    """On a deliberately anisotropic corpus (dim1 = dim0 + small noise,
+    i.e. raw covariance has a dominant off-diagonal) the whitening
+    contract must still produce identity covariance — proving the
+    transform really decorrelates rather than passing through."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from utxo_to_parquet_spark.operators.similarity import EMB_DIM
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((300, EMB_DIM))
+    x[:, 1] = x[:, 0] + 0.05 * x[:, 1]  # strong correlation to undo
+    raw_corr = np.corrcoef(x[:, 0], x[:, 1])[0, 1]
+    assert raw_corr > 0.99  # the fixture is genuinely anisotropic
+    base = pq.read_schema(f"{SF_DIR}/embeddings.parquet")
+    table = pa.Table.from_pylist(
+        [
+            {"vec_id": i, "embedding": row.astype("float32").tolist(), "label": 0}
+            for i, row in enumerate(x)
+        ],
+        schema=base,
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    rows = all_queries()["q_sim_whiten"](spark, str(tmp_path)).collect()
+    assert len(rows) == EMB_DIM
+    assert all(r.diag_unit and r.offdiag_zero for r in rows)
+    assert all(r.n == 300 for r in rows)

@@ -1149,3 +1149,110 @@ def q_sim_knn_graph(spark, sf_dir):
     return edges.select(
         "src", "dst", "nn_rank", F.round("cos_raw", 6).alias("cosine")
     )
+
+
+WHITEN_EPS = 1e-8  # RELATIVE eigenvalue floor (fraction of lambda_max)
+WHITEN_TOL = 1e-4  # identity-covariance contract tolerance
+
+
+def _moment_partial(batches):
+    """Per-partition first/second moment accumulator for a vector
+    column: one (n, sum[d], sum-of-outer-products[d*d]) row per
+    partition — the classic single-pass covariance shape. Memory is
+    O(d^2) per partition regardless of row count; the merged summary is
+    O(d^2 * partitions), so the driver-side eigendecomposition input is
+    bounded by DIMENSION, never by corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    n = 0
+    s = np.zeros(EMB_DIM)
+    mm = np.zeros((EMB_DIM, EMB_DIM))
+    for pdf in batches:
+        x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        n += x.shape[0]
+        s += x.sum(axis=0)
+        mm += x.T @ x
+    if n:
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "mm": [mm.ravel().tolist()]}
+        )
+
+
+@register(
+    "q_sim_whiten",
+    oracle=f"""
+    SELECT CAST(UNNEST(range(0, {EMB_DIM})) AS BIGINT) AS dim,
+           (SELECT COUNT(*) FROM embeddings) AS n,
+           TRUE AS diag_unit, TRUE AS offdiag_zero
+    """,
+)
+def q_sim_whiten(spark, sf_dir):
+    """ZCA whitening of the embedding corpus — the decorrelation step
+    that makes cosine/euclidean structure isotropic before dedup or ANN
+    indexing (anisotropic embeddings put most variance in a few
+    directions, which collapses LSH/IVF bucket balance).
+
+    Spark-first split of the work by its true cost: the covariance needs
+    the DATA (one ``mapInPandas`` moment pass, O(d^2) per partition,
+    merged from a partition-count-bounded summary), the
+    eigendecomposition needs only the d x d matrix (driver-side
+    ``numpy.linalg.eigh`` on 64x64 — microseconds, and no cluster
+    algorithm could beat a constant-size local solve), and the
+    projection y = W(x - mu) is map-side Arrow work. The contract: a
+    SECOND moment pass over the whitened vectors must find the identity
+    — per-dimension ``diag_unit`` (|cov_ii - 1| <= {WHITEN_TOL}) and
+    ``offdiag_zero`` (max_j |cov_ij| <= {WHITEN_TOL}) booleans are
+    hash-gated, so a wrong transform or a dropped mean flips the result
+    (a constructed correlated-corpus test pins the decorrelation). Both moment passes are the same
+    accumulator; nothing data-sized ever reaches the driver.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+    schema = f"n long, s array<double>, mm array<double>"
+
+    def merged_moments(df):
+        parts = df.mapInPandas(_moment_partial, schema).collect()
+        n = sum(p.n for p in parts)
+        s = np.sum([np.array(p.s) for p in parts], axis=0)
+        mm = np.sum([np.array(p.mm).reshape(EMB_DIM, EMB_DIM) for p in parts], axis=0)
+        mu = s / n
+        cov = mm / n - np.outer(mu, mu)
+        return n, mu, cov
+
+    n, mu, cov = merged_moments(emb)
+    lam, u = np.linalg.eigh(cov)
+    # floor by max(lam, eps*lam_max), NOT lam+eps: the additive form
+    # biases every whitened variance to lam/(lam+eps) < 1, which fails
+    # the identity contract on small-but-healthy eigenvalues; the max
+    # form is exact wherever the spectrum is above the degeneracy floor
+    lam_f = np.maximum(lam, WHITEN_EPS * lam.max())
+    w = u @ np.diag(1.0 / np.sqrt(lam_f)) @ u.T  # ZCA: U L^-1/2 U^T
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            y = (x - mu) @ w.T
+            yield pd.DataFrame({"embedding": list(y)})
+
+    whitened = emb.mapInPandas(project, "embedding array<double>")
+    n2, _, cov_y = merged_moments(whitened)
+    assert n2 == n
+    rows = [
+        (
+            int(d),
+            n,
+            bool(abs(cov_y[d, d] - 1.0) <= WHITEN_TOL),
+            bool(
+                max(abs(cov_y[d, j]) for j in range(EMB_DIM) if j != d)
+                <= WHITEN_TOL
+            ),
+        )
+        for d in range(EMB_DIM)
+    ]
+    return spark.createDataFrame(
+        rows, "dim long, n long, diag_unit boolean, offdiag_zero boolean"
+    )
