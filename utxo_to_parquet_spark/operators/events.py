@@ -1454,3 +1454,73 @@ def q_events_changepoint_cusum(spark, sf_dir):
             F.floor(F.abs("s") * 10000 + F.lit(0.5)).cast("long").alias("cusum_e4"),
         )
     )
+
+
+EMBARGO_SEC = 6 * 3600  # purged gap between train end and test start
+
+
+@register(
+    "q_split_temporal_embargo",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS lo,
+             MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS hi
+      FROM events
+    ),
+    cut AS (
+      SELECT lo, hi, lo + CAST(FLOOR((hi - lo) * 0.8) AS BIGINT) AS c
+      FROM b
+    ),
+    tagged AS (
+      SELECT e.user_id, CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS sec, cut.c
+      FROM events e, cut
+    )
+    SELECT CASE WHEN sec <= c THEN 'train'
+                WHEN sec > c + {EMBARGO_SEC} THEN 'test'
+                ELSE 'embargo' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(sec) AS BIGINT) AS min_sec,
+           CAST(MAX(sec) AS BIGINT) AS max_sec
+    FROM tagged GROUP BY 1
+    """,
+)
+def q_split_temporal_embargo(spark, sf_dir):
+    """Temporal train/test split with a PURGED EMBARGO gap — the
+    leakage-safe protocol for time-series models (walk-forward
+    validation): train is everything up to the 80%-span cut, the next
+    {EMBARGO_SEC // 3600} hours are discarded so label windows and
+    rolling features computed at train time cannot peek into test, and
+    test is strictly after the embargo. Membership is a pure function
+    of the event timestamp and the corpus time bounds, so the split is
+    identical across engines, runs, and partitionings.
+
+    Scale shape: one min/max aggregate (two scalars broadcast back), one
+    map-side CASE tag, one groupBy over three split labels — the cut is
+    never a sort or a quantile, so 100x more history costs one bigger
+    scan. The distinct-user count per split is the leakage AUDIT column:
+    train/test user overlap is expected here (same population, later
+    time), which is exactly what the purged gap — not user disjointness
+    — protects."""
+    ev = load_events(spark, sf_dir)
+    b = ev.agg(
+        F.min("ts_sec").alias("lo"), F.max("ts_sec").alias("hi")
+    ).select(
+        "lo",
+        "hi",
+        (F.col("lo") + F.floor((F.col("hi") - F.col("lo")) * 0.8)).alias("c"),
+    )
+    tagged = ev.select("user_id", F.col("ts_sec").alias("sec")).crossJoin(
+        F.broadcast(b.select("c"))
+    )
+    split = (
+        F.when(F.col("sec") <= F.col("c"), "train")
+        .when(F.col("sec") > F.col("c") + EMBARGO_SEC, "test")
+        .otherwise("embargo")
+    )
+    return tagged.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("sec").alias("min_sec"),
+        F.max("sec").alias("max_sec"),
+    )
