@@ -47,6 +47,7 @@ ALLOWED_NESTED_LOOP = {
     "q_text_heavy_hitters",  # total token count: 1-row aggregate attach
     "q_text_countmin",  # total token count: 1-row sketch-row-sum attach
     "q_split_temporal_embargo",  # time-cut scalar: 1-row min/max attach
+    "q_text_perplexity_bigram",  # vocab size: 1-row countDistinct attach
     "q_join_bloom_prune",  # bloom sketch attach: 1-row 16 KiB bit array
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input

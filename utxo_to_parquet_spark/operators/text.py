@@ -1888,3 +1888,112 @@ def q_text_bm25_topk(spark, sf_dir):
             F.round("score_raw", 6).alias("score"),
         )
     )
+
+
+@register(
+    "q_text_perplexity_bigram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS tl FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, tl[i] AS token, CAST(i AS BIGINT) AS pos
+      FROM toks, UNNEST(range(1, LEN(tl) + 1)) AS u(i)
+    ),
+    bigr AS (
+      SELECT c.doc_id, p.token AS prev_tok, c.token AS cur_tok
+      FROM tok c JOIN tok p ON p.doc_id = c.doc_id AND p.pos = c.pos - 1
+    ),
+    cb AS (SELECT prev_tok, cur_tok, CAST(COUNT(*) AS DOUBLE) AS nb
+           FROM bigr GROUP BY 1, 2),
+    cp AS (SELECT prev_tok, CAST(COUNT(*) AS DOUBLE) AS np
+           FROM bigr GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS vocab FROM tok)
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-LOG2((cb.nb + 1) / (cp.np + v.vocab))), 4)
+             AS bits_per_bigram
+    FROM bigr b
+    JOIN cb ON cb.prev_tok = b.prev_tok AND cb.cur_tok = b.cur_tok
+    JOIN cp ON cp.prev_tok = b.prev_tok
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+)
+def q_text_perplexity_bigram(spark, sf_dir):
+    """Bigram-LM perplexity scoring with Laplace smoothing — the
+    context-aware upgrade of ``q_text_perplexity_unigram``: a document
+    full of real words in IMPLAUSIBLE ORDER scores high here while the
+    unigram proxy cannot see it.
+
+    The adjacency structure comes from ``posexplode`` + a (doc_id,
+    pos−1) self-join — the positional equi-join Spark turns into an
+    ordinary shuffle hash join, no window over raw tokens. Both LM
+    tables aggregate map-side first (bigram table is vocab²-bounded but
+    Zipf-sparse in practice); the vocabulary size rides as a one-row
+    broadcast. At 100 TB the bigram join's heavy keys are stopword
+    pairs — the AQE skew-split shape — and everything else is linear
+    scan work."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    )
+    cur = tok.select("doc_id", F.col("pos").alias("cpos"), F.col("token").alias("cur_tok"))
+    prev = tok.select("doc_id", (F.col("pos") + 1).alias("cpos"), F.col("token").alias("prev_tok"))
+    bigr = cur.join(prev, ["doc_id", "cpos"]).select("doc_id", "prev_tok", "cur_tok")
+    cb = bigr.groupBy("prev_tok", "cur_tok").agg(
+        F.count(F.lit(1)).cast("double").alias("nb")
+    )
+    cp = bigr.groupBy("prev_tok").agg(F.count(F.lit(1)).cast("double").alias("np"))
+    v = tok.agg(F.countDistinct("token").cast("double").alias("vocab"))
+    scored = (
+        bigr.join(F.broadcast(cb), ["prev_tok", "cur_tok"])
+        .join(F.broadcast(cp), "prev_tok")
+        .crossJoin(F.broadcast(v))
+    )
+    bits = -F.log2((F.col("nb") + 1) / (F.col("np") + F.col("vocab")))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(bits), 4).alias("bits_per_bigram"),
+    )
+
+
+@register(
+    "q_text_source_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (
+      SELECT source, token, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 4)
+             AS entropy_bits
+    FROM cnt GROUP BY source
+    """,
+)
+def q_text_source_entropy(spark, sf_dir):
+    """Shannon entropy of each source's token distribution — the
+    diversity audit a corpus-mixing decision reads (a low-entropy source
+    is boilerplate/templated text even when its docs pass per-doc
+    quality filters). Computed as log2(N) − Σc·log2(c)/N over the
+    vocab-sized count table, so the entropy aggregation runs on
+    sublinear input and the only corpus-sized work is the token count's
+    map-side partial."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    return cnt.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 4
+        ).alias("entropy_bits"),
+    )
