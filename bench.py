@@ -125,6 +125,12 @@ HEADLINE = [
     "q_agg_quantile_sketch",
     "q_agg_kmv_intersect",
     "q_text_chunk_overlap",
+    # round 7b: dataset card, whitening, bigram LM, entropy, embargo split
+    "q_pipeline_dataset_card",
+    "q_sim_whiten",
+    "q_text_perplexity_bigram",
+    "q_text_source_entropy",
+    "q_split_temporal_embargo",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

@@ -40,6 +40,11 @@ OPS = {
     "q_stream_incremental_dedup": "documents",
     "q_stream_watermark_late_data": "events",
     "q_stream_tumbling_5min": "events",
+    # round 7: per-commit mergeable sketches — their durable state is the
+    # per-commit sketch table in the foreachBatch sink (KB-sized by
+    # construction), the checkpoint dir here holds only source offsets
+    "q_stream_hll_distinct": "events",
+    "q_stream_countmin": "events",
 }
 
 

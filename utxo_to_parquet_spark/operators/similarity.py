@@ -1256,3 +1256,123 @@ def q_sim_whiten(spark, sf_dir):
     return spark.createDataFrame(
         rows, "dim long, n long, diag_unit boolean, offdiag_zero boolean"
     )
+
+
+MMR_LAMBDA = 0.7  # relevance weight; 1-MMR_LAMBDA penalizes redundancy
+MMR_CAND = 16  # candidate pool (distributed top-k output)
+MMR_K = 8  # reranked results
+
+
+@register(
+    "q_sim_mmr_rerank",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+      SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding, q.qe), 6) AS rel,
+             e.embedding
+      FROM embeddings e, q
+      WHERE e.vec_id != (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    cand AS (
+      SELECT vec_id, rel, embedding FROM scored
+      ORDER BY rel DESC, vec_id LIMIT {MMR_CAND}
+    ),
+    pick(step, vec_id, picked) AS (
+      (SELECT CAST(1 AS BIGINT), vec_id, [vec_id] FROM cand
+       ORDER BY rel DESC, vec_id LIMIT 1)
+      UNION ALL
+      (SELECT p.step + 1, nxt.vec_id, list_append(p.picked, nxt.vec_id)
+       FROM pick p, LATERAL (
+         SELECT c.vec_id,
+                ROUND({MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA}
+                      * MAX(ROUND(list_cosine_similarity(c.embedding,
+                                                         s.embedding), 6)),
+                      6) AS score
+         FROM cand c
+         JOIN cand s ON list_contains(p.picked, s.vec_id)
+         WHERE NOT list_contains(p.picked, c.vec_id)
+         GROUP BY c.vec_id, c.rel
+         ORDER BY score DESC, c.vec_id LIMIT 1
+       ) AS nxt
+       WHERE p.step < {MMR_K})
+    )
+    SELECT step, CAST(vec_id AS BIGINT) AS vec_id FROM pick
+    """,
+)
+def q_sim_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance reranking: greedily pick {MMR_K}
+    results from the top-{MMR_CAND} cosine candidates, each step
+    trading relevance against redundancy (lambda·rel − (1−lambda)·max
+    similarity to already-picked) — the diversification step retrieval
+    pipelines run AFTER ANN search so near-duplicate hits don't crowd
+    the context window.
+
+    The split mirrors the true costs: candidate generation is
+    distributed (Arrow-batched cosine scan + TakeOrderedAndProject —
+    the corpus-sized part), while the greedy selection runs driver-side
+    over the CONSTANT {MMR_CAND}-row pool, where no cluster algorithm
+    could beat a local loop (greedy MMR is inherently sequential in K).
+    Every cosine is rounded to 6 decimals BEFORE any comparison in both
+    engines, so ulp-level summation differences cannot flip an argmax;
+    the oracle replays the same greedy recursion as a recursive CTE
+    with LATERAL argmax steps.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("vec_id", "embedding").first()
+    qv = np.array(qrow.embedding, dtype="float64")
+    qv /= np.linalg.norm(qv)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            rel = (x / np.linalg.norm(x, axis=1, keepdims=True)) @ qv
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "rel": np.round(rel, 6),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    cand = (
+        emb.filter(F.col("vec_id") != qrow.vec_id)
+        .select("vec_id", "embedding")
+        .mapInPandas(score, "vec_id long, rel double, embedding array<float>")
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_CAND)
+        .collect()  # bounded: exactly MMR_CAND rows
+    )
+    ids = np.array([r.vec_id for r in cand])
+    rels = np.array([r.rel for r in cand])
+    vecs = np.stack([np.array(r.embedding, dtype="float64") for r in cand])
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(vecs @ vecs.T, 6)  # pairwise, rounded like the oracle
+
+    picked: list[int] = []
+    out = []
+    for step in range(1, MMR_K + 1):
+        best = None
+        for i in range(len(ids)):
+            if i in picked:
+                continue
+            if not picked:
+                key = (rels[i], -ids[i])
+            else:
+                s = round(
+                    MMR_LAMBDA * rels[i]
+                    - (1 - MMR_LAMBDA) * max(sims[i, j] for j in picked),
+                    6,
+                )
+                key = (s, -ids[i])
+            if best is None or key > best[0]:
+                best = (key, i)
+        picked.append(best[1])
+        out.append((step, int(ids[best[1]])))
+    return spark.createDataFrame(out, "step long, vec_id long")
