@@ -48,6 +48,7 @@ ALLOWED_NESTED_LOOP = {
     "q_text_countmin",  # total token count: 1-row sketch-row-sum attach
     "q_split_temporal_embargo",  # time-cut scalar: 1-row min/max attach
     "q_text_perplexity_bigram",  # vocab size: 1-row countDistinct attach
+    "q_agg_bootstrap_ci",  # exact-mean scalar: 1-row aggregate attach
     "q_join_bloom_prune",  # bloom sketch attach: 1-row 16 KiB bit array
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
@@ -77,6 +78,10 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
     # rn <= 12 filter lets Spark rewrite the unpartitioned window into
     # TakeOrderedAndProject(limit=12) — per-partition top-k + merge, no
     # Exchange SinglePartition in the executed plan at all
+    "q_agg_bootstrap_ci": (
+        "replica-mean ranking window runs over the groupBy(b) aggregate "
+        "— input is exactly BOOT_B=32 rows regardless of corpus size"
+    ),
     "q_pipeline_sequence_pack": (
         "two-pass global prefix sum (gini construction): the offset "
         "window runs over the per-partition token-totals relation — "

@@ -2832,3 +2832,111 @@ def q_agg_kmv_intersect(spark, sf_dir):
             <= F.greatest(0.25 * F.col("exact_common"), F.lit(64.0))
         ).alias("within_tol"),
     )
+
+
+# Poisson(1) CDF as 8-hex-digit thresholds: a row's bootstrap weight in
+# replica b is the number of thresholds its md5(key:b) prefix exceeds —
+# pure string comparisons, so Spark and DuckDB derive IDENTICAL weights
+BOOT_THRESH = [
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+    "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f",
+]
+BOOT_B = 32  # bootstrap replicas
+
+
+@register(
+    "q_agg_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT l.l_extendedprice AS x,
+             substr(md5(CAST(l.l_orderkey AS VARCHAR) || '-'
+                        || CAST(l.l_linenumber AS VARCHAR) || ':'
+                        || CAST(b.b AS VARCHAR)), 1, 8) AS h,
+             b.b
+      FROM lineitem l, (SELECT UNNEST(range(0, {BOOT_B})) AS b) b
+    ),
+    weighted AS (
+      SELECT b, x,
+             {" + ".join(f"CASE WHEN h > '{t}' THEN 1 ELSE 0 END" for t in BOOT_THRESH)}
+               AS w
+      FROM reps
+    ),
+    means AS (
+      SELECT b, ROUND(SUM(w * x) / SUM(w), 4) AS m
+      FROM weighted GROUP BY b
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM means
+    ),
+    ci AS (
+      SELECT MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+             MAX(CASE WHEN rn = {BOOT_B - 1} THEN m END) AS ci_hi
+      FROM ranked
+    ),
+    ex AS (SELECT ROUND(AVG(l_extendedprice), 4) AS exact_mean FROM lineitem)
+    SELECT CAST({BOOT_B} AS BIGINT) AS n_replicas, ci_lo, ci_hi,
+           (ci_lo <= exact_mean AND exact_mean <= ci_hi) AS contains_exact
+    FROM ci, ex
+    """,
+)
+def q_agg_bootstrap_ci(spark, sf_dir):
+    """Bootstrap confidence interval for the mean via the POISSON
+    bootstrap — the distributed form: instead of resampling rows (a
+    corpus-sized shuffle per replica), every row independently draws a
+    Poisson(1) weight per replica from a hash of its own key, so all
+    {BOOT_B} replicas are weighted aggregates of ONE scan with map-side
+    partial combine. Weights come from md5-hex prefix comparisons
+    against precomputed Poisson-CDF thresholds — pure string compares,
+    so both engines derive bit-identical weights and the whole CI
+    (not just a containment boolean) is value-hashed. ``contains_exact``
+    additionally checks the 2nd..{BOOT_B - 1}th replica-mean envelope
+    captured the true mean. At 100 TB this is one scan with a
+    {BOOT_B}-key aggregate; the classical resample-and-shuffle bootstrap
+    is {BOOT_B} corpus shuffles."""
+    li = load(spark, sf_dir, "lineitem")
+    reps = li.select(
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    h = F.substring(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                ),
+            )
+        ),
+        1,
+        8,
+    )
+    w = sum(
+        (F.when(h > t, 1).otherwise(0) for t in BOOT_THRESH), F.lit(0)
+    )
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(F.round(F.sum(F.col("w") * F.col("x")) / F.sum("w"), 4).alias("m"))
+    )
+    wr = W.orderBy("m")
+    ranked = means.withColumn("rn", F.row_number().over(wr))
+    ci = ranked.agg(
+        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("m"))).alias("ci_hi"),
+    )
+    ex = li.agg(F.round(F.avg("l_extendedprice"), 4).alias("exact_mean"))
+    return ci.crossJoin(F.broadcast(ex)).select(
+        F.lit(BOOT_B).cast("long").alias("n_replicas"),
+        "ci_lo",
+        "ci_hi",
+        (
+            (F.col("ci_lo") <= F.col("exact_mean"))
+            & (F.col("exact_mean") <= F.col("ci_hi"))
+        ).alias("contains_exact"),
+    )
