@@ -45,6 +45,7 @@ OPS = {
     # construction), the checkpoint dir here holds only source offsets
     "q_stream_hll_distinct": "events",
     "q_stream_countmin": "events",
+    "q_stream_quantile_sketch": "events",
 }
 
 

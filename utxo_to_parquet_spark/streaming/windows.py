@@ -1041,3 +1041,94 @@ def q_stream_countmin(spark, sf_dir):
             ).alias("within_eps"),
         )
     )
+
+
+_QS_SINK_DIRS: dict[str, str] = {}
+
+
+@register(
+    "q_stream_quantile_sketch",
+    oracle="""
+    SELECT CAST(q AS DOUBLE) AS q,
+           (SELECT COUNT(*) FROM events) AS n,
+           TRUE AS multi_commit, TRUE AS within_rank_bound
+    FROM (VALUES (0.01), (0.25), (0.5), (0.75), (0.99)) AS t(q)
+    """,
+)
+def q_stream_quantile_sketch(spark, sf_dir):
+    """Streaming quantile maintenance — the third member of the
+    streaming sketch family (HLL: union merge; Count-Min: additive
+    merge; this: CONCATENATIVE merge — quantile summaries compose by
+    pooling their weighted points, so each commit just appends its
+    per-batch summaries and the final answer is one bounded merge over
+    everything ever written). Reuses the batch operator's
+    ``_qs_partial``/``_qs_merge`` verbatim, so streaming summaries are
+    row-compatible with batch ones and the SAME rank-error theorem
+    (2N/QS_CAP + B + 2, B now counting batches across all commits)
+    applies; the exact counting pass re-verifies it after the stream
+    drains, and ``multi_commit`` pins that the merge genuinely crossed
+    >= 2 commits."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.events import load_events
+    from ..operators.relational import _qs_merge, _qs_partial
+
+    sdf = _events_time_ordered_stream(spark, sf_dir)
+    if sf_dir not in _QS_SINK_DIRS:
+        _QS_SINK_DIRS[sf_dir] = tempfile.mkdtemp(prefix="qs_sink_")
+    sk_dir = _QS_SINK_DIRS[sf_dir] + "/summaries"
+    shutil.rmtree(sk_dir, ignore_errors=True)
+    os.makedirs(sk_dir)
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.select(F.col("value").alias("v"))
+            .mapInPandas(_qs_partial, "v double, w long, sentinel boolean")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sk_dir)
+        )
+
+    with _stream_partitions(spark):
+        q = sdf.writeStream.outputMode("append").foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+            _capture_stream_plan(q)
+        finally:
+            q.stop()
+
+    summaries = spark.read.parquet(sk_dir)
+    n_commits = summaries.select("batch_id").distinct().count()
+    merged = (
+        summaries.drop("batch_id")
+        .withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(
+            lambda _, pdf: _qs_merge(pdf),
+            "q double, approx double, target_rank long, n long, bound long",
+        )
+        .collect()  # bounded: exactly len(QS_TARGETS) rows
+    )
+    ev = load_events(spark, sf_dir).select(F.col("value").alias("v"))
+    aggs = []
+    for i, r in enumerate(merged):
+        aggs.append(F.sum((F.col("v") < r.approx).cast("long")).alias(f"lt{i}"))
+        aggs.append(F.sum((F.col("v") <= r.approx).cast("long")).alias(f"le{i}"))
+    ranks = ev.agg(*aggs).collect()[0]
+    rows = [
+        (
+            r.q,
+            r.n,
+            n_commits >= 2,
+            bool(
+                ranks[f"lt{i}"] + 1 <= r.target_rank + r.bound
+                and ranks[f"le{i}"] >= r.target_rank - r.bound
+            ),
+        )
+        for i, r in enumerate(merged)
+    ]
+    return spark.createDataFrame(
+        rows, "q double, n long, multi_commit boolean, within_rank_bound boolean"
+    )
