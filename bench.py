@@ -131,6 +131,9 @@ HEADLINE = [
     "q_text_perplexity_bigram",
     "q_text_source_entropy",
     "q_split_temporal_embargo",
+    # round 7c: diversified rerank, Poisson-bootstrap CI
+    "q_sim_mmr_rerank",
+    "q_agg_bootstrap_ci",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

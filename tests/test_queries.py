@@ -659,3 +659,37 @@ def test_kmv_partial_keeps_k_smallest_distinct_per_label():
     assert np.array_equal(g1, expect)  # distinct, smallest, capped at K
     g2 = np.sort(out[out["lbl"] == 2]["h"].to_numpy())
     assert np.array_equal(g2, np.arange(10))  # below K: kept in full
+
+
+def test_bootstrap_weights_follow_poisson_pmf(spark):
+    """The integer-mix hash must produce Poisson(1)-distributed
+    bootstrap weights: empirical frequencies over ~1.9M (row, replica)
+    draws within 2% relative of the pmf for k=0..3 — a biased mix would
+    silently destroy the CI's coverage even though the cross-engine
+    hash still matches."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from utxo_to_parquet_spark.operators.registry import load
+    from utxo_to_parquet_spark.operators.relational import BOOT_THRESH, _M32
+
+    li = load(spark, SF_DIR.replace("sf0.001", "sf0.01"), "lineitem")
+    reps = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    )
+    h1 = (((F.col("k") + F.col("b") * 1000003) % _M32) * 1540483477) % _M32
+    m = (
+        reps.withColumn("h1", h1)
+        .withColumn("h2", F.expr("(h1 ^ (h1 div 32768)) * 889871637") % _M32)
+        .withColumn("h", F.expr("h2 ^ (h2 div 8192)"))
+    )
+    w = sum(
+        (F.when(F.col("h") > t, 1).otherwise(0) for t in BOOT_THRESH), F.lit(0)
+    )
+    dist = {r.w: r["count"] for r in m.withColumn("w", w).groupBy("w").count().collect()}
+    n = sum(dist.values())
+    for k in range(4):
+        expected = math.exp(-1) / math.factorial(k)
+        assert abs(dist.get(k, 0) / n - expected) / expected < 0.02, (k, dist)

