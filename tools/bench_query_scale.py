@@ -56,6 +56,8 @@ OPS_FILTER: set[str] = set()
 for _a in sys.argv[1:]:
     if _a.startswith("--ops="):
         OPS_FILTER = set(_a[len("--ops="):].split(","))
+if VARIANTS_ONLY and OPS_FILTER:
+    sys.exit("--ops and --variants-only are mutually exclusive")
 # a variants-only record must not silently replace the durable full
 # sweep artifact — default it to its own file
 OUT = _POS[0] if _POS else (
@@ -260,6 +262,10 @@ def main() -> None:
         expo = math.log(max(secs["16"], 1e-9) / max(secs["1"], 1e-9)) / math.log(16)
         return {"sec": secs, "exponent": round(expo, 2)}
 
+    unknown = OPS_FILTER - OPS.keys()
+    if unknown:
+        # a typo must not silently rewrite the artifact as if it ran
+        sys.exit(f"--ops names not in OPS: {sorted(unknown)}")
     result: dict[str, dict] = {}
     if OPS_FILTER and os.path.exists(OUT):
         with open(OUT) as f:

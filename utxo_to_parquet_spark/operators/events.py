@@ -1463,8 +1463,8 @@ EMBARGO_SEC = 6 * 3600  # purged gap between train end and test start
     "q_split_temporal_embargo",
     oracle=f"""
     WITH b AS (
-      SELECT MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS lo,
-             MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS hi
+      SELECT MIN(CAST(epoch_ns(ts) // 1000000000 AS BIGINT)) AS lo,
+             MAX(CAST(epoch_ns(ts) // 1000000000 AS BIGINT)) AS hi
       FROM events
     ),
     cut AS (
@@ -1472,7 +1472,8 @@ EMBARGO_SEC = 6 * 3600  # purged gap between train end and test start
       FROM b
     ),
     tagged AS (
-      SELECT e.user_id, CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS sec, cut.c
+      SELECT e.user_id, CAST(epoch_ns(e.ts) // 1000000000 AS BIGINT) AS sec,
+             cut.c
       FROM events e, cut
     )
     SELECT CASE WHEN sec <= c THEN 'train'
@@ -1489,7 +1490,7 @@ def q_split_temporal_embargo(spark, sf_dir):
     """Temporal train/test split with a PURGED EMBARGO gap — the
     leakage-safe protocol for time-series models (walk-forward
     validation): train is everything up to the 80%-span cut, the next
-    {EMBARGO_SEC // 3600} hours are discarded so label windows and
+    6 hours (EMBARGO_SEC) are discarded so label windows and
     rolling features computed at train time cannot peek into test, and
     test is strictly after the embargo. Membership is a pure function
     of the event timestamp and the corpus time bounds, so the split is

@@ -1201,8 +1201,8 @@ def q_sim_whiten(spark, sf_dir):
     algorithm could beat a constant-size local solve), and the
     projection y = W(x - mu) is map-side Arrow work. The contract: a
     SECOND moment pass over the whitened vectors must find the identity
-    — per-dimension ``diag_unit`` (|cov_ii - 1| <= {WHITEN_TOL}) and
-    ``offdiag_zero`` (max_j |cov_ij| <= {WHITEN_TOL}) booleans are
+    — per-dimension ``diag_unit`` (|cov_ii - 1| <= WHITEN_TOL) and
+    ``offdiag_zero`` (max_j |cov_ij| <= WHITEN_TOL) booleans are
     hash-gated, so a wrong transform or a dropped mean flips the result
     (a constructed correlated-corpus test pins the decorrelation). Both moment passes are the same
     accumulator; nothing data-sized ever reaches the driver.
@@ -1303,9 +1303,9 @@ MMR_K = 8  # reranked results
     """,
 )
 def q_sim_mmr_rerank(spark, sf_dir):
-    """Maximal-marginal-relevance reranking: greedily pick {MMR_K}
-    results from the top-{MMR_CAND} cosine candidates, each step
-    trading relevance against redundancy (lambda·rel − (1−lambda)·max
+    """Maximal-marginal-relevance reranking: greedily pick MMR_K=8
+    results from the top-MMR_CAND=16 cosine candidates, each step
+    trading relevance against redundancy (lambda*rel - (1-lambda)*max
     similarity to already-picked) — the diversification step retrieval
     pipelines run AFTER ANN search so near-duplicate hits don't crowd
     the context window.
@@ -1313,7 +1313,7 @@ def q_sim_mmr_rerank(spark, sf_dir):
     The split mirrors the true costs: candidate generation is
     distributed (Arrow-batched cosine scan + TakeOrderedAndProject —
     the corpus-sized part), while the greedy selection runs driver-side
-    over the CONSTANT {MMR_CAND}-row pool, where no cluster algorithm
+    over the CONSTANT MMR_CAND-row pool, where no cluster algorithm
     could beat a local loop (greedy MMR is inherently sequential in K).
     Every cosine is rounded to 6 decimals BEFORE any comparison in both
     engines, so ulp-level summation differences cannot flip an argmax;

@@ -1624,6 +1624,10 @@ def q_text_countmin(spark, sf_dir):
         .groupBy("token")
         .agg(F.sum("mg_count").alias("mg_sum"))
         .select("token")
+        # bounded (<= HH_K x partitions rows) and consumed by BOTH the
+        # exact semi-join and the cell lookup — without this the MG
+        # corpus pass executes twice (same fix as q_text_heavy_hitters)
+        .localCheckpoint(eager=True)
     )
     exact = (
         tokens.join(F.broadcast(candidates), "token", "left_semi")
@@ -1941,14 +1945,26 @@ def q_text_perplexity_bigram(spark, sf_dir):
     cur = tok.select("doc_id", F.col("pos").alias("cpos"), F.col("token").alias("cur_tok"))
     prev = tok.select("doc_id", (F.col("pos") + 1).alias("cpos"), F.col("token").alias("prev_tok"))
     bigr = cur.join(prev, ["doc_id", "cpos"]).select("doc_id", "prev_tok", "cur_tok")
-    cb = bigr.groupBy("prev_tok", "cur_tok").agg(
-        F.count(F.lit(1)).cast("double").alias("nb")
+    # the LM tables are vocab-sized (sublinear): localCheckpoint them so
+    # the corpus-sized posexplode + positional self-join runs ONCE, not
+    # once per consumer. They are deliberately NOT broadcast: at scale
+    # the distinct-bigram table can be huge, and the heavy join keys
+    # (stopword pairs) are exactly what AQE's skew-split handles on a
+    # shuffle join — a strategy that never applies to broadcast joins.
+    cb = (
+        bigr.groupBy("prev_tok", "cur_tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("nb"))
+        .localCheckpoint(eager=True)
     )
-    cp = bigr.groupBy("prev_tok").agg(F.count(F.lit(1)).cast("double").alias("np"))
+    cp = (
+        bigr.groupBy("prev_tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("np"))
+        .localCheckpoint(eager=True)
+    )
     v = tok.agg(F.countDistinct("token").cast("double").alias("vocab"))
     scored = (
-        bigr.join(F.broadcast(cb), ["prev_tok", "cur_tok"])
-        .join(F.broadcast(cp), "prev_tok")
+        bigr.join(cb, ["prev_tok", "cur_tok"])
+        .join(cp, "prev_tok")
         .crossJoin(F.broadcast(v))
     )
     bits = -F.log2((F.col("nb") + 1) / (F.col("np") + F.col("vocab")))

@@ -12,7 +12,6 @@ from __future__ import annotations
 import uuid
 from typing import Iterator
 
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.events import normalize_ts_ns
@@ -953,7 +952,7 @@ def q_stream_countmin(spark, sf_dir):
     fixed DEPTH x WIDTH grid, so per-commit state is KBs regardless of
     batch size), and merging commits is plain ``SUM`` per cell because
     CM sketches are additive. Point lookups for the busiest
-    {CM_STREAM_TOP} users (exact twin computed batch-side with a
+    CM_STREAM_TOP=10 users (exact twin computed batch-side with a
     deterministic tiebreak) must satisfy both CM theorems over the
     SUMMED sketch — ``never_undercounts`` and the 4N/WIDTH ``within_eps``
     bound — and ``multi_commit`` pins that the merge genuinely crossed
