@@ -693,3 +693,31 @@ def test_bootstrap_weights_follow_poisson_pmf(spark):
     for k in range(4):
         expected = math.exp(-1) / math.factorial(k)
         assert abs(dist.get(k, 0) / n - expected) / expected < 0.02, (k, dist)
+
+
+def test_holt_recurrence_on_known_sequence(tmp_path, spark):
+    """vals [1,2,4,8]: seed (l=1, b=1); x=2 -> (2.0, 1.0); x=4 ->
+    (3.4, 1.12); x=8 -> (5.912, 1.5376). Also the reason the oracle
+    is a recursive CTE: DuckDB 1.0's list_reduce struct accumulator
+    mutates field-by-field and yields (3.4, 0.952) at step two."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/events.parquet")
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        dict(event_id=i, ts=t0 + dt.timedelta(minutes=i), user_id=5,
+             event_type="m", value=float(v), props="{}")
+        for i, v in enumerate([1, 2, 4, 8])
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "events.parquet"),
+    )
+    (r,) = QUERIES["q_events_holt_trend"](spark, str(tmp_path)).collect()
+    assert r.n_events == 4
+    assert abs(r.level - 5.912) < 1e-9
+    assert abs(r.trend - 1.5376) < 1e-9
+    assert abs(r.forecast_next - 7.4496) < 1e-9

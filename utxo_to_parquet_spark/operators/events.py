@@ -1525,3 +1525,88 @@ def q_split_temporal_embargo(spark, sf_dir):
         F.min("sec").alias("min_sec"),
         F.max("sec").alias("max_sec"),
     )
+
+
+HOLT_A = 0.4  # level smoothing
+HOLT_B = 0.3  # trend smoothing
+
+
+@register(
+    "q_events_holt_trend",
+    # NOTE: the oracle deliberately avoids DuckDB list_reduce with a
+    # struct accumulator — this DuckDB (1.0) mutates the accumulator
+    # field-by-field during struct_pack evaluation, so the b-expression
+    # sees the already-updated l (measured: (3.4, 0.952) vs the correct
+    # (3.4, 1.12) on [1,2,4,8]). A recursive CTE has standard semantics.
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i
+      FROM events
+    ),
+    n AS (SELECT user_id, MAX(i) AS n FROM ev GROUP BY 1),
+    rec(user_id, i, l, b) AS (
+      SELECT a.user_id, 1, a.value, s.value - a.value
+      FROM ev a JOIN ev s ON s.user_id = a.user_id AND s.i = 2
+      WHERE a.i = 1
+      UNION ALL
+      SELECT r.user_id, r.i + 1,
+             ({HOLT_A} * e.value) + ((1.0 - {HOLT_A}) * (r.l + r.b)),
+             ({HOLT_B} * ((({HOLT_A} * e.value)
+               + ((1.0 - {HOLT_A}) * (r.l + r.b))) - r.l))
+               + ((1.0 - {HOLT_B}) * r.b)
+      FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.i = r.i + 1
+    )
+    SELECT r.user_id, CAST(n.n AS BIGINT) AS n_events,
+           ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+           ROUND(r.l + r.b, 6) AS forecast_next
+    FROM rec r JOIN n ON n.user_id = r.user_id
+    WHERE r.i = n.n AND n.n >= 2
+    """,
+)
+def q_events_holt_trend(spark, sf_dir):
+    """Holt double exponential smoothing per user — the level+trend
+    upgrade of ``q_events_ewma``'s single-state recurrence, yielding a
+    one-step-ahead forecast (level + trend) per key. Same execution
+    shape: ONE groupBy(user) shuffle, then the two-variable recurrence
+    folds JVM-side over the time-sorted value array with a STRUCT
+    accumulator — no Python, no per-row window join. The fold seeds
+    l=x1, b=x2-x1 and both engines inline the identical update
+    expressions (new_b references new_l by inlining it, so evaluation
+    order is pinned), making level/trend bit-identical before
+    rounding. Keys are independent: 1000 executors each fold their own
+    users, and per-key state is two doubles."""
+    ev = load_events(spark, sf_dir)
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+                lambda s: s["value"],
+            ).alias("vals")
+        )
+        .filter(F.size("vals") >= 2)
+    )
+    a, b = F.lit(HOLT_A), F.lit(HOLT_B)
+    one = F.lit(1.0)
+
+    def step(acc, x):
+        new_l = (a * x) + ((one - a) * (acc["l"] + acc["b"]))
+        new_b = (b * (((a * x) + ((one - a) * (acc["l"] + acc["b"]))) - acc["l"])) + (
+            (one - b) * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    init = F.struct(
+        F.element_at("vals", 1).alias("l"),
+        (F.element_at("vals", 2) - F.element_at("vals", 1)).alias("b"),
+    )
+    fold = F.aggregate(F.slice(F.col("vals"), 2, F.size("vals") - 1), init, step)
+    return seq.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.round(fold["l"], 6).alias("level"),
+        F.round(fold["b"], 6).alias("trend"),
+        F.round(fold["l"] + fold["b"], 6).alias("forecast_next"),
+    )
