@@ -1610,3 +1610,129 @@ def q_events_holt_trend(spark, sf_dir):
         F.round(fold["b"], 6).alias("trend"),
         F.round(fold["l"] + fold["b"], 6).alias("forecast_next"),
     )
+
+
+@register(
+    "q_events_ttest_welch",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(value) AS m,
+             VAR_SAMP(value) AS v
+      FROM events WHERE event_type IN ('purchase', 'error') GROUP BY 1
+    ),
+    ab AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'purchase' THEN n END) AS na,
+        MAX(CASE WHEN event_type = 'purchase' THEN m END) AS ma,
+        MAX(CASE WHEN event_type = 'purchase' THEN v END) AS va,
+        MAX(CASE WHEN event_type = 'error' THEN n END) AS nb,
+        MAX(CASE WHEN event_type = 'error' THEN m END) AS mb,
+        MAX(CASE WHEN event_type = 'error' THEN v END) AS vb
+      FROM g
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ma - mb, 4) AS mean_diff,
+           ROUND((ma - mb) / SQRT(va / na + vb / nb), 4) AS t_stat,
+           ROUND(
+             ((va / na + vb / nb) * (va / na + vb / nb))
+             / ((va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1)), 2) AS dof_welch
+    FROM ab
+    """,
+)
+def q_events_ttest_welch(spark, sf_dir):
+    """Welch's unequal-variance t-test between two event populations —
+    the parametric member of the drift-test family (KS measures the
+    whole CDF, PSI measures binned mass shift, this tests the MEAN with
+    the Welch-Satterthwaite degrees of freedom). Everything reduces to
+    per-group (n, mean, var) moment aggregates — one map-side-combinable
+    pass over the corpus, then scalar arithmetic on a 2-row relation, so
+    the statistic costs the same as a groupBy-avg at any scale. Both
+    engines compute the identical closed-form expressions over
+    identically-aggregated moments, rounded past summation drift."""
+    ev = load_events(spark, sf_dir)
+    g = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    pick = lambda col, t: F.max(F.when(F.col("event_type") == t, F.col(col)))
+    ab = g.agg(
+        pick("n", "purchase").alias("na"),
+        pick("m", "purchase").alias("ma"),
+        pick("v", "purchase").alias("va"),
+        pick("n", "error").alias("nb"),
+        pick("m", "error").alias("mb"),
+        pick("v", "error").alias("vb"),
+    )
+    se2a = F.col("va") / F.col("na")
+    se2b = F.col("vb") / F.col("nb")
+    return ab.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("ma") - F.col("mb"), 4).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2a + se2b), 4).alias("t_stat"),
+        F.round(
+            ((se2a + se2b) * (se2a + se2b))
+            / (
+                se2a * se2a / (F.col("na") - 1)
+                + se2b * se2b / (F.col("nb") - 1)
+            ),
+            2,
+        ).alias("dof_welch"),
+    )
+
+
+@register(
+    "q_events_max_drawdown",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM events
+    ),
+    dd AS (
+      SELECT user_id, cum,
+             MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM seq
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(MAX(peak - cum), 4) AS max_drawdown,
+           ROUND(MAX(peak), 4) AS peak_cum
+    FROM dd GROUP BY user_id
+    """,
+)
+def q_events_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of each user's cumulative value series — the
+    peak-to-trough risk statistic (finance's canonical path-dependent
+    measure, equally useful as an SLO burn-down or engagement-decay
+    audit). Two stacked growing-frame windows per key (running sum,
+    then running max of it) and one aggregate — all sequential adds in
+    a pinned order, so the doubles agree bit-for-bit across engines
+    before the final rounding; no shrinking frames (see the gap-fill
+    O(span^2) lesson), no second shuffle past the per-user partition."""
+    ev = load_events(spark, sf_dir)
+    wseq = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    seq = ev.select(
+        "user_id", "ts", "event_id", F.sum("value").over(wseq).alias("cum")
+    )
+    seq = seq.select(
+        "user_id", "cum", F.max("cum").over(wseq).alias("peak")
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max(F.col("peak") - F.col("cum")), 4).alias("max_drawdown"),
+        F.round(F.max("peak"), 4).alias("peak_cum"),
+    )
