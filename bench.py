@@ -134,6 +134,10 @@ HEADLINE = [
     # round 7c: diversified rerank, Poisson-bootstrap CI
     "q_sim_mmr_rerank",
     "q_agg_bootstrap_ci",
+    # round 7d: Holt forecasts, Welch t-test, max drawdown
+    "q_events_holt_trend",
+    "q_events_ttest_welch",
+    "q_events_max_drawdown",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000
