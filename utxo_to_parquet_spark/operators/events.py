@@ -1736,3 +1736,52 @@ def q_events_max_drawdown(spark, sf_dir):
         F.round(F.max(F.col("peak") - F.col("cum")), 4).alias("max_drawdown"),
         F.round(F.max("peak"), 4).alias("peak_cum"),
     )
+
+
+@register(
+    "q_events_seasonality_profile",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST((epoch_ns(ts) // 3600000000000) % 24 AS BIGINT) AS hour_utc,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(FLOOR(AVG(value) * 10000 + 0.5) AS BIGINT) AS avg_value_e4
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour_utc, n, avg_value_e4,
+           (ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, hour_utc) = 1) AS is_peak_hour
+    FROM hourly
+    """,
+)
+def q_events_seasonality_profile(spark, sf_dir):
+    """Hour-of-day seasonality profile per event type — the diurnal
+    fingerprint capacity planning and anomaly baselines read (an
+    anomaly score against the WRONG hour's baseline is noise). One
+    map-side-combinable aggregate over a 24 x types key domain, then a
+    24-row-per-type window marks each type's peak hour with a
+    deterministic (count, hour) tie-break. The hour is derived from the
+    same integer nanosecond bucketing as every other temporal op — no
+    timezone or double-epoch drift surface."""
+    ev = load_events(spark, sf_dir)
+    hour_ns = 3600 * NS
+    hourly = (
+        ev.withColumn("hour_utc", F.expr(f"(ts div {hour_ns}) % 24"))
+        .groupBy("event_type", "hour_utc")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # fixed-point, not round(): an exactly-half average (seen at
+            # sf0.001: 54.77875) rounds differently across engines
+            F.floor(F.avg("value") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("avg_value_e4"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("n").desc(), "hour_utc")
+    return hourly.select(
+        "event_type",
+        "hour_utc",
+        "n",
+        "avg_value_e4",
+        (F.row_number().over(w) == 1).alias("is_peak_hour"),
+    )

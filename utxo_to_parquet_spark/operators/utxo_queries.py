@@ -675,3 +675,39 @@ def q_utxo_balance_gini(spark, sf_dir):
             ).alias("gini"),
         )
     )
+
+
+CUR_HEIGHT = 100_000  # fixture height domain bound (height = orderkey % 100000)
+BLOCKS_PER_DAY = 144
+
+
+@register(
+    "q_utxo_coin_days",
+    oracle=f"""
+    WITH utxos AS ({UTXOS_CTE})
+    SELECT CAST(height // 10000 AS BIGINT) AS epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_utxos,
+           CAST(SUM(amount) AS BIGINT) AS total_sats,
+           CAST(SUM(amount * (({CUR_HEIGHT} - height) // {BLOCKS_PER_DAY}))
+                AS BIGINT) AS coin_days
+    FROM utxos GROUP BY 1
+    """,
+)
+def q_utxo_coin_days(spark, sf_dir):
+    """Coin-days per height epoch — the "coin days destroyed" family's
+    accumulation side (each UTXO carries amount x full days since its
+    confirmation height, the age-weighted economic mass a spend would
+    destroy). CUR_HEIGHT is the fixture's height-domain bound, so age is
+    a pure per-row expression; everything is INTEGER arithmetic (sats x
+    whole days, integer division) aggregated map-side per epoch — no
+    float drift surface and one corpus scan at any scale."""
+    u = utxos_df(spark, sf_dir)
+    return u.groupBy(
+        (F.col("height") / 10000).cast("long").alias("epoch")
+    ).agg(
+        F.count(F.lit(1)).alias("n_utxos"),
+        F.sum("amount").alias("total_sats"),
+        F.sum(
+            F.col("amount") * F.floor((F.lit(CUR_HEIGHT) - F.col("height")) / BLOCKS_PER_DAY).cast("long")
+        ).alias("coin_days"),
+    )
