@@ -49,6 +49,7 @@ ALLOWED_NESTED_LOOP = {
     "q_split_temporal_embargo",  # time-cut scalar: 1-row min/max attach
     "q_text_perplexity_bigram",  # vocab size: 1-row countDistinct attach
     "q_agg_bootstrap_ci",  # exact-mean scalar: 1-row aggregate attach
+    "q_events_rfm_segments",  # corpus-now timestamp: 1-row max attach
     "q_join_bloom_prune",  # bloom sketch attach: 1-row 16 KiB bit array
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
@@ -81,6 +82,13 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
     "q_agg_bootstrap_ci": (
         "replica-mean ranking window runs over the groupBy(b) aggregate "
         "— input is exactly BOOT_B=32 rows regardless of corpus size"
+    ),
+    "q_events_rfm_segments": (
+        "quintile windows run over the groupBy(user_id) aggregate — "
+        "input is |users|, not |events| (the fixture's 100x reduction); "
+        "at extreme user cardinality the documented swap is exact "
+        "percentile BOUNDARIES + a map-side bucket join, trading ntile's "
+        "equal-count semantics for scale"
     ),
     "q_pipeline_sequence_pack": (
         "two-pass global prefix sum (gini construction): the offset "

@@ -1785,3 +1785,74 @@ def q_events_seasonality_profile(spark, sf_dir):
         "avg_value_e4",
         (F.row_number().over(w) == 1).alias("is_peak_hour"),
     )
+
+
+@register(
+    "q_events_rfm_segments",
+    oracle="""
+    WITH bounds AS (
+      SELECT MAX(CAST(epoch_ns(ts) // 1000000000 AS BIGINT)) AS now_sec
+      FROM events
+    ),
+    rfm AS (
+      SELECT e.user_id,
+             MIN(b.now_sec - CAST(epoch_ns(e.ts) // 1000000000 AS BIGINT))
+               AS recency_sec,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(FLOOR(SUM(CASE WHEN e.event_type = 'purchase'
+                                 THEN e.value ELSE 0 END) * 100 + 0.5)
+                  AS BIGINT) AS monetary_e2
+      FROM events e, bounds b GROUP BY e.user_id
+    )
+    SELECT user_id, recency_sec, frequency, monetary_e2,
+           CAST(6 - NTILE(5) OVER (ORDER BY recency_sec, user_id) AS BIGINT)
+             AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS BIGINT)
+             AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary_e2, user_id) AS BIGINT)
+             AS m_score
+    FROM rfm
+    """,
+)
+def q_events_rfm_segments(spark, sf_dir):
+    """RFM segmentation — recency / frequency / monetary quintile scores
+    per user, the classic behavioral-cohort featurization (marketing's
+    workhorse, equally a user-quality feature for data curation). One
+    groupBy(user) computes all three raw metrics (monetary as exact
+    fixed-point cents); the quintile windows then run over the
+    USER-cardinality aggregate, not raw events, with (metric, user_id)
+    total orders so NTILE boundaries are deterministic. Recency is
+    inverted (6 − ntile) so 5 always means "best". The corpus-timestamp
+    anchor is a 1-row broadcast; everything else is map-side until the
+    bounded ranking."""
+    ev = load_events(spark, sf_dir)
+    now = ev.agg(F.max("ts_sec").alias("now_sec"))
+    rfm = (
+        ev.crossJoin(F.broadcast(now))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("now_sec") - F.col("ts_sec")).alias("recency_sec"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.floor(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                    .otherwise(0.0)
+                )
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("monetary_e2"),
+        )
+    )
+    return rfm.select(
+        "user_id",
+        "recency_sec",
+        "frequency",
+        "monetary_e2",
+        (6 - F.ntile(5).over(W.orderBy("recency_sec", "user_id")))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "user_id")).cast("long").alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary_e2", "user_id")).cast("long").alias("m_score"),
+    )
