@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .registry import load, register
@@ -386,4 +387,95 @@ def q_mm_audio_chunk_stats(spark, sf_dir):
     return p.mapInPandas(
         stats,
         "doc_id long, chunk_idx long, n_bytes long, byte_sum long, byte_max long",
+    )
+
+
+@register(
+    "q_mm_phash_dedup",
+    # same independent-recompute strategy as q_mm_decode_pixel_stats:
+    # the oracle derives luminance bits straight from the text's pixel
+    # recipe (integer cross-multiply lum*n > total avoids division), so
+    # a codec bug OR a hash-packing bug on the Spark side breaks the gate
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(5 + doc_id % 4 AS BIGINT) AS w,
+             CASE WHEN doc_id % 2 = 1 THEN 'bmp' ELSE 'ppm' END AS fmt,
+             substr(repeat(text, CAST(CEIL(144.0 / LENGTH(text)) AS BIGINT)),
+                    1, CAST((5 + doc_id % 4) * {IMG_H} * 3 AS INT)) AS px
+      FROM documents
+    ),
+    lums AS (
+      SELECT doc_id, fmt, w,
+             LIST_TRANSFORM(RANGE(0, w * {IMG_H}),
+               i -> CAST(ASCII(substr(px, CAST(i * 3 + 1 AS INT), 1))
+                       + ASCII(substr(px, CAST(i * 3 + 2 AS INT), 1))
+                       + ASCII(substr(px, CAST(i * 3 + 3 AS INT), 1))
+                     AS BIGINT)) AS lum
+      FROM img
+    ),
+    hashed AS (
+      SELECT doc_id, fmt,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, w * {IMG_H}),
+               i -> CASE WHEN lum[CAST(i + 1 AS INT)] * (w * {IMG_H})
+                              > LIST_SUM(lum)
+                         THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                         ELSE 0 END)) AS BIGINT) AS phash
+      FROM lums
+    )
+    SELECT doc_id, fmt, phash,
+           CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same_hash
+    FROM hashed
+    """,
+)
+def q_mm_phash_dedup(spark, sf_dir):
+    """Perceptual (average-luminance) image hashing through the REAL
+    decode path, feeding the dedup shape: each document's synthesized
+    image round-trips through the pure-Python PPM/BMP codecs, its
+    per-pixel luminance is thresholded against the image mean (integer
+    cross-multiply, no float), bits pack into one BIGINT phash, and a
+    hash-partitioned window counts perceptual duplicates — the
+    decode → fingerprint → group-by-content pipeline image dedup runs
+    at scale, where the phash join key replaces raw-pixel comparison.
+    The oracle recomputes the bits from the pixel recipe alone, so a
+    row-flip, channel-swap, or bit-packing bug on either side breaks
+    the gate. One Arrow-batched mapInPandas pass plus one phash
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.image import decode_image, encode_bmp, encode_ppm
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "phash": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if not text or not text.isascii():
+                    raise ValueError(
+                        f"q_mm_phash_dedup: doc {doc_id} has empty or"
+                        " non-ASCII text; the synthesized-pixel contract"
+                        " requires non-empty ASCII"
+                    )
+                w, h = 5 + doc_id % 4, IMG_H
+                n = w * h * 3
+                raw = (text.encode("utf-8") * -(-n // len(text)))[:n]
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                payload = encode_bmp(arr) if doc_id % 2 else encode_ppm(arr)
+                fmt, dw, dh, px = decode_image(payload)
+                lum = px.reshape(-1, 3).sum(axis=1, dtype=np.int64)
+                total, npx = int(lum.sum()), dw * dh
+                bits = (lum * npx) > total
+                phash = int(sum(1 << i for i in np.nonzero(bits)[0]))
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["phash"].append(phash)
+            yield pd.DataFrame(out)
+
+    hashed = docs.mapInPandas(phash_batch, "doc_id long, fmt string, phash long")
+    wdup = W.partitionBy("phash")
+    return hashed.select(
+        "doc_id", "fmt", "phash", F.count(F.lit(1)).over(wdup).alias("n_same_hash")
     )
