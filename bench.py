@@ -138,6 +138,11 @@ HEADLINE = [
     "q_events_holt_trend",
     "q_events_ttest_welch",
     "q_events_max_drawdown",
+    # round 7e: coin-days, seasonality, RFM, perceptual image hashing
+    "q_utxo_coin_days",
+    "q_events_seasonality_profile",
+    "q_events_rfm_segments",
+    "q_mm_phash_dedup",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000
