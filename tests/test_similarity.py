@@ -172,3 +172,34 @@ def test_whitening_decorrelates_a_correlated_corpus(tmp_path, spark):
     assert len(rows) == EMB_DIM
     assert all(r.diag_unit and r.offdiag_zero for r in rows)
     assert all(r.n == 300 for r in rows)
+
+
+def test_mmr_rerank_tiny_corpus_degrades_like_oracle(tmp_path, spark):
+    """With fewer than MMR_K+1 vectors the greedy loop must stop when
+    the candidate pool is exhausted (emitting fewer rows), exactly like
+    the oracle's recursive CTE terminating early — not crash on an
+    empty argmax (round-7 ADVICE: best stayed None -> TypeError)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from utxo_to_parquet_spark.operators.similarity import EMB_DIM, MMR_K
+
+    rng = np.random.default_rng(11)
+    n = MMR_K - 2  # 1 query vector + (MMR_K - 3) candidates < MMR_K
+    x = rng.standard_normal((n, EMB_DIM))
+    base = pq.read_schema(f"{SF_DIR}/embeddings.parquet")
+    table = pa.Table.from_pylist(
+        [
+            {"vec_id": i, "embedding": row.astype("float32").tolist(), "label": 0}
+            for i, row in enumerate(x)
+        ],
+        schema=base,
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    rows = all_queries()["q_sim_mmr_rerank"](spark, str(tmp_path)).collect()
+    assert len(rows) == n - 1  # every candidate picked, then clean stop
+    assert [r.step for r in sorted(rows, key=lambda r: r.step)] == list(
+        range(1, n)
+    )
+    assert len({r.vec_id for r in rows}) == n - 1  # no repeats

@@ -1384,19 +1384,20 @@ def q_events_ewma(spark, sf_dir):
     ),
     cusum AS (
       SELECT event_type, bucket_hour, n,
-             SUM(x - mu) OVER (PARTITION BY event_type ORDER BY bucket_hour
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+             SUM(CAST(FLOOR((x - mu) * 1e6 + 0.5) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY bucket_hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_e6
       FROM centered
     ),
     ranked AS (
-      SELECT event_type, bucket_hour, n, ABS(s) AS sabs,
+      SELECT event_type, bucket_hour, n, ABS(s_e6) AS sabs_e6,
              ROW_NUMBER() OVER (PARTITION BY event_type
-               ORDER BY ABS(s) DESC, bucket_hour) AS rn
+               ORDER BY ABS(s_e6) DESC, bucket_hour) AS rn
       FROM cusum
     )
     SELECT event_type, CAST(bucket_hour AS BIGINT) AS cp_bucket,
            CAST(n AS BIGINT) AS n_buckets,
-           CAST(FLOOR(sabs * 10000 + 0.5) AS BIGINT) AS cusum_e4
+           CAST(FLOOR(sabs_e6 / 100.0 + 0.5) AS BIGINT) AS cusum_e4
     FROM ranked WHERE rn = 1
     """,
 )
@@ -1408,12 +1409,15 @@ def q_events_changepoint_cusum(spark, sf_dir):
     (Page's cumulative-sum test, batch form).
 
     Determinism across engines is engineered, not hoped for: hourly
-    means and the series mean are rounded BEFORE the cumulative sum, the
-    cumulative sum itself is order-fixed by the window (sequential adds
-    in bucket order on both engines, so IEEE doubles agree bit-for-bit),
-    ties break on the earlier bucket, and the peak is emitted as
-    fixed-point BIGINT. Scale shape: one corpus aggregate, then
-    span-sized windows per key — same footprint as the gap-fill family.
+    means and the series mean are rounded first, then each per-row
+    deviation is snapped to fixed-point BIGINT (floor((x-mu)*1e6+0.5))
+    BEFORE the cumulative sum — so the window SUM is INTEGER arithmetic,
+    exact and summation-order-independent (DuckDB evaluates window sums
+    via a segment tree, not sequentially, so a double-typed running sum
+    would only agree up to addition order). Ties break on the earlier
+    bucket and the peak is emitted as fixed-point BIGINT. Scale shape:
+    one corpus aggregate, then span-sized windows per key — same
+    footprint as the gap-fill family.
     """
     ev = load_events(spark, sf_dir)
     hour_ns = 3600 * NS
@@ -1435,14 +1439,15 @@ def q_events_changepoint_cusum(spark, sf_dir):
         .orderBy("bucket_hour")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    dev_e6 = F.floor((F.col("x") - F.col("mu")) * 1e6 + F.lit(0.5)).cast("long")
     cusum = centered.select(
         "event_type",
         "bucket_hour",
         "n",
-        F.sum(F.col("x") - F.col("mu")).over(ws).alias("s"),
+        F.sum(dev_e6).over(ws).alias("s_e6"),
     )
     wr = W.partitionBy("event_type").orderBy(
-        F.abs(F.col("s")).desc(), F.col("bucket_hour")
+        F.abs(F.col("s_e6")).desc(), F.col("bucket_hour")
     )
     return (
         cusum.withColumn("rn", F.row_number().over(wr))
@@ -1451,7 +1456,9 @@ def q_events_changepoint_cusum(spark, sf_dir):
             "event_type",
             F.col("bucket_hour").alias("cp_bucket"),
             F.col("n").cast("long").alias("n_buckets"),
-            F.floor(F.abs("s") * 10000 + F.lit(0.5)).cast("long").alias("cusum_e4"),
+            F.floor(F.abs("s_e6") / F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cusum_e4"),
         )
     )
 

@@ -1271,7 +1271,8 @@ MMR_K = 8  # reranked results
     ),
     scored AS (
       SELECT e.vec_id,
-             ROUND(list_cosine_similarity(e.embedding, q.qe), 6) AS rel,
+             FLOOR(list_cosine_similarity(e.embedding, q.qe) * 1e6 + 0.5)
+               / 1e6 AS rel,
              e.embedding
       FROM embeddings e, q
       WHERE e.vec_id != (SELECT MIN(vec_id) FROM embeddings)
@@ -1287,10 +1288,11 @@ MMR_K = 8  # reranked results
       (SELECT p.step + 1, nxt.vec_id, list_append(p.picked, nxt.vec_id)
        FROM pick p, LATERAL (
          SELECT c.vec_id,
-                ROUND({MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA}
-                      * MAX(ROUND(list_cosine_similarity(c.embedding,
-                                                         s.embedding), 6)),
-                      6) AS score
+                FLOOR(({MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA}
+                       * MAX(FLOOR(list_cosine_similarity(c.embedding,
+                                                          s.embedding)
+                                   * 1e6 + 0.5) / 1e6))
+                      * 1e6 + 0.5) / 1e6 AS score
          FROM cand c
          JOIN cand s ON list_contains(p.picked, s.vec_id)
          WHERE NOT list_contains(p.picked, c.vec_id)
@@ -1315,12 +1317,20 @@ def q_sim_mmr_rerank(spark, sf_dir):
     the corpus-sized part), while the greedy selection runs driver-side
     over the CONSTANT MMR_CAND-row pool, where no cluster algorithm
     could beat a local loop (greedy MMR is inherently sequential in K).
-    Every cosine is rounded to 6 decimals BEFORE any comparison in both
-    engines, so ulp-level summation differences cannot flip an argmax;
-    the oracle replays the same greedy recursion as a recursive CTE
-    with LATERAL argmax steps.
+    Every cosine is snapped to 6 decimals with the fixed-point rule
+    ``floor(x*1e6 + 0.5)/1e6`` BEFORE any comparison in both engines —
+    the same expression on the same doubles, so neither ulp-level
+    summation differences nor rounding-MODE differences (numpy/Python
+    round half-even, DuckDB ROUND rounds half away from zero) can flip
+    an argmax; the oracle replays the same greedy recursion as a
+    recursive CTE with LATERAL argmax steps.  On corpora smaller than
+    MMR_K+1 the greedy loop stops when the pool is exhausted, matching
+    the recursive CTE's early termination with fewer rows.
     """
     import numpy as np
+
+    def _r6(x):
+        return np.floor(np.asarray(x, dtype="float64") * 1e6 + 0.5) / 1e6
 
     emb = load(spark, sf_dir, "embeddings")
     qrow = emb.orderBy("vec_id").select("vec_id", "embedding").first()
@@ -1336,7 +1346,7 @@ def q_sim_mmr_rerank(spark, sf_dir):
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "rel": np.round(rel, 6),
+                    "rel": np.floor(rel * 1e6 + 0.5) / 1e6,
                     "embedding": pdf["embedding"],
                 }
             )
@@ -1353,7 +1363,7 @@ def q_sim_mmr_rerank(spark, sf_dir):
     rels = np.array([r.rel for r in cand])
     vecs = np.stack([np.array(r.embedding, dtype="float64") for r in cand])
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-    sims = np.round(vecs @ vecs.T, 6)  # pairwise, rounded like the oracle
+    sims = _r6(vecs @ vecs.T)  # pairwise, snapped like the oracle
 
     picked: list[int] = []
     out = []
@@ -1365,14 +1375,17 @@ def q_sim_mmr_rerank(spark, sf_dir):
             if not picked:
                 key = (rels[i], -ids[i])
             else:
-                s = round(
-                    MMR_LAMBDA * rels[i]
-                    - (1 - MMR_LAMBDA) * max(sims[i, j] for j in picked),
-                    6,
+                s = float(
+                    _r6(
+                        MMR_LAMBDA * rels[i]
+                        - (1 - MMR_LAMBDA) * max(sims[i, j] for j in picked)
+                    )
                 )
                 key = (s, -ids[i])
             if best is None or key > best[0]:
                 best = (key, i)
+        if best is None:  # pool exhausted (corpus < MMR_K+1): stop like the CTE
+            break
         picked.append(best[1])
         out.append((step, int(ids[best[1]])))
     return spark.createDataFrame(out, "step long, vec_id long")

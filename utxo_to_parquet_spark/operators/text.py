@@ -1944,22 +1944,26 @@ def q_text_perplexity_bigram(spark, sf_dir):
     )
     cur = tok.select("doc_id", F.col("pos").alias("cpos"), F.col("token").alias("cur_tok"))
     prev = tok.select("doc_id", (F.col("pos") + 1).alias("cpos"), F.col("token").alias("prev_tok"))
-    bigr = cur.join(prev, ["doc_id", "cpos"]).select("doc_id", "prev_tok", "cur_tok")
-    # the LM tables are vocab-sized (sublinear): localCheckpoint them so
-    # the corpus-sized posexplode + positional self-join runs ONCE, not
-    # once per consumer. They are deliberately NOT broadcast: at scale
-    # the distinct-bigram table can be huge, and the heavy join keys
+    # bigr itself is the expensive node (corpus-sized posexplode + the
+    # positional self-join) and it has THREE consumers: the cb
+    # materialization, the cp materialization, and the final scored
+    # join. localCheckpoint bigr so the explode+join runs ONCE and each
+    # consumer re-reads the materialized block — without it Spark
+    # recomputes the whole lineage per consumer. The LM tables derived
+    # from it are deliberately NOT broadcast: at scale the
+    # distinct-bigram table can be huge, and the heavy join keys
     # (stopword pairs) are exactly what AQE's skew-split handles on a
     # shuffle join — a strategy that never applies to broadcast joins.
-    cb = (
-        bigr.groupBy("prev_tok", "cur_tok")
-        .agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    bigr = (
+        cur.join(prev, ["doc_id", "cpos"])
+        .select("doc_id", "prev_tok", "cur_tok")
         .localCheckpoint(eager=True)
     )
-    cp = (
-        bigr.groupBy("prev_tok")
-        .agg(F.count(F.lit(1)).cast("double").alias("np"))
-        .localCheckpoint(eager=True)
+    cb = bigr.groupBy("prev_tok", "cur_tok").agg(
+        F.count(F.lit(1)).cast("double").alias("nb")
+    )
+    cp = bigr.groupBy("prev_tok").agg(
+        F.count(F.lit(1)).cast("double").alias("np")
     )
     v = tok.agg(F.countDistinct("token").cast("double").alias("vocab"))
     scored = (

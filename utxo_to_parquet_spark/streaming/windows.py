@@ -9,6 +9,9 @@ stream synchronously with ``processAllAvailable`` over the static parquet
 
 from __future__ import annotations
 
+import atexit
+import shutil as _shutil
+import tempfile as _tempfile
 import uuid
 from typing import Iterator
 
@@ -18,6 +21,20 @@ from ..operators.events import normalize_ts_ns
 from ..operators.registry import register
 
 NS = 1_000_000_000
+
+_TMP_ROOT: list[str] = []
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp under ONE session-scoped root that is removed at
+    interpreter exit (atexit) — bench sweeps rerun these streaming ops
+    many times per process, and unrooted mkdtemp source/sink dirs would
+    otherwise accumulate in /tmp for the life of the machine."""
+    if not _TMP_ROOT:
+        root = _tempfile.mkdtemp(prefix="spark_stream_tmp_")
+        _TMP_ROOT.append(root)
+        atexit.register(_shutil.rmtree, root, ignore_errors=True)
+    return _tempfile.mkdtemp(prefix=prefix, dir=_TMP_ROOT[0])
 
 
 def _events_stream(spark, sf_dir):
@@ -32,7 +49,7 @@ def _events_stream(spark, sf_dir):
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file streaming source monitors a directory; expose the single
     # fixture file through a temp dir symlink
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    stream_dir = _tmpdir("events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(stream_dir, "events.parquet"))
     sdf = normalize_ts_ns(spark.readStream.schema(schema).parquet(stream_dir))
     return sdf.withColumn("event_ts", F.timestamp_seconds(F.expr(f"ts div {NS}")))
@@ -311,7 +328,7 @@ def q_stream_dedup(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(src).schema
-    stream_dir = tempfile.mkdtemp(prefix="events_dup_")
+    stream_dir = _tmpdir("events_dup_")
     os.symlink(src, os.path.join(stream_dir, "copy_a.parquet"))
     os.symlink(src, os.path.join(stream_dir, "copy_b.parquet"))
     sdf = normalize_ts_ns(
@@ -405,7 +422,7 @@ def q_stream_foreachbatch_sink(spark, sf_dir):
     import tempfile
 
     sdf = _events_stream(spark, sf_dir)
-    out_dir = tempfile.mkdtemp(prefix="fb_sink_") + "/data"
+    out_dir = _tmpdir("fb_sink_") + "/data"
     agg = (
         sdf.groupBy(F.window("event_ts", "5 minutes"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -633,7 +650,7 @@ def _documents_stream(spark, sf_dir):
     src = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(src).schema
     if src not in _DOC_STREAM_DIRS:
-        stream_dir = tempfile.mkdtemp(prefix="documents_stream_")
+        stream_dir = _tmpdir("documents_stream_")
         os.symlink(src, os.path.join(stream_dir, "documents.parquet"))
         _DOC_STREAM_DIRS[src] = stream_dir
     return spark.readStream.schema(schema).parquet(_DOC_STREAM_DIRS[src])
@@ -760,7 +777,7 @@ def _events_time_ordered_stream(spark, sf_dir):
 
     src_key = f"{sf_dir}/events.parquet"
     if src_key not in _ORDERED_STREAM_DIRS:
-        stream_dir = tempfile.mkdtemp(prefix="events_ordered_stream_")
+        stream_dir = _tmpdir("events_ordered_stream_")
         ev = load_events(spark, sf_dir)
         lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
         span = max(hi - lo + 1, 1)
@@ -887,7 +904,7 @@ def q_stream_hll_distinct(spark, sf_dir):
     # inflate n_sketches/est; unique-per-process avoids cross-session
     # races, memoization bounds the /tmp footprint to one dir
     if sf_dir not in _HLL_SINK_DIRS:
-        _HLL_SINK_DIRS[sf_dir] = tempfile.mkdtemp(prefix="hll_sink_")
+        _HLL_SINK_DIRS[sf_dir] = _tmpdir("hll_sink_")
     sk_dir = _HLL_SINK_DIRS[sf_dir] + "/sketches"
     shutil.rmtree(sk_dir, ignore_errors=True)
     os.makedirs(sk_dir)
@@ -968,7 +985,7 @@ def q_stream_countmin(spark, sf_dir):
 
     sdf = _events_time_ordered_stream(spark, sf_dir)
     if sf_dir not in _CM_SINK_DIRS:
-        _CM_SINK_DIRS[sf_dir] = tempfile.mkdtemp(prefix="cm_sink_")
+        _CM_SINK_DIRS[sf_dir] = _tmpdir("cm_sink_")
     sk_dir = _CM_SINK_DIRS[sf_dir] + "/cells"
     shutil.rmtree(sk_dir, ignore_errors=True)
     os.makedirs(sk_dir)
@@ -1076,7 +1093,7 @@ def q_stream_quantile_sketch(spark, sf_dir):
 
     sdf = _events_time_ordered_stream(spark, sf_dir)
     if sf_dir not in _QS_SINK_DIRS:
-        _QS_SINK_DIRS[sf_dir] = tempfile.mkdtemp(prefix="qs_sink_")
+        _QS_SINK_DIRS[sf_dir] = _tmpdir("qs_sink_")
     sk_dir = _QS_SINK_DIRS[sf_dir] + "/summaries"
     shutil.rmtree(sk_dir, ignore_errors=True)
     os.makedirs(sk_dir)
