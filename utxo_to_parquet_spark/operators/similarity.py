@@ -1057,20 +1057,34 @@ def q_sim_ivfpq_topk(spark, sf_dir, n_probe: int | None = None, rerank_n: int | 
 # (kNN-graph clustering, connectivity-based filtering).
 
 KNN_K = 3
+# Bound on rows per kNN block: label blocks larger than this are
+# deterministically sub-split (vec_id % ceil(n_label/CAP)) so the
+# within-block quadratic term is CAP-bounded no matter how the corpus
+# grows — the blocks-∝-corpus knob production scales with a finer
+# quantizer. 256 keeps every fixture label block whole (sf0.1 max is
+# 218) while capping the weak-scaling probe's 16x blocks.
+KNN_BLOCK_CAP = 256
 
 
 @register(
     "q_sim_knn_graph",
     oracle=f"""
-    WITH v AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS e,
-             SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+    WITH c AS (
+      SELECT label, COUNT(*) AS nl FROM embeddings GROUP BY label
+    ),
+    v AS (
+      SELECT em.vec_id, em.label,
+             em.vec_id % CAST(CEIL(c.nl / {KNN_BLOCK_CAP}.0) AS BIGINT) AS sub,
+             em.embedding::DOUBLE[] AS e,
+             SQRT(LIST_DOT_PRODUCT(em.embedding::DOUBLE[],
+                                   em.embedding::DOUBLE[])) AS nrm
+      FROM embeddings em JOIN c USING (label)
     ),
     pairs AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
              LIST_DOT_PRODUCT(a.e, b.e) / (a.nrm * b.nrm) AS cos_raw
-      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+      FROM v a JOIN v b
+        ON a.label = b.label AND a.sub = b.sub AND a.vec_id <> b.vec_id
     ),
     ranked AS (
       SELECT src, dst, cos_raw,
@@ -1086,9 +1100,22 @@ def q_sim_knn_graph(spark, sf_dir):
     neighbors WITHIN its coarse block (``label`` — in production the IVF
     posting list / k-means cluster id). Unlike q_sim_cosine_topk, BOTH
     sides are corpus-sized, so the block key is what makes this feasible:
-    the join is an equi-join on label (shuffle-hash, co-partitioned),
-    never a cross join, and the quadratic term is bounded by the largest
-    block, not the corpus.
+    the join is an equi-join on the block key (shuffle-hash,
+    co-partitioned), never a cross join, and the quadratic term is
+    bounded by the largest block, not the corpus.
+
+    Blocks-∝-corpus by default: a FIXED block count makes block
+    population grow with the corpus and the within-block quadratic term
+    superlinear (measured exponent 1.23 at 16x before this cap,
+    BENCH_qscale.json). So any label block larger than
+    {KNN_BLOCK_CAP} rows is deterministically sub-split on
+    ``vec_id % ceil(n_label/{KNN_BLOCK_CAP})`` — the same
+    finer-quantizer knob production turns (more k-means centroids), in a
+    form both engines reproduce exactly. Per-label counts ride a
+    broadcast join (one map-side aggregate, #labels rows); every fixture
+    block is under the cap, so small-scale results are identical to the
+    uncapped form, while probe-scale blocks stay CAP-bounded and the
+    total cost linear.
 
     Execution: ONE applyInPandas grouped by label — a single hash
     shuffle of the corpus; inside each block the pairwise scores come
@@ -1139,9 +1166,13 @@ def q_sim_knn_graph(spark, sf_dir):
             }
         )
 
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("nl"))
+    n_sub = F.ceil(F.col("nl") / F.lit(float(KNN_BLOCK_CAP))).cast("long")
     edges = (
         emb.select("vec_id", "label", "embedding")
-        .groupBy("label")
+        .join(F.broadcast(cnt), "label")
+        .withColumn("sub", F.col("vec_id") % n_sub)
+        .groupBy("label", "sub")
         .applyInPandas(
             knn_block, "src long, dst long, nn_rank long, cos_raw double"
         )
