@@ -366,3 +366,131 @@ def test_image_decode_errors_are_loud():
         decode_ppm(full[:-1])
     with pytest.raises(ValueError, match="maxval 255"):
         decode_ppm(b"P6\n1 1\n65535\n" + b"\0" * 6)
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    """encode_png rotates the scanline filter per row (y % 5), so any
+    image with >= 5 rows drives every unfilter path — assert the stored
+    filter bytes really rotate, then that decode reconstructs exactly."""
+    import zlib
+
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for w in (1, 5, 8, 13):
+        arr = rng.integers(0, 256, size=(7, w, 3), dtype=np.uint8)
+        payload = encode_png(arr)
+        # IHDR is 8(sig)+8(hdr)+13(data)+4(crc); IDAT data starts at +8
+        idat_off = 8 + 25 + 8
+        raw = zlib.decompress(payload[idat_off : -12 - 4])
+        stride = w * 3
+        filters = [raw[y * (stride + 1)] for y in range(7)]
+        assert filters == [0, 1, 2, 3, 4, 0, 1]
+        dw, dh, out = decode_png(payload)
+        assert (dw, dh) == (w, 7)
+        assert (out == arr).all()
+
+
+def test_png_layout_pinned_against_spec():
+    """Decode a hand-assembled PNG (independent of encode_png): 2x2 RGB,
+    row 0 filter None, row 1 filter Up — so the expected raster bytes
+    are written out per the spec by hand, catching any matched
+    encoder/decoder bug pair. Also: IDAT split across two chunks is one
+    zlib stream, and an ancillary chunk is skipped."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    top = bytes((10, 20, 30, 40, 50, 60))  # two RGB pixels, stored raw
+    deltas = bytes((1, 2, 3, 4, 5, 6))  # row 1 = row 0 + deltas (filter Up)
+    stream = zlib.compress(b"\x00" + top + b"\x02" + deltas)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"tEXt", b"Comment\x00ancillary, must be skipped")
+        + chunk(b"IDAT", stream[: len(stream) // 2])
+        + chunk(b"IDAT", stream[len(stream) // 2 :])
+        + chunk(b"IEND", b"")
+    )
+    w, h, out = decode_png(payload)
+    assert (w, h) == (2, 2)
+    expect = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[11, 22, 33], [44, 55, 66]]],
+        dtype=np.uint8,
+    )
+    assert (out == expect).all()
+
+
+def test_png_decode_errors_are_loud():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from utxo_to_parquet_spark.kernels.image import decode_png, encode_png
+
+    full = encode_png(np.zeros((6, 4, 3), dtype=np.uint8))
+
+    bad = bytearray(full)
+    bad[40] ^= 0xFF  # flip a byte inside IDAT data
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(bad))
+
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(full[:-6])
+
+    # 16-bit / paletted / interlaced headers must be refused, not misread
+    # IHDR data occupies bytes 16..28 (sig 8 + len 4 + type 4):
+    # width@16 height@20 depth@24 color@25 comp@26 filter@27 interlace@28
+    for field_off, val, msg in (
+        (24, 16, "only 8-bit truecolor"),  # bit depth 16
+        (25, 3, "only 8-bit truecolor"),  # color type: palette
+        (28, 1, "interlacing"),  # Adam7
+    ):
+        hacked = bytearray(full)
+        hacked[field_off] = val
+        # re-seal the IHDR CRC so the type check (not CRC) is what fires
+        ihdr = bytes(hacked[12:29])
+        import zlib as _z
+
+        struct.pack_into(">I", hacked, 29, _z.crc32(ihdr) & 0xFFFFFFFF)
+        with pytest.raises(ValueError, match=msg):
+            decode_png(bytes(hacked))
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + full[4:])
+
+
+def test_pubkey_decompress_matches_group_law():
+    """Cross-derivation check: the kernel reconstructs Y from (parity, X)
+    via the modular square root; the query module derives the same
+    points as generator multiples via the affine group law. For 1G..32G
+    the two must agree byte-for-byte — a wrong sqrt branch, parity
+    flip, or endianness bug cannot pass both derivations."""
+    from utxo_to_parquet_spark.kernels.script import (
+        decompress_pubkey,
+        decompress_script,
+    )
+    from utxo_to_parquet_spark.operators.utxo_queries import _g_multiples
+
+    for k, x, y in _g_multiples(32):
+        prefix = 2 + (y & 1)
+        sec = decompress_pubkey(prefix, x.to_bytes(32, "big"))
+        assert sec == b"\x04" + x.to_bytes(32, "big") + y.to_bytes(32, "big"), k
+        # and through the type-4/5 script template (main.rs:145-161)
+        script = decompress_script(4 + (y & 1), x.to_bytes(32, "big"))
+        assert script == bytes([65]) + sec + bytes([0xAC]), k

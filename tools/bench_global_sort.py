@@ -118,7 +118,15 @@ def main():
 
     result: dict[str, dict] = {}
     target = None
-    for label, gsort in (("per_partition", False), ("global", True)):
+    for label, gsort in (
+        ("per_partition", False),
+        ("global", True),
+        # round 8: sampled-boundary range clustering — same disjoint
+        # file ranges as the true range exchange without its hidden
+        # second decode (RangePartitioner samples by executing the
+        # decode plan)
+        ("global_sampled", "sampled"),
+    ):
         out = os.path.join(tmp, f"out_{label}.parquet")
         best = float("inf")
         for rep in range(3):

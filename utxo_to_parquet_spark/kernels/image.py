@@ -1,17 +1,21 @@
-"""Pure-Python image codecs: PPM (P6) and BMP (24-bit uncompressed).
+"""Pure-Python image codecs: PPM (P6), BMP (24-bit uncompressed), and
+PNG (8-bit truecolor).
 
-The container has no native image libraries, so these two formats — both
-decodable with nothing but byte arithmetic — let the multimodal pipeline
-(operators/multimodal.py) run a REAL decode end-to-end instead of
-stopping at the documented ``decode_image_stub`` boundary. They are not
-toys: the PPM parser handles the format's full header grammar
-(arbitrary whitespace, ``#`` comments anywhere between tokens), and the
-BMP path implements the format's actual storage quirks — bottom-up row
-order, BGR byte order, 4-byte row padding — so a decoder bug flips row
-order or channels and is caught by the pixel-checksum oracle.
+The container has no native image libraries, so these formats — all
+decodable with byte arithmetic plus stdlib zlib — let the multimodal
+pipeline (operators/multimodal.py) run a REAL decode end-to-end instead
+of stopping at the documented ``decode_image_stub`` boundary. They are
+not toys: the PPM parser handles the format's full header grammar
+(arbitrary whitespace, ``#`` comments anywhere between tokens), the BMP
+path implements the format's actual storage quirks — bottom-up row
+order, BGR byte order, 4-byte row padding — and the PNG path does real
+chunk framing (CRC-32 verified, split IDAT streams concatenated,
+ancillary chunks skipped) plus all five scanline filters
+(None/Sub/Up/Average/Paeth), so a decoder bug flips row order, channels,
+or filter reconstruction and is caught by the pixel-checksum oracle.
 
-Formats that genuinely require native codecs (JPEG/PNG/video) remain
-behind the documented stub in multimodal.py.
+Formats that genuinely require native codecs (JPEG/video) remain behind
+the documented stub in multimodal.py.
 
 No Spark imports: unit-testable standalone, callable from pandas UDFs.
 """
@@ -19,6 +23,7 @@ No Spark imports: unit-testable standalone, callable from pandas UDFs.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -27,6 +32,8 @@ __all__ = [
     "decode_ppm",
     "encode_bmp",
     "decode_bmp",
+    "encode_png",
+    "decode_png",
     "decode_image",
 ]
 
@@ -155,6 +162,169 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, np.ascontiguousarray(rgb)
 
 
+# ---------------------------------------------- PNG (8-bit truecolor RGB)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG spec Paeth predictor, vectorized: nearest of left/up/up-left
+    to the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """RGB uint8 array (H, W, 3) -> PNG (bit depth 8, color type 2
+    truecolor, no interlace).
+
+    Scanline y uses filter type y % 5 — None/Sub/Up/Average/Paeth in
+    rotation — so any image taller than 4 rows drives EVERY unfilter
+    path in the decoder; a fixed filter-0 encoder would leave
+    Sub/Up/Average/Paeth as dead code that a round-trip test never
+    touches. Filter arithmetic is the spec's: predictions subtract in
+    unsigned-byte space, output modulo 256."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {arr.shape}")
+    h, w, _ = arr.shape
+    flat = arr.reshape(h, w * 3).astype(np.int16)
+    zero = np.zeros(3, dtype=np.int16)
+    lines = []
+    prior = np.zeros(w * 3, dtype=np.int16)
+    for y in range(h):
+        row = flat[y]
+        left = np.concatenate([zero, row[:-3]])  # byte x-3 ("left pixel")
+        ul = np.concatenate([zero, prior[:-3]])
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prior
+        elif ft == 3:
+            filt = row - ((left + prior) >> 1)
+        else:
+            filt = row - _paeth(left, prior, ul)
+        lines.append(bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 9)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """PNG (8-bit truecolor, non-interlaced) -> (width, height, RGB
+    uint8 (H, W, 3)).
+
+    A real decoder, not a round-trip inverse: chunk framing with CRC-32
+    verification on every chunk, multiple IDAT chunks concatenated
+    before the single zlib stream is inflated (the spec allows the
+    stream to be split anywhere), ancillary chunks skipped, and all five
+    scanline filters (None/Sub/Up/Average/Paeth) reconstructed. Palette,
+    alpha, 16-bit, and Adam7 interlacing fail loudly — silently
+    misreading a corrupt or unsupported payload is the one unacceptable
+    behavior in a curation pipeline."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    off = 8
+    ihdr: bytes | None = None
+    idat = bytearray()
+    ended = False
+    while off < len(payload):
+        if off + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack_from(">I", payload, off)
+        typ = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + length]
+        if len(data) != length or off + 12 + length > len(payload):
+            raise ValueError(f"truncated PNG chunk {typ!r}")
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + length)
+        if crc != (zlib.crc32(typ + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG CRC mismatch in chunk {typ!r}")
+        off += 12 + length
+        if typ == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR")
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            ended = True
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are legal and skipped
+    if ihdr is None or not ended:
+        raise ValueError("PNG missing IHDR or IEND")
+    w, h, depth, color, comp, filt_method, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if (depth, color) != (8, 2):
+        raise ValueError(
+            f"only 8-bit truecolor supported (depth={depth}, color={color})"
+        )
+    if comp != 0 or filt_method != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlacing not supported")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG raster size {len(raw)} != expected {h * (stride + 1)}"
+        )
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int16)
+    zero = np.zeros(3, dtype=np.int16)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int16)
+        if ft == 0:
+            recon = line
+        elif ft == 2:
+            recon = (line + prior) & 0xFF
+        elif ft in (1, 3, 4):
+            # left-referencing filters have a serial dependency along x;
+            # reconstruct byte-wise (w is bounded by the block layout,
+            # and Arrow batching amortizes the per-row Python cost)
+            recon = np.empty(stride, dtype=np.int16)
+            ul = np.concatenate([zero, prior[:-3]])
+            for x in range(stride):
+                left = recon[x - 3] if x >= 3 else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + prior[x]) >> 1
+                else:
+                    a, b, c = left, prior[x], ul[x]
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                recon[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft} on row {y}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon.astype(np.int16)
+    return w, h, out.reshape(h, w, 3)
+
+
 def decode_image(payload: bytes) -> tuple[str, int, int, np.ndarray]:
     """Sniff the container by magic and decode; -> (fmt, w, h, pixels).
 
@@ -166,4 +336,7 @@ def decode_image(payload: bytes) -> tuple[str, int, int, np.ndarray]:
     if payload[:2] == b"BM":
         w, h, px = decode_bmp(payload)
         return "bmp", w, h, px
+    if payload[:8] == _PNG_SIG:
+        w, h, px = decode_png(payload)
+        return "png", w, h, px
     raise ValueError(f"unknown image magic {payload[:2]!r}")

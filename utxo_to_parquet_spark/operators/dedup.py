@@ -230,7 +230,7 @@ CONTAINMENT_MIN = 0.5  # the smaller doc must be half-contained in the larger
     WHERE CAST(common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= {CONTAINMENT_MIN}
     """,
 )
-def q_dedup_containment(spark, sf_dir):
+def q_dedup_containment(spark, sf_dir, df_cap: int | None = None):
     """Asymmetric near-dup detection via shingle CONTAINMENT —
     |A∩B| / min(|A|, |B|): a short document quoted or embedded inside a
     long one scores near 1.0 here while its symmetric Jaccard
@@ -241,12 +241,21 @@ def q_dedup_containment(spark, sf_dir):
     inverted shingle index with the document-frequency skew cap, pair
     counts from an equi-join, per-doc sizes broadcast back — the
     containment denominator is just the SMALLER set size instead of the
-    union."""
+    union.
+
+    ``df_cap`` overrides the registered {DF_CAP} document-frequency cap
+    (the oracle pins {DF_CAP}) — the recall/cost knob: every emitted
+    pair's `common` counts only shingles with df <= cap, so lowering it
+    sheds exactly the join work of the heaviest shingles at the price of
+    pairs whose overlap lives in common boilerplate.
+    `tools/bench_containment_cap.py` sweeps it at the 16x probe corpus
+    (BENCH_containment_cap.json)."""
+    cap = DF_CAP if df_cap is None else df_cap
     sh = _shingles_df(spark, sf_dir)
     df_ok = (
         sh.groupBy("shingle")
         .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") <= DF_CAP)
+        .filter(F.col("df") <= cap)
         .select("shingle")
     )
     filtered = sh.join(df_ok, "shingle")

@@ -176,18 +176,20 @@ def q_mm_frame_sample(spark, sf_dir):
 
 
 def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
-    """Placeholder for natively-coded formats (JPEG/PNG/video — PIL,
+    """Placeholder for natively-coded formats (JPEG/video — PIL,
     libvips, ffmpeg are not installed here).
 
     Formats decodable in pure Python are NOT stubbed: kernels/image.py
-    implements real PPM (P6) and 24-bit BMP codecs, exercised
-    end-to-end by ``q_mm_decode_pixel_stats``. A production deployment
-    swaps this stub for the native codec; the mapInPandas plumbing is
-    unchanged by that swap.
+    implements real PPM (P6), 24-bit BMP, and PNG (stdlib zlib inflate +
+    all five scanline filters) codecs, exercised end-to-end by
+    ``q_mm_decode_pixel_stats`` and ``q_mm_phash_dedup``. A production
+    deployment swaps this stub for the native codec; the mapInPandas
+    plumbing is unchanged by that swap.
     """
     raise NotImplementedError(
-        "native image codecs (JPEG/PNG) are not available in this environment;"
-        " see kernels/image.py for the pure-Python PPM/BMP formats"
+        "native image codecs (JPEG/video) are not available in this"
+        " environment; see kernels/image.py for the pure-Python"
+        " PPM/BMP/PNG formats"
     )
 
 
@@ -208,7 +210,8 @@ IMG_H = 6  # synthesized image height; width varies 5..8 to hit every
       SELECT doc_id,
              CAST(5 + doc_id % 4 AS BIGINT) AS width,
              CAST({IMG_H} AS BIGINT) AS height,
-             CASE WHEN doc_id % 2 = 1 THEN 'bmp' ELSE 'ppm' END AS fmt,
+             CASE doc_id % 3 WHEN 1 THEN 'bmp' WHEN 2 THEN 'png'
+                  ELSE 'ppm' END AS fmt,
              substr(repeat(text, CAST(CEIL(144.0 / LENGTH(text)) AS BIGINT)),
                     1, CAST((5 + doc_id % 4) * {IMG_H} * 3 AS INT)) AS px
       FROM documents
@@ -227,11 +230,12 @@ IMG_H = 6  # synthesized image height; width varies 5..8 to hit every
 def q_mm_decode_pixel_stats(spark, sf_dir):
     """REAL image decode end-to-end: each document becomes a small RGB
     image (text bytes cycled into width x {IMG_H} pixels, width varying
-    5..8 so every BMP row-padding case occurs), encoded as binary PPM
-    (even doc_ids) or 24-bit BMP (odd doc_ids — bottom-up BGR rows with
-    padding), then DECODED by the pure-Python codecs in
-    kernels/image.py, with per-channel byte sums and a pixel-buffer
-    checksum emitted per image. Encode and decode are independent code
+    5..8 so every BMP row-padding case occurs), encoded per doc_id % 3
+    as binary PPM, 24-bit BMP (bottom-up BGR rows with padding), or PNG
+    (zlib-deflated scanlines, filter type rotating through all five
+    None/Sub/Up/Average/Paeth since {IMG_H} > 4 rows), then DECODED by
+    the pure-Python codecs in kernels/image.py, with per-channel byte
+    sums and a pixel-buffer checksum emitted per image. Encode and decode are independent code
     paths meeting at the format spec; the DuckDB oracle recomputes the
     expected pixel buffer from the text alone, so a row-order, channel-
     order, or padding bug in EITHER path breaks the hash. Runs as one
@@ -242,7 +246,7 @@ def q_mm_decode_pixel_stats(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    from ..kernels.image import decode_image, encode_bmp, encode_ppm
+    from ..kernels.image import decode_image, encode_bmp, encode_png, encode_ppm
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -265,7 +269,9 @@ def q_mm_decode_pixel_stats(spark, sf_dir):
                 n = w * h * 3
                 raw = (text.encode("utf-8") * -(-n // len(text)))[:n]
                 arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
-                payload = encode_bmp(arr) if doc_id % 2 else encode_ppm(arr)
+                payload = {1: encode_bmp, 2: encode_png}.get(
+                    doc_id % 3, encode_ppm
+                )(arr)
                 fmt, dw, dh, px = decode_image(payload)
                 assert (dw, dh) == (w, h), (doc_id, dw, dh)
                 sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
@@ -400,7 +406,8 @@ def q_mm_audio_chunk_stats(spark, sf_dir):
     WITH img AS (
       SELECT doc_id,
              CAST(5 + doc_id % 4 AS BIGINT) AS w,
-             CASE WHEN doc_id % 2 = 1 THEN 'bmp' ELSE 'ppm' END AS fmt,
+             CASE doc_id % 3 WHEN 1 THEN 'bmp' WHEN 2 THEN 'png'
+                  ELSE 'ppm' END AS fmt,
              substr(repeat(text, CAST(CEIL(144.0 / LENGTH(text)) AS BIGINT)),
                     1, CAST((5 + doc_id % 4) * {IMG_H} * 3 AS INT)) AS px
       FROM documents
@@ -431,7 +438,7 @@ def q_mm_audio_chunk_stats(spark, sf_dir):
 def q_mm_phash_dedup(spark, sf_dir):
     """Perceptual (average-luminance) image hashing through the REAL
     decode path, feeding the dedup shape: each document's synthesized
-    image round-trips through the pure-Python PPM/BMP codecs, its
+    image round-trips through the pure-Python PPM/BMP/PNG codecs, its
     per-pixel luminance is thresholded against the image mean (integer
     cross-multiply, no float), bits pack into one BIGINT phash, and a
     hash-partitioned window counts perceptual duplicates — the
@@ -444,7 +451,7 @@ def q_mm_phash_dedup(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    from ..kernels.image import decode_image, encode_bmp, encode_ppm
+    from ..kernels.image import decode_image, encode_bmp, encode_png, encode_ppm
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -463,7 +470,9 @@ def q_mm_phash_dedup(spark, sf_dir):
                 n = w * h * 3
                 raw = (text.encode("utf-8") * -(-n // len(text)))[:n]
                 arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
-                payload = encode_bmp(arr) if doc_id % 2 else encode_ppm(arr)
+                payload = {1: encode_bmp, 2: encode_png}.get(
+                    doc_id % 3, encode_ppm
+                )(arr)
                 fmt, dw, dh, px = decode_image(payload)
                 lum = px.reshape(-1, 3).sum(axis=1, dtype=np.int64)
                 total, npx = int(lum.sum()), dw * dh

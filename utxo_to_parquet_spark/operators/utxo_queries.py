@@ -711,3 +711,130 @@ def q_utxo_coin_days(spark, sf_dir):
             F.col("amount") * F.floor((F.lit(CUR_HEIGHT) - F.col("height")) / BLOCKS_PER_DAY).cast("long")
         ).alias("coin_days"),
     )
+
+
+# --- S6 end-to-end: secp256k1 type-4/5 pubkey reconstruction --------------
+
+# Small multiples of the secp256k1 generator, derived by TEXTBOOK affine
+# group law (double-and-add from the public generator constant) — an
+# INDEPENDENT derivation from the kernel's sqrt-based point
+# decompression. The oracle embeds these (x, y) pairs as literals while
+# the Spark side reconstructs y through kernels/script.py's modular
+# square root (main.rs:145-161's type-4/5 branch), so the hash gate
+# cross-checks the Tonelli-Shanks-free sqrt against the group law: a
+# wrong root, parity flip, or byte-order bug on either derivation breaks
+# the value hash.
+_EC_P = 2**256 - 2**32 - 977
+_EC_G = (
+    0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798,
+    0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8,
+)
+N_PK = 16  # planted distinct pubkeys (both parities occur among 1G..16G)
+
+
+def _ec_add(p1, p2):
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2 and (y1 + y2) % _EC_P == 0:
+        return None
+    if p1 == p2:
+        lam = 3 * x1 * x1 * pow(2 * y1, _EC_P - 2, _EC_P) % _EC_P
+    else:
+        lam = (y2 - y1) * pow(x2 - x1, _EC_P - 2, _EC_P) % _EC_P
+    x3 = (lam * lam - x1 - x2) % _EC_P
+    y3 = (lam * (x1 - x3) - y1) % _EC_P
+    return (x3, y3)
+
+
+def _g_multiples(n: int) -> list[tuple[int, int, int]]:
+    """[(k, x, y) for k in 1..n] — k*G by repeated addition."""
+    out, acc = [], None
+    for k in range(1, n + 1):
+        acc = _ec_add(acc, _EC_G)
+        out.append((k, acc[0], acc[1]))
+    return out
+
+
+_PK_POINTS = _g_multiples(N_PK)
+
+
+def _pk_values_sql() -> str:
+    # script_type is derived from the group-law Y's parity here (4=even,
+    # 5=odd) — same independence as the coordinates themselves
+    rows = ",\n      ".join(
+        f"({k}, {4 + (y & 1)}, '{x:064x}', '{y:064x}')"
+        for k, x, y in _PK_POINTS
+    )
+    return f"(VALUES\n      {rows}) AS pk(k, script_type, x_hex, y_hex)"
+
+
+@register(
+    "q_utxo_pubkey_decompress",
+    oracle=f"""
+    WITH utxos AS ({UTXOS_CTE}),
+    pk AS (SELECT * FROM {_pk_values_sql()}),
+    planted AS (
+      SELECT u.amount, pk.k, CAST(pk.script_type AS BIGINT) AS script_type,
+             '41' || '04' || pk.x_hex || pk.y_hex || 'ac' AS script_hex
+      FROM utxos u JOIN pk ON pk.k = u.height % {N_PK} + 1
+    )
+    SELECT k, script_type, script_hex,
+           CAST(LENGTH(script_hex) / 2 AS BIGINT) AS script_len,
+           TRUE AS on_curve,
+           COUNT(*) AS n_utxos,
+           CAST(SUM(amount) AS BIGINT) AS total_sats
+    FROM planted
+    GROUP BY k, script_type, script_hex
+    """,
+)
+def q_utxo_pubkey_decompress(spark, sf_dir):
+    """S6's type-4/5 branch driven end-to-end through the oracle gate:
+    every UTXO is assigned one of {N_PK} planted compressed P2PK coins
+    (``height % {N_PK}`` — a corpus-wide equi-join, not a constant), and
+    the full uncompressed scriptPubKey ``41 04<X><Y> ac`` is
+    reconstructed by the REAL kernel (`decompress_script(4|5, X)` →
+    `decompress_pubkey`, main.rs:145-161). The {N_PK} distinct pubkeys
+    are decompressed once driver-side and attached with a broadcast join
+    — the same per-distinct-key cost shape the kernel's lru_cache gives
+    the row-at-a-time dump path.
+
+    The oracle does NOT replay the kernel: its Y coordinates come from
+    the affine group law (`_g_multiples`), so the gate proves the
+    modular square root finds the group-law Y bit-for-bit, picks the
+    parity the script type demands (4=even, 5=odd), and frames the
+    65-byte SEC form correctly. `on_curve` is the Spark-side algebraic
+    contract (y² = x³ + 7 mod p, checked on the kernel's output bytes);
+    the oracle pins it TRUE."""
+    from ..kernels.script import decompress_script
+
+    dim_rows = []
+    for k, x, y in _PK_POINTS:
+        script_type = 4 + (y & 1)
+        script = decompress_script(script_type, x.to_bytes(32, "big"))
+        ky = int.from_bytes(script[2 + 32 : 2 + 64], "big")
+        on_curve = (ky * ky) % _EC_P == (pow(x, 3, _EC_P) + 7) % _EC_P
+        dim_rows.append(
+            (k, script_type, script.hex(), len(script), bool(on_curve))
+        )
+    dim = spark.createDataFrame(
+        dim_rows,
+        "k long, script_type long, script_hex string, script_len long,"
+        " on_curve boolean",
+    )
+    # keep only the fact columns: the view's own script_hex (P2PKH) would
+    # collide with the reconstructed P2PK script_hex from the dim
+    u = utxos_df(spark, sf_dir).select(
+        "amount", (F.col("height") % N_PK + 1).alias("k")
+    )
+    return (
+        u.join(F.broadcast(dim), "k")
+        .groupBy("k", "script_type", "script_hex", "script_len", "on_curve")
+        .agg(
+            F.count(F.lit(1)).alias("n_utxos"),
+            F.sum("amount").alias("total_sats"),
+        )
+    )

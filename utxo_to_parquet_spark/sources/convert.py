@@ -23,6 +23,84 @@ from __future__ import annotations
 
 from .utxo_dump import read_utxo_dump_with_header
 
+# sampled global sort: fraction of decode splits sampled for boundary
+# estimation (1/SAMPLE_STRIDE of the data re-read; framing is cached)
+SAMPLE_STRIDE = 50
+
+
+def _script_prefix56(col):
+    """Order-preserving 56-bit integer image of the script's first 7
+    bytes (hex, zero-padded right so shorter-than-7-byte scripts keep
+    byte order, then base-16 → base-10). 56 bits fit a signed long; for
+    the dominant P2PKH population the 3 template bytes leave 4
+    hash-digest bytes of uniform resolution — plenty for <=2^20 range
+    buckets."""
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.rpad(F.hex(F.substring(col, 1, 7)), 14, "0"), 16, 10
+    ).cast("long")
+
+
+def _hash_preimages(spark, n: int) -> list[int]:
+    """For each shuffle-partition index i in [0, n), a small non-negative
+    int v with pmod(murmur3(v), n) == i — so ``repartition(n, lit-col)``
+    routes range-bucket i exactly to partition i. Computed with Spark's
+    own ``hash()`` (one tiny job over a candidate range, no decode), so
+    the mapping can never drift from the engine's partitioner."""
+    from pyspark.sql import functions as F
+
+    need = 4 * n + 64
+    cand = spark.range(need).select(
+        F.col("id").cast("int").alias("v"), F.hash(F.col("id").cast("int")).alias("h")
+    )
+    out: dict[int, int] = {}
+    for r in cand.collect():
+        res = r.h % n  # python % matches Spark's pmod for positive n
+        if res not in out:
+            out[res] = r.v
+    missing = [i for i in range(n) if i not in out]
+    if missing:  # astronomically unlikely with 4n+64 candidates
+        raise RuntimeError(f"no hash preimage found for partitions {missing}")
+    return [out[i] for i in range(n)]
+
+
+def _sampled_range_exchange(
+    spark, df, input_path: str, *, chunk_rows: int, use_cache: bool
+):
+    """Range-cluster ``df`` on ``script`` without repartitionByRange's
+    child-plan re-execution: boundaries from a systematic split sample,
+    routing via one hash exchange on per-bucket preimage literals."""
+    from pyspark.sql import functions as F
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    _, sample = read_utxo_dump_with_header(
+        spark,
+        input_path,
+        chunk_rows=chunk_rows,
+        use_cache=use_cache,
+        split_stride=SAMPLE_STRIDE,
+    )
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds = sample.select(
+        _script_prefix56(F.col("script")).alias("p")
+    ).approxQuantile("p", probs, 0.001)
+    # dedupe (skewed corpora can repeat boundaries); bucket count adapts
+    bounds = sorted({int(b) for b in bounds})
+    n_buckets = len(bounds) + 1
+    magic = _hash_preimages(spark, n_buckets)
+    p56 = _script_prefix56(F.col("script"))
+    bucket = sum(
+        ((p56 >= F.lit(b)).cast("int") for b in bounds), F.lit(0)
+    )
+    route = F.element_at(F.array(*[F.lit(m) for m in magic]), bucket + 1)
+    return (
+        df.withColumn("__route", route)
+        .repartition(n_buckets, "__route")
+        .drop("__route")
+        .sortWithinPartitions("script")
+    )
+
 
 def convert_utxo_dump_to_parquet(
     spark,
@@ -45,6 +123,24 @@ def convert_utxo_dump_to_parquet(
     sorted order) at the cost of one extra shuffle; at 100 TB this is the
     better trade because every equality predicate then touches a single
     file's pages.
+
+    ``global_sort="sampled"`` buys the same script-clustered layout
+    without ``repartitionByRange``'s hidden second decode:
+    RangePartitioner samples its boundaries by EXECUTING the child plan,
+    and this source's child plan is the full Arrow decode — so the
+    built-in range exchange pays ~2 decodes plus the shuffle (measured
+    4x per-partition cost at mainnet depth, BENCH_mainnet_lookup.json).
+    The sampled mode instead estimates script-prefix boundaries from a
+    systematic sample of decode splits (``split_stride`` — the framing
+    index is already cached, so the sample re-reads ~2% of the bytes),
+    then routes rows to their range bucket through ONE ordinary hash
+    exchange using per-bucket hash preimages, and sorts within
+    partitions. Files cover disjoint script-prefix ranges exactly as
+    with the true range exchange (footer min/max pruning behaves
+    identically); only the *within-partition placement of equal
+    prefixes* can differ, which no page-pruning path observes.
+    Composite-key layouts (``partition_by_height_epoch``) keep the
+    built-in range exchange.
 
     ``partition_by_height_epoch=N`` adds hive-style output partitioning on
     ``height_epoch = height // N``: height-range queries then prune whole
@@ -72,7 +168,15 @@ def convert_utxo_dump_to_parquet(
     # task-local ordering on them and would otherwise insert its own
     # sort-by-partition-cols, destroying the script clustering
     sort_cols = partition_cols + ["script"]
-    if global_sort:
+    if global_sort == "sampled" and not partition_cols:
+        df = _sampled_range_exchange(
+            spark,
+            df,
+            input_path,
+            chunk_rows=chunk_rows,
+            use_cache=use_cache,
+        )
+    elif global_sort:
         df = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
     else:
         df = df.sortWithinPartitions(*sort_cols)

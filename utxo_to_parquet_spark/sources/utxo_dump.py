@@ -446,7 +446,12 @@ def _list_dump_files(path: str) -> list[str]:
 
 
 def read_utxo_dump_with_header(
-    spark, path: str, *, chunk_rows: int = 250_000, use_cache: bool = True
+    spark,
+    path: str,
+    *,
+    chunk_rows: int = 250_000,
+    use_cache: bool = True,
+    split_stride: int = 1,
 ):
     """Like :func:`read_utxo_dump` but also returns the parsed snapshot
     header, so callers needing ``num_utxos`` don't re-run the framing
@@ -458,6 +463,12 @@ def read_utxo_dump_with_header(
     truly in parallel, removing the sequential-pass bound whenever the
     input is sharded. The returned header carries the FIRST file's
     version/network/block-hash and the SUM of rows across files.
+
+    ``split_stride=k`` decodes only every k-th split (each keeps its own
+    byte extent, so the sampled splits decode exactly as they would in
+    the full read) — the cheap systematic-sample pass the sampled
+    global-sort boundary estimation uses. The header still reports the
+    FULL row count.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -484,6 +495,8 @@ def read_utxo_dump_with_header(
             (f, s.offset, end - s.offset, s.carried_txid, s.carried_coins_left, s.num_rows)
             for s, end in zip(splits, ends)
         )
+    if split_stride > 1:
+        rows = rows[::split_stride]
     if not rows:  # empty-but-valid snapshot(s)
         return header, spark.createDataFrame([], UTXO_SCHEMA)
 

@@ -177,8 +177,16 @@ def q_stream_watermark_late_data(spark, sf_dir):
     windows whose end the watermark passed. If the watermark ever
     stops advancing, emits an open window, or drops a closed one, the
     value hash breaks."""
-    sdf = _events_stream(spark, sf_dir)
-    agg = (
+    agg = watermark_sliding_agg(_events_stream(spark, sf_dir))
+    table = _run_to_memory(agg, "append")
+    return spark.table(table)
+
+
+def watermark_sliding_agg(sdf):
+    """The watermarked sliding-window aggregation plan — factored so the
+    recovery probe (tools/bench_stream_recovery.py) can restart the
+    identical windowed-state operator from its own checkpoint."""
+    return (
         sdf.withWatermark("event_ts", "10 minutes")
         .groupBy(F.window("event_ts", "10 minutes", "5 minutes"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -188,8 +196,6 @@ def q_stream_watermark_late_data(spark, sf_dir):
             "n",
         )
     )
-    table = _run_to_memory(agg, "append")
-    return spark.table(table)
 
 
 @register(
@@ -676,25 +682,12 @@ def _incremental_oracle() -> str:
     """
 
 
-@register("q_stream_incremental_dedup", oracle=_incremental_oracle())
-def q_stream_incremental_dedup(spark, sf_dir):
-    """Streaming admission control: newly-arriving documents probe the
-    STATIC corpus band index as they stream in — the online form of
-    q_dedup_incremental (operators/dedup.py), sharing its oracle's
-    corpus-probe half.
-
-    The streaming half is deliberately SHUFFLE-FREE on the stream side:
-    the MinHash signature is a function of one row's text, so it is
-    computed per row with higher-order functions (transform/array_min
-    over the shingle array — one md5 per shingle feeding all seeds, the
-    same family as the batch path, bit-identical band keys) instead of
-    the batch path's explode + groupBy-min, which would be a streaming
-    aggregation needing watermark semantics. Band rows then join the
-    static index per micro-batch (stream-static inner join, no state
-    buffering) and matches land in the sink in append mode. The summary
-    (match count + admission verdict per batch doc) is a batch
-    aggregation over the materialized sink — in production, the sink is
-    the admission log and this summary is its reader."""
+def incremental_dedup_matches(spark, sf_dir, sdf):
+    """The stream-side admission-control plan (per-row MinHash bands →
+    stream-static band-index join) — factored so the recovery probe
+    (tools/bench_stream_recovery.py) can restart the identical
+    stream-static join from its own checkpoint. ``sdf`` is a streaming
+    DataFrame with the documents schema."""
     from ..operators.dedup import (
         BATCH_MOD,
         MINHASH_AB,
@@ -706,8 +699,7 @@ def q_stream_incremental_dedup(spark, sf_dir):
     )
 
     sdf = (
-        _documents_stream(spark, sf_dir)
-        .filter(F.col("doc_id") % BATCH_MOD == 0)
+        sdf.filter(F.col("doc_id") % BATCH_MOD == 0)
         .select("doc_id", F.split("text", " ").alias("words"))
         .filter(F.size("words") >= 3)
         .withColumn("shingles", F.array_distinct(F.expr(SHINGLE_TRANSFORM_SQL)))
@@ -727,8 +719,34 @@ def q_stream_incremental_dedup(spark, sf_dir):
             F.col("doc_id").alias("corpus_doc_id"), "band", "band_key"
         )
     )
-    matches = stream_bands.join(corpus_index, ["band", "band_key"]).select(
+    return stream_bands.join(corpus_index, ["band", "band_key"]).select(
         "doc_id", "corpus_doc_id"
+    )
+
+
+@register("q_stream_incremental_dedup", oracle=_incremental_oracle())
+def q_stream_incremental_dedup(spark, sf_dir):
+    """Streaming admission control: newly-arriving documents probe the
+    STATIC corpus band index as they stream in — the online form of
+    q_dedup_incremental (operators/dedup.py), sharing its oracle's
+    corpus-probe half.
+
+    The streaming half is deliberately SHUFFLE-FREE on the stream side:
+    the MinHash signature is a function of one row's text, so it is
+    computed per row with higher-order functions (transform/array_min
+    over the shingle array — one md5 per shingle feeding all seeds, the
+    same family as the batch path, bit-identical band keys) instead of
+    the batch path's explode + groupBy-min, which would be a streaming
+    aggregation needing watermark semantics. Band rows then join the
+    static index per micro-batch (stream-static inner join, no state
+    buffering) and matches land in the sink in append mode. The summary
+    (match count + admission verdict per batch doc) is a batch
+    aggregation over the materialized sink — in production, the sink is
+    the admission log and this summary is its reader."""
+    from ..operators.dedup import BATCH_MOD
+
+    matches = incremental_dedup_matches(
+        spark, sf_dir, _documents_stream(spark, sf_dir)
     )
     table = _run_to_memory(matches, "append")
     hits = (
@@ -812,24 +830,15 @@ def _ewma_stream_oracle() -> str:
     return ewma_oracle()
 
 
-@register("q_stream_ewma", oracle=_ewma_stream_oracle())
-def q_stream_ewma(spark, sf_dir):
-    """Streaming twin of q_events_ewma via applyInPandasWithState: per
-    user, the state row carries (ewma, n_events); each micro-batch sorts
-    its slice by (ts, event_id) and folds with the IDENTICAL
-    ``(a*x) + ((1.0-a)*acc)`` expression the batch op and the DuckDB
-    oracle use, seeding from the first observation (n_events=0 marks an
-    unseeded key). Because the fold is order-sensitive, hash-equality
-    with the batch recurrence proves not just that no batch was dropped
-    or double-counted but that state crossed every commit in event-time
-    order — a strictly stronger gate than the order-insensitive
-    running-max contract."""
+def ewma_stateful(sdf):
+    """The applyInPandasWithState EWMA plan over an events stream —
+    factored out of q_stream_ewma so the kill-and-restart recovery probe
+    (tools/bench_stream_recovery.py) drives the IDENTICAL stateful
+    operator against its own checkpointed source."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..operators.events import EWMA_ALPHA
-
-    sdf = _events_time_ordered_stream(spark, sf_dir)
 
     def fold(key, pdf_iter: Iterator["pd.DataFrame"], state: GroupState):
         y, n = state.get if state.exists else (0.0, 0)
@@ -846,7 +855,7 @@ def q_stream_ewma(spark, sf_dir):
         state.update((y, n))
         yield pd.DataFrame({"user_id": [key[0]], "ewma": [y], "n_events": [n]})
 
-    out = (
+    return (
         sdf.select("user_id", "ts", "event_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -857,6 +866,21 @@ def q_stream_ewma(spark, sf_dir):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+@register("q_stream_ewma", oracle=_ewma_stream_oracle())
+def q_stream_ewma(spark, sf_dir):
+    """Streaming twin of q_events_ewma via applyInPandasWithState: per
+    user, the state row carries (ewma, n_events); each micro-batch sorts
+    its slice by (ts, event_id) and folds with the IDENTICAL
+    ``(a*x) + ((1.0-a)*acc)`` expression the batch op and the DuckDB
+    oracle use, seeding from the first observation (n_events=0 marks an
+    unseeded key). Because the fold is order-sensitive, hash-equality
+    with the batch recurrence proves not just that no batch was dropped
+    or double-counted but that state crossed every commit in event-time
+    order — a strictly stronger gate than the order-insensitive
+    running-max contract."""
+    out = ewma_stateful(_events_time_ordered_stream(spark, sf_dir))
     table = _run_to_memory(out, "update")
     df = spark.table(table)
     from pyspark.sql import Window as W
