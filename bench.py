@@ -143,6 +143,16 @@ HEADLINE = [
     "q_events_seasonality_profile",
     "q_events_rfm_segments",
     "q_mm_phash_dedup",
+    # round 8: secp256k1 type-4/5 reconstruction, funnel conversion,
+    # exact OLS trend, stratified split, curriculum bins, normalized
+    # dedup, n-gram novelty
+    "q_utxo_pubkey_decompress",
+    "q_events_funnel_conversion",
+    "q_events_linreg_trend",
+    "q_split_stratified",
+    "q_pipeline_curriculum",
+    "q_dedup_normalized",
+    "q_text_ngram_novelty",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

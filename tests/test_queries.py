@@ -721,3 +721,106 @@ def test_holt_recurrence_on_known_sequence(tmp_path, spark):
     assert abs(r.level - 5.912) < 1e-9
     assert abs(r.trend - 1.5376) < 1e-9
     assert abs(r.forecast_next - 7.4496) < 1e-9
+
+
+def test_funnel_stage_semantics_on_constructed_timeline(tmp_path, spark):
+    """Stage advance requires strict event order WITHIN the window:
+    user 1 converts fully; user 2's click precedes the first view (no
+    advance); user 3's click lands outside the 6h window (no advance);
+    user 4 purchases before clicking (stage stops at 2)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/events.parquet")
+    t0 = dt.datetime(2025, 3, 1)
+    m = dt.timedelta(minutes=1)
+    h = dt.timedelta(hours=1)
+    rows = []
+    eid = 0
+
+    def ev(user, typ, t):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            dict(event_id=eid, ts=t, user_id=user, event_type=typ,
+                 value=1.0, props="{}")
+        )
+
+    ev(1, "view", t0); ev(1, "click", t0 + m); ev(1, "purchase", t0 + 2 * m)
+    ev(2, "click", t0 - m); ev(2, "view", t0)  # click before first view
+    ev(3, "view", t0); ev(3, "click", t0 + 7 * h)  # outside the 6h window
+    ev(4, "view", t0); ev(4, "purchase", t0 + m); ev(4, "click", t0 + 2 * m)
+    ev(5, "error", t0)  # never enters the funnel
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "events.parquet"),
+    )
+    out = {
+        r.user_id: r
+        for r in QUERIES["q_events_funnel_conversion"](spark, str(tmp_path)).collect()
+    }
+    assert out[1].stage == 3 and out[1].click_delay_sec == 60
+    assert out[2].stage == 1  # the pre-view click cannot advance
+    assert out[3].stage == 1  # late click is outside the window
+    assert out[4].stage == 2  # purchase BEFORE the click doesn't count
+    assert out[5].stage == 0 and out[5].view_sec == -1
+
+
+def test_stratified_split_is_stable_under_corpus_growth(tmp_path, spark):
+    """The split must be a pure function of doc_id: computing it on a
+    corpus and again after new documents arrive reassigns NOTHING —
+    the property that keeps the train/test contamination boundary
+    intact across pipeline reruns."""
+    words = lambda k, n: " ".join(f"w{k}_{i}" for i in range(n))
+    a = [(i, words(i, 12), "en", "web") for i in range(40)]
+    b = [(i, words(i, 12), "en", "web") for i in range(40, 80)]
+
+    def splits(rows):
+        _write_docs(tmp_path, rows)
+        out = QUERIES["q_split_stratified"](spark, str(tmp_path)).collect()
+        return {(r.source, r.split): r.n_docs for r in out}
+
+    small = splits(a)
+    big = splits(a + b)
+    # per-(source, split) counts for the original docs are untouched:
+    # growth only ADDS counts, never moves an original doc across splits
+    small_total = sum(small.values())
+    assert small_total == 40 and sum(big.values()) == 80
+    # recompute the original 40 docs' buckets directly for the check
+    import hashlib
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 10
+
+    expect_small = {}
+    for i in range(40):
+        s = "train" if bucket(i) < 8 else ("val" if bucket(i) == 8 else "test")
+        expect_small[("web", s)] = expect_small.get(("web", s), 0) + 1
+    assert small == expect_small
+
+
+def test_normalized_dedup_collapses_variants_exact_misses(tmp_path, spark):
+    """Case/punctuation/whitespace variants collapse under the
+    canonicalizer while a genuinely different doc stays solo — and
+    q_dedup_exact's md5(lower(text)) groups NONE of the variant pairs,
+    pinning the semantic gap between the two passes."""
+    base_text = "The quick brown fox jumps over the lazy dog"
+    _write_docs(
+        tmp_path,
+        [
+            (1, base_text, "en", "web"),
+            (2, "the QUICK  brown fox, jumps over the lazy dog!!", "en", "web"),
+            (3, "an entirely different document body here", "en", "web"),
+        ],
+    )
+    out = QUERIES["q_dedup_normalized"](spark, str(tmp_path)).collect()
+    groups = {r.kept_doc_id: r.n_variants for r in out}
+    assert groups[1] >= 2  # docs 1+2 collapse (plus any planted copy)
+    assert all(r.kept_doc_id != 3 for r in out)
+    exact = QUERIES["q_dedup_exact"](spark, str(tmp_path)).collect()
+    # exact dedup never groups doc 1 with doc 2
+    for r in exact:
+        if r.n_copies > 1:
+            assert r.kept_doc_id != 1 or r.n_copies == 1

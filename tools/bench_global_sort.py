@@ -35,6 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
 OUT = sys.argv[2] if len(sys.argv) > 2 else "BENCH_gsort.json"
 SHARDS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+# convert reps per mode (best-of): 3 for the standard 20M artifact;
+# mainnet-depth runs pass 2 to keep the 9-convert sweep tractable
+REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 BLOCK = 1_000_000
 
 
@@ -73,6 +76,7 @@ def files_overlapping(path: str, target: bytes) -> tuple[int, int]:
 
 
 def main():
+    import shutil
     import tempfile
     from multiprocessing import Pool
 
@@ -129,7 +133,7 @@ def main():
     ):
         out = os.path.join(tmp, f"out_{label}.parquet")
         best = float("inf")
-        for rep in range(3):
+        for rep in range(REPS):
             t0 = time.time()
             got = convert_utxo_dump_to_parquet(
                 spark, dump, out, global_sort=gsort
@@ -176,11 +180,13 @@ def main():
         "metric": "global_sort_tradeoff",
         "rows": n,
         "shards": SHARDS,
+        "reps": REPS,
         "modes": result,
     }
     with open(OUT, "w") as f:
         f.write(json.dumps(line) + "\n")
     print(json.dumps(line), flush=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

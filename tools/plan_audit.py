@@ -51,6 +51,7 @@ ALLOWED_NESTED_LOOP = {
     "q_agg_bootstrap_ci",  # exact-mean scalar: 1-row aggregate attach
     "q_events_rfm_segments",  # corpus-now timestamp: 1-row max attach
     "q_join_bloom_prune",  # bloom sketch attach: 1-row 16 KiB bit array
+    "q_events_linreg_trend",  # corpus-start timestamp: 1-row min attach
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —
@@ -89,6 +90,12 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "at extreme user cardinality the documented swap is exact "
         "percentile BOUNDARIES + a map-side bucket join, trading ntile's "
         "equal-count semantics for scale"
+    ),
+    "q_pipeline_curriculum": (
+        "two-pass global NTILE: the offset/total windows run over the "
+        "per-partition count relation (32 rows) and the final cumsum "
+        "over the B=10 bin aggregate; per-doc ranking is in the "
+        "pid-PARTITIONED window"
     ),
     "q_pipeline_sequence_pack": (
         "two-pass global prefix sum (gini construction): the offset "

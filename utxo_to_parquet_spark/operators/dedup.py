@@ -1581,3 +1581,71 @@ def q_dedup_cross_source_overlap(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --- Normalization-invariant dedup (round 8) ----------------------------
+
+
+@register(
+    "q_dedup_normalized",
+    # planted variants: every 20th doc re-inserted uppercased with
+    # punctuation noise — invisible to q_dedup_exact's md5(lower(text))
+    # (the ' !!' suffix changes the hash) but collapsed by the
+    # canonicalization below. The perturbation and the canonicalizer are
+    # engine-identical expressions, so the oracle replays both.
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, upper(text) || '  !!' AS text
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    canon AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_hash
+      FROM corpus
+    )
+    SELECT canon_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id,
+           COUNT(*) AS n_variants
+    FROM canon
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_normalized(spark, sf_dir):
+    """Normalization-invariant exact dedup — the canonicalize-then-hash
+    pass real pipelines run BEFORE byte-exact dedup, because web-scraped
+    duplicates differ in case, punctuation, and whitespace long before
+    they differ in words. Canonical form: lowercase → strip everything
+    outside [a-z0-9 ] → collapse whitespace runs → trim; md5 of that is
+    the group key, smallest doc_id is kept.
+
+    A planted variant set (every 20th doc, uppercased + punctuation
+    noise) pins the semantic difference against ``q_dedup_exact``: the
+    exact pass misses all of these, this pass collapses exactly them
+    (plus any natural normalization collisions, deterministically).
+    Same scale shape as exact dedup: one map-side canonicalization (two
+    regex passes, JVM-side, no UDF) + one hash-partition aggregate."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  !!")).alias("text"),
+    )
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.unionByName(planted)
+        .groupBy(F.md5(canon).alias("canon_hash"))
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )

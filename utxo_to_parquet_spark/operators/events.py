@@ -1863,3 +1863,190 @@ def q_events_rfm_segments(spark, sf_dir):
         F.ntile(5).over(W.orderBy("frequency", "user_id")).cast("long").alias("f_score"),
         F.ntile(5).over(W.orderBy("monetary_e2", "user_id")).cast("long").alias("m_score"),
     )
+
+
+# --- Funnel conversion: ordered stage progression within a window -------
+
+FUNNEL_WINDOW_SEC = 6 * 3600  # max delay allowed between funnel stages
+
+
+@register(
+    "q_events_funnel_conversion",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(epoch_ns(ts) AS BIGINT) AS t
+      FROM events
+    ),
+    v AS (SELECT user_id, MIN(t) AS v FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(t) AS c FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click'
+            AND t > v AND t <= v + {FUNNEL_WINDOW_SEC}::BIGINT * 1000000000
+          GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(t) AS p FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase'
+            AND t > c AND t <= c + {FUNNEL_WINDOW_SEC}::BIGINT * 1000000000
+          GROUP BY 1),
+    u AS (SELECT DISTINCT user_id FROM e)
+    SELECT u.user_id,
+           CAST(CASE WHEN p.p IS NOT NULL THEN 3
+                     WHEN c.c IS NOT NULL THEN 2
+                     WHEN v.v IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage,
+           CAST(COALESCE(v.v // 1000000000, -1) AS BIGINT) AS view_sec,
+           CAST(COALESCE((c.c - v.v) // 1000000000, -1) AS BIGINT)
+             AS click_delay_sec,
+           CAST(COALESCE((p.p - c.c) // 1000000000, -1) AS BIGINT)
+             AS purchase_delay_sec
+    FROM u LEFT JOIN v USING (user_id)
+           LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)
+    """,
+)
+def q_events_funnel_conversion(spark, sf_dir):
+    """Ordered funnel analysis (view → click → purchase, each stage
+    within {FUNNEL_WINDOW_SEC} s of the previous): the
+    conversion-measurement query every product-analytics stack runs,
+    and the canonical "sequence pattern over an event stream" shape
+    (MATCH_RECOGNIZE's simplest instance, expressed relationally).
+
+    Semantics are anchored deterministic: the FIRST view per user opens
+    the funnel, the first qualifying click after it advances, the first
+    qualifying purchase completes — min() anchors, no row-order
+    dependence anywhere, all timestamp math integer nanoseconds.
+
+    Scale shape: three stage aggregations joined on the funnel key —
+    every join is a user_id equi-join over per-user scalar relations
+    that SHRINK stage by stage (clicks only for converted viewers,
+    purchases only for clickers), so the plan is co-partitioned
+    shuffle joins with no window over the raw stream and no pair
+    explosion at any skew."""
+    T_NS = FUNNEL_WINDOW_SEC * NS
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("v")) & (F.col("ts") <= F.col("v") + T_NS))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("c")) & (F.col("ts") <= F.col("c") + T_NS))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    u = ev.select("user_id").distinct()
+    stage = (
+        F.when(F.col("p").isNotNull(), 3)
+        .when(F.col("c").isNotNull(), 2)
+        .when(F.col("v").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        u.join(v, "user_id", "left_outer")
+        .join(c, "user_id", "left_outer")
+        .join(p, "user_id", "left_outer")
+        .select(
+            "user_id",
+            stage.cast("long").alias("stage"),
+            F.coalesce(F.expr(f"v div {NS}"), F.lit(-1))
+            .cast("long")
+            .alias("view_sec"),
+            F.coalesce(F.expr(f"(c - v) div {NS}"), F.lit(-1))
+            .cast("long")
+            .alias("click_delay_sec"),
+            F.coalesce(F.expr(f"(p - c) div {NS}"), F.lit(-1))
+            .cast("long")
+            .alias("purchase_delay_sec"),
+        )
+    )
+
+
+# --- Exact OLS trend per key (closed form over integer moment sums) -----
+
+HOUR_NS = 3600 * NS
+
+
+@register(
+    "q_events_linreg_trend",
+    oracle=f"""
+    WITH b AS (SELECT MIN(CAST(epoch_ns(ts) AS BIGINT)) AS lo FROM events),
+    e AS (
+      SELECT event_type,
+             (CAST(epoch_ns(ts) AS BIGINT) - b.lo) // {HOUR_NS} AS x,
+             CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS y
+      FROM events, b
+    ),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM e GROUP BY 1
+    ),
+    t AS (
+      SELECT event_type, n, sx, sy,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+      FROM s
+    )
+    SELECT event_type, n,
+           CAST(FLOOR(slope * 1e2 + 0.5) AS BIGINT) AS slope_e6_per_hour,
+           CAST(FLOOR((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) * 1e0 + 0.5) AS BIGINT)
+             AS intercept_e4
+    FROM t
+    """,
+)
+def q_events_linreg_trend(spark, sf_dir):
+    """Exact per-key OLS trend line (value vs hours-since-corpus-start)
+    in closed form — the drift detector next to Holt smoothing
+    (q_events_holt_trend): Holt tracks, OLS *tests* whether a metric
+    trends, and its slope is the number monitoring alerts on.
+
+    Determinism is engineered through the moment sums: x is an INTEGER
+    hour index, y is fixed-point BIGINT (floor(value*1e4+0.5)), so
+    n/Σx/Σy/Σxy/Σx² are exact integers no matter what order partial
+    aggregates merge in; slope and intercept are then computed from
+    those integers with an IDENTICAL double expression tree on both
+    engines — same operands, same IEEE ops, same bits. One map-side
+    combinable aggregation after a one-row broadcast (the corpus start);
+    nothing else touches the data, so the plan is a pure scan+agg at
+    any scale. Fixed-point output keys: slope_e6_per_hour is in y-e4
+    units per hour scaled 1e2 (= value units/hour * 1e6), intercept_e4
+    in y-e4 units."""
+    ev = load_events(spark, sf_dir)
+    b = ev.agg(F.min("ts").alias("lo"))
+    e = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.expr(f"(ts - lo) div {HOUR_NS}").alias("x"),
+        F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    slope = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.floor(slope * 1e2 + F.lit(0.5)).cast("long").alias("slope_e6_per_hour"),
+        F.floor((syd - slope * sxd) / nd * 1e0 + F.lit(0.5))
+        .cast("long")
+        .alias("intercept_e4"),
+    )

@@ -309,3 +309,184 @@ def q_pipeline_dataset_card(spark, sf_dir):
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# --- Deterministic stratified split -------------------------------------
+
+SPLIT_BUCKETS = 10  # md5-derived buckets: 8 train / 1 val / 1 test
+
+
+@register(
+    "q_split_stratified",
+    oracle=f"""
+    WITH b AS (
+      SELECT source, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {SPLIT_BUCKETS} AS bucket
+      FROM documents
+    ),
+    tagged AS (
+      SELECT source, n_chars,
+             CASE WHEN bucket < 8 THEN 'train'
+                  WHEN bucket = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT source, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(FLOOR(COUNT(*) * 10000.0
+                      / SUM(COUNT(*)) OVER (PARTITION BY source) + 0.5)
+                AS BIGINT) AS frac_e4
+    FROM tagged
+    GROUP BY source, split
+    """,
+)
+def q_split_stratified(spark, sf_dir):
+    """Deterministic stratified train/val/test assignment — the split
+    step of every training-data pipeline, done the way it must be at
+    100 TB: the split is a PURE FUNCTION of the stable document id
+    (md5(doc_id) first 8 hex chars → bucket 0-9 → 80/10/10), never a
+    random() draw, so re-running the pipeline, adding documents, or
+    recomputing on another cluster never reassigns an existing doc
+    across the contamination boundary. Per (source, split) the query
+    emits doc/char counts and the realized per-source fraction in
+    fixed-point — hash-gating that the hash-bucket split really
+    stratifies (uniformity of md5) instead of clumping per source.
+    One scan + one map-side-combinable aggregate; the window computing
+    per-source fractions runs over the #sources x 3 aggregate, not the
+    corpus."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % SPLIT_BUCKETS
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    agg = docs.select("source", "n_chars", split.alias("split")).groupBy(
+        "source", "split"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    wsrc = W.partitionBy("source")
+    return agg.select(
+        "source",
+        "split",
+        "n_docs",
+        "n_chars",
+        F.floor(
+            F.col("n_docs") * 10000.0 / F.sum("n_docs").over(wsrc) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("frac_e4"),
+    )
+
+
+# --- Curriculum bins: quality deciles with cumulative token budgets -----
+
+CURRICULUM_BINS = 10
+
+
+@register(
+    "q_pipeline_curriculum",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             NTILE({CURRICULUM_BINS}) OVER (
+               ORDER BY LEN(STRING_SPLIT(text, ' ')) * 1000000
+                        / GREATEST(n_chars, 1) DESC, doc_id
+             ) AS bin
+      FROM documents
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(SUM(SUM(n_tokens)) OVER (ORDER BY bin) AS BIGINT)
+             AS cum_tokens
+    FROM scored
+    GROUP BY bin
+    """,
+)
+def q_pipeline_curriculum(spark, sf_dir):
+    """Curriculum schedule construction: rank every document by a
+    quality proxy (token density — INTEGER tokens-per-char scaled 1e6,
+    so the ordering is exact integer arithmetic with doc_id tiebreak,
+    no float ranking drift), cut the corpus into {CURRICULUM_BINS}
+    NTILE bins, and emit each bin's token count plus the cumulative
+    token budget a curriculum loader would consume bin by bin.
+
+    The global NTILE is the scale question: ranking 100 TB on one
+    window is a single-partition sort, so this never calls ntile().
+    Instead it computes the exact GLOBAL RANK with the same two-pass
+    scheme as q_utxo_balance_gini — range-partition on the unique
+    ordering key (score desc, doc_id), row_number WITHIN each range
+    partition, then per-partition counts prefix-summed into offsets —
+    and derives the NTILE bin in closed form from (rank, n): with
+    q = n div B and rem = n mod B, the first rem bins hold q+1 rows,
+    so bin(r) = ceil(r/(q+1)) while r ≤ rem·(q+1), else
+    rem + ceil((r − rem·(q+1))/q).  Every per-row stage is
+    partition-parallel; the only unpartitioned windows run over the
+    |partitions| count relation (32 rows) and the B-row bin aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    score = (
+        F.size(F.split("text", " ")).cast("long")
+        * 1000000
+        / F.greatest(F.col("n_chars"), F.lit(1))
+    )
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        score.alias("score"),
+    )
+    # localCheckpoint pins the sampled range boundaries: the rank branch
+    # and the offset branch must see the SAME pid assignment (two
+    # executions of a range exchange may sample different split points)
+    part = (
+        scored.repartitionByRange(32, F.col("score").desc(), "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wloc = W.partitionBy("pid").orderBy(F.col("score").desc(), "doc_id")
+    local = part.withColumn("local_i", F.row_number().over(wloc))
+    # per-partition counts → exclusive prefix offsets + global n; both
+    # windows run over the 32-row count relation, never corpus rows
+    woff = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.orderBy("pid").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    offsets = (
+        part.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+            F.sum("cnt").over(wall).alias("n"),
+        )
+    )
+    B = F.lit(CURRICULUM_BINS).cast("long")
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "n_tokens", (F.col("off") + F.col("local_i")).alias("r"), "n"
+    )
+    qq = (F.floor(F.col("n") / B)).cast("long")
+    rem = (F.col("n") % B).cast("long")
+    big = rem * (qq + 1)  # rows living in the (q+1)-sized leading bins
+    binc = F.when(
+        F.col("r") <= big, F.ceil(F.col("r") / (qq + 1))
+    ).otherwise(rem + F.ceil((F.col("r") - big) / qq))
+    agg = (
+        ranked.withColumn("bin", binc.cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return agg.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_docs",
+        "bin_tokens",
+        F.sum("bin_tokens").over(wcum).alias("cum_tokens"),
+    )

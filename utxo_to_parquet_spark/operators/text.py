@@ -2017,3 +2017,76 @@ def q_text_source_entropy(spark, sf_dir):
             F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 4
         ).alias("entropy_bits"),
     )
+
+
+# --- N-gram novelty scoring (round 8) -----------------------------------
+
+
+@register(
+    "q_text_ngram_novelty",
+    oracle="""
+    WITH shingles AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 1, 1)),
+               i -> CONCAT(STRING_SPLIT(text, ' ')[i], ' ',
+                           STRING_SPLIT(text, ' ')[i+1], ' ',
+                           STRING_SPLIT(text, ' ')[i+2])))) AS shingle
+      FROM documents
+    ),
+    firstseen AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM shingles GROUP BY 1
+    ),
+    per AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+      FROM shingles s JOIN firstseen f USING (shingle)
+      GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(FLOOR(n_novel * 10000.0 / n_shingles + 0.5) AS BIGINT)
+             AS novelty_e4
+    FROM per
+    """,
+)
+def q_text_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a document's
+    trigram shingles whose FIRST appearance (by doc_id order) is this
+    document — the "how much does this doc add to the corpus" score
+    curation pipelines use to rank near-boilerplate below fresh
+    content (a doc full of already-seen trigrams scores ~0 even when
+    no single duplicate pair crosses a dedup threshold).
+
+    First-seen attribution is a min() over the inverted shingle index —
+    deterministic, order-free — and the novelty ratio is exact integer
+    arithmetic snapped to fixed point. Scale shape: the same
+    shingle-index aggregate the dedup family builds (map-side combine
+    on shingle), one shingle-key equi-join back, one doc-key aggregate;
+    no pair joins anywhere, so skew caps aren't even needed."""
+    from .dedup import _shingles_df
+
+    sh = _shingles_df(spark, sf_dir)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.floor(
+            F.col("n_novel") * 10000.0 / F.col("n_shingles") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("novelty_e4"),
+    )
