@@ -38,7 +38,6 @@ import shutil
 import sys
 import tempfile
 import time
-import uuid
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -143,13 +142,15 @@ def main() -> None:
     }
 
     def drain(plan, mode, ckpt) -> float:
-        name = "rec_" + uuid.uuid4().hex[:8]
+        # memory sink does NOT support checkpoint recovery; foreachBatch
+        # does (it is the recoverable sink the registered
+        # q_stream_foreachbatch_sink op uses), and the count() forces
+        # full materialization of every micro-batch
         with _stream_partitions(spark):
             t0 = time.time()
             q = (
                 plan.writeStream.outputMode(mode)
-                .format("memory")
-                .queryName(name)
+                .foreachBatch(lambda df, _epoch: df.count())
                 .option("checkpointLocation", ckpt)
                 .start()
             )
@@ -158,7 +159,6 @@ def main() -> None:
                 dt = time.time() - t0
             finally:
                 q.stop()
-        spark.catalog.dropTempView(name)
         return dt
 
     result: dict[str, dict] = {}
