@@ -153,6 +153,11 @@ HEADLINE = [
     "q_pipeline_curriculum",
     "q_dedup_normalized",
     "q_text_ngram_novelty",
+    "q_events_survival_hazard",
+    "q_events_autocorr_lag",
+    "q_graph_kcore",
+    "q_sim_rrf_fusion",
+    "q_text_perplexity_buckets",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

@@ -824,3 +824,190 @@ def test_normalized_dedup_collapses_variants_exact_misses(tmp_path, spark):
     for r in exact:
         if r.n_copies > 1:
             assert r.kept_doc_id != 1 or r.n_copies == 1
+
+
+def _write_trade_graph(tmp_path, edges):
+    """edges: (custkey, suppkey) pairs -> minimal orders + lineitem
+    parquet with one order per pair (only the join keys are populated;
+    the remaining columns ride along as nulls)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    o_schema = pq.read_schema(f"{SF_DIR}/orders.parquet")
+    l_schema = pq.read_schema(f"{SF_DIR}/lineitem.parquet")
+    orders, lines = [], []
+    for i, (c, s) in enumerate(edges, start=1):
+        orders.append({"o_orderkey": i, "o_custkey": c})
+        lines.append({"l_orderkey": i, "l_suppkey": s})
+    pq.write_table(
+        pa.Table.from_pylist(orders, schema=o_schema),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist(lines, schema=l_schema),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+
+def test_kcore_multi_round_cascade_peels_path_keeps_cycle(
+    tmp_path, spark, monkeypatch
+):
+    """Peeling must CASCADE: a 6-node path loses its endpoints in round
+    1, which drops the next nodes below K=2 in round 2, and so on until
+    the whole path is gone (3 rounds) — while a 4-cycle, where every
+    node keeps degree 2 forever, survives intact. A single-pass degree
+    filter would wrongly keep the path's interior."""
+    from utxo_to_parquet_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "KCORE_K", 2)
+    # path c1-s1-c2-s2-c3-s3 (peels to nothing under K=2, 3 rounds)
+    # cycle c4-s4-c5-s5-c4 (every node degree 2: the 2-core)
+    edges = [(1, 1), (2, 1), (2, 2), (3, 2), (3, 3),
+             (4, 4), (5, 4), (5, 5), (4, 5)]
+    _write_trade_graph(tmp_path, edges)
+    out = {r.node: r.core_degree
+           for r in QUERIES["q_graph_kcore"](spark, str(tmp_path)).collect()}
+    assert out == {"c4": 2, "c5": 2, "s4": 2, "s5": 2}
+
+
+def test_survival_hazard_risk_set_and_censoring(tmp_path, spark):
+    """Nelson-Aalen accounting on a constructed cohort: users leaving
+    the risk set at their duration whether censored or not, hazard only
+    from UNCENSORED exits, exact integer fixed-point."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/events.parquet")
+    t0 = dt.datetime(2025, 3, 1)
+    h = dt.timedelta(hours=1)
+    rows = []
+
+    def ev(eid, user, t):
+        rows.append(dict(event_id=eid, ts=t, user_id=user,
+                         event_type="view", value=1.0, props="{}"))
+
+    # corpus end = t0+100h (user 4 defines it and is censored)
+    ev(1, 1, t0); ev(2, 1, t0 + 2 * h)      # dur 2, churned
+    ev(3, 2, t0); ev(4, 2, t0 + 2 * h)      # dur 2, churned (same bucket)
+    ev(5, 3, t0); ev(6, 3, t0 + 50 * h)     # dur 50, churned
+    ev(7, 4, t0); ev(8, 4, t0 + 100 * h)    # dur 100, active at end -> censored
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+                   str(tmp_path / "events.parquet"))
+    out = {r.dur_hours: r
+           for r in QUERIES["q_events_survival_hazard"](spark, str(tmp_path)).collect()}
+    assert out[2].n_at_risk == 4 and out[2].d_events == 2
+    assert out[2].hazard_e6 == 500000            # 2/4
+    assert out[50].n_at_risk == 2 and out[50].hazard_e6 == 500000  # 1/2
+    assert out[100].n_at_risk == 1 and out[100].d_events == 0
+    assert out[100].c_censored == 1 and out[100].hazard_e6 == 0
+    assert out[100].cum_hazard_e6 == 1000000     # 0.5 + 0.5 + 0
+
+
+def test_autocorr_exact_on_constructed_series(tmp_path, spark):
+    """A linear hourly series is perfectly lag-correlated (r=1 at every
+    lag); an alternating series is anti-correlated at lag 1 and
+    correlated at lag 24 (period 2 divides 24)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/events.parquet")
+    t0 = dt.datetime(2025, 3, 1)
+    h = dt.timedelta(hours=1)
+    rows = []
+    eid = 0
+    for t in range(60):
+        eid += 1
+        rows.append(dict(event_id=eid, ts=t0 + t * h, user_id=1,
+                         event_type="lin", value=float(t + 1), props="{}"))
+        eid += 1
+        rows.append(dict(event_id=eid, ts=t0 + t * h, user_id=2,
+                         event_type="alt", value=float(3 + (-1) ** t),
+                         props="{}"))
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+                   str(tmp_path / "events.parquet"))
+    out = {(r.event_type, r.lag): r
+           for r in QUERIES["q_events_autocorr_lag"](spark, str(tmp_path)).collect()}
+    assert out[("lin", 1)].r_e6 == 1000000
+    assert out[("lin", 24)].r_e6 == 1000000
+    assert out[("alt", 1)].r_e6 == -1000000
+    assert out[("alt", 24)].r_e6 == 1000000
+    assert out[("lin", 1)].n_pairs == 59 and out[("lin", 24)].n_pairs == 36
+
+
+def test_rrf_fusion_combines_disagreeing_rankings(tmp_path, spark):
+    """Dense and lexical rankers DISAGREE by construction: candidate 1
+    is the lexical twin (same tokens, orthogonal vector), candidate 2
+    the dense twin (same vector, disjoint tokens), candidate 3 mediocre
+    at both. RRF must be computed from the exact integer ranks."""
+    docs = [
+        (0, "alpha beta gamma delta", "en", "web"),
+        (1, "alpha beta gamma delta", "en", "web"),   # lexical twin
+        (2, "zeta eta theta iota", "en", "web"),      # dense twin
+        (3, "alpha beta zeta eta", "en", "web"),      # half overlap
+    ]
+    embs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),   # orthogonal to query
+        (2, [1.0, 0.0, 0.0, 0.0], 0),   # identical to query
+        (3, [0.9, 0.1, 0.0, 0.0], 0),   # close to query
+    ]
+    _write_docs(tmp_path, docs)
+    _write_embeddings(tmp_path, embs)
+    out = {r.c_id: r
+           for r in QUERIES["q_sim_rrf_fusion"](spark, str(tmp_path)).collect()}
+    # dense ranks: 2 (cos 1.0) < 3 (0.99..) < 1 (0.0); lexical ranks:
+    # 1 (jacc 1) < 3 (2/6) < 2 (0)
+    assert (out[2].r_dense, out[2].r_lex) == (1, 3)
+    assert (out[1].r_dense, out[1].r_lex) == (3, 1)
+    assert (out[3].r_dense, out[3].r_lex) == (2, 2)
+    for r in out.values():
+        assert r.rrf_e6 == 1000000 // (60 + r.r_dense) + 1000000 // (60 + r.r_lex)
+    # convexity: a rank-1 specialist (1/61 + 1/63 = 32266e-6) beats the
+    # rank-2 all-rounder (2/62 = 32258e-6); the two specialists tie and
+    # c_id breaks the tie
+    assert [out[c].rn for c in (1, 2, 3)] == [1, 2, 3]
+
+
+def test_global_ntile_matches_sql_ntile_with_ties_and_remainder():
+    """The two-pass distributed NTILE must be row-for-row identical to
+    Spark's own single-partition ntile() — including remainder
+    distribution (n % B bins get the extra row) and tie ordering."""
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    from utxo_to_parquet_spark.operators.registry import global_ntile
+
+    spark = SparkSession.getActiveSession()
+    n, B = 1009, 7  # prime n: every remainder path exercised
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 13).alias("k"),  # heavy ties
+    )
+    got = global_ntile(df, B, [F.col("k"), F.col("id")], "bin")
+    want = df.withColumn(
+        "bin",
+        F.ntile(B).over(Window.orderBy(F.col("k"), F.col("id"))).cast("long"),
+    )
+    assert got.select("id", "k", "bin").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("id", "k", "bin")).count() == 0
+
+
+def test_perplexity_buckets_orders_fluent_to_disfluent(tmp_path, spark):
+    """A maximally repetitive doc must land in head, a unique-bigram doc
+    in tail; every doc appears in exactly one bucket."""
+    docs = [
+        (0, "a b a b a b a b a b a b", "en", "web"),       # repeated bigram
+        (1, "a b c a b c a b c a b c", "en", "web"),       # period-3
+        (2, "q w e r t y u i o p z x", "en", "web"),       # all-unique bigrams
+    ]
+    _write_docs(tmp_path, docs)
+    out = {r.bucket: r
+           for r in QUERIES["q_text_perplexity_buckets"](spark, str(tmp_path)).collect()}
+    assert sorted(out) == ["head", "middle", "tail"]
+    assert sum(r.n_docs for r in out.values()) == 3
+    assert out["head"].max_bits_e4 <= out["middle"].min_bits_e4
+    assert out["middle"].max_bits_e4 <= out["tail"].min_bits_e4

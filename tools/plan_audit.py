@@ -52,6 +52,7 @@ ALLOWED_NESTED_LOOP = {
     "q_events_rfm_segments",  # corpus-now timestamp: 1-row max attach
     "q_join_bloom_prune",  # bloom sketch attach: 1-row 16 KiB bit array
     "q_events_linreg_trend",  # corpus-start timestamp: 1-row min attach
+    "q_events_survival_hazard",  # corpus-end timestamp: 1-row max attach
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —
@@ -90,6 +91,16 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "at extreme user cardinality the documented swap is exact "
         "percentile BOUNDARIES + a map-side bucket join, trading ntile's "
         "equal-count semantics for scale"
+    ),
+    "q_events_survival_hazard": (
+        "risk-set suffix-sum and cumulative-hazard windows run over the "
+        "groupBy(dur) aggregate — input is |distinct lifetimes in "
+        "hours| (bounded by the corpus span), never |events| or |users|"
+    ),
+    "q_text_perplexity_buckets": (
+        "global_ntile offset/total windows run over the per-partition "
+        "count relation (32 rows); per-doc ranking is in the "
+        "pid-PARTITIONED window; the final aggregate is B=3 rows"
     ),
     "q_pipeline_curriculum": (
         "two-pass global NTILE: the offset/total windows run over the "

@@ -2050,3 +2050,202 @@ def q_events_linreg_trend(spark, sf_dir):
         .cast("long")
         .alias("intercept_e4"),
     )
+
+
+# --- Survival analysis: Nelson-Aalen cumulative hazard over user lifetimes
+
+CENSOR_WINDOW_H = 24  # users last seen in the final day are censored
+
+
+@register(
+    "q_events_survival_hazard",
+    oracle=f"""
+    WITH b AS (SELECT MAX(CAST(epoch_ns(ts) AS BIGINT)) AS hi FROM events),
+    u AS (
+      SELECT user_id,
+             (MAX(CAST(epoch_ns(ts) AS BIGINT))
+              - MIN(CAST(epoch_ns(ts) AS BIGINT))) // {HOUR_NS} AS dur,
+             CASE WHEN MAX(CAST(epoch_ns(ts) AS BIGINT))
+                       >= ANY_VALUE(b.hi) - {CENSOR_WINDOW_H} * {HOUR_NS}
+                  THEN 1 ELSE 0 END AS cens
+      FROM events, b GROUP BY user_id
+    ),
+    g AS (
+      SELECT dur, SUM(1 - cens) AS d, SUM(cens) AS c FROM u GROUP BY dur
+    ),
+    r AS (
+      SELECT dur, d, c,
+             SUM(d + c) OVER (ORDER BY dur
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+      FROM g
+    )
+    SELECT CAST(dur AS BIGINT) AS dur_hours,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CAST(c AS BIGINT) AS c_censored,
+           CAST(d * 1000000 // n_risk AS BIGINT) AS hazard_e6,
+           CAST(SUM(d * 1000000 // n_risk) OVER (ORDER BY dur) AS BIGINT)
+             AS cum_hazard_e6
+    FROM r
+    """,
+)
+def q_events_survival_hazard(spark, sf_dir):
+    """Right-censored survival analysis of user lifetimes: the
+    Nelson-Aalen cumulative-hazard estimator H(t) = SUM over event times
+    t_i <= t of d_i/n_i, where a user's lifetime is the span between
+    their first and last event in whole hours and users still active in
+    the final CENSOR_WINDOW_H hours of the corpus are censored (they
+    leave the risk set without counting as churn). S(t) = exp(-H(t)) is
+    left to the consumer.
+
+    Everything compared is EXACT integer arithmetic: durations are
+    integer hours, d_i/n_i/censor flags are counts, the per-time hazard
+    is the integer division d_i*1e6 // n_i and the cumulative hazard a
+    BIGINT running sum of those — partial-aggregate merge order cannot
+    perturb a bit. The risk-set count n_i comes from a suffix-sum window
+    (sum IS invertible, so Spark's shrinking frame stays O(n)) over the
+    groupBy(dur) relation: |distinct lifetimes| rows (<= corpus span in
+    hours), never |events| or |users| — the single scalar attach is the
+    corpus end timestamp (1-row broadcast)."""
+    ev = load_events(spark, sf_dir)
+    hi = ev.agg(F.max("ts").alias("hi"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("user_hi"))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.expr(f"(user_hi - lo) div {HOUR_NS}").alias("dur"),
+            F.when(
+                F.col("user_hi")
+                >= F.col("hi") - F.lit(CENSOR_WINDOW_H * HOUR_NS),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("cens"),
+        )
+    )
+    g = u.groupBy("dur").agg(
+        F.sum(F.lit(1) - F.col("cens")).alias("d"),
+        F.sum("cens").alias("c"),
+    )
+    # suffix sum over the |distinct durations| relation (bounded by the
+    # corpus span in hours) — audited as a justified one-task window
+    w_risk = W.orderBy("dur").rowsBetween(W.currentRow, W.unboundedFollowing)
+    w_cum = W.orderBy("dur").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = g.withColumn("n_risk", F.sum(F.col("d") + F.col("c")).over(w_risk))
+    hazard = F.expr("(d * 1000000) div n_risk").cast("long")
+    return r.select(
+        F.col("dur").cast("long").alias("dur_hours"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.col("c").cast("long").alias("c_censored"),
+        hazard.alias("hazard_e6"),
+        F.sum(hazard).over(w_cum).cast("long").alias("cum_hazard_e6"),
+    )
+
+
+# --- Autocorrelation: exact lag-k Pearson r over hourly bucket means ---
+
+ACF_LAGS = (1, 24)  # adjacent-hour persistence and daily seasonality
+
+
+def _acf_oracle() -> str:
+    lag_selects = "\nUNION ALL\n".join(
+        f"""
+    SELECT event_type, {k} AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           SUM(x.m) AS sx, SUM(y.m) AS sy,
+           SUM(x.m * y.m) AS sxy,
+           SUM(x.m * x.m) AS sxx, SUM(y.m * y.m) AS syy
+    FROM bkt x JOIN bkt y USING (event_type)
+    WHERE y.hb = x.hb + {k}
+    GROUP BY 1, 2
+        """
+        for k in ACF_LAGS
+    )
+    return f"""
+    WITH bkt AS (
+      SELECT event_type,
+             CAST(epoch_ns(ts) AS BIGINT) // {HOUR_NS} AS hb,
+             SUM(CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT))
+               // (10 * COUNT(*)) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS ({lag_selects})
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+           CAST(FLOOR(
+             (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1e6 + 0.5) AS BIGINT) AS r_e6
+    FROM lagged
+    """
+
+
+@register("q_events_autocorr_lag", oracle=_acf_oracle())
+def q_events_autocorr_lag(spark, sf_dir):
+    """Exact lag-k autocorrelation (Pearson r between the hourly series
+    and itself shifted by k hours) per event type, for k in ACF_LAGS —
+    lag 1 measures hour-to-hour persistence, lag 24 daily seasonality
+    strength (the quantified twin of q_events_seasonality_profile's
+    per-hour means).
+
+    The series value is the per-(type, hour-bucket) MEAN in e3 fixed
+    point, computed as an exact integer division of exact integer sums,
+    so every moment (n, Sx, Sy, Sxy, Sxx, Syy) is an exact BIGINT no
+    matter how partial aggregates merge; r is then one identical IEEE
+    expression tree (mul/sub/div/sqrt are all correctly rounded) on both
+    engines. Missing buckets simply produce no pair, matching the join
+    semantics on both sides. The plan is scan -> partial-agg shuffle to
+    the bucket relation, then a self-equi-join on (type, bucket+k) over
+    the SMALL bucket relation (|types| x |hours|) and a final tiny
+    aggregate; the e3 scale keeps Sxx/Sxy within BIGINT at any replay
+    scale the probe uses."""
+    ev = load_events(spark, sf_dir)
+    bkt = (
+        ev.groupBy("event_type", F.expr(f"ts div {HOUR_NS}").alias("hb"))
+        .agg(
+            F.expr(
+                "sum(cast(floor(value * 1e4 + 0.5) as bigint)) "
+                "div (10 * count(*))"
+            ).alias("m")
+        )
+        # one physical build of the bucket relation for all lag joins
+        # (bounded: |types| x |hours in span|)
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for k in ACF_LAGS:
+        x = bkt.select("event_type", F.col("hb").alias("xb"), F.col("m").alias("xm"))
+        y = bkt.select("event_type", F.col("hb").alias("yb"), F.col("m").alias("ym"))
+        j = x.join(y, ["event_type"]).filter(F.col("yb") == F.col("xb") + k)
+        s = j.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("xm").alias("sx"),
+            F.sum("ym").alias("sy"),
+            F.sum(F.col("xm") * F.col("ym")).alias("sxy"),
+            F.sum(F.col("xm") * F.col("xm")).alias("sxx"),
+            F.sum(F.col("ym") * F.col("ym")).alias("syy"),
+        )
+        part = s.select("event_type", F.lit(k).cast("long").alias("lag"), "n_pairs",
+                        "sx", "sy", "sxy", "sxx", "syy")
+        out = part if out is None else out.unionByName(part)
+    nd = F.col("n_pairs").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        (nd * F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * (nd * F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return out.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.floor(num / den * 1e6 + F.lit(0.5)).cast("long").alias("r_e6"),
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .registry import load, register
+from .registry import global_ntile, load, register
 from .text import _LANG_MARKERS, _occurrences_col, _occurrences_sql, SOURCE_CAP
 
 MIN_WORDS = 25      # drop the short tail (fixture words span 10..99)
@@ -421,16 +421,12 @@ def q_pipeline_curriculum(spark, sf_dir):
 
     The global NTILE is the scale question: ranking 100 TB on one
     window is a single-partition sort, so this never calls ntile().
-    Instead it computes the exact GLOBAL RANK with the same two-pass
-    scheme as q_utxo_balance_gini — range-partition on the unique
-    ordering key (score desc, doc_id), row_number WITHIN each range
-    partition, then per-partition counts prefix-summed into offsets —
-    and derives the NTILE bin in closed form from (rank, n): with
-    q = n div B and rem = n mod B, the first rem bins hold q+1 rows,
-    so bin(r) = ceil(r/(q+1)) while r ≤ rem·(q+1), else
-    rem + ceil((r − rem·(q+1))/q).  Every per-row stage is
-    partition-parallel; the only unpartitioned windows run over the
-    |partitions| count relation (32 rows) and the B-row bin aggregate."""
+    Instead it uses ``global_ntile`` (registry.py) — the two-pass
+    range-partition + prefix-offset global rank shared with
+    q_utxo_balance_gini, with the NTILE bin derived in closed form
+    from (rank, n). Every per-row stage is partition-parallel; the
+    only unpartitioned windows run over the |partitions| count
+    relation (32 rows) and the B-row bin aggregate."""
     docs = load(spark, sf_dir, "documents")
     score = (
         F.size(F.split("text", " ")).cast("long")
@@ -442,46 +438,12 @@ def q_pipeline_curriculum(spark, sf_dir):
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         score.alias("score"),
     )
-    # localCheckpoint pins the sampled range boundaries: the rank branch
-    # and the offset branch must see the SAME pid assignment (two
-    # executions of a range exchange may sample different split points)
-    part = (
-        scored.repartitionByRange(32, F.col("score").desc(), "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    binned = global_ntile(
+        scored, CURRICULUM_BINS, [F.col("score").desc(), F.col("doc_id")]
     )
-    wloc = W.partitionBy("pid").orderBy(F.col("score").desc(), "doc_id")
-    local = part.withColumn("local_i", F.row_number().over(wloc))
-    # per-partition counts → exclusive prefix offsets + global n; both
-    # windows run over the 32-row count relation, never corpus rows
-    woff = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-    wall = W.orderBy("pid").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    offsets = (
-        part.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "pid",
-            F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
-            F.sum("cnt").over(wall).alias("n"),
-        )
-    )
-    B = F.lit(CURRICULUM_BINS).cast("long")
-    ranked = local.join(F.broadcast(offsets), "pid").select(
-        "n_tokens", (F.col("off") + F.col("local_i")).alias("r"), "n"
-    )
-    qq = (F.floor(F.col("n") / B)).cast("long")
-    rem = (F.col("n") % B).cast("long")
-    big = rem * (qq + 1)  # rows living in the (q+1)-sized leading bins
-    binc = F.when(
-        F.col("r") <= big, F.ceil(F.col("r") / (qq + 1))
-    ).otherwise(rem + F.ceil((F.col("r") - big) / qq))
-    agg = (
-        ranked.withColumn("bin", binc.cast("long"))
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("bin_tokens"),
-        )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
     )
     wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
     return agg.select(

@@ -69,3 +69,63 @@ def load(spark, sf_dir: str, table: str):
             validate_fixtures(sf_dir, tables=present)
         _VALIDATED_DIRS.add(sf_dir)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def global_ntile(df, bins: int, order_cols, ntile_name: str = "bin"):
+    """Exact global NTILE over an arbitrary DataFrame WITHOUT a
+    single-partition window — the distributed form of
+    ``NTILE(bins) OVER (ORDER BY order_cols)``.
+
+    Two-pass scheme (shared with q_utxo_balance_gini /
+    q_pipeline_sequence_pack): (1) range-partition on the ordering key
+    (range partition p holds keys strictly below partition p+1 — the
+    key must be UNIQUE per row, e.g. end with an id tiebreak) and
+    row_number WITHIN each partition; (2) the per-partition counts — a
+    |partitions|-row relation — prefix-sum into offsets and a global
+    total n, so global rank r = offset + local rank. The NTILE bin then
+    follows in closed form: with q = n div bins and rem = n mod bins,
+    SQL NTILE gives the first rem bins q+1 rows, so
+    bin(r) = ceil(r/(q+1)) while r <= rem*(q+1),
+    else rem + ceil((r - rem*(q+1))/q).
+
+    localCheckpoint pins the sampled range boundaries: the rank branch
+    and the offset branch must see the SAME pid assignment, and two
+    executions of a range exchange may sample different split points.
+    Every per-row stage is partition-parallel; the only unpartitioned
+    windows run over the |partitions| count relation."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    part = (
+        df.repartitionByRange(32, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wloc = W.partitionBy("__pid").orderBy(*order_cols)
+    local = part.withColumn("__li", F.row_number().over(wloc))
+    woff = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.orderBy("__pid").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offsets = (
+        part.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"),
+            F.sum("__cnt").over(wall).alias("__n"),
+        )
+    )
+    B = F.lit(bins).cast("long")
+    r = F.col("__off") + F.col("__li")
+    qq = F.floor(F.col("__n") / B).cast("long")
+    rem = (F.col("__n") % B).cast("long")
+    big = rem * (qq + 1)
+    binc = F.when(r <= big, F.ceil(r / (qq + 1))).otherwise(
+        rem + F.ceil((r - big) / qq)
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(ntile_name, binc.cast("long"))
+        .drop("__pid", "__li", "__off", "__n")
+    )

@@ -1420,3 +1420,188 @@ def q_sim_mmr_rerank(spark, sf_dir):
         picked.append(best[1])
         out.append((step, int(ids[best[1]])))
     return spark.createDataFrame(out, "step long, vec_id long")
+
+
+# --- Hybrid retrieval: reciprocal-rank fusion of dense + lexical -------
+
+RRF_C = 60  # the standard RRF smoothing constant (Cormack et al.)
+RRF_K = 10  # fused results per query
+
+
+@register(
+    "q_sim_rrf_fusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok
+      FROM documents
+    ),
+    nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+          FROM embeddings
+          WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID}),
+    cand AS (SELECT e.vec_id AS c_id, e.embedding::DOUBLE[] AS ce
+             FROM embeddings e JOIN nt n ON n.doc_id = e.vec_id),
+    dense AS (
+      SELECT q_id, c_id,
+             ROUND(LIST_DOT_PRODUCT(qe, ce)
+                   / (SQRT(LIST_DOT_PRODUCT(qe, qe))
+                      * SQRT(LIST_DOT_PRODUCT(ce, ce))), 6) AS cosine
+      FROM q JOIN cand ON q_id <> c_id
+    ),
+    rd AS (
+      SELECT q_id, c_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, c_id) AS r_dense
+      FROM dense
+    ),
+    qt AS (SELECT doc_id AS q_id, tok FROM toks
+           WHERE doc_id % {QUERY_MOD} = 0 AND doc_id < {Q_MAX_ID}),
+    inter AS (
+      SELECT qt.q_id, ct.doc_id AS c_id, CAST(COUNT(*) AS BIGINT) AS ix
+      FROM qt JOIN toks ct ON qt.tok = ct.tok AND qt.q_id <> ct.doc_id
+      GROUP BY 1, 2
+    ),
+    lex AS (
+      SELECT rd.q_id, rd.c_id,
+             COALESCE(i.ix * 1000000
+                      // (nq.n_tok + nc.n_tok - i.ix), 0) AS jacc_e6
+      FROM rd
+      JOIN nt nq ON nq.doc_id = rd.q_id
+      JOIN nt nc ON nc.doc_id = rd.c_id
+      LEFT JOIN inter i ON i.q_id = rd.q_id AND i.c_id = rd.c_id
+    ),
+    rl AS (
+      SELECT q_id, c_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY jacc_e6 DESC, c_id) AS r_lex
+      FROM lex
+    ),
+    fused AS (
+      SELECT rd.q_id, rd.c_id, rd.r_dense, rl.r_lex,
+             1000000 // ({RRF_C} + rd.r_dense)
+             + 1000000 // ({RRF_C} + rl.r_lex) AS rrf_e6
+      FROM rd JOIN rl ON rd.q_id = rl.q_id AND rd.c_id = rl.c_id
+    )
+    SELECT q_id, c_id,
+           CAST(r_dense AS BIGINT) AS r_dense,
+           CAST(r_lex AS BIGINT) AS r_lex,
+           CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+           CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY rrf_e6 DESC, c_id) AS rn
+          FROM fused)
+    WHERE rn <= {RRF_K}
+    """,
+)
+def q_sim_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (RRF, the standard
+    score-free rank combiner) of a DENSE ranking (exact cosine over the
+    embedding corpus) and a LEXICAL ranking (distinct-token Jaccard
+    against the query document's text) for the bounded query set, top
+    RRF_K fused hits per query. rrf = 1/(C+r_dense) + 1/(C+r_lex) in e6
+    integer fixed point — 1e6 div (C+r) of exact integer ranks, so the
+    fusion is bit-free of float drift; both input ranks break ties by
+    candidate id.
+
+    Scale shape: the dense side is the documented Q_CAP-bounded
+    brute-force scorer (numpy batches via mapInPandas, queries shipped
+    in the closure); the lexical side is an INVERTED-INDEX equi-join —
+    query tokens (bounded: Q_CAP docs' distinct tokens) joined to the
+    corpus token index, never an all-pairs text comparison; candidates
+    with zero overlap enter the lexical ranking at jaccard 0 via the
+    left join against the dense candidate list, ordered by id. Every
+    window is PARTITIONED by q_id. At 100 TB the heavy lexical join
+    keys are stopwords — AQE skew-split territory — and the production
+    variant would drop terms with document frequency above a cap before
+    the join (the BM25 op's IDF machinery)."""
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    nt = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    cand = emb.join(nt, emb.vec_id == nt.doc_id).select("vec_id", "embedding")
+
+    q_pd = _query_vectors(emb).select("vec_id", "embedding").toPandas()
+    Q = _to_matrix(q_pd["embedding"])
+    q_ids = q_pd["vec_id"].to_numpy()
+    _, q_sq = lr_matmul(Q, Q[:0])
+    q_norm = np.sqrt(q_sq)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _to_matrix(pdf["embedding"])
+            c_ids = pdf["vec_id"].to_numpy()
+            dots, c_sq = lr_matmul(C, Q)
+            cos = dots / (q_norm[None, :] * np.sqrt(c_sq)[:, None])
+            n_c, n_q = cos.shape
+            out = pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n_c),
+                    "c_id": np.repeat(c_ids, n_q),
+                    "cosine": cos.ravel(),
+                }
+            )
+            yield out[out.q_id != out.c_id]
+
+    sims = cand.mapInPandas(score, "q_id long, c_id long, cosine double")
+    w_dense = W.partitionBy("q_id").orderBy(
+        F.desc(F.round("cosine", 6)), "c_id"
+    )
+    rd = sims.select(
+        "q_id", "c_id", F.row_number().over(w_dense).alias("r_dense")
+    )
+
+    qt = toks.filter(
+        (F.col("doc_id") % QUERY_MOD == 0) & (F.col("doc_id") < Q_MAX_ID)
+    ).select(F.col("doc_id").alias("q_id"), "tok")
+    inter = (
+        F.broadcast(qt)
+        .join(toks.withColumnRenamed("doc_id", "c_id"), "tok")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.count(F.lit(1)).alias("ix"))
+    )
+    nq = nt.select(F.col("doc_id").alias("q_id"), F.col("n_tok").alias("nqt"))
+    nc = nt.select(F.col("doc_id").alias("c_id"), F.col("n_tok").alias("nct"))
+    lex = (
+        rd.select("q_id", "c_id")
+        .join(F.broadcast(nq), "q_id")
+        .join(nc, "c_id")
+        .join(inter, ["q_id", "c_id"], "left")
+        .select(
+            "q_id",
+            "c_id",
+            F.expr(
+                "coalesce((ix * 1000000) div (nqt + nct - ix), 0)"
+            ).alias("jacc_e6"),
+        )
+    )
+    w_lex = W.partitionBy("q_id").orderBy(F.desc("jacc_e6"), "c_id")
+    rl = lex.select("q_id", "c_id", F.row_number().over(w_lex).alias("r_lex"))
+
+    fused = rd.join(rl, ["q_id", "c_id"]).select(
+        "q_id",
+        "c_id",
+        "r_dense",
+        "r_lex",
+        F.expr(
+            f"(1000000 div ({RRF_C} + r_dense))"
+            f" + (1000000 div ({RRF_C} + r_lex))"
+        ).alias("rrf_e6"),
+    )
+    w_f = W.partitionBy("q_id").orderBy(F.desc("rrf_e6"), "c_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= RRF_K)
+        .select(
+            "q_id",
+            "c_id",
+            F.col("r_dense").cast("long").alias("r_dense"),
+            F.col("r_lex").cast("long").alias("r_lex"),
+            F.col("rrf_e6").cast("long").alias("rrf_e6"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .registry import load, register
+from .registry import global_ntile, load, register
 
 # stopword markers per language for the n-gram/stopword language-ID heuristic
 _LANG_MARKERS = {
@@ -1937,7 +1937,14 @@ def q_text_perplexity_bigram(spark, sf_dir):
     broadcast. At 100 TB the bigram join's heavy keys are stopword
     pairs — the AQE skew-split shape — and everything else is linear
     scan work."""
-    docs = load(spark, sf_dir, "documents")
+    return _bigram_bits_per_doc(load(spark, sf_dir, "documents"))
+
+
+def _bigram_bits_per_doc(docs):
+    """Per-document bigram-LM bits (doc_id, n_bigrams, bits_per_bigram
+    rounded to 4 decimals) — the scorer behind q_text_perplexity_bigram,
+    factored so q_text_perplexity_buckets can cut the same quantity into
+    CCNet-style quality terciles."""
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "token"),
@@ -2089,4 +2096,96 @@ def q_text_ngram_novelty(spark, sf_dir):
         )
         .cast("long")
         .alias("novelty_e4"),
+    )
+
+
+# --- CCNet-style perplexity terciles: head / middle / tail -------------
+
+PPL_BUCKETS = 3
+_PPL_BUCKET_NAME = "CASE bin WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+
+
+@register(
+    "q_text_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS tl FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, tl[i] AS token, CAST(i AS BIGINT) AS pos
+      FROM toks, UNNEST(range(1, LEN(tl) + 1)) AS u(i)
+    ),
+    bigr AS (
+      SELECT c.doc_id, p.token AS prev_tok, c.token AS cur_tok
+      FROM tok c JOIN tok p ON p.doc_id = c.doc_id AND p.pos = c.pos - 1
+    ),
+    cb AS (SELECT prev_tok, cur_tok, CAST(COUNT(*) AS DOUBLE) AS nb
+           FROM bigr GROUP BY 1, 2),
+    cp AS (SELECT prev_tok, CAST(COUNT(*) AS DOUBLE) AS np
+           FROM bigr GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS vocab FROM tok)
+    , scored AS (
+      SELECT b.doc_id,
+             CAST(FLOOR(ROUND(AVG(-LOG2((cb.nb + 1) / (cp.np + v.vocab))), 4)
+                        * 1e4 + 0.5) AS BIGINT) AS bits_e4
+      FROM bigr b
+      JOIN cb ON cb.prev_tok = b.prev_tok AND cb.cur_tok = b.cur_tok
+      JOIN cp ON cp.prev_tok = b.prev_tok
+      CROSS JOIN v
+      GROUP BY b.doc_id
+    ),
+    binned AS (
+      SELECT doc_id, bits_e4,
+             NTILE({PPL_BUCKETS}) OVER (ORDER BY bits_e4, doc_id) AS bin
+      FROM scored
+    )
+    SELECT {_PPL_BUCKET_NAME} AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(bits_e4) AS BIGINT) AS sum_bits_e4,
+           CAST(MIN(bits_e4) AS BIGINT) AS min_bits_e4,
+           CAST(MAX(bits_e4) AS BIGINT) AS max_bits_e4
+    FROM binned
+    GROUP BY bucket, bin
+    """,
+)
+def q_text_perplexity_buckets(spark, sf_dir):
+    """CCNet-style quality bucketing: score every document with the
+    bigram-LM bits-per-bigram (the factored q_text_perplexity_bigram
+    scorer), cut the corpus into perplexity TERCILES — head (most
+    fluent), middle, tail — and report each bucket's size and exact
+    fixed-point bits mass. This is the filtering step LLM data
+    pipelines run before mixing: keep head+middle, drop or downsample
+    the tail.
+
+    The tercile cut is ``global_ntile`` (registry.py): two-pass
+    range-partitioned global rank + closed-form bin, never a
+    single-partition window; the per-doc score is fixed-pointed
+    (floor(round4 * 1e4 + 0.5)) BEFORE ranking so ordering and bucket
+    sums are exact-integer on both engines, with doc_id breaking
+    ties."""
+    docs = load(spark, sf_dir, "documents")
+    scored = _bigram_bits_per_doc(docs).select(
+        "doc_id",
+        F.floor(F.col("bits_per_bigram") * 1e4 + F.lit(0.5))
+        .cast("long")
+        .alias("bits_e4"),
+    )
+    binned = global_ntile(
+        scored, PPL_BUCKETS, [F.col("bits_e4"), F.col("doc_id")]
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bits_e4").alias("sum_bits_e4"),
+            F.min("bits_e4").alias("min_bits_e4"),
+            F.max("bits_e4").alias("max_bits_e4"),
+        )
+        .select(
+            F.expr(_PPL_BUCKET_NAME).alias("bucket"),
+            "n_docs",
+            F.col("sum_bits_e4").cast("long").alias("sum_bits_e4"),
+            F.col("min_bits_e4").cast("long").alias("min_bits_e4"),
+            F.col("max_bits_e4").cast("long").alias("max_bits_e4"),
+        )
     )
