@@ -158,6 +158,8 @@ HEADLINE = [
     "q_graph_kcore",
     "q_sim_rrf_fusion",
     "q_text_perplexity_buckets",
+    "q_mix_temperature_weights",
+    "q_text_dsir_weights",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

@@ -1011,3 +1011,40 @@ def test_perplexity_buckets_orders_fluent_to_disfluent(tmp_path, spark):
     assert sum(r.n_docs for r in out.values()) == 3
     assert out["head"].max_bits_e4 <= out["middle"].min_bits_e4
     assert out["middle"].max_bits_e4 <= out["tail"].min_bits_e4
+
+
+def test_temperature_mixture_upsamples_minority_language(tmp_path, spark):
+    """alpha=0.5 exact-integer plan: 400-token majority vs 100-token
+    minority -> sqrt weights 2:1, minority repeats 1.66 epochs while the
+    majority is subsampled to 0.83."""
+    docs = [
+        (0, " ".join(["w"] * 400), "aa", "web"),
+        (1, " ".join(["v"] * 100), "bb", "web"),
+    ]
+    _write_docs(tmp_path, docs)
+    out = {r.lang: r
+           for r in QUERIES["q_mix_temperature_weights"](spark, str(tmp_path)).collect()}
+    # s_e6: 20e6 and 10e6 -> weights 2/3, 1/3 in integer e6
+    assert out["aa"].w_e6 == 666666 and out["bb"].w_e6 == 333333
+    # budget 500: aa target 500*2/3=333 tokens -> 333e4//400 epochs
+    assert out["aa"].epochs_e4 == 333 * 10000 // 400   # 0.8325x
+    assert out["bb"].epochs_e4 == 166 * 10000 // 100   # 1.66x
+    assert out["bb"].epochs_e4 > 10000 > out["aa"].epochs_e4
+
+
+def test_dsir_weights_separate_on_and_off_domain(tmp_path, spark):
+    """Importance weights must be positive for target-looking docs and
+    negative for off-domain docs; a doc mixing both sits between."""
+    docs = [
+        (0, "a a a a", "en", "web"),
+        (1, "a a a a", "en", "web"),
+        (2, "x x x x", "zh", "web"),
+        (3, "a a x x", "zh", "web"),
+    ]
+    _write_docs(tmp_path, docs)
+    out = {r.doc_id: r.sum_bits_e6
+           for r in QUERIES["q_text_dsir_weights"](spark, str(tmp_path)).collect()}
+    assert out[0] > 0 and out[1] > 0      # on-domain: target LM likes them
+    assert out[2] < 0                     # off-domain
+    assert out[2] < out[3] < out[0]       # mixed doc in between
+    assert out[0] == out[1]               # identical docs, identical score

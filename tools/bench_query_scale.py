@@ -116,6 +116,16 @@ OPS = {
     "q_agg_bootstrap_ci": "graph",
     "q_pipeline_dataset_card": "documents",
     "q_sim_whiten": "embeddings",
+    # round 8: iterative peel (per-copy disjoint subgraphs), fixed-Q
+    # hybrid retrieval (expected ~linear-per-copy: the bounded query set
+    # scores a 16x corpus), survival/ACF aggregates (sublinear: state is
+    # |durations| / |buckets|), and the two-pass global-NTILE cut
+    "q_graph_kcore": "graph",
+    "q_sim_rrf_fusion": "embeddings",
+    "q_events_survival_hazard": "events",
+    "q_events_autocorr_lag": "events",
+    "q_text_perplexity_buckets": "documents",
+    "q_text_dsir_weights": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

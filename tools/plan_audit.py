@@ -48,6 +48,7 @@ ALLOWED_NESTED_LOOP = {
     "q_text_countmin",  # total token count: 1-row sketch-row-sum attach
     "q_split_temporal_embargo",  # time-cut scalar: 1-row min/max attach
     "q_text_perplexity_bigram",  # vocab size: 1-row countDistinct attach
+    "q_text_dsir_weights",  # LM totals: 1-row (nr, nt, v) aggregate attach
     "q_agg_bootstrap_ci",  # exact-mean scalar: 1-row aggregate attach
     "q_events_rfm_segments",  # corpus-now timestamp: 1-row max attach
     "q_join_bloom_prune",  # bloom sketch attach: 1-row 16 KiB bit array
@@ -96,6 +97,10 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "risk-set suffix-sum and cumulative-hazard windows run over the "
         "groupBy(dur) aggregate — input is |distinct lifetimes in "
         "hours| (bounded by the corpus span), never |events| or |users|"
+    ),
+    "q_mix_temperature_weights": (
+        "total-weight/budget windows run over the groupBy(lang) "
+        "aggregate — single-digit rows regardless of corpus size"
     ),
     "q_text_perplexity_buckets": (
         "global_ntile offset/total windows run over the per-partition "

@@ -2189,3 +2189,169 @@ def q_text_perplexity_buckets(spark, sf_dir):
             F.col("max_bits_e4").cast("long").alias("max_bits_e4"),
         )
     )
+
+
+# --- Temperature-scaled language mixture + epoch plan ------------------
+
+MIX_ALPHA_NUM, MIX_ALPHA_DEN = 1, 2  # alpha = 0.5 (sqrt temperature)
+
+
+@register(
+    "q_mix_temperature_weights",
+    oracle="""
+    WITH g AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    s AS (
+      SELECT lang, n_docs, n_tokens,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+               AS s_e6,
+             SUM(CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT))
+               OVER () AS tot_s,
+             SUM(n_tokens) OVER () AS budget
+      FROM g
+    )
+    SELECT lang, n_docs, n_tokens,
+           CAST(s_e6 * 1000000 // tot_s AS BIGINT) AS w_e6,
+           CAST((budget * s_e6 // tot_s) * 10000 // n_tokens AS BIGINT)
+             AS epochs_e4
+    FROM s
+    """,
+)
+def q_mix_temperature_weights(spark, sf_dir):
+    """Temperature-scaled multilingual mixture planning (the multilingual
+    pretraining standard: sampling weight w_l proportional to n_l^alpha
+    with alpha = 1/2, which upsamples low-resource languages): per
+    language, the token mass, the temperature weight, and the EPOCH
+    MULTIPLIER a loader would apply to hit that mixture within the
+    corpus's own token budget (epochs > 1 means the language repeats,
+    < 1 means it is subsampled).
+
+    Determinism is exact-integer end to end: token counts are integer
+    sums; n^0.5 is one correctly-rounded IEEE sqrt fixed-pointed to e6
+    BEFORE any cross-group arithmetic; weights and epochs are integer
+    divisions of BIGINTs. The only windows run over the |languages|
+    aggregate (single-digit rows); everything before that is one
+    map-side-combinable scan."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    wall = W.orderBy("lang").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    s = g.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6)
+        .cast("long")
+        .alias("s_e6"),
+    ).select(
+        "*",
+        F.sum("s_e6").over(wall).alias("tot_s"),
+        F.sum("n_tokens").over(wall).alias("budget"),
+    )
+    return s.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("(s_e6 * 1000000) div tot_s").cast("long").alias("w_e6"),
+        F.expr("((budget * s_e6) div tot_s) * 10000 div n_tokens")
+        .cast("long")
+        .alias("epochs_e4"),
+    )
+
+
+# --- DSIR importance weights: target-vs-raw hashed-unigram log-ratio ---
+
+DSIR_TARGET_LANG = "en"  # the fixture's high-resource "target domain"
+
+
+@register(
+    "q_text_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents
+    ),
+    cr AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS cr FROM tok GROUP BY token),
+    ct AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS ct
+           FROM tok WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY token),
+    tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nr,
+             CAST(COUNT(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS DOUBLE) AS nt,
+             CAST(COUNT(DISTINCT token) AS DOUBLE) AS v
+      FROM tok
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(
+             (LOG2((COALESCE(ct.ct, 0) + 1) / (tot.nt + tot.v))
+              - LOG2((cr.cr + 1) / (tot.nr + tot.v))) * 1e6 + 0.5
+           ) AS BIGINT)) AS BIGINT) AS sum_bits_e6
+    FROM tok t
+    JOIN cr ON cr.token = t.token
+    LEFT JOIN ct ON ct.token = t.token
+    CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the average per-token log-likelihood RATIO between a target-domain
+    unigram LM (here the '{DSIR_TARGET_LANG}' slice — the stand-in for
+    a curated target corpus) and the raw-corpus LM, both
+    Laplace-smoothed over the shared vocabulary. Documents whose token
+    distribution looks like the target get dsir_bits near 0 or positive;
+    off-domain documents go negative — resampling by these weights is
+    the published recipe for tilting a 100-TB crawl toward a target
+    domain without training a classifier.
+
+    Plan shape: one token explode, two map-side-combinable count
+    aggregations (raw and target LMs), an inverted-index equi-join of
+    the corpus tokens against those count tables (heavy keys =
+    stopwords, the AQE skew-split shape), and a 1-row totals broadcast.
+    Determinism: each PER-TOKEN log-ratio (correctly-rounded LOG2 of
+    identical doubles) is fixed-pointed to e6 BEFORE summation, so the
+    per-doc score is an order-free exact BIGINT sum — an AVG of raw
+    doubles here would be one segment-tree merge away from a .00005
+    rounding flip (the round-8 lesson: anchor the rounding before the
+    reduction, not after). The emitted quantity is the SUM (the mean is
+    sum/n for the consumer) because BIGINT division of negative values
+    floors in DuckDB but truncates in Spark."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    cr = tok.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("cr"))
+    ct = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    tot = tok.agg(
+        F.count(F.lit(1)).cast("double").alias("nr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).cast("double").alias("nt"),
+        F.countDistinct("token").cast("double").alias("v"),
+    )
+    scored = (
+        tok.join(cr, "token")
+        .join(ct, "token", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    bits = F.log2(
+        (F.coalesce(F.col("ct"), F.lit(0.0)) + 1) / (F.col("nt") + F.col("v"))
+    ) - F.log2((F.col("cr") + 1) / (F.col("nr") + F.col("v")))
+    bits_e6 = F.floor(bits * 1e6 + F.lit(0.5)).cast("long")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(bits_e6).cast("long").alias("sum_bits_e6"),
+    )
