@@ -46,6 +46,9 @@ OPS = {
     "q_stream_hll_distinct": "events",
     "q_stream_countmin": "events",
     "q_stream_quantile_sketch": "events",
+    # round 8: Misra-Gries partial summaries per commit (HH_K counters
+    # per stream partition + a total sentinel), merged by per-token SUM
+    "q_stream_heavy_hitters": "events",
 }
 
 

@@ -1172,3 +1172,119 @@ def q_stream_quantile_sketch(spark, sf_dir):
     return spark.createDataFrame(
         rows, "q double, n long, multi_commit boolean, within_rank_bound boolean"
     )
+
+
+# --- Streaming Misra-Gries heavy-hitter maintenance --------------------
+
+_SS_SINK_DIRS: dict[str, str] = {}
+HH_STREAM_TOP = 10
+
+
+@register(
+    "q_stream_heavy_hitters",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+    ),
+    top AS (
+      SELECT user_id, exact_n,
+             ROW_NUMBER() OVER (ORDER BY exact_n DESC, user_id) AS rn
+      FROM counts
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           TRUE AS multi_commit, TRUE AS never_overcounts,
+           TRUE AS within_undercount
+    FROM top WHERE rn <= {HH_STREAM_TOP}
+    """,
+)
+def q_stream_heavy_hitters(spark, sf_dir):
+    """Streaming Misra-Gries heavy-hitter maintenance — the fourth
+    member of the mergeable-sketch stream family (HLL union, Count-Min
+    sum, quantile-summary merge, and now MG): each micro-batch appends
+    its own bounded summary — at most HH_K counters per stream
+    partition via the SAME ``_mg_partial`` reducer as the batch
+    operator, plus one sentinel row carrying the partition's exact
+    token total — and commits merge by plain per-token SUM of the
+    partial lower bounds. Per-commit durable state is
+    O(HH_K x partitions) rows, independent of batch size and corpus
+    cardinality.
+
+    The merged sketch must satisfy the summed MG theorems against the
+    batch-side exact twin for the busiest HH_STREAM_TOP users:
+    ``never_overcounts`` (every partial is a lower bound, so their sum
+    is) and ``within_undercount`` — each partial undercounts any token
+    by <= n_p/(HH_K+1), and the bounds ADD across partials to
+    N/(HH_K+1) total, checked in exact integer arithmetic
+    ((exact - merged) * (HH_K+1) <= N). ``multi_commit`` pins that the
+    merge genuinely crossed >= 2 commits, so the property tested is
+    sketch MERGING, not one batch's summary."""
+    import os
+    import shutil
+
+    from ..operators.events import load_events
+    from ..operators.text import HH_K, _mg_partial
+
+    sdf = _events_time_ordered_stream(spark, sf_dir)
+    if sf_dir not in _SS_SINK_DIRS:
+        _SS_SINK_DIRS[sf_dir] = _tmpdir("ss_sink_")
+    sk_dir = _SS_SINK_DIRS[sf_dir] + "/partials"
+    shutil.rmtree(sk_dir, ignore_errors=True)
+    os.makedirs(sk_dir)
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.select(F.col("user_id").cast("string").alias("token"))
+            .mapInPandas(_mg_partial, "token string, mg_count long")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sk_dir)
+        )
+
+    with _stream_partitions(spark):
+        q = sdf.writeStream.outputMode("append").foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+            _capture_stream_plan(q)
+        finally:
+            q.stop()
+
+    partials = spark.read.parquet(sk_dir).localCheckpoint(eager=True)
+    n_commits = partials.select("batch_id").distinct().count()
+    # sentinel rows (token NULL) carry each partition's exact total
+    total = partials.filter(F.col("token").isNull()).agg(
+        F.sum("mg_count").alias("n")
+    )
+    merged = (
+        partials.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("mg_count").alias("mg"))
+    )
+
+    ev = load_events(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = (
+        counts.orderBy(F.col("exact_n").desc(), F.col("user_id"))
+        .limit(HH_STREAM_TOP)
+    )
+    return (
+        top.join(
+            F.broadcast(merged),
+            top.user_id.cast("string") == merged.token,
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "exact_n",
+            F.lit(n_commits >= 2).alias("multi_commit"),
+            (F.coalesce(F.col("mg"), F.lit(0)) <= F.col("exact_n")).alias(
+                "never_overcounts"
+            ),
+            (
+                (F.col("exact_n") - F.coalesce(F.col("mg"), F.lit(0)))
+                * (HH_K + 1)
+                <= F.col("n")
+            ).alias("within_undercount"),
+        )
+    )
