@@ -160,6 +160,7 @@ HEADLINE = [
     "q_text_perplexity_buckets",
     "q_mix_temperature_weights",
     "q_text_dsir_weights",
+    "q_events_attribution",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000

@@ -1048,3 +1048,40 @@ def test_dsir_weights_separate_on_and_off_domain(tmp_path, spark):
     assert out[2] < 0                     # off-domain
     assert out[2] < out[3] < out[0]       # mixed doc in between
     assert out[0] == out[1]               # identical docs, identical score
+
+
+def test_attribution_first_last_touch_on_constructed_sessions(tmp_path, spark):
+    """First-touch credits the session opener, last-touch the most
+    recent non-purchase event; a purchase that OPENS its session is
+    'direct'; a >30-min gap splits the session and resets both."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/events.parquet")
+    t0 = dt.datetime(2025, 3, 1)
+    m = dt.timedelta(minutes=1)
+    rows = []
+
+    def ev(eid, user, typ, t, v=0.0):
+        rows.append(dict(event_id=eid, ts=t, user_id=user,
+                         event_type=typ, value=v, props="{}"))
+
+    ev(1, 1, "view", t0); ev(2, 1, "click", t0 + m)
+    ev(3, 1, "purchase", t0 + 2 * m, 10.0)
+    ev(4, 2, "purchase", t0, 7.0)              # session-opening purchase
+    ev(5, 3, "view", t0)                       # session 1: no purchase
+    ev(6, 3, "click", t0 + 40 * m)             # >30 min gap: session 2
+    ev(7, 3, "purchase", t0 + 41 * m, 5.0)
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+                   str(tmp_path / "events.parquet"))
+    out = {r.channel: r
+           for r in QUERIES["q_events_attribution"](spark, str(tmp_path)).collect()}
+    assert out["view"].first_touch_value_e4 == 100000       # user 1
+    assert out["purchase"].first_touch_value_e4 == 70000    # user 2 opener
+    assert out["click"].first_touch_value_e4 == 50000       # user 3 session 2
+    assert out["click"].last_touch_value_e4 == 150000       # users 1 + 3
+    assert out["click"].n_last == 2
+    assert out["direct"].last_touch_value_e4 == 70000       # user 2
+    assert out["direct"].n_first == 0

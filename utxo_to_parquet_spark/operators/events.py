@@ -2249,3 +2249,136 @@ def q_events_autocorr_lag(spark, sf_dir):
         "n_pairs",
         F.floor(num / den * 1e6 + F.lit(0.5)).cast("long").alias("r_e6"),
     )
+
+
+# --- Multi-touch attribution: first/last-touch revenue per channel -----
+
+
+@register(
+    "q_events_attribution",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_ns(ts) AS BIGINT) // {NS} AS ts_sec,
+             CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS v_e4
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN LAG(ts_sec) OVER w IS NULL
+                       OR ts_sec - LAG(ts_sec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+    ),
+    sess AS (
+      SELECT *,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts_sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    touched AS (
+      SELECT *,
+             FIRST_VALUE(event_type) OVER ws AS first_touch,
+             COALESCE(LAST_VALUE(
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER (PARTITION BY user_id, sid
+                 ORDER BY ts_sec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'direct') AS last_touch
+      FROM sess
+      WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts_sec, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    purch AS (SELECT * FROM touched WHERE event_type = 'purchase'),
+    ft AS (SELECT first_touch AS channel, COUNT(*) AS n_first,
+                  SUM(v_e4) AS first_touch_value_e4
+           FROM purch GROUP BY 1),
+    lt AS (SELECT last_touch AS channel, COUNT(*) AS n_last,
+                  SUM(v_e4) AS last_touch_value_e4
+           FROM purch GROUP BY 1)
+    SELECT COALESCE(ft.channel, lt.channel) AS channel,
+           CAST(COALESCE(n_first, 0) AS BIGINT) AS n_first,
+           CAST(COALESCE(first_touch_value_e4, 0) AS BIGINT)
+             AS first_touch_value_e4,
+           CAST(COALESCE(n_last, 0) AS BIGINT) AS n_last,
+           CAST(COALESCE(last_touch_value_e4, 0) AS BIGINT)
+             AS last_touch_value_e4
+    FROM ft FULL OUTER JOIN lt ON ft.channel = lt.channel
+    """,
+)
+def q_events_attribution(spark, sf_dir):
+    """Multi-touch marketing attribution: sessionize each user's
+    timeline (the q_events_sessionize 30-min-gap rule), then credit
+    every purchase's revenue to (a) the session's FIRST event type
+    (first-touch) and (b) the most recent non-purchase event type
+    before the purchase (last-touch; 'direct' when the purchase opens
+    its session). Per channel: purchase counts and exact fixed-point
+    revenue under both models — the two ends of the attribution
+    spectrum a marketing warehouse reports side by side.
+
+    Every window is PARTITIONED by user (and session) and ordered by
+    the unique (ts, event_id) key; revenue is e4 fixed point so the
+    channel sums are order-free exact integers. The last-touch carry
+    uses last(ignorenulls) over a GROWING frame — the O(n) direction
+    (the shrinking-frame form is the measured O(n^2) trap from round
+    7). Scale shape: one user-partitioned window stack, two
+    channel-sized aggregates, one channel-sized outer join."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_sec",
+        F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long").alias("v_e4"),
+    )
+    wu = W.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    prev_sec = F.lag("ts_sec").over(wu)
+    new_session = F.when(
+        prev_sec.isNull() | ((F.col("ts_sec") - prev_sec) > 1800), 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "sid",
+        F.sum("new_session").over(
+            wu.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    ws = W.partitionBy("user_id", "sid").orderBy("ts_sec", "event_id")
+    touched = sess.withColumn(
+        "first_touch",
+        F.first("event_type").over(
+            ws.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    ).withColumn(
+        "last_touch",
+        F.coalesce(
+            F.last(
+                F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                ignorenulls=True,
+            ).over(ws.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit("direct"),
+        ),
+    )
+    purch = touched.filter(F.col("event_type") == "purchase")
+    ft = purch.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_first"),
+        F.sum("v_e4").alias("first_touch_value_e4"),
+    )
+    lt = purch.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_last"),
+        F.sum("v_e4").alias("last_touch_value_e4"),
+    )
+    return (
+        ft.join(lt, "channel", "full_outer")
+        .select(
+            "channel",
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+            F.coalesce("first_touch_value_e4", F.lit(0))
+            .cast("long")
+            .alias("first_touch_value_e4"),
+            F.coalesce("n_last", F.lit(0)).cast("long").alias("n_last"),
+            F.coalesce("last_touch_value_e4", F.lit(0))
+            .cast("long")
+            .alias("last_touch_value_e4"),
+        )
+    )
