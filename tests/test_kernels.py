@@ -494,3 +494,34 @@ def test_pubkey_decompress_matches_group_law():
         # and through the type-4/5 script template (main.rs:145-161)
         script = decompress_script(4 + (y & 1), x.to_bytes(32, "big"))
         assert script == bytes([65]) + sec + bytes([0xAC]), k
+
+
+def test_png_bad_ihdr_length_and_chunk_before_ihdr_raise_valueerror():
+    """Malformed-but-CRC-valid structures must fail with the module's
+    contractual ValueError, never a leaked struct.error: an IHDR whose
+    data is not 13 bytes, and any chunk arriving before IHDR."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from utxo_to_parquet_spark.kernels.image import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    # IHDR with 12 data bytes but a correct CRC
+    short_ihdr = struct.pack(">IIBBBB", 2, 2, 8, 2, 0, 0)
+    payload = _PNG_SIG + _png_chunk(b"IHDR", short_ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(payload)
+
+    # IDAT before IHDR (CRC-valid, spec-violating order)
+    good = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    raw = zlib.compress(bytes(2 * (1 + 2 * 3)))
+    payload = _PNG_SIG + _png_chunk(b"IDAT", raw) + good[8:]
+    with pytest.raises(ValueError, match="before IHDR"):
+        decode_png(payload)

@@ -972,16 +972,15 @@ def test_rrf_fusion_combines_disagreeing_rankings(tmp_path, spark):
     assert [out[c].rn for c in (1, 2, 3)] == [1, 2, 3]
 
 
-def test_global_ntile_matches_sql_ntile_with_ties_and_remainder():
+def test_global_ntile_matches_sql_ntile_with_ties_and_remainder(spark):
     """The two-pass distributed NTILE must be row-for-row identical to
     Spark's own single-partition ntile() — including remainder
     distribution (n % B bins get the extra row) and tie ordering."""
-    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from utxo_to_parquet_spark.operators.registry import global_ntile
 
-    spark = SparkSession.getActiveSession()
     n, B = 1009, 7  # prime n: every remainder path exercised
     df = spark.range(n).select(
         F.col("id"),
@@ -1024,11 +1023,11 @@ def test_temperature_mixture_upsamples_minority_language(tmp_path, spark):
     _write_docs(tmp_path, docs)
     out = {r.lang: r
            for r in QUERIES["q_mix_temperature_weights"](spark, str(tmp_path)).collect()}
-    # s_e6: 20e6 and 10e6 -> weights 2/3, 1/3 in integer e6
+    # s_e6: 20e6 and 10e6 -> weights 2/3, 1/3 in floored e6
     assert out["aa"].w_e6 == 666666 and out["bb"].w_e6 == 333333
-    # budget 500: aa target 500*2/3=333 tokens -> 333e4//400 epochs
-    assert out["aa"].epochs_e4 == 333 * 10000 // 400   # 0.8325x
-    assert out["bb"].epochs_e4 == 166 * 10000 // 100   # 1.66x
+    # budget 500: aa target 500*2/3 tokens over 400 -> 5/6 epochs
+    assert out["aa"].epochs_e4 == 8333   # floor(0.83333... * 1e4)
+    assert out["bb"].epochs_e4 == 16666  # floor(1.66666... * 1e4)
     assert out["bb"].epochs_e4 > 10000 > out["aa"].epochs_e4
 
 

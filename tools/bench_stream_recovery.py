@@ -109,7 +109,11 @@ def main() -> None:
         t = pq.read_table(src)
         n = max(len(t) // 100, 50)
         sl = t.slice(0, n).to_pandas()
-        sl["doc_id"] = (sl["doc_id"] // 10) * 10 + 900_000_000  # keeps %10==0 stream rows
+        # *10 keeps doc_id % BATCH_MOD == 0 (BATCH_MOD=5, dedup.py) so
+        # every delta row passes the stream-side filter, WITHOUT
+        # collapsing consecutive ids onto one (a //10*10 rounding here
+        # once made the delta ~90% duplicate ids — a degenerate batch)
+        sl["doc_id"] = sl["doc_id"] * 10 + 900_000_000
         pq.write_table(
             pa.Table.from_pandas(sl, schema=t.schema, preserve_index=False), dst
         )

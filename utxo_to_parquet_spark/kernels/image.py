@@ -262,7 +262,13 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         if typ == b"IHDR":
             if ihdr is not None:
                 raise ValueError("duplicate IHDR")
+            if len(data) != 13:
+                # struct.unpack below would raise struct.error — keep
+                # the module's fail-loudly contract (ValueError) instead
+                raise ValueError(f"IHDR length {len(data)} != 13")
             ihdr = data
+        elif ihdr is None:
+            raise ValueError(f"PNG chunk {typ!r} before IHDR")
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":

@@ -1981,7 +1981,7 @@ HOUR_NS = 3600 * NS
     e AS (
       SELECT event_type,
              (CAST(epoch_ns(ts) AS BIGINT) - b.lo) // {HOUR_NS} AS x,
-             CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS y
+             CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT) AS y
       FROM events, b
     ),
     s AS (
@@ -1998,9 +1998,9 @@ HOUR_NS = 3600 * NS
       FROM s
     )
     SELECT event_type, n,
-           CAST(FLOOR(slope * 1e2 + 0.5) AS BIGINT) AS slope_e6_per_hour,
+           CAST(FLOOR(slope * 1e4 + 0.5) AS BIGINT) AS slope_e6_per_hour,
            CAST(FLOOR((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
-                      / CAST(n AS DOUBLE) * 1e0 + 0.5) AS BIGINT)
+                      / CAST(n AS DOUBLE) * 1e2 + 0.5) AS BIGINT)
              AS intercept_e4
     FROM t
     """,
@@ -2012,7 +2012,13 @@ def q_events_linreg_trend(spark, sf_dir):
     trends, and its slope is the number monitoring alerts on.
 
     Determinism is engineered through the moment sums: x is an INTEGER
-    hour index, y is fixed-point BIGINT (floor(value*1e4+0.5)), so
+    hour index, y is fixed-point BIGINT (floor(value*1e2+0.5) — e2, not
+    e4: Spark's non-ANSI SUM(long) silently wraps past 2^63 while the
+    oracle's HUGEINT does not, and e2 keeps Sxy exact to ~1e9 rows per
+    key at fixture-scale values and decade-scale spans; past that the
+    documented swap is OLS over hourly bucket MEANS, the
+    q_events_autocorr_lag shape, whose sums are bounded by the time
+    span), so
     n/Σx/Σy/Σxy/Σx² are exact integers no matter what order partial
     aggregates merge in; slope and intercept are then computed from
     those integers with an IDENTICAL double expression tree on both
@@ -2027,7 +2033,7 @@ def q_events_linreg_trend(spark, sf_dir):
     e = ev.crossJoin(F.broadcast(b)).select(
         "event_type",
         F.expr(f"(ts - lo) div {HOUR_NS}").alias("x"),
-        F.floor(F.col("value") * 1e4 + F.lit(0.5)).cast("long").alias("y"),
+        F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("long").alias("y"),
     )
     s = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2045,8 +2051,8 @@ def q_events_linreg_trend(spark, sf_dir):
     return s.select(
         "event_type",
         "n",
-        F.floor(slope * 1e2 + F.lit(0.5)).cast("long").alias("slope_e6_per_hour"),
-        F.floor((syd - slope * sxd) / nd * 1e0 + F.lit(0.5))
+        F.floor(slope * 1e4 + F.lit(0.5)).cast("long").alias("slope_e6_per_hour"),
+        F.floor((syd - slope * sxd) / nd * 1e2 + F.lit(0.5))
         .cast("long")
         .alias("intercept_e4"),
     )

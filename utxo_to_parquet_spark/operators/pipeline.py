@@ -413,9 +413,13 @@ CURRICULUM_BINS = 10
 )
 def q_pipeline_curriculum(spark, sf_dir):
     """Curriculum schedule construction: rank every document by a
-    quality proxy (token density — INTEGER tokens-per-char scaled 1e6,
-    so the ordering is exact integer arithmetic with doc_id tiebreak,
-    no float ranking drift), cut the corpus into {CURRICULUM_BINS}
+    quality proxy (token density — tokens*1e6/chars; both engines
+    compute this as ONE correctly-rounded double division of the same
+    integers, so the ordering is bit-identical, with doc_id tiebreak —
+    note it is a DOUBLE, not integer arithmetic: '/' is float division
+    in both Spark and DuckDB, and the determinism comes from the
+    identical expression tree, so do not 'simplify' either side to
+    integer div alone), cut the corpus into {CURRICULUM_BINS}
     NTILE bins, and emit each bin's token count plus the cumulative
     token budget a curriculum loader would consume bin by bin.
 

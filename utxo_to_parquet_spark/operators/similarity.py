@@ -1058,11 +1058,18 @@ def q_sim_ivfpq_topk(spark, sf_dir, n_probe: int | None = None, rerank_n: int | 
 
 KNN_K = 3
 # Bound on rows per kNN block: label blocks larger than this are
-# deterministically sub-split (vec_id % ceil(n_label/CAP)) so the
-# within-block quadratic term is CAP-bounded no matter how the corpus
-# grows — the blocks-∝-corpus knob production scales with a finer
-# quantizer. 256 keeps every fixture label block whole (sf0.1 max is
-# 218) while capping the weak-scaling probe's 16x blocks.
+# deterministically sub-split into ceil(n_label/CAP) md5-hash buckets,
+# so the within-block quadratic term stays ~CAP-bounded no matter how
+# the corpus grows — the blocks-∝-corpus knob production scales with a
+# finer quantizer. The sub key is an md5-derived integer (engine-
+# identical, the dedup-family trick), NOT vec_id % n_sub: a plain
+# modulus is only cap-bounded when ids are uncorrelated with the
+# modulus (the 16x probe's shifted-copy ids measured a 309-row worst
+# bucket, and round-robin label assignment could put a whole label in
+# ONE residue class); the hash decorrelates, leaving only the
+# multinomial tail (~cap + O(sqrt(cap)) w.h.p.). 256 keeps every
+# fixture label block whole (sf0.1 max is 218) so small-scale results
+# equal the uncapped form.
 KNN_BLOCK_CAP = 256
 
 
@@ -1074,7 +1081,8 @@ KNN_BLOCK_CAP = 256
     ),
     v AS (
       SELECT em.vec_id, em.label,
-             em.vec_id % CAST(CEIL(c.nl / {KNN_BLOCK_CAP}.0) AS BIGINT) AS sub,
+             ('0x' || substr(md5(CAST(em.vec_id AS VARCHAR)), 1, 15))::BIGINT
+               % CAST(CEIL(c.nl / {KNN_BLOCK_CAP}.0) AS BIGINT) AS sub,
              em.embedding::DOUBLE[] AS e,
              SQRT(LIST_DOT_PRODUCT(em.embedding::DOUBLE[],
                                    em.embedding::DOUBLE[])) AS nrm
@@ -1108,8 +1116,8 @@ def q_sim_knn_graph(spark, sf_dir):
     population grow with the corpus and the within-block quadratic term
     superlinear (measured exponent 1.23 at 16x before this cap,
     BENCH_qscale.json). So any label block larger than
-    {KNN_BLOCK_CAP} rows is deterministically sub-split on
-    ``vec_id % ceil(n_label/{KNN_BLOCK_CAP})`` — the same
+    {KNN_BLOCK_CAP} rows is deterministically sub-split on an
+    md5-derived hash of vec_id mod ceil(n_label/{KNN_BLOCK_CAP}) — the same
     finer-quantizer knob production turns (more k-means centroids), in a
     form both engines reproduce exactly. Per-label counts ride a
     broadcast join (one map-side aggregate, #labels rows); every fixture
@@ -1168,10 +1176,16 @@ def q_sim_knn_graph(spark, sf_dir):
 
     cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("nl"))
     n_sub = F.ceil(F.col("nl") / F.lit(float(KNN_BLOCK_CAP))).cast("long")
+    # md5-derived sub key (engine-identical): id patterns correlated
+    # with a plain modulus can blow past the cap or collapse a label
+    # into one residue class — hashing restores the multinomial bound
+    sub_hash = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
     edges = (
         emb.select("vec_id", "label", "embedding")
         .join(F.broadcast(cnt), "label")
-        .withColumn("sub", F.col("vec_id") % n_sub)
+        .withColumn("sub", sub_hash % n_sub)
         .groupBy("label", "sub")
         .applyInPandas(
             knn_block, "src long, dst long, nn_rank long, cos_raw double"

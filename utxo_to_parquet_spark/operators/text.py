@@ -2215,9 +2215,11 @@ MIX_ALPHA_NUM, MIX_ALPHA_DEN = 1, 2  # alpha = 0.5 (sqrt temperature)
       FROM g
     )
     SELECT lang, n_docs, n_tokens,
-           CAST(s_e6 * 1000000 // tot_s AS BIGINT) AS w_e6,
-           CAST((budget * s_e6 // tot_s) * 10000 // n_tokens AS BIGINT)
-             AS epochs_e4
+           CAST(FLOOR(CAST(s_e6 AS DOUBLE) / CAST(tot_s AS DOUBLE) * 1e6)
+             AS BIGINT) AS w_e6,
+           CAST(FLOOR(CAST(budget AS DOUBLE) * CAST(s_e6 AS DOUBLE)
+                      / CAST(tot_s AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                      * 1e4) AS BIGINT) AS epochs_e4
     FROM s
     """,
 )
@@ -2230,10 +2232,15 @@ def q_mix_temperature_weights(spark, sf_dir):
     corpus's own token budget (epochs > 1 means the language repeats,
     < 1 means it is subsampled).
 
-    Determinism is exact-integer end to end: token counts are integer
-    sums; n^0.5 is one correctly-rounded IEEE sqrt fixed-pointed to e6
-    BEFORE any cross-group arithmetic; weights and epochs are integer
-    divisions of BIGINTs. The only windows run over the |languages|
+    Determinism: token counts are exact integer sums; n^0.5 is one
+    correctly-rounded IEEE sqrt fixed-pointed to e6 BEFORE any
+    cross-group arithmetic; the weight and epoch ratios are then ONE
+    identical double expression tree on both engines (mul/div/floor of
+    the same operands — same IEEE ops, same bits). Doubles, not BIGINT
+    products, deliberately: budget*s_e6 would overflow 2^63 past ~4e8
+    total tokens, silently wrapping in non-ANSI Spark while DuckDB
+    errors — the double tree is scale-safe at any corpus size and
+    bit-reproducible. The only windows run over the |languages|
     aggregate (single-digit rows); everything before that is one
     map-side-combinable scan."""
     docs = load(spark, sf_dir, "documents")
@@ -2256,12 +2263,20 @@ def q_mix_temperature_weights(spark, sf_dir):
         F.sum("s_e6").over(wall).alias("tot_s"),
         F.sum("n_tokens").over(wall).alias("budget"),
     )
+    sd = F.col("s_e6").cast("double")
+    td = F.col("tot_s").cast("double")
     return s.select(
         "lang",
         "n_docs",
         "n_tokens",
-        F.expr("(s_e6 * 1000000) div tot_s").cast("long").alias("w_e6"),
-        F.expr("((budget * s_e6) div tot_s) * 10000 div n_tokens")
+        F.floor(sd / td * 1e6).cast("long").alias("w_e6"),
+        F.floor(
+            F.col("budget").cast("double")
+            * sd
+            / td
+            / F.col("n_tokens").cast("double")
+            * 1e4
+        )
         .cast("long")
         .alias("epochs_e4"),
     )

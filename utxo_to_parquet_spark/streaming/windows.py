@@ -43,7 +43,6 @@ def _events_stream(spark, sf_dir):
     operators/events.py:normalize_ts_ns) plus a real TimestampType
     column for window()/watermark operators."""
     import os
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -329,7 +328,6 @@ def q_stream_dedup(spark, sf_dir):
     horizon).
     """
     import os
-    import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = f"{sf_dir}/events.parquet"
@@ -425,7 +423,6 @@ def q_stream_foreachbatch_sink(spark, sf_dir):
     the batch aggregation, which is what the oracle checks. This is the
     shape production uses for streaming upserts into warehouse tables
     Spark has no native sink for."""
-    import tempfile
 
     sdf = _events_stream(spark, sf_dir)
     out_dir = _tmpdir("fb_sink_") + "/data"
@@ -651,7 +648,6 @@ def _documents_stream(spark, sf_dir):
     many times per session) reuse one dir instead of leaking a mkdtemp
     per call."""
     import os
-    import tempfile
 
     src = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(src).schema
@@ -789,7 +785,6 @@ def _events_time_ordered_stream(spark, sf_dir):
     executor-side (filter + write), never a driver collect."""
     import os
     import shutil
-    import tempfile
 
     from ..operators.events import load_events
 
@@ -918,7 +913,6 @@ def q_stream_hll_distinct(spark, sf_dir):
     hash)."""
     import os
     import shutil
-    import tempfile
 
     from ..operators.events import load_events
 
@@ -1002,7 +996,6 @@ def q_stream_countmin(spark, sf_dir):
     bit-compatible and could be unioned freely."""
     import os
     import shutil
-    import tempfile
 
     from ..operators.events import load_events
     from ..operators.text import _cm_cells
@@ -1110,7 +1103,6 @@ def q_stream_quantile_sketch(spark, sf_dir):
     >= 2 commits."""
     import os
     import shutil
-    import tempfile
 
     from ..operators.events import load_events
     from ..operators.relational import _qs_merge, _qs_partial
