@@ -1084,3 +1084,51 @@ def test_attribution_first_last_touch_on_constructed_sessions(tmp_path, spark):
     assert out["click"].n_last == 2
     assert out["direct"].last_touch_value_e4 == 70000       # user 2
     assert out["direct"].n_first == 0
+
+
+def test_knn_sub_split_bounds_oversized_label_blocks(tmp_path, spark):
+    """One 600-row label with ids correlated to the sub count (all even
+    — the pattern that defeats a plain vec_id % n_sub split) must still
+    break into ~CAP-bounded md5-hash buckets, and the graph must never
+    pair vectors across different sub-buckets."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.operators.similarity import KNN_BLOCK_CAP
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i) * 2, [float(x) for x in rng.normal(size=8)], 0)
+        for i in range(600)  # even ids only: vec_id % 3 could never be 1
+    ]
+    _write_embeddings(tmp_path, rows)
+    out = QUERIES["q_sim_knn_graph"](spark, str(tmp_path)).collect()
+    assert out, "graph must not be empty"
+    # recompute each vector's sub-bucket with the operator's md5 key
+    from pyspark.sql import functions as F
+
+    n_sub = 3  # ceil(600 / 256)
+    sub = {
+        r.vec_id: r.sub
+        for r in spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+        .select(
+            "vec_id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % n_sub
+            ).alias("sub"),
+        )
+        .collect()
+    }
+    sizes = {}
+    for s in sub.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    # all three residue classes populated (a plain modulus would put
+    # every row in the even classes only), and no bucket far over cap
+    assert len(sizes) == n_sub
+    assert max(sizes.values()) <= KNN_BLOCK_CAP * 1.2
+    # no cross-bucket edge
+    assert all(sub[r.src] == sub[r.dst] for r in out)
