@@ -1132,3 +1132,135 @@ def test_knn_sub_split_bounds_oversized_label_blocks(tmp_path, spark):
     assert max(sizes.values()) <= KNN_BLOCK_CAP * 1.2
     # no cross-bucket edge
     assert all(sub[r.src] == sub[r.dst] for r in out)
+
+
+def test_zipf_ranks_break_frequency_ties_by_token(tmp_path, spark):
+    """Corpus with freqs {aa:4, bb:2, cc:2, dd:1}: the two freq-2 types
+    must take ranks 2 and 3 (token order), dd rank 4 — and the fitted
+    slope must equal a closed-form OLS over the e4-fixed-point log
+    points, computed independently here in numpy."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/documents.parquet")
+    rows = [
+        dict(doc_id=1, text="aa aa bb dd", lang="en", source="s1", n_chars=11),
+        dict(doc_id=2, text="aa aa bb cc cc", lang="en", source="s1", n_chars=14),
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = QUERIES["q_text_zipf_fit"](spark, str(tmp_path)).collect()
+    assert len(got) == 1 and got[0].n_types == 4
+    # ranks: aa=1 (f4), bb=2, cc=3 (f2, token order), dd=4 (f1)
+    pts = [(1, 4), (2, 2), (3, 2), (4, 1)]
+    xs = [math.floor(math.log(r) * 1e4 + 0.5) for r, _ in pts]
+    ys = [math.floor(math.log(f) * 1e4 + 0.5) for _, f in pts]
+    n = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert got[0].slope_e4 == math.floor(slope * 1e4 + 0.5)
+    assert got[0].intercept_e4 == math.floor((sy - slope * sx) / n + 0.5)
+    assert got[0].slope_e4 < 0  # frequency falls with rank
+
+
+def test_kl_mixture_zero_for_a_source_matching_the_corpus(tmp_path, spark):
+    """Two sources with IDENTICAL token distributions: every p equals q,
+    every ln(p/q) is exactly 0, so both KL sums must be exactly 0; then
+    a skewed third source must come out strictly positive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/documents.parquet")
+    rows = [
+        dict(doc_id=1, text="x x y", lang="en", source="a", n_chars=5),
+        dict(doc_id=2, text="x x y", lang="en", source="b", n_chars=5),
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {r.source: r for r in
+           QUERIES["q_text_kl_source_mixture"](spark, str(tmp_path)).collect()}
+    assert out["a"].kl_e9 == 0 and out["b"].kl_e9 == 0
+    assert out["a"].vocab_s == 2
+
+    rows.append(dict(doc_id=3, text="z z z", lang="en", source="c", n_chars=5))
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {r.source: r for r in
+           QUERIES["q_text_kl_source_mixture"](spark, str(tmp_path)).collect()}
+    # a and b still share tokens with the corpus at shifted proportions
+    assert out["c"].kl_e9 > 0  # all-z source diverges from the mixture
+
+
+def test_benford_digit_extraction_and_chi_term(tmp_path, spark):
+    """Totals 19.99/250.0/999.0/123.45 -> digits 1,2,9,1; the chi term
+    for digit 9 (obs 1) must equal the closed form vs N*log10(1+1/9)."""
+    import datetime as dt
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/orders.parquet")
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        dict(o_orderkey=i + 1, o_custkey=1, o_orderstatus="O",
+             o_totalprice=p, o_orderdate=t0, o_orderpriority="1-URGENT")
+        for i, p in enumerate([19.99, 250.0, 999.0, 123.45])
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = {r.digit: r for r in
+           QUERIES["q_agg_benford_audit"](spark, str(tmp_path)).collect()}
+    assert sorted(out) == [1, 2, 9]
+    assert out[1].n_obs == 2 and out[2].n_obs == 1 and out[9].n_obs == 1
+    e9 = 4 * math.log10(1 + 1 / 9)
+    assert out[9].exp_e4 == math.floor(e9 * 1e4 + 0.5)
+    assert out[9].chi_e6 == math.floor((1 - e9) ** 2 / e9 * 1e6 + 0.5)
+
+
+def test_dust_threshold_is_strict_and_per_template(tmp_path, spark):
+    """amount == feerate*vbytes is NOT dust (strict <); one sat less is.
+    p2wpkh (68 vB) at 10 sat/vB: cost 680."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/lineitem.parquet")
+    t0 = dt.datetime(2025, 1, 1)
+
+    def li(okey, partkey, price):
+        return dict(l_orderkey=okey, l_partkey=partkey, l_suppkey=1,
+                    l_linenumber=1, l_quantity=1.0, l_extendedprice=price,
+                    l_discount=0.0, l_tax=0.0, l_returnflag="N",
+                    l_linestatus="O", l_shipdate=t0)
+
+    rows = [
+        li(1, 2, 6.80),   # p2wpkh (partkey%4==2), 680 sats == cost -> kept
+        li(2, 2, 6.79),   # 679 sats -> dust at 10 sat/vB
+        li(3, 3, 1.00),   # op_return: excluded entirely
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = {(r.feerate, r.script_type): r for r in
+           QUERIES["q_utxo_dust_feerate"](spark, str(tmp_path)).collect()}
+    assert all(st != "op_return" for _, st in out)
+    r10 = out[(10, "p2wpkh")]
+    assert r10.n_utxos == 2 and r10.n_dust == 1 and r10.dust_sats == 679
+    assert r10.dust_bp == 5000
+    r1 = out[(1, "p2wpkh")]  # cost 68: neither 680 nor 679 is dust
+    assert r1.n_dust == 0 and r1.dust_bp == 0

@@ -38,6 +38,10 @@ SHARDS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 # convert reps per mode (best-of): 3 for the standard 20M artifact;
 # mainnet-depth runs pass 2 to keep the 9-convert sweep tractable
 REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+# optional mode filter: mainnet-depth runs skip the true range exchange
+# (its 209.8 s cost at 177M rows is already on record in
+# BENCH_mainnet_lookup.json) and measure only the contender pair
+MODES = sys.argv[5].split(",") if len(sys.argv) > 5 else None
 BLOCK = 1_000_000
 
 
@@ -131,6 +135,8 @@ def main():
         # decode plan)
         ("global_sampled", "sampled"),
     ):
+        if MODES is not None and label not in MODES:
+            continue
         out = os.path.join(tmp, f"out_{label}.parquet")
         best = float("inf")
         for rep in range(REPS):
@@ -175,6 +181,9 @@ def main():
             "files_total": total,
         }
         print(f"{label}: {json.dumps(result[label])}", flush=True)
+        # mainnet-depth runs: drop this mode's output before the next
+        # convert so sort spill always has full disk headroom
+        shutil.rmtree(out, ignore_errors=True)
 
     line = {
         "metric": "global_sort_tradeoff",

@@ -54,6 +54,9 @@ ALLOWED_NESTED_LOOP = {
     "q_join_bloom_prune",  # bloom sketch attach: 1-row 16 KiB bit array
     "q_events_linreg_trend",  # corpus-start timestamp: 1-row min attach
     "q_events_survival_hazard",  # corpus-end timestamp: 1-row max attach
+    "q_text_kl_source_mixture",  # corpus token total: 1-row count attach
+    "q_agg_benford_audit",  # total order count: 1-row sum attach
+    "q_utxo_dust_feerate",  # feerate sweep: 3-row constant dim fan-out
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —
@@ -106,6 +109,12 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "global_ntile offset/total windows run over the per-partition "
         "count relation (32 rows); per-doc ranking is in the "
         "pid-PARTITIONED window; the final aggregate is B=3 rows"
+    ),
+    "q_text_zipf_fit": (
+        "cross-class cumulative window runs over the DISTINCT-FREQUENCY "
+        "relation (groupBy(f) of the type table) — hundreds of rows even "
+        "at web scale since Zipf guarantees frequency collisions; "
+        "per-type ranking is in the f-PARTITIONED window"
     ),
     "q_pipeline_curriculum": (
         "two-pass global NTILE: the offset/total windows run over the "

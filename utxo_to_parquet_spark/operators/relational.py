@@ -2938,3 +2938,68 @@ def q_agg_bootstrap_ci(spark, sf_dir):
             ).alias("contains_exact"),
         )
     )
+
+
+# --- Benford first-digit audit over order totals ------------------------
+
+
+@register(
+    "q_agg_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT digit, n_obs,
+           CAST(FLOOR(CAST(n AS DOUBLE)
+                      * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                      * 1e4 + 0.5) AS BIGINT) AS exp_e4,
+           CAST(FLOOR((CAST(n_obs AS DOUBLE)
+                       - CAST(n AS DOUBLE)
+                         * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                      * (CAST(n_obs AS DOUBLE)
+                         - CAST(n AS DOUBLE)
+                           * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                      / (CAST(n AS DOUBLE)
+                         * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                      * 1e6 + 0.5) AS BIGINT) AS chi_e6
+    FROM obs, tot
+    """,
+)
+def q_agg_benford_audit(spark, sf_dir):
+    """Benford first-significant-digit audit over order totals — the
+    classic fraud/synthetic-data screen: natural multiplicative amounts
+    follow P(d) = log10(1+1/d); fabricated or clipped data shows up as
+    per-digit chi-square excess.
+
+    The observed side is exact integer counting (leading digit via the
+    decimal rendering of floor(total), a 9-value group key with map-side
+    partial aggregation — one shuffle of <=9 rows per partition at any
+    scale). The Benford expectation and per-digit chi-square term are
+    computed from those exact BIGINTs with an identical double
+    expression tree on both engines and fixed-pointed in the output
+    (exp_e4, chi_e6), so the comparison never depends on float
+    summation order. Total row count enters via a broadcast scalar."""
+    orders = load(spark, sf_dir, "orders")
+    d = orders.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    j = obs.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    expct = nd * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    dev = F.col("n_obs").cast("double") - expct
+    return j.select(
+        "digit",
+        "n_obs",
+        F.floor(expct * 1e4 + F.lit(0.5)).cast("long").alias("exp_e4"),
+        F.floor(dev * dev / expct * 1e6 + F.lit(0.5)).cast("long").alias("chi_e6"),
+    )

@@ -2370,3 +2370,198 @@ def q_text_dsir_weights(spark, sf_dir):
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(bits_e6).cast("long").alias("sum_bits_e6"),
     )
+
+
+# --- Corpus-statistics diagnostics: Zipf rank-frequency fit and per-source
+#     KL divergence from the corpus unigram mixture.
+
+
+@register(
+    "q_text_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    types AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY token
+    ),
+    fc AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS n_types FROM types GROUP BY f
+    ),
+    cum AS (
+      SELECT f,
+             CAST(COALESCE(SUM(n_types) OVER (ORDER BY f DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS gt
+      FROM fc
+    ),
+    ranked AS (
+      SELECT t.f,
+             c.gt + ROW_NUMBER() OVER (PARTITION BY t.f ORDER BY t.token)
+               AS rnk
+      FROM types t JOIN cum c USING (f)
+    ),
+    pts AS (
+      SELECT CAST(FLOOR(LN(CAST(rnk AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(LN(CAST(f AS DOUBLE)) * 1e4 + 0.5) AS BIGINT) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_types,
+           CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * 1e4 + 0.5) AS BIGINT) AS slope_e4,
+           CAST(FLOOR((CAST(sy AS DOUBLE)
+                       - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS intercept_e4
+    FROM s
+    """,
+)
+def q_text_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency fit: OLS slope of log(freq) on log(rank) over
+    the corpus vocabulary — the canonical corpus-health diagnostic (a
+    natural corpus fits slope ~ -1; template/boilerplate-heavy crawls
+    flatten it, generator loops steepen it).
+
+    Scale-correct exact ranking without a global window: rank(t) =
+    (#types with higher frequency) + row_number within this type's
+    frequency class ordered by token. The cross-class cumulative runs
+    over the DISTINCT-FREQUENCY table, whose size is bounded by the
+    highest type frequency's divisor structure (hundreds of rows even
+    at web scale — Zipf itself guarantees frequency collisions), so the
+    one unpartitioned window is over a provably tiny relation; the
+    within-class row_number is partitioned by frequency. Determinism is
+    the linreg_trend recipe: both log axes are fixed-pointed to e4
+    BIGINTs BEFORE the moment sums (sums exact under any partial-agg
+    merge order; e4 keeps sum(x*x) within int64 to ~3e8 vocabulary
+    types), then slope/intercept come from one identical IEEE double
+    expression tree on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    types = tok.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    fc = types.groupBy("f").agg(F.count(F.lit(1)).alias("n_types"))
+    # window over DISTINCT frequencies only: bounded-size relation (see
+    # docstring), the partitioned per-type work happens in the next step
+    w_gt = W.orderBy(F.col("f").desc()).rowsBetween(W.unboundedPreceding, -1)
+    cum = fc.select("f", F.coalesce(F.sum("n_types").over(w_gt), F.lit(0)).alias("gt"))
+    w_in = W.partitionBy("f").orderBy("token")
+    ranked = types.join(cum, "f").select(
+        "f", (F.col("gt") + F.row_number().over(w_in)).alias("rnk")
+    )
+    pts = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1e4 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("f").cast("double")) * 1e4 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    slope = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    return s.select(
+        F.col("n").alias("n_types"),
+        F.floor(slope * 1e4 + F.lit(0.5)).cast("long").alias("slope_e4"),
+        F.floor((syd - slope * sxd) / nd + F.lit(0.5))
+        .cast("long")
+        .alias("intercept_e4"),
+    )
+
+
+@register(
+    "q_text_kl_source_mixture",
+    oracle="""
+    WITH tok AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    st AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM tok GROUP BY source, token
+    ),
+    s_tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM tok GROUP BY source
+    ),
+    t_tot AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c_t FROM tok GROUP BY token
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    terms AS (
+      SELECT st.source,
+             CAST(FLOOR(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)
+                        * LN(CAST(c_st AS DOUBLE) * CAST(n.n AS DOUBLE)
+                             / (CAST(c_t AS DOUBLE) * CAST(n_s AS DOUBLE)))
+                        * 1e9 + 0.5) AS BIGINT) AS term_e9
+      FROM st JOIN t_tot USING (token) JOIN s_tot USING (source), n
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_s,
+           CAST(SUM(term_e9) AS BIGINT) AS kl_e9
+    FROM terms GROUP BY source
+    """,
+)
+def q_text_kl_source_mixture(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram distribution —
+    the data-mixing diagnostic behind mixture re-weighting: a source
+    whose KL(p_source || p_corpus) is high contributes out-of-mixture
+    text; near-zero means it duplicates the corpus distribution.
+
+    All probability numerators/denominators are exact BIGINT counts
+    from three map-side-combinable aggregations (per source+token, per
+    source, per token); KL = sum_w p*ln(p/q) is assembled per term with
+    an identical double expression tree on both engines and fixed-
+    pointed to e9 BEFORE the per-source sum (p*ln(p/q) is bounded by
+    the KL value itself, so the e9 BIGINT sum cannot overflow), making
+    the result invariant to partial-agg merge order. Plan shape at
+    scale: the per-(source,token) table is sources x vocabulary (small
+    vs the corpus), the token-totals join shuffles on token, the
+    source-totals and corpus-total joins are broadcast scalars."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    s_tot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    t_tot = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c_t"))
+    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    joined = (
+        st.join(t_tot, "token")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    term = (
+        F.col("c_st").cast("double")
+        / F.col("n_s").cast("double")
+        * F.log(
+            F.col("c_st").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("c_t").cast("double") * F.col("n_s").cast("double"))
+        )
+    )
+    return (
+        joined.select("source", F.floor(term * 1e9 + F.lit(0.5)).cast("long").alias("term_e9"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_s"),
+            F.sum("term_e9").alias("kl_e9"),
+        )
+    )

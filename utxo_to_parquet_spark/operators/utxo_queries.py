@@ -838,3 +838,95 @@ def q_utxo_pubkey_decompress(spark, sf_dir):
             F.sum("amount").alias("total_sats"),
         )
     )
+
+
+# --- Dust economics: spendability of the UTXO set as feerates rise ------
+
+# vbytes to SPEND one input of each template (outpoint 36 + sequence 4 +
+# scriptsig/witness): P2PKH ~148 (107-byte scriptsig), P2SH ~91
+# (redeem-script average), P2WPKH ~68 (witness discount). OP_RETURN is
+# provably unspendable and excluded. Same constants both engines.
+DUST_VBYTES = {"p2pkh": 148, "p2sh": 91, "p2wpkh": 68}
+DUST_FEERATES = (1, 10, 50)  # sat/vB sweep
+
+
+@register(
+    "q_utxo_dust_feerate",
+    oracle=f"""
+    WITH scripted AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS amount,
+             CASE l_partkey % 4
+               WHEN 0 THEN 'p2pkh' WHEN 1 THEN 'p2sh' WHEN 2 THEN 'p2wpkh'
+               ELSE 'op_return' END AS script_type
+      FROM lineitem
+    ),
+    vb AS (
+      SELECT * FROM (VALUES {", ".join(f"('{t}', CAST({v} AS BIGINT))" for t, v in sorted(DUST_VBYTES.items()))})
+        AS v(script_type, vbytes)
+    ),
+    fr AS (
+      SELECT * FROM (VALUES {", ".join(f"(CAST({f} AS BIGINT))" for f in DUST_FEERATES)})
+        AS f(feerate)
+    )
+    SELECT feerate, s.script_type,
+           CAST(COUNT(*) AS BIGINT) AS n_utxos,
+           CAST(SUM(CASE WHEN amount < feerate * vbytes THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dust,
+           CAST(SUM(CASE WHEN amount < feerate * vbytes THEN amount ELSE 0 END)
+             AS BIGINT) AS dust_sats,
+           CAST(SUM(CASE WHEN amount < feerate * vbytes THEN 1 ELSE 0 END)
+             * 10000 // COUNT(*) AS BIGINT) AS dust_bp
+    FROM scripted s JOIN vb USING (script_type) CROSS JOIN fr
+    GROUP BY feerate, s.script_type
+    """,
+)
+def q_utxo_dust_feerate(spark, sf_dir):
+    """Dust-at-feerate sweep: for each spendable script template, how
+    many UTXOs (and how much value) cost more to spend than they are
+    worth at 1/10/50 sat/vB — the economics panel every fee-market
+    analysis opens with (reference's data model: amount + script
+    template, src/main.rs decode surface).
+
+    Entirely integer arithmetic (amounts in sats, spend cost =
+    feerate x template vbytes), so the result is hash-stable by
+    construction — no fixed-point engineering needed. Plan shape: one
+    fact-table scan classified by a CASE expression, a broadcast join
+    to the 3-row vbytes dim, a broadcast cross join to the 3-row
+    feerate sweep (fans each row out 3x BEFORE the aggregate, but the
+    map-side partial agg collapses it to 9 groups per partition), one
+    9-group shuffle. The integer basis-point ratio uses floor division
+    on non-negative operands, where Spark div and DuckDB // agree."""
+    li = load(spark, sf_dir, "lineitem")
+    stype = (
+        F.when(F.col("l_partkey") % 4 == 0, "p2pkh")
+        .when(F.col("l_partkey") % 4 == 1, "p2sh")
+        .when(F.col("l_partkey") % 4 == 2, "p2wpkh")
+        .otherwise("op_return")
+    )
+    scripted = li.select(
+        F.floor(F.col("l_extendedprice") * 100).alias("amount"),
+        stype.alias("script_type"),
+    )
+    vb = spark.createDataFrame(
+        sorted(DUST_VBYTES.items()), "script_type string, vbytes long"
+    )
+    fr = spark.createDataFrame([(f,) for f in DUST_FEERATES], "feerate long")
+    dust = F.col("amount") < F.col("feerate") * F.col("vbytes")
+    return (
+        scripted.join(F.broadcast(vb), "script_type")
+        .crossJoin(F.broadcast(fr))
+        .groupBy("feerate", "script_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_utxos"),
+            F.sum(F.when(dust, 1).otherwise(0)).alias("n_dust"),
+            F.sum(F.when(dust, F.col("amount")).otherwise(0)).alias("dust_sats"),
+        )
+        .select(
+            "feerate",
+            "script_type",
+            "n_utxos",
+            "n_dust",
+            "dust_sats",
+            F.expr("n_dust * 10000 div n_utxos").alias("dust_bp"),
+        )
+    )
