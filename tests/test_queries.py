@@ -1264,3 +1264,64 @@ def test_dust_threshold_is_strict_and_per_template(tmp_path, spark):
     assert r10.dust_bp == 5000
     r1 = out[(1, "p2wpkh")]  # cost 68: neither 680 nor 679 is dust
     assert r1.n_dust == 0 and r1.dust_bp == 0
+
+
+def test_label_confusion_flags_planted_mislabel(tmp_path, spark):
+    """Five 2-d vectors, one of them (vec 4, labeled 0) sitting inside
+    label 1's cluster: nearest-centroid assignment must put exactly that
+    vector off-diagonal, even though it drags its own centroid."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/embeddings.parquet")
+    rows = [
+        dict(vec_id=0, embedding=[1.0, 0.0], label=0),
+        dict(vec_id=1, embedding=[0.9, 0.1], label=0),
+        dict(vec_id=2, embedding=[0.0, 1.0], label=1),
+        dict(vec_id=3, embedding=[0.1, 0.9], label=1),
+        dict(vec_id=4, embedding=[0.0, 1.1], label=0),  # planted mislabel
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = {(r.label, r.assigned): r.n_vecs for r in
+           QUERIES["q_sim_label_confusion"](spark, str(tmp_path)).collect()}
+    assert out == {(0, 0): 2, (0, 1): 1, (1, 1): 2}
+
+
+def test_bot_regularity_separates_metronome_from_bursty(tmp_path, spark):
+    """User 1: six events exactly 10 min apart -> cv^2 = 0, bot_like.
+    User 2: bursty gaps -> cv^2 >> threshold, human. User 3: only three
+    events (2 gaps) excluded; user 4: all events in one minute (sg=0)
+    excluded."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/events.parquet")
+    t0 = dt.datetime(2025, 1, 1)
+    rows, eid = [], 0
+
+    def ev(uid, minutes):
+        nonlocal eid
+        eid += 1
+        return dict(event_id=eid, ts=t0 + dt.timedelta(minutes=minutes),
+                    user_id=uid, event_type="a", value=1.0, props="{}")
+
+    rows += [ev(1, 10 * i) for i in range(6)]                # metronome
+    rows += [ev(2, m) for m in [0, 1, 51, 53, 113, 116]]     # bursty
+    rows += [ev(3, m) for m in [0, 10, 20]]                  # too thin
+    rows += [ev(4, m) for m in [0.1 * i for i in range(6)]]  # sub-minute
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "events.parquet"),
+    )
+    out = {r.user_id: r for r in
+           QUERIES["q_events_bot_regularity"](spark, str(tmp_path)).collect()}
+    assert sorted(out) == [1, 2]
+    assert out[1].cv2_e6 == 0 and out[1].bot_like
+    # gaps: 1,50,2,60,3 min -> cv^2 = (5*6114 - 116^2)/116^2
+    assert out[2].cv2_e6 == int((5 * 6114 - 116 * 116) / (116 * 116) * 1e6 + 0.5)
+    assert not out[2].bot_like

@@ -2388,3 +2388,86 @@ def q_events_attribution(spark, sf_dir):
             .alias("last_touch_value_e4"),
         )
     )
+
+
+# --- Bot / automation detection via inter-event cadence regularity -------
+
+BOT_MIN_GAPS = 5          # users with fewer gaps are unclassifiable
+BOT_CV2_E6 = 50_000       # cv^2 < 0.05 (cv < ~0.22): metronome-like cadence
+MIN_NS_GAP = 60 * NS      # gap unit: whole minutes (keeps sum(g^2) in int64)
+
+
+@register(
+    "q_events_bot_regularity",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             (CAST(epoch_ns(ts) AS BIGINT)
+              - LAG(CAST(epoch_ns(ts) AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+             // {MIN_NS_GAP} AS gap_min
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_min) AS BIGINT) AS sg,
+             CAST(SUM(gap_min * gap_min) AS BIGINT) AS sgg
+      FROM seq WHERE gap_min IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps, sg AS sum_gap_min,
+           CAST(FLOOR((CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+                       - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                      / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                      * 1e6 + 0.5) AS BIGINT) AS cv2_e6,
+           (CAST(FLOOR((CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+                        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                       / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                       * 1e6 + 0.5) AS BIGINT) < {BOT_CV2_E6})
+             AS bot_like
+    FROM s
+    WHERE n_gaps >= {BOT_MIN_GAPS} AND sg > 0
+    """,
+)
+def q_events_bot_regularity(spark, sf_dir):
+    """Automation screen over per-user event cadence: a human's
+    inter-event gaps are bursty (squared coefficient of variation >> 0),
+    a cron job's are metronome-regular (cv^2 near 0). Flags users whose
+    cadence regularity crosses BOT_CV2_E6 — the abuse-filtering pass a
+    training pipeline runs over engagement logs before trusting them.
+
+    cv^2 = var/mean^2 = (n*Σg² - (Σg)²)/(Σg)² is computed from exact
+    BIGINT moment sums of whole-MINUTE gaps (minute units keep Σg² well
+    inside int64 even at millions of events per user; the linreg_trend
+    moment-sum recipe), then one identical double expression tree +
+    fixed-point on both engines. The lag runs in a user-PARTITIONED
+    window ordered by (ts, event_id) — a deterministic total order even
+    under timestamp ties — and everything after is one map-side-
+    combinable aggregate. Degenerate users (all events inside one
+    minute, sg=0) and thin users (< BOT_MIN_GAPS gaps) are excluded on
+    both sides."""
+    ev = load_events(spark, sf_dir)
+    seq = ev.select(
+        "user_id",
+        F.expr(f"(ts - lag(ts) over (partition by user_id order by ts, event_id)) div {MIN_NS_GAP}").alias("gap_min"),
+    )
+    s = (
+        seq.filter(F.col("gap_min").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_min").alias("sg"),
+            F.sum(F.col("gap_min") * F.col("gap_min")).alias("sgg"),
+        )
+        .filter((F.col("n_gaps") >= BOT_MIN_GAPS) & (F.col("sg") > 0))
+    )
+    nd = F.col("n_gaps").cast("double")
+    sgd = F.col("sg").cast("double")
+    cv2 = (nd * F.col("sgg").cast("double") - sgd * sgd) / (sgd * sgd)
+    cv2_e6 = F.floor(cv2 * 1e6 + F.lit(0.5)).cast("long")
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.col("sg").alias("sum_gap_min"),
+        cv2_e6.alias("cv2_e6"),
+        (cv2_e6 < BOT_CV2_E6).alias("bot_like"),
+    )

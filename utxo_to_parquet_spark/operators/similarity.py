@@ -1619,3 +1619,103 @@ def q_sim_rrf_fusion(spark, sf_dir):
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+# --- Nearest-centroid label confusion (label-noise audit) ----------------
+
+
+@register(
+    "q_sim_label_confusion",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+             CAST(FLOOR(UNNEST(embedding::DOUBLE[]) * 1e6 + 0.5) AS BIGINT)
+               AS ve6
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS c_label, dim,
+             CAST(FLOOR(CAST(SUM(ve6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                        + 0.5) AS BIGINT) AS ce6
+      FROM dims GROUP BY label, dim
+    ),
+    d2 AS (
+      SELECT d.vec_id, d.label, c.c_label,
+             CAST(SUM((d.ve6 - c.ce6) * (d.ve6 - c.ce6)) AS BIGINT) AS d2
+      FROM dims d JOIN cent c USING (dim)
+      GROUP BY d.vec_id, d.label, c.c_label
+    ),
+    assigned AS (
+      SELECT vec_id, label, c_label, d2 FROM (
+        SELECT vec_id, label, c_label, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, c_label) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    )
+    SELECT label, c_label AS assigned,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(d2) AS BIGINT) AS sum_d2_e12
+    FROM assigned GROUP BY label, c_label
+    """,
+)
+def q_sim_label_confusion(spark, sf_dir):
+    """Nearest-centroid label confusion matrix — the label-noise audit a
+    training pipeline runs before trusting ``label`` as supervision: a
+    vector assigned to a DIFFERENT label's centroid than its own is a
+    candidate mislabel, and the off-diagonal mass is the noise estimate.
+
+    Unlike the float-AVG centroid in q_sim_kmeans (documented 1e-15
+    argmin tolerance), this op is exact-integer end to end: embedding
+    coordinates are fixed-pointed to e6 BIGINTs, per-label centroid
+    coordinates are the rounded rational mean floor(sum/n + 0.5)
+    (int64-exact double division, identical on both engines), and all
+    squared distances are BIGINT sums — so the argmin (tie-broken by
+    label) is bit-deterministic by construction, with no equidistance
+    epsilon to argue about. Plan shape at scale: one posexplode to
+    corpus x dim rows, a map-side-combinable centroid aggregate (labels
+    x dim rows), a BROADCAST join of that tiny centroid table back onto
+    the dim rows (fan-out = n_labels, a constant), one partial-agg
+    shuffle to per-(vec, candidate) distances, and a vec-PARTITIONED
+    argmin window. Everything JVM-side."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("ve6"),
+    )
+    cent = (
+        dims.groupBy(F.col("label").alias("c_label"), "dim")
+        .agg(F.sum("ve6").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_label",
+            "dim",
+            F.floor(F.col("s").cast("double") / F.col("n").cast("double") + F.lit(0.5))
+            .cast("long")
+            .alias("ce6"),
+        )
+    )
+    diff = F.col("ve6") - F.col("ce6")
+    d2 = (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "c_label")
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("c_label").alias("assigned"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("d2").alias("sum_d2_e12"),
+        )
+    )
