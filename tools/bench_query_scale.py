@@ -126,6 +126,17 @@ OPS = {
     "q_events_autocorr_lag": "events",
     "q_text_perplexity_buckets": "documents",
     "q_text_dsir_weights": "documents",
+    # round 8b: corpus-stat fits (vocab grows with the salted copies but
+    # the distinct-frequency window stays tiny), mixture KL (sources x
+    # vocab table), exact-integer centroid classify (constant label
+    # fan-out), cadence cv^2 (user-partitioned lag + one agg), and the
+    # two pure scan+agg audits — all expected ~linear-or-below
+    "q_text_zipf_fit": "documents",
+    "q_text_kl_source_mixture": "documents",
+    "q_sim_label_confusion": "embeddings",
+    "q_events_bot_regularity": "events",
+    "q_agg_benford_audit": "graph",
+    "q_utxo_dust_feerate": "graph",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS
