@@ -1325,3 +1325,73 @@ def test_bot_regularity_separates_metronome_from_bursty(tmp_path, spark):
     # gaps: 1,50,2,60,3 min -> cv^2 = (5*6114 - 116^2)/116^2
     assert out[2].cv2_e6 == int((5 * 6114 - 116 * 116) / (116 * 116) * 1e6 + 0.5)
     assert not out[2].bot_like
+
+
+def test_assortativity_is_minus_one_on_a_star(tmp_path, spark):
+    """A pure star (one supplier, three customers) is perfectly
+    disassortative: every edge joins degree 1 to degree 3, r = -1."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2025, 1, 1)
+    li_base = pq.read_schema(f"{SF_DIR}/lineitem.parquet")
+    o_base = pq.read_schema(f"{SF_DIR}/orders.parquet")
+    li = [dict(l_orderkey=k, l_partkey=1, l_suppkey=7, l_linenumber=1,
+               l_quantity=1.0, l_extendedprice=1.0, l_discount=0.0,
+               l_tax=0.0, l_returnflag="N", l_linestatus="O", l_shipdate=t0)
+          for k in (1, 2, 3)]
+    orders = [dict(o_orderkey=k, o_custkey=100 + k, o_orderstatus="O",
+                   o_totalprice=1.0, o_orderdate=t0, o_orderpriority="1")
+              for k in (1, 2, 3)]
+    pq.write_table(pa.Table.from_pylist(li, schema=pa.schema(list(li_base))),
+                   str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.Table.from_pylist(orders, schema=pa.schema(list(o_base))),
+                   str(tmp_path / "orders.parquet"))
+    (row,) = QUERIES["q_graph_assortativity"](spark, str(tmp_path)).collect()
+    assert row.n_directed_edges == 6
+    assert row.assortativity_e6 == -1_000_000
+
+
+def test_silhouette_signs_match_planted_geometry(tmp_path, spark):
+    """On the mislabel fixture from the confusion test, the planted
+    mislabel must be the only negative-silhouette vector, and the
+    per-label sums must match an independent numpy replay of the exact
+    integer recipe."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/embeddings.parquet")
+    vecs = {0: ([1.0, 0.0], 0), 1: ([0.9, 0.1], 0), 2: ([0.0, 1.0], 1),
+            3: ([0.1, 0.9], 1), 4: ([0.0, 1.1], 0)}
+    rows = [dict(vec_id=i, embedding=v, label=l) for i, (v, l) in vecs.items()]
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+                   str(tmp_path / "embeddings.parquet"))
+
+    # numpy replay of the exact-integer recipe
+    ve6 = {i: np.array([math.floor(x * 1e6 + 0.5) for x in v], dtype=np.int64)
+           for i, (v, _) in vecs.items()}
+    cents = {}
+    for lbl in (0, 1):
+        mem = [ve6[i] for i, (_, l) in vecs.items() if l == lbl]
+        cents[lbl] = np.array(
+            [math.floor(sum(int(m[d]) for m in mem) / len(mem) + 0.5)
+             for d in range(2)], dtype=np.int64)
+    expect = {0: [0, 0], 1: [0, 0]}  # label -> [sum_s_e6, n_negative]
+    for i, (_, lbl) in vecs.items():
+        a2 = int(((ve6[i] - cents[lbl]) ** 2).sum())
+        b2 = int(((ve6[i] - cents[1 - lbl]) ** 2).sum())
+        a, b = math.sqrt(a2), math.sqrt(b2)
+        s = 0 if max(a, b) == 0 else math.floor((b - a) / max(a, b) * 1e6 + 0.5)
+        expect[lbl][0] += s
+        expect[lbl][1] += 1 if s < 0 else 0
+    out = {r.label: r for r in
+           QUERIES["q_sim_silhouette"](spark, str(tmp_path)).collect()}
+    for lbl in (0, 1):
+        assert out[lbl].sum_sil_e6 == expect[lbl][0]
+        assert out[lbl].n_negative == expect[lbl][1]
+    assert out[0].n_negative == 1 and out[1].n_negative == 0  # vec 4 only

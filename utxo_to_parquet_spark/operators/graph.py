@@ -432,3 +432,94 @@ def q_graph_kcore(spark, sf_dir):
         _render_node("src").alias("node"),
         F.col("core_degree").cast("long").alias("core_degree"),
     )
+
+
+# --- Degree assortativity: do hubs trade with hubs? -----------------------
+
+
+@register(
+    "q_graph_assortativity",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    xy AS (
+      SELECT ds.d AS x, dd.d AS y
+      FROM edges e JOIN deg ds ON e.src = ds.node
+                   JOIN deg dd ON e.dst = dd.node
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM xy
+    )
+    SELECT n AS n_directed_edges,
+           CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      * 1e6 + 0.5) AS BIGINT) AS assortativity_e6
+    FROM s
+    """,
+)
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity coefficient of the trade graph — Newman's
+    r: the Pearson correlation of endpoint degrees over the (mirrored)
+    edge list. r < 0 (disassortative) is the hub-and-spoke signature of
+    trade/web graphs; a sign flip on refresh is a structural-drift alarm.
+
+    Exactness recipe: degrees are exact BIGINT counts; the six moment
+    sums over the edge list (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs
+    under any partial-agg merge order; r is then one identical double
+    expression tree on both engines — IEEE sqrt is correctly rounded, so
+    even the denominator is bit-stable. Plan: edge build (one join +
+    distinct), a degree aggregate, two shuffle joins edge→degree (the
+    degree table is |nodes|, broadcastable on most real graphs), one
+    map-side-combinable global aggregate to a single row. Σx² bounds:
+    max-degree² x |edges| must fit int64 — at 1e5 max degree that allows
+    ~1e8 edges; past that the documented swap is degree-BUCKETED
+    assortativity (correlate log2-bucket indices, same moment recipe)."""
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    xy = (
+        edges.join(deg.withColumnRenamed("src", "node"), F.col("src") == F.col("node"))
+        .select(F.col("dst"), F.col("d").alias("x"))
+        .join(
+            deg.select(F.col("src").alias("node2"), F.col("d").alias("y")),
+            F.col("dst") == F.col("node2"),
+        )
+        .select("x", "y")
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    den = F.sqrt(
+        (nd * F.col("sxx").cast("double") - sxd * sxd)
+        * (nd * F.col("syy").cast("double") - syd * syd)
+    )
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.floor(num / den * 1e6 + F.lit(0.5)).cast("long").alias("assortativity_e6"),
+    )

@@ -1621,6 +1621,43 @@ def q_sim_rrf_fusion(spark, sf_dir):
     )
 
 
+def _label_centroid_d2(emb):
+    """(vec_id, label, c_label, d2): exact-integer squared distance of
+    every vector to every label centroid — shared by the confusion and
+    silhouette audits. e6 fixed-point coordinates, rounded rational
+    centroid floor(sum/n + 0.5) (int64-exact double division), BIGINT
+    squared sums; broadcast centroid join, constant n_labels fan-out."""
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("ve6"),
+    )
+    cent = (
+        dims.groupBy(F.col("label").alias("c_label"), "dim")
+        .agg(F.sum("ve6").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_label",
+            "dim",
+            F.floor(F.col("s").cast("double") / F.col("n").cast("double") + F.lit(0.5))
+            .cast("long")
+            .alias("ce6"),
+        )
+    )
+    diff = F.col("ve6") - F.col("ce6")
+    return (
+        dims.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+
+
 # --- Nearest-centroid label confusion (label-noise audit) ----------------
 
 
@@ -1660,6 +1697,7 @@ def q_sim_rrf_fusion(spark, sf_dir):
     FROM assigned GROUP BY label, c_label
     """,
 )
+
 def q_sim_label_confusion(spark, sf_dir):
     """Nearest-centroid label confusion matrix — the label-noise audit a
     training pipeline runs before trusting ``label`` as supervision: a
@@ -1680,35 +1718,7 @@ def q_sim_label_confusion(spark, sf_dir):
     shuffle to per-(vec, candidate) distances, and a vec-PARTITIONED
     argmin window. Everything JVM-side."""
     emb = load(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("dim", "v"),
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("dim") + 1).alias("dim"),
-        F.floor(F.col("v").cast("double") * 1e6 + F.lit(0.5))
-        .cast("long")
-        .alias("ve6"),
-    )
-    cent = (
-        dims.groupBy(F.col("label").alias("c_label"), "dim")
-        .agg(F.sum("ve6").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "c_label",
-            "dim",
-            F.floor(F.col("s").cast("double") / F.col("n").cast("double") + F.lit(0.5))
-            .cast("long")
-            .alias("ce6"),
-        )
-    )
-    diff = F.col("ve6") - F.col("ce6")
-    d2 = (
-        dims.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "label", "c_label")
-        .agg(F.sum(diff * diff).alias("d2"))
-    )
+    d2 = _label_centroid_d2(emb)
     w = W.partitionBy("vec_id").orderBy("d2", "c_label")
     return (
         d2.withColumn("rn", F.row_number().over(w))
@@ -1717,5 +1727,95 @@ def q_sim_label_confusion(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.sum("d2").alias("sum_d2_e12"),
+        )
+    )
+
+
+@register(
+    "q_sim_silhouette",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+             CAST(FLOOR(UNNEST(embedding::DOUBLE[]) * 1e6 + 0.5) AS BIGINT)
+               AS ve6
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS c_label, dim,
+             CAST(FLOOR(CAST(SUM(ve6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                        + 0.5) AS BIGINT) AS ce6
+      FROM dims GROUP BY label, dim
+    ),
+    d2 AS (
+      SELECT d.vec_id, d.label, c.c_label,
+             CAST(SUM((d.ve6 - c.ce6) * (d.ve6 - c.ce6)) AS BIGINT) AS d2
+      FROM dims d JOIN cent c USING (dim)
+      GROUP BY d.vec_id, d.label, c.c_label
+    ),
+    own AS (
+      SELECT vec_id, label, d2 AS a2 FROM d2 WHERE label = c_label
+    ),
+    other AS (
+      SELECT vec_id, label, MIN(d2) AS b2 FROM d2
+      WHERE label <> c_label GROUP BY vec_id, label
+    ),
+    sil AS (
+      SELECT o.label,
+             CASE WHEN GREATEST(SQRT(CAST(a2 AS DOUBLE)),
+                                SQRT(CAST(b2 AS DOUBLE))) = 0 THEN 0
+                  ELSE CAST(FLOOR((SQRT(CAST(b2 AS DOUBLE))
+                                   - SQRT(CAST(a2 AS DOUBLE)))
+                                  / GREATEST(SQRT(CAST(a2 AS DOUBLE)),
+                                             SQRT(CAST(b2 AS DOUBLE)))
+                                  * 1e6 + 0.5) AS BIGINT) END AS s_e6
+      FROM own o JOIN other t ON o.vec_id = t.vec_id AND o.label = t.label
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s_e6) AS BIGINT) AS sum_sil_e6,
+           CAST(SUM(CASE WHEN s_e6 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative
+    FROM sil GROUP BY label
+    """,
+)
+def q_sim_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per label — the cluster-
+    quality score for the label partition of the embedding space:
+    s = (b - a) / max(a, b) with a = distance to the own-label centroid
+    and b = the nearest OTHER label centroid. Per-label silhouette mass
+    plus the count of negative-silhouette vectors (sitting closer to a
+    foreign centroid — the same population q_sim_label_confusion flags,
+    now with a magnitude). Centroid-based, so the cost is linear in
+    corpus x n_labels — never the all-pairs sum the textbook silhouette
+    needs.
+
+    Shares q_sim_label_confusion's exact-integer distance pipeline
+    (_label_centroid_d2): a² and b² are BIGINTs, min-over-labels is an
+    exact integer comparison, and the only float step is the final
+    IEEE-sqrt/divide expression tree — identical on both engines —
+    fixed-pointed per vector BEFORE the per-label sum."""
+    emb = load(spark, sf_dir, "embeddings")
+    d2 = _label_centroid_d2(emb)
+    own = d2.filter(F.col("label") == F.col("c_label")).select(
+        "vec_id", "label", F.col("d2").alias("a2")
+    )
+    other = (
+        d2.filter(F.col("label") != F.col("c_label"))
+        .groupBy("vec_id", "label")
+        .agg(F.min("d2").alias("b2"))
+    )
+    a = F.sqrt(F.col("a2").cast("double"))
+    b = F.sqrt(F.col("b2").cast("double"))
+    s_e6 = F.when(F.greatest(a, b) == 0, F.lit(0).cast("long")).otherwise(
+        F.floor((b - a) / F.greatest(a, b) * 1e6 + F.lit(0.5)).cast("long")
+    )
+    return (
+        own.join(other, ["vec_id", "label"])
+        .select("label", s_e6.alias("s_e6"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("s_e6").alias("sum_sil_e6"),
+            F.sum(F.when(F.col("s_e6") < 0, 1).otherwise(0)).alias("n_negative"),
         )
     )
