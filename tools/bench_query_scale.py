@@ -137,6 +137,10 @@ OPS = {
     "q_events_bot_regularity": "events",
     "q_agg_benford_audit": "graph",
     "q_utxo_dust_feerate": "graph",
+    # round 8c: moment-sum assortativity (degree join + one agg) and the
+    # centroid silhouette (same constant-label fan-out as confusion)
+    "q_graph_assortativity": "graph",
+    "q_sim_silhouette": "embeddings",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS
