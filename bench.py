@@ -161,6 +161,17 @@ HEADLINE = [
     "q_mix_temperature_weights",
     "q_text_dsir_weights",
     "q_events_attribution",
+    # round 8b/c: corpus-stat fits, mixture KL, Benford + dust audits,
+    # exact-integer centroid classify/silhouette, cadence cv^2,
+    # moment-sum assortativity
+    "q_text_zipf_fit",
+    "q_text_kl_source_mixture",
+    "q_agg_benford_audit",
+    "q_utxo_dust_feerate",
+    "q_sim_label_confusion",
+    "q_sim_silhouette",
+    "q_events_bot_regularity",
+    "q_graph_assortativity",
 ]
 
 UTXO_BENCH_ROWS = 2_000_000
