@@ -1395,3 +1395,58 @@ def test_silhouette_signs_match_planted_geometry(tmp_path, spark):
         assert out[lbl].sum_sil_e6 == expect[lbl][0]
         assert out[lbl].n_negative == expect[lbl][1]
     assert out[0].n_negative == 1 and out[1].n_negative == 0  # vec 4 only
+
+
+def test_cohort_revenue_triangle_cells_and_retention(tmp_path, spark):
+    """User A active weeks 0 and 1, user B only week 1: cohort 0 has
+    age-0 and age-1 cells (100% retention into age 1), cohort 1 has its
+    own age-0 cell; revenue mass lands in the right cells at e2."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/events.parquet")
+    t0 = dt.datetime(1970, 1, 1)  # epoch-aligned so weeks are 0,1,...
+    wk = dt.timedelta(seconds=604800)
+
+    def ev(eid, uid, t, v):
+        return dict(event_id=eid, ts=t, user_id=uid, event_type="a",
+                    value=v, props="{}")
+
+    rows = [
+        ev(1, 1, t0, 10.0), ev(2, 1, t0 + dt.timedelta(hours=1), 2.5),
+        ev(3, 1, t0 + wk, 4.0),
+        ev(4, 2, t0 + wk, 7.25),
+    ]
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+                   str(tmp_path / "events.parquet"))
+    out = {(r.cohort_week, r.age): r for r in
+           QUERIES["q_events_cohort_revenue"](spark, str(tmp_path)).collect()}
+    assert set(out) == {(0, 0), (0, 1), (1, 0)}
+    assert out[(0, 0)].n_users == 1 and out[(0, 0)].rev_e2 == 1250
+    assert out[(0, 1)].rev_e2 == 400 and out[(0, 1)].retained_bp == 10000
+    assert out[(1, 0)].n_users == 1 and out[(1, 0)].rev_e2 == 725
+
+
+def test_hhi_is_half_for_two_equal_suppliers(tmp_path, spark):
+    """Two suppliers with identical discounted revenue: shares are
+    exactly 0.5 each, HHI = 0.5 -> 5e11 at e12 scale."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/lineitem.parquet")
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [dict(l_orderkey=k, l_partkey=1, l_suppkey=s, l_linenumber=1,
+                 l_quantity=1.0, l_extendedprice=100.0, l_discount=0.1,
+                 l_tax=0.0, l_returnflag="N", l_linestatus="O",
+                 l_shipdate=t0)
+            for k, s in [(1, 7), (2, 9)]]
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+                   str(tmp_path / "lineitem.parquet"))
+    (row,) = QUERIES["q_agg_hhi_concentration"](spark, str(tmp_path)).collect()
+    assert row.n_suppliers == 2
+    assert row.total_rev_e2 == 18000  # 2 x 90.00
+    assert row.hhi_e12 == 500_000_000_000

@@ -57,6 +57,7 @@ ALLOWED_NESTED_LOOP = {
     "q_text_kl_source_mixture",  # corpus token total: 1-row count attach
     "q_agg_benford_audit",  # total order count: 1-row sum attach
     "q_utxo_dust_feerate",  # feerate sweep: 3-row constant dim fan-out
+    "q_agg_hhi_concentration",  # revenue total: 1-row sum attach
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —

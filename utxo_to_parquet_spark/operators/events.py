@@ -2471,3 +2471,86 @@ def q_events_bot_regularity(spark, sf_dir):
         cv2_e6.alias("cv2_e6"),
         (cv2_e6 < BOT_CV2_E6).alias("bot_like"),
     )
+
+
+# --- Cohort revenue triangle ----------------------------------------------
+
+WEEK_S = 604800
+
+
+@register(
+    "q_events_cohort_revenue",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT user_id,
+             CAST(FLOOR(EPOCH(ts) / {WEEK_S}) AS BIGINT) AS week,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_e2
+      FROM events GROUP BY user_id, week
+    ),
+    fw AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+    ),
+    cell AS (
+      SELECT f.cohort_week, w.week - f.cohort_week AS age,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(w.rev_e2) AS BIGINT) AS rev_e2
+      FROM weekly w JOIN fw f USING (user_id)
+      GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT cohort_week, n_users AS n0 FROM cell WHERE age = 0
+    )
+    SELECT c.cohort_week, c.age, c.n_users, c.rev_e2,
+           CAST(c.n_users * 10000 // b.n0 AS BIGINT) AS retained_bp
+    FROM cell c JOIN base b USING (cohort_week)
+    """,
+)
+def q_events_cohort_revenue(spark, sf_dir):
+    """Full cohort revenue triangle — every first-seen-week cohort by
+    age-in-weeks, with user counts, fixed-point revenue mass, and the
+    retention rate in basis points vs the cohort's week 0. Generalizes
+    q_events_retention (which tracks only the FIRST cohort's user
+    counts) to the complete cohort x age grid a growth dashboard plots.
+
+    Entirely integer: per-(user, week) revenue is fixed-pointed to e2
+    BEFORE any sum, weeks are floored epoch divisions, and the
+    basis-point ratio is floor division of positive BIGINTs (Spark div
+    and DuckDB // agree on non-negatives). Plan shape: two
+    map-side-combinable aggregates (user x week, then first-week per
+    user — the second's input is already user-collapsed), one shuffle
+    join back on user_id, the cohort x age rollup, and a join to the
+    age-0 relation whose size is |distinct weeks| — broadcastable at
+    any corpus scale."""
+    ev = load_events(spark, sf_dir)
+    weekly = (
+        ev.select(
+            "user_id",
+            F.expr(f"ts_sec div {WEEK_S}").alias("week"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_e2"),
+        )
+        .groupBy("user_id", "week")
+        .agg(F.sum("v_e2").alias("rev_e2"))
+    )
+    fw = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cell = (
+        weekly.join(fw, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("age"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("rev_e2").alias("rev_e2"),
+        )
+    )
+    base = cell.filter(F.col("age") == 0).select(
+        "cohort_week", F.col("n_users").alias("n0")
+    )
+    return (
+        cell.join(F.broadcast(base), "cohort_week")
+        .select(
+            "cohort_week",
+            "age",
+            "n_users",
+            "rev_e2",
+            F.expr("n_users * 10000 div n0").alias("retained_bp"),
+        )
+    )

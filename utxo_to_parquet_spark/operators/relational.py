@@ -3003,3 +3003,60 @@ def q_agg_benford_audit(spark, sf_dir):
         F.floor(expct * 1e4 + F.lit(0.5)).cast("long").alias("exp_e4"),
         F.floor(dev * dev / expct * 1e6 + F.lit(0.5)).cast("long").alias("chi_e6"),
     )
+
+
+@register(
+    "q_agg_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS rev_e2
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT CAST(SUM(rev_e2) AS BIGINT) AS tot FROM rev)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(MAX(tot) AS BIGINT) AS total_rev_e2,
+           CAST(SUM(CAST(FLOOR(CAST(rev_e2 AS DOUBLE) / CAST(tot AS DOUBLE)
+                               * (CAST(rev_e2 AS DOUBLE) / CAST(tot AS DOUBLE))
+                               * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS hhi_e12
+    FROM rev, tot
+    """,
+)
+def q_agg_hhi_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman market-concentration index over supplier
+    revenue shares — the antitrust-grade concentration screen (HHI in
+    [1/n, 1]; e12 scale puts the regulatory 0.15/0.25 thresholds at
+    1.5e11/2.5e11). Per-supplier discounted revenue is fixed-pointed to
+    e2 BEFORE summation (exact BIGINT under any merge order); each
+    squared share is one identical double expression tree fixed-pointed
+    to e12 per supplier before the final exact sum, so no float
+    summation order exists anywhere. Plan: one map-side-combinable
+    aggregate to |suppliers| rows, a 1-row broadcast total, one scalar
+    rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.select(
+            "l_suppkey",
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("v_e2"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("v_e2").alias("rev_e2"))
+    )
+    tot = rev.agg(F.sum("rev_e2").alias("tot"))
+    share = F.col("rev_e2").cast("double") / F.col("tot").cast("double")
+    term = F.floor(share * share * 1e12 + F.lit(0.5)).cast("long")
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(F.col("tot"), term.alias("term"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.max("tot").alias("total_rev_e2"),
+            F.sum("term").alias("hhi_e12"),
+        )
+    )
