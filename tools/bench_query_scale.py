@@ -141,6 +141,10 @@ OPS = {
     # centroid silhouette (same constant-label fan-out as confusion)
     "q_graph_assortativity": "graph",
     "q_sim_silhouette": "embeddings",
+    # round 8d: cohort triangle (user x week aggregate; time-shifted
+    # copies add cohorts, not per-cell rows) and the HHI scalar rollup
+    "q_events_cohort_revenue": "events",
+    "q_agg_hhi_concentration": "graph",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS
