@@ -1450,3 +1450,28 @@ def test_hhi_is_half_for_two_equal_suppliers(tmp_path, spark):
     assert row.n_suppliers == 2
     assert row.total_rev_e2 == 18000  # 2 x 90.00
     assert row.hhi_e12 == 500_000_000_000
+
+
+def test_pareto_skyline_dominance_semantics(tmp_path, spark):
+    """Skyline = {cheapest-old, mid-fresh, duplicate freshest pair};
+    the same-price-older order and the expensive-but-staler order are
+    dominated. Identical duplicate points both stay (no strict edge)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/orders.parquet")
+
+    def o(k, price, day):
+        return dict(o_orderkey=k, o_custkey=1, o_orderstatus="O",
+                    o_totalprice=price, o_orderdate=dt.datetime(2025, 1, day),
+                    o_orderpriority="1")
+
+    rows = [o(1, 50.0, 1), o(2, 100.0, 5), o(3, 100.0, 2), o(4, 200.0, 3),
+            o(5, 150.0, 6), o(6, 150.0, 6)]
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+                   str(tmp_path / "orders.parquet"))
+    keys = sorted(r.o_orderkey for r in
+                  QUERIES["q_agg_pareto_skyline"](spark, str(tmp_path)).collect())
+    assert keys == [1, 2, 5, 6]

@@ -117,6 +117,11 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "at web scale since Zipf guarantees frequency collisions; "
         "per-type ranking is in the f-PARTITIONED window"
     ),
+    "q_agg_pareto_skyline": (
+        "cross-bucket carry-in window runs over the groupBy(bkt) "
+        "aggregate — input is SKY_BUCKETS (<=32) rows regardless of "
+        "table size; fact rows only ever see bkt-PARTITIONED windows"
+    ),
     "q_pipeline_curriculum": (
         "two-pass global NTILE: the offset/total windows run over the "
         "per-partition count relation (32 rows) and the final cumsum "

@@ -3060,3 +3060,97 @@ def q_agg_hhi_concentration(spark, sf_dir):
             F.sum("term").alias("hhi_e12"),
         )
     )
+
+
+# --- Pareto skyline: cheapest-vs-freshest non-dominated orders ----------
+
+SKY_BUCKETS = 32
+
+
+@register(
+    "q_agg_pareto_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS p_e2,
+             CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS d_s
+      FROM orders
+    ),
+    sc AS (
+      SELECT o_orderkey, p_e2, d_s,
+             MAX(d_s) OVER (ORDER BY p_e2
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_d_cheaper,
+             MAX(d_s) OVER (PARTITION BY p_e2) AS max_d_same
+      FROM pts
+    )
+    SELECT o_orderkey, p_e2, d_s
+    FROM sc
+    WHERE (max_d_cheaper IS NULL OR max_d_cheaper < d_s)
+      AND max_d_same = d_s
+    """,
+)
+def q_agg_pareto_skyline(spark, sf_dir):
+    """Two-objective Pareto skyline over orders — minimize price,
+    maximize order date ("as cheap and as fresh as possible"): an order
+    is on the skyline iff no other order is both <= its price and >= its
+    date with one strict. The multi-objective top-k every marketplace /
+    procurement query family needs, and the one all-pairs-shaped
+    operator here with a clean distributed decomposition.
+
+    Dominance test in exact integers (e2 price, epoch-second date), so
+    membership is bit-deterministic. p is dominated iff
+    max(date | price < p.price) >= p.date  OR  max(date | price ==
+    p.price) > p.date; the oracle computes both with one RANGE window.
+    The Spark plan makes that scale-correct instead: price-RANGE buckets
+    from driver-side approxQuantile boundaries (bucketing only routes
+    computation — membership logic is boundary-independent, so the
+    sketch's nondeterminism cannot change results), a bucket-PARTITIONED
+    range window for the strictly-cheaper max, a (bucket, price) window
+    for the equal-price max, and a cross-bucket carry-in computed on the
+    SKY_BUCKETS-row bucket aggregate (the asof-join pattern) broadcast
+    back — no global window ever sees fact rows."""
+    orders = load(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("p_e2"),
+        # NTZ-safe epoch seconds: UTC session makes the NTZ→TZ cast
+        # epoch-preserving, unix_micros is exact integer micros
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000").alias(
+            "d_s"
+        ),
+    )
+    # value-range bucket boundaries: any boundary set is CORRECT (the
+    # dominance logic below never assumes balance), approxQuantile just
+    # keeps them balanced enough that no bucket holds the whole table
+    qs = [i / SKY_BUCKETS for i in range(1, SKY_BUCKETS)]
+    bnd = sorted(set(int(b) for b in pts.stat.approxQuantile("p_e2", qs, 0.01)))
+    bucket = F.lit(0)
+    for b in bnd:
+        bucket = bucket + F.when(F.col("p_e2") > b, 1).otherwise(0)
+    pts = pts.withColumn("bkt", bucket)
+    w_cheaper = (
+        W.partitionBy("bkt").orderBy("p_e2").rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_same = W.partitionBy("bkt", "p_e2")
+    sc = pts.select(
+        "o_orderkey",
+        "p_e2",
+        "d_s",
+        "bkt",
+        F.max("d_s").over(w_cheaper).alias("in_bkt_cheaper"),
+        F.max("d_s").over(w_same).alias("max_d_same"),
+    )
+    # carry-in: max date of all strictly-lower buckets, computed on the
+    # SKY_BUCKETS-row aggregate (bounded single-partition window)
+    bmax = pts.groupBy("bkt").agg(F.max("d_s").alias("bdmax"))
+    w_carry = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    carry = bmax.select("bkt", F.max("bdmax").over(w_carry).alias("carry"))
+    lo = F.lit(-(1 << 62))
+    joined = sc.join(F.broadcast(carry), "bkt")
+    max_d_cheaper = F.greatest(
+        F.coalesce(F.col("in_bkt_cheaper"), lo), F.coalesce(F.col("carry"), lo)
+    )
+    return joined.filter(
+        (max_d_cheaper < F.col("d_s")) & (F.col("max_d_same") == F.col("d_s"))
+    ).select("o_orderkey", "p_e2", "d_s")
