@@ -145,6 +145,9 @@ OPS = {
     # copies add cohorts, not per-cell rows) and the HHI scalar rollup
     "q_events_cohort_revenue": "events",
     "q_agg_hhi_concentration": "graph",
+    # round 8e: bucketed skyline — windows are bucket-partitioned, the
+    # only global step is the 32-row carry-in
+    "q_agg_pareto_skyline": "graph",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS
