@@ -1475,3 +1475,40 @@ def test_pareto_skyline_dominance_semantics(tmp_path, spark):
     keys = sorted(r.o_orderkey for r in
                   QUERIES["q_agg_pareto_skyline"](spark, str(tmp_path)).collect())
     assert keys == [1, 2, 5, 6]
+
+
+def test_modularity_on_two_perfect_communities(tmp_path, spark):
+    """Two nation-pure trading blocs: every pair is within-nation, so
+    each community's term is A_c/M - (K_c/M)^2 with all mass on the
+    diagonal; values pinned against a by-hand replay."""
+    import datetime as dt
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2025, 1, 1)
+    sch = {t: pq.read_schema(f"{SF_DIR}/{t}.parquet")
+           for t in ("lineitem", "orders", "customer", "supplier")}
+    # nation 1: customers 1,2 + supplier 11; nation 2: customer 3 + supplier 12
+    cust = [dict(c_custkey=k, c_name=f"c{k}", c_nationkey=n, c_acctbal=0.0,
+                 c_mktsegment="B") for k, n in [(1, 1), (2, 1), (3, 2)]]
+    supp = [dict(s_suppkey=k, s_name=f"s{k}", s_nationkey=n, s_acctbal=0.0)
+            for k, n in [(11, 1), (12, 2)]]
+    orders = [dict(o_orderkey=k, o_custkey=c, o_orderstatus="O",
+                   o_totalprice=1.0, o_orderdate=t0, o_orderpriority="1")
+              for k, c in [(1, 1), (2, 2), (3, 3)]]
+    li = [dict(l_orderkey=k, l_partkey=1, l_suppkey=s, l_linenumber=1,
+               l_quantity=1.0, l_extendedprice=1.0, l_discount=0.0, l_tax=0.0,
+               l_returnflag="N", l_linestatus="O", l_shipdate=t0)
+          for k, s in [(1, 11), (2, 11), (3, 12)]]
+    for name, rows in [("customer", cust), ("supplier", supp),
+                       ("orders", orders), ("lineitem", li)]:
+        pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(list(sch[name]))),
+                       str(tmp_path / f"{name}.parquet"))
+    out = {r.community: r for r in
+           QUERIES["q_graph_modularity"](spark, str(tmp_path)).collect()}
+    assert out[1].m == 6 and out[1].a_c == 4 and out[1].k_c == 4
+    assert out[2].a_c == 2 and out[2].k_c == 2
+    assert out[1].q_term_e9 == math.floor((4/6 - (4/6)*(4/6)) * 1e9 + 0.5)
+    assert out[2].q_term_e9 == math.floor((2/6 - (2/6)*(2/6)) * 1e9 + 0.5)

@@ -58,6 +58,7 @@ ALLOWED_NESTED_LOOP = {
     "q_agg_benford_audit",  # total order count: 1-row sum attach
     "q_utxo_dust_feerate",  # feerate sweep: 3-row constant dim fan-out
     "q_agg_hhi_concentration",  # revenue total: 1-row sum attach
+    "q_graph_modularity",  # directed edge count M: 1-row attach
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —

@@ -523,3 +523,107 @@ def q_graph_assortativity(spark, sf_dir):
         F.col("n").alias("n_directed_edges"),
         F.floor(num / den * 1e6 + F.lit(0.5)).cast("long").alias("assortativity_e6"),
     )
+
+
+# --- Modularity of the nation partition -----------------------------------
+
+
+@register(
+    "q_graph_modularity",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    lab AS (
+      SELECT p.ck, p.sk, c.c_nationkey AS cn, s.s_nationkey AS sn
+      FROM pairs p JOIN customer c ON p.ck = c.c_custkey
+                   JOIN supplier s ON p.sk = s.s_suppkey
+    ),
+    m AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS m FROM lab),
+    within AS (
+      SELECT cn AS community,
+             CAST(2 * SUM(CASE WHEN cn = sn THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_c
+      FROM lab GROUP BY cn
+    ),
+    degsum AS (
+      SELECT community, CAST(SUM(d) AS BIGINT) AS k_c FROM (
+        SELECT cn AS community, CAST(COUNT(*) AS BIGINT) AS d
+          FROM lab GROUP BY cn
+        UNION ALL
+        SELECT sn AS community, CAST(COUNT(*) AS BIGINT) AS d
+          FROM lab GROUP BY sn
+      ) GROUP BY community
+    )
+    SELECT d.community,
+           COALESCE(w.a_c, 0) AS a_c, d.k_c, m.m,
+           CAST(FLOOR((CAST(COALESCE(w.a_c, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+                       - (CAST(d.k_c AS DOUBLE) / CAST(m.m AS DOUBLE))
+                         * (CAST(d.k_c AS DOUBLE) / CAST(m.m AS DOUBLE)))
+                      * 1e9 + 0.5) AS BIGINT) AS q_term_e9
+    FROM degsum d LEFT JOIN within w ON d.community = w.community, m
+    """,
+)
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity of the nation partition of the trade graph:
+    Q = Σ_c (A_c/M − (K_c/M)²) over communities c, with A_c = directed
+    edges inside c, K_c = total degree in c, M = directed edge count —
+    the community-quality score that tells you whether trade actually
+    clusters along nation lines (Q > 0) or nations are a meaningless
+    partition of it (Q ≈ 0). Emitted per community so the interesting
+    communities are attributable; the scalar Q is the exact sum of
+    q_term_e9 / 1e9.
+
+    The customer↔supplier graph is bipartite, so within-community
+    directed edges are exactly 2x the distinct trading pairs whose two
+    endpoints share a nation. A_c/K_c/M are exact BIGINT counts (three
+    map-side-combinable aggregates over the labeled pair list); each
+    community's term is one identical double expression tree fixed-
+    pointed to e9, so the final scalar is order-free. Plan: the
+    pair-dedup shuffle, two dimension joins (customer/supplier — both
+    broadcastable on a real cluster), tiny nation-keyed rollups."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    lab = (
+        pairs.join(F.broadcast(cust), pairs.ck == cust.c_custkey)
+        .join(F.broadcast(supp), pairs.sk == supp.s_suppkey)
+        .select(F.col("c_nationkey").alias("cn"), F.col("s_nationkey").alias("sn"))
+    )
+    m = lab.agg((2 * F.count(F.lit(1))).alias("m"))
+    within = lab.groupBy(F.col("cn").alias("community")).agg(
+        (2 * F.sum(F.when(F.col("cn") == F.col("sn"), 1).otherwise(0))).alias("a_c")
+    )
+    degsum = (
+        lab.groupBy(F.col("cn").alias("community"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .unionAll(
+            lab.groupBy(F.col("sn").alias("community")).agg(
+                F.count(F.lit(1)).alias("d")
+            )
+        )
+        .groupBy("community")
+        .agg(F.sum("d").alias("k_c"))
+    )
+    j = (
+        degsum.join(within, "community", "left")
+        .withColumn("a_c", F.coalesce(F.col("a_c"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(m))
+    )
+    md = F.col("m").cast("double")
+    kd = F.col("k_c").cast("double")
+    term = F.col("a_c").cast("double") / md - (kd / md) * (kd / md)
+    return j.select(
+        "community",
+        "a_c",
+        "k_c",
+        "m",
+        F.floor(term * 1e9 + F.lit(0.5)).cast("long").alias("q_term_e9"),
+    )
