@@ -148,6 +148,7 @@ OPS = {
     # round 8e: bucketed skyline — windows are bucket-partitioned, the
     # only global step is the 32-row carry-in
     "q_agg_pareto_skyline": "graph",
+    "q_graph_modularity": "graph",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS
