@@ -132,3 +132,22 @@ def test_stream_ewma_matches_batch_across_real_microbatches(spark):
     replay_dir = _ORDERED_STREAM_DIRS[f"{sf}/events.parquet"]
     n_files = len([f for f in os.listdir(replay_dir) if f.endswith(".parquet")])
     assert n_files >= 2, "replay collapsed to one micro-batch"
+
+
+def test_stream_cadence_equals_batch_twin_and_crosses_commits(spark):
+    """The streamed fold over per-commit summaries must reproduce the
+    batch operator's (n_gaps, sum, cv^2) EXACTLY for every user — the
+    monoid merge is lossless, not approximate — and the replay must
+    genuinely cross multiple commits."""
+    from utxo_to_parquet_spark.operators import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    stream = {r.user_id: r for r in qs["q_stream_cadence"](spark, sf).collect()}
+    batch = {r.user_id: r for r in qs["q_events_bot_regularity"](spark, sf).collect()}
+    assert set(stream) == set(batch) and stream
+    for uid, b in batch.items():
+        s = stream[uid]
+        assert (s.n_gaps, s.sum_gap_min, s.cv2_e6) == (
+            b.n_gaps, b.sum_gap_min, b.cv2_e6), uid
+        assert s.multi_commit

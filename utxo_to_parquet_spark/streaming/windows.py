@@ -17,7 +17,7 @@ from typing import Iterator
 
 from pyspark.sql import functions as F
 
-from ..operators.events import normalize_ts_ns
+from ..operators.events import BOT_MIN_GAPS, MIN_NS_GAP, normalize_ts_ns
 from ..operators.registry import register
 
 NS = 1_000_000_000
@@ -1279,4 +1279,131 @@ def q_stream_heavy_hitters(spark, sf_dir):
                 <= F.col("n")
             ).alias("within_undercount"),
         )
+    )
+
+
+# --- streaming cadence maintenance: mergeable per-user gap moment sums ----
+
+_CAD_SINK_DIRS: dict[str, str] = {}
+
+
+@register(
+    "q_stream_cadence",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             (CAST(epoch_ns(ts) AS BIGINT)
+              - LAG(CAST(epoch_ns(ts) AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+             // {MIN_NS_GAP} AS gap_min
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_min) AS BIGINT) AS sg,
+             CAST(SUM(gap_min * gap_min) AS BIGINT) AS sgg
+      FROM seq WHERE gap_min IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps, sg AS sum_gap_min,
+           CAST(FLOOR((CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+                       - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                      / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+                      * 1e6 + 0.5) AS BIGINT) AS cv2_e6,
+           TRUE AS multi_commit
+    FROM s
+    WHERE n_gaps >= {BOT_MIN_GAPS} AND sg > 0
+    """,
+)
+def q_stream_cadence(spark, sf_dir):
+    """Streaming per-user cadence maintenance — the mergeable-state twin
+    of ``q_events_bot_regularity``. Per-user gap statistics form a
+    MONOID: each micro-batch commits only its per-user summary row
+    (first_ts, last_ts, n_events, batch-internal gap count/sum/sum-of-
+    squares — bounded by |users in batch|, never |events|), and two
+    adjacent summaries merge by adding their sums plus ONE bridging gap
+    (next.first − prev.last). The read-side fold is a lag over batch
+    summaries per user (at most REPLAY_BATCHES rows per user), after
+    which cv² must equal the batch operator's value EXACTLY — the oracle
+    IS the batch SQL, so this gate proves the decomposition is lossless,
+    not approximately right. Time-range batch splitting means ts ties
+    never straddle commits, and equal-ts permutations change no gap
+    value, so the merged moment sums are bit-identical to the
+    single-pass ones. ``multi_commit`` pins that the fold genuinely
+    crossed >= 2 commits."""
+    import os
+    import shutil
+
+    sdf = _events_time_ordered_stream(spark, sf_dir)
+    if sf_dir not in _CAD_SINK_DIRS:
+        _CAD_SINK_DIRS[sf_dir] = _tmpdir("cadence_sink_")
+    sk_dir = _CAD_SINK_DIRS[sf_dir] + "/summaries"
+    shutil.rmtree(sk_dir, ignore_errors=True)
+    os.makedirs(sk_dir)
+
+    def write_batch(batch_df, batch_id):
+        gap = F.expr(
+            f"(ts - lag(ts) over (partition by user_id "
+            f"order by ts, event_id)) div {MIN_NS_GAP}"
+        )
+        (
+            batch_df.select("user_id", "ts", gap.alias("gap_min"))
+            .groupBy("user_id")
+            .agg(
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+                F.sum(F.when(F.col("gap_min").isNotNull(), 1).otherwise(0)).alias("ng"),
+                F.coalesce(F.sum("gap_min"), F.lit(0)).alias("sg"),
+                F.coalesce(
+                    F.sum(F.col("gap_min") * F.col("gap_min")), F.lit(0)
+                ).alias("sgg"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sk_dir)
+        )
+
+    with _stream_partitions(spark):
+        q = sdf.writeStream.outputMode("append").foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+            _capture_stream_plan(q)
+        finally:
+            q.stop()
+
+    summ = spark.read.parquet(sk_dir)
+    n_commits = summ.select("batch_id").distinct().count()
+    bridged = summ.select(
+        "user_id",
+        "ng",
+        "sg",
+        "sgg",
+        F.expr(
+            f"(first_ts - lag(last_ts) over (partition by user_id "
+            f"order by batch_id)) div {MIN_NS_GAP}"
+        ).alias("bridge"),
+    )
+    s = (
+        bridged.groupBy("user_id")
+        .agg(
+            (
+                F.sum("ng")
+                + F.sum(F.when(F.col("bridge").isNotNull(), 1).otherwise(0))
+            ).alias("n_gaps"),
+            (F.sum("sg") + F.coalesce(F.sum("bridge"), F.lit(0))).alias("sg"),
+            (
+                F.sum("sgg")
+                + F.coalesce(F.sum(F.col("bridge") * F.col("bridge")), F.lit(0))
+            ).alias("sgg"),
+        )
+        .filter((F.col("n_gaps") >= BOT_MIN_GAPS) & (F.col("sg") > 0))
+    )
+    nd = F.col("n_gaps").cast("double")
+    sgd = F.col("sg").cast("double")
+    cv2 = (nd * F.col("sgg").cast("double") - sgd * sgd) / (sgd * sgd)
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.col("sg").alias("sum_gap_min"),
+        F.floor(cv2 * 1e6 + F.lit(0.5)).cast("long").alias("cv2_e6"),
+        F.lit(n_commits >= 2).alias("multi_commit"),
     )
