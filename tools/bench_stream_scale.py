@@ -49,6 +49,9 @@ OPS = {
     # round 8: Misra-Gries partial summaries per commit (HH_K counters
     # per stream partition + a total sentinel), merged by per-token SUM
     "q_stream_heavy_hitters": "events",
+    # round 8: cadence moment-sum monoid — per-commit summary rows are
+    # bounded by |active users|, constant under time-shifted replay
+    "q_stream_cadence": "events",
 }
 
 
