@@ -172,6 +172,13 @@ HEADLINE = [
     "q_sim_silhouette",
     "q_events_bot_regularity",
     "q_graph_assortativity",
+    "q_events_cohort_revenue",
+    "q_agg_hhi_concentration",
+    "q_agg_pareto_skyline",
+    "q_graph_modularity",
+    # q_stream_cadence is measured where streaming belongs —
+    # BENCH_stream_scale.json (throughput + state) and the recovery
+    # probe — not in the query-latency headline
 ]
 
 UTXO_BENCH_ROWS = 2_000_000
