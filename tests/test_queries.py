@@ -1512,3 +1512,52 @@ def test_modularity_on_two_perfect_communities(tmp_path, spark):
     assert out[2].a_c == 2 and out[2].k_c == 2
     assert out[1].q_term_e9 == math.floor((4/6 - (4/6)*(4/6)) * 1e9 + 0.5)
     assert out[2].q_term_e9 == math.floor((2/6 - (2/6)*(2/6)) * 1e9 + 0.5)
+
+
+def test_pareto_skyline_matches_bruteforce_on_random_points(tmp_path, spark):
+    """200 seeded-random orders (with planted price ties and duplicate
+    points) vs an O(n^2) brute-force dominance check — the bucketed
+    decomposition must agree exactly, boundaries and all."""
+    import datetime as dt
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(42)
+    pts = []
+    for k in range(1, 181):
+        pts.append((k, rng.randrange(1, 40) * 25.0, rng.randrange(1, 28)))
+    # planted structure: price ties, exact duplicates, extreme corners
+    pts += [(181, 500.0, 27), (182, 500.0, 27), (183, 25.0, 1), (184, 975.0, 27)]
+    for k in range(185, 201):
+        pts.append((k, 250.0, rng.randrange(1, 28)))
+
+    base = pq.read_schema(f"{SF_DIR}/orders.parquet")
+    rows = [dict(o_orderkey=k, o_custkey=1, o_orderstatus="O", o_totalprice=p,
+                 o_orderdate=dt.datetime(2025, 1, d), o_orderpriority="1")
+            for k, p, d in pts]
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+                   str(tmp_path / "orders.parquet"))
+
+    def dominated(a, b):  # b dominates a?
+        return (b[1] <= a[1] and b[2] >= a[2]) and (b[1] < a[1] or b[2] > a[2])
+
+    brute = sorted(k for k, p, d in pts
+                   if not any(dominated((k, p, d), q) for q in pts))
+    got = sorted(r.o_orderkey for r in
+                 QUERIES["q_agg_pareto_skyline"](spark, str(tmp_path)).collect())
+    assert got == brute
+
+
+def test_modularity_invariants_on_fixture(spark):
+    """Structural identities that must hold for ANY graph/partition:
+    degree sums add to M, within-edges never exceed degree mass, and
+    the Q terms sum to a value in (-0.5, 1)."""
+    rows = QUERIES["q_graph_modularity"](spark, SF_DIR).collect()
+    m = rows[0].m
+    assert all(r.m == m for r in rows)
+    assert sum(r.k_c for r in rows) == m
+    assert all(0 <= r.a_c <= r.k_c for r in rows)
+    q = sum(r.q_term_e9 for r in rows) / 1e9
+    assert -0.5 < q < 1.0
