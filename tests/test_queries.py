@@ -1561,3 +1561,26 @@ def test_modularity_invariants_on_fixture(spark):
     assert all(0 <= r.a_c <= r.k_c for r in rows)
     q = sum(r.q_term_e9 for r in rows) / 1e9
     assert -0.5 < q < 1.0
+
+
+def test_style_cosine_identical_vs_disjoint_profiles(tmp_path, spark):
+    """Two sources with the same function-word mix score cosine 1.0;
+    a source using a disjoint function-word basis scores 0 against both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_schema(f"{SF_DIR}/documents.parquet")
+    rows = [
+        dict(doc_id=1, text="the cat saw a dog the end", lang="en",
+             source="en1", n_chars=25),
+        dict(doc_id=2, text="the bird a fish the tree", lang="en",
+             source="en2", n_chars=24),  # same (the=2, a=1) ratio as en1
+        dict(doc_id=3, text="el gato vio la casa", lang="es",
+             source="es1", n_chars=19),  # disjoint basis words
+    ]
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+                   str(tmp_path / "documents.parquet"))
+    out = {(r.source_a, r.source_b): r.cosine_e6 for r in
+           QUERIES["q_text_style_cosine"](spark, str(tmp_path)).collect()}
+    assert out[("en1", "en2")] == 1_000_000
+    assert out[("en1", "es1")] == 0 and out[("en2", "es1")] == 0

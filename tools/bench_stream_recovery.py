@@ -71,6 +71,7 @@ def main() -> None:
     from utxo_to_parquet_spark.session import get_spark
     from utxo_to_parquet_spark.streaming.windows import (
         _stream_partitions,
+        cadence_batch_summary,
         ewma_stateful,
         incremental_dedup_matches,
         watermark_sliding_agg,
@@ -143,18 +144,35 @@ def main() -> None:
             "append",
             lambda d, sdf: incremental_dedup_matches(spark, d, sdf),
         ),
+        # cadence: state lives in the foreachBatch sink (mergeable
+        # summary rows), so the plan is the raw stream and the batch fn
+        # is the factored per-commit summary — restart recovery is the
+        # offset log plus one summary aggregation per new file
+        "q_stream_cadence": (
+            "events",
+            "append",
+            lambda d, sdf: (sdf, lambda df: cadence_batch_summary(df)),
+        ),
     }
 
     def drain(plan, mode, ckpt) -> float:
         # memory sink does NOT support checkpoint recovery; foreachBatch
         # does (it is the recoverable sink the registered
         # q_stream_foreachbatch_sink op uses), and the count() forces
-        # full materialization of every micro-batch
+        # full materialization of every micro-batch. A (plan, batch_fn)
+        # pair moves the op's work INTO the sink fn (the cadence shape).
+        batch_fn = None
+        if isinstance(plan, tuple):
+            plan, batch_fn = plan
         with _stream_partitions(spark):
             t0 = time.time()
             q = (
                 plan.writeStream.outputMode(mode)
-                .foreachBatch(lambda df, _epoch: df.count())
+                .foreachBatch(
+                    (lambda df, _e: batch_fn(df).count())
+                    if batch_fn is not None
+                    else (lambda df, _epoch: df.count())
+                )
                 .option("checkpointLocation", ckpt)
                 .start()
             )

@@ -59,6 +59,9 @@ ALLOWED_NESTED_LOOP = {
     "q_utxo_dust_feerate",  # feerate sweep: 3-row constant dim fan-out
     "q_agg_hhi_concentration",  # revenue total: 1-row sum attach
     "q_graph_modularity",  # directed edge count M: 1-row attach
+    # aggregate-level pair join: |sources|^2/2 over the PROFILE relation
+    # (thousands of rows at lake scale), never fact rows
+    "q_text_style_cosine",
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —

@@ -2565,3 +2565,102 @@ def q_text_kl_source_mixture(spark, sf_dir):
             F.sum("term_e9").alias("kl_e9"),
         )
     )
+
+
+# --- Stylometry: function-word profile similarity between sources --------
+
+# closed-class "function words" drawn from the fixture's language marker
+# set — content-independent, so profile similarity tracks STYLE/register,
+# not topic (the classical authorship-attribution signal)
+STYLE_WORDS = ("the", "a", "el", "la", "der", "die", "le", "de")
+
+
+def _style_counts_sql() -> str:
+    cols = ",\n             ".join(
+        f"{_occurrences_sql('lower(text)', w)} AS c{i}"
+        for i, w in enumerate(STYLE_WORDS)
+    )
+    sums = ", ".join(
+        f"CAST(SUM(c{i}) AS BIGINT) AS c{i}" for i in range(len(STYLE_WORDS))
+    )
+    return f"""
+    per_doc AS (
+      SELECT source,
+             {cols}
+      FROM documents
+    ),
+    prof AS (
+      SELECT source, {sums} FROM per_doc GROUP BY source
+    )"""
+
+
+@register(
+    "q_text_style_cosine",
+    oracle=f"""
+    WITH {_style_counts_sql()}
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(FLOOR(
+             CAST({" + ".join(f"a.c{i} * b.c{i}" for i in range(len(STYLE_WORDS)))} AS DOUBLE)
+             / (SQRT(CAST({" + ".join(f"a.c{i} * a.c{i}" for i in range(len(STYLE_WORDS)))} AS DOUBLE))
+                * SQRT(CAST({" + ".join(f"b.c{i} * b.c{i}" for i in range(len(STYLE_WORDS)))} AS DOUBLE)))
+             * 1e6 + 0.5) AS BIGINT) AS cosine_e6
+    FROM prof a JOIN prof b ON a.source < b.source
+    """,
+)
+def q_text_style_cosine(spark, sf_dir):
+    """Stylometric source similarity: cosine between per-source
+    FUNCTION-WORD count profiles (closed-class words carry register and
+    style, not topic — the classical authorship-attribution signal).
+    A source pair whose style cosine drifts release-over-release has
+    changed scraper, template, or generator — topic metrics miss that.
+
+    Profiles are exact BIGINT count vectors over a fixed
+    {len(STYLE_WORDS)}-word basis, built with the padded-substring
+    occurrence counter both engines share; every dot product and norm is
+    integer arithmetic, and the only float step is one identical
+    divide/sqrt expression tree (IEEE sqrt is correctly rounded),
+    fixed-pointed to e6. Plan: one map-side-combinable aggregate to
+    |sources| profile rows, then a self-join producing |sources|²/2
+    pairs — aggregate-level, thousands of rows even at lake scale,
+    never touching fact rows."""
+    docs = load(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    per_doc = docs.select(
+        "source",
+        *[
+            _occurrences_col(lower, w).alias(f"c{i}")
+            for i, w in enumerate(STYLE_WORDS)
+        ],
+    )
+    prof = per_doc.groupBy("source").agg(
+        *[F.sum(f"c{i}").alias(f"c{i}") for i in range(len(STYLE_WORDS))]
+    )
+    a = prof.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"c{i}").alias(f"a{i}") for i in range(len(STYLE_WORDS))],
+    )
+    b = prof.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"c{i}").alias(f"b{i}") for i in range(len(STYLE_WORDS))],
+    )
+    dot = sum(
+        (F.col(f"a{i}") * F.col(f"b{i}") for i in range(len(STYLE_WORDS))),
+        F.lit(0),
+    )
+    na = sum(
+        (F.col(f"a{i}") * F.col(f"a{i}") for i in range(len(STYLE_WORDS))),
+        F.lit(0),
+    )
+    nb = sum(
+        (F.col(f"b{i}") * F.col(f"b{i}") for i in range(len(STYLE_WORDS))),
+        F.lit(0),
+    )
+    cos = dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.floor(cos * 1e6 + F.lit(0.5)).cast("long").alias("cosine_e6"),
+        )
+    )

@@ -1284,6 +1284,30 @@ def q_stream_heavy_hitters(spark, sf_dir):
 
 # --- streaming cadence maintenance: mergeable per-user gap moment sums ----
 
+def cadence_batch_summary(batch_df):
+    """One micro-batch's per-user cadence summary — the monoid element
+    (first_ts, last_ts, gap count/sum/sum-of-squares). Factored so the
+    recovery probe (tools/bench_stream_recovery.py) drives the identical
+    per-commit work the registered q_stream_cadence sink performs."""
+    gap = F.expr(
+        f"(ts - lag(ts) over (partition by user_id "
+        f"order by ts, event_id)) div {MIN_NS_GAP}"
+    )
+    return (
+        batch_df.select("user_id", "ts", gap.alias("gap_min"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.when(F.col("gap_min").isNotNull(), 1).otherwise(0)).alias("ng"),
+            F.coalesce(F.sum("gap_min"), F.lit(0)).alias("sg"),
+            F.coalesce(
+                F.sum(F.col("gap_min") * F.col("gap_min")), F.lit(0)
+            ).alias("sgg"),
+        )
+    )
+
+
 _CAD_SINK_DIRS: dict[str, str] = {}
 
 
@@ -1341,22 +1365,8 @@ def q_stream_cadence(spark, sf_dir):
     os.makedirs(sk_dir)
 
     def write_batch(batch_df, batch_id):
-        gap = F.expr(
-            f"(ts - lag(ts) over (partition by user_id "
-            f"order by ts, event_id)) div {MIN_NS_GAP}"
-        )
         (
-            batch_df.select("user_id", "ts", gap.alias("gap_min"))
-            .groupBy("user_id")
-            .agg(
-                F.min("ts").alias("first_ts"),
-                F.max("ts").alias("last_ts"),
-                F.sum(F.when(F.col("gap_min").isNotNull(), 1).otherwise(0)).alias("ng"),
-                F.coalesce(F.sum("gap_min"), F.lit(0)).alias("sg"),
-                F.coalesce(
-                    F.sum(F.col("gap_min") * F.col("gap_min")), F.lit(0)
-                ).alias("sgg"),
-            )
+            cadence_batch_summary(batch_df)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(sk_dir)
