@@ -149,6 +149,8 @@ OPS = {
     # only global step is the 32-row carry-in
     "q_agg_pareto_skyline": "graph",
     "q_graph_modularity": "graph",
+    # round 8f: per-doc occurrence columns + |sources|-row profile join
+    "q_text_style_cosine": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS
