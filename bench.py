@@ -176,6 +176,7 @@ HEADLINE = [
     "q_agg_hhi_concentration",
     "q_agg_pareto_skyline",
     "q_graph_modularity",
+    "q_text_style_cosine",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline
