@@ -1584,3 +1584,39 @@ def test_style_cosine_identical_vs_disjoint_profiles(tmp_path, spark):
            QUERIES["q_text_style_cosine"](spark, str(tmp_path)).collect()}
     assert out[("en1", "en2")] == 1_000_000
     assert out[("en1", "es1")] == 0 and out[("en2", "es1")] == 0
+
+
+def test_degenerate_guards_drop_rows_instead_of_nan(tmp_path, spark):
+    """Regular graph -> assortativity undefined -> ZERO rows (never a
+    NaN cast); sub-1.0 order totals are excluded from the Benford basis;
+    a single-type corpus yields no Zipf fit."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2025, 1, 1)
+    # 1-regular graph: two disjoint customer-supplier pairs, all degree 1
+    li_base = pq.read_schema(f"{SF_DIR}/lineitem.parquet")
+    o_base = pq.read_schema(f"{SF_DIR}/orders.parquet")
+    li = [dict(l_orderkey=k, l_partkey=1, l_suppkey=10 + k, l_linenumber=1,
+               l_quantity=1.0, l_extendedprice=1.0, l_discount=0.0,
+               l_tax=0.0, l_returnflag="N", l_linestatus="O", l_shipdate=t0)
+          for k in (1, 2)]
+    orders = [dict(o_orderkey=k, o_custkey=k, o_orderstatus="O",
+                   o_totalprice=p, o_orderdate=t0, o_orderpriority="1")
+              for k, p in [(1, 0.5), (2, 42.0)]]  # one sub-1.0 total
+    pq.write_table(pa.Table.from_pylist(li, schema=pa.schema(list(li_base))),
+                   str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.Table.from_pylist(orders, schema=pa.schema(list(o_base))),
+                   str(tmp_path / "orders.parquet"))
+    assert QUERIES["q_graph_assortativity"](spark, str(tmp_path)).count() == 0
+    ben = {r.digit: r.n_obs for r in
+           QUERIES["q_agg_benford_audit"](spark, str(tmp_path)).collect()}
+    assert ben == {4: 1}  # the 0.5 total is excluded, 42.0 -> digit 4
+
+    d_base = pq.read_schema(f"{SF_DIR}/documents.parquet")
+    docs = [dict(doc_id=1, text="aa aa aa", lang="en", source="s", n_chars=8)]
+    pq.write_table(pa.Table.from_pylist(docs, schema=pa.schema(list(d_base))),
+                   str(tmp_path / "documents.parquet"))
+    assert QUERIES["q_text_zipf_fit"](spark, str(tmp_path)).count() == 0

@@ -474,6 +474,10 @@ def q_graph_kcore(spark, sf_dir):
                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                       * 1e6 + 0.5) AS BIGINT) AS assortativity_e6
     FROM s
+    WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <> 0
     """,
 )
 def q_graph_assortativity(spark, sf_dir):
@@ -519,9 +523,18 @@ def q_graph_assortativity(spark, sf_dir):
         (nd * F.col("sxx").cast("double") - sxd * sxd)
         * (nd * F.col("syy").cast("double") - syd * syd)
     )
-    return s.select(
-        F.col("n").alias("n_directed_edges"),
-        F.floor(num / den * 1e6 + F.lit(0.5)).cast("long").alias("assortativity_e6"),
+    # degree-regular graph: zero variance on either axis makes r
+    # undefined — emit zero rows on both engines, never a NaN cast
+    vx = nd * F.col("sxx").cast("double") - sxd * sxd
+    vy = nd * F.col("syy").cast("double") - syd * syd
+    return (
+        s.filter((vx != 0) & (vy != 0))
+        .select(
+            F.col("n").alias("n_directed_edges"),
+            F.floor(num / den * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("assortativity_e6"),
+        )
     )
 
 

@@ -2952,7 +2952,8 @@ def q_agg_bootstrap_ci(spark, sf_dir):
       FROM orders
     ),
     obs AS (
-      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d
+      WHERE digit BETWEEN 1 AND 9 GROUP BY digit
     ),
     tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
     SELECT digit, n_obs,
@@ -2991,7 +2992,14 @@ def q_agg_benford_audit(spark, sf_dir):
         .cast("long")
         .alias("digit")
     )
-    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    # Benford is defined on first SIGNIFICANT digits: totals under 1.0
+    # floor to digit 0 (and 1/0 would cast engine-defined) — excluded on
+    # both engines
+    obs = (
+        d.filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
     tot = obs.agg(F.sum("n_obs").alias("n"))
     j = obs.crossJoin(F.broadcast(tot))
     nd = F.col("n").cast("double")

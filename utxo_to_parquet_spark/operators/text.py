@@ -2427,6 +2427,8 @@ def q_text_dsir_weights(spark, sf_dir):
                          * CAST(sx AS DOUBLE))
                       / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS intercept_e4
     FROM s
+    WHERE n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
     """,
 )
 def q_text_zipf_fit(spark, sf_dir):
@@ -2481,12 +2483,19 @@ def q_text_zipf_fit(spark, sf_dir):
     slope = (nd * F.col("sxy").cast("double") - sxd * syd) / (
         nd * F.col("sxx").cast("double") - sxd * sxd
     )
-    return s.select(
-        F.col("n").alias("n_types"),
-        F.floor(slope * 1e4 + F.lit(0.5)).cast("long").alias("slope_e4"),
-        F.floor((syd - slope * sxd) / nd + F.lit(0.5))
-        .cast("long")
-        .alias("intercept_e4"),
+    # degenerate guard (both engines): a 1-type corpus, or all points
+    # collapsing to one log-rank value, has no fit — emit zero rows
+    # instead of a NaN whose BIGINT cast is engine-defined
+    den = nd * F.col("sxx").cast("double") - sxd * sxd
+    return (
+        s.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            F.col("n").alias("n_types"),
+            F.floor(slope * 1e4 + F.lit(0.5)).cast("long").alias("slope_e4"),
+            F.floor((syd - slope * sxd) / nd + F.lit(0.5))
+            .cast("long")
+            .alias("intercept_e4"),
+        )
     )
 
 
@@ -2605,6 +2614,8 @@ def _style_counts_sql() -> str:
                 * SQRT(CAST({" + ".join(f"b.c{i} * b.c{i}" for i in range(len(STYLE_WORDS)))} AS DOUBLE)))
              * 1e6 + 0.5) AS BIGINT) AS cosine_e6
     FROM prof a JOIN prof b ON a.source < b.source
+    WHERE {" + ".join(f"a.c{i} * a.c{i}" for i in range(len(STYLE_WORDS)))} > 0
+      AND {" + ".join(f"b.c{i} * b.c{i}" for i in range(len(STYLE_WORDS)))} > 0
     """,
 )
 def q_text_style_cosine(spark, sf_dir):
@@ -2656,8 +2667,11 @@ def q_text_style_cosine(spark, sf_dir):
         F.lit(0),
     )
     cos = dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+    # a source with ZERO function-word occurrences has no style
+    # direction; drop its pairs on both engines rather than cast a NaN
     return (
         a.join(b, F.col("source_a") < F.col("source_b"))
+        .filter((na > 0) & (nb > 0))
         .select(
             "source_a",
             "source_b",
