@@ -594,8 +594,10 @@ def q_graph_modularity(spark, sf_dir):
     map-side-combinable aggregates over the labeled pair list); each
     community's term is one identical double expression tree fixed-
     pointed to e9, so the final scalar is order-free. Plan: the
-    pair-dedup shuffle, two dimension joins (customer/supplier — both
-    broadcastable on a real cluster), tiny nation-keyed rollups."""
+    pair-dedup shuffle, two dimension equi-joins (left to AQE:
+    customer grows with scale factor and must be free to shuffle;
+    broadcast kicks in automatically when a side fits), tiny
+    nation-keyed rollups."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -605,9 +607,13 @@ def q_graph_modularity(spark, sf_dir):
         .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .distinct()
     )
+    # no forced broadcast on customer: the customer DIMENSION grows with
+    # scale factor (1.5M/SF — tens of billions at 100 TB) and must be
+    # free to shuffle; AQE picks broadcast when it actually fits. The
+    # supplier side is 10x smaller but follows the same rule.
     lab = (
-        pairs.join(F.broadcast(cust), pairs.ck == cust.c_custkey)
-        .join(F.broadcast(supp), pairs.sk == supp.s_suppkey)
+        pairs.join(cust, pairs.ck == cust.c_custkey)
+        .join(supp, pairs.sk == supp.s_suppkey)
         .select(F.col("c_nationkey").alias("cn"), F.col("s_nationkey").alias("sn"))
     )
     m = lab.agg((2 * F.count(F.lit(1))).alias("m"))
