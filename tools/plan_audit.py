@@ -59,6 +59,7 @@ ALLOWED_NESTED_LOOP = {
     "q_utxo_dust_feerate",  # feerate sweep: 3-row constant dim fan-out
     "q_agg_hhi_concentration",  # revenue total: 1-row sum attach
     "q_graph_modularity",  # directed edge count M: 1-row attach
+    "q_events_chisq_independence",  # grand total (n, r, c): 1-row attach
     # aggregate-level pair join: |sources|^2/2 over the PROFILE relation
     # (thousands of rows at lake scale), never fact rows
     "q_text_style_cosine",
@@ -71,6 +72,11 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "cumulative-CDF window runs over the groupBy(value) aggregate — "
         "input is |distinct values|, not |events|; the raw population is "
         "collapsed by a map-side-combinable shuffle first"
+    ),
+    "q_events_mannwhitney_u": (
+        "midrank prefix-sum window runs over the groupBy(value) "
+        "aggregate — input is |distinct values| of a bounded-precision "
+        "metric, not |events|; same collapse-first shape as ks_drift"
     ),
     "q_events_asof_join": (
         "carry-in running max runs over the distinct time-bucket "

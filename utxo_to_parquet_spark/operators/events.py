@@ -1697,6 +1697,215 @@ def q_events_ttest_welch(spark, sf_dir):
 
 
 @register(
+    "q_events_chisq_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CAST((epoch_ns(ts) // 86400000000000) % 7 AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(o) AS rtot FROM cells GROUP BY 1),
+    ct AS (SELECT dow, SUM(o) AS ctot FROM cells GROUP BY 1),
+    tot AS (
+      SELECT SUM(o) AS n,
+             COUNT(DISTINCT event_type) AS r,
+             COUNT(DISTINCT dow) AS c
+      FROM cells
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(r) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS n_cols,
+           CAST((MAX(r) - 1) * (MAX(c) - 1) AS BIGINT) AS dof,
+           CAST(SUM(CAST(FLOOR(
+             (CAST(o AS DOUBLE)
+              - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE)
+                - CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS chi2_e6
+    FROM cells
+      JOIN rt USING (event_type)
+      JOIN ct USING (dow)
+      CROSS JOIN tot
+    """,
+)
+def q_events_chisq_independence(spark, sf_dir):
+    """Pearson chi-square test of independence between event type and
+    day-of-week — "does WHAT users do depend on WHEN they do it" — the
+    categorical member of the drift-test family (KS/PSI compare
+    continuous distributions, Mann-Whitney compares ranks, this tests a
+    contingency table).
+
+    The contingency table is one map-side-combinable groupBy over the
+    corpus (|types| x 7 cells); margins and the grand total are
+    aggregate-level relations joined back at constant size (the 1-row
+    total rides as a broadcast). Each cell's (O-E)^2/E term is computed
+    by the IDENTICAL double expression tree over exact BIGINT counts on
+    both engines, snapped to e6 fixed point BEFORE the final sum so
+    summation order can never flip the hash; expected counts are
+    strictly positive by construction (margins of observed cells).
+    Day-of-week is pure integer epoch math — no timezone functions on
+    either engine."""
+    ev = load_events(spark, sf_dir)
+    day_ns = 86400 * NS
+    cells = (
+        ev.select(
+            "event_type",
+            F.expr(f"CAST((ts div {day_ns}) % 7 AS BIGINT)").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("rtot"))
+    ct = cells.groupBy("dow").agg(F.sum("o").alias("ctot"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+    )
+    e = (
+        F.col("rtot").cast("double")
+        * F.col("ctot").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("o").cast("double") - e) * (
+        F.col("o").cast("double") - e
+    ) / e
+    return (
+        cells.join(rt, "event_type")
+        .join(ct, "dow")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("r").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("n_cols"),
+            ((F.max("r") - 1) * (F.max("c") - 1)).cast("long").alias("dof"),
+            F.sum(
+                F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("chi2_e6"),
+        )
+    )
+
+
+@register(
+    "q_events_mannwhitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_a
+      FROM events WHERE event_type IN ('purchase', 'error')
+      GROUP BY value
+    ),
+    r AS (
+      SELECT cnt, cnt_a,
+             SUM(cnt) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+               AS cnt_less
+      FROM s
+    ),
+    m AS (
+      SELECT SUM(cnt_a) AS n_a,
+             SUM(cnt) - SUM(cnt_a) AS n_b,
+             SUM(cnt) AS n,
+             SUM(cnt_a * (2 * cnt_less + cnt + 1)) AS r2_a,
+             SUM(cnt * cnt * cnt - cnt) AS tie3
+      FROM r
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(tie3 AS BIGINT) AS tie3,
+           CAST(FLOOR(
+             (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             / (2.0 * SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                 * (CAST(n + 1 AS DOUBLE)
+                    - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))))
+             * 1e6 + 0.5) AS BIGINT) AS z_e6
+    FROM m
+    WHERE n_a * n_b > 0 AND tie3 < n * n * n - n
+    """,
+)
+def q_events_mannwhitney_u(spark, sf_dir):
+    """Mann-Whitney U rank-sum test between two event populations — the
+    NONPARAMETRIC sibling of q_events_ttest_welch: where Welch compares
+    means under a normality assumption, this compares the full rank
+    distribution and is robust to the heavy right tail a value metric
+    actually has.
+
+    Exact-integer discipline end to end: the combined sample collapses
+    to a groupBy(value) aggregate (map-side combinable; input to every
+    window is |distinct values| of a bounded-precision metric, never
+    |events|), doubled average ranks ``2*avgrank = 2*cnt_less + cnt + 1``
+    keep midranks in BIGINT, and the doubled U statistic
+    ``U2 = R2_A - n_a(n_a+1)`` is exact. The tie-corrected normal
+    approximation z is ONE identical closed-form double expression over
+    those BIGINTs on both engines (IEEE sqrt is correctly rounded),
+    snapped to e6 fixed point; the degenerate all-tied sample
+    (sigma = 0) is filtered out identically on both sides rather than
+    letting NaN reach the hash."""
+    ev = load_events(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("value")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cnt_a"),
+        )
+    )
+    wcum = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = s.select(
+        "cnt",
+        "cnt_a",
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("cnt_less"),
+    )
+    m = r.agg(
+        F.sum("cnt_a").alias("n_a"),
+        (F.sum("cnt") - F.sum("cnt_a")).alias("n_b"),
+        F.sum("cnt").alias("n"),
+        F.sum(
+            F.col("cnt_a") * (2 * F.col("cnt_less") + F.col("cnt") + 1)
+        ).alias("r2_a"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie3"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = F.col("n").cast("double")
+    u2 = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    sigma2_12 = na * nb / F.lit(12.0) * (
+        (nn + F.lit(1.0))
+        - F.col("tie3").cast("double") / (nn * (nn - F.lit(1.0)))
+    )
+    z = (u2.cast("double") - na * nb) / (F.lit(2.0) * F.sqrt(sigma2_12))
+    return (
+        m.filter(
+            (F.col("n_a") * F.col("n_b") > 0)
+            & (
+                F.col("tie3")
+                < F.col("n") * F.col("n") * F.col("n") - F.col("n")
+            )
+        )
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            u2.cast("long").alias("u2_a"),
+            F.col("tie3").cast("long").alias("tie3"),
+            F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long").alias("z_e6"),
+        )
+    )
+
+
+@register(
     "q_events_max_drawdown",
     oracle="""
     WITH seq AS (

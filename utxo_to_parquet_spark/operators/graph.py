@@ -281,19 +281,13 @@ def _triangle_oracle() -> str:
     """
 
 
-@register("q_graph_triangles", oracle=_triangle_oracle())
-def q_graph_triangles(spark, sf_dir):
-    """Per-document triangle participation in the near-dup candidate
-    graph (edges = q_dedup_minhash_lsh pairs) — the degree-ordered
-    compact-forward algorithm: orient every edge from its
-    lower-(degree, id) endpoint to the higher one, enumerate wedges by
-    joining oriented edges on their source, and close each wedge with
-    one more equi-join. Orientation bounds each node's out-degree by
-    O(sqrt(E)) on any graph, so wedge fan-out — the quadratic term a
-    skewed hub would otherwise explode — is capped regardless of raw
-    degree skew; every step is an equi-join + aggregation, no
-    cross-product anywhere. Each triangle is counted exactly once by
-    construction, then unpivoted to its three corners."""
+def _dup_tri_deg(spark, sf_dir):
+    """Shared compact-forward triangle machinery over the MinHash
+    near-dup pair graph: returns ``(tri, deg)`` where ``tri`` is the
+    per-node triangle count (doc_id, n_triangles — only nodes in >=1
+    triangle appear) and ``deg`` is the raw degree table (node, d).
+    Factored so q_graph_triangles and q_graph_clustering_coeff run ONE
+    band-join pipeline each instead of duplicating the algorithm."""
     from .dedup import _minhash_pairs
 
     # checkpoint the expensive band-join subtree: deg, the orientation
@@ -331,10 +325,117 @@ def q_graph_triangles(spark, sf_dir):
     )
     closing = ori.select(F.col("u").alias("y"), F.col("v").alias("z"))
     tri = wedges.join(closing, ["y", "z"]).select("u", "y", "z")
-    return (
+    counts = (
         tri.select(F.explode(F.array("u", "y", "z")).alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return counts, deg
+
+
+@register("q_graph_triangles", oracle=_triangle_oracle())
+def q_graph_triangles(spark, sf_dir):
+    """Per-document triangle participation in the near-dup candidate
+    graph (edges = q_dedup_minhash_lsh pairs) — the degree-ordered
+    compact-forward algorithm: orient every edge from its
+    lower-(degree, id) endpoint to the higher one, enumerate wedges by
+    joining oriented edges on their source, and close each wedge with
+    one more equi-join. Orientation bounds each node's out-degree by
+    O(sqrt(E)) on any graph, so wedge fan-out — the quadratic term a
+    skewed hub would otherwise explode — is capped regardless of raw
+    degree skew; every step is an equi-join + aggregation, no
+    cross-product anywhere. Each triangle is counted exactly once by
+    construction, then unpivoted to its three corners."""
+    tri, _deg = _dup_tri_deg(spark, sf_dir)
+    return tri
+
+
+# Local clustering coefficient 2*tri/(d*(d-1)) in e6 fixed point via
+# FLOOR division — both operands are positive BIGINTs, where DuckDB's
+# ``//`` (floor) and Spark's ``div`` (truncate) agree exactly.
+_CLUSTERING_ORACLE = """
+    WITH {bands},
+    pairs AS (
+      SELECT a.doc_id AS pa, b.doc_id AS pb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d
+      FROM (SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs)
+      GROUP BY 1
+    ),
+    ori AS (
+      SELECT CASE WHEN (da.d, p.pa) < (db.d, p.pb) THEN p.pa ELSE p.pb END AS u,
+             CASE WHEN (da.d, p.pa) < (db.d, p.pb) THEN p.pb ELSE p.pa END AS v
+      FROM pairs p
+        JOIN deg da ON da.node = p.pa
+        JOIN deg db ON db.node = p.pb
+    ),
+    ov AS (SELECT u, v, d AS dv FROM ori JOIN deg ON deg.node = ori.v),
+    tri AS (
+      SELECT w1.u AS x, w1.v AS y, w2.v AS z
+      FROM ov w1
+        JOIN ov w2 ON w1.u = w2.u AND (w1.dv, w1.v) < (w2.dv, w2.v)
+        JOIN ori e ON e.u = w1.v AND e.v = w2.v
+    ),
+    tcount AS (
+      SELECT node, COUNT(*) AS n_tri
+      FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      )
+      GROUP BY 1
+    )
+    SELECT deg.node AS doc_id,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tcount.n_tri, 0) AS BIGINT) AS n_triangles,
+           CAST(2 * COALESCE(tcount.n_tri, 0) * 1000000
+                // (deg.d * (deg.d - 1)) AS BIGINT) AS coeff_e6
+    FROM deg LEFT JOIN tcount ON tcount.node = deg.node
+    WHERE deg.d >= 2
+    """
+
+
+def _clustering_oracle_sql() -> str:
+    from .dedup import _minhash_bands_cte
+
+    return _CLUSTERING_ORACLE.format(bands=_minhash_bands_cte())
+
+
+@register("q_graph_clustering_coeff", oracle=_clustering_oracle_sql())
+def q_graph_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient over the near-dup candidate graph:
+    for every node with degree >= 2, the fraction of its neighbor pairs
+    that are themselves connected — 2*triangles / (d*(d-1)). High
+    coefficients mark TRANSITIVE duplicate clusters (boilerplate
+    families where every copy matches every other), low ones mark
+    hub-and-spoke false-positive bands worth re-verifying.
+
+    All-integer determinism: triangle counts and degrees are exact
+    BIGINTs from the compact-forward enumeration (shared with
+    q_graph_triangles via _dup_tri_deg — one band-join pipeline, not
+    two), and the coefficient is emitted in e6 fixed point via integer
+    floor division on positive operands, where Spark's truncating
+    ``div`` and DuckDB's flooring ``//`` coincide — no doubles anywhere.
+    At 100 TB both inputs are the already-shuffled aggregates of the
+    triangle pass; this adds one broadcast-size join and a map-side
+    projection."""
+    tri, deg = _dup_tri_deg(spark, sf_dir)
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, deg.node == tri.doc_id, "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CAST(2 * coalesce(n_triangles, 0) * 1000000"
+                " div (d * (d - 1)) AS BIGINT)"
+            ).alias("coeff_e6"),
+        )
     )
 
 
