@@ -747,3 +747,185 @@ def q_graph_modularity(spark, sf_dir):
         "m",
         F.floor(term * 1e9 + F.lit(0.5)).cast("long").alias("q_term_e9"),
     )
+
+
+# --- Adamic-Adar link prediction over the customer-part purchase graph ---
+
+AA_DEG_CAP = 64  # hub prune: parts bought by more customers contribute
+# 1/ln(d) ~ nothing to any pair score but d^2/2 candidate pairs to the
+# shuffle — dropping them is both the textbook Adamic-Adar practice and
+# the skew cap that keeps the self-join linear at 100 TB (same role as
+# containment's DF_CAP). Fixture part degrees sit at ~30 across every sf
+# (generator holds |lineitem|/|part| constant), so the cap is inactive
+# on test data and purely a skew guard.
+AA_TOP_K = 20
+
+
+@register(
+    "q_graph_adamic_adar",
+    oracle=f"""
+    WITH cn AS (
+      SELECT o_custkey AS c, l_partkey AS p
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    pdeg AS (SELECT p, COUNT(*) AS d FROM cn GROUP BY 1),
+    keep AS (
+      SELECT cn.c, cn.p, pdeg.d
+      FROM cn JOIN pdeg ON pdeg.p = cn.p
+      WHERE pdeg.d BETWEEN 2 AND {AA_DEG_CAP}
+    ),
+    pairs AS (
+      SELECT a.c AS cust_a, b.c AS cust_b,
+             CAST(FLOOR(1e6 / LN(CAST(a.d AS DOUBLE)) + 0.5) AS BIGINT)
+               AS term_e6
+      FROM keep a JOIN keep b ON a.p = b.p AND a.c < b.c
+    )
+    SELECT cust_a, cust_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(term_e6) AS BIGINT) AS aa_e6
+    FROM pairs GROUP BY 1, 2
+    ORDER BY aa_e6 DESC, cust_a, cust_b
+    LIMIT {AA_TOP_K}
+    """,
+)
+def q_graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the customer-part purchase
+    graph: score a customer pair by the parts they BOTH buy, each
+    shared part weighted 1/ln(popularity) so a part bought by three
+    customers says far more than one bought by sixty. The top-K
+    highest-scoring non-edges are the "customers most likely to share
+    future behavior" — the canonical common-neighbor recommender.
+
+    Scale shape: the neighbor self-join runs on the DEDUPLICATED
+    (customer, part) relation, joined per part — and parts above
+    AA_DEG_CAP are pruned FIRST, so a viral hub can never explode the
+    pair fan-out (d^2 pairs for ~0 score each); everything downstream
+    is a map-side-combinable sum. The per-part 1/ln(d) term is snapped
+    to e6 fixed point BEFORE summation on both engines (identical
+    expression over exact BIGINT degrees; pairs only arise at d >= 2 so
+    ln > 0), making the BIGINT pair score summation-order-proof; the
+    top-K order (score desc, pair ids) is a total order, so LIMIT is
+    deterministic. TakeOrderedAndProject keeps the global top-K a
+    per-partition heap + driver merge, never a full sort."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cn = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pdeg = cn.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    keep = (
+        cn.join(pdeg.filter((F.col("d") >= 2) & (F.col("d") <= AA_DEG_CAP)), "p")
+        .localCheckpoint(eager=False)  # two consumers of the band join
+    )
+    a = keep.select(F.col("p"), F.col("c").alias("cust_a"), F.col("d"))
+    b = keep.select(F.col("p"), F.col("c").alias("cust_b"))
+    pairs = a.join(b, "p").filter(F.col("cust_a") < F.col("cust_b"))
+    term = F.floor(
+        F.lit(1e6) / F.log(F.col("d").cast("double")) + F.lit(0.5)
+    ).cast("long")
+    return (
+        pairs.select("cust_a", "cust_b", term.alias("term_e6"))
+        .groupBy("cust_a", "cust_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("term_e6").cast("long").alias("aa_e6"),
+        )
+        .orderBy(F.col("aa_e6").desc(), "cust_a", "cust_b")
+        .limit(AA_TOP_K)
+    )
+
+
+# --- Synchronous label propagation communities (fixed-round) -------------
+
+LP_ROUNDS = 3
+
+
+def _label_prop_oracle() -> str:
+    """Unrolled synchronous label propagation — one CTE level per Spark
+    pass; the argmax tie-break (count DESC, label ASC) is a total order
+    on BIGINT labels, so every level is deterministic on both engines."""
+    off = _SUPP_OFFSET
+    base = f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey + {off} AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)
+    """
+    for k in range(LP_ROUNDS):
+        base += f""",
+    l{k + 1} AS (
+      SELECT node, label FROM (
+        SELECT e.src AS node, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.src
+                 ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM edges e JOIN l{k} l ON e.dst = l.node
+        GROUP BY e.src, l.label
+      ) WHERE rn = 1
+    )"""
+    base += f"""
+    SELECT CASE WHEN node < {off} THEN 'c' || CAST(node AS VARCHAR)
+                ELSE 's' || CAST(node - {off} AS VARCHAR) END AS node,
+           CASE WHEN label < {off} THEN 'c' || CAST(label AS VARCHAR)
+                ELSE 's' || CAST(label - {off} AS VARCHAR) END AS community
+    FROM l{LP_ROUNDS}
+    """
+    return base
+
+
+@register("q_graph_label_propagation", oracle=_label_prop_oracle())
+def q_graph_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation over the
+    trade graph, LP_ROUNDS fixed passes: every node adopts the most
+    frequent label among its NEIGHBORS, ties broken toward the smallest
+    label — the deterministic variant of classic LPA (random tie-breaks
+    would make the result engine-dependent; a fixed total order makes
+    every round a pure function of the previous one, which is also what
+    lets the oracle unroll the identical recurrence as chained CTEs).
+
+    Scale shape identical to PageRank above: per round ONE equi-join of
+    the edge list against the (node, label) state plus one count-argmax
+    aggregation — label state is a narrow LONG pair DataFrame, shuffles
+    are by node id, and localCheckpoint keeps round N's plan from
+    re-deriving rounds 1..N-1. Fixed round count (not convergence
+    polling) keeps the job DAG static, the cluster-friendly choice for
+    a 1000-executor schedule."""
+    from pyspark.sql import Window as W
+
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+    )
+    for _ in range(LP_ROUNDS):
+        nb = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("n2"), "label"
+        )
+        cnt = nb.groupBy("n2", "label").agg(F.count(F.lit(1)).alias("c"))
+        w = W.partitionBy("n2").orderBy(F.col("c").desc(), F.col("label").asc())
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n2").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        _render_node("node").alias("node"),
+        F.when(
+            F.col("label") < _SUPP_OFFSET,
+            F.concat(F.lit("c"), F.col("label").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), (F.col("label") - _SUPP_OFFSET).cast("string"))
+        )
+        .alias("community"),
+    )
