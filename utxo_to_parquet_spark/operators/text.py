@@ -2678,3 +2678,136 @@ def q_text_style_cosine(spark, sf_dir):
             F.floor(cos * 1e6 + F.lit(0.5)).cast("long").alias("cosine_e6"),
         )
     )
+
+
+# --- TextRank keyword extraction (integer-exact fixed-point) -------------
+
+TR_ITERS = 3
+TR_E = 10**12  # rank fixed-point scale; rank_e12 * w stays far under 2^63
+TR_DAMP_NUM, TR_DAMP_DEN = 85, 100
+
+
+def _textrank_oracle() -> str:
+    """Unrolled integer TextRank — every quantity is a BIGINT and every
+    division is a positive floor division, so the recurrence is
+    bit-identical across engines with NO rounding discipline needed."""
+    base = f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS tl FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, tl[i] AS token, CAST(i AS BIGINT) AS pos
+      FROM toks, UNNEST(range(1, LEN(tl) + 1)) AS u(i)
+    ),
+    adj AS (
+      SELECT p.token AS a, c.token AS b
+      FROM tok c JOIN tok p ON p.doc_id = c.doc_id AND p.pos = c.pos - 1
+      WHERE p.token <> c.token
+    ),
+    edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM (SELECT a AS src, b AS dst FROM adj
+            UNION ALL SELECT b, a FROM adj)
+      GROUP BY 1, 2
+    ),
+    wout AS (SELECT src, SUM(w) AS wtot FROM edges GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wout),
+    r0 AS (SELECT src AS node, {TR_E} // MAX(nn.n) AS rank_e12
+           FROM wout, nn GROUP BY src)
+    """
+    for k in range(TR_ITERS):
+        base += f""",
+    r{k + 1} AS (
+      SELECT e.dst AS node,
+             ({TR_E} * {TR_DAMP_DEN - TR_DAMP_NUM} // {TR_DAMP_DEN})
+               // MAX(nn.n)
+             + {TR_DAMP_NUM} * SUM((r.rank_e12 * e.w) // wo.wtot)
+               // {TR_DAMP_DEN} AS rank_e12
+      FROM edges e
+        JOIN r{k} r ON e.src = r.node
+        JOIN wout wo ON e.src = wo.src, nn
+      GROUP BY e.dst
+    )"""
+    base += f"""
+    SELECT node AS token, CAST(rank_e12 AS BIGINT) AS rank_e12
+    FROM r{TR_ITERS}
+    """
+    return base
+
+
+@register("q_text_textrank_keywords", oracle=_textrank_oracle())
+def q_text_textrank_keywords(spark, sf_dir):
+    """TextRank keyword scoring over the corpus co-occurrence graph:
+    adjacent-token pairs (self-loops dropped) build an undirected
+    weighted word graph, and TR_ITERS damped power iterations rank each
+    word by how much attention flows into it from well-connected
+    neighbors — the graph upgrade of raw term frequency (a word adjacent
+    to many DISTINCT high-traffic words outranks one repeated in a
+    single boilerplate phrase).
+
+    Unlike q_graph_pagerank (doubles + ROUND), the recurrence here is
+    INTEGER-EXACT: ranks live in e12 fixed point, every per-edge
+    contribution is the positive floor division (rank*w)//wtot, and the
+    damping mix is (85*sum)//100 — BIGINTs end to end, so iteration
+    order, summation order, and engine cannot move the result by even
+    one unit. Scale shape: the word graph is a vocab-sized AGGREGATE of
+    the corpus (built by one map-side-combinable groupBy over adjacent
+    pairs); each iteration is an equi-join + sum over that aggregate,
+    never the raw tokens — at 100 TB the iterations cost |vocab edges|,
+    and the heavy stopword hubs are exactly AQE skew-split keys."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    cur = tok.select(
+        "doc_id", F.col("pos").alias("cpos"), F.col("token").alias("b")
+    )
+    prev = tok.select(
+        "doc_id", (F.col("pos") + 1).alias("cpos"), F.col("token").alias("a")
+    )
+    adj = (
+        cur.join(prev, ["doc_id", "cpos"])
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+    )
+    edges = (
+        adj.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wout = edges.groupBy("src").agg(F.sum("w").alias("wtot"))
+    ew = edges.join(wout, "src").localCheckpoint(eager=False)
+    n = wout.count()
+    base = (TR_E * (TR_DAMP_DEN - TR_DAMP_NUM) // TR_DAMP_DEN) // n
+    ranks = wout.select(
+        F.col("src").alias("node"), F.lit(TR_E // n).alias("rank_e12")
+    )
+    for _ in range(TR_ITERS):
+        contrib = ew.join(ranks, ew.src == ranks.node).select(
+            "dst",
+            F.expr("(rank_e12 * w) div wtot").alias("contrib"),
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{TR_DAMP_NUM} * sum(contrib) div {TR_DAMP_DEN}"
+                    )
+                ).alias("rank_e12")
+            )
+            .select(F.col("dst").alias("node"), "rank_e12")
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        F.col("node").alias("token"), F.col("rank_e12").cast("long")
+    )
