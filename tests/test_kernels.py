@@ -525,3 +525,137 @@ def test_png_bad_ihdr_length_and_chunk_before_ihdr_raise_valueerror():
     payload = _PNG_SIG + _png_chunk(b"IDAT", raw) + good[8:]
     with pytest.raises(ValueError, match="before IHDR"):
         decode_png(payload)
+
+
+def test_qoi_roundtrip_adversarial_mixes():
+    """Round-trip across pixel regimes chosen to hit every chunk op:
+    random (RGB/INDEX), constant (RUN incl. the 62-length cap), tiny
+    deltas (DIFF), green-anchored deltas (LUMA)."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_qoi, encode_qoi
+
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        h, w = int(rng.integers(1, 12)), int(rng.integers(1, 12))
+        kind = trial % 4
+        if kind == 0:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif kind == 1:
+            px = np.full((h, w, 3), int(rng.integers(0, 256)), dtype=np.uint8)
+        elif kind == 2:
+            base = rng.integers(0, 256, 3)
+            px = (base + rng.integers(-2, 2, (h, w, 3))).astype(np.uint8)
+        else:
+            base = rng.integers(0, 256, 3)
+            px = (base + rng.integers(-30, 30, (h, w, 3))).astype(np.uint8)
+        w2, h2, out = decode_qoi(encode_qoi(px))
+        assert (w2, h2) == (w, h)
+        assert (out == px).all()
+    long_run = np.zeros((1, 200, 3), dtype=np.uint8)
+    long_run[0, :, 0] = 7
+    _, _, out = decode_qoi(encode_qoi(long_run))
+    assert (out == long_run).all()
+
+
+def test_qoi_layout_pinned_against_spec():
+    """Byte-level pin of the QOI spec: header fields, op tags, and the
+    rolling-state semantics — catches a wrong hash multiplier, bias, or
+    table-update order that a round-trip alone cannot (encoder and
+    decoder could share the same bug)."""
+    import struct
+
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_qoi, encode_qoi
+
+    # 3 pixels: (10,20,30), run of 2
+    px = np.array([[[10, 20, 30], [10, 20, 30], [10, 20, 30]]], dtype=np.uint8)
+    enc = encode_qoi(px)
+    assert enc[:4] == b"qoif"
+    w, h, ch, cs = struct.unpack(">IIBB", enc[4:14])
+    assert (w, h, ch, cs) == (3, 1, 3, 0)
+    # first pixel differs from the (0,0,0) start by (+10,+20,+30): RGB op
+    assert enc[14] == 0xFE and enc[15:18] == bytes((10, 20, 30))
+    # then a run of 2: 0b11 tag with bias -1
+    assert enc[18] == (0xC0 | 1)
+    assert enc[19:] == b"\x00" * 7 + b"\x01"
+
+    # hand-built stream decoding INDEX after an eviction-free insert:
+    # px1=(3,5,7) inserted at hash (3*3+5*5+7*7+255*11)%64
+    idx = (3 * 3 + 5 * 5 + 7 * 7 + 255 * 11) % 64
+    stream = (
+        b"qoif"
+        + struct.pack(">IIBB", 3, 1, 3, 0)
+        + bytes((0xFE, 3, 5, 7))  # RGB (3,5,7)
+        + bytes((0xFE, 200, 200, 200))  # RGB different pixel
+        + bytes((idx,))  # INDEX back to (3,5,7)
+        + b"\x00" * 7
+        + b"\x01"
+    )
+    w2, h2, out = decode_qoi(stream)
+    assert (w2, h2) == (3, 1)
+    assert out.tolist() == [[[3, 5, 7], [200, 200, 200], [3, 5, 7]]]
+
+    # DIFF op: pixel (1,2,3) then 0b01_11_00_10 -> dr=+1, dg=-2, db=0
+    stream2 = (
+        b"qoif"
+        + struct.pack(">IIBB", 2, 1, 3, 0)
+        + bytes((0xFE, 1, 2, 3))
+        + bytes((0x40 | (3 << 4) | (0 << 2) | 2,))
+        + b"\x00" * 7
+        + b"\x01"
+    )
+    _, _, out2 = decode_qoi(stream2)
+    assert out2.tolist() == [[[1, 2, 3], [2, 0, 3]]]
+
+    # LUMA op: dg=+5 (0x80|37), dr-dg=-3 (5), db-dg=+2 (10)
+    stream3 = (
+        b"qoif"
+        + struct.pack(">IIBB", 2, 1, 3, 0)
+        + bytes((0xFE, 100, 100, 100))
+        + bytes((0x80 | 37, (5 << 4) | 10))
+        + b"\x00" * 7
+        + b"\x01"
+    )
+    _, _, out3 = decode_qoi(stream3)
+    assert out3.tolist() == [[[100, 100, 100], [102, 105, 107]]]
+
+
+def test_qoi_decode_errors_are_loud():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from utxo_to_parquet_spark.kernels.image import decode_qoi, encode_qoi
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    full = encode_qoi(px)
+    with pytest.raises(ValueError, match="magic"):
+        decode_qoi(b"qoix" + full[4:])
+    with pytest.raises(ValueError, match="end marker"):
+        decode_qoi(full[:-1])
+    with pytest.raises(ValueError, match="channels"):
+        decode_qoi(b"qoif" + struct.pack(">IIBB", 1, 1, 7, 0) + full[14:])
+    # declared 2x2 but stream only yields one pixel
+    short = (
+        b"qoif"
+        + struct.pack(">IIBB", 2, 2, 3, 0)
+        + bytes((0xFE, 1, 2, 3))
+        + b"\x00" * 7
+        + b"\x01"
+    )
+    with pytest.raises(ValueError, match="ended before"):
+        decode_qoi(short)
+    # run overflowing the pixel count
+    over = (
+        b"qoif"
+        + struct.pack(">IIBB", 2, 1, 3, 0)
+        + bytes((0xFE, 1, 2, 3))
+        + bytes((0xC0 | 61,))
+        + b"\x00" * 7
+        + b"\x01"
+    )
+    with pytest.raises(ValueError, match="overflows"):
+        decode_qoi(over)

@@ -1,5 +1,5 @@
-"""Pure-Python image codecs: PPM (P6), BMP (24-bit uncompressed), and
-PNG (8-bit truecolor).
+"""Pure-Python image codecs: PPM (P6), BMP (24-bit uncompressed), PNG
+(8-bit truecolor), and QOI (RGB).
 
 The container has no native image libraries, so these formats — all
 decodable with byte arithmetic plus stdlib zlib — let the multimodal
@@ -34,6 +34,8 @@ __all__ = [
     "decode_bmp",
     "encode_png",
     "decode_png",
+    "encode_qoi",
+    "decode_qoi",
     "decode_image",
 ]
 
@@ -331,6 +333,134 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, out.reshape(h, w, 3)
 
 
+# ------------------------------------------------- QOI (RGB, 3-channel)
+#
+# The "Quite OK Image" format (qoiformat.org, public spec): a 14-byte
+# header then a byte stream of six chunk ops — RUN (repeat previous
+# pixel), INDEX (64-slot rolling hash table), DIFF (2-bit channel
+# deltas), LUMA (green-anchored deltas), RGB, RGBA — closed by seven
+# zero bytes and 0x01. Encoder and decoder below are independent walks
+# of that spec; a bug in either (hash multiplier, bias, run-length
+# fencepost, table update order) desynchronizes the rolling state and
+# corrupts every pixel after the first divergence, which the
+# pixel-recipe oracle catches immediately.
+
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int = 255) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(pixels: np.ndarray) -> bytes:
+    """RGB uint8 array (H, W, 3) -> QOI bytes (channels=3, srgb)."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {arr.shape}")
+    h, w, _ = arr.shape
+    out = bytearray(_QOI_MAGIC + struct.pack(">IIBB", w, h, 3, 0))
+    index = [(0, 0, 0, 255)] * 64
+    pr, pg, pb = 0, 0, 0
+    run = 0
+    flat = arr.reshape(-1, 3)
+    for r, g, b in flat.tolist():
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:  # max encodable run (63/64 collide with RGB/RGBA tags)
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        hidx = _qoi_hash(r, g, b)
+        if index[hidx] == (r, g, b, 255):
+            out.append(hidx)
+        else:
+            index[hidx] = (r, g, b, 255)
+            dr = (r - pr + 128) % 256 - 128
+            dg = (g - pg + 128) % 256 - 128
+            db = (b - pb + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif (
+                -32 <= dg <= 31
+                and -8 <= dr - dg <= 7
+                and -8 <= db - dg <= 7
+            ):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def decode_qoi(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """QOI bytes -> (width, height, RGB uint8 array (H, W, 3)).
+
+    Accepts channels=3 and channels=4 streams (alpha tracked in the
+    rolling state per spec, dropped in the RGB output)."""
+    if payload[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI stream (bad magic)")
+    w, h, channels, colorspace = struct.unpack(">IIBB", payload[4:14])
+    if channels not in (3, 4) or colorspace not in (0, 1):
+        raise ValueError(f"bad QOI header: channels={channels} colorspace={colorspace}")
+    if payload[-8:] != _QOI_END:
+        raise ValueError("truncated QOI stream (missing end marker)")
+    n = w * h
+    px = np.empty((n, 3), dtype=np.uint8)
+    index = [(0, 0, 0, 255)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, i = 14, 0
+    data = payload
+    end = len(payload) - 8
+    while i < n:
+        if pos >= end:
+            raise ValueError("QOI stream ended before all pixels decoded")
+        byte = data[pos]
+        pos += 1
+        if byte == 0xFE:  # RGB
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif byte == 0xFF:  # RGBA
+            r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+            pos += 4
+        else:
+            tag = byte >> 6
+            if tag == 0:  # INDEX
+                r, g, b, a = index[byte]
+                px[i] = (r, g, b)
+                i += 1
+                continue  # spec: INDEX does not re-insert into the table
+            if tag == 1:  # DIFF
+                r = (r + ((byte >> 4) & 3) - 2) % 256
+                g = (g + ((byte >> 2) & 3) - 2) % 256
+                b = (b + (byte & 3) - 2) % 256
+            elif tag == 2:  # LUMA
+                dg = (byte & 0x3F) - 32
+                nxt = data[pos]
+                pos += 1
+                r = (r + dg + ((nxt >> 4) & 0xF) - 8) % 256
+                g = (g + dg) % 256
+                b = (b + dg + (nxt & 0xF) - 8) % 256
+            else:  # RUN
+                run = (byte & 0x3F) + 1
+                if i + run > n:
+                    raise ValueError("QOI run overflows pixel count")
+                px[i : i + run] = (r, g, b)
+                i += run
+                continue  # run repeats previous pixel: table unchanged
+        index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+        px[i] = (r, g, b)
+        i += 1
+    return int(w), int(h), px.reshape(int(h), int(w), 3)
+
+
 def decode_image(payload: bytes) -> tuple[str, int, int, np.ndarray]:
     """Sniff the container by magic and decode; -> (fmt, w, h, pixels).
 
@@ -345,4 +475,7 @@ def decode_image(payload: bytes) -> tuple[str, int, int, np.ndarray]:
     if payload[:8] == _PNG_SIG:
         w, h, px = decode_png(payload)
         return "png", w, h, px
+    if payload[:4] == _QOI_MAGIC:
+        w, h, px = decode_qoi(payload)
+        return "qoi", w, h, px
     raise ValueError(f"unknown image magic {payload[:2]!r}")

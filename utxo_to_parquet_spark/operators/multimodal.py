@@ -488,3 +488,93 @@ def q_mm_phash_dedup(spark, sf_dir):
     return hashed.select(
         "doc_id", "fmt", "phash", F.count(F.lit(1)).over(wdup).alias("n_same_hash")
     )
+
+
+QOI_H = 5  # QOI test-image height; width varies 4..8 per doc
+
+
+@register(
+    "q_mm_qoi_decode_stats",
+    # independent-recompute oracle, same contract as
+    # q_mm_decode_pixel_stats: the planted pixels are the text bytes
+    # cycled into width x QOI_H x 3, so the DECODED buffer's per-channel
+    # sums and sha are pure string arithmetic — the QOI encoder and
+    # decoder (kernels/image.py) are two independent walks of the spec
+    # meeting at this gate, and a bug in the rolling index hash, a
+    # DIFF/LUMA bias, or a run fencepost desynchronizes every later
+    # pixel and flips the hash. 120 = max width (8) * QOI_H * 3.
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS BIGINT) AS width,
+             CAST({QOI_H} AS BIGINT) AS height,
+             substr(repeat(text, CAST(CEIL(120.0 / LENGTH(text)) AS BIGINT)),
+                    1, CAST((4 + doc_id % 5) * {QOI_H} * 3 AS INT)) AS px
+      FROM documents
+    )
+    SELECT doc_id, 'qoi' AS fmt, width, height,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, width * height),
+             i -> ASCII(substr(px, CAST(i * 3 + 1 AS INT), 1)))) AS BIGINT) AS sum_r,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, width * height),
+             i -> ASCII(substr(px, CAST(i * 3 + 2 AS INT), 1)))) AS BIGINT) AS sum_g,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, width * height),
+             i -> ASCII(substr(px, CAST(i * 3 + 3 AS INT), 1)))) AS BIGINT) AS sum_b,
+           substr(sha256(px), 1, 16) AS px_sha
+    FROM img
+    """,
+)
+def q_mm_qoi_decode_stats(spark, sf_dir):
+    """REAL QOI decode end-to-end: each document's text bytes are
+    cycled into a width x QOI_H RGB image (width varying 4..8), encoded
+    to QOI — whose chunk stream the ASCII corpus exercises heavily:
+    repeated words produce RUN and INDEX hits, adjacent letters land in
+    DIFF/LUMA range — then decoded back by the independent pure-Python
+    decoder in kernels/image.py, emitting per-channel sums and the
+    pixel-buffer checksum. The DuckDB oracle recomputes both from the
+    text alone, so the gate proves decode(encode(px)) == px through the
+    format spec rather than through shared code. One Arrow-batched
+    mapInPandas pass, per-partition, no shuffle — the same plumbing
+    shape a native-codec swap keeps."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.image import decode_image, encode_qoi
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def qoi_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "fmt", "width", "height", "sum_r", "sum_g", "sum_b", "px_sha")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if not text or not text.isascii():
+                    raise ValueError(
+                        f"q_mm_qoi_decode_stats: doc {doc_id} has empty or"
+                        " non-ASCII text; the synthesized-pixel contract"
+                        " requires non-empty ASCII"
+                    )
+                w, h = 4 + doc_id % 5, QOI_H
+                n = w * h * 3
+                raw = (text.encode("utf-8") * -(-n // len(text)))[:n]
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                fmt, dw, dh, px = decode_image(encode_qoi(arr))
+                assert (fmt, dw, dh) == ("qoi", w, h), (doc_id, fmt, dw, dh)
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+                out["px_sha"].append(_hashlib.sha256(px.tobytes()).hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        qoi_stats,
+        "doc_id long, fmt string, width long, height long,"
+        " sum_r long, sum_g long, sum_b long, px_sha string",
+    )
