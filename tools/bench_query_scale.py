@@ -151,6 +151,17 @@ OPS = {
     "q_graph_modularity": "graph",
     # round 8f: per-doc occurrence columns + |sources|-row profile join
     "q_text_style_cosine": "documents",
+    # round 8g: compact-forward triangles + degree join (orientation
+    # bounds wedge fan-out; disjoint copies add nodes, not density),
+    # hub-capped common-neighbor pairs (per-part degree is constant in
+    # the fixtures so pair count grows ~linearly), three fixed-round
+    # label/rank propagations (per-round equi-join over a state that
+    # grows linearly in copies), and the vocab-graph TextRank (salted
+    # copies grow the vocab, iterations cost |vocab edges|)
+    "q_graph_clustering_coeff": "documents",
+    "q_graph_adamic_adar": "graph",
+    "q_graph_label_propagation": "graph",
+    "q_text_textrank_keywords": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS
@@ -224,6 +235,12 @@ def build_copies(k_max: int) -> None:
             elif table == "lineitem":
                 df["l_orderkey"] = df["l_orderkey"] + i * ID_OFFSET
                 df["l_suppkey"] = df["l_suppkey"] + i * ID_OFFSET
+                # partkey must shift too or the copies stop being
+                # disjoint subgraphs: an unshifted partkey multiplies
+                # every part's customer degree by k, which (correctly)
+                # trips Adamic-Adar's hub cap and empties its result —
+                # a corpus artifact, not a property of the operator
+                df["l_partkey"] = df["l_partkey"] + i * ID_OFFSET
             else:  # events
                 df["event_id"] = df["event_id"] + i * ID_OFFSET
                 import pandas as pd

@@ -73,6 +73,11 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "input is |distinct values|, not |events|; the raw population is "
         "collapsed by a map-side-combinable shuffle first"
     ),
+    "q_agg_spearman_rho": (
+        "global_midrank2 offset windows run over the 32-row "
+        "per-partition count relation (twice, once per rank dimension); "
+        "per-row cumulative sums are pid-PARTITIONED"
+    ),
     "q_events_mannwhitney_u": (
         "midrank prefix-sum window runs over the groupBy(value) "
         "aggregate — input is |distinct values| of a bounded-precision "

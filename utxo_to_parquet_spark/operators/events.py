@@ -2763,3 +2763,154 @@ def q_events_cohort_revenue(spark, sf_dir):
             F.expr("n_users * 10000 div n0").alias("retained_bp"),
         )
     )
+
+
+# --- Kleinberg two-state burst detection (exact Viterbi) -----------------
+
+BURST_S = 2.0  # burst-state rate multiplier (p1 = min(2*p0, .9999))
+BURST_GAMMA_E6 = 2_000_000  # 0->1 transition cost (2.0 in e6 fixed point)
+
+
+def _burst_oracle() -> str:
+    return f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type,
+             CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS r
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT h, SUM(r) AS d FROM hourly GROUP BY 1),
+    seq AS (
+      SELECT hourly.event_type, hourly.h, hourly.r, tot.d,
+             ROW_NUMBER() OVER (PARTITION BY hourly.event_type
+               ORDER BY hourly.h) AS i
+      FROM hourly JOIN tot ON tot.h = hourly.h
+    ),
+    rates AS (
+      SELECT event_type,
+             CAST(SUM(r) AS DOUBLE) / CAST(SUM(d) AS DOUBLE) AS p0,
+             LEAST(CAST(SUM(r) AS DOUBLE) / CAST(SUM(d) AS DOUBLE)
+                   * {BURST_S}, 0.9999) AS p1
+      FROM seq GROUP BY 1
+    ),
+    costs AS (
+      SELECT s.event_type, s.h, s.r, s.d, s.i,
+             CAST(FLOOR(-(CAST(s.r AS DOUBLE) * LN(p0)
+                 + CAST(s.d - s.r AS DOUBLE) * LN(1 - p0)) * 1e6 + 0.5)
+               AS BIGINT) AS k0,
+             CAST(FLOOR(-(CAST(s.r AS DOUBLE) * LN(p1)
+                 + CAST(s.d - s.r AS DOUBLE) * LN(1 - p1)) * 1e6 + 0.5)
+               AS BIGINT) AS k1
+      FROM seq s JOIN rates ON rates.event_type = s.event_type
+    ),
+    dp AS (
+      SELECT event_type, i, k0 AS c0, k1 + {BURST_GAMMA_E6} AS c1,
+             '0' AS p0path, '1' AS p1path
+      FROM costs WHERE i = 1
+      UNION ALL
+      SELECT c.event_type, c.i,
+             c.k0 + LEAST(dp.c0, dp.c1),
+             c.k1 + LEAST(dp.c0 + {BURST_GAMMA_E6}, dp.c1),
+             CASE WHEN dp.c0 <= dp.c1 THEN dp.p0path ELSE dp.p1path END
+               || '0',
+             CASE WHEN dp.c0 + {BURST_GAMMA_E6} <= dp.c1
+                  THEN dp.p0path ELSE dp.p1path END || '1'
+      FROM dp JOIN costs c
+        ON c.event_type = dp.event_type AND c.i = dp.i + 1
+    ),
+    last AS (SELECT event_type, MAX(i) AS mi FROM dp GROUP BY 1),
+    fin AS (
+      SELECT dp.event_type,
+             CASE WHEN dp.c0 <= dp.c1 THEN dp.p0path ELSE dp.p1path END
+               AS path
+      FROM dp JOIN last
+        ON last.event_type = dp.event_type AND dp.i = last.mi
+    )
+    SELECT s.event_type, s.h AS bucket_hour, s.r AS n_events, s.d AS n_total,
+           CAST(substr(f.path, CAST(s.i AS INT), 1) AS BIGINT) AS burst
+    FROM seq s JOIN fin f ON f.event_type = s.event_type
+    """
+
+
+@register("q_events_burst_kleinberg", oracle=_burst_oracle())
+def q_events_burst_kleinberg(spark, sf_dir):
+    """Kleinberg two-state burst detection per event type: hourly
+    (count, total) pairs feed a binomial-cost automaton — baseline rate
+    p0 = share of the corpus, burst rate p1 = BURST_S*p0 — and the
+    EXACT minimum-cost (Viterbi) state path marks which hours sit in a
+    burst, paying BURST_GAMMA to enter and nothing to leave. This is
+    the principled upgrade of thresholded z-scores: isolated spikes are
+    absorbed unless sustained long enough to amortize the entry cost.
+
+    Determinism contract: the binomial coefficient term is dropped from
+    the per-hour cost (state-independent, cancels in every comparison),
+    each remaining cost -(r*ln(p) + (d-r)*ln(1-p)) is snapped to e6
+    fixed point per (hour, state) BEFORE accumulation — identical
+    closed-form doubles from exact BIGINT counts on both engines, 1-ulp
+    libm noise far below e6 granularity (dsir-log2 precedent) — and the
+    DP then runs in BIGINT arithmetic with ties broken toward the
+    baseline state, so the path is bit-deterministic. The oracle
+    replays the identical DP as a recursive CTE that carries each
+    state's full argmin path as a string.
+
+    Scale shape: hourly aggregation and the rate scalars are map-side
+    combinable; the inherently-sequential Viterbi runs applyInPandas
+    per event TYPE (state = two BIGINTs per step over the |hours|-sized
+    AGGREGATE, never raw events), so 10k types on 1000 executors
+    parallelize per key while each key's pass stays linear."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_events(spark, sf_dir)
+    hour_ns = 3600 * NS
+    hourly = (
+        ev.withColumn("h", F.expr(f"ts div {hour_ns}"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    tot = hourly.groupBy("h").agg(F.sum("r").alias("d"))
+    g = hourly.join(tot, "h").select("event_type", "h", "r", "d")
+
+    def viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        r = pdf["r"].to_numpy(dtype=np.int64)
+        d = pdf["d"].to_numpy(dtype=np.int64)
+        p0 = float(r.sum()) / float(d.sum())
+        p1 = min(p0 * BURST_S, 0.9999)
+        rf, df_ = r.astype(np.float64), d.astype(np.float64)
+        k0 = np.floor(
+            -(rf * np.log(p0) + (df_ - rf) * np.log(1 - p0)) * 1e6 + 0.5
+        ).astype(np.int64)
+        k1 = np.floor(
+            -(rf * np.log(p1) + (df_ - rf) * np.log(1 - p1)) * 1e6 + 0.5
+        ).astype(np.int64)
+        n = len(r)
+        c0, c1 = int(k0[0]), int(k1[0]) + BURST_GAMMA_E6
+        back: list[tuple[int, int]] = [(0, 1)]
+        for t in range(1, n):
+            pred0 = 0 if c0 <= c1 else 1
+            pred1 = 0 if c0 + BURST_GAMMA_E6 <= c1 else 1
+            nc0 = int(k0[t]) + min(c0, c1)
+            nc1 = int(k1[t]) + min(c0 + BURST_GAMMA_E6, c1)
+            back.append((pred0, pred1))
+            c0, c1 = nc0, nc1
+        state = 0 if c0 <= c1 else 1
+        path = np.empty(n, dtype=np.int64)
+        for t in range(n - 1, -1, -1):
+            path[t] = state
+            state = back[t][state]
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "bucket_hour": pdf["h"],
+                "n_events": pdf["r"],
+                "n_total": pdf["d"],
+                "burst": path,
+            }
+        )
+
+    return g.groupBy("event_type").applyInPandas(
+        viterbi,
+        "event_type string, bucket_hour long, n_events long,"
+        " n_total long, burst long",
+    )

@@ -129,3 +129,54 @@ def global_ntile(df, bins: int, order_cols, ntile_name: str = "bin"):
         .withColumn(ntile_name, binc.cast("long"))
         .drop("__pid", "__li", "__off", "__n")
     )
+
+
+def global_midrank2(df, value_col: str, cnt_col: str = "cnt", rank_name: str = "rank2"):
+    """Distributed exact DOUBLED midranks over a (value, count) distinct
+    aggregate — the tie-aware global rank behind rank statistics
+    (Spearman, Kruskal-Wallis): for each distinct value,
+    ``rank2 = 2*cnt_less + cnt + 1`` (twice the average rank of its tie
+    group, kept integer so no engine can round it).
+
+    Same two-pass scheme as global_ntile above, but prefix-summing
+    COUNTS instead of row numbers: (1) range-partition the distinct
+    relation on the value (unique per row by construction, so no
+    tiebreak column is needed) and cumulative-sum counts within each
+    partition; (2) prefix-sum the 32-row per-partition count relation
+    into offsets, so ``cnt_less = offset + local_cum - cnt``. Every
+    per-row stage is partition-parallel; the only unpartitioned window
+    runs over the |partitions| relation. localCheckpoint pins the
+    sampled range boundaries for the same reason as global_ntile."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    part = (
+        df.repartitionByRange(32, value_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wloc = (
+        W.partitionBy("__pid")
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = part.withColumn("__cum", F.sum(cnt_col).over(wloc))
+    woff = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("__pid")
+        .agg(F.sum(cnt_col).alias("__c"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            rank_name,
+            2 * (F.col("__off") + F.col("__cum") - F.col(cnt_col))
+            + F.col(cnt_col)
+            + 1,
+        )
+        .drop("__pid", "__cum", "__off")
+    )

@@ -3162,3 +3162,116 @@ def q_agg_pareto_skyline(spark, sf_dir):
     return joined.filter(
         (max_d_cheaper < F.col("d_s")) & (F.col("max_d_same") == F.col("d_s"))
     ).select("o_orderkey", "p_e2", "d_s")
+
+
+@register(
+    "q_agg_spearman_rho",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ),
+    dx AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY 1),
+    rx AS (
+      SELECT v,
+             2 * (SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+             + cnt + 1 AS r2
+      FROM dx
+    ),
+    dy AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY 1),
+    ry AS (
+      SELECT v,
+             2 * (SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+             + cnt + 1 AS r2
+      FROM dy
+    ),
+    j AS (
+      SELECT rx.r2 AS rx2, ry.r2 AS ry2
+      FROM c JOIN rx ON c.x = rx.v JOIN ry ON c.y = ry.v
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(rx2) AS sx, SUM(ry2) AS sy,
+             SUM(rx2 * rx2) AS sxx, SUM(ry2 * ry2) AS syy,
+             SUM(rx2 * ry2) AS sxy
+      FROM j
+    )
+    SELECT n, sx, sy, sxx, syy, sxy,
+           CAST(FLOOR(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1e6 + 0.5) AS BIGINT) AS rho_e6
+    FROM m
+    WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    """,
+)
+def q_agg_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation between a customer's ORDER COUNT and
+    TOTAL SPEND — the monotone-association statistic: Pearson on
+    midranks, robust to the spend distribution's heavy tail where raw
+    Pearson (q_agg_corr_covar) is dominated by outliers.
+
+    Exact-integer discipline: spend is fixed-pointed to BIGINT cents
+    PER ROW before summation (double order sums would drift across
+    engines), both rank dimensions use DOUBLED midranks from the
+    distributed two-pass global_midrank2 helper (range partition +
+    32-row offset carry — no corpus-sized single-partition window), and
+    the five moment sums are exact BIGINTs. Only the final rho is a
+    double — ONE identical closed-form expression over those BIGINTs on
+    both engines (IEEE sqrt is correctly rounded), snapped to e6 fixed
+    point, with zero-variance degeneracy filtered identically on both
+    sides instead of letting NaN reach the hash. At 100 TB: two
+    map-side-combinable aggregations, two 32-partition range exchanges
+    over DISTINCT-value relations, one moment reduce."""
+    from .registry import global_midrank2
+
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("y"),
+    )
+    dx = c.groupBy(F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    rx = global_midrank2(dx, "v").select(
+        F.col("v").alias("x"), F.col("rank2").alias("rx2")
+    )
+    dy = c.groupBy(F.col("y").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    ry = global_midrank2(dy, "v").select(
+        F.col("v").alias("y"), F.col("rank2").alias("ry2")
+    )
+    j = c.join(rx, "x").join(ry, "y")
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    varx = nd * sxxd - sxd * sxd
+    vary = nd * syyd - syd * syd
+    rho = (nd * sxyd - sxd * syd) / F.sqrt(varx * vary)
+    return m.filter((varx > 0) & (vary > 0)).select(
+        "n", "sx", "sy", "sxx", "syy", "sxy",
+        F.floor(rho * F.lit(1e6) + F.lit(0.5)).cast("long").alias("rho_e6"),
+    )

@@ -2811,3 +2811,114 @@ def q_text_textrank_keywords(spark, sf_dir):
     return ranks.select(
         F.col("node").alias("token"), F.col("rank_e12").cast("long")
     )
+
+
+# --- ROUGE-1 overlap scoring of successive same-source documents ---------
+
+
+@register(
+    "q_text_rouge_overlap",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id AS doc_a,
+             LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+               AS doc_b
+      FROM documents
+    ),
+    p AS (SELECT doc_a, doc_b FROM pairs WHERE doc_b IS NOT NULL),
+    toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS tl FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, tl[i] AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, UNNEST(range(1, LEN(tl) + 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    dlen AS (SELECT doc_id, SUM(cnt) AS n_tok FROM tc GROUP BY 1),
+    ov AS (
+      SELECT p.doc_a, p.doc_b,
+             SUM(LEAST(a.cnt, b.cnt)) AS overlap
+      FROM p
+        JOIN tc a ON a.doc_id = p.doc_a
+        JOIN tc b ON b.doc_id = p.doc_b AND b.token = a.token
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(la.n_tok AS BIGINT) AS n_tok_a,
+           CAST(lb.n_tok AS BIGINT) AS n_tok_b,
+           CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap,
+           CAST(2 * COALESCE(ov.overlap, 0) * 1000000
+                // (la.n_tok + lb.n_tok) AS BIGINT) AS rouge1_f1_e6
+    FROM p
+      JOIN dlen la ON la.doc_id = p.doc_a
+      JOIN dlen lb ON lb.doc_id = p.doc_b
+      LEFT JOIN ov ON ov.doc_a = p.doc_a AND ov.doc_b = p.doc_b
+    """,
+)
+def q_text_rouge_overlap(spark, sf_dir):
+    """ROUGE-1 F1 between every document and its SUCCESSOR within the
+    same source — the summarization-eval metric repurposed as a
+    boilerplate probe: crawl neighbors from one site sharing most of
+    their unigram multiset are templated pages, and the multiset
+    ``min(count_a, count_b)`` overlap (true ROUGE clipping, not set
+    intersection) is exactly what n-gram dedup thresholds act on.
+
+    All-integer: overlap and token totals are exact BIGINTs and
+    ``F1 = 2*overlap/(n_a+n_b)`` is emitted in e6 fixed point via
+    positive floor division (identical on both engines). Scale shape:
+    successor pairing is one lead() in a source-partitioned window (no
+    pair explosion is possible at any skew — each doc joins exactly one
+    partner), and the overlap join runs on the (doc, token) COUNT
+    aggregate keyed by token within pair — linear in corpus tokens.
+    Zero-shared-token pairs survive via the left join with overlap 0."""
+    docs = load(spark, sf_dir, "documents")
+    wsrc = W.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.lead("doc_id").over(wsrc).alias("doc_b"),
+        )
+        .filter(F.col("doc_b").isNotNull())
+    )
+    tc = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    dlen = tc.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
+    a = tc.select(
+        F.col("doc_id").alias("doc_a"),
+        "token",
+        F.col("cnt").alias("cnt_a"),
+    )
+    b = tc.select(
+        F.col("doc_id").alias("doc_b"),
+        "token",
+        F.col("cnt").alias("cnt_b"),
+    )
+    ov = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("cnt_a", "cnt_b")).alias("overlap"))
+    )
+    la = dlen.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_tok_a"))
+    lb = dlen.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_tok_b"))
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .join(ov, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_tok_a").cast("long"),
+            F.col("n_tok_b").cast("long"),
+            F.coalesce(F.col("overlap"), F.lit(0)).cast("long").alias("overlap"),
+            F.expr(
+                "CAST(2 * coalesce(overlap, 0) * 1000000"
+                " div (n_tok_a + n_tok_b) AS BIGINT)"
+            ).alias("rouge1_f1_e6"),
+        )
+    )
