@@ -3275,3 +3275,52 @@ def q_agg_spearman_rho(spark, sf_dir):
         "n", "sx", "sy", "sxx", "syy", "sxy",
         F.floor(rho * F.lit(1e6) + F.lit(0.5)).cast("long").alias("rho_e6"),
     )
+
+
+K_ANON = 5  # minimum safe equivalence-class size
+
+
+@register(
+    "q_quality_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source,
+             CAST(n_chars // 100 AS BIGINT) AS chars_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, chars_bucket, n,
+           CAST(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END AS BIGINT)
+             AS at_risk
+    FROM g
+    """,
+)
+def q_quality_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the corpus's quasi-identifiers: every
+    (lang, source, length-bucket) equivalence class with its size, and
+    a flag for classes smaller than K_ANON — the groups where a
+    released record is re-identifiable by its metadata alone. The
+    governance sibling of q_text_pii_redact: redaction scrubs content,
+    this measures whether the METADATA shape itself leaks.
+
+    Pure integer bucketing plus one map-side-combinable groupBy — the
+    cheapest possible shape at any scale; the class-size histogram is
+    the broadcastable output a suppression/generalization pass would
+    consume next."""
+    docs = load(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "lang",
+            "source",
+            F.expr("CAST(n_chars div 100 AS BIGINT)").alias("chars_bucket"),
+        )
+        .groupBy("lang", "source", "chars_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return g.select(
+        "lang",
+        "source",
+        "chars_bucket",
+        "n",
+        F.when(F.col("n") < K_ANON, 1).otherwise(0).cast("long").alias("at_risk"),
+    )

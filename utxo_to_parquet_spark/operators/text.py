@@ -2922,3 +2922,168 @@ def q_text_rouge_overlap(spark, sf_dir):
             ).alias("rouge1_f1_e6"),
         )
     )
+
+
+@register(
+    "q_text_bleu_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id AS doc_a,
+             LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+               AS doc_b
+      FROM documents
+    ),
+    p AS (SELECT doc_a, doc_b FROM pairs WHERE doc_b IS NOT NULL),
+    toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS tl FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, tl[i] AS token, CAST(i AS BIGINT) AS pos
+      FROM toks, UNNEST(range(1, LEN(tl) + 1)) AS u(i)
+    ),
+    tc AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1, 2
+    ),
+    bg AS (
+      SELECT c.doc_id, p2.token || ' ' || c.token AS bg,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok c JOIN tok p2
+        ON p2.doc_id = c.doc_id AND p2.pos = c.pos - 1
+      GROUP BY 1, 2
+    ),
+    dlen AS (SELECT doc_id, SUM(cnt) AS n_tok FROM tc GROUP BY 1),
+    m1 AS (
+      SELECT p.doc_a, p.doc_b, SUM(LEAST(a.cnt, b.cnt)) AS m
+      FROM p
+        JOIN tc a ON a.doc_id = p.doc_a
+        JOIN tc b ON b.doc_id = p.doc_b AND b.token = a.token
+      GROUP BY 1, 2
+    ),
+    m2 AS (
+      SELECT p.doc_a, p.doc_b, SUM(LEAST(a.cnt, b.cnt)) AS m
+      FROM p
+        JOIN bg a ON a.doc_id = p.doc_a
+        JOIN bg b ON b.doc_id = p.doc_b AND b.bg = a.bg
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(COALESCE(m1.m, 0) AS BIGINT) AS match1,
+           CAST(lb.n_tok AS BIGINT) AS cand1,
+           CAST(COALESCE(m2.m, 0) AS BIGINT) AS match2,
+           CAST(lb.n_tok - 1 AS BIGINT) AS cand2,
+           CAST(CASE
+             WHEN COALESCE(m1.m, 0) = 0 OR COALESCE(m2.m, 0) = 0
+                  OR lb.n_tok < 2 THEN 0
+             ELSE FLOOR(
+               CASE WHEN lb.n_tok >= la.n_tok THEN 1.0
+                    ELSE EXP(1.0 - CAST(la.n_tok AS DOUBLE)
+                             / CAST(lb.n_tok AS DOUBLE)) END
+               * SQRT((CAST(m1.m AS DOUBLE) / CAST(lb.n_tok AS DOUBLE))
+                      * (CAST(m2.m AS DOUBLE)
+                         / CAST(lb.n_tok - 1 AS DOUBLE)))
+               * 1e6 + 0.5)
+           END AS BIGINT) AS bleu2_e6
+    FROM p
+      JOIN dlen la ON la.doc_id = p.doc_a
+      JOIN dlen lb ON lb.doc_id = p.doc_b
+      LEFT JOIN m1 ON m1.doc_a = p.doc_a AND m1.doc_b = p.doc_b
+      LEFT JOIN m2 ON m2.doc_a = p.doc_a AND m2.doc_b = p.doc_b
+    """,
+)
+def q_text_bleu_pairs(spark, sf_dir):
+    """BLEU-2 between each document (reference) and its same-source
+    successor (candidate) — the second ROUGE-family eval metric: clipped
+    unigram AND bigram precisions under a geometric mean, discounted by
+    the brevity penalty exp(1 - r/c) when the candidate is shorter.
+    Alongside q_text_rouge_overlap this gives the recall- and
+    precision- flavored pair scores a templated-page auditor compares.
+
+    Clip counts (min of the two multisets, per n-gram) and all lengths
+    are exact BIGINTs; only the final score is a double — one identical
+    CASE/EXP/SQRT expression tree over those BIGINTs on both engines
+    (exp/sqrt 1-ulp noise sits far below e6 granularity), snapped to e6
+    fixed point, with the zero-match and single-token degeneracies
+    returning literal 0 identically. Scale shape: successor pairing is
+    one partitioned lead(); both n-gram tables are map-side-combinable
+    aggregates joined per (pair, gram) — linear in corpus tokens, and
+    heavy stopword grams are AQE skew-split keys."""
+    docs = load(spark, sf_dir, "documents")
+    wsrc = W.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.lead("doc_id").over(wsrc).alias("doc_b"),
+        )
+        .filter(F.col("doc_b").isNotNull())
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    tc = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wpos = W.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("nxt", F.lead("token").over(wpos))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(F.col("token"), F.lit(" "), F.col("nxt")).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    dlen = tc.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
+
+    def clipped(counts, gram_col, out):
+        a = counts.select(
+            F.col("doc_id").alias("doc_a"), gram_col, F.col("cnt").alias("ca")
+        )
+        b = counts.select(
+            F.col("doc_id").alias("doc_b"), gram_col, F.col("cnt").alias("cb")
+        )
+        return (
+            pairs.join(a, "doc_a")
+            .join(b, ["doc_b", gram_col])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("ca", "cb")).alias(out))
+        )
+
+    m1 = clipped(tc, "token", "m1")
+    m2 = clipped(bg, "bg", "m2")
+    la = dlen.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("ref_len"))
+    lb = dlen.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("cand_len"))
+    j = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .join(m1, ["doc_a", "doc_b"], "left")
+        .join(m2, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("m1"), F.lit(0)).cast("long").alias("match1"),
+            F.col("cand_len").cast("long").alias("cand1"),
+            F.coalesce(F.col("m2"), F.lit(0)).cast("long").alias("match2"),
+            (F.col("cand_len") - 1).cast("long").alias("cand2"),
+            F.col("ref_len"),
+        )
+    )
+    bp = F.when(F.col("cand1") >= F.col("ref_len"), F.lit(1.0)).otherwise(
+        F.exp(
+            F.lit(1.0)
+            - F.col("ref_len").cast("double") / F.col("cand1").cast("double")
+        )
+    )
+    score = bp * F.sqrt(
+        (F.col("match1").cast("double") / F.col("cand1").cast("double"))
+        * (F.col("match2").cast("double") / F.col("cand2").cast("double"))
+    )
+    bleu = F.when(
+        (F.col("match1") == 0) | (F.col("match2") == 0) | (F.col("cand1") < 2),
+        F.lit(0),
+    ).otherwise(F.floor(score * F.lit(1e6) + F.lit(0.5)))
+    return j.select(
+        "doc_a", "doc_b", "match1", "cand1", "match2", "cand2",
+        bleu.cast("long").alias("bleu2_e6"),
+    )
