@@ -1819,3 +1819,140 @@ def q_sim_silhouette(spark, sf_dir):
             F.sum(F.when(F.col("s_e6") < 0, 1).otherwise(0)).alias("n_negative"),
         )
     )
+
+
+# --- Matryoshka truncation audit: top-k overlap full vs prefix dims ------
+
+MRL_DIM = 32  # retained prefix dimensions (of 64)
+
+
+@register(
+    "q_sim_matryoshka_overlap",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+               FROM embeddings
+               WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID}),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    sims AS (
+      SELECT q_id, c_id,
+             CAST(FLOOR(LIST_DOT_PRODUCT(qe, ce)
+               / (SQRT(LIST_DOT_PRODUCT(qe, qe))
+                  * SQRT(LIST_DOT_PRODUCT(ce, ce))) * 1e6 + 0.5)
+               AS BIGINT) AS sf_e6,
+             CAST(FLOOR(LIST_DOT_PRODUCT(qe[1:{MRL_DIM}], ce[1:{MRL_DIM}])
+               / (SQRT(LIST_DOT_PRODUCT(qe[1:{MRL_DIM}], qe[1:{MRL_DIM}]))
+                  * SQRT(LIST_DOT_PRODUCT(ce[1:{MRL_DIM}], ce[1:{MRL_DIM}])))
+               * 1e6 + 0.5) AS BIGINT) AS sh_e6
+      FROM q JOIN c ON q_id <> c_id
+    ),
+    rf AS (
+      SELECT q_id, c_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sf_e6 DESC, c_id) AS rn
+      FROM sims
+    ),
+    rh AS (
+      SELECT q_id, c_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sh_e6 DESC, c_id) AS rn
+      FROM sims
+    ),
+    ov AS (
+      SELECT rf.q_id, COUNT(*) AS overlap
+      FROM rf JOIN rh ON rf.q_id = rh.q_id AND rf.c_id = rh.c_id
+      WHERE rf.rn <= {TOP_K} AND rh.rn <= {TOP_K}
+      GROUP BY 1
+    ),
+    qq AS (SELECT q_id FROM q)
+    SELECT qq.q_id,
+           CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(COALESCE(ov.overlap, 0) * 1000000
+                // (2 * {TOP_K} - COALESCE(ov.overlap, 0)) AS BIGINT)
+             AS jaccard_e6
+    FROM qq LEFT JOIN ov ON ov.q_id = qq.q_id
+    """,
+)
+def q_sim_matryoshka_overlap(spark, sf_dir):
+    """Matryoshka truncation audit: for each query vector, how much of
+    the exact cosine top-{TOP_K} survives when embeddings are truncated
+    to their first {MRL_DIM} of 64 dimensions — the measurement that
+    decides whether an MRL-style prefix index (half the memory, half
+    the FLOPs) is safe for a retrieval corpus. Emits per-query overlap
+    and rank-set Jaccard, both exact integers.
+
+    Both score passes run in ONE Arrow-batched mapInPandas scan
+    (dimension-ordered accumulation via lr_matmul, bit-identical to
+    LIST_DOT_PRODUCT), scores snap to e6 fixed point BEFORE ranking
+    with id tie-breaks, so both engines rank identical integers; the
+    overlap join then compares two {TOP_K}-row lists per query. Scale:
+    the query side is the CONSTANT <= {Q_CAP}-vector panel (closure-
+    shipped), candidates stream once — same linear shape as
+    q_sim_cosine_topk plus two bounded windows."""
+    emb = load(spark, sf_dir, "embeddings")
+    q_pd = _query_vectors(emb).select("vec_id", "embedding").toPandas()
+    Q = _to_matrix(q_pd["embedding"])
+    q_ids = q_pd["vec_id"].to_numpy()
+    _, q_sq = lr_matmul(Q, Q[:0])
+    _, qh_sq = lr_matmul(Q[:, :MRL_DIM], Q[:0, :MRL_DIM])
+    q_norm, qh_norm = np.sqrt(q_sq), np.sqrt(qh_sq)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            C = _to_matrix(pdf["embedding"])
+            dots, c_sq = lr_matmul(C, Q)
+            hdots, ch_sq = lr_matmul(C[:, :MRL_DIM], Q[:, :MRL_DIM])
+            c_norm, ch_norm = np.sqrt(c_sq), np.sqrt(ch_sq)
+            cf = dots / (q_norm[None, :] * c_norm[:, None])
+            ch = hdots / (qh_norm[None, :] * ch_norm[:, None])
+            c_ids = pdf["vec_id"].to_numpy()
+            n, m = cf.shape
+            qcol = np.repeat(q_ids[None, :], n, axis=0).ravel()
+            ccol = np.repeat(c_ids[:, None], m, axis=1).ravel()
+            keep = qcol != ccol
+            yield pd.DataFrame(
+                {
+                    "q_id": qcol[keep],
+                    "c_id": ccol[keep],
+                    "sf_e6": np.floor(cf.ravel()[keep] * 1e6 + 0.5).astype(
+                        np.int64
+                    ),
+                    "sh_e6": np.floor(ch.ravel()[keep] * 1e6 + 0.5).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+    sims = emb.select("vec_id", "embedding").mapInPandas(
+        score, "q_id long, c_id long, sf_e6 long, sh_e6 long"
+    )
+    wf = W.partitionBy("q_id").orderBy(F.col("sf_e6").desc(), F.col("c_id"))
+    wh = W.partitionBy("q_id").orderBy(F.col("sh_e6").desc(), F.col("c_id"))
+    ranked = sims.select(
+        "q_id",
+        "c_id",
+        F.row_number().over(wf).alias("rn_f"),
+        F.row_number().over(wh).alias("rn_h"),
+    )
+    ov = (
+        ranked.filter((F.col("rn_f") <= TOP_K) & (F.col("rn_h") <= TOP_K))
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    qq = spark.createDataFrame(
+        [(int(i),) for i in q_ids], "q_id long"
+    )
+    return (
+        qq.join(ov, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("overlap"), F.lit(0)).cast("long").alias("overlap"),
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.expr(
+                f"CAST(coalesce(overlap, 0) * 1000000"
+                f" div (2 * {TOP_K} - coalesce(overlap, 0)) AS BIGINT)"
+            ).alias("jaccard_e6"),
+        )
+    )
