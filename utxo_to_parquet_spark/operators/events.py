@@ -2914,3 +2914,85 @@ def q_events_burst_kleinberg(spark, sf_dir):
         "event_type string, bucket_hour long, n_events long,"
         " n_total long, burst long",
     )
+
+
+@register(
+    "q_events_two_proportion_z",
+    oracle="""
+    WITH g AS (
+      SELECT user_id % 2 AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+               AS BIGINT) AS conv
+      FROM events GROUP BY 1
+    ),
+    ab AS (
+      SELECT MAX(CASE WHEN grp = 0 THEN n END) AS na,
+             MAX(CASE WHEN grp = 0 THEN conv END) AS ca,
+             MAX(CASE WHEN grp = 1 THEN n END) AS nb,
+             MAX(CASE WHEN grp = 1 THEN conv END) AS cb
+      FROM g
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           CAST(FLOOR(
+             (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+              - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+             / SQRT((CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                    * (1 - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                    * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+             * 1e6 + 0.5) AS BIGINT) AS z_e6
+    FROM ab
+    WHERE na > 0 AND nb > 0 AND ca + cb > 0 AND ca + cb < na + nb
+    """,
+)
+def q_events_two_proportion_z(spark, sf_dir):
+    """Two-proportion z-test on conversion rate between the two halves
+    of a deterministic user-id split — the A/B-test primitive
+    completing the inference family (Welch compares means,
+    Mann-Whitney ranks, chi-square contingency tables, this compares
+    binomial rates under the pooled-variance normal approximation).
+
+    Counts are exact BIGINTs from one map-side-combinable aggregation
+    over a 2-row group; z is ONE identical closed-form expression over
+    them (IEEE sqrt correctly rounded), snapped to e6 fixed point, and
+    the all-converted / none-converted degeneracies (pooled variance 0)
+    are filtered identically on both engines."""
+    ev = load_events(spark, sf_dir)
+    g = (
+        ev.select((F.col("user_id") % 2).alias("grp"), "event_type")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("long")
+            .alias("conv"),
+        )
+    )
+    pick = lambda col, v: F.max(F.when(F.col("grp") == v, F.col(col)))
+    ab = g.agg(
+        pick("n", 0).alias("na"),
+        pick("conv", 0).alias("ca"),
+        pick("n", 1).alias("nb"),
+        pick("conv", 1).alias("cb"),
+    )
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    cad, cbd = F.col("ca").cast("double"), F.col("cb").cast("double")
+    pool = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    ).cast("double")
+    z = (cad / nad - cbd / nbd) / F.sqrt(
+        pool * (1 - pool) * (F.lit(1.0) / nad + F.lit(1.0) / nbd)
+    )
+    return ab.filter(
+        (F.col("na") > 0)
+        & (F.col("nb") > 0)
+        & (F.col("ca") + F.col("cb") > 0)
+        & (F.col("ca") + F.col("cb") < F.col("na") + F.col("nb"))
+    ).select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("ca").cast("long").alias("conv_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("cb").cast("long").alias("conv_b"),
+        F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long").alias("z_e6"),
+    )

@@ -456,3 +456,64 @@ def q_pipeline_curriculum(spark, sf_dir):
         "bin_tokens",
         F.sum("bin_tokens").over(wcum).alias("cum_tokens"),
     )
+
+
+N_SHARDS = 16
+
+
+@register(
+    "q_pipeline_shard_manifest",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % {N_SHARDS} AS shard,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_h
+      FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(bit_xor(content_h) AS BIGINT) AS content_fingerprint
+    FROM h GROUP BY 1
+    """,
+)
+def q_pipeline_shard_manifest(spark, sf_dir):
+    """Deterministic output-shard manifest: every document lands in one
+    of {N_SHARDS} shards by key hash, and each shard row carries its
+    cardinality, byte budget, id range, and an order-independent
+    xor-of-content-hashes fingerprint — the verification artifact a
+    distributed writer publishes so ANY reader (or a re-run) can prove
+    shard-level integrity without re-reading payloads. Companion to
+    q_table_fingerprint (one fingerprint per table) at the granularity
+    redistribution actually happens.
+
+    Hash-partitioning by md5 of the KEY (not content) keeps shard
+    assignment stable under text edits; xor aggregation is commutative
+    so the fingerprint is fully map-side partial. One scan, one
+    {N_SHARDS}-key shuffle — nothing here changes shape at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % N_SHARDS
+    )
+    content_h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            "doc_id",
+            "n_chars",
+            content_h.alias("content_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+            F.expr("bit_xor(content_h)").cast("long").alias("content_fingerprint"),
+        )
+    )
