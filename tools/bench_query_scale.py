@@ -162,6 +162,15 @@ OPS = {
     "q_graph_adamic_adar": "graph",
     "q_graph_label_propagation": "graph",
     "q_text_textrank_keywords": "documents",
+    # round 8h: pair-gram eval joins (lead() pairing caps fan-out at one
+    # partner per doc; gram joins are corpus-linear), the two-pass
+    # global-midrank Spearman (32-partition range exchanges over
+    # DISTINCT-value relations), and the per-type Viterbi burst DP
+    # (|hours| state over the hourly aggregate, applyInPandas per key)
+    "q_text_rouge_overlap": "documents",
+    "q_text_bleu_pairs": "documents",
+    "q_agg_spearman_rho": "graph",
+    "q_events_burst_kleinberg": "events",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS
