@@ -177,6 +177,22 @@ HEADLINE = [
     "q_agg_pareto_skyline",
     "q_graph_modularity",
     "q_text_style_cosine",
+    # round-8 session 3
+    "q_graph_clustering_coeff",
+    "q_graph_adamic_adar",
+    "q_graph_label_propagation",
+    "q_text_textrank_keywords",
+    "q_events_mannwhitney_u",
+    "q_events_chisq_independence",
+    "q_events_two_proportion_z",
+    "q_events_burst_kleinberg",
+    "q_agg_spearman_rho",
+    "q_text_rouge_overlap",
+    "q_text_bleu_pairs",
+    "q_quality_k_anonymity",
+    "q_pipeline_shard_manifest",
+    "q_sim_matryoshka_overlap",
+    "q_mm_qoi_decode_stats",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

@@ -898,8 +898,6 @@ def q_graph_label_propagation(spark, sf_dir):
     re-deriving rounds 1..N-1. Fixed round count (not convergence
     polling) keeps the job DAG static, the cluster-friendly choice for
     a 1000-executor schedule."""
-    from pyspark.sql import Window as W
-
     edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     labels = (
         edges.select("src")
@@ -911,11 +909,21 @@ def q_graph_label_propagation(spark, sf_dir):
             F.col("src").alias("n2"), "label"
         )
         cnt = nb.groupBy("n2", "label").agg(F.count(F.lit(1)).alias("c"))
-        w = W.partitionBy("n2").orderBy(F.col("c").desc(), F.col("label").asc())
+        # argmax by (count DESC, label ASC) as a partial-aggregable
+        # struct-max — max(struct(c, -label)) picks the highest count
+        # and, on ties, the SMALLEST label (bigger negated id wins).
+        # Map-side combinable, where the row_number window form needs a
+        # full sort per round.
         labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("n2").alias("node"), "label")
+            cnt.groupBy("n2")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("b")
+            )
+            .select(
+                F.col("n2").alias("node"), (-F.col("b.nl")).alias("label")
+            )
             .localCheckpoint(eager=False)
         )
     return labels.select(
