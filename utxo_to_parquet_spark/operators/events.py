@@ -2996,3 +2996,196 @@ def q_events_two_proportion_z(spark, sf_dir):
         F.col("cb").cast("long").alias("conv_b"),
         F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("long").alias("z_e6"),
     )
+
+
+# --- Kendall tau-b: rank concordance on the hourly series -----------------
+
+
+@register(
+    "q_events_kendall_tau",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS b,
+             SUM(CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      FROM hourly a JOIN hourly b
+        ON a.event_type = b.event_type AND b.b > a.b
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(conc) AS BIGINT) AS conc,
+             CAST(SUM(disc) AS BIGINT) AS disc,
+             CAST(SUM(tx) AS BIGINT) AS tx, CAST(SUM(ty) AS BIGINT) AS ty
+      FROM pairs GROUP BY 1
+    )
+    SELECT event_type, n_pairs, conc, disc,
+           CAST(FLOOR(
+             (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+             / SQRT(CAST(n_pairs - tx AS DOUBLE)
+                    * CAST(n_pairs - ty AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+             AS tau_e6
+    FROM m WHERE n_pairs - tx > 0 AND n_pairs - ty > 0
+    """,
+)
+def q_events_kendall_tau(spark, sf_dir):
+    """Kendall tau-b rank concordance between an event type's hourly
+    LOAD (event count) and hourly VOLUME (fixed-point value sum) — the
+    pair-counting cousin of q_agg_spearman_rho, robust to any monotone
+    transform of either series and exact under ties (the tau-b
+    denominator removes tied pairs per dimension).
+
+    The all-pairs step is NOT a corpus blowup: it self-joins the hourly
+    AGGREGATE (bounded by the fixture's fixed 30-day window — ~720
+    buckets per type at every SF, so pair count is time-range-bounded,
+    not data-bounded; a longer retention window grows it as span**2 per
+    type, independent of row volume). Concordance is decided on exact
+    BIGINTs (e4 per-row fixed-point BEFORE the hourly sum), the four
+    pair tallies are integer sums, and only the final tau is a double —
+    one identical closed form snapped to e6, degenerate (all-tied)
+    series filtered identically on both engines."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.withColumn("b", F.expr(f"ts div {3600 * NS}"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(1e4) + F.lit(0.5)).cast("long")
+            ).alias("x"),
+            F.count(F.lit(1)).cast("long").alias("y"),
+        )
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    a = hourly.select(
+        "event_type", F.col("b").alias("b1"),
+        F.col("x").alias("x1"), F.col("y").alias("y1"),
+    )
+    b = hourly.select(
+        "event_type", F.col("b").alias("b2"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    prod = (F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    pairs = a.join(b, "event_type").filter(F.col("b2") > F.col("b1"))
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(prod > 0, 1).otherwise(0)).cast("long").alias("conc"),
+        F.sum(F.when(prod < 0, 1).otherwise(0)).cast("long").alias("disc"),
+        F.sum(F.when(F.col("x1") == F.col("x2"), 1).otherwise(0))
+        .cast("long").alias("tx"),
+        F.sum(F.when(F.col("y1") == F.col("y2"), 1).otherwise(0))
+        .cast("long").alias("ty"),
+    )
+    tau = (F.col("conc").cast("double") - F.col("disc").cast("double")) / F.sqrt(
+        (F.col("n_pairs") - F.col("tx")).cast("double")
+        * (F.col("n_pairs") - F.col("ty")).cast("double")
+    )
+    return m.filter(
+        (F.col("n_pairs") - F.col("tx") > 0) & (F.col("n_pairs") - F.col("ty") > 0)
+    ).select(
+        "event_type", "n_pairs", "conc", "disc",
+        F.floor(tau * F.lit(1e6) + F.lit(0.5)).cast("long").alias("tau_e6"),
+    )
+
+
+# --- Theil-Sen robust trend: median of pairwise hourly slopes -------------
+
+
+@register(
+    "q_events_theil_sen",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS b,
+             SUM(CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT)) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type, a.b AS b1, q.b AS b2,
+             (CAST(q.s AS DOUBLE) / q.c - CAST(a.s AS DOUBLE) / a.c)
+               / CAST(q.b - a.b AS DOUBLE) AS slope
+      FROM hourly a JOIN hourly q
+        ON a.event_type = q.event_type AND q.b > a.b
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope, b1, b2) AS rn
+      FROM slopes
+    )
+    SELECT event_type, n_pairs,
+           CAST(FLOOR(slope * 1e6 + 0.5) AS BIGINT) AS sen_slope_e6
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+)
+def q_events_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per event type: the MEDIAN of all pairwise
+    slopes of the hourly-mean series — the estimator that shrugs off up
+    to ~29% outlier hours where the OLS fit (q_events_linreg_trend) gets
+    dragged. The median is taken discretely (an actual pair's slope, not
+    an interpolation), with (slope, bucket pair) as the total order.
+
+    Pair fan-out is bounded exactly as in q_events_kendall_tau: the
+    self-join runs on the HOURLY AGGREGATE, so pair count scales with
+    retention-window-span squared per type — constant in corpus rows.
+    Hourly means are one double division of exact BIGINTs (e4 per-row
+    fixed-point before the sum), the slope is the identical three-op
+    expression tree on both engines (correctly-rounded IEEE ops over
+    identical inputs), so sorting doubles — which never does arithmetic
+    — agrees bit-for-bit, and the selected median snaps to e6."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.withColumn("b", F.expr(f"ts div {3600 * NS}"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * F.lit(1e4) + F.lit(0.5)).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = hourly.select(
+        "event_type", F.col("b").alias("b1"),
+        F.col("s").alias("s1"), F.col("c").alias("c1"),
+    )
+    q = hourly.select(
+        "event_type", F.col("b").alias("b2"),
+        F.col("s").alias("s2"), F.col("c").alias("c2"),
+    )
+    slope = (
+        F.col("s2").cast("double") / F.col("c2")
+        - F.col("s1").cast("double") / F.col("c1")
+    ) / (F.col("b2") - F.col("b1")).cast("double")
+    slopes = (
+        a.join(q, "event_type")
+        .filter(F.col("b2") > F.col("b1"))
+        .select("event_type", "b1", "b2", slope.alias("slope"))
+    )
+    wp = W.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.count(F.lit(1)).over(wp).alias("n_pairs"),
+        F.row_number()
+        .over(wp.orderBy("slope", "b1", "b2"))
+        .alias("rn"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.floor(F.col("slope") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("sen_slope_e6"),
+    )

@@ -937,3 +937,213 @@ def q_graph_label_propagation(spark, sf_dir):
         )
         .alias("community"),
     )
+
+
+# --- HITS hubs & authorities (fixed-iteration, fixed-point) ---------------
+
+HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS power iteration, one CTE pair per Spark pass.
+
+    Every mutual-recursion step is kept engine-identical: scores live as
+    e9 fixed-point BIGINTs (integer sums are summation-order-proof), and
+    the max-normalization per step is ONE double division of two exact
+    integers followed by floor(x*1e9+0.5) — the same correctly-rounded
+    expression tree on both engines."""
+    base = """
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT c, CAST(1000000000 AS BIGINT) AS h FROM edges)
+    """
+    for k in range(HITS_ITERS):
+        base += f""",
+    araw{k} AS (
+      SELECT e.s, SUM(h.h) AS a FROM edges e JOIN h{k} h ON e.c = h.c
+      GROUP BY e.s
+    ),
+    a{k + 1} AS (
+      SELECT s, CAST(FLOOR(CAST(a AS DOUBLE)
+                 / (SELECT MAX(a) FROM araw{k}) * 1e9 + 0.5) AS BIGINT) AS a
+      FROM araw{k}
+    ),
+    hraw{k} AS (
+      SELECT e.c, SUM(a.a) AS h FROM edges e JOIN a{k + 1} a ON e.s = a.s
+      GROUP BY e.c
+    ),
+    h{k + 1} AS (
+      SELECT c, CAST(FLOOR(CAST(h AS DOUBLE)
+                 / (SELECT MAX(h) FROM hraw{k}) * 1e9 + 0.5) AS BIGINT) AS h
+      FROM hraw{k}
+    )"""
+    base += f"""
+    SELECT 'c' || CAST(h.c AS VARCHAR) AS node, h.h AS hub_e9,
+           CAST(NULL AS BIGINT) AS auth_e9
+    FROM h{HITS_ITERS} h
+    UNION ALL
+    SELECT 's' || CAST(a.s AS VARCHAR) AS node, CAST(NULL AS BIGINT) AS hub_e9,
+           a.a AS auth_e9
+    FROM a{HITS_ITERS} a
+    """
+    return base
+
+
+@register("q_graph_hits", oracle=_hits_oracle())
+def q_graph_hits(spark, sf_dir):
+    """HITS (Kleinberg) hubs-and-authorities over the bipartite
+    customer->supplier trade graph: customers are hubs (they point at
+    the suppliers they buy from), suppliers are authorities. Each of the
+    {HITS_ITERS} mutual-recursion steps is one equi-join plus one
+    map-side-combinable integer sum — the identical scalable shape as
+    q_graph_pagerank, with per-step lineage cut so iteration N's plan
+    does not re-derive 1..N-1.
+
+    Determinism: scores are e9 fixed-point BIGINTs throughout, so the
+    per-step sums are integer additions (order-proof across partial
+    aggregation on any partitioning); the per-step max-normalization
+    divides two exact integers once in double precision (correctly
+    rounded, engine-identical) and snaps straight back to e9. The
+    reference has no graph surface (src/main.rs:199-206 is one flat
+    table); this belongs to the mandated analytics extension."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed 2x per iteration
+    )
+    hubs = edges.select("c").distinct().select("c", F.lit(10**9).alias("h"))
+
+    def _renorm(df, key, col):
+        m = df.agg(F.max(col)).collect()[0][0]  # one exact-BIGINT scalar
+        return df.select(
+            key,
+            F.floor(F.col(col).cast("double") / F.lit(float(m)) * F.lit(1e9)
+                    + F.lit(0.5)).cast("long").alias(col),
+        )
+
+    auths = None
+    for _ in range(HITS_ITERS):
+        araw = (
+            edges.join(hubs, "c").groupBy("s").agg(F.sum("h").alias("a"))
+        )
+        auths = _renorm(araw, "s", "a").localCheckpoint(eager=False)
+        hraw = (
+            edges.join(auths, "s").groupBy("c").agg(F.sum("a").alias("h"))
+        )
+        hubs = _renorm(hraw, "c", "h").localCheckpoint(eager=False)
+    nulll = F.lit(None).cast("long")
+    return (
+        hubs.select(
+            F.concat(F.lit("c"), F.col("c").cast("string")).alias("node"),
+            F.col("h").alias("hub_e9"),
+            nulll.alias("auth_e9"),
+        )
+        .unionAll(
+            auths.select(
+                F.concat(F.lit("s"), F.col("s").cast("string")).alias("node"),
+                nulll.alias("hub_e9"),
+                F.col("a").alias("auth_e9"),
+            )
+        )
+    )
+
+
+# --- Neighbor-set Jaccard link prediction ---------------------------------
+
+NJ_DEG_CAP = 40  # same banding rationale as AA_DEG_CAP
+NJ_TOP_K = 25
+
+
+@register(
+    "q_graph_jaccard_neighbors",
+    oracle=f"""
+    WITH cn AS (
+      SELECT o_custkey AS c, l_partkey AS p
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    cdeg AS (SELECT c, COUNT(*) AS deg FROM cn GROUP BY 1),
+    pdeg AS (SELECT p, COUNT(*) AS d FROM cn GROUP BY 1),
+    keep AS (
+      SELECT cn.c, cn.p FROM cn JOIN pdeg ON pdeg.p = cn.p
+      WHERE pdeg.d BETWEEN 2 AND {NJ_DEG_CAP}
+    ),
+    inter AS (
+      SELECT a.c AS cust_a, b.c AS cust_b, COUNT(*) AS n_inter
+      FROM keep a JOIN keep b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2
+    )
+    SELECT cust_a, cust_b, CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(da.deg + db.deg - n_inter AS BIGINT) AS n_union,
+           CAST(FLOOR(CAST(n_inter AS DOUBLE)
+                / (da.deg + db.deg - n_inter) * 1e6 + 0.5) AS BIGINT)
+             AS jaccard_e6
+    FROM inter
+    JOIN cdeg da ON da.c = cust_a
+    JOIN cdeg db ON db.c = cust_b
+    ORDER BY jaccard_e6 DESC, cust_a, cust_b
+    LIMIT {NJ_TOP_K}
+    """,
+)
+def q_graph_jaccard_neighbors(spark, sf_dir):
+    """Neighbor-set Jaccard link prediction — the set-overlap
+    complement of q_graph_adamic_adar: score a customer pair by
+    |parts(a) AND parts(b)| / |parts(a) OR parts(b)|. The union size
+    comes from the inclusion-exclusion identity deg(a)+deg(b)-inter, so
+    the pair set is computed ONCE (the same hub-capped co-neighbor
+    equi-join as Adamic-Adar: parts above NJ_DEG_CAP are pruned before
+    the self-join, bounding the fan-out at cap*|keep| pairs) and the
+    full degrees ride in on two broadcast-size dimension joins.
+
+    Determinism: intersection and union are exact BIGINTs; the score is
+    one correctly-rounded double division snapped to e6; (score desc,
+    pair ids) totally orders the top-K. TakeOrderedAndProject keeps the
+    global top-K heap-based — no full sort at any scale. The IMPORTANT
+    semantic subtlety vs Adamic-Adar: degrees in the union term are the
+    UNCAPPED true degrees (the cap only prunes which pairs are
+    *generated*), so scores are exact for every surviving pair."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cn = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by cdeg, pdeg and keep
+    )
+    cdeg = cn.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
+    pdeg = cn.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    keep = cn.join(
+        pdeg.filter((F.col("d") >= 2) & (F.col("d") <= NJ_DEG_CAP)).select("p"),
+        "p",
+    ).localCheckpoint(eager=False)
+    a = keep.select("p", F.col("c").alias("cust_a"))
+    b = keep.select("p", F.col("c").alias("cust_b"))
+    inter = (
+        a.join(b, "p")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    da = cdeg.select(F.col("c").alias("cust_a"), F.col("deg").alias("dega"))
+    db = cdeg.select(F.col("c").alias("cust_b"), F.col("deg").alias("degb"))
+    uni = F.col("dega") + F.col("degb") - F.col("n_inter")
+    return (
+        inter.join(da, "cust_a")
+        .join(db, "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            uni.cast("long").alias("n_union"),
+            F.floor(
+                F.col("n_inter").cast("double") / uni * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("jaccard_e6"),
+        )
+        .orderBy(F.col("jaccard_e6").desc(), "cust_a", "cust_b")
+        .limit(NJ_TOP_K)
+    )
