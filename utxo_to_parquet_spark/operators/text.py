@@ -3087,3 +3087,203 @@ def q_text_bleu_pairs(spark, sf_dir):
         "doc_a", "doc_b", "match1", "cand1", "match2", "cand2",
         bleu.cast("long").alias("bleu2_e6"),
     )
+
+
+# --- Gopher quality rules (Rae et al. 2021-style document filter) ---------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MWL_LO_E4 = 30000   # 3.0 <= mean word length <= 12.0
+GOPHER_MWL_HI_E4 = 120000
+GOPHER_ALPHA_MIN_E6 = 900000   # >= 90% alphabetic words
+GOPHER_STOP = ("the", "scan", "join", "row", "hash")
+GOPHER_MIN_STOP = 2
+
+# the fixture corpus is an all-alpha word soup, so rule-violating
+# material is PLANTED deterministically (same contract as
+# q_text_pii_redact): every 7th doc gets symbol words, every 11th gets
+# numeric words — identical concat expressions on both engines, so the
+# filter rules are exercised non-degenerately and value-checked,
+# including the untouched docs.
+_GOPHER_AUG_SQL = """text
+  || CASE WHEN doc_id % 7 = 0 THEN ' ### $$$ @@@' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' 0 1 22 333' ELSE '' END"""
+
+
+@register(
+    "q_text_gopher_quality",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_GOPHER_AUG_SQL} AS t FROM documents
+    ),
+    words AS (SELECT doc_id, t, STRING_SPLIT(t, ' ') AS ws FROM aug),
+    m AS (
+      SELECT doc_id,
+             CAST(LEN(ws) AS BIGINT) AS n_words,
+             CAST(FLOOR(CAST(LENGTH(t) - (LEN(ws) - 1) AS DOUBLE)
+                  / LEN(ws) * 1e4 + 0.5) AS BIGINT) AS mwl_e4,
+             CAST(LEN(LIST_FILTER(ws, w -> regexp_matches(w, '^[a-z]+$')))
+                  AS BIGINT) AS n_alpha,
+             CAST(LEN(LIST_FILTER(ws, w -> w IN {GOPHER_STOP}))
+                  AS BIGINT) AS n_stop
+      FROM words
+    ),
+    f AS (
+      SELECT doc_id, n_words, mwl_e4,
+             CAST(FLOOR(CAST(n_alpha AS DOUBLE) / n_words * 1e6 + 0.5)
+                  AS BIGINT) AS alpha_e6,
+             n_stop,
+             n_words >= {GOPHER_MIN_WORDS} AS pass_words,
+             mwl_e4 BETWEEN {GOPHER_MWL_LO_E4} AND {GOPHER_MWL_HI_E4}
+               AS pass_mwl,
+             CAST(FLOOR(CAST(n_alpha AS DOUBLE) / n_words * 1e6 + 0.5)
+                  AS BIGINT) >= {GOPHER_ALPHA_MIN_E6} AS pass_alpha,
+             n_stop >= {GOPHER_MIN_STOP} AS pass_stop
+      FROM m
+    )
+    SELECT doc_id, n_words, mwl_e4, alpha_e6, n_stop,
+           pass_words, pass_mwl, pass_alpha, pass_stop,
+           pass_words AND pass_mwl AND pass_alpha AND pass_stop AS keep_doc
+    FROM f
+    """,
+)
+def q_text_gopher_quality(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021, the
+    MassiveText filter): word-count floor, mean-word-length band,
+    alphabetic-word ratio, minimum stop-word hits — the standard
+    pre-training admission gate, emitted as per-rule booleans plus the
+    conjunction so downstream can audit WHY a document fell.
+
+    Everything is one narrow projection pass — split once, count with
+    JVM higher-order functions (no explode, no shuffle, no Python), so
+    at 100 TB this is embarrassingly parallel scan work. Counts are
+    exact BIGINTs; the two ratios are single correctly-rounded double
+    divisions snapped to fixed point before any comparison, so the rule
+    booleans are engine-identical by construction."""
+    docs = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" ### $$$ @@@")).otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" 0 1 22 333")).otherwise(""),
+    )
+    ws = F.split(aug, " ")
+    n_words = F.size(ws).cast("long")
+    mwl_e4 = F.floor(
+        (F.length(aug) - (n_words - 1)).cast("double") / n_words * F.lit(1e4)
+        + F.lit(0.5)
+    ).cast("long")
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("^[a-z]+$"))).cast("long")
+    n_stop = F.size(
+        F.filter(ws, lambda w: w.isin(*GOPHER_STOP))
+    ).cast("long")
+    alpha_e6 = F.floor(
+        n_alpha.cast("double") / n_words * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    pass_words = n_words >= GOPHER_MIN_WORDS
+    pass_mwl = (mwl_e4 >= GOPHER_MWL_LO_E4) & (mwl_e4 <= GOPHER_MWL_HI_E4)
+    pass_alpha = alpha_e6 >= GOPHER_ALPHA_MIN_E6
+    pass_stop = n_stop >= GOPHER_MIN_STOP
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl_e4.alias("mwl_e4"),
+        alpha_e6.alias("alpha_e6"),
+        n_stop.alias("n_stop"),
+        pass_words.alias("pass_words"),
+        pass_mwl.alias("pass_mwl"),
+        pass_alpha.alias("pass_alpha"),
+        pass_stop.alias("pass_stop"),
+        (pass_words & pass_mwl & pass_alpha & pass_stop).alias("keep_doc"),
+    )
+
+
+# --- C4-style line-level cleaning (Raffel et al. 2020) --------------------
+
+C4_MIN_LINE_WORDS = 5
+
+# line structure and rule-violating lines are PLANTED deterministically
+# (the corpus is a single-line punctuation-free word soup): every
+# occurrence of ' sort ' becomes a line break (76% of fixture docs get
+# multiple lines), every 3rd doc gains a keepable terminal-punctuation
+# line, every 4th a code-like '{' line, every 13th a lorem-ipsum marker
+# — identical expressions on both engines, per the PII-plant contract.
+_C4_AUG_SQL = """REPLACE(text, ' sort ', chr(10))
+  || CASE WHEN doc_id % 3 = 0
+     THEN chr(10) || 'this planted sentence is long enough to keep.'
+     ELSE '' END
+  || CASE WHEN doc_id % 4 = 0
+     THEN chr(10) || 'function() { return 0; }' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+     THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END"""
+
+
+@register(
+    "q_text_c4_line_filter",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_C4_AUG_SQL} AS t FROM documents),
+    lines AS (SELECT doc_id, STRING_SPLIT(t, chr(10)) AS ls FROM aug),
+    kept AS (
+      SELECT doc_id, CAST(LEN(ls) AS BIGINT) AS n_lines,
+             LIST_FILTER(ls, l ->
+               LEN(STRING_SPLIT(l, ' ')) >= {C4_MIN_LINE_WORDS}
+               AND substr(l, -1, 1) IN ('.', '!', '?')
+               AND NOT contains(l, '{{')
+               AND NOT contains(l, 'lorem ipsum')) AS kl
+      FROM lines
+    )
+    SELECT doc_id, n_lines, CAST(LEN(kl) AS BIGINT) AS n_kept,
+           -- ARRAY_TO_STRING of an EMPTY list is NULL in DuckDB (Spark's
+           -- array_join gives ''): coalesce so empty docs hash alike
+           CAST(LENGTH(COALESCE(ARRAY_TO_STRING(kl, chr(10)), ''))
+                AS BIGINT) AS kept_chars,
+           md5(COALESCE(ARRAY_TO_STRING(kl, chr(10)), '')) AS kept_hash,
+           LEN(kl) > 0 AS keep_doc
+    FROM kept
+    """,
+)
+def q_text_c4_line_filter(spark, sf_dir):
+    """C4-style line-level corpus cleaning (Raffel et al. 2020): split
+    each document into lines, keep only lines with >= {C4_MIN_LINE_WORDS}
+    words that end in terminal punctuation, and drop code-like lines
+    ('{{') and boilerplate markers ('lorem ipsum'); emit the kept-line
+    count and the md5 of the cleaned reassembly so the whole surviving
+    TEXT is value-checked, not just its size.
+
+    Pure JVM higher-order functions over the line array — split, filter
+    with a compound predicate, array_join, hash — one scan-side
+    projection with no explode and no shuffle: the exact shape that
+    keeps line-level cleaning an embarrassingly parallel map at 100 TB
+    (the real C4 pipeline's per-line pass is this operator)."""
+    docs = load(spark, sf_dir, "documents")
+    nl = "\n"
+    aug = F.concat(
+        F.replace(F.col("text"), F.lit(" sort "), F.lit(nl)),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(nl + "this planted sentence is long enough to keep."),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit(nl + "function() { return 0; }"),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit(nl + "lorem ipsum dolor sit amet."),
+        ).otherwise(""),
+    )
+    ls = F.split(aug, nl)
+    kl = F.filter(
+        ls,
+        lambda l: (F.size(F.split(l, " ")) >= C4_MIN_LINE_WORDS)
+        & F.substring(l, -1, 1).isin(".", "!", "?")
+        & ~l.contains("{")
+        & ~l.contains("lorem ipsum"),
+    )
+    joined = F.array_join(kl, nl)
+    return docs.select(
+        "doc_id",
+        F.size(ls).cast("long").alias("n_lines"),
+        F.size(kl).cast("long").alias("n_kept"),
+        F.length(joined).cast("long").alias("kept_chars"),
+        F.md5(joined).alias("kept_hash"),
+        (F.size(kl) > 0).alias("keep_doc"),
+    )
