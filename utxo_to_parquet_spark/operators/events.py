@@ -3189,3 +3189,85 @@ def q_events_theil_sen(spark, sf_dir):
         .cast("long")
         .alias("sen_slope_e6"),
     )
+
+
+# --- Tukey IQR outlier audit ----------------------------------------------
+
+
+@register(
+    "q_quality_outlier_iqr",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS v_e4
+      FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             quantile_disc(v_e4, 0.25) AS q1, quantile_disc(v_e4, 0.75) AS q3,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY 1
+    )
+    SELECT v.event_type, q.q1 AS q1_e4, q.q3 AS q3_e4, q.n,
+           CAST(SUM(CASE WHEN 2 * v_e4 < 2 * q1 - 3 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN 2 * v_e4 > 2 * q3 + 3 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(FLOOR(CAST(SUM(CASE WHEN 2 * v_e4 < 2 * q1 - 3 * (q3 - q1)
+                                    OR 2 * v_e4 > 2 * q3 + 3 * (q3 - q1)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                / q.n * 1e6 + 0.5) AS BIGINT) AS out_rate_e6
+    FROM v JOIN q ON q.event_type = v.event_type
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_quality_outlier_iqr(spark, sf_dir):
+    """Tukey-fence outlier audit per event type: exact quartiles, the
+    1.5*IQR fences, and the fraction of rows falling outside — the
+    data-quality profiler's robust-tail check, companion to
+    q_quality_expectations' schema assertions.
+
+    Quartiles come from percentile_disc over e4 fixed-point BIGINTs —
+    a DISCRETE order statistic (an actual value, no interpolation
+    arithmetic), bit-exact on both engines. The fence comparison
+    2*v < 2*q1 - 3*IQR keeps the 1.5 multiplier in pure integer
+    arithmetic. Two passes over events (quantile agg, then a
+    broadcast-joined counting agg), both map-side combinable; the
+    quartile table is one row per type."""
+    ev = load_events(spark, sf_dir)
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e4) + F.lit(0.5))
+        .cast("long")
+        .alias("v_e4"),
+    )
+    q = v.groupBy("event_type").agg(
+        # percentile_disc picks an ACTUAL element but returns DOUBLE in
+        # Spark — snap back to the exact BIGINT it selected
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v_e4)")
+        .cast("long")
+        .alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v_e4)")
+        .cast("long")
+        .alias("q3"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    j = v.join(F.broadcast(q), "event_type")  # q: one row per event type
+    low = 2 * F.col("v_e4") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))
+    high = 2 * F.col("v_e4") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))
+    return j.groupBy(
+        "event_type",
+        F.col("q1").alias("q1_e4"),
+        F.col("q3").alias("q3_e4"),
+        "n",
+    ).agg(
+        F.sum(F.when(low, 1).otherwise(0)).cast("long").alias("n_low"),
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("n_high"),
+        F.floor(
+            F.sum(F.when(low | high, 1).otherwise(0)).cast("double")
+            / F.col("n")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("out_rate_e6"),
+    )

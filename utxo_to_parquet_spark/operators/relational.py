@@ -3324,3 +3324,108 @@ def q_quality_k_anonymity(spark, sf_dir):
         "n",
         F.when(F.col("n") < K_ANON, 1).otherwise(0).cast("long").alias("at_risk"),
     )
+
+
+# --- Theil inequality index with between/within decomposition -------------
+
+
+@register(
+    "q_agg_theil_index",
+    oracle="""
+    WITH x AS (
+      SELECT o.o_custkey AS c, n.n_name,
+             SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS xc
+      FROM orders o
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = cu.c_nationkey
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS ng, SUM(xc) AS sg
+      FROM x GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s FROM g),
+    within_terms AS (
+      SELECT x.n_name,
+             CAST(FLOOR(
+               (CAST(xc AS DOUBLE) / CAST(sg AS DOUBLE))
+               * LN(CAST(xc AS DOUBLE) * CAST(ng AS DOUBLE)
+                    / CAST(sg AS DOUBLE))
+               * 1e9 + 0.5) AS BIGINT) AS t_e9
+      FROM x JOIN g ON g.n_name = x.n_name
+    ),
+    w AS (SELECT n_name, SUM(t_e9) AS within_e9 FROM within_terms GROUP BY 1)
+    SELECT g.n_name AS nation, g.ng AS n_cust, g.sg AS sum_cents,
+           w.within_e9,
+           CAST(FLOOR(
+             (CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+             * LN((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+                  / (CAST(ng AS DOUBLE) / CAST(n AS DOUBLE)))
+             * 1e9 + 0.5) AS BIGINT) AS between_e9
+    FROM g JOIN w ON w.n_name = g.n_name, tot
+    """,
+)
+def q_agg_theil_index(spark, sf_dir):
+    """Theil-T inequality index of customer revenue, decomposed by
+    nation: T = T_between + sum_g share_g * T_within_g — the additive
+    decomposition that answers "is revenue inequality BETWEEN markets
+    or INSIDE them?", which Gini (q_utxo_balance_gini) cannot split.
+
+    Exact-integer discipline end to end: revenues are BIGINT cents
+    (per-row fixed-point before the customer sum), group and global
+    totals are integer aggregates, and every logarithmic term is ONE
+    identical double expression over those exact integers snapped to e9
+    fixed point BEFORE its summation — so the per-nation within-sum is
+    an order-proof BIGINT sum (emitted as the fixed-point SUM, never a
+    re-rounded mean). ln() is not correctly rounded, but its 1-ulp
+    noise (~1e-16) sits ~7 orders below the e9 granularity (the
+    established dsir-log2 precedent, verified at three SFs). Scale
+    shape: one map-side-combinable groupBy(customer), one equi-join to
+    the customer dim (AQE decides the strategy — the dim GROWS with
+    SF), a 25-row nation broadcast, and two scalar broadcasts."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    x = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("xc")
+        )
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "xc")
+    )
+    g = x.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"), F.sum("xc").alias("sg")
+    )
+    tot = g.agg(
+        F.sum("ng").cast("long").alias("n"), F.sum("sg").alias("s")
+    )
+    xd, ngd = F.col("xc").cast("double"), F.col("ng").cast("double")
+    sgd = F.col("sg").cast("double")
+    t_e9 = F.floor(
+        (xd / sgd) * F.log(xd * ngd / sgd) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    w = (
+        x.join(F.broadcast(g), "n_name")
+        .select("n_name", t_e9.alias("t_e9"))
+        .groupBy("n_name")
+        .agg(F.sum("t_e9").alias("within_e9"))
+    )
+    sd, nd = F.col("s").cast("double"), F.col("n").cast("double")
+    between_e9 = F.floor(
+        (sgd / sd) * F.log((sgd / sd) / (ngd / nd)) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    return (
+        g.join(w, "n_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("ng").alias("n_cust"),
+            F.col("sg").alias("sum_cents"),
+            "within_e9",
+            between_e9.alias("between_e9"),
+        )
+    )
