@@ -659,3 +659,95 @@ def test_qoi_decode_errors_are_loud():
     )
     with pytest.raises(ValueError, match="overflows"):
         decode_qoi(over)
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 4):
+        for n in (1, 7, 256):
+            arr = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+            rate, dch, out = decode_wav(encode_wav(arr, 44100))
+            assert (rate, dch) == (44100, ch)
+            assert np.array_equal(out, arr)
+
+
+def test_wav_layout_pinned_against_spec():
+    """Byte-level pin of the canonical (no-LIST) layout: a regression in
+    chunk order, field packing, or little-endianness changes these
+    exact bytes."""
+    import struct
+
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.audio import encode_wav
+
+    arr = np.array([[1, -2], [3, -4]], dtype=np.int16)  # 2 frames, stereo
+    b = encode_wav(arr, 8000, with_list_chunk=False)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    assert struct.unpack_from("<I", b, 4)[0] == len(b) - 8
+    assert b[12:16] == b"fmt " and struct.unpack_from("<I", b, 16)[0] == 16
+    tag, ch, rate, byte_rate, block, bits = struct.unpack_from("<HHIIHH", b, 20)
+    assert (tag, ch, rate, byte_rate, block, bits) == (1, 2, 8000, 32000, 4, 16)
+    assert b[36:40] == b"data" and struct.unpack_from("<I", b, 40)[0] == 8
+    assert b[44:] == struct.pack("<4h", 1, -2, 3, -4)
+    assert len(b) == 52
+
+
+def test_wav_list_chunk_is_skipped_by_size():
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.audio import decode_wav, encode_wav
+
+    arr = np.arange(10, dtype=np.int16).reshape(5, 2)
+    with_list = encode_wav(arr, 16000, with_list_chunk=True)
+    without = encode_wav(arr, 16000, with_list_chunk=False)
+    assert len(with_list) > len(without)  # LIST + pad byte present
+    for payload in (with_list, without):
+        rate, ch, out = decode_wav(payload)
+        assert (rate, ch) == (16000, 2)
+        assert np.array_equal(out, arr)
+
+
+def test_wav_decode_errors_are_loud():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from utxo_to_parquet_spark.kernels.audio import decode_wav, encode_wav
+
+    good = encode_wav(np.zeros((4, 1), dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"JUNK" + good[4:])
+    with pytest.raises(ValueError, match="not a WAVE"):
+        decode_wav(good[:8] + b"AVI " + good[12:])
+    with pytest.raises(ValueError, match="overruns"):
+        decode_wav(good[:4] + struct.pack("<I", len(good)) + good[8:])
+    with pytest.raises(ValueError, match="truncated|no data|overruns"):
+        decode_wav(good[:-3])
+    # data before fmt: swap by rebuilding a minimal file
+    data = b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    body = b"WAVE" + data
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="before fmt"):
+        decode_wav(raw)
+    # non-PCM tag
+    bad = bytearray(encode_wav(np.zeros((4, 1), dtype=np.int16), 8000,
+                               with_list_chunk=False))
+    struct.pack_into("<H", bad, 20, 85)  # format tag = MP3
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav(bytes(bad))
+    # partial frame in data chunk (stereo block_align=4, 6 bytes of data)
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    chunks = (b"fmt " + struct.pack("<I", 16) + fmt
+              + b"data" + struct.pack("<I", 6) + b"\x00" * 6)
+    raw = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(ValueError, match="whole frames"):
+        decode_wav(raw)

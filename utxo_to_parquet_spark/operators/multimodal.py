@@ -578,3 +578,99 @@ def q_mm_qoi_decode_stats(spark, sf_dir):
         "doc_id long, fmt string, width long, height long,"
         " sum_r long, sum_g long, sum_b long, px_sha string",
     )
+
+
+# --- Real RIFF/WAV container decode --------------------------------------
+
+WAV_BASE_N = 40  # frames = WAV_BASE_N + doc_id % 17; channels = 1 + doc_id % 2
+WAV_MIX_A = 40503  # LCG-ish sample mix, engine-identical BIGINT arithmetic
+WAV_MIX_B = 24036
+
+
+@register(
+    "q_mm_wav_decode_stats",
+    # independent-recompute oracle, same contract as q_mm_qoi_decode_stats:
+    # the planted PCM16 samples are a pure integer mix of (doc_id, index),
+    # so the DECODED waveform's exact moments are SQL arithmetic — the RIFF
+    # writer and the chunk-walking reader (kernels/audio.py) are two
+    # independent walks of the WAVE spec meeting at this gate. A reader
+    # that misparsed fmt fields, skipped the LIST chunk wrong (pad byte!),
+    # or sliced partial frames desynchronizes every sample and flips the
+    # sums.
+    oracle=f"""
+    WITH spec AS (
+      SELECT doc_id,
+             CAST({WAV_BASE_N} + doc_id % 17 AS BIGINT) AS n_frames,
+             CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+             CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_frames, n_channels, sample_rate,
+             LIST_TRANSFORM(RANGE(0, n_frames * n_channels),
+               j -> (doc_id * {WAV_MIX_A} + j * {WAV_MIX_B}) % 65536 - 32768)
+               AS xs
+      FROM spec
+    )
+    SELECT doc_id, sample_rate, n_channels, n_frames,
+           CAST(LIST_SUM(xs) AS BIGINT) AS sum_s,
+           CAST(LIST_MIN(xs) AS BIGINT) AS min_s,
+           CAST(LIST_MAX(xs) AS BIGINT) AS max_s,
+           CAST(LIST_SUM(LIST_TRANSFORM(xs, x -> x * x)) AS BIGINT) AS sum_sq
+    FROM s
+    """,
+)
+def q_mm_wav_decode_stats(spark, sf_dir):
+    """REAL audio-container decode end-to-end: per document a PCM16
+    waveform (frame count, channel count and sample rate all varying by
+    doc_id so mono/stereo and every rate branch are exercised) is
+    synthesized by an integer mix, written to a spec-correct RIFF/WAVE
+    file — including an ancillary odd-sized LIST chunk the reader must
+    skip by size with the spec's pad byte — then decoded back by the
+    independent chunk-walking parser in kernels/audio.py, emitting the
+    decoded waveform's exact integer moments (sum/min/max/energy). The
+    DuckDB oracle recomputes all four from the recipe alone, so the gate
+    proves decode(encode(x)) == x through the container spec rather than
+    through shared code. One Arrow-batched mapInPandas pass,
+    per-partition, no shuffle — byte-identical plumbing to what a
+    native-codec swap would keep."""
+    import pandas as pd
+
+    from ..kernels.audio import decode_wav, encode_wav
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def wav_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_channels", "n_frames",
+                "sum_s", "min_s", "max_s", "sum_sq",
+            )}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = WAV_BASE_N + doc_id % 17
+                ch = 1 + doc_id % 2
+                rate = 8000 + (doc_id % 3) * 4000
+                j = np.arange(n * ch, dtype=np.int64)
+                xs = (doc_id * WAV_MIX_A + j * WAV_MIX_B) % 65536 - 32768
+                arr = xs.astype(np.int16).reshape(n, ch)
+                drate, dch, dec = decode_wav(encode_wav(arr, rate))
+                assert (drate, dch, dec.shape[0]) == (rate, ch, n), doc_id
+                flat = dec.astype(np.int64).reshape(-1)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["n_frames"].append(n)
+                out["sum_s"].append(int(flat.sum()))
+                out["min_s"].append(int(flat.min()))
+                out["max_s"].append(int(flat.max()))
+                out["sum_sq"].append(int((flat * flat).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        wav_stats,
+        "doc_id long, sample_rate long, n_channels long, n_frames long,"
+        " sum_s long, min_s long, max_s long, sum_sq long",
+    )
