@@ -193,6 +193,16 @@ HEADLINE = [
     "q_pipeline_shard_manifest",
     "q_sim_matryoshka_overlap",
     "q_mm_qoi_decode_stats",
+    # round-8 session 3 (second wave)
+    "q_graph_hits",
+    "q_graph_jaccard_neighbors",
+    "q_events_kendall_tau",
+    "q_events_theil_sen",
+    "q_text_gopher_quality",
+    "q_text_c4_line_filter",
+    "q_agg_theil_index",
+    "q_quality_outlier_iqr",
+    "q_mm_wav_decode_stats",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

@@ -60,6 +60,7 @@ ALLOWED_NESTED_LOOP = {
     "q_agg_hhi_concentration",  # revenue total: 1-row sum attach
     "q_graph_modularity",  # directed edge count M: 1-row attach
     "q_events_chisq_independence",  # grand total (n, r, c): 1-row attach
+    "q_agg_theil_index",  # global (N, S) totals: 1-row aggregate attach
     # aggregate-level pair join: |sources|^2/2 over the PROFILE relation
     # (thousands of rows at lake scale), never fact rows
     "q_text_style_cosine",
