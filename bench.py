@@ -203,6 +203,11 @@ HEADLINE = [
     "q_agg_theil_index",
     "q_quality_outlier_iqr",
     "q_mm_wav_decode_stats",
+    "q_sim_retrieval_metrics",
+    "q_agg_winsorized_mean",
+    "q_agg_lorenz_curve",
+    "q_events_entropy_hourly",
+    "q_text_url_canonicalize",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

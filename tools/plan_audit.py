@@ -61,6 +61,7 @@ ALLOWED_NESTED_LOOP = {
     "q_graph_modularity",  # directed edge count M: 1-row attach
     "q_events_chisq_independence",  # grand total (n, r, c): 1-row attach
     "q_agg_theil_index",  # global (N, S) totals: 1-row aggregate attach
+    "q_agg_lorenz_curve",  # revenue total: 1-row sum attach onto 10 rows
     # aggregate-level pair join: |sources|^2/2 over the PROFILE relation
     # (thousands of rows at lake scale), never fact rows
     "q_text_style_cosine",
@@ -105,6 +106,11 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
     "q_agg_bootstrap_ci": (
         "replica-mean ranking window runs over the groupBy(b) aggregate "
         "— input is exactly BOOT_B=32 rows regardless of corpus size"
+    ),
+    "q_agg_lorenz_curve": (
+        "cumulative-share window runs over the 10-row decile aggregate "
+        "(global_ntile handles the per-customer ranking distributed); "
+        "input is exactly 10 rows regardless of corpus size"
     ),
     "q_events_rfm_segments": (
         "quintile windows run over the groupBy(user_id) aggregate — "

@@ -3271,3 +3271,56 @@ def q_quality_outlier_iqr(spark, sf_dir):
         .cast("long")
         .alias("out_rate_e6"),
     )
+
+
+# --- Hourly event-mix entropy ----------------------------------------------
+
+
+@register(
+    "q_events_entropy_hourly",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS bucket_hour,
+             event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    n AS (SELECT bucket_hour, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1)
+    SELECT c.bucket_hour, n.n AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           -SUM(CAST(FLOOR((CAST(c AS DOUBLE) / n)
+                * LN(CAST(c AS DOUBLE) / n) * 1e9 + 0.5) AS BIGINT))
+             AS entropy_e9
+    FROM c JOIN n ON n.bucket_hour = c.bucket_hour
+    GROUP BY 1, 2
+    """,
+)
+def q_events_entropy_hourly(spark, sf_dir):
+    """Shannon entropy of the event-type mix per hour — the traffic
+    anomaly detector's base signal: a healthy hour shows the usual
+    five-way mix (entropy near ln 5), an incident hour collapses to one
+    dominant type (entropy toward 0) long before any volume alarm
+    fires.
+
+    Per-term fixed-point discipline: each p*ln(p) term is computed from
+    exact BIGINT counts as one identical double expression and snapped
+    to e9 BEFORE summation, so the per-hour sum is order-proof integer
+    arithmetic (emitted as the e9 fixed-point sum, negated). Shape: two
+    map-side-combinable aggregations and one hour-keyed equi-join —
+    output is |hours| rows, bounded by the retention window."""
+    ev = load_events(spark, sf_dir)
+    c = (
+        ev.withColumn("bucket_hour", F.expr(f"ts div {3600 * NS}"))
+        .groupBy("bucket_hour", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n = c.groupBy("bucket_hour").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term_e9 = F.floor(p * F.log(p) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        c.join(n, "bucket_hour")
+        .groupBy("bucket_hour", F.col("n").alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            (-F.sum(term_e9)).cast("long").alias("entropy_e9"),
+        )
+    )

@@ -3429,3 +3429,140 @@ def q_agg_theil_index(spark, sf_dir):
             between_e9.alias("between_e9"),
         )
     )
+
+
+# --- Winsorized / trimmed robust means ------------------------------------
+
+
+@register(
+    "q_agg_winsorized_mean",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p_e2
+      FROM lineitem
+    ),
+    q AS (
+      SELECT flag, quantile_disc(p_e2, 0.05) AS p05,
+             quantile_disc(p_e2, 0.95) AS p95,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY 1
+    )
+    SELECT v.flag, q.n, q.p05 AS p05_e2, q.p95 AS p95_e2,
+           CAST(SUM(LEAST(GREATEST(p_e2, p05), p95)) AS BIGINT)
+             AS win_sum_e2,
+           CAST(SUM(CASE WHEN p_e2 BETWEEN p05 AND p95 THEN p_e2 END)
+                AS BIGINT) AS trim_sum_e2,
+           CAST(SUM(CASE WHEN p_e2 BETWEEN p05 AND p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_trim
+    FROM v JOIN q ON q.flag = v.flag
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_agg_winsorized_mean(spark, sf_dir):
+    """Winsorized and trimmed robust location estimates per return
+    flag: clamp (or drop) everything outside the exact [P5, P95]
+    order-statistic band, then aggregate — the outlier-proof companion
+    to q_agg_stats' raw means, emitted as fixed-point SUMS plus counts
+    (the playbook rule: never hash a re-rounded mean when the exact
+    numerator/denominator pair carries strictly more information).
+
+    percentile_disc picks actual BIGINT elements (no interpolation;
+    Spark returns DOUBLE, snapped straight back to the exact integer it
+    chose), clamping is integer min/max, and both sums are exact BIGINT
+    — zero floating point anywhere. Two map-side-combinable passes with
+    a one-row-per-flag broadcast between them."""
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("p_e2"),
+    )
+    q = v.groupBy("flag").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY p_e2)")
+        .cast("long")
+        .alias("p05"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY p_e2)")
+        .cast("long")
+        .alias("p95"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    j = v.join(F.broadcast(q), "flag")  # q: one row per flag
+    inside = F.col("p_e2").between(F.col("p05"), F.col("p95"))
+    return j.groupBy(
+        "flag", "n", F.col("p05").alias("p05_e2"), F.col("p95").alias("p95_e2")
+    ).agg(
+        F.sum(F.least(F.greatest(F.col("p_e2"), F.col("p05")), F.col("p95")))
+        .cast("long")
+        .alias("win_sum_e2"),
+        F.sum(F.when(inside, F.col("p_e2"))).cast("long").alias("trim_sum_e2"),
+        F.sum(F.when(inside, 1).otherwise(0)).cast("long").alias("n_trim"),
+    )
+
+
+# --- Lorenz curve (decile concentration profile) ---------------------------
+
+
+@register(
+    "q_agg_lorenz_curve",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey AS c,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS xc
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT c, xc, NTILE(10) OVER (ORDER BY xc, c) AS decile FROM x
+    ),
+    d AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(xc) AS BIGINT) AS sum_cents
+      FROM b GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_cust, sum_cents,
+           SUM(sum_cents) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+             // (SELECT SUM(sum_cents) FROM d) AS cum_share_e6
+    FROM d
+    """,
+)
+def q_agg_lorenz_curve(spark, sf_dir):
+    """Lorenz curve of customer revenue in ten points: rank customers
+    by spend, cut into exact global deciles, and emit each decile's
+    cumulative share of total revenue — the concentration profile whose
+    area complement is the Gini (q_utxo_balance_gini gives the scalar;
+    this gives the curve an analyst actually plots).
+
+    The global decile cut uses registry.global_ntile — range partition
+    + 32-row offset carry + closed-form NTILE bin, row-for-row equal to
+    ANSI NTILE without any single-partition window over customers. The
+    cumulative share then lives on the 10-row decile aggregate (integer
+    cumsum over a pinned order, integer division by the exact total) —
+    all BIGINT, no doubles anywhere."""
+    from .registry import global_ntile
+
+    o = load(spark, sf_dir, "orders")
+    x = o.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("xc")
+    )
+    b = global_ntile(x, 10, ["xc", "c"], ntile_name="decile")
+    d = b.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("xc").cast("long").alias("sum_cents"),
+    )
+    tot = d.agg(F.sum("sum_cents").alias("t"))
+    return (
+        d.crossJoin(F.broadcast(tot))  # 1-row total attach onto 10 rows
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_cust",
+            "sum_cents",
+            F.expr(
+                "sum(sum_cents) over (order by decile rows between"
+                " unbounded preceding and current row) * 1000000 div t"
+            ).alias("cum_share_e6"),
+        )
+    )

@@ -1956,3 +1956,144 @@ def q_sim_matryoshka_overlap(spark, sf_dir):
             ).alias("jaccard_e6"),
         )
     )
+
+
+# --- Retrieval evaluation: P@k / recall@k / MRR / nDCG@k -------------------
+
+RM_K = 10  # evaluation cutoff
+# DCG discount terms 1/log2(rank+1), snapped to e9 fixed point in PYTHON
+# and injected as integer literals into BOTH engines — java.lang.Math.log
+# and C libm may disagree by an ulp on log2(3), so neither engine computes
+# the discount itself; metric arithmetic is then pure-integer end to end.
+_RM_TERMS_E9 = [round(1e9 / __import__("math").log2(i + 1)) for i in range(1, RM_K + 1)]
+_RM_CUM_E9 = [sum(_RM_TERMS_E9[: j + 1]) for j in range(RM_K)]
+
+
+@register(
+    "q_sim_retrieval_metrics",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS ql,
+                      embedding::DOUBLE[] AS qe
+               FROM embeddings
+               WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID}),
+    c AS (SELECT vec_id AS c_id, label AS cl, embedding::DOUBLE[] AS ce
+          FROM embeddings),
+    ranked AS (
+      SELECT q_id,
+             CASE WHEN cl = ql THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+               CAST(FLOOR(LIST_DOT_PRODUCT(qe, ce)
+                 / (SQRT(LIST_DOT_PRODUCT(qe, qe))
+                    * SQRT(LIST_DOT_PRODUCT(ce, ce))) * 1e6 + 0.5) AS BIGINT)
+               DESC, c_id) AS rn
+      FROM q JOIN c ON q_id <> c_id
+    ),
+    m AS (
+      SELECT q_id,
+             CAST(SUM(rel) AS BIGINT) AS n_rel,
+             CAST(SUM(CASE WHEN rel = 1 AND rn <= {RM_K} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits,
+             CAST(MIN(CASE WHEN rel = 1 THEN rn END) AS BIGINT) AS first_rank,
+             CAST(COALESCE(SUM(CASE WHEN rel = 1 AND rn <= {RM_K}
+                  THEN {_RM_TERMS_E9}[rn] END), 0) AS BIGINT) AS dcg_e9
+      FROM ranked GROUP BY 1
+    )
+    SELECT q_id, n_rel, hits,
+           hits * 1000000 // {RM_K} AS prec_e6,
+           hits * 1000000 // n_rel AS recall_e6,
+           1000000 // first_rank AS rr_e6,
+           dcg_e9 * 1000000
+             // {_RM_CUM_E9}[LEAST(n_rel, {RM_K})] AS ndcg_e6
+    FROM m WHERE n_rel > 0
+    """,
+)
+def q_sim_retrieval_metrics(spark, sf_dir):
+    """Retrieval-quality evaluation of exact cosine search against the
+    corpus's label ground truth (a candidate is relevant iff it shares
+    the query's cluster label): precision@{RM_K}, recall@{RM_K},
+    reciprocal rank, and nDCG@{RM_K} per query — the metrics panel every
+    embedding-index change (IVF probes, PQ bits, Matryoshka dims) gets
+    judged against.
+
+    Integer-only metric arithmetic: similarities snap to e6 BEFORE the
+    rank window (the proven matryoshka/cosine_topk contract), relevance
+    and ranks are exact integers, the DCG discount table is precomputed
+    e9 integers injected into BOTH engines (so neither engine's log2
+    ulps can flip a value), and every ratio is integer division of
+    nonnegative BIGINTs. Scale: the query panel is the constant <=
+    {Q_CAP}-vector closure-shipped set; candidates stream through one
+    Arrow-batched scan, then one rank window + one groupBy per query —
+    the same linear shape as q_sim_cosine_topk."""
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    q_pd = (
+        _query_vectors(emb).select("vec_id", "label", "embedding").toPandas()
+    )
+    Q = _to_matrix(q_pd["embedding"])
+    q_ids = q_pd["vec_id"].to_numpy()
+    q_labels = q_pd["label"].to_numpy()
+    _, q_sq = lr_matmul(Q, Q[:0])
+    q_norm = np.sqrt(q_sq)
+
+    def score(batches):
+        for pdf in batches:
+            C = _to_matrix(pdf["embedding"])
+            dots, c_sq = lr_matmul(C, Q)
+            sims = dots / (q_norm[None, :] * np.sqrt(c_sq)[:, None])
+            c_ids = pdf["vec_id"].to_numpy()
+            c_labels = pdf["label"].to_numpy()
+            n, m = sims.shape
+            qcol = np.repeat(q_ids[None, :], n, axis=0).ravel()
+            ccol = np.repeat(c_ids[:, None], m, axis=1).ravel()
+            rel = (
+                np.repeat(c_labels[:, None], m, axis=1).ravel()
+                == np.repeat(q_labels[None, :], n, axis=0).ravel()
+            ).astype(np.int64)
+            keep = qcol != ccol
+            yield pd.DataFrame(
+                {
+                    "q_id": qcol[keep],
+                    "c_id": ccol[keep],
+                    "rel": rel[keep],
+                    "s_e6": np.floor(sims.ravel()[keep] * 1e6 + 0.5).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+    sims = emb.select("vec_id", "label", "embedding").mapInPandas(
+        score, "q_id long, c_id long, rel long, s_e6 long"
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("s_e6").desc(), F.col("c_id"))
+    terms = F.array(*[F.lit(t) for t in _RM_TERMS_E9])
+    cum = F.array(*[F.lit(t) for t in _RM_CUM_E9])
+    ranked = sims.select(
+        "q_id", "rel", F.row_number().over(w).alias("rn")
+    )
+    is_hit = (F.col("rel") == 1) & (F.col("rn") <= RM_K)
+    m = ranked.groupBy("q_id").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.sum(F.when(is_hit, 1).otherwise(0)).cast("long").alias("hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rn")))
+        .cast("long")
+        .alias("first_rank"),
+        F.coalesce(
+            F.sum(F.when(is_hit, F.element_at(terms, F.col("rn")))), F.lit(0)
+        )
+        .cast("long")
+        .alias("dcg_e9"),
+    )
+    return m.filter(F.col("n_rel") > 0).select(
+        "q_id",
+        "n_rel",
+        "hits",
+        F.expr(f"hits * 1000000 div {RM_K}").alias("prec_e6"),
+        F.expr("hits * 1000000 div n_rel").alias("recall_e6"),
+        F.expr("1000000 div first_rank").alias("rr_e6"),
+        F.expr(
+            f"dcg_e9 * 1000000 div element_at("
+            f"array({', '.join(str(t) + 'L' for t in _RM_CUM_E9)}), "
+            f"cast(least(n_rel, {RM_K}) as int))"
+        ).alias("ndcg_e6"),
+    )

@@ -3287,3 +3287,131 @@ def q_text_c4_line_filter(spark, sf_dir):
         F.md5(joined).alias("kept_hash"),
         (F.size(kl) > 0).alias("keep_doc"),
     )
+
+
+# --- URL canonicalization ---------------------------------------------------
+
+# the corpus has no URLs, so they are PLANTED deterministically (the PII
+# contract): every doc gets one of two URL shapes — an https URL with
+# mixed-case host, explicit default port, trailing slash, utm_ tracking
+# params, an unstable param order and a fragment; or a plain http URL —
+# built by identical expressions on both engines so the canonicalizer is
+# exercised non-degenerately and value-checked end to end.
+_URL_SQL = """CASE WHEN doc_id % 2 = 0
+  THEN 'https://WWW.Shop' || CAST(doc_id % 5 AS VARCHAR)
+       || '.Example.COM:443/Category/Item' || CAST(doc_id AS VARCHAR)
+       || '/?utm_source=news&id=' || CAST(doc_id AS VARCHAR)
+       || '&utm_campaign=x'
+       || CASE WHEN doc_id % 6 = 0 THEN '&ref=home' ELSE '' END
+       || '#section2'
+  ELSE 'http://blog.example.org/post-' || CAST(doc_id AS VARCHAR)
+       || '?page=1' END"""
+
+
+@register(
+    "q_text_url_canonicalize",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    s1 AS (  -- strip fragment, split scheme://host[:port] from the rest
+      SELECT doc_id, url,
+             LOWER(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                  '^[a-zA-Z]+://[^/]*', 0)) AS pfx,
+             substr(regexp_replace(url, '#.*$', ''),
+                    LENGTH(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                          '^[a-zA-Z]+://[^/]*', 0)) + 1)
+               AS rest
+      FROM u
+    ),
+    s2 AS (  -- default-port strip + path/query split
+      SELECT doc_id, url,
+             CASE WHEN pfx LIKE 'https://%' AND pfx LIKE '%:443'
+                  THEN substr(pfx, 1, LENGTH(pfx) - 4)
+                  WHEN pfx LIKE 'http://%' AND pfx LIKE '%:80'
+                  THEN substr(pfx, 1, LENGTH(pfx) - 3)
+                  ELSE pfx END AS pfx,
+             STRING_SPLIT(rest, '?')[1] AS path,
+             CASE WHEN LEN(STRING_SPLIT(rest, '?')) > 1
+                  THEN STRING_SPLIT(rest, '?')[2] ELSE '' END AS qs
+      FROM s1
+    ),
+    s3 AS (  -- trailing-slash path, tracking-param filter + sort
+      SELECT doc_id, url,
+             pfx || CASE WHEN path LIKE '%/' AND LENGTH(path) > 1
+                         THEN substr(path, 1, LENGTH(path) - 1)
+                         ELSE path END AS base,
+             LIST_SORT(LIST_FILTER(STRING_SPLIT(qs, '&'),
+               p -> p <> '' AND NOT starts_with(p, 'utm_'))) AS kept,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(qs, '&'),
+               p -> starts_with(p, 'utm_'))) AS BIGINT) AS n_dropped
+      FROM s2
+    )
+    SELECT doc_id, url,
+           base || CASE WHEN LEN(kept) > 0
+                        THEN '?' || ARRAY_TO_STRING(kept, '&')
+                        ELSE '' END AS canon_url,
+           md5(base || CASE WHEN LEN(kept) > 0
+                            THEN '?' || ARRAY_TO_STRING(kept, '&')
+                            ELSE '' END) AS canon_md5,
+           n_dropped
+    FROM s3
+    """,
+)
+def q_text_url_canonicalize(spark, sf_dir):
+    """URL canonicalization — the normalization step every web-scale
+    dedup pipeline runs BEFORE url-level exact dedup: strip the
+    fragment, lowercase scheme+host (path stays case-sensitive per RFC
+    3986), drop the default port, strip the trailing slash, remove
+    utm_* tracking parameters and SORT the surviving query params so
+    param order can't split identical resources into distinct keys.
+
+    All pure JVM string/array expressions (regexp_extract once for the
+    authority, higher-order filter + array_sort for the params — ASCII
+    sort collation is engine-identical) — one scan-side projection, no
+    shuffle, no Python: at 100 TB this runs inside whole-stage codegen
+    at scan speed, and its md5 output column IS the join key for the
+    downstream exact-dedup window."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.expr(_URL_SQL.replace("VARCHAR", "STRING"))
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    pfx_raw = F.lower(F.regexp_extract(nofrag, "^[a-zA-Z]+://[^/]*", 0))
+    rest = nofrag.substr(F.length(pfx_raw) + 1, F.length(nofrag))
+    pfx = (
+        F.when(
+            pfx_raw.like("https://%") & pfx_raw.like("%:443"),
+            pfx_raw.substr(F.lit(1), F.length(pfx_raw) - 4),
+        )
+        .when(
+            pfx_raw.like("http://%") & pfx_raw.like("%:80"),
+            pfx_raw.substr(F.lit(1), F.length(pfx_raw) - 3),
+        )
+        .otherwise(pfx_raw)
+    )
+    parts = F.split(rest, "[?]")
+    path = F.element_at(parts, 1)
+    qs = F.when(F.size(parts) > 1, F.element_at(parts, 2)).otherwise("")
+    base = F.concat(
+        pfx,
+        F.when(
+            path.like("%/") & (F.length(path) > 1),
+            path.substr(F.lit(1), F.length(path) - 1),
+        ).otherwise(path),
+    )
+    params = F.split(qs, "&")
+    kept = F.array_sort(
+        F.filter(params, lambda p: (p != "") & ~p.startswith("utm_"))
+    )
+    n_dropped = F.size(
+        F.filter(params, lambda p: p.startswith("utm_"))
+    ).cast("long")
+    canon = F.concat(
+        base,
+        F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&")))
+        .otherwise(""),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        canon.alias("canon_url"),
+        F.md5(canon).alias("canon_md5"),
+        n_dropped.alias("n_dropped"),
+    )
