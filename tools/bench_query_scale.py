@@ -171,6 +171,29 @@ OPS = {
     "q_text_bleu_pairs": "documents",
     "q_agg_spearman_rho": "graph",
     "q_events_burst_kleinberg": "events",
+    # round 8i: HITS/neighbor-Jaccard (per-iteration equi-joins and the
+    # hub-capped pair join — same shapes as pagerank/adamic_adar), the
+    # hourly-aggregate pair statistics (kendall/theil-sen: pair count is
+    # retention-span-bounded, constant in corpus rows — expect ~flat),
+    # scan-shaped quality filters (gopher/c4/url/wav: embarrassingly
+    # parallel projections), the percentile-band robust aggregates
+    # (winsorized/IQR: two map-side passes + a tiny broadcast), the
+    # two-pass NTILE Lorenz cut, nation-keyed Theil decomposition, and
+    # the constant-Q retrieval-metrics panel (linear-per-copy scan)
+    "q_graph_hits": "graph",
+    "q_graph_jaccard_neighbors": "graph",
+    "q_events_kendall_tau": "events",
+    "q_events_theil_sen": "events",
+    "q_events_entropy_hourly": "events",
+    "q_quality_outlier_iqr": "events",
+    "q_text_gopher_quality": "documents",
+    "q_text_c4_line_filter": "documents",
+    "q_text_url_canonicalize": "documents",
+    "q_mm_wav_decode_stats": "documents",
+    "q_agg_theil_index": "graph",
+    "q_agg_winsorized_mean": "graph",
+    "q_agg_lorenz_curve": "graph",
+    "q_sim_retrieval_metrics": "embeddings",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS
