@@ -3521,9 +3521,13 @@ def q_agg_winsorized_mean(spark, sf_dir):
       FROM b GROUP BY 1
     )
     SELECT CAST(decile AS BIGINT) AS decile, n_cust, sum_cents,
-           SUM(sum_cents) OVER (ORDER BY decile
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
-             // (SELECT SUM(sum_cents) FROM d) AS cum_share_e6
+           -- HUGEINT widening: cum*1e6 overflows BIGINT at a 16x-replay
+           -- corpus (the weak-scaling probe caught this live); DuckDB
+           -- int128 // mirrors Spark's DECIMAL(38,0) div exactly
+           CAST(CAST(SUM(sum_cents) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+             * 1000000
+             // (SELECT SUM(sum_cents) FROM d) AS BIGINT) AS cum_share_e6
     FROM d
     """,
 )
@@ -3560,9 +3564,12 @@ def q_agg_lorenz_curve(spark, sf_dir):
             F.col("decile").cast("long").alias("decile"),
             "n_cust",
             "sum_cents",
+            # DECIMAL(38,0) widening: BIGINT cum * 1e6 overflows at a
+            # 16x-replay corpus (probe-caught); decimal128 div is exact
             F.expr(
-                "sum(sum_cents) over (order by decile rows between"
-                " unbounded preceding and current row) * 1000000 div t"
+                "cast(cast(sum(sum_cents) over (order by decile rows"
+                " between unbounded preceding and current row)"
+                " as decimal(38,0)) * 1000000 div t as bigint)"
             ).alias("cum_share_e6"),
         )
     )
