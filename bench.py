@@ -208,6 +208,8 @@ HEADLINE = [
     "q_agg_lorenz_curve",
     "q_events_entropy_hourly",
     "q_text_url_canonicalize",
+    "q_text_hapax_ratio",
+    "q_events_wow_delta",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

@@ -194,6 +194,12 @@ OPS = {
     "q_agg_winsorized_mean": "graph",
     "q_agg_lorenz_curve": "graph",
     "q_sim_retrieval_metrics": "embeddings",
+    # round 8j: hapax (two-shuffle type table) and the span-bucketed WoW
+    # lag report; kendall/theil-sen re-probed after the span-adaptive
+    # bucket-width fix (fixed 1h width measured 1.49 / 2.13 on the 16x
+    # time-shifted copies — the cap bounds series length at any span)
+    "q_text_hapax_ratio": "documents",
+    "q_events_wow_delta": "events",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

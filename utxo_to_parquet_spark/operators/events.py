@@ -3000,16 +3000,37 @@ def q_events_two_proportion_z(spark, sf_dir):
 
 # --- Kendall tau-b: rank concordance on the hourly series -----------------
 
+TS_MAX_BUCKETS = 1024  # series-length cap for the pairwise statistics
+
+
+def _span_bucket_hours(ev) -> int:
+    """Bucket width in HOURS such that the (min ts, max ts) span yields
+    at most ~TS_MAX_BUCKETS buckets: width = span_hours div 1024 + 1.
+    One exact-integer scalar aggregate (same 1-row shape as the
+    linreg/rfm corpus-timestamp attaches); at the fixture's 30-day span
+    the width is 1 hour, i.e. the plain hourly series."""
+    r = ev.agg(
+        F.expr(
+            f"(max(ts) - min(ts)) div {3600 * NS} div {TS_MAX_BUCKETS} + 1"
+        ).alias("wh")
+    ).collect()[0]
+    return int(r.wh)
+
 
 @register(
     "q_events_kendall_tau",
     oracle="""
-    WITH hourly AS (
+    WITH w AS (  -- span-adaptive bucket width: series length <= TS_MAX
+      SELECT (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts)))
+               // (3600000000000 * 1024) + 1 AS wh
+      FROM events
+    ),
+    hourly AS (
       SELECT event_type,
-             CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS b,
+             CAST(epoch_ns(ts) // (3600000000000 * wh) AS BIGINT) AS b,
              SUM(CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT)) AS x,
              CAST(COUNT(*) AS BIGINT) AS y
-      FROM events GROUP BY 1, 2
+      FROM events, w GROUP BY 1, 2
     ),
     pairs AS (
       SELECT a.event_type,
@@ -3043,18 +3064,27 @@ def q_events_kendall_tau(spark, sf_dir):
     transform of either series and exact under ties (the tau-b
     denominator removes tied pairs per dimension).
 
-    The all-pairs step is NOT a corpus blowup: it self-joins the hourly
-    AGGREGATE (bounded by the fixture's fixed 30-day window — ~720
-    buckets per type at every SF, so pair count is time-range-bounded,
-    not data-bounded; a longer retention window grows it as span**2 per
-    type, independent of row volume). Concordance is decided on exact
+    The all-pairs step is NOT a blowup in corpus rows OR in retention
+    span: it self-joins the bucket AGGREGATE, and the bucket width
+    adapts to the observed span (one exact-integer scalar,
+    _span_bucket_hours) so the series never exceeds ~TS_MAX_BUCKETS
+    points — at the fixture's 30-day span that is the plain hourly
+    series, at a 16x-longer replay the buckets coarsen to 12h and the
+    pair count stays constant (probe-measured: fixed 1h width ran
+    exponent 1.49; the cap flattens it). Concordance is decided on exact
     BIGINTs (e4 per-row fixed-point BEFORE the hourly sum), the four
     pair tallies are integer sums, and only the final tau is a double —
     one identical closed form snapped to e6, degenerate (all-tied)
     series filtered identically on both engines."""
     ev = load_events(spark, sf_dir)
+    # span-adaptive width: ONE exact-integer scalar (bucket hours) so the
+    # series never exceeds ~1024 points however long retention grows —
+    # the knob that keeps the pair stage span-BOUNDED instead of span^2
+    # (the weak-scaling probe measured exponent 1.49 on 16x time-shifted
+    # copies with a fixed 1h width; bounded width flattens it)
+    wh = _span_bucket_hours(ev)
     hourly = (
-        ev.withColumn("b", F.expr(f"ts div {3600 * NS}"))
+        ev.withColumn("b", F.expr(f"ts div {3600 * NS} div {wh}"))
         .groupBy("event_type", "b")
         .agg(
             F.sum(
@@ -3101,12 +3131,17 @@ def q_events_kendall_tau(spark, sf_dir):
 @register(
     "q_events_theil_sen",
     oracle="""
-    WITH hourly AS (
+    WITH w AS (
+      SELECT (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts)))
+               // (3600000000000 * 1024) + 1 AS wh
+      FROM events
+    ),
+    hourly AS (
       SELECT event_type,
-             CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS b,
+             CAST(epoch_ns(ts) // (3600000000000 * wh) AS BIGINT) AS b,
              SUM(CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT)) AS s,
              CAST(COUNT(*) AS BIGINT) AS c
-      FROM events GROUP BY 1, 2
+      FROM events, w GROUP BY 1, 2
     ),
     slopes AS (
       SELECT a.event_type, a.b AS b1, q.b AS b2,
@@ -3135,16 +3170,22 @@ def q_events_theil_sen(spark, sf_dir):
     an interpolation), with (slope, bucket pair) as the total order.
 
     Pair fan-out is bounded exactly as in q_events_kendall_tau: the
-    self-join runs on the HOURLY AGGREGATE, so pair count scales with
-    retention-window-span squared per type — constant in corpus rows.
+    self-join runs on the span-adaptive bucket AGGREGATE (width from
+    _span_bucket_hours caps the series at ~TS_MAX_BUCKETS points), so
+    the pair count — and the per-type median-selection window — stay
+    CONSTANT in both corpus rows and retention span.
     Hourly means are one double division of exact BIGINTs (e4 per-row
     fixed-point before the sum), the slope is the identical three-op
     expression tree on both engines (correctly-rounded IEEE ops over
     identical inputs), so sorting doubles — which never does arithmetic
     — agrees bit-for-bit, and the selected median snaps to e6."""
     ev = load_events(spark, sf_dir)
+    wh = _span_bucket_hours(ev)  # same span cap as kendall_tau: the
+    # probe measured exponent 2.13 at a fixed 1h width on 16x
+    # time-shifted copies (n^2 pairs AND a span-sized sort window);
+    # bounded series length makes both constant
     hourly = (
-        ev.withColumn("b", F.expr(f"ts div {3600 * NS}"))
+        ev.withColumn("b", F.expr(f"ts div {3600 * NS} div {wh}"))
         .groupBy("event_type", "b")
         .agg(
             F.sum(
@@ -3323,4 +3364,78 @@ def q_events_entropy_hourly(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_types"),
             (-F.sum(term_e9)).cast("long").alias("entropy_e9"),
         )
+    )
+
+
+# --- Week-over-week deltas --------------------------------------------------
+
+
+@register(
+    "q_events_wow_delta",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             -- 604800e9 as a BIGINT literal: DuckDB folds 7*86400*1e9
+             -- in INT32 and overflows
+             CAST(epoch_ns(ts) // CAST(604800000000000 AS BIGINT)
+                  AS BIGINT) AS wk,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             SUM(CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT)) AS v_e4
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, wk, c, v_e4,
+           LAG(c) OVER (PARTITION BY event_type ORDER BY wk) AS prev_c,
+           (c - LAG(c) OVER (PARTITION BY event_type ORDER BY wk)) * 1000000
+             // LAG(c) OVER (PARTITION BY event_type ORDER BY wk)
+             AS delta_c_e6,
+           (v_e4 - LAG(v_e4) OVER (PARTITION BY event_type ORDER BY wk))
+             * 1000000
+             // LAG(v_e4) OVER (PARTITION BY event_type ORDER BY wk)
+             AS delta_v_e6
+    FROM w
+    """,
+)
+def q_events_wow_delta(spark, sf_dir):
+    """Week-over-week growth report per event type: weekly counts and
+    fixed-point value volume with lag-1 percentage deltas — the
+    period-over-period dashboard primitive (first week emits NULL
+    deltas, like every reporting tool).
+
+    CAREFUL CORNER: the deltas can be NEGATIVE. DuckDB's INTEGER `//`
+    truncates toward zero exactly like Spark's `div` (measured:
+    -5 // 3 = -1 in DuckDB 1.x; its FLOAT `//` is the one that
+    floors), so plain integer div agrees for every sign combination
+    here. Counts and volumes are exact BIGINTs
+    (value fixed-pointed per row BEFORE the weekly sum). Shape: one
+    map-side-combinable weekly aggregate, then lag windows over the
+    |weeks|-per-type relation — span-bounded, corpus-constant."""
+    ev = load_events(spark, sf_dir)
+    wk_ns = 7 * 86400 * NS
+    w = (
+        ev.withColumn("wk", F.expr(f"ts div {wk_ns}"))
+        .groupBy("event_type", "wk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(1e4) + F.lit(0.5)).cast("long")
+            ).alias("v_e4"),
+        )
+    )
+    win = W.partitionBy("event_type").orderBy("wk")
+    out = w.select(
+        "event_type",
+        "wk",
+        "c",
+        "v_e4",
+        F.lag("c").over(win).alias("prev_c"),
+        F.lag("v_e4").over(win).alias("prev_v"),
+    )
+    return out.select(
+        "event_type",
+        "wk",
+        "c",
+        "v_e4",
+        "prev_c",
+        F.expr("(c - prev_c) * 1000000 div prev_c").alias("delta_c_e6"),
+        F.expr("(v_e4 - prev_v) * 1000000 div prev_v").alias("delta_v_e6"),
     )

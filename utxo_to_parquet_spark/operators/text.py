@@ -3415,3 +3415,52 @@ def q_text_url_canonicalize(spark, sf_dir):
         F.md5(canon).alias("canon_md5"),
         n_dropped.alias("n_dropped"),
     )
+
+
+# --- Hapax legomena vocabulary audit ---------------------------------------
+
+
+@register(
+    "q_text_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(c) AS BIGINT) AS tokens,
+           SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+             AS hapax_ratio_e6
+    FROM tf GROUP BY 1
+    """,
+)
+def q_text_hapax_ratio(spark, sf_dir):
+    """Hapax-legomena audit per source: how much of each source's
+    vocabulary occurs exactly once — the classic lexical-richness /
+    OCR-noise signal (a clean natural corpus runs ~40-60% hapax; near
+    zero means boilerplate duplication, near one means tokenizer junk
+    or OCR garbage). Complements q_text_vocab_coverage's head-mass view
+    with the tail-mass view.
+
+    One explode + one map-side-combinable (source, term) count, then a
+    per-source rollup of the type table — the same two-shuffle shape as
+    TF-IDF; all counts exact BIGINTs, the ratio an integer division."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+        F.sum("c").cast("long").alias("tokens"),
+        F.expr(
+            "sum(case when c = 1 then 1 else 0 end) * 1000000 div count(*)"
+        ).alias("hapax_ratio_e6"),
+    )
