@@ -207,3 +207,23 @@ def test_c4_planted_lines(spark):
     assert r.keep_doc
     # every doc with a planted keeper line keeps >= 1 line
     assert all(out[i].keep_doc for i in out if i % 3 == 0 and i % 13 != 0)
+
+
+def test_hapax_bounds(spark):
+    for r in QUERIES["q_text_hapax_ratio"](spark, SF_DIR).collect():
+        assert 0 <= r.hapax <= r.vocab <= r.tokens
+        assert r.hapax_ratio_e6 == r.hapax * 10**6 // r.vocab
+
+
+def test_wow_delta_first_week_null_and_exact(spark):
+    rows = QUERIES["q_events_wow_delta"](spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.wk)
+        assert rs[0].prev_c is None and rs[0].delta_c_e6 is None
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.prev_c == prev.c
+            assert cur.delta_c_e6 == (cur.c - prev.c) * 10**6 // prev.c or \
+                cur.delta_c_e6 == int((cur.c - prev.c) * 10**6 / prev.c)

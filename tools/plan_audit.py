@@ -62,6 +62,7 @@ ALLOWED_NESTED_LOOP = {
     "q_events_chisq_independence",  # grand total (n, r, c): 1-row attach
     "q_agg_theil_index",  # global (N, S) totals: 1-row aggregate attach
     "q_agg_lorenz_curve",  # revenue total: 1-row sum attach onto 10 rows
+    "q_graph_hits",  # per-step max-normalizer: six 1-row max attaches
     # aggregate-level pair join: |sources|^2/2 over the PROFILE relation
     # (thousands of rows at lake scale), never fact rows
     "q_text_style_cosine",
