@@ -210,6 +210,10 @@ HEADLINE = [
     "q_text_url_canonicalize",
     "q_text_hapax_ratio",
     "q_events_wow_delta",
+    "q_events_anomaly_mad",
+    "q_events_dow_hour_heatmap",
+    "q_text_pmi_pairs",
+    "q_sim_knn_hubness",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

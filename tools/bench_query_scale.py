@@ -200,6 +200,13 @@ OPS = {
     # time-shifted copies — the cap bounds series length at any span)
     "q_text_hapax_ratio": "documents",
     "q_events_wow_delta": "events",
+    # round 8k: MAD scan (three broadcast-banded passes), dow x hour
+    # grid (types*168 cells), capped PMI pair join (C(24,2) per doc),
+    # and the hubness rollup riding the block-bounded kNN edges
+    "q_events_anomaly_mad": "events",
+    "q_events_dow_hour_heatmap": "events",
+    "q_text_pmi_pairs": "documents",
+    "q_sim_knn_hubness": "embeddings",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

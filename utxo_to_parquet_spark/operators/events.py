@@ -3439,3 +3439,160 @@ def q_events_wow_delta(spark, sf_dir):
         F.expr("(c - prev_c) * 1000000 div prev_c").alias("delta_c_e6"),
         F.expr("(v_e4 - prev_v) * 1000000 div prev_v").alias("delta_v_e6"),
     )
+
+
+# --- MAD robust anomaly scan ------------------------------------------------
+
+MAD_K_E4 = 14826  # 1.4826 (normal-consistency constant) in e4 fixed point
+MAD_THRESH_E1 = 35  # flag |robust z| > 3.5 (Iglewicz-Hoaglin)
+
+
+@register(
+    "q_events_anomaly_mad",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT) AS v_e4
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_disc(v_e4, 0.5) AS med,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY 1
+    ),
+    dev AS (
+      SELECT v.event_type, med.med, med.n, ABS(v_e4 - med.med) AS d
+      FROM v JOIN med ON med.event_type = v.event_type
+    ),
+    mad AS (
+      SELECT event_type, MAX(med) AS med, MAX(n) AS n,
+             quantile_disc(d, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT dev.event_type, mad.med AS med_e4, mad.mad AS mad_e4, mad.n,
+           CAST(SUM(CASE WHEN 100000 * dev.d
+                              > {MAD_THRESH_E1} * {MAD_K_E4} * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           CAST(FLOOR(CAST(MAX(dev.d) AS DOUBLE)
+                / (1.4826 * mad.mad) * 1e6 + 0.5) AS BIGINT)
+             AS max_robust_z_e6
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    WHERE mad.mad > 0
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_events_anomaly_mad(spark, sf_dir):
+    """Median-absolute-deviation robust anomaly scan per event type —
+    the estimator-breakdown upgrade of q_events_anomaly_zscore: mean and
+    stddev are themselves dragged by the outliers they're supposed to
+    flag (masking), while median/MAD have a 50% breakdown point. Flags
+    |modified z| > 3.5 per Iglewicz-Hoaglin, with the 1.4826
+    normal-consistency constant kept in fixed point.
+
+    Two exact discrete medians (percentile_disc over BIGINTs, snapped
+    back to long), then the threshold test 1e5*|dev| > 35*14826*mad in
+    pure integer arithmetic — only max_robust_z is a double, ONE
+    identical expression over exact integers. Three map-side-combinable
+    passes with one-row-per-type broadcasts between them; the
+    all-tied degenerate series (mad = 0) is filtered identically on
+    both engines."""
+    ev = load_events(spark, sf_dir)
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1e4) + F.lit(0.5))
+        .cast("long")
+        .alias("v_e4"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v_e4)")
+        .cast("long")
+        .alias("med"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", "n",
+        F.abs(F.col("v_e4") - F.col("med")).alias("d"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.max("n").alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)")
+        .cast("long")
+        .alias("mad"),
+    )
+    j = dev.select("event_type", "d").join(F.broadcast(mad), "event_type")
+    flag = (
+        F.lit(100000) * F.col("d")
+        > F.lit(MAD_THRESH_E1) * F.lit(MAD_K_E4) * F.col("mad")
+    )
+    return (
+        j.filter(F.col("mad") > 0)
+        .groupBy(
+            "event_type",
+            F.col("med").alias("med_e4"),
+            F.col("mad").alias("mad_e4"),
+            "n",
+        )
+        .agg(
+            F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("n_anomalies"),
+            F.floor(
+                F.max("d").cast("double")
+                / (F.lit(1.4826) * F.col("mad"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("max_robust_z_e6"),
+        )
+    )
+
+
+# --- Day-of-week x hour-of-day activity heatmap -----------------------------
+
+
+@register(
+    "q_events_dow_hour_heatmap",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             -- 1970-01-01 was a THURSDAY (day 3 of a Monday-zero week): +3
+             CAST((epoch_ns(ts) // 86400000000000 + 3) % 7 AS BIGINT) AS dow,
+             CAST((epoch_ns(ts) // 3600000000000) % 24 AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, dow, hod, c,
+           CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY c DESC, dow, hod) = 1
+                THEN TRUE ELSE FALSE END AS is_peak
+    FROM c
+    """,
+)
+def q_events_dow_hour_heatmap(spark, sf_dir):
+    """Day-of-week x hour-of-day activity heatmap per event type — the
+    operational-calendar view q_events_seasonality_profile's 24-bucket
+    profile can't show (weekend vs weekday structure), with the peak
+    cell flagged per type by a deterministic (count desc, cell) order.
+
+    Day-of-week from pure integer epoch math (epoch day + 3 mod 7, no
+    timezone/calendar functions — the same UTC-pinned arithmetic as the
+    chi-square op), so both engines bucket identically. One map-side-
+    combinable aggregate to a <= types*168-row grid, then a tiny
+    partitioned window. Corpus rows never pass a window."""
+    ev = load_events(spark, sf_dir)
+    c = (
+        ev.select(
+            "event_type",
+            ((F.expr(f"ts div {86400 * NS}") + 3) % 7).alias("dow"),
+            (F.expr(f"ts div {3600 * NS}") % 24).alias("hod"),
+        )
+        .groupBy("event_type", "dow", "hod")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("c").desc(), "dow", "hod")
+    return c.select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hod").cast("long").alias("hod"),
+        "c",
+        (F.row_number().over(w) == 1).alias("is_peak"),
+    )

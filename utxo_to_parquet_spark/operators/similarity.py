@@ -2097,3 +2097,51 @@ def q_sim_retrieval_metrics(spark, sf_dir):
             f"cast(least(n_rel, {RM_K}) as int))"
         ).alias("ndcg_e6"),
     )
+
+
+# --- kNN-graph hubness audit ------------------------------------------------
+
+
+def _knn_hubness_oracle() -> str:
+    """Composes the kNN-graph oracle: in-degree histogram over ALL
+    vectors (antihubs = vectors no one lists as a neighbor appear as
+    indeg 0 via the left join)."""
+    from .registry import all_oracles
+
+    knn = all_oracles()["q_sim_knn_graph"]
+    return f"""
+    WITH g AS ({knn}),
+    ind AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS indeg FROM g GROUP BY 1)
+    SELECT COALESCE(ind.indeg, 0) AS indeg,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM embeddings e LEFT JOIN ind ON ind.dst = e.vec_id
+    GROUP BY 1
+    """
+
+
+@register("q_sim_knn_hubness", oracle=_knn_hubness_oracle())
+def q_sim_knn_hubness(spark, sf_dir):
+    """Hubness audit of the kNN graph: the in-degree histogram of
+    q_sim_knn_graph's neighbor lists — the standard diagnosis for
+    high-dimensional retrieval pathology (a few 'hub' vectors appearing
+    in everyone's top-k while 'antihubs' appear in no one's, which
+    silently poisons kNN classification and dedup transitivity;
+    Radovanović et al. 2010). Emits (in-degree, vector count) with
+    antihubs included as the indeg-0 row via a left join against the
+    full corpus.
+
+    COMPOSES the registered kNN-graph operator — same edges, same
+    oracle CTE — so the two ops can never drift; downstream is one
+    map-side-combinable in-degree count plus a broadcast-size histogram
+    rollup. Scale shape is exactly q_sim_knn_graph's (block-bounded,
+    probe exponent 0.14) plus two tiny aggregates."""
+    edges = q_sim_knn_graph(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id")
+    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("indeg"))
+    return (
+        emb.join(ind, emb.vec_id == ind.dst, "left")
+        .select(F.coalesce(F.col("indeg"), F.lit(0)).alias("indeg"))
+        .groupBy("indeg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+

@@ -3464,3 +3464,93 @@ def q_text_hapax_ratio(spark, sf_dir):
             "sum(case when c = 1 then 1 else 0 end) * 1000000 div count(*)"
         ).alias("hapax_ratio_e6"),
     )
+
+
+# --- PMI collocation mining -------------------------------------------------
+
+PMI_TOP_V = 24  # presence pairs restricted to the TOP_V most common terms
+PMI_TOP_PAIRS = 20
+
+
+@register(
+    "q_text_pmi_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+    topv AS (
+      SELECT term, c FROM df
+      ORDER BY c DESC, term LIMIT {PMI_TOP_V}
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+    kept AS (SELECT tok.doc_id, tok.term, topv.c
+             FROM tok JOIN topv ON topv.term = tok.term),
+    co AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             MAX(a.c) AS ca, MAX(b.c) AS cb,
+             CAST(COUNT(*) AS BIGINT) AS cab
+      FROM kept a JOIN kept b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+    )
+    SELECT term_a, term_b, ca, cb, cab,
+           CAST(FLOOR(LN(CAST(n.n AS DOUBLE) * cab
+                / (CAST(ca AS DOUBLE) * cb)) * 1e6 + 0.5) AS BIGINT)
+             AS pmi_e6
+    FROM co, n
+    ORDER BY pmi_e6 DESC, term_a, term_b
+    LIMIT {PMI_TOP_PAIRS}
+    """,
+)
+def q_text_pmi_pairs(spark, sf_dir):
+    """Pointwise-mutual-information collocation mining over document
+    co-occurrence: which term PAIRS appear together more than their
+    marginals predict — the classic phrase/topic-coherence signal
+    (Church & Hanks). Restricted to the {PMI_TOP_V} highest-df terms so
+    the per-document pair fan-out is a CONSTANT C({PMI_TOP_V},2) bound
+    however large the vocabulary grows — the cap is the blocking device,
+    the same role DF_CAP plays in containment dedup.
+
+    Presence (DISTINCT doc, term), document frequencies, and
+    co-occurrence counts are exact BIGINTs; PMI is ONE identical
+    ln(n*cab/(ca*cb)) expression over them snapped to e6 (the
+    established ln-noise-below-granularity discipline), and the top-K
+    order (pmi desc, pair) is total. TakeOrderedAndProject keeps the
+    global top-K heap-based. Shape: explode + two map-side-combinable
+    aggs, a broadcast of the {PMI_TOP_V}-row term list, one bounded
+    pair join."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    df = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    topv = df.orderBy(F.col("c").desc(), "term").limit(PMI_TOP_V)
+    n_docs = tok.select("doc_id").distinct().count()  # scalar fixture count
+    kept = tok.join(F.broadcast(topv), "term").localCheckpoint(eager=False)
+    a = kept.select("doc_id", F.col("term").alias("term_a"), F.col("c").alias("ca0"))
+    b = kept.select("doc_id", F.col("term").alias("term_b"), F.col("c").alias("cb0"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.max("ca0").alias("ca"),
+            F.max("cb0").alias("cb"),
+            F.count(F.lit(1)).cast("long").alias("cab"),
+        )
+    )
+    pmi = F.floor(
+        F.log(
+            F.lit(float(n_docs)) * F.col("cab")
+            / (F.col("ca").cast("double") * F.col("cb"))
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        co.select("term_a", "term_b", "ca", "cb", "cab", pmi.alias("pmi_e6"))
+        .orderBy(F.col("pmi_e6").desc(), "term_a", "term_b")
+        .limit(PMI_TOP_PAIRS)
+    )
