@@ -227,3 +227,51 @@ def test_wow_delta_first_week_null_and_exact(spark):
             assert cur.prev_c == prev.c
             assert cur.delta_c_e6 == (cur.c - prev.c) * 10**6 // prev.c or \
                 cur.delta_c_e6 == int((cur.c - prev.c) * 10**6 / prev.c)
+
+
+def test_mad_flags_subset_and_median_band(spark):
+    rows = QUERIES["q_events_anomaly_mad"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.mad_e4 > 0
+        assert 0 <= r.n_anomalies < r.n
+        # the max modified z must clear the 3.5 bar iff anomalies exist
+        assert (r.n_anomalies > 0) == (r.max_robust_z_e6 > 3_500_000)
+
+
+def test_dow_hour_heatmap_grid(spark):
+    rows = QUERIES["q_events_dow_hour_heatmap"](spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.dow <= 6 and 0 <= r.hod <= 23
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        peaks = [r for r in rs if r.is_peak]
+        assert len(peaks) == 1
+        assert peaks[0].c == max(r.c for r in rs)
+        # 2024-01-01..01-30 covers every dow and hod at sf0.001 volumes
+        assert len(rs) <= 168
+
+
+def test_pmi_pairs_are_ordered_and_bounded(spark):
+    rows = QUERIES["q_text_pmi_pairs"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r.term_a < r.term_b
+        assert 0 < r.cab <= min(r.ca, r.cb)
+    keys = [(-r.pmi_e6, r.term_a, r.term_b) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_knn_hubness_accounts_every_vector(spark):
+    import duckdb as _duck
+
+    rows = QUERIES["q_sim_knn_hubness"](spark, SF_DIR).collect()
+    total = sum(r.n_vectors for r in rows)
+    (n_emb,) = _duck.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchall()[0]
+    assert total == n_emb  # histogram partitions the corpus exactly
+    # edge conservation: sum(indeg * count) == |edges| of the kNN graph
+    edges = QUERIES["q_sim_knn_graph"](spark, SF_DIR).count()
+    assert sum(r.indeg * r.n_vectors for r in rows) == edges
