@@ -214,6 +214,8 @@ HEADLINE = [
     "q_events_dow_hour_heatmap",
     "q_text_pmi_pairs",
     "q_sim_knn_hubness",
+    "q_dedup_url_exact",
+    "q_agg_cov_matrix",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

@@ -275,3 +275,35 @@ def test_knn_hubness_accounts_every_vector(spark):
     # edge conservation: sum(indeg * count) == |edges| of the kNN graph
     edges = QUERIES["q_sim_knn_graph"](spark, SF_DIR).count()
     assert sum(r.indeg * r.n_vectors for r in rows) == edges
+
+
+def test_url_dedup_collapses_every_planted_recrawl(spark):
+    rows = QUERIES["q_dedup_url_exact"](spark, SF_DIR).collect()
+    # every 5th doc was re-crawled under different dressing: its
+    # canonical key must hold exactly two raw-distinct URLs
+    planted = [r for r in rows if r.n_copies > 1]
+    n_docs = sum(1 for r in rows if r.kept_doc_id < 1000000)
+    assert len(planted) == (n_docs + 4) // 5
+    for r in planted:
+        assert r.n_copies == 2
+        assert r.n_distinct_raw == 2  # raw-string dedup would NOT collapse
+        assert r.kept_doc_id < 1000000  # original wins the min-id pick
+
+
+def test_cov_matrix_is_consistent(spark):
+    import math
+
+    rows = QUERIES["q_agg_cov_matrix"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # correlations bounded, covariance sign agrees with correlation
+        for a, b in [("qty", "price"), ("qty", "disc"), ("price", "tax")]:
+            corr = getattr(r, f"corr_{a}_{b}_e6")
+            cov = getattr(r, f"cov_{a}_{b}_e4")
+            assert -10**6 <= corr <= 10**6
+            assert (corr > 0) == (cov > 0) or abs(cov) <= 1
+        # cauchy-schwarz: cov^2 <= var_a * var_b (fixed-point slack)
+        cv = r.cov_qty_price_e4 / 1e4
+        assert cv * cv <= (r.var_qty_e4 / 1e4) * (r.var_price_e4 / 1e4) * 1.001
+        # quantity is uniform 1..50-ish: its variance must be near (50^2-1)/12
+        assert 150 < r.var_qty_e4 / 1e4 < 350

@@ -207,6 +207,10 @@ OPS = {
     "q_events_dow_hour_heatmap": "events",
     "q_text_pmi_pairs": "documents",
     "q_sim_knn_hubness": "embeddings",
+    # round 8l: canonical-URL dedup (scan-side string work + one
+    # hash-groupBy) and the one-pass 15-sum moment matrix
+    "q_dedup_url_exact": "documents",
+    "q_agg_cov_matrix": "graph",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

@@ -1649,3 +1649,63 @@ def q_dedup_normalized(spark, sf_dir):
         )
         .filter(F.col("n_variants") > 1)
     )
+
+
+# --- URL-level exact dedup (through the canonicalizer) ----------------------
+
+
+def _url_dedup_oracle() -> str:
+    from .text import _URL_CANON_SELECT, _URL_SQL, _URL_VARIANT_SQL, _url_canon_sql
+
+    u_cte = f"""
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, {_URL_VARIANT_SQL} AS url
+      FROM documents WHERE doc_id % 5 = 0
+    """
+    inner = _url_canon_sql(u_cte, _URL_CANON_SELECT)
+    return f"""
+    SELECT canon_md5, CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw
+    FROM ({inner}) t
+    GROUP BY 1
+    """
+
+
+@register("q_dedup_url_exact", oracle=_url_dedup_oracle())
+def q_dedup_url_exact(spark, sf_dir):
+    """URL-level exact dedup THROUGH the canonicalizer — the reason
+    q_text_url_canonicalize exists: a synthetic re-crawl (every 5th
+    resource re-fetched under a differently-dressed URL — host case
+    flipped, default port dropped, tracking params and fragment
+    changed, param order scrambled) must COLLAPSE onto the original's
+    canonical key, which raw-string dedup provably cannot do
+    (n_distinct_raw = 2 while n_copies = 2 on every planted pair).
+
+    Composes the SAME canonicalization pipeline as the scoring op (one
+    shared SQL template + one shared Spark column helper, so the rules
+    cannot drift), then the standard hash-groupBy keep-smallest-id
+    dedup. Scale shape: scan-side string work + one map-side-combinable
+    groupBy on the canonical hash."""
+    from .text import _URL_SQL, _URL_VARIANT_SQL, _canonicalize_url
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.expr(_URL_SQL.replace("VARCHAR", "STRING")).alias("url")
+    )
+    variants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(_URL_VARIANT_SQL.replace("VARCHAR", "STRING")).alias("url"),
+    )
+    u = base.unionByName(variants)
+    canon, _nd = _canonicalize_url(F.col("url"))
+    return (
+        u.select("doc_id", "url", F.md5(canon).alias("canon_md5"))
+        .groupBy("canon_md5")
+        .agg(
+            F.min("doc_id").cast("long").alias("kept_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("url").cast("long").alias("n_distinct_raw"),
+        )
+    )

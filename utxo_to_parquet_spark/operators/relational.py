@@ -3573,3 +3573,130 @@ def q_agg_lorenz_curve(spark, sf_dir):
             ).alias("cum_share_e6"),
         )
     )
+
+
+# --- Pairwise covariance / correlation matrix -------------------------------
+
+_COV_VARS = [
+    ("qty", "CAST(l_quantity AS BIGINT)"),
+    ("price", "CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)"),
+    ("disc", "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)"),
+    ("tax", "CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)"),
+]
+_COV_PAIRS = [
+    (a, b)
+    for i, (a, _) in enumerate(_COV_VARS)
+    for b, _ in [p for p in _COV_VARS[i:]]
+]
+
+
+def _cov_matrix_oracle() -> str:
+    """Generated oracle: BIGINT moment sums for all 10 variable pairs,
+    then the covariance/correlation closed forms in double. The moment
+    products n*Sxy exceed int64 at replay scale, so the CLOSED FORMS
+    cast every moment to double first (the spearman precedent:
+    int64->double is correctly rounded and engine-identical)."""
+    fix = ", ".join(f"{expr} AS {n}" for n, expr in _COV_VARS)
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"] + [
+        f"SUM({n}) AS s_{n}" for n, _ in _COV_VARS
+    ] + [f"SUM({a} * {b}) AS s_{a}_{b}" for a, b in _COV_PAIRS]
+    outs = []
+    for a, b in _COV_PAIRS:
+        num = (
+            f"(CAST(n AS DOUBLE) * CAST(s_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        if a == b:
+            outs.append(
+                f"CAST(FLOOR({num} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+                f" * 1e4 + 0.5) AS BIGINT) AS var_{a}_e4"
+            )
+        else:
+            va = (
+                f"(CAST(n AS DOUBLE) * CAST(s_{a}_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            )
+            vb = (
+                f"(CAST(n AS DOUBLE) * CAST(s_{b}_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            )
+            outs.append(
+                f"CAST(FLOOR({num} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+                f" * 1e4 + 0.5) AS BIGINT) AS cov_{a}_{b}_e4"
+            )
+            outs.append(
+                f"CAST(FLOOR({num} / SQRT({va} * {vb}) * 1e6 + 0.5)"
+                f" AS BIGINT) AS corr_{a}_{b}_e6"
+            )
+    guards = " AND ".join(
+        f"CAST(n AS DOUBLE) * CAST(s_{a}_{a} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE) > 0"
+        for a, _ in _COV_VARS
+    )
+    return f"""
+    WITH v AS (SELECT l_returnflag AS flag, {fix} FROM lineitem),
+    m AS (SELECT flag, {', '.join(sums)} FROM v GROUP BY 1)
+    SELECT flag, n, {', '.join(outs)}
+    FROM m WHERE {guards}
+    """
+
+
+@register("q_agg_cov_matrix", oracle=_cov_matrix_oracle())
+def q_agg_cov_matrix(spark, sf_dir):
+    """Full pairwise covariance + correlation matrix of four lineitem
+    measures per return flag — the multivariate generalization of
+    q_agg_corr_covar, computed the only way that scales: ONE pass of
+    BIGINT moment sums (map-side combinable, 15 sums per group), then
+    every cov/corr as a closed form over those moments. No per-pair
+    passes, no centering pass — adding a variable costs O(k) more sums,
+    never another scan.
+
+    Determinism discipline (spearman precedent): per-row values are
+    fixed-pointed to BIGINT, the 15 moment sums are exact integers
+    (bounded: price^2 sums reach ~1e17 at 16x replay, inside int64),
+    and the n*Sxy products — which WOULD overflow int64 — are computed
+    in double from correctly-rounded int64->double casts, the identical
+    expression tree on both engines; zero-variance groups filtered
+    identically. Both matrices emit fixed-point (e4 cov, e6 corr)."""
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        *[F.expr(expr).alias(n) for n, expr in _COV_VARS],
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    aggs += [F.sum(n).alias(f"s_{n}") for n, _ in _COV_VARS]
+    aggs += [
+        F.sum(F.col(a) * F.col(b)).alias(f"s_{a}_{b}") for a, b in _COV_PAIRS
+    ]
+    m = v.groupBy("flag").agg(*aggs)
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    nd = d("n")
+    outs = []
+    guard = None
+    for a, b in _COV_PAIRS:
+        num = nd * d(f"s_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")
+        if a == b:
+            outs.append(
+                F.floor(num / (nd * nd) * F.lit(1e4) + F.lit(0.5))
+                .cast("long")
+                .alias(f"var_{a}_e4")
+            )
+            g = nd * d(f"s_{a}_{a}") - d(f"s_{a}") * d(f"s_{a}") > 0
+            guard = g if guard is None else (guard & g)
+        else:
+            va = nd * d(f"s_{a}_{a}") - d(f"s_{a}") * d(f"s_{a}")
+            vb = nd * d(f"s_{b}_{b}") - d(f"s_{b}") * d(f"s_{b}")
+            outs.append(
+                F.floor(num / (nd * nd) * F.lit(1e4) + F.lit(0.5))
+                .cast("long")
+                .alias(f"cov_{a}_{b}_e4")
+            )
+            outs.append(
+                F.floor(num / F.sqrt(va * vb) * F.lit(1e6) + F.lit(0.5))
+                .cast("long")
+                .alias(f"corr_{a}_{b}_e6")
+            )
+    return m.filter(guard).select("flag", "n", *outs)

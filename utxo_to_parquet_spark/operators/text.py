@@ -3308,10 +3308,14 @@ _URL_SQL = """CASE WHEN doc_id % 2 = 0
        || '?page=1' END"""
 
 
-@register(
-    "q_text_url_canonicalize",
-    oracle=f"""
-    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+def _url_canon_sql(u_cte: str, select: str) -> str:
+    """The canonicalization pipeline as a SQL template: ``u_cte`` must
+    produce (doc_id, url); ``select`` is the final projection over s3's
+    (doc_id, url, base, kept, n_dropped). Shared by
+    q_text_url_canonicalize and q_dedup_url_exact so the two can never
+    drift."""
+    return f"""
+    WITH u AS ({u_cte}),
     s1 AS (  -- strip fragment, split scheme://host[:port] from the rest
       SELECT doc_id, url,
              LOWER(regexp_extract(regexp_replace(url, '#.*$', ''),
@@ -3345,16 +3349,41 @@ _URL_SQL = """CASE WHEN doc_id % 2 = 0
                p -> starts_with(p, 'utm_'))) AS BIGINT) AS n_dropped
       FROM s2
     )
-    SELECT doc_id, url,
+    {select}
+    FROM s3
+    """
+
+
+_URL_CANON_SELECT = """SELECT doc_id, url,
            base || CASE WHEN LEN(kept) > 0
                         THEN '?' || ARRAY_TO_STRING(kept, '&')
                         ELSE '' END AS canon_url,
            md5(base || CASE WHEN LEN(kept) > 0
                             THEN '?' || ARRAY_TO_STRING(kept, '&')
                             ELSE '' END) AS canon_md5,
-           n_dropped
-    FROM s3
-    """,
+           n_dropped"""
+
+
+# a re-crawl of the SAME resource under different dressing: host case
+# flipped, default port dropped (https) or added (http), tracking params
+# and fragment changed, parameter order scrambled, trailing slash
+# toggled — everything the canonicalizer is supposed to erase
+_URL_VARIANT_SQL = """CASE WHEN doc_id % 2 = 0
+  THEN 'HTTPS://wWw.Shop' || CAST(doc_id % 5 AS VARCHAR)
+       || '.ExAmPlE.CoM/Category/Item' || CAST(doc_id AS VARCHAR)
+       || '/?utm_medium=email&id=' || CAST(doc_id AS VARCHAR)
+       || CASE WHEN doc_id % 6 = 0 THEN '&ref=home' ELSE '' END
+       || '#other'
+  ELSE 'HTTP://BLOG.example.ORG:80/post-' || CAST(doc_id AS VARCHAR)
+       || '?page=1&utm_source=feed' END"""
+
+
+@register(
+    "q_text_url_canonicalize",
+    oracle=_url_canon_sql(
+        f"SELECT doc_id, {_URL_SQL} AS url FROM documents",
+        _URL_CANON_SELECT,
+    ),
 )
 def q_text_url_canonicalize(spark, sf_dir):
     """URL canonicalization — the normalization step every web-scale
@@ -3372,6 +3401,20 @@ def q_text_url_canonicalize(spark, sf_dir):
     downstream exact-dedup window."""
     docs = load(spark, sf_dir, "documents")
     url = F.expr(_URL_SQL.replace("VARCHAR", "STRING"))
+    canon, n_dropped = _canonicalize_url(url)
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        canon.alias("canon_url"),
+        F.md5(canon).alias("canon_md5"),
+        n_dropped.alias("n_dropped"),
+    )
+
+
+def _canonicalize_url(url):
+    """(canonical-url column, n-dropped-params column) for a url column
+    — the Spark twin of the _url_canon_sql template; every rule change
+    must land in both."""
     nofrag = F.regexp_replace(url, "#.*$", "")
     pfx_raw = F.lower(F.regexp_extract(nofrag, "^[a-zA-Z]+://[^/]*", 0))
     rest = nofrag.substr(F.length(pfx_raw) + 1, F.length(nofrag))
@@ -3408,13 +3451,7 @@ def q_text_url_canonicalize(spark, sf_dir):
         F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&")))
         .otherwise(""),
     )
-    return docs.select(
-        "doc_id",
-        url.alias("url"),
-        canon.alias("canon_url"),
-        F.md5(canon).alias("canon_md5"),
-        n_dropped.alias("n_dropped"),
-    )
+    return canon, n_dropped
 
 
 # --- Hapax legomena vocabulary audit ---------------------------------------
