@@ -2788,7 +2788,8 @@ def _burst_oracle() -> str:
     ),
     rates AS (
       SELECT event_type,
-             CAST(SUM(r) AS DOUBLE) / CAST(SUM(d) AS DOUBLE) AS p0,
+             LEAST(CAST(SUM(r) AS DOUBLE) / CAST(SUM(d) AS DOUBLE),
+                   0.9999) AS p0,
              LEAST(CAST(SUM(r) AS DOUBLE) / CAST(SUM(d) AS DOUBLE)
                    * {BURST_S}, 0.9999) AS p1
       FROM seq GROUP BY 1
@@ -2875,7 +2876,13 @@ def q_events_burst_kleinberg(spark, sf_dir):
         pdf = pdf.sort_values("h").reset_index(drop=True)
         r = pdf["r"].to_numpy(dtype=np.int64)
         d = pdf["d"].to_numpy(dtype=np.int64)
-        p0 = float(r.sum()) / float(d.sum())
+        # p0 capped like p1: a single-event-type corpus gives
+        # p0 = 1.0 and the cost term (d-r)*log(1-p0) becomes 0 * -inf
+        # = NaN, whose BIGINT cast is engine-defined (numpy astype
+        # yields an arbitrary value, DuckDB CAST errors). The cap is
+        # applied identically in the oracle's rates CTE, so degenerate
+        # corpora stay finite and bit-identical on both engines.
+        p0 = min(float(r.sum()) / float(d.sum()), 0.9999)
         p1 = min(p0 * BURST_S, 0.9999)
         rf, df_ = r.astype(np.float64), d.astype(np.float64)
         k0 = np.floor(

@@ -3233,7 +3233,19 @@ def q_agg_spearman_rho(spark, sf_dir):
     point, with zero-variance degeneracy filtered identically on both
     sides instead of letting NaN reach the hash. At 100 TB: two
     map-side-combinable aggregations, two 32-partition range exchanges
-    over DISTINCT-value relations, one moment reduce."""
+    over DISTINCT-value relations, one moment reduce.
+
+    int64 bound (same convention as q_events_linreg_trend /
+    q_agg_cov_matrix): the doubled midranks rx2/ry2 reach ~2n for n
+    DISTINCT rank values, so sxx/syy grow ~4n^3 and overflow BIGINT
+    near n ~ 1.3M distinct values — Spark's non-ANSI SUM(long) would
+    wrap silently while DuckDB widens to HUGEINT, silently diverging.
+    Here n_x is the handful of per-customer order counts and n_y is
+    bounded by |customer| (150k at sf1 of this fixture), two orders of
+    magnitude under the cliff. Documented swap past ~1M distinct
+    values: cast rx2/ry2 to double BEFORE the moment products (the
+    n*Sxy swap q_agg_cov_matrix documents) — exact up to 2^53 per
+    term, with the final rho already double."""
     from .registry import global_midrank2
 
     o = load(spark, sf_dir, "orders")

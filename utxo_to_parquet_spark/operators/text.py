@@ -1940,7 +1940,7 @@ def q_text_perplexity_bigram(spark, sf_dir):
     return _bigram_bits_per_doc(load(spark, sf_dir, "documents"))
 
 
-def _bigram_bits_per_doc(docs):
+def _bigram_bits_per_doc(docs, exact=False):
     """Per-document bigram-LM bits (doc_id, n_bigrams, bits_per_bigram
     rounded to 4 decimals) — the scorer behind q_text_perplexity_bigram,
     factored so q_text_perplexity_buckets can cut the same quantity into
@@ -1979,6 +1979,18 @@ def _bigram_bits_per_doc(docs):
         .crossJoin(F.broadcast(v))
     )
     bits = -F.log2((F.col("nb") + 1) / (F.col("np") + F.col("vocab")))
+    if exact:
+        # Merge-order-proof variant for consumers that RANK on the
+        # score (q_text_perplexity_buckets): each per-bigram bits value
+        # is fixed-pointed to e6 BEFORE the reduction, so the per-doc
+        # quantity is an order-free exact BIGINT sum — an AVG of raw
+        # doubles is one partial-agg merge away from a .00005 rounding
+        # flip, which for a ranking consumer moves NTILE boundaries.
+        bits_e6 = F.floor(bits * 1e6 + F.lit(0.5)).cast("long")
+        return scored.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(bits_e6).alias("sum_bits_e6"),
+        )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg(bits), 4).alias("bits_per_bigram"),
@@ -2124,15 +2136,23 @@ _PPL_BUCKET_NAME = "CASE bin WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
     cp AS (SELECT prev_tok, CAST(COUNT(*) AS DOUBLE) AS np
            FROM bigr GROUP BY 1),
     v AS (SELECT CAST(COUNT(DISTINCT token) AS DOUBLE) AS vocab FROM tok)
-    , scored AS (
+    , sums AS (
       SELECT b.doc_id,
-             CAST(FLOOR(ROUND(AVG(-LOG2((cb.nb + 1) / (cp.np + v.vocab))), 4)
-                        * 1e4 + 0.5) AS BIGINT) AS bits_e4
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(FLOOR(-LOG2((cb.nb + 1) / (cp.np + v.vocab))
+                                 * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_bits_e6
       FROM bigr b
       JOIN cb ON cb.prev_tok = b.prev_tok AND cb.cur_tok = b.cur_tok
       JOIN cp ON cp.prev_tok = b.prev_tok
       CROSS JOIN v
       GROUP BY b.doc_id
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST((2 * sum_bits_e6 + 100 * n_bigrams)
+                  // (200 * n_bigrams) AS BIGINT) AS bits_e4
+      FROM sums
     ),
     binned AS (
       SELECT doc_id, bits_e4,
@@ -2159,16 +2179,21 @@ def q_text_perplexity_buckets(spark, sf_dir):
 
     The tercile cut is ``global_ntile`` (registry.py): two-pass
     range-partitioned global rank + closed-form bin, never a
-    single-partition window; the per-doc score is fixed-pointed
-    (floor(round4 * 1e4 + 0.5)) BEFORE ranking so ordering and bucket
-    sums are exact-integer on both engines, with doc_id breaking
-    ties."""
+    single-partition window. The per-doc score is merge-order-proof:
+    each per-bigram bits value is e6 fixed-pointed BEFORE the per-doc
+    reduction (exact BIGINT sum), and the e4 mean is the exact-integer
+    round-half-up (2*sum + 100*n) div (200*n) — a float AVG here would
+    be one partial-agg merge away from a .00005 flip that moves an
+    NTILE boundary and changes bucket sums. doc_id breaks ties."""
     docs = load(spark, sf_dir, "documents")
-    scored = _bigram_bits_per_doc(docs).select(
+    # Exact-integer mean: round-half-up of sum_e6/(100*n) computed as
+    # (2*sum + 100*n) div (200*n) — positive operands, so integer div
+    # agrees across engines; no float AVG ever reaches the ranking.
+    scored = _bigram_bits_per_doc(docs, exact=True).select(
         "doc_id",
-        F.floor(F.col("bits_per_bigram") * 1e4 + F.lit(0.5))
-        .cast("long")
-        .alias("bits_e4"),
+        F.expr(
+            "(2 * sum_bits_e6 + 100 * n_bigrams) div (200 * n_bigrams)"
+        ).cast("long").alias("bits_e4"),
     )
     binned = global_ntile(
         scored, PPL_BUCKETS, [F.col("bits_e4"), F.col("doc_id")]
@@ -2337,9 +2362,14 @@ def q_text_dsir_weights(spark, sf_dir):
     per-doc score is an order-free exact BIGINT sum — an AVG of raw
     doubles here would be one segment-tree merge away from a .00005
     rounding flip (the round-8 lesson: anchor the rounding before the
-    reduction, not after). The emitted quantity is the SUM (the mean is
-    sum/n for the consumer) because BIGINT division of negative values
-    floors in DuckDB but truncates in Spark."""
+    reduction, not after). The emitted quantity is the SUM plus the
+    count (the mean is sum/n for the consumer): emitting the raw pair
+    keeps the output pure-integer, and the consumer picks its own
+    division convention for the negative sums. (Measured, and matching
+    the q_events_wow_delta note: DuckDB 1.x INTEGER // truncates toward
+    zero exactly like Spark's div — only its FLOAT // floors — so a
+    div-based mean would also have been engine-identical; the pair is
+    emitted for exactness, not to dodge a division mismatch.)"""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
