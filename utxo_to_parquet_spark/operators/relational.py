@@ -3712,3 +3712,370 @@ def q_agg_cov_matrix(spark, sf_dir):
                 .alias(f"corr_{a}_{b}_e6")
             )
     return m.filter(guard).select("flag", "n", *outs)
+
+
+# --- One-way ANOVA F over order priorities --------------------------------
+
+
+@register(
+    "q_agg_anova_f",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS s_g,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)
+                      * CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS ss_g
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    ),
+    terms AS (
+      SELECT CAST(FLOOR(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                        / CAST(n_g AS DOUBLE) + 0.5) AS BIGINT) AS tg,
+             CAST(FLOOR((CAST(ss_g AS DOUBLE)
+                         - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                           / CAST(n_g AS DOUBLE)) + 0.5) AS BIGINT)
+               AS wg
+      FROM g
+    ),
+    m AS (
+      SELECT t.n, t.s, t.k,
+             CAST(SUM(tg) AS BIGINT)
+               - CAST(FLOOR(CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+                            / CAST(t.n AS DOUBLE) + 0.5) AS BIGINT)
+               AS ssb,
+             CAST(SUM(wg) AS BIGINT) AS ssw
+      FROM terms, tot t GROUP BY t.n, t.s, t.k
+    )
+    SELECT n, k, ssb, ssw,
+           CAST(FLOOR(CAST(ssb AS DOUBLE) * CAST(n - k AS DOUBLE)
+                      / (CAST(ssw AS DOUBLE) * CAST(k - 1 AS DOUBLE))
+                      * 1e6 + 0.5) AS BIGINT) AS f_e6
+    FROM m WHERE ssw > 0 AND k > 1
+    """,
+)
+def q_agg_anova_f(spark, sf_dir):
+    """One-way ANOVA F statistic across order-priority groups on whole-
+    dollar order totals — the k-group generalization completing the
+    inference family (Welch compares two means, this compares k at
+    once; its rank twin is q_agg_kruskal_wallis below).
+
+    Determinism contract (the Welch/OLS recipe): per-group moments
+    (n_g, S_g, SS_g) are exact BIGINTs from one map-side-combinable
+    aggregation; the per-group between/within contributions are each
+    ONE identical double expression over those BIGINTs snapped to
+    INTEGER squared-dollars BEFORE the cross-group sum (order-free
+    BIGINT reduction, never a float AVG — and deliberately e0, not e4:
+    S_g^2/n_g is ~2e18 at this fixture's dollar scale, so an e4 term
+    sum would overflow int64 at sf0.01 already), and F is one final
+    e6-snapped tree over the integer sums. Zero within-variance is
+    filtered identically on both sides.
+
+    int64 bound: SS_g sums x^2 with x = floor(o_totalprice) <= ~6e5,
+    so SS_g < 9.2e18 through ~25M orders per group (sf ~ 100 of this
+    fixture); past that, widen the x*x product to DECIMAL(38,0) /
+    HUGEINT (the q_agg_cov_matrix swap). At 100 TB: one scan, a 5-row
+    group relation, a 1-row broadcast — nothing scales with n after
+    the first aggregate."""
+    o = load(spark, sf_dir, "orders")
+    x = F.floor("o_totalprice").cast("long")
+    g = o.select(F.col("o_orderpriority").alias("grp"), x.alias("x"))
+    per = g.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).alias("ss_g"),
+    )
+    tot = per.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    j = per.crossJoin(F.broadcast(tot))
+    tg = F.floor(d("s_g") * d("s_g") / d("n_g") + F.lit(0.5)).cast("long")
+    wg = F.floor(
+        d("ss_g") - d("s_g") * d("s_g") / d("n_g") + F.lit(0.5)
+    ).cast("long")
+    m = j.groupBy("n", "s", "k").agg(
+        (
+            F.sum(tg)
+            - F.floor(d("s") * d("s") / d("n") + F.lit(0.5)).cast("long")
+        ).alias("ssb"),
+        F.sum(wg).alias("ssw"),
+    )
+    f = (
+        F.col("ssb").cast("double")
+        * (F.col("n") - F.col("k")).cast("double")
+        / (F.col("ssw").cast("double") * (F.col("k") - 1).cast("double"))
+    )
+    return m.filter((F.col("ssw") > 0) & (F.col("k") > 1)).select(
+        "n", "k", "ssb", "ssw",
+        F.floor(f * F.lit(1e6) + F.lit(0.5)).cast("long").alias("f_e6"),
+    )
+
+
+# --- Kruskal-Wallis H across order priorities -----------------------------
+
+
+@register(
+    "q_agg_kruskal_wallis",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS x
+      FROM orders
+    ),
+    dx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+    rx AS (
+      SELECT x, cnt,
+             2 * (SUM(cnt) OVER (ORDER BY x) - cnt) + cnt + 1 AS rank2
+      FROM dx
+    ),
+    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM dx),
+    tot AS (
+      SELECT nn.n,
+             CAST(SUM(CAST(FLOOR((CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
+                                  * CAST(cnt AS DOUBLE) - CAST(cnt AS DOUBLE))
+                                 / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)
+                                    * CAST(nn.n AS DOUBLE)
+                                    - CAST(nn.n AS DOUBLE))
+                                 * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS t_e12
+      FROM dx, nn GROUP BY nn.n
+    ),
+    g AS (
+      SELECT v.grp,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(rx.rank2) AS BIGINT) AS r2_sum
+      FROM v JOIN rx ON rx.x = v.x
+      GROUP BY v.grp
+    ),
+    terms AS (
+      SELECT grp, n_g, r2_sum,
+             CAST(FLOOR(CAST(r2_sum AS DOUBLE) * CAST(r2_sum AS DOUBLE)
+                        / (4.0 * CAST(n_g AS DOUBLE) * CAST(t.n AS DOUBLE)
+                           * CAST(t.n + 1 AS DOUBLE)) * 1e6 + 0.5)
+               AS BIGINT) AS tg_e6,
+             t.n, t.t_e12
+      FROM g, tot t
+    ),
+    h AS (
+      SELECT n, t_e12,
+             CAST(SUM(tg_e6) AS BIGINT) AS sum_tg_e6
+      FROM terms GROUP BY n, t_e12
+    )
+    SELECT t.grp, t.n_g, t.r2_sum,
+           CAST(FLOOR((12.0 * CAST(h.sum_tg_e6 AS DOUBLE) / 1e6
+                       - 3.0 * CAST(h.n + 1 AS DOUBLE))
+                      / (1.0 - CAST(h.t_e12 AS DOUBLE) / 1e12)
+                      * 1e6 + 0.5) AS BIGINT) AS h_e6
+    FROM terms t, h
+    WHERE h.t_e12 < CAST(1000000000000 AS BIGINT)
+    """,
+)
+def q_agg_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H (rank one-way ANOVA) across order priorities on
+    whole-dollar order totals, with the exact tie correction — the
+    k-group extension of q_events_mannwhitney_u and the rank twin of
+    q_agg_anova_f, robust to the heavy right tail rank-free F inherits.
+
+    Rank machinery is ``global_midrank2`` (registry.py): doubled
+    midranks over the DISTINCT-value relation stay exact BIGINTs, so
+    each group's rank mass R2_g is an order-free integer sum. The
+    per-group H contribution R2_g^2/(4 n_g n (n+1)) is bounded by
+    n_g, so its e6 fixed point sums safely; the tie term
+    sum(t^3-t)/(n^3-n) is e12-fixed per DISTINCT value (the whole sum
+    is bounded by 1e12 by construction) and the all-tied degenerate
+    corpus (correction = 0) is filtered identically on both engines.
+    Cubes and squares are evaluated in the shared double tree, never
+    as BIGINT products (t^3 overflows int64 past ~2M-row tie groups).
+
+    At 100 TB: two distinct-relation range exchanges (midranks), one
+    rank join whose heavy keys are the tie groups (AQE skew shape),
+    one 5-row group relation, two 1-row broadcasts."""
+    from .registry import global_midrank2
+
+    o = load(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor("o_totalprice").cast("long").alias("x"),
+    )
+    dx = v.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    rx = global_midrank2(dx, "x").select("x", "cnt", "rank2")
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    cd = d("cnt")
+    n1 = dx.agg(F.sum("cnt").alias("n"))
+    nd = F.col("n").cast("double")
+    tot = (
+        dx.crossJoin(F.broadcast(n1))
+        .select(
+            "n",
+            F.floor(
+                (cd * cd * cd - cd) / (nd * nd * nd - nd) * 1e12 + F.lit(0.5)
+            ).cast("long").alias("tie_e12"),
+        )
+        .groupBy("n")
+        .agg(F.sum("tie_e12").alias("t_e12"))
+    )
+    g = (
+        v.join(rx.withColumnRenamed("cnt", "__c"), "x")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("rank2").alias("r2_sum"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    tg_e6 = F.floor(
+        d("r2_sum") * d("r2_sum")
+        / (F.lit(4.0) * d("n_g") * d("n") * (F.col("n") + 1).cast("double"))
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    h = g.groupBy("n", "t_e12").agg(F.sum(tg_e6).alias("sum_tg_e6"))
+    hexpr = (
+        (
+            F.lit(12.0) * F.col("sum_tg_e6").cast("double") / F.lit(1e6)
+            - F.lit(3.0) * (F.col("n") + 1).cast("double")
+        )
+        / (F.lit(1.0) - F.col("t_e12").cast("double") / F.lit(1e12))
+    )
+    return (
+        g.join(F.broadcast(h.filter(F.col("t_e12") < F.lit(10**12))), ["n", "t_e12"])
+        .select(
+            "grp",
+            "n_g",
+            "r2_sum",
+            F.floor(hexpr * F.lit(1e6) + F.lit(0.5)).cast("long").alias("h_e6"),
+        )
+    )
+
+
+# --- Mutual information + Cramér's V between lang and source --------------
+
+
+@register(
+    "q_agg_mutual_info",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nij
+      FROM documents GROUP BY 1, 2
+    ),
+    langs AS (SELECT lang, CAST(SUM(nij) AS BIGINT) AS ni FROM cells GROUP BY 1),
+    srcs AS (SELECT source, CAST(SUM(nij) AS BIGINT) AS nj FROM cells GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(nij) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS c
+      FROM cells
+    ),
+    grid AS (
+      SELECT l.lang, s.source, l.ni, s.nj,
+             COALESCE(cl.nij, 0) AS nij
+      FROM langs l CROSS JOIN srcs s
+      LEFT JOIN cells cl ON cl.lang = l.lang AND cl.source = s.source
+    ),
+    terms AS (
+      SELECT CASE WHEN nij > 0 THEN
+               CAST(FLOOR(CAST(nij AS DOUBLE) / CAST(t.n AS DOUBLE)
+                          * LOG2(CAST(t.n AS DOUBLE) * CAST(nij AS DOUBLE)
+                                 / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+                          * 1e9 + 0.5) AS BIGINT)
+             ELSE 0 END AS mi_t,
+             CAST(FLOOR(
+               (CAST(nij AS DOUBLE)
+                - CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * (CAST(nij AS DOUBLE)
+                  - CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE) / CAST(t.n AS DOUBLE))
+               / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * 1e6 + 0.5) AS BIGINT) AS chi_t
+      FROM grid, tot t
+    )
+    SELECT t.n, t.r, t.c,
+           CAST(SUM(mi_t) AS BIGINT) AS mi_e9,
+           CAST(SUM(chi_t) AS BIGINT) AS chi2_e6,
+           CAST(FLOOR(SQRT(CAST(SUM(chi_t) AS DOUBLE) / 1e6
+                           / (CAST(t.n AS DOUBLE)
+                              * CAST(LEAST(t.r, t.c) - 1 AS DOUBLE)))
+                      * 1e6 + 0.5) AS BIGINT) AS cramers_v_e6
+    FROM terms, tot t
+    WHERE t.r > 1 AND t.c > 1
+    GROUP BY t.n, t.r, t.c
+    """,
+)
+def q_agg_mutual_info(spark, sf_dir):
+    """Column-level dependence panel between the corpus's two categorical
+    metadata axes (lang, source): mutual information in bits, the
+    chi-square statistic over the FULL r x c grid (absent combinations
+    contribute their expected-count mass — an inner groupBy alone would
+    understate chi-square), and Cramér's V normalizing chi-square to
+    [0,1]. The token-level sibling q_text_pmi_pairs scores word pairs;
+    this scores the metadata schema itself — the check run before
+    stratifying on one axis and assuming the other stays balanced.
+
+    Determinism: cell/margin counts are exact BIGINTs; each cell's MI
+    term (e9) and chi term (e6) is one identical double tree over them
+    fixed-pointed BEFORE the cross-cell sum; V is a final tree over the
+    BIGINT sums (IEEE sqrt correctly rounded, LOG2 1-ulp noise below
+    fixed-point granularity per the dsir precedent). Degenerate 1-row/
+    1-column grids are filtered identically on both engines.
+
+    At 100 TB: one map-side-combinable scan to the cell relation
+    (|langs| x |sources| rows), then everything runs on broadcastable
+    aggregates — the grid cross join is r x c, never data-sized."""
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("nij")
+    )
+    langs = cells.groupBy("lang").agg(F.sum("nij").alias("ni"))
+    srcs = cells.groupBy("source").agg(F.sum("nij").alias("nj"))
+    tot = cells.agg(
+        F.sum("nij").alias("n"),
+        F.countDistinct("lang").cast("long").alias("r"),
+        F.countDistinct("source").cast("long").alias("c"),
+    )
+    grid = (
+        langs.crossJoin(srcs)
+        .join(cells, ["lang", "source"], "left")
+        .withColumn("nij", F.coalesce(F.col("nij"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    e = d("ni") * d("nj") / d("n")
+    mi_t = F.when(
+        F.col("nij") > 0,
+        F.floor(
+            d("nij") / d("n") * F.log2(d("n") * d("nij") / (d("ni") * d("nj")))
+            * 1e9
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    chi_t = F.floor(
+        (d("nij") - e) * (d("nij") - e) / e * 1e6 + F.lit(0.5)
+    ).cast("long")
+    m = grid.groupBy("n", "r", "c").agg(
+        F.sum(mi_t).alias("mi_e9"), F.sum(chi_t).alias("chi2_e6")
+    )
+    v = F.sqrt(
+        F.col("chi2_e6").cast("double")
+        / F.lit(1e6)
+        / (d("n") * (F.least(F.col("r"), F.col("c")) - 1).cast("double"))
+    )
+    return m.filter((F.col("r") > 1) & (F.col("c") > 1)).select(
+        "n", "r", "c", "mi_e9", "chi2_e6",
+        F.floor(v * F.lit(1e6) + F.lit(0.5)).cast("long").alias("cramers_v_e6"),
+    )

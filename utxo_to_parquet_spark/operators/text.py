@@ -3621,3 +3621,134 @@ def q_text_pmi_pairs(spark, sf_dir):
         .orderBy(F.col("pmi_e6").desc(), "term_a", "term_b")
         .limit(PMI_TOP_PAIRS)
     )
+
+
+# --- Cross-language vocabulary overlap (Jaccard matrix) --------------------
+
+
+@register(
+    "q_text_lang_vocab_overlap",
+    oracle="""
+    WITH vt AS (
+      SELECT DISTINCT lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents
+    ),
+    vs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS v FROM vt GROUP BY 1),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM vt a JOIN vt b ON a.token = b.token AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT i.lang_a, i.lang_b, va.v AS vocab_a, vb.v AS vocab_b, i.n_common,
+           CAST((1000000 * i.n_common) // (va.v + vb.v - i.n_common)
+             AS BIGINT) AS jaccard_e6
+    FROM inter i
+    JOIN vs va ON va.lang = i.lang_a
+    JOIN vs vb ON vb.lang = i.lang_b
+    """,
+)
+def q_text_lang_vocab_overlap(spark, sf_dir):
+    """Pairwise Jaccard overlap between per-language vocabularies — the
+    corpus-level view of cross-lingual token sharing (loanwords, code,
+    named entities). High overlap between two language slices of a
+    crawl usually means mislabelled documents; this is the audit run
+    after q_text_language_id before trusting the lang column for
+    mixture planning.
+
+    Pure-integer op: distinct (lang, token) relation, a self-equi-join
+    on token restricted to ordered pairs (each unordered pair counted
+    once), exact BIGINT set sizes, and integer-division Jaccard —
+    nothing floating anywhere. At 100 TB the token join's heavy keys
+    are shared stopwords (the AQE skew shape); the |langs|-sized
+    vocabulary margins broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    vt = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    vs = vt.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    a = vt.select(F.col("lang").alias("lang_a"), "token")
+    b = vt.select(F.col("lang").alias("lang_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(vs.select(F.col("lang").alias("lang_a"), F.col("v").alias("vocab_a"))),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(vs.select(F.col("lang").alias("lang_b"), F.col("v").alias("vocab_b"))),
+            "lang_b",
+        )
+        .select(
+            "lang_a", "lang_b", "vocab_a", "vocab_b", "n_common",
+            F.expr(
+                "(1000000 * n_common) div (vocab_a + vocab_b - n_common)"
+            ).cast("long").alias("jaccard_e6"),
+        )
+    )
+
+
+# --- Simpson lexical diversity per source ----------------------------------
+
+
+@register(
+    "q_text_simpson_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(c * (c - 1)) AS BIGINT) AS s2
+      FROM cnt GROUP BY 1
+    )
+    SELECT source, n_tokens, vocab, s2,
+           CAST((2000000 * s2 + n_tokens * (n_tokens - 1))
+                // (2 * n_tokens * (n_tokens - 1)) AS BIGINT) AS simpson_e6
+    FROM g WHERE n_tokens > 1
+    """,
+)
+def q_text_simpson_diversity(spark, sf_dir):
+    """Simpson concentration index per source — the probability two
+    tokens drawn without replacement are the same type. Low values =
+    lexically diverse source, values near 1 = template/boilerplate
+    farms; with q_text_hapax_ratio (rare-tail mass) and
+    q_text_source_entropy (Shannon view) this completes the lexical-
+    diversity panel a mixture planner reads before weighting sources.
+
+    Pure-integer op end to end: per-(source, token) counts, the exact
+    pair count sum c*(c-1), and round-half-up integer division for the
+    e6 index — (2e6*S + n(n-1)) div (2n(n-1)) on positive BIGINTs is
+    engine-identical. int64 bound: S <= n^2 only when one token
+    dominates; the binding constraint is c*(c-1) < 2^63, i.e. ~3e9
+    occurrences of one token in one source — past that, widen the
+    product to DECIMAL(38,0)/HUGEINT (the documented swap). Two
+    map-side-combinable aggregations; nothing shuffles wide."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+    cnt = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    g = cnt.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("s2"),
+    )
+    return g.filter(F.col("n_tokens") > 1).select(
+        "source", "n_tokens", "vocab", "s2",
+        F.expr(
+            "(2000000 * s2 + n_tokens * (n_tokens - 1))"
+            " div (2 * n_tokens * (n_tokens - 1))"
+        ).cast("long").alias("simpson_e6"),
+    )
