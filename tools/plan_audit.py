@@ -66,6 +66,17 @@ ALLOWED_NESTED_LOOP = {
     # aggregate-level pair join: |sources|^2/2 over the PROFILE relation
     # (thousands of rows at lake scale), never fact rows
     "q_text_style_cosine",
+    "q_agg_anova_f",  # grand totals (n, s, k): 1-row aggregate attach
+    # two 1-row attaches (n; tie-term totals) onto the 5-row group and
+    # the distinct-value relations
+    "q_agg_kruskal_wallis",
+    # 1-row grand-total attach + the r x c grid build: a cross join of
+    # the |langs| and |sources| MARGIN relations (aggregates, never
+    # fact rows; 100 cells at any corpus size)
+    "q_agg_mutual_info",
+    # 13-row constant lag dim fanned out over the span-bounded hourly
+    # SPINE aggregate, never raw events
+    "q_events_xcorr_leadlag",
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —
@@ -80,6 +91,11 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "global_midrank2 offset windows run over the 32-row "
         "per-partition count relation (twice, once per rank dimension); "
         "per-row cumulative sums are pid-PARTITIONED"
+    ),
+    "q_agg_kruskal_wallis": (
+        "global_midrank2 offset window runs over the 32-row "
+        "per-partition count relation (pooled rank dimension); per-row "
+        "cumulative sums are pid-PARTITIONED"
     ),
     "q_events_mannwhitney_u": (
         "midrank prefix-sum window runs over the groupBy(value) "

@@ -3603,3 +3603,516 @@ def q_events_dow_hour_heatmap(spark, sf_dir):
         "c",
         (F.row_number().over(w) == 1).alias("is_peak"),
     )
+
+
+# --- Inter-arrival burstiness + memory coefficient -------------------------
+
+
+@register(
+    "q_events_interarrival_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             (epoch_ns(ts)
+              - LAG(epoch_ns(ts)) OVER (PARTITION BY event_type
+                  ORDER BY epoch_ns(ts), event_id)) // 1000000 AS dt,
+             (LEAD(epoch_ns(ts), 1) OVER (PARTITION BY event_type
+                  ORDER BY epoch_ns(ts), event_id)
+              - epoch_ns(ts)) // 1000000 AS dt_next_raw
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(dt) AS BIGINT) AS n_gaps,
+             CAST(SUM(dt) AS BIGINT) AS s,
+             CAST(SUM(dt * dt) AS BIGINT) AS ss
+      FROM seq WHERE dt IS NOT NULL GROUP BY 1
+    ),
+    pairs AS (
+      SELECT event_type, dt AS x, dt_next_raw AS y
+      FROM seq WHERE dt IS NOT NULL AND dt_next_raw IS NOT NULL
+    ),
+    p AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n2,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1
+    )
+    SELECT g.event_type, g.n_gaps,
+           CAST(FLOOR((SQRT((CAST(g.n_gaps AS DOUBLE) * CAST(g.ss AS DOUBLE)
+                             - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE))
+                            / (CAST(g.n_gaps AS DOUBLE)
+                               * CAST(g.n_gaps AS DOUBLE)))
+                       - CAST(g.s AS DOUBLE) / CAST(g.n_gaps AS DOUBLE))
+                      / (SQRT((CAST(g.n_gaps AS DOUBLE) * CAST(g.ss AS DOUBLE)
+                               - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE))
+                              / (CAST(g.n_gaps AS DOUBLE)
+                                 * CAST(g.n_gaps AS DOUBLE)))
+                         + CAST(g.s AS DOUBLE) / CAST(g.n_gaps AS DOUBLE))
+                      * 1e6 + 0.5) AS BIGINT) AS burstiness_e6,
+           CAST(FLOOR((CAST(p.n2 AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+                       - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+                      / SQRT((CAST(p.n2 AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+                              - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE))
+                             * (CAST(p.n2 AS DOUBLE) * CAST(p.syy AS DOUBLE)
+                                - CAST(p.sy AS DOUBLE) * CAST(p.sy AS DOUBLE)))
+                      * 1e6 + 0.5) AS BIGINT) AS memory_e6
+    FROM g JOIN p ON p.event_type = g.event_type
+    WHERE g.s > 0
+      AND CAST(p.n2 AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+          - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE) > 0
+      AND CAST(p.n2 AS DOUBLE) * CAST(p.syy AS DOUBLE)
+          - CAST(p.sy AS DOUBLE) * CAST(p.sy AS DOUBLE) > 0
+    """,
+)
+def q_events_interarrival_stats(spark, sf_dir):
+    """Goh-Barabási temporal-pattern panel per event type: burstiness
+    B = (sigma - mu)/(sigma + mu) of inter-arrival times (-1 periodic,
+    0 Poisson, ->1 bursty) and the memory coefficient M = Pearson r of
+    consecutive gaps (do long gaps follow long gaps?). Kleinberg
+    (q_events_burst_kleinberg) LOCATES bursts; this pair of scalars
+    CLASSIFIES each stream's arrival process — the standard (B, M)
+    phase plot for human-activity vs machine traffic.
+
+    Gaps are exact integer milliseconds ((ts_ns - prev_ns) div 1e6
+    under a deterministic (ts, event_id) order); all moments are exact
+    BIGINT sums, with B and M each ONE identical double tree over them
+    (IEEE sqrt correctly rounded), e6-snapped, and zero-variance
+    degeneracies filtered identically on both engines. int64 bound:
+    sum(dt) telescopes to the observed span, so sum(dt^2) <= span*max
+    <= span_ms^2 ~ 6.8e18 for this fixture's 30-day window — safe at
+    ANY event count; a multi-year stream needs the DECIMAL(38,0)/
+    HUGEINT widening (documented swap). At 100 TB the windows are
+    per-type partitioned (parallel across types) and everything after
+    the lag is map-side-combinable."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.expr("(ts - lag(ts) over (partition by event_type order by ts, event_id))"
+               " div 1000000").alias("dt"),
+        F.expr("(lead(ts, 1) over (partition by event_type order by ts, event_id)"
+               " - ts) div 1000000").alias("dt_next"),
+    )
+    g = (
+        seq.filter(F.col("dt").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("dt").alias("s"),
+            F.sum(F.col("dt") * F.col("dt")).alias("ss"),
+        )
+    )
+    p = (
+        seq.filter(F.col("dt").isNotNull() & F.col("dt_next").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n2"),
+            F.sum("dt").alias("sx"),
+            F.sum("dt_next").alias("sy"),
+            F.sum(F.col("dt") * F.col("dt_next")).alias("sxy"),
+            F.sum(F.col("dt") * F.col("dt")).alias("sxx"),
+            F.sum(F.col("dt_next") * F.col("dt_next")).alias("syy"),
+        )
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    sigma = F.sqrt(
+        (d("n_gaps") * d("ss") - d("s") * d("s")) / (d("n_gaps") * d("n_gaps"))
+    )
+    mu = d("s") / d("n_gaps")
+    b = (sigma - mu) / (sigma + mu)
+    varx = d("n2") * d("sxx") - d("sx") * d("sx")
+    vary = d("n2") * d("syy") - d("sy") * d("sy")
+    m = (d("n2") * d("sxy") - d("sx") * d("sy")) / F.sqrt(varx * vary)
+    return (
+        g.join(p, "event_type")
+        .filter((F.col("s") > 0) & (varx > 0) & (vary > 0))
+        .select(
+            "event_type",
+            "n_gaps",
+            F.floor(b * F.lit(1e6) + F.lit(0.5)).cast("long").alias("burstiness_e6"),
+            F.floor(m * F.lit(1e6) + F.lit(0.5)).cast("long").alias("memory_e6"),
+        )
+    )
+
+
+# --- Binary-segmentation changepoint (single best SSE split) ---------------
+
+
+@register(
+    "q_events_changepoint_binseg",
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS r
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM per GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi)) AS h FROM bounds
+    ),
+    series AS (
+      SELECT g.event_type, CAST(g.h AS BIGINT) AS h,
+             COALESCE(p.r, 0) AS r,
+             ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.h) AS i,
+             SUM(COALESCE(p.r, 0)) OVER (PARTITION BY g.event_type
+               ORDER BY g.h) AS cum,
+             SUM(COALESCE(p.r, 0)) OVER (PARTITION BY g.event_type) AS s,
+             COUNT(*) OVER (PARTITION BY g.event_type) AS t
+      FROM grid g LEFT JOIN per p USING (event_type, h)
+    ),
+    gains AS (
+      SELECT event_type, h, i, cum, s, t,
+             CAST(FLOOR((CAST(cum AS DOUBLE) * CAST(cum AS DOUBLE)
+                         / CAST(i AS DOUBLE)
+                         + CAST(s - cum AS DOUBLE) * CAST(s - cum AS DOUBLE)
+                           / CAST(t - i AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(t AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+               AS gain_e6
+      FROM series WHERE i < t
+    ),
+    best AS (
+      SELECT event_type, h, i, cum, s, t, gain_e6,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY gain_e6 DESC, h) AS rn
+      FROM gains
+    )
+    SELECT event_type, h AS split_hour, gain_e6,
+           CAST(i AS BIGINT) AS n_left, CAST(t - i AS BIGINT) AS n_right,
+           CAST((20000 * cum + i) // (2 * i) AS BIGINT) AS mean_left_e4,
+           CAST((20000 * (s - cum) + (t - i)) // (2 * (t - i)) AS BIGINT)
+             AS mean_right_e4
+    FROM best WHERE rn = 1
+    """,
+)
+def q_events_changepoint_binseg(spark, sf_dir):
+    """Binary-segmentation changepoint per event type: over the gap-
+    filled hourly count series, the single split that maximizes the
+    SSE reduction S_L^2/n_L + S_R^2/n_R - S^2/T (the first step of the
+    classic binary-segmentation / PELT family). q_events_changepoint_
+    cusum flags WHEN a cumulative drift crosses a threshold; this
+    finds the globally best level-shift point with its exact gain and
+    the two segment means — the piecewise-constant model a capacity
+    planner fits before/after a launch.
+
+    Determinism: the series is the dense hour spine (missing hours
+    count 0) so prefix sums are exact BIGINTs under a unique hour
+    order; every candidate's gain is one identical double tree over
+    (cum, s, i, t) snapped to e6; the argmax breaks ties toward the
+    earliest hour; segment means are exact integer round-half-up
+    division. Scale: candidate count = observed span in hours (span-
+    bounded, corpus-constant — the q_events_kendall_tau lesson), all
+    windows partitioned per type."""
+    ev = load_events(spark, sf_dir)
+    hour_ns = 3600 * NS
+    per = (
+        ev.withColumn("h", F.expr(f"ts div {hour_ns}"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    bounds = per.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    wall = W.partitionBy("event_type")
+    series = (
+        grid.join(per, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h",
+            F.coalesce("r", F.lit(0).cast("long")).alias("r"),
+        )
+        .select(
+            "event_type", "h", "r",
+            F.row_number().over(w).cast("long").alias("i"),
+            F.sum("r").over(w).alias("cum"),
+            F.sum("r").over(wall).alias("s"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("t"),
+        )
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    gain = (
+        d("cum") * d("cum") / d("i")
+        + (F.col("s") - F.col("cum")).cast("double")
+          * (F.col("s") - F.col("cum")).cast("double") / (F.col("t") - F.col("i")).cast("double")
+        - d("s") * d("s") / d("t")
+    )
+    gains = series.filter(F.col("i") < F.col("t")).withColumn(
+        "gain_e6", F.floor(gain * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    wbest = W.partitionBy("event_type").orderBy(F.desc("gain_e6"), F.asc("h"))
+    return (
+        gains.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("split_hour"),
+            "gain_e6",
+            F.col("i").alias("n_left"),
+            (F.col("t") - F.col("i")).cast("long").alias("n_right"),
+            F.expr("(20000 * cum + i) div (2 * i)").cast("long").alias("mean_left_e4"),
+            F.expr("(20000 * (s - cum) + (t - i)) div (2 * (t - i))")
+            .cast("long").alias("mean_right_e4"),
+        )
+    )
+
+
+# --- Cross-correlation lead-lag between event-type pairs -------------------
+
+XCORR_MAX_LAG = 6
+
+
+@register(
+    "q_events_xcorr_leadlag",
+    oracle=f"""
+    WITH per AS (
+      SELECT event_type,
+             CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS r
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM per),
+    types AS (SELECT DISTINCT event_type FROM per),
+    grid AS (
+      SELECT t.event_type, CAST(g.h AS BIGINT) AS h
+      FROM types t, bounds, UNNEST(generate_series(bounds.lo, bounds.hi))
+        AS g(h)
+    ),
+    series AS (
+      SELECT g.event_type, g.h, COALESCE(p.r, 0) AS r
+      FROM grid g LEFT JOIN per p USING (event_type, h)
+    ),
+    lags AS (SELECT UNNEST(range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG} + 1))
+               AS lag),
+    m AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.r) AS BIGINT) AS sx, CAST(SUM(b.r) AS BIGINT) AS sy,
+             CAST(SUM(a.r * b.r) AS BIGINT) AS sxy,
+             CAST(SUM(a.r * a.r) AS BIGINT) AS sxx,
+             CAST(SUM(b.r * b.r) AS BIGINT) AS syy
+      FROM series a
+      JOIN lags l ON TRUE
+      JOIN series b ON b.event_type > a.event_type
+        AND b.h = a.h + l.lag
+      GROUP BY 1, 2, 3
+    ),
+    corr AS (
+      SELECT type_a, type_b, lag, n,
+             CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                        * 1e6 + 0.5) AS BIGINT) AS r_e6
+      FROM m
+      WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    ),
+    best AS (
+      SELECT type_a, type_b, lag, n, r_e6,
+             ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+               ORDER BY ABS(r_e6) DESC, lag) AS rn
+      FROM corr
+    )
+    SELECT type_a, type_b, CAST(lag AS BIGINT) AS best_lag,
+           n AS n_overlap, r_e6
+    FROM best WHERE rn = 1
+    """,
+)
+def q_events_xcorr_leadlag(spark, sf_dir):
+    """Lead-lag discovery between event-type pairs: Pearson cross-
+    correlation of the two gap-filled hourly count series at every lag
+    in [-6h, +6h], reporting each pair's best lag by |r|. A positive
+    best lag for (click, purchase) means clicks LEAD purchases — the
+    causal-ordering scan run before funnel attribution; the self-lag
+    sibling is q_events_autocorr_lag.
+
+    Determinism: both series live on the shared dense hour spine, so
+    every (pair, lag) overlap is a fixed row set; moments are exact
+    BIGINT sums; r is the standard one-tree closed form e6-snapped with
+    zero-variance lags filtered identically; the argmax breaks ties
+    toward the most-negative lag. Scale: series size = observed span
+    (span-bounded, corpus-constant); the lag explode multiplies the
+    SPINE, never raw events; pair count is |types| choose 2."""
+    ev = load_events(spark, sf_dir)
+    hour_ns = 3600 * NS
+    per = (
+        ev.withColumn("h", F.expr(f"ts div {hour_ns}"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    bounds = per.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = per.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    series = (
+        grid.join(per, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h",
+            F.coalesce("r", F.lit(0).cast("long")).alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = series.select(
+        F.col("event_type").alias("type_a"), F.col("h").alias("ha"),
+        F.col("r").alias("ra"),
+    ).crossJoin(F.broadcast(lags))
+    b = series.select(
+        F.col("event_type").alias("type_b"), F.col("h").alias("hb"),
+        F.col("r").alias("rb"),
+    )
+    j = a.join(
+        b,
+        (F.col("type_b") > F.col("type_a"))
+        & (F.col("hb") == F.col("ha") + F.col("lag")),
+    )
+    m = j.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ra").alias("sx"), F.sum("rb").alias("sy"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sxy"),
+        F.sum(F.col("ra") * F.col("ra")).alias("sxx"),
+        F.sum(F.col("rb") * F.col("rb")).alias("syy"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    varx = d("n") * d("sxx") - d("sx") * d("sx")
+    vary = d("n") * d("syy") - d("sy") * d("sy")
+    r = (d("n") * d("sxy") - d("sx") * d("sy")) / F.sqrt(varx * vary)
+    corr = m.filter((varx > 0) & (vary > 0)).select(
+        "type_a", "type_b", "lag", "n",
+        F.floor(r * F.lit(1e6) + F.lit(0.5)).cast("long").alias("r_e6"),
+    )
+    wbest = W.partitionBy("type_a", "type_b").orderBy(
+        F.abs(F.col("r_e6")).desc(), F.asc("lag")
+    )
+    return (
+        corr.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "type_a", "type_b",
+            F.col("lag").cast("long").alias("best_lag"),
+            F.col("n").alias("n_overlap"), "r_e6",
+        )
+    )
+
+
+# --- Peak detection with integer baseline test -----------------------------
+
+
+@register(
+    "q_events_peak_detection",
+    oracle="""
+    WITH per AS (
+      SELECT event_type,
+             CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS r
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM per GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi)) AS h FROM bounds
+    ),
+    series AS (
+      SELECT g.event_type, CAST(g.h AS BIGINT) AS h, COALESCE(p.r, 0) AS r
+      FROM grid g LEFT JOIN per p USING (event_type, h)
+    ),
+    win AS (
+      SELECT event_type, h, r,
+             SUM(r) OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s,
+             MAX(r) OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mx,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt,
+             LAG(r) OVER (PARTITION BY event_type ORDER BY h) AS prev
+      FROM series
+    )
+    SELECT event_type, h AS peak_hour, r AS n_events,
+           CAST(s - r AS BIGINT) AS neighbor_sum,
+           CAST(cnt - 1 AS BIGINT) AS n_neighbors
+    FROM win
+    WHERE r > 0 AND r = mx AND (prev IS NULL OR prev < r)
+      AND (cnt - 1) * r >= 2 * (s - r)
+    """,
+)
+def q_events_peak_detection(spark, sf_dir):
+    """Local-peak extraction over each type's gap-filled hourly series:
+    an hour is a peak when it is the maximum of its +/-3h window, the
+    leftmost of any plateau of equal maxima, and at least TWICE the
+    mean of its neighbors — the spike shortlist an on-call dashboard
+    renders, and the point-event complement of the sustained-interval
+    view in q_events_burst_kleinberg.
+
+    Fully INTEGER operator: counts, window sums, and the doubled-
+    baseline test cross-multiplied to (n_neighbors * r >= 2 *
+    neighbor_sum) — no division, no doubles, no rounding anywhere, so
+    there is nothing to drift between engines. Edge windows use their
+    true neighbor count. All windows are per-type partitioned over the
+    span-bounded spine; at 100 TB the hourly aggregate is the only
+    data-sized stage and it combines map-side."""
+    ev = load_events(spark, sf_dir)
+    hour_ns = 3600 * NS
+    per = (
+        ev.withColumn("h", F.expr(f"ts div {hour_ns}"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    bounds = per.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    series = grid.join(per, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("r", F.lit(0).cast("long")).alias("r")
+    )
+    wf = (
+        W.partitionBy("event_type").orderBy("h").rowsBetween(-3, 3)
+    )
+    wl = W.partitionBy("event_type").orderBy("h")
+    win = series.select(
+        "event_type", "h", "r",
+        F.sum("r").over(wf).alias("s"),
+        F.max("r").over(wf).alias("mx"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("cnt"),
+        F.lag("r").over(wl).alias("prev"),
+    )
+    return win.filter(
+        (F.col("r") > 0)
+        & (F.col("r") == F.col("mx"))
+        & (F.col("prev").isNull() | (F.col("prev") < F.col("r")))
+        & ((F.col("cnt") - 1) * F.col("r") >= 2 * (F.col("s") - F.col("r")))
+    ).select(
+        "event_type",
+        F.col("h").alias("peak_hour"),
+        F.col("r").alias("n_events"),
+        (F.col("s") - F.col("r")).cast("long").alias("neighbor_sum"),
+        (F.col("cnt") - 1).cast("long").alias("n_neighbors"),
+    )
