@@ -77,6 +77,9 @@ ALLOWED_NESTED_LOOP = {
     # 13-row constant lag dim fanned out over the span-bounded hourly
     # SPINE aggregate, never raw events
     "q_events_xcorr_leadlag",
+    # constant 30-row top-words dim fanned out over the |sources|
+    # totals AGGREGATE (grid build), never corpus rows
+    "q_text_burrows_delta",
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —
@@ -96,6 +99,12 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "global_midrank2 offset window runs over the 32-row "
         "per-partition count relation (pooled rank dimension); per-row "
         "cumulative sums are pid-PARTITIONED"
+    ),
+    "q_text_heaps_law": (
+        "global_cumsum offset window runs over the 32-row per-partition "
+        "totals relation; per-checkpoint running sums are "
+        "pid-PARTITIONED (two-pass prefix sum over the per-doc "
+        "aggregate)"
     ),
     "q_events_mannwhitney_u": (
         "midrank prefix-sum window runs over the groupBy(value) "

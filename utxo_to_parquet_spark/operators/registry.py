@@ -180,3 +180,53 @@ def global_midrank2(df, value_col: str, cnt_col: str = "cnt", rank_name: str = "
         )
         .drop("__pid", "__cum", "__off")
     )
+
+
+def global_cumsum(df, order_col: str, val_cols: list[str]):
+    """Distributed exact running sums of ``val_cols`` over ``df`` ordered
+    by the UNIQUE key ``order_col`` — the generic third member of the
+    two-pass family (global_ntile ranks rows, global_midrank2 ranks
+    distinct values, this prefix-sums measures): (1) range-partition on
+    the key and cumulative-sum each measure within its partition;
+    (2) prefix-sum the 32-row per-partition totals into offsets and add
+    them back via a broadcast join. Output = input columns plus
+    ``cum_<col>`` for each measure, all exact BIGINTs. The only
+    unpartitioned window runs over the |partitions| relation;
+    localCheckpoint pins the sampled range boundaries so both branches
+    see the same pid assignment (same reason as global_ntile)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    part = (
+        df.repartitionByRange(32, order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wloc = (
+        W.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = part
+    for c in val_cols:
+        local = local.withColumn(f"__cum_{c}", F.sum(c).over(wloc))
+    woff = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = part.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in val_cols]
+    )
+    for c in val_cols:
+        offsets = offsets.withColumn(
+            f"__off_{c}",
+            F.coalesce(F.sum(f"__t_{c}").over(woff), F.lit(0)),
+        )
+    out = local.join(
+        F.broadcast(offsets.select("__pid", *[f"__off_{c}" for c in val_cols])),
+        "__pid",
+    )
+    for c in val_cols:
+        out = out.withColumn(
+            f"cum_{c}", (F.col(f"__off_{c}") + F.col(f"__cum_{c}")).cast("long")
+        )
+    return out.drop(
+        "__pid", *[f"__cum_{c}" for c in val_cols], *[f"__off_{c}" for c in val_cols]
+    )

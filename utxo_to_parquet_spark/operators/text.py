@@ -3752,3 +3752,436 @@ def q_text_simpson_diversity(spark, sf_dir):
             " div (2 * n_tokens * (n_tokens - 1))"
         ).cast("long").alias("simpson_e6"),
     )
+
+
+# --- Character-level entropy per document ----------------------------------
+
+
+@register(
+    "q_text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+      FROM documents, UNNEST(range(1, LEN(text) + 1)) AS u(i)
+    ),
+    cnt AS (
+      SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
+      FROM ch GROUP BY 1, 2
+    ),
+    dn AS (
+      SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars_tok FROM cnt GROUP BY 1
+    ),
+    g AS (
+      SELECT c.doc_id, dn.n_chars_tok,
+             CAST(COUNT(*) AS BIGINT) AS alphabet,
+             CAST(SUM(CAST(FLOOR(CAST(k AS DOUBLE)
+                                 * LOG2(CAST(dn.n_chars_tok AS DOUBLE)
+                                        / CAST(k AS DOUBLE))
+                                 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s_e6
+      FROM cnt c JOIN dn ON dn.doc_id = c.doc_id
+      GROUP BY c.doc_id, dn.n_chars_tok
+    )
+    SELECT doc_id, n_chars_tok, alphabet,
+           CAST((2 * s_e6 + n_chars_tok) // (2 * n_chars_tok) AS BIGINT)
+             AS entropy_e6
+    FROM g WHERE n_chars_tok > 0
+    """,
+)
+def q_text_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the garbage
+    detector beneath the token-level quality panel: binary blobs and
+    encoding mojibake score far above natural text (~4.1 bits/char for
+    English), single-character spam far below. C4/Gopher filter words;
+    this catches documents that aren't words at all.
+
+    Character access is positional substr over an integer range on
+    both engines (never a regex/empty-separator split, whose edge
+    semantics differ); per-character-class terms k*log2(n/k) are e6
+    fixed-pointed BEFORE the per-doc sum (order-free BIGINT), and the
+    bits-per-char mean is exact integer round-half-up. At 100 TB the
+    explode is the only corpus-sized stage and its (doc, char)
+    aggregate combines map-side onto a <=|alphabet| per-doc relation."""
+    docs = load(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substr(text, i, 1)").alias("c"))
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    n = cnt.groupBy("doc_id").agg(F.sum("k").alias("n_chars_tok"))
+    term = F.floor(
+        F.col("k").cast("double")
+        * F.log2(F.col("n_chars_tok").cast("double") / F.col("k").cast("double"))
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    g = (
+        cnt.join(n, "doc_id")
+        .groupBy("doc_id", "n_chars_tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("alphabet"),
+            F.sum(term).alias("s_e6"),
+        )
+    )
+    return g.filter(F.col("n_chars_tok") > 0).select(
+        "doc_id", "n_chars_tok", "alphabet",
+        F.expr("(2 * s_e6 + n_chars_tok) div (2 * n_chars_tok)")
+        .cast("long").alias("entropy_e6"),
+    )
+
+
+# --- Flesch-Kincaid readability per language --------------------------------
+
+
+@register(
+    "q_text_readability",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(LEN(regexp_extract_all(w, '[aeiou]+'))) AS BIGINT)
+               AS n_syll
+      FROM words GROUP BY 1, 2
+    ),
+    sent AS (
+      SELECT doc_id,
+             GREATEST(CAST(1 AS BIGINT),
+                      CAST(LEN(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+               AS n_sent
+      FROM documents
+    ),
+    g AS (
+      SELECT p.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+             CAST(SUM(p.n_syll) AS BIGINT) AS n_syllables,
+             CAST(SUM(s.n_sent) AS BIGINT) AS n_sentences
+      FROM per_doc p JOIN sent s ON s.doc_id = p.doc_id
+      GROUP BY 1
+    )
+    SELECT lang, n_docs, n_words, n_syllables, n_sentences,
+           CAST(FLOOR((0.39 * CAST(n_words AS DOUBLE)
+                         / CAST(n_sentences AS DOUBLE)
+                       + 11.8 * CAST(n_syllables AS DOUBLE)
+                         / CAST(n_words AS DOUBLE)
+                       - 15.59) * 1e4 + 0.5) AS BIGINT) AS fk_grade_e4
+    FROM g WHERE n_words > 0
+    """,
+)
+def q_text_readability(spark, sf_dir):
+    """Flesch-Kincaid grade level per language slice, with the exact
+    word/syllable/sentence masses it derives from. Syllables are the
+    standard vowel-group approximation (runs of [aeiou] per word),
+    sentences the [.!?]+ terminator count clamped to >= 1 — the
+    classic readability feature set quality classifiers are distilled
+    from when a trained scorer is too expensive for a first pass.
+
+    All masses are exact BIGINT sums (one tokenize + two regex counts,
+    entirely JVM/whole-stage-codegen side — regexp via
+    length(regexp_extract_all), identical semantics on both engines);
+    the grade formula is one double tree over the aggregate masses,
+    e4-snapped. Per-LANGUAGE aggregation keeps the output a
+    broadcastable panel while the corpus-sized stages all combine
+    map-side."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    per_doc = words.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.size(F.expr("regexp_extract_all(w, '[aeiou]+', 0)")))
+        .cast("long").alias("n_syll"),
+    )
+    sent = docs.select(
+        "doc_id",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"),
+        ).alias("n_sent"),
+    )
+    g = (
+        per_doc.join(sent, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_syll").alias("n_syllables"),
+            F.sum("n_sent").alias("n_sentences"),
+        )
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    fk = (
+        F.lit(0.39) * d("n_words") / d("n_sentences")
+        + F.lit(11.8) * d("n_syllables") / d("n_words")
+        - F.lit(15.59)
+    )
+    return g.filter(F.col("n_words") > 0).select(
+        "lang", "n_docs", "n_words", "n_syllables", "n_sentences",
+        F.floor(fk * F.lit(1e4) + F.lit(0.5)).cast("long").alias("fk_grade_e4"),
+    )
+
+
+# --- Heaps' law vocabulary-growth fit ---------------------------------------
+
+
+@register(
+    "q_text_heaps_law",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    firsts AS (
+      SELECT token, MIN(doc_id) AS f FROM tok GROUP BY 1
+    ),
+    new_per_doc AS (
+      SELECT f AS doc_id, CAST(COUNT(*) AS BIGINT) AS nw FROM firsts GROUP BY 1
+    ),
+    tok_per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tc FROM tok GROUP BY 1
+    ),
+    cum AS (
+      SELECT t.doc_id,
+             SUM(t.tc) OVER (ORDER BY t.doc_id) AS cum_tc,
+             SUM(COALESCE(n.nw, 0)) OVER (ORDER BY t.doc_id) AS cum_nw
+      FROM tok_per_doc t LEFT JOIN new_per_doc n ON n.doc_id = t.doc_id
+    ),
+    pts AS (
+      SELECT CAST(FLOOR(LN(CAST(cum_tc AS DOUBLE)) * 1e4 + 0.5) AS BIGINT)
+               AS x,
+             CAST(FLOOR(LN(CAST(cum_nw AS DOUBLE)) * 1e4 + 0.5) AS BIGINT)
+               AS y
+      FROM cum WHERE cum_tc > 0 AND cum_nw > 0
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n, sx, sy, sxy, sxx,
+           CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * 1e6 + 0.5) AS BIGINT) AS beta_e6,
+           CAST(FLOOR((CAST(sy AS DOUBLE)
+                       - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) / 1e4 * 1e6 + 0.5) AS BIGINT)
+             AS lnk_e6
+    FROM m
+    WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+    """,
+)
+def q_text_heaps_law(spark, sf_dir):
+    """Heaps'-law fit V = K * N^beta of vocabulary growth: walk the
+    corpus in doc_id order, checkpoint (cumulative tokens, cumulative
+    distinct vocabulary) after every document, and OLS the log-log
+    points. beta ~ 0.5 is healthy natural text; beta collapsing toward
+    0 means the crawl has started re-reading itself — the saturation
+    diagnostic a data-acquisition loop watches. Zipf (q_text_zipf_fit)
+    fits the frequency axis; this fits the growth axis.
+
+    Cumulative vocabulary WITHOUT re-scanning per checkpoint: each
+    token's first-occurrence doc is min(doc_id) (one aggregate), so
+    V(k) is the running sum of first-occurrence counts — computed with
+    ``global_cumsum`` (registry.py), the two-pass range-partitioned
+    prefix sum, never a single-partition window over documents. OLS
+    inputs are e4-fixed logs (1-ulp LN noise far below granularity),
+    moments exact BIGINTs (e4 keeps x*x sums inside int64 through
+    ~1e8 checkpoints — documented bound), slope/intercept one shared
+    double tree e6-snapped, degenerate single-point fits filtered
+    identically."""
+    from .registry import global_cumsum
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    firsts = tok.groupBy("token").agg(F.min("doc_id").alias("doc_id"))
+    new_per_doc = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nw")
+    )
+    tok_per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tc")
+    )
+    base = tok_per_doc.join(new_per_doc, "doc_id", "left").select(
+        "doc_id", "tc", F.coalesce("nw", F.lit(0).cast("long")).alias("nw")
+    )
+    cum = global_cumsum(base, "doc_id", ["tc", "nw"])
+    pts = cum.filter((F.col("cum_tc") > 0) & (F.col("cum_nw") > 0)).select(
+        F.floor(F.log(F.col("cum_tc").cast("double")) * 1e4 + F.lit(0.5))
+        .cast("long").alias("x"),
+        F.floor(F.log(F.col("cum_nw").cast("double")) * 1e4 + F.lit(0.5))
+        .cast("long").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    varx = d("n") * d("sxx") - d("sx") * d("sx")
+    beta = (d("n") * d("sxy") - d("sx") * d("sy")) / varx
+    lnk = (d("sy") - beta * d("sx")) / d("n") / F.lit(1e4)
+    return m.filter(varx > 0).select(
+        "n", "sx", "sy", "sxy", "sxx",
+        F.floor(beta * F.lit(1e6) + F.lit(0.5)).cast("long").alias("beta_e6"),
+        F.floor(lnk * F.lit(1e6) + F.lit(0.5)).cast("long").alias("lnk_e6"),
+    )
+
+
+# --- Burrows' Delta stylometric distance between sources --------------------
+
+DELTA_TOP_WORDS = 30
+
+
+@register(
+    "q_text_burrows_delta",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS nt FROM cnt GROUP BY 1),
+    top AS (
+      SELECT token FROM (
+        SELECT token, SUM(c) AS g,
+               ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, token) AS rn
+        FROM cnt GROUP BY token
+      ) WHERE rn <= {DELTA_TOP_WORDS}
+    ),
+    grid AS (
+      SELECT t.token, s.source, s.nt,
+             CAST((1000000 * COALESCE(c.c, 0)) // s.nt AS BIGINT) AS f_e6
+      FROM top t CROSS JOIN totals s
+      LEFT JOIN cnt c ON c.token = t.token AND c.source = s.source
+    ),
+    ws AS (
+      SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS ns,
+             CAST(SUM(f_e6) AS BIGINT) AS sf,
+             CAST(SUM(f_e6 * f_e6) AS BIGINT) AS sff
+      FROM grid GROUP BY 1
+    ),
+    keep AS (
+      SELECT token, ns, sf, sff FROM ws
+      WHERE CAST(ns AS DOUBLE) * CAST(sff AS DOUBLE)
+            - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE) > 0
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, k.token,
+             CAST(FLOOR(ABS(CAST(k.ns AS DOUBLE)
+                            * CAST(a.f_e6 - b.f_e6 AS DOUBLE))
+                        / SQRT(CAST(k.ns AS DOUBLE) * CAST(k.sff AS DOUBLE)
+                               - CAST(k.sf AS DOUBLE) * CAST(k.sf AS DOUBLE))
+                        * 1e6 + 0.5) AS BIGINT) AS zdiff_e6
+      FROM keep k
+      JOIN grid a ON a.token = k.token
+      JOIN grid b ON b.token = k.token AND b.source > a.source
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST((2 * SUM(zdiff_e6) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS delta_e6
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def q_text_burrows_delta(spark, sf_dir):
+    """Burrows' Delta between every source pair: z-score each source's
+    relative frequency of the corpus's top-{DELTA_TOP_WORDS} words
+    against the cross-source distribution, then Delta = mean |z_a -
+    z_b|. The standard stylometric authorship distance — near-zero
+    Delta between two 'different' crawl sources is a mirror/scraper
+    fingerprint that URL canonicalization (q_dedup_url_exact) misses.
+
+    Determinism: relative frequencies are INTEGER e6 (1e6*c div n_t)
+    on the full top-words x sources grid (absent cells = 0); per-word
+    moments are exact BIGINTs; the z-difference collapses to
+    n*|f_a - f_b| / sqrt(n*Sff - Sf^2) — integer numerator, one shared
+    double tree — e6-fixed per word BEFORE the pair mean, which is
+    exact integer round-half-up. Zero-variance words are dropped
+    identically on both engines. The top-word cut is a rank <=
+    {DELTA_TOP_WORDS} filter Spark rewrites to TakeOrderedAndProject
+    (no single-partition window); the pair join runs on the
+    |sources|^2/2 x {DELTA_TOP_WORDS} AGGREGATE grid, never corpus
+    rows."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+    cnt = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = cnt.groupBy("source").agg(F.sum("c").alias("nt"))
+    wtop = W.orderBy(F.desc("g"), F.asc("token"))
+    top = (
+        cnt.groupBy("token")
+        .agg(F.sum("c").alias("g"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= DELTA_TOP_WORDS)
+        .select("token")
+    )
+    grid = (
+        F.broadcast(top)
+        .crossJoin(totals)
+        .join(cnt, ["token", "source"], "left")
+        .select(
+            "token", "source", "nt",
+            F.expr("(1000000 * coalesce(c, 0)) div nt")
+            .cast("long").alias("f_e6"),
+        )
+    )
+    ws = grid.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("f_e6").alias("sf"),
+        F.sum(F.col("f_e6") * F.col("f_e6")).alias("sff"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    varw = d("ns") * d("sff") - d("sf") * d("sf")
+    keep = ws.filter(varw > 0)
+    a = grid.select(
+        "token", F.col("source").alias("source_a"), F.col("f_e6").alias("fa")
+    )
+    b = grid.select(
+        "token", F.col("source").alias("source_b"), F.col("f_e6").alias("fb")
+    )
+    zdiff = F.floor(
+        F.abs(d("ns") * (F.col("fa") - F.col("fb")).cast("double"))
+        / F.sqrt(d("ns") * d("sff") - d("sf") * d("sf"))
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    pairs = (
+        F.broadcast(keep)
+        .join(a, "token")
+        .join(b, "token")
+        .filter(F.col("source_b") > F.col("source_a"))
+        .select("source_a", "source_b", zdiff.alias("zdiff_e6"))
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.expr(
+            "cast((2 * sum(zdiff_e6) + count(*)) div (2 * count(*)) as long)"
+        ).alias("delta_e6"),
+    )
