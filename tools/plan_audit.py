@@ -80,6 +80,7 @@ ALLOWED_NESTED_LOOP = {
     # constant 30-row top-words dim fanned out over the |sources|
     # totals AGGREGATE (grid build), never corpus rows
     "q_text_burrows_delta",
+    "q_sim_isotropy",  # sum-of-squares scalar: 1-row aggregate attach
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —

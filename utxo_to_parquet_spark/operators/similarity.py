@@ -2145,3 +2145,270 @@ def q_sim_knn_hubness(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
     )
 
+
+
+# --- Embedding-space isotropy audit ----------------------------------------
+
+
+@register(
+    "q_sim_isotropy",
+    oracle="""
+    WITH nrm AS (
+      SELECT vec_id,
+             LIST_REDUCE(
+               LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x),
+               (a, b) -> a + b) AS n2,
+             embedding
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+             CAST(FLOOR(UNNEST(embedding::DOUBLE[]) / SQRT(n2) * 1e4 + 0.5)
+               AS BIGINT) AS ue4
+      FROM nrm WHERE n2 > 0
+    ),
+    perdim AS (
+      SELECT dim, CAST(SUM(ue4) AS BIGINT) AS sd FROM dims GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n,
+             CAST(SUM(ue4 * ue4) AS BIGINT) AS ss
+      FROM dims
+    ),
+    num AS (SELECT CAST(SUM(sd * sd) AS BIGINT) AS s2 FROM perdim)
+    SELECT t.n, t.ss AS norm_mass_e8, num.s2 AS sum_sq_e8,
+           CAST(FLOOR((CAST(num.s2 AS DOUBLE) - CAST(t.ss AS DOUBLE))
+                      / (CAST(t.n AS DOUBLE) * CAST(t.n - 1 AS DOUBLE))
+                      / 1e8 * 1e9 + 0.5) AS BIGINT) AS isotropy_e9
+    FROM tot t, num WHERE t.n > 1
+    """,
+)
+def q_sim_isotropy(spark, sf_dir):
+    """Isotropy audit of the embedding space: the mean pairwise cosine
+    between distinct unit vectors, computed WITHOUT any pairwise join
+    via the sum-of-vectors identity avg_cos = (|sum u|^2 - n)/(n(n-1)).
+    Anisotropic ("cone-shaped") embedding spaces — mean cosine far from
+    0 — degrade every downstream cosine threshold (dedup, ANN, MMR);
+    this is the one-pass scalar a pipeline checks before trusting
+    q_dedup_semantic's threshold, and the global counterpart of
+    q_sim_whiten's per-dimension view.
+
+    Determinism: per-row norm^2 is a SEQUENTIAL left fold of exact
+    float->double squares (Spark F.aggregate; DuckDB list_reduce —
+    same accumulation order, bit-identical); each normalized coordinate
+    is e4 fixed-pointed, so the per-dim sums and the squared-mass terms
+    are exact BIGINTs and the final ratio is one shared double tree.
+    int64 bound: |S_d| <= n*1e4 worst-case (all mass on one axis), so
+    S_d^2 stays in BIGINT through ~300k vectors adversarially and
+    ~sqrt(n)*1e4 in practice; past that, widen sd*sd to DECIMAL(38,0)/
+    HUGEINT (documented swap). At 100 TB: one explode, two map-side-
+    combinable aggregations, a 64-row and a 1-row reduce — no join at
+    all."""
+    emb = load(spark, sf_dir, "embeddings")
+    n2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    nrm = emb.select("vec_id", "embedding", n2.alias("n2")).filter(
+        F.col("n2") > 0
+    )
+    dims = nrm.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim0", "v"),
+        "n2",
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(
+            F.col("v").cast("double") / F.sqrt(F.col("n2")) * 1e4 + F.lit(0.5)
+        ).cast("long").alias("ue4"),
+    )
+    perdim = dims.groupBy("dim").agg(F.sum("ue4").alias("sd"))
+    tot = dims.agg(
+        F.countDistinct("vec_id").cast("long").alias("n"),
+        F.sum(F.col("ue4") * F.col("ue4")).alias("ss"),
+    )
+    num = perdim.agg(F.sum(F.col("sd") * F.col("sd")).alias("s2"))
+    iso = (
+        (F.col("s2").cast("double") - F.col("ss").cast("double"))
+        / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+        / F.lit(1e8)
+    )
+    return (
+        tot.crossJoin(F.broadcast(num))
+        .filter(F.col("n") > 1)
+        .select(
+            "n",
+            F.col("ss").alias("norm_mass_e8"),
+            F.col("s2").alias("sum_sq_e8"),
+            F.floor(iso * F.lit(1e9) + F.lit(0.5)).cast("long").alias("isotropy_e9"),
+        )
+    )
+
+
+# --- Embedding drift between corpus halves (linear MMD^2) ------------------
+
+
+@register(
+    "q_sim_embedding_drift",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id % 2 AS grp,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+             CAST(FLOOR(UNNEST(embedding::DOUBLE[]) * 1e4 + 0.5) AS BIGINT)
+               AS ve4
+      FROM embeddings
+    ),
+    perdim AS (
+      SELECT dim,
+             CAST(SUM(CASE WHEN grp = 0 THEN ve4 END) AS BIGINT) AS sa,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN grp = 1 THEN ve4 END) AS BIGINT) AS sb,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM dims GROUP BY 1
+    ),
+    terms AS (
+      SELECT na, nb,
+             CAST(FLOOR((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e4
+                         - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e4)
+                        * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e4
+                           - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e4)
+                        * 1e9 + 0.5) AS BIGINT) AS t_e9
+      FROM perdim WHERE na > 0 AND nb > 0
+    )
+    SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+           CAST(SUM(t_e9) AS BIGINT) AS mmd2_e9,
+           CAST(FLOOR(SQRT(CAST(SUM(t_e9) AS DOUBLE) / 1e9) * 1e6 + 0.5)
+             AS BIGINT) AS shift_e6
+    FROM terms
+    """,
+)
+def q_sim_embedding_drift(spark, sf_dir):
+    """Distribution drift between two embedding populations (the
+    deterministic even/odd vec_id split standing in for yesterday's
+    vs today's crawl): linear-kernel MMD^2 = |mean_a - mean_b|^2 and
+    its root (the mean-shift magnitude). The embedding-space
+    counterpart of q_events_psi_drift/ks_drift — run it between
+    ingestion batches before assuming yesterday's ANN centroids and
+    dedup thresholds still hold.
+
+    Determinism: coordinates are e4 fixed-pointed (float->double is
+    exact, so the floor is engine-identical), per-(dim, half) sums are
+    exact BIGINTs, each dimension's squared mean-difference is one
+    shared double tree e9-fixed BEFORE the 64-dim sum, and the root is
+    a final correctly-rounded sqrt. At 100 TB: one explode + one
+    map-side-combinable aggregation to a 64-row relation; the halves
+    never join — drift costs one scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        (F.col("vec_id") % 2).alias("grp"),
+        F.posexplode("embedding").alias("dim0", "v"),
+    ).select(
+        "grp",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1e4 + F.lit(0.5))
+        .cast("long").alias("ve4"),
+    )
+    perdim = dims.groupBy("dim").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("ve4"))).alias("sa"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("grp") == 1, F.col("ve4"))).alias("sb"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    diff = d("sa") / d("na") / F.lit(1e4) - d("sb") / d("nb") / F.lit(1e4)
+    terms = perdim.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        "na", "nb",
+        F.floor(diff * diff * F.lit(1e9) + F.lit(0.5)).cast("long").alias("t_e9"),
+    )
+    return terms.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.sum("t_e9").alias("mmd2_e9"),
+        F.floor(
+            F.sqrt(F.sum("t_e9").cast("double") / F.lit(1e9)) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("shift_e6"),
+    )
+
+
+# --- Triplet-margin hard-negative audit ------------------------------------
+
+
+@register(
+    "q_sim_triplet_margin",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+             CAST(FLOOR(UNNEST(embedding::DOUBLE[]) * 1e6 + 0.5) AS BIGINT)
+               AS ve6
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS c_label, dim,
+             CAST(FLOOR(CAST(SUM(ve6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                        + 0.5) AS BIGINT) AS ce6
+      FROM dims GROUP BY label, dim
+    ),
+    d2 AS (
+      SELECT d.vec_id, d.label, c.c_label,
+             CAST(SUM((d.ve6 - c.ce6) * (d.ve6 - c.ce6)) AS BIGINT) AS d2
+      FROM dims d JOIN cent c USING (dim)
+      GROUP BY d.vec_id, d.label, c.c_label
+    ),
+    own AS (
+      SELECT vec_id, label, d2 AS d2_own FROM d2 WHERE label = c_label
+    ),
+    other AS (
+      SELECT vec_id, c_label, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d2, c_label) AS rn
+      FROM d2 WHERE label <> c_label
+    )
+    SELECT o.vec_id, o.label,
+           CAST(t.c_label AS BIGINT) AS hard_negative_label,
+           o.d2_own, t.d2 AS d2_other,
+           CAST(t.d2 - o.d2_own AS BIGINT) AS margin
+    FROM own o JOIN other t ON t.vec_id = o.vec_id AND t.rn = 1
+    """,
+)
+def q_sim_triplet_margin(spark, sf_dir):
+    """Hard-negative mining audit: for every vector, the squared
+    distance to its OWN label centroid vs the nearest OTHER-label
+    centroid, and the triplet margin between them. Rows with small or
+    negative margins are exactly the anchors a contrastive trainer
+    should mine (and the mislabel suspects q_sim_label_confusion
+    counts in aggregate — this emits the per-vector evidence).
+
+    Entirely exact-integer via the shared ``_label_centroid_d2``
+    recipe (e6 fixed-point coords, rounded rational centroids, BIGINT
+    squared sums): distances, the min-over-labels argmin (ties toward
+    the smaller label id), and the margin never touch a float. At
+    100 TB the |labels| x dims centroid table is a constant-size
+    broadcast and the per-vector window is over |labels|-1 rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    d2 = _label_centroid_d2(emb)
+    own = d2.filter(F.col("label") == F.col("c_label")).select(
+        "vec_id", "label", F.col("d2").alias("d2_own")
+    )
+    wmin = W.partitionBy("vec_id").orderBy("d2", "c_label")
+    other = (
+        d2.filter(F.col("label") != F.col("c_label"))
+        .withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label"), F.col("d2").alias("d2_other"))
+    )
+    return own.join(other, "vec_id").select(
+        "vec_id",
+        "label",
+        F.col("c_label").cast("long").alias("hard_negative_label"),
+        "d2_own",
+        "d2_other",
+        (F.col("d2_other") - F.col("d2_own")).cast("long").alias("margin"),
+    )
