@@ -81,6 +81,12 @@ ALLOWED_NESTED_LOOP = {
     # totals AGGREGATE (grid build), never corpus rows
     "q_text_burrows_delta",
     "q_sim_isotropy",  # sum-of-squares scalar: 1-row aggregate attach
+    "q_basket_rules",  # basket total: 1-row countDistinct attach
+    "q_graph_degree_powerlaw",  # node count: 1-row aggregate attach
+    # corpus-total 1-row attach onto the 4-row stage relation
+    "q_pipeline_filter_funnel",
+    # constant 9-row shard dim fanned out over doc ids (HRW scoring)
+    "q_pipeline_rendezvous_shards",
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —

@@ -1709,3 +1709,66 @@ def q_dedup_url_exact(spark, sf_dir):
             F.countDistinct("url").cast("long").alias("n_distinct_raw"),
         )
     )
+
+
+# --- Dedup savings accounting (cluster-size histogram + token mass) --------
+
+
+@register(
+    "q_dedup_savings",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    clusters AS (
+      SELECT md5(LOWER(text)) AS h,
+             CAST(COUNT(*) AS BIGINT) AS csize,
+             CAST(MIN(doc_id) AS BIGINT) AS kept,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS tok_all,
+             CAST(MIN(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS tok_one
+      FROM corpus GROUP BY 1
+    )
+    SELECT csize AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(csize - 1) AS BIGINT) AS docs_dropped,
+           CAST(SUM(tok_all - tok_one) AS BIGINT) AS tokens_dropped
+    FROM clusters GROUP BY 1
+    """,
+)
+def q_dedup_savings(spark, sf_dir):
+    """Dedup savings ledger: after exact-hash clustering (the
+    q_dedup_exact convention, synthetic copies planted so clusters are
+    non-trivial), the cluster-size histogram with how many documents
+    and TOKENS each size class gives back. This is the number a
+    pipeline owner actually budgets with — "dedup buys us N% of the
+    token bill" — and the acceptance check that dedup savings estimates
+    match what the canonical-pick stage later drops.
+
+    All-identical cluster members make token accounting exact: tokens
+    dropped = total token mass minus the kept copy's (= MIN, since all
+    members tokenize identically). Pure integer: hash groupBy (the
+    shuffle key is the content hash — uniform by construction, no
+    skew), then a histogram aggregate over the CLUSTER relation."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    ntok = F.size(F.split("text", " ")).cast("long")
+    clusters = (
+        docs.unionByName(dupes)
+        .select("doc_id", F.md5(F.lower(F.col("text"))).alias("h"), ntok.alias("nt"))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("csize"),
+            F.min("doc_id").alias("kept"),
+            F.sum("nt").alias("tok_all"),
+            F.min("nt").alias("tok_one"),
+        )
+    )
+    return clusters.groupBy(F.col("csize").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.col("csize") - 1).cast("long").alias("docs_dropped"),
+        F.sum(F.col("tok_all") - F.col("tok_one")).cast("long").alias("tokens_dropped"),
+    )

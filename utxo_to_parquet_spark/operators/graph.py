@@ -1159,3 +1159,80 @@ def q_graph_jaccard_neighbors(spark, sf_dir):
         .orderBy(F.col("jaccard_e6").desc(), "cust_a", "cust_b")
         .limit(NJ_TOP_K)
     )
+
+
+# --- Power-law degree-distribution fit (Hill MLE) --------------------------
+
+DEG_XMIN = 3
+
+
+@register(
+    "q_graph_degree_powerlaw",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+    tail AS (
+      SELECT d,
+             CAST(FLOOR(LN(CAST(d AS DOUBLE) / ({DEG_XMIN} - 0.5)) * 1e6
+                        + 0.5) AS BIGINT) AS lr_e6
+      FROM deg WHERE d >= {DEG_XMIN}
+    ),
+    m AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+             CAST(COUNT(*) AS BIGINT) AS n_tail,
+             CAST(SUM(lr_e6) AS BIGINT) AS s_e6
+      FROM tail
+    )
+    SELECT n_nodes, CAST({DEG_XMIN} AS BIGINT) AS dmin, n_tail,
+           CAST(FLOOR((1.0 + CAST(n_tail AS DOUBLE)
+                       / (CAST(s_e6 AS DOUBLE) / 1e6)) * 1e6 + 0.5)
+             AS BIGINT) AS alpha_e6
+    FROM m WHERE s_e6 > 0
+    """,
+)
+def q_graph_degree_powerlaw(spark, sf_dir):
+    """Hill / Clauset-style maximum-likelihood power-law exponent of the
+    trade graph's degree distribution: alpha = 1 + n / sum ln(d/(xmin -
+    1/2)) over the tail d >= {DEG_XMIN} (the discrete-MLE continuity
+    correction). Scale-free degree structure (alpha ~ 2-3) is what
+    justifies the hub-capping and skew-salting the other graph
+    operators document; this measures it.
+
+    Degrees are one map-side-combinable count; each tail node's log
+    term is e6 fixed-pointed BEFORE the global sum (order-free BIGINT;
+    1-ulp LN noise far below granularity, dsir precedent), and alpha is
+    one shared double tree over (n_tail, sum) — an empty tail is
+    filtered identically on both engines. At 100 TB: degree aggregate,
+    filter, one-row reduce — no joins, no windows."""
+    deg = _trade_edges(spark, sf_dir).groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    tail = deg.filter(F.col("d") >= DEG_XMIN).select(
+        F.floor(
+            F.log(F.col("d").cast("double") / F.lit(DEG_XMIN - 0.5)) * 1e6
+            + F.lit(0.5)
+        ).cast("long").alias("lr_e6")
+    )
+    m = tail.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum("lr_e6").alias("s_e6"),
+    ).crossJoin(F.broadcast(n_nodes))
+    alpha = F.lit(1.0) + F.col("n_tail").cast("double") / (
+        F.col("s_e6").cast("double") / F.lit(1e6)
+    )
+    return m.filter(F.col("s_e6") > 0).select(
+        "n_nodes",
+        F.lit(DEG_XMIN).cast("long").alias("dmin"),
+        "n_tail",
+        F.floor(alpha * F.lit(1e6) + F.lit(0.5)).cast("long").alias("alpha_e6"),
+    )

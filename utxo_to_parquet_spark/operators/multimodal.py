@@ -674,3 +674,59 @@ def q_mm_wav_decode_stats(spark, sf_dir):
         "doc_id long, sample_rate long, n_channels long, n_frames long,"
         " sum_s long, min_s long, max_s long, sum_sq long",
     )
+
+
+# --- Exact binary-payload dedup via content digest --------------------------
+
+
+@register(
+    "q_mm_payload_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 4 = 0
+    ),
+    grouped AS (
+      SELECT sha256(text) AS digest,
+             CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id,
+             CAST(SUM(LENGTH(text)) - MIN(LENGTH(text)) AS BIGINT)
+               AS bytes_saved
+      FROM corpus GROUP BY 1
+    )
+    SELECT digest, n_copies, kept_doc_id, bytes_saved
+    FROM grouped WHERE n_copies > 1
+    """,
+)
+def q_mm_payload_dedup(spark, sf_dir):
+    """Exact dedup over OPAQUE BINARY payloads by content digest — the
+    multimodal twin of q_dedup_exact: image/audio blobs can't be
+    normalized or shingled, so byte-identity via sha256 is the only
+    exact key, and it's also the storage-dedup key an object store
+    would use. Synthetic copies are planted (every 4th payload
+    re-ingested under a shifted id) so collapse is observable; emitted
+    rows are the duplicate groups with the canonical (min-id) keep and
+    the exact payload bytes returned to the storage budget.
+
+    The digest is computed JVM-side (F.sha2 over the binary column —
+    no Python in the hot path) and doubles as the shuffle key:
+    uniformly distributed by construction, so the groupBy cannot skew
+    regardless of how duplicated the corpus is. Text stands in for the
+    blob bytes (utf-8 encode, the payloads_df convention); the plan is
+    byte-layout-agnostic."""
+    p = payloads_df(spark, sf_dir).select("doc_id", "payload")
+    dupes = p.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "payload"
+    )
+    grouped = (
+        p.unionByName(dupes)
+        .groupBy(F.sha2(F.col("payload"), 256).alias("digest"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").alias("kept_doc_id"),
+            (F.sum(F.length("payload")) - F.min(F.length("payload")))
+            .cast("long").alias("bytes_saved"),
+        )
+    )
+    return grouped.filter(F.col("n_copies") > 1)

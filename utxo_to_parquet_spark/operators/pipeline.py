@@ -517,3 +517,253 @@ def q_pipeline_shard_manifest(spark, sf_dir):
             F.expr("bit_xor(content_h)").cast("long").alias("content_fingerprint"),
         )
     )
+
+
+# --- Filter-funnel attrition report ----------------------------------------
+
+FUNNEL_MIN_CHARS = 100
+FUNNEL_MIN_WORDS = 20
+FUNNEL_MAX_WORDS = 90
+FUNNEL_MAX_TOPTOK_E2 = 25  # top-token ratio cap: 0.25
+
+
+@register(
+    "q_pipeline_filter_funnel",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, n_chars FROM documents
+      WHERE doc_id % 3 = 0
+    ),
+    tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM corpus
+    ),
+    rep AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tok
+      FROM (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    canon AS (
+      SELECT md5(LOWER(text)) AS h, MIN(doc_id) AS kept FROM corpus GROUP BY 1
+    ),
+    flagged AS (
+      SELECT c.doc_id,
+             CASE
+               WHEN c.n_chars < {FUNNEL_MIN_CHARS} THEN 1
+               WHEN r.n_tok < {FUNNEL_MIN_WORDS}
+                    OR r.n_tok > {FUNNEL_MAX_WORDS} THEN 2
+               WHEN 100 * r.top_c > {FUNNEL_MAX_TOPTOK_E2} * r.n_tok THEN 3
+               WHEN c.doc_id <> k.kept THEN 4
+               ELSE 0
+             END AS first_fail
+      FROM corpus c
+      JOIN rep r ON r.doc_id = c.doc_id
+      JOIN canon k ON k.h = md5(LOWER(c.text))
+    ),
+    stages AS (
+      SELECT s.idx, s.stage, COALESCE(d.n_dropped, 0) AS n_dropped,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged) AS n_total
+      FROM (VALUES (1, 'min_length'), (2, 'word_count'),
+                   (3, 'repetition'), (4, 'exact_dup')) AS s(idx, stage)
+      LEFT JOIN (SELECT first_fail, CAST(COUNT(*) AS BIGINT) AS n_dropped
+                 FROM flagged WHERE first_fail > 0 GROUP BY 1) d
+        ON d.first_fail = s.idx
+    )
+    SELECT CAST(idx AS BIGINT) AS stage_idx, stage,
+           CAST(n_total - SUM(n_dropped) OVER (ORDER BY idx)
+                + n_dropped AS BIGINT) AS n_in,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           CAST(n_total - SUM(n_dropped) OVER (ORDER BY idx) AS BIGINT)
+             AS n_out
+    FROM stages
+    """,
+)
+def q_pipeline_filter_funnel(spark, sf_dir):
+    """Filter-funnel attrition report: every document (with the
+    q_dedup_exact synthetic copies planted so the dedup stage has work)
+    is attributed to the FIRST quality stage that would drop it —
+    min-length, word-count band, top-token repetition, exact-dup
+    non-canonical — and the funnel emits per-stage in/dropped/out
+    counts. This is the governance artifact every cleaning pipeline
+    ships alongside its output: WHERE the corpus went, stage by stage,
+    with drops attributed once (first-fail) so the stage counts sum to
+    the total attrition exactly.
+
+    One pass computes all per-doc flags (integer thresholds only; the
+    repetition test is cross-multiplied, no division), the canonical
+    pick reuses the exact-dedup hash groupBy, and the funnel arithmetic
+    runs over the 4-row stage relation. At 100 TB the heavy stages are
+    two map-side-combinable aggregations over the corpus; the funnel
+    itself is constant-size."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text", "n_chars"
+        )
+    )
+    tok = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    rep = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
+    )
+    canon = corpus.groupBy(F.md5(F.lower(F.col("text"))).alias("h")).agg(
+        F.min("doc_id").alias("kept")
+    )
+    flagged = (
+        corpus.withColumn("h", F.md5(F.lower(F.col("text"))))
+        .join(rep, "doc_id")
+        .join(canon, "h")
+        .select(
+            "doc_id",
+            F.when(F.col("n_chars") < FUNNEL_MIN_CHARS, 1)
+            .when(
+                (F.col("n_tok") < FUNNEL_MIN_WORDS)
+                | (F.col("n_tok") > FUNNEL_MAX_WORDS),
+                2,
+            )
+            .when(
+                100 * F.col("top_c") > FUNNEL_MAX_TOPTOK_E2 * F.col("n_tok"), 3
+            )
+            .when(F.col("doc_id") != F.col("kept"), 4)
+            .otherwise(0)
+            .alias("first_fail"),
+        )
+    )
+    total = flagged.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    drops = (
+        flagged.filter(F.col("first_fail") > 0)
+        .groupBy("first_fail")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    )
+    stages = spark.createDataFrame(
+        [(1, "min_length"), (2, "word_count"), (3, "repetition"),
+         (4, "exact_dup")],
+        "idx int, stage string",
+    )
+    # cumulative drops via a <=-join over the 4-row stage relation (a
+    # running sum over 4 rows doesn't need a window, and keeping the
+    # tiny plan window-free keeps the one-task-window invariant clean)
+    own = (
+        F.broadcast(stages)
+        .join(drops, stages.idx == drops.first_fail, "left")
+        .select(
+            "idx", "stage",
+            F.coalesce("n_dropped", F.lit(0).cast("long")).alias("n_dropped"),
+        )
+    )
+    cum = (
+        F.broadcast(stages.select(F.col("idx").alias("cidx")))
+        .join(drops, F.col("first_fail") <= F.col("cidx"), "left")
+        .groupBy("cidx")
+        .agg(F.coalesce(F.sum("n_dropped"), F.lit(0)).cast("long").alias("cum_dropped"))
+    )
+    return (
+        own.join(F.broadcast(cum), own.idx == cum.cidx)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("idx").cast("long").alias("stage_idx"),
+            "stage",
+            (F.col("n_total") - F.col("cum_dropped") + F.col("n_dropped"))
+            .cast("long").alias("n_in"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+            (F.col("n_total") - F.col("cum_dropped")).cast("long").alias("n_out"),
+        )
+    )
+
+
+# --- Rendezvous (HRW) shard assignment with resize accounting ---------------
+
+HRW_SHARDS = 8
+HRW_MOD = 2147483647  # 2^31 - 1 (Mersenne prime, Lehmer modulus)
+
+
+@register(
+    "q_pipeline_rendezvous_shards",
+    oracle=f"""
+    WITH scores AS (
+      SELECT d.doc_id, s.shard,
+             ((d.doc_id * 48271 + (s.shard + 1) * 16807) % {HRW_MOD})
+               * 69621 % {HRW_MOD} AS w
+      FROM documents d, UNNEST(range(0, {HRW_SHARDS} + 1)) AS s(shard)
+    ),
+    a8 AS (
+      SELECT doc_id, shard FROM (
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY w DESC, shard) AS rn
+        FROM scores WHERE shard < {HRW_SHARDS}
+      ) WHERE rn = 1
+    ),
+    a9 AS (
+      SELECT doc_id, shard FROM (
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY w DESC, shard) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT CAST(a9.shard AS BIGINT) AS shard,
+           CAST(COUNT(*) FILTER (WHERE a8.shard = a9.shard) AS BIGINT)
+             + CAST(0 AS BIGINT) AS n_stable,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_9,
+           CAST(COUNT(*) FILTER (WHERE a8.shard <> a9.shard) AS BIGINT)
+             AS n_moved_in
+    FROM a9 JOIN a8 ON a8.doc_id = a9.doc_id
+    GROUP BY 1
+    """,
+)
+def q_pipeline_rendezvous_shards(spark, sf_dir):
+    """Rendezvous (highest-random-weight) shard assignment with resize
+    accounting: every document scores each shard with a Lehmer-style
+    integer mix and lands on its argmax; the query compares the
+    {HRW_SHARDS}-shard and {HRW_SHARDS}+1-shard assignments per final
+    shard. HRW's minimal-disruption property falls out in the result:
+    existing shards only LOSE documents to the new shard (n_moved_in =
+    0 everywhere except the newcomer, which drains ~1/(N+1) of the
+    corpus) — versus mod-N sharding, where a resize reshuffles nearly
+    everything. This is how a checkpointed tokenization fleet keeps
+    shard->worker affinity across a scale-up.
+
+    The weight is pure 64-bit integer arithmetic (products <= doc_id *
+    48271 + shard mixing, far inside int64; multipliers under 2^31 per
+    the ANSI-overflow rule), bit-identical across engines — no
+    md5-per-draw (the 40x-wall lesson). Per-doc argmax is a window over
+    the CONSTANT {HRW_SHARDS}+1-row fan-out, partitioned by doc_id —
+    embarrassingly parallel at any scale."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    shards = spark.range(0, HRW_SHARDS + 1).select(F.col("id").alias("shard"))
+    scores = docs.crossJoin(F.broadcast(shards)).select(
+        "doc_id",
+        "shard",
+        F.expr(
+            f"((doc_id * 48271 + (shard + 1) * 16807) % {HRW_MOD})"
+            f" * 69621 % {HRW_MOD}"
+        ).alias("w"),
+    )
+    w9 = W.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("shard"))
+    a9 = (
+        scores.withColumn("rn", F.row_number().over(w9))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("shard").alias("shard9"))
+    )
+    a8 = (
+        scores.filter(F.col("shard") < HRW_SHARDS)
+        .withColumn("rn", F.row_number().over(w9))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("shard").alias("shard8"))
+    )
+    return (
+        a9.join(a8, "doc_id")
+        .groupBy(F.col("shard9").cast("long").alias("shard"))
+        .agg(
+            F.sum(F.when(F.col("shard8") == F.col("shard9"), 1).otherwise(0))
+            .cast("long").alias("n_stable"),
+            F.count(F.lit(1)).cast("long").alias("n_docs_9"),
+            F.sum(F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0))
+            .cast("long").alias("n_moved_in"),
+        )
+    )

@@ -4079,3 +4079,91 @@ def q_agg_mutual_info(spark, sf_dir):
         "n", "r", "c", "mi_e9", "chi2_e6",
         F.floor(v * F.lit(1e6) + F.lit(0.5)).cast("long").alias("cramers_v_e6"),
     )
+
+
+# --- Association rules (confidence / lift) over co-ordered parts ----------
+
+
+@register(
+    "q_basket_rules",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+          FROM b),
+    item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS supp FROM b GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS nab
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    rules AS (
+      SELECT part_a AS antecedent, part_b AS consequent, nab,
+             ia.supp AS supp_a, ib.supp AS supp_b, n.n_baskets
+      FROM pair JOIN item ia ON ia.l_partkey = pair.part_a
+                JOIN item ib ON ib.l_partkey = pair.part_b, n
+      UNION ALL
+      SELECT part_b, part_a, nab, ib.supp, ia.supp, n.n_baskets
+      FROM pair JOIN item ia ON ia.l_partkey = pair.part_a
+                JOIN item ib ON ib.l_partkey = pair.part_b, n
+    )
+    SELECT antecedent, consequent, nab AS support,
+           CAST((1000000 * nab) // supp_a AS BIGINT) AS confidence_e6,
+           CAST((1000000 * n_baskets * nab) // (supp_a * supp_b) AS BIGINT)
+             AS lift_e6
+    FROM rules
+    """,
+)
+def q_basket_rules(spark, sf_dir):
+    """Association rules over co-ordered parts — the scoring step above
+    q_basket_pair_counts (the counting core): every surviving pair
+    emitted in both directions with support, confidence(A=>B) =
+    supp(AB)/supp(A) and the symmetric lift n*supp(AB)/(supp(A)*
+    supp(B)). lift > 1e6 (fixed-point 1.0) marks genuinely associated
+    parts; high-confidence low-lift rules are just popular consequents
+    — the classic apriori read-out.
+
+    Pure-integer op: supports are exact BIGINT counts and both scores
+    are integer division of BIGINT products (n*nab ~ 1e14 at sf1,
+    orders inside int64 — documented bound, DECIMAL swap past ~1e5
+    baskets per pair). Pair fan-out is basket-size-bounded exactly as
+    q_basket_pair_counts documents; the item-support joins are
+    aggregate-level."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    nb = b.agg(F.countDistinct("l_orderkey").cast("long").alias("n_baskets"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("supp"))
+    a = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    c = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(c, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("nab"))
+        .filter(F.col("nab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b"))
+    base = (
+        pair.join(ia, "part_a").join(ib, "part_b").crossJoin(F.broadcast(nb))
+    )
+    fwd = base.select(
+        F.col("part_a").alias("antecedent"), F.col("part_b").alias("consequent"),
+        "nab", F.col("supp_a").alias("sa"), F.col("supp_b").alias("sb"),
+        "n_baskets",
+    )
+    rev = base.select(
+        F.col("part_b").alias("antecedent"), F.col("part_a").alias("consequent"),
+        "nab", F.col("supp_b").alias("sa"), F.col("supp_a").alias("sb"),
+        "n_baskets",
+    )
+    return fwd.unionByName(rev).select(
+        "antecedent", "consequent", F.col("nab").alias("support"),
+        F.expr("(1000000 * nab) div sa").cast("long").alias("confidence_e6"),
+        F.expr("(1000000 * n_baskets * nab) div (sa * sb)")
+        .cast("long").alias("lift_e6"),
+    )
