@@ -211,6 +211,41 @@ OPS = {
     # hash-groupBy) and the one-pass 15-sum moment matrix
     "q_dedup_url_exact": "documents",
     "q_agg_cov_matrix": "graph",
+    # round 9: k-group inference over orders (map-side moment sums; the
+    # midrank range exchanges are over DISTINCT-value relations), the
+    # lang x source dependence grid (cell relation is constant-size),
+    # vocab-set ops (token joins with stopword-heavy keys), span-grid
+    # time-series (binseg/xcorr/peaks cost the SPINE; interarrival is a
+    # per-type lag + moment agg), char explode (corpus-linear), the
+    # two-pass Heaps prefix sum, the top-30-word Burrows grid, the
+    # no-join isotropy/drift moment passes, the exact-integer triplet
+    # margin (constant centroid fan-out), basket rules (pair counts +
+    # aggregate joins), degree power-law (one count + one agg), dedup
+    # savings / payload dedup (hash groupBys), the funnel (two corpus
+    # aggregates + 4-row arithmetic), and HRW sharding (constant 9-row
+    # fan-out + per-doc argmax window)
+    "q_agg_anova_f": "graph",
+    "q_agg_kruskal_wallis": "graph",
+    "q_agg_mutual_info": "documents",
+    "q_text_lang_vocab_overlap": "documents",
+    "q_text_simpson_diversity": "documents",
+    "q_events_interarrival_stats": "events",
+    "q_events_changepoint_binseg": "events",
+    "q_events_xcorr_leadlag": "events",
+    "q_events_peak_detection": "events",
+    "q_text_char_entropy": "documents",
+    "q_text_readability": "documents",
+    "q_text_heaps_law": "documents",
+    "q_text_burrows_delta": "documents",
+    "q_sim_isotropy": "embeddings",
+    "q_sim_embedding_drift": "embeddings",
+    "q_sim_triplet_margin": "embeddings",
+    "q_basket_rules": "graph",
+    "q_graph_degree_powerlaw": "graph",
+    "q_dedup_savings": "documents",
+    "q_mm_payload_dedup": "documents",
+    "q_pipeline_filter_funnel": "documents",
+    "q_pipeline_rendezvous_shards": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

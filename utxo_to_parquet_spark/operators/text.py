@@ -3794,19 +3794,24 @@ def q_text_char_entropy(spark, sf_dir):
     English), single-character spam far below. C4/Gopher filter words;
     this catches documents that aren't words at all.
 
-    Character access is positional substr over an integer range on
-    both engines (never a regex/empty-separator split, whose edge
-    semantics differ); per-character-class terms k*log2(n/k) are e6
-    fixed-pointed BEFORE the per-doc sum (order-free BIGINT), and the
-    bits-per-char mean is exact integer round-half-up. At 100 TB the
-    explode is the only corpus-sized stage and its (doc, char)
+    Oracle character access is positional substr over an integer range;
+    the Spark side uses a single-pass split(text, '') — identical
+    per-codepoint elements for non-empty text, and the one divergent
+    edge (empty text splits to ['']) is filtered out, matching the
+    oracle's zero rows for empty docs. substr(text, i, 1) on Spark's
+    UTF8String re-scans from byte 0 to find char i, so a
+    transform(sequence(...), i -> substr(...)) build is O(len^2) per
+    document — measured 60 s / exponent 1.05 at the 16x probe vs this
+    form's one O(len) scan. Per-character-class terms k*log2(n/k) are
+    e6 fixed-pointed BEFORE the per-doc sum (order-free BIGINT), and
+    the bits-per-char mean is exact integer round-half-up. At 100 TB
+    the explode is the only corpus-sized stage and its (doc, char)
     aggregate combines map-side onto a <=|alphabet| per-doc relation."""
     docs = load(spark, sf_dir, "documents")
     ch = docs.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
-        "text",
-    ).select("doc_id", F.expr("substr(text, i, 1)").alias("c"))
+        F.explode(F.split("text", "")).alias("c"),
+    ).where(F.col("c") != "")
     cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("long").alias("k"))
     n = cnt.groupBy("doc_id").agg(F.sum("k").alias("n_chars_tok"))
     term = F.floor(
