@@ -1,0 +1,91 @@
+"""Constructed-case tests for round-9 operators — semantics the
+sf differential gate can't pin (exact span extents, interval-merge
+coverage, encode traces)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from utxo_to_parquet_spark.operators import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERIES = all_queries()
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _write_docs(tmp_path, rows):
+    base = pq.read_schema(f"{SF_DIR}/documents.parquet")
+    table = pa.Table.from_pylist(
+        [dict(zip(DOC_COLS, r)) for r in rows], schema=base
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_substring_span_is_maximal_and_variable_length(tmp_path, spark):
+    """A 20-word passage shared verbatim by two docs must surface as ONE
+    maximal span of exactly 20 words in each doc, at the right start
+    offsets; an isolated 8-word match reports span_words == 8; docs
+    sharing nothing produce no spans."""
+    shared = " ".join(f"p{i}" for i in range(20))  # 20-word passage
+    eight = " ".join(f"e{i}" for i in range(8))  # exactly one unit
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        # passage at word offset 5 of doc 1, offset 0 of doc 2
+        (1, uniq("a", 5) + " " + shared + " " + uniq("b", 6), "en", "web", 1),
+        (2, shared + " " + uniq("c", 9), "en", "web", 1),
+        # the 8-word unit at offset 3 of doc 3 and offset 10 of doc 4
+        (3, uniq("d", 3) + " " + eight + " " + uniq("f", 4), "en", "web", 1),
+        (4, uniq("g", 10) + " " + eight, "en", "web", 1),
+        (5, uniq("z", 30), "en", "web", 1),  # clean
+    ]
+    sf = _write_docs(tmp_path, rows)
+    spans = {
+        (r.doc_id, r.span_start): (r.span_words, r.n_units)
+        for r in QUERIES["q_dedup_substring"](spark, sf).collect()
+    }
+    assert spans[(1, 5)] == (20, 13)  # 20-8+1 = 13 stride-1 units
+    assert spans[(2, 0)] == (20, 13)
+    assert spans[(3, 3)] == (8, 1)
+    assert spans[(4, 10)] == (8, 1)
+    assert len(spans) == 4  # doc 5 clean, no over-extension anywhere
+
+    ledger = {
+        r.doc_id: (r.n_words, r.dup_words, r.n_spans, r.dup_ratio_e4)
+        for r in QUERIES["q_dedup_substring_removal"](spark, sf).collect()
+    }
+    assert ledger[1] == (31, 20, 1, 20 * 10000 // 31)
+    assert ledger[2] == (29, 20, 1, 20 * 10000 // 29)
+    assert ledger[3] == (15, 8, 1, 8 * 10000 // 15)
+    assert ledger[5] == (30, 0, 0, 0)
+
+
+def test_substring_removal_merges_word_overlapping_runs(tmp_path, spark):
+    """Two unit runs separated by one non-duplicated unit position can
+    still OVERLAP in word coverage (each unit spans 8 words): the
+    removal ledger must count those words once, not twice."""
+    # doc 10 shares words 0..9 with doc 11 and words 12..21 with doc 12;
+    # the gap at unit positions 3..4 keeps the RUNS separate, but run 1
+    # covers words 0..9 and run 2 words 12..21 - no overlap here, so
+    # build a tighter case: two shared 10-word passages with a single
+    # unique word between them -> spans [0..9] and [11..20]; each unit
+    # run's word extents overlap the gap word's units.
+    p1 = " ".join(f"m{i}" for i in range(10))
+    p2 = " ".join(f"n{i}" for i in range(10))
+    rows = [
+        (10, p1 + " gapword " + p2, "en", "web", 1),
+        (11, p1 + " " + " ".join(f"x{i}" for i in range(12)), "en", "web", 1),
+        (12, " ".join(f"y{i}" for i in range(12)) + " " + p2, "en", "web", 1),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    ledger = {
+        r.doc_id: (r.n_words, r.dup_words, r.n_spans)
+        for r in QUERIES["q_dedup_substring_removal"](spark, sf).collect()
+    }
+    n_words, dup_words, n_spans = ledger[10]
+    assert n_words == 21
+    # spans [words 0-9] and [words 11-20] stay two islands; the gap
+    # word is never counted -> exactly 20 duplicated words
+    assert (dup_words, n_spans) == (20, 2)

@@ -246,6 +246,11 @@ OPS = {
     "q_mm_payload_dedup": "documents",
     "q_pipeline_filter_funnel": "documents",
     "q_pipeline_rendezvous_shards": "documents",
+    # round 9: substring-level dedup — stride-1 unit explode (W x corpus
+    # rows, the biggest intermediate in the library) + distinct-agg +
+    # semi-join back + per-doc island windows
+    "q_dedup_substring": "documents",
+    "q_dedup_substring_removal": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

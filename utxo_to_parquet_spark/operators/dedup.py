@@ -1251,6 +1251,208 @@ def q_dedup_repeated_spans(spark, sf_dir):
     )
 
 
+SUBSTR_W = 8  # shingle-unit width (words) for substring-level dedup
+
+_SUBSTR_UNITS_DUCK = f"""
+    words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= {SUBSTR_W}
+    ),
+    units AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             md5(array_to_string(
+               ws[CAST(u.i AS INT) + 1 : CAST(u.i AS INT) + {SUBSTR_W}],
+               ' ')) AS h
+      FROM words, UNNEST(range(0, len(ws) - {SUBSTR_W} + 1)) AS u(i)
+    ),
+    dup AS (
+      SELECT h FROM units GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    hits AS (
+      SELECT u.doc_id, u.pos,
+             u.pos - ROW_NUMBER() OVER (PARTITION BY u.doc_id
+                                        ORDER BY u.pos) AS grp
+      FROM units u JOIN dup d ON u.h = d.h
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) - MIN(pos) + {SUBSTR_W} AS BIGINT) AS span_words,
+             CAST(COUNT(*) AS BIGINT) AS n_units
+      FROM hits GROUP BY doc_id, grp
+    )
+"""
+
+
+def _substring_spans(spark, sf_dir):
+    """Shared span builder for the two substring-dedup entries: stride-1
+    {SUBSTR_W}-word shingle units -> cross-document duplicated units ->
+    per-doc island merge of consecutive unit positions into maximal
+    variable-length spans."""
+    docs = load(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= SUBSTR_W
+    )
+    units = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(ws) - {SUBSTR_W}),"
+                f" i -> struct(cast(i as bigint) as pos,"
+                f" md5(array_join(slice(ws, i + 1, {SUBSTR_W}), ' ')) as h))"
+            )
+        ).alias("u"),
+    ).select("doc_id", "u.pos", "u.h")
+    dup = (
+        units.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    hits = units.join(dup, "h").withColumn(
+        "grp",
+        F.col("pos") - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    return (
+        hits.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(SUBSTR_W)).alias("span_words"),
+            F.count(F.lit(1)).alias("n_units"),
+        )
+        .drop("grp")
+    )
+
+
+@register(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH {_SUBSTR_UNITS_DUCK}
+    SELECT doc_id, span_start, span_words, n_units FROM spans
+    """,
+)
+def q_dedup_substring(spark, sf_dir):
+    """Exact substring-level dedup (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" family): find maximal
+    VARIABLE-LENGTH word spans that recur verbatim across documents —
+    the license blurbs, navigation chrome, and quoted passages that
+    doc-level dedup (q_dedup_exact/q_dedup_minhash_lsh) and fixed-width
+    span hashing (q_dedup_repeated_spans, 64-char tiles) both miss.
+
+    Distributed suffix-array stand-in, band-then-chain instead of
+    all-pairs: (1) stride-1 {SUBSTR_W}-word shingle UNITS with
+    positions, hashed to md5 so the shuffle carries 32+16 bytes per
+    unit regardless of span text; (2) units that occur in >1 distinct
+    document (two chained hash aggregations — Spark's distinct-agg
+    rewrite, both map-side combinable); (3) join positions back against
+    the duplicated-unit set (semi-join shape: output <= unit count, no
+    pair explosion — the skew-heavy boilerplate key makes MORE hits,
+    never a quadratic bucket); (4) per-document island merge of
+    consecutive duplicated positions (pos - row_number, a per-doc
+    window bounded by document length) into maximal runs. Any
+    cross-document verbatim substring of >= {SUBSTR_W} words has every
+    unit window duplicated, so it surfaces as one maximal span of its
+    full length; spans may over-extend only where two distinct
+    duplications abut (the standard shingle-chain approximation).
+    Output: one row per maximal span with its start word offset,
+    word length, and unit count."""
+    return _substring_spans(spark, sf_dir)
+
+
+@register(
+    "q_dedup_substring_removal",
+    oracle=f"""
+    WITH {_SUBSTR_UNITS_DUCK},
+    iv AS (
+      SELECT doc_id, span_start AS s,
+             span_start + span_words - 1 AS e
+      FROM spans
+    ),
+    brk AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    CAST(-1 AS BIGINT))
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM brk
+    ),
+    merged AS (
+      SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    cov AS (
+      SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS dup_words,
+             CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM merged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+           COALESCE(cov.dup_words, 0) AS dup_words,
+           COALESCE(cov.n_spans, 0) AS n_spans,
+           CAST(COALESCE(cov.dup_words, 0) * 10000
+                // len(string_split(d.text, ' ')) AS BIGINT) AS dup_ratio_e4
+    FROM documents d LEFT JOIN cov ON cov.doc_id = d.doc_id
+    """,
+)
+def q_dedup_substring_removal(spark, sf_dir):
+    """Removal ledger for substring-level dedup: per document, how many
+    words sit inside a cross-document duplicated span — the quantity a
+    cleaning pass deletes (Lee et al. cut exact duplicated spans and
+    keep the remainder). Composes q_dedup_substring's maximal unit
+    runs, then WORD-interval merges them (runs separated by a non-dup
+    unit can still overlap in word coverage, since each unit covers
+    {SUBSTR_W} words): running-max carry over the per-doc span list —
+    a second window pass over the SPANS relation, corpus-small — then
+    one sum per doc. dup_ratio_e4 is exact integer div of positive
+    operands (engine-identical). All documents are reported (zero rows
+    for clean docs) so the ledger is the direct input to a
+    keep/drop/trim decision."""
+    docs = load(spark, sf_dir, "documents")
+    spans = _substring_spans(spark, sf_dir).select(
+        "doc_id",
+        F.col("span_start").alias("s"),
+        (F.col("span_start") + F.col("span_words") - 1).alias("e"),
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("s")
+    prev_max = F.max("e").over(wdoc.rowsBetween(W.unboundedPreceding, -1))
+    brk = spans.withColumn(
+        "is_new",
+        F.when(F.col("s") > F.coalesce(prev_max, F.lit(-1).cast("long")), 1)
+        .otherwise(0),
+    )
+    isl = brk.withColumn(
+        "island", F.sum("is_new").over(wdoc.rowsBetween(W.unboundedPreceding, 0))
+    )
+    merged = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    cov = merged.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_words"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    nw = F.size(F.split("text", " ")).cast("long")
+    return (
+        docs.select("doc_id", nw.alias("n_words"))
+        .join(cov, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("dup_words", F.lit(0).cast("long")).alias("dup_words"),
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.expr("coalesce(dup_words, cast(0 as bigint)) * 10000 div n_words")
+            .cast("long")
+            .alias("dup_ratio_e4"),
+        )
+    )
+
+
 EVAL_MOD = 7  # doc_id % EVAL_MOD == 1 models the held-out benchmark set
 DECON_MIN_SHARED = 4  # shared distinct shingles that flag contamination
 

@@ -3235,6 +3235,15 @@ def q_agg_spearman_rho(spark, sf_dir):
     map-side-combinable aggregations, two 32-partition range exchanges
     over DISTINCT-value relations, one moment reduce.
 
+    Int64 bound: rx2 <= 2n, so sxx/syy grow as ~4n^3/3 and exceed
+    BIGINT around n ~ 1.3-1.9M distinct customers — Spark's non-ANSI
+    SUM(long) would wrap silently while DuckDB widens to HUGEINT.
+    Within the fixture family n <= ~150k/SF-0.1-copy, 4 orders of
+    magnitude of headroom at the 16x probe; past that, widen the
+    rx2*rx2 / ry2*ry2 / rx2*ry2 products to DECIMAL(38,0) (Spark) /
+    explicit HUGEINT (DuckDB) — the documented swap, same as
+    q_agg_cov_matrix's n*Sxy widening.
+
     int64 bound (same convention as q_events_linreg_trend /
     q_agg_cov_matrix): the doubled midranks rx2/ry2 reach ~2n for n
     DISTINCT rank values, so sxx/syy grow ~4n^3 and overflow BIGINT
