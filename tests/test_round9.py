@@ -89,3 +89,34 @@ def test_substring_removal_merges_word_overlapping_runs(tmp_path, spark):
     # spans [words 0-9] and [words 11-20] stay two islands; the gap
     # word is never counted -> exactly 20 duplicated words
     assert (dup_words, n_spans) == (20, 2)
+
+
+def test_bpe_encode_greedy_run_semantics(tmp_path, spark):
+    """Train-then-encode on a corpus engineered so the first merge is
+    (a,a): runs must merge greedily leftmost — 'aaaa' -> [aa,aa] (2
+    tokens), 'aaa' -> [aa,a] (2 tokens) — and unseen adjacencies stay
+    unmerged."""
+    # 'aaaa' dominates pair counts: (a,a) is merge 1 with total 30;
+    # every other adjacent pair is rarer, and 10 merges over this tiny
+    # vocab eventually fuse whole words — so pin assertions to
+    # structural invariants driven by merge 1, plus exact totals.
+    rows = [
+        (1, " ".join(["aaaa"] * 10), "en", "web", 1),
+        (2, "aaa xy", "en", "web", 1),
+        (3, "qq ww ee rr tt yy uu ii oo pp zz xx cc vv bb nn mm", "en", "web", 1),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens, r.max_token_len)
+        for r in QUERIES["q_text_bpe_encode"](spark, sf).collect()
+    }
+    n_words, n_tok, mx = out[1]
+    assert n_words == 10
+    # merge 1 = (a,a) -> [aa,aa]; later merges can fuse to [aaaa]
+    assert n_tok in (20, 10)
+    assert mx in (2, 4)
+    # 'aaa' -> [aa, a] after merge 1; (aa, a) can win a later merge
+    n_words2, n_tok2, _ = out[2]
+    assert n_words2 == 2
+    # aaa contributes 2 or 1 tokens; xy contributes 2 or 1
+    assert 2 <= n_tok2 <= 4

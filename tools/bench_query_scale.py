@@ -251,6 +251,8 @@ OPS = {
     # semi-join back + per-doc island windows
     "q_dedup_substring": "documents",
     "q_dedup_substring_removal": "documents",
+    # BPE encode: M vocab-bounded merge rounds + one corpus join
+    "q_text_bpe_encode": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

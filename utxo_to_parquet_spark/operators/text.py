@@ -1337,6 +1337,190 @@ def q_text_bpe_merge_step(spark, sf_dir):
     )
 
 
+# --- BPE tokenizer: train merges, then ENCODE the corpus ------------------
+
+BPE_ENC_MERGES = 10
+_BPE_D = "·"  # symbol delimiter; outside the corpus alphabet (ASCII)
+
+
+def _bpe_encode_oracle(n_merges: int = BPE_ENC_MERGES) -> str:
+    """Machine-generated chained-CTE replay of the BPE trainer+encoder:
+    v0 = per-word character symbols, then for each step m a 1-row best
+    pair b{m} (scalar subqueries) and the rewritten vocab v{m} via a
+    delimited-string fold with greedy leftmost merge semantics."""
+    d = _BPE_D
+    parts = [
+        f"""
+    WITH wf AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_transform(range(1, length(word) + 1),
+                            i -> substr(word, CAST(i AS INT), 1)) AS syms
+      FROM wf
+    )"""
+    ]
+    for m in range(1, n_merges + 1):
+        p = m - 1
+        parts.append(
+            f""",
+    b{m} AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT syms[CAST(u.i AS INT)] AS a,
+               syms[CAST(u.i AS INT) + 1] AS b,
+               SUM(freq) AS total
+        FROM v{p}, UNNEST(range(1, len(syms))) AS u(i)
+        GROUP BY 1, 2
+      ) ORDER BY total DESC, a || '{d}' || b LIMIT 1
+    ),
+    -- always exactly one row (subqueries are banned inside DuckDB
+    -- lambdas, and an empty b{m} must be a no-op, not an empty join):
+    -- '' never matches a symbol, so an exhausted vocab passes through
+    bx{m} AS MATERIALIZED (
+      SELECT COALESCE((SELECT a FROM b{m}), '') AS ba,
+             COALESCE((SELECT b FROM b{m}), '') AS bb
+    ),
+    v{m} AS MATERIALIZED (
+      SELECT word, freq,
+             list_filter(string_split(
+               list_reduce(list_prepend('{d}', syms), (acc, x) ->
+                 CASE WHEN x = bb
+                       AND ends_with(acc, '{d}' || ba || '{d}')
+                      THEN left(acc, length(acc) - length(ba) - 1)
+                           || ba || bb || '{d}'
+                      ELSE acc || x || '{d}' END),
+               '{d}'), x -> x <> '') AS syms
+      FROM v{p}, bx{m}
+    )"""
+        )
+    parts.append(
+        f""",
+    enc AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_tok,
+             CAST(list_max(list_transform(syms, x -> length(x)))
+                  AS BIGINT) AS mx
+      FROM v{n_merges}
+    ),
+    tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_tok) AS BIGINT) AS n_bpe_tokens,
+           CAST(MAX(e.mx) AS BIGINT) AS max_token_len
+    FROM tok t JOIN enc e ON e.word = t.word
+    WHERE t.word <> ''
+    GROUP BY t.doc_id"""
+    )
+    return "".join(parts)
+
+
+@register("q_text_bpe_encode", oracle=_bpe_encode_oracle())
+def q_text_bpe_encode(spark, sf_dir):
+    """BPE tokenizer ENCODE (Sennrich et al. 2016): train
+    {BPE_ENC_MERGES} merges on the corpus, then apply the trained merge
+    list to tokenize every document — the single most common map in an
+    LLM data pipeline, and the companion to q_text_bpe_merge_step's
+    one-round trainer. Per-document output: word count, BPE token count
+    after merging, and the longest learned token.
+
+    Everything iterates over the VOCAB-BOUNDED word-frequency table,
+    never the corpus: each merge round is (a) an adjacent-pair count
+    over the current symbol arrays (map-side combinable; the vocab
+    relation is |distinct words|, orders of magnitude below corpus
+    rows), (b) a 1-row top-pair collect — M = {BPE_ENC_MERGES} rows
+    total over the whole query, the same constant bound class as the
+    IVF centroid collects — and (c) a JVM-side fold (aggregate over a
+    '{_BPE_D}'-delimited string, greedy leftmost like the reference BPE:
+    'aaa' under merge (a,a) -> [aa, a]) that rewrites each word's
+    symbols. localCheckpoint per round keeps the M-step lineage from
+    re-executing quadratically. The corpus is touched exactly once at
+    the end: explode to words, equi-join the encoded vocab (AQE decides
+    the strategy — the vocab side grows with corpus vocabulary, so no
+    forced broadcast), one per-doc aggregate. The oracle replays the
+    identical trainer with chained CTEs + scalar-subquery best pairs;
+    tie-breaks are (total DESC, a||'{_BPE_D}'||b ASC) on both engines.
+    Delimiter '{_BPE_D}' is outside the fixture's ASCII alphabet —
+    symbols never contain it."""
+    docs = load(spark, sf_dir, "documents")
+    d = _BPE_D
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    v = wf.withColumn(
+        "syms", F.expr("filter(split(word, ''), x -> x <> '')")
+    ).localCheckpoint(eager=True)
+
+    def _sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    for _ in range(BPE_ENC_MERGES):
+        pairs = (
+            v.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] as a, syms[i+1] as b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("total"))
+        )
+        top = (
+            pairs.orderBy(
+                F.desc("total"), F.concat(F.col("a"), F.lit(d), F.col("b"))
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:  # vocab fully merged: oracle's NULL pair is a no-op too
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        fold = (
+            f"aggregate(syms, '{d}', (acc, x) -> "
+            f"CASE WHEN x = '{_sq(b)}' AND endswith(acc, '{d}{_sq(a)}{d}') "
+            f"THEN concat(left(acc, length(acc) - {len(a)} - 1), "
+            f"'{_sq(a)}{_sq(b)}{d}') "
+            f"ELSE concat(acc, x, '{d}') END)"
+        )
+        v = (
+            v.withColumn(
+                "syms", F.expr(f"filter(split({fold}, '{d}'), x -> x <> '')")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    enc = v.select(
+        "word",
+        F.size("syms").cast("long").alias("n_tok"),
+        F.expr("array_max(transform(syms, x -> length(x)))")
+        .cast("long")
+        .alias("mx"),
+    )
+    tokw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        tokw.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+            F.max("mx").cast("long").alias("max_token_len"),
+        )
+    )
+
+
 N_SHUFFLE_SHARDS = 16
 
 
