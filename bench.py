@@ -219,6 +219,7 @@ HEADLINE = [
     "q_dedup_substring",
     "q_dedup_substring_removal",
     "q_text_bpe_encode",
+    "q_mm_jpeg_decode_stats",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

@@ -751,3 +751,141 @@ def test_wav_decode_errors_are_loud():
     raw = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
     with pytest.raises(ValueError, match="whole frames"):
         decode_wav(raw)
+
+
+def test_jpeg_roundtrip_block_constant_sweep():
+    """decode(encode(px)) must be bit-exact for every constant block
+    value 0..255 (the DC-exact contract: all-8s quant tables make the
+    quantized DC equal the level-shifted value, T.81 A.3.1/F.1)."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_jpeg, encode_jpeg
+
+    for v in range(256):
+        vals = (np.arange(6) * 37 + v) % 256
+        img = np.repeat(
+            np.repeat(vals.reshape(2, 3), 8, axis=0), 8, axis=1
+        ).astype(np.uint8)
+        w, h, px = decode_jpeg(encode_jpeg(img))
+        assert (w, h) == (24, 16)
+        assert np.array_equal(px, img), v
+
+
+def test_jpeg_layout_pinned_against_spec():
+    """Pin the emitted byte layout to T.81/JFIF: marker order, Annex K
+    DHT payloads, SOF0 fields, and the hand-derived entropy segment of
+    the all-128 block (level-shifted DC = 0: DC category-0 code '00' +
+    EOB '1010' + 1-pad = 0b00101011 = 0x2B exactly)."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import (
+        _JPEG_AC_LUM,
+        _JPEG_DC_LUM,
+        encode_jpeg,
+    )
+
+    img = np.full((8, 8), 128, np.uint8)
+    buf = encode_jpeg(img)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    # APP0 JFIF 1.1
+    assert buf[2:4] == b"\xff\xe0" and buf[6:11] == b"JFIF\x00"
+    # DQT: all-8s table 0
+    i = buf.index(b"\xff\xdb")
+    assert buf[i + 4] == 0x00 and buf[i + 5 : i + 69] == bytes([8] * 64)
+    # SOF0: precision 8, 8x8, 1 component, sampling 0x11, quant table 0
+    i = buf.index(b"\xff\xc0")
+    assert buf[i + 4 : i + 13] == bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    # DHT DC-lum: class/id 0x00 then the exact Annex K.3.3 BITS+HUFFVAL
+    i = buf.index(b"\xff\xc4")
+    bits, vals = _JPEG_DC_LUM
+    assert buf[i + 4] == 0x00
+    assert buf[i + 5 : i + 21] == bytes(bits)
+    assert buf[i + 21 : i + 21 + 12] == bytes(vals)
+    # DHT AC-lum follows with class/id 0x10 and 162 Annex K values
+    j = buf.index(b"\xff\xc4", i + 2)
+    bits_a, vals_a = _JPEG_AC_LUM
+    assert buf[j + 4] == 0x10
+    assert buf[j + 5 : j + 21] == bytes(bits_a)
+    assert buf[j + 21 : j + 21 + 162] == bytes(vals_a)
+    # SOS header then the single hand-derived entropy byte
+    k = buf.index(b"\xff\xda")
+    assert buf[k + 4 : k + 10] == bytes([1, 1, 0x00, 0, 63, 0])
+    assert buf[k + 10 : -2] == b"\x2b"
+
+
+def test_jpeg_byte_stuffing_roundtrips():
+    """0xFF bytes in the entropy stream must be stuffed with 0x00
+    (F.1.2.3) and unstuffed on decode: sweep alternating 0/255 block
+    images across widths until the alignment produces a raw 0xFF."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_jpeg, encode_jpeg
+
+    saw_stuffing = False
+    for bw in range(1, 9):
+        vals = np.tile([0, 255], bw * 2)[: bw * 2].reshape(2, bw)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+        buf = encode_jpeg(img)
+        body = buf[buf.index(b"\xff\xda") :]
+        saw_stuffing = saw_stuffing or b"\xff\x00" in body
+        w, h, px = decode_jpeg(buf)
+        assert np.array_equal(px, img), bw
+    assert saw_stuffing
+
+
+def test_jpeg_rgb_restart_markers_reset_predictors():
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 256, size=(2, 6))
+    gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    rgb = np.stack([gray] * 3, axis=-1)
+    buf = encode_jpeg(rgb, restart_interval=2)
+    # RST0..RST5 appear in order between every 2 MCUs (12 MCUs -> 5 RSTs)
+    rsts = [buf[i + 1] - 0xD0 for i in range(len(buf) - 1)
+            if buf[i] == 0xFF and 0xD0 <= buf[i + 1] <= 0xD7]
+    assert rsts == [0, 1, 2, 3, 4]
+    w, h, px = decode_jpeg(buf)
+    assert np.array_equal(px, rgb)
+
+
+def test_jpeg_decode_errors_are_loud():
+    import numpy as np
+    import pytest
+
+    from utxo_to_parquet_spark.kernels.image import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8), 100, np.uint8)
+    buf = bytearray(encode_jpeg(img))
+    # progressive: flip SOF0 -> SOF2
+    i = buf.index(b"\xff\xc0")
+    prog = bytes(buf[: i + 1]) + b"\xc2" + bytes(buf[i + 2 :])
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(prog)
+    # chroma subsampling: sampling factor 0x22
+    sub = bytearray(buf)
+    sub[i + 11] = 0x22  # H/V byte of component 1 in SOF0
+    with pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(sub))
+    # 16-bit quant table
+    j = buf.index(b"\xff\xdb")
+    q16 = bytearray(buf)
+    q16[j + 4] = 0x10
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_jpeg(bytes(q16))
+    # missing SOI
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00" + bytes(buf[2:]))
+
+
+def test_jpeg_dispatches_through_decode_image():
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_image, encode_jpeg
+
+    img = np.full((8, 8), 31, np.uint8)
+    fmt, w, h, px = decode_image(encode_jpeg(img))
+    assert (fmt, w, h) == ("jpeg", 8, 8)
+    assert px.shape == (8, 8, 3) and np.all(px == 31)

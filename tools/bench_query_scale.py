@@ -253,6 +253,8 @@ OPS = {
     "q_dedup_substring_removal": "documents",
     # BPE encode: M vocab-bounded merge rounds + one corpus join
     "q_text_bpe_encode": "documents",
+    # JPEG decode: per-partition mapInPandas, corpus-linear, no shuffle
+    "q_mm_jpeg_decode_stats": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

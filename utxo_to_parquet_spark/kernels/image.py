@@ -478,4 +478,503 @@ def decode_image(payload: bytes) -> tuple[str, int, int, np.ndarray]:
     if payload[:4] == _QOI_MAGIC:
         w, h, px = decode_qoi(payload)
         return "qoi", w, h, px
+    if payload[:2] == b"\xff\xd8":
+        w, h, px = decode_jpeg(payload)
+        if px.ndim == 2:  # grayscale: widen to the dispatcher's RGB contract
+            px = np.stack([px] * 3, axis=-1)
+        return "jpeg", w, h, px
     raise ValueError(f"unknown image magic {payload[:2]!r}")
+
+
+# --- Baseline JPEG (ITU-T T.81) -------------------------------------------
+#
+# Real baseline sequential JFIF codec, pure Python + numpy, following the
+# PNG/QOI precedent: the encoder and decoder are two independent walks of
+# the spec (T.81 Annex F encode / E+F decode procedures), meeting at the
+# q_mm_jpeg_decode_stats oracle gate and the layout-pinned unit tests.
+# Scope: 8-bit baseline sequential (SOF0), 1-component grayscale or
+# 3-component YCbCr 4:4:4, optional restart markers. Progressive (SOF2),
+# hierarchical, arithmetic coding, 12-bit, and chroma subsampling raise
+# documented errors — the honest stub shrinks to those.
+
+# T.81 Annex K.3.3 typical huffman tables: (BITS counts per code length
+# 1..16, HUFFVAL symbol list). Spec-pinned: the layout tests byte-compare
+# the emitted DHT segments against these exact lists.
+_JPEG_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# zig-zag scan order: _JPEG_ZZ[k] = (row, col) of the k-th coefficient
+_JPEG_ZZ = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# separable IDCT basis: _IDCT_A[u, x] = C(u)/2 * cos((2x+1) u pi / 16)
+_IDCT_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical huffman assignment (T.81 Annex C): symbol -> (code, size)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for size in range(1, 17):
+        for _ in range(bits[size - 1]):
+            out[vals[k]] = (code, size)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, size: int) -> None:
+        self.acc = (self.acc << size) | (code & ((1 << size) - 1))
+        self.nbits += size
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (F.1.2.3)
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits  # pad with 1-bits (B.1.1.5)
+            self.put((1 << pad) - 1, pad)
+
+
+def _dc_category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_coef_bits(v: int, size: int) -> int:
+    # magnitude bits: v >= 0 -> v; v < 0 -> v - 1 in `size` low bits (F.1.4.1)
+    return v if v >= 0 else v - 1 + (1 << size)
+
+
+def encode_jpeg(
+    pixels: np.ndarray, restart_interval: int = 0
+) -> bytes:
+    """Baseline sequential JFIF encoder, DC-exact by construction: the
+    quantization tables are all 8s, so a CONSTANT 8x8 block's only
+    nonzero coefficient (DC = 8 * levelshifted value) quantizes to the
+    level-shifted value itself with NO loss — decode(encode(px)) is
+    bit-exact for block-constant inputs, which is what makes a lossy
+    codec oracle-gateable (q_mm_jpeg_decode_stats). Gray (h, w) input
+    emits 1-component grayscale; (h, w, 3) RGB emits 3-component
+    YCbCr 4:4:4 (interleaved MCUs, chroma tables) — also exact for
+    r==g==b inputs, where the color transform is the identity on Y and
+    pins Cb=Cr=128. Dimensions must be multiples of 8 (no edge
+    replication — the encoder's job here is to exercise the decoder,
+    not to ship partial-MCU padding)."""
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg requires multiple-of-8 dimensions")
+    if gray:
+        comps = [pixels.astype(np.float64)]
+    else:
+        r = pixels[:, :, 0].astype(np.float64)
+        g = pixels[:, :, 1].astype(np.float64)
+        b = pixels[:, :, 2].astype(np.float64)
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        comps = [y, cb, cr]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    qt = bytes([8] * 64)
+    out += seg(0xDB, b"\x00" + qt)  # DQT table 0
+    if not gray:
+        out += seg(0xDB, b"\x01" + qt)  # DQT table 1 (chroma)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))  # DRI
+    nf = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nf])
+    for ci in range(nf):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)  # SOF0 baseline
+    tables = [(0x00, _JPEG_DC_LUM), (0x10, _JPEG_AC_LUM)]
+    if not gray:
+        tables += [(0x01, _JPEG_DC_CHR), (0x11, _JPEG_AC_CHR)]
+    for tc_th, (bits, vals) in tables:
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))  # DHT
+    sos = bytes([nf])
+    for ci in range(nf):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)  # SOS
+
+    dc_codes = [
+        _huff_codes(*(_JPEG_DC_LUM if ci == 0 else _JPEG_DC_CHR))
+        for ci in range(nf)
+    ]
+    ac_codes = [
+        _huff_codes(*(_JPEG_AC_LUM if ci == 0 else _JPEG_AC_CHR))
+        for ci in range(nf)
+    ]
+    bw = _BitWriter()
+    pred = [0] * nf
+    mcu_rows, mcu_cols = h // 8, w // 8
+    n_mcu = mcu_rows * mcu_cols
+    rst = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + rst])  # RSTn
+            rst = (rst + 1) % 8
+            pred = [0] * nf
+        by, bx = divmod(m, mcu_cols)
+        for ci in range(nf):
+            block = comps[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            if not np.all(block == block[0, 0]):
+                raise ValueError(
+                    "encode_jpeg encodes block-constant images only (the"
+                    " DC-exact contract); got a non-constant 8x8 block"
+                )
+            dc = int(block[0, 0]) - 128  # quantized DC == level-shifted value
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            size = _dc_category(diff)
+            code, ln = dc_codes[ci][size]
+            bw.put(code, ln)
+            if size:
+                bw.put(_encode_coef_bits(diff, size), size)
+            code, ln = ac_codes[ci][0x00]  # EOB: all 63 ACs are zero
+            bw.put(code, ln)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing (F.2.2.5) and
+    restart-marker detection."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = 0  # pending marker (0xD0..0xD7 RST or terminating)
+
+    def _fill(self) -> None:
+        d = self.data
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:  # stuffed literal 0xFF
+                self.pos += 2
+            else:  # a real marker: record it, feed pad bits
+                self.marker = nxt
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self, expect: int) -> None:
+        """Consume padding up to and past an expected RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        self.marker = 0
+        d = self.data
+        while d[self.pos] != 0xFF or d[self.pos + 1] == 0x00:
+            self.pos += 1
+        m = d[self.pos + 1]
+        if m != 0xD0 + expect:
+            raise ValueError(f"expected RST{expect}, found marker {m:02x}")
+        self.pos += 2
+
+
+def _huff_decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(size, code) -> symbol lookup built canonically — the decode-side
+    inverse of _huff_codes, built independently from BITS/HUFFVAL.
+    Memoized on the raw table bytes: real streams reuse the same four
+    Annex K tables file after file, and rebuilding per file was ~7% of
+    decode wall time."""
+    return _huff_decode_tree_cached(bytes(bits), bytes(vals))
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=64)
+def _huff_decode_tree_cached(
+    bits: bytes, vals: bytes
+) -> dict[tuple[int, int], int]:
+    out: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for size in range(1, 17):
+        for _ in range(bits[size - 1]):
+            out[(size, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# de-zigzag as one vectorized scatter: flat pixel index of the k-th
+# zigzag coefficient
+_JPEG_ZZ_FLAT = np.array([r * 8 + c for r, c in _JPEG_ZZ], dtype=np.int64)
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, size = 0, 0
+    while size < 17:
+        code = (code << 1) | br.bit()
+        size += 1
+        sym = table.get((size, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in entropy segment")
+
+
+def _extend(v: int, size: int) -> int:
+    # F.2.2.1 EXTEND: low `size` bits back to a signed coefficient
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline sequential JPEG decoder (ITU-T T.81): marker parse, DQT /
+    DHT / SOF0 / SOS / DRI, canonical huffman entropy decode with byte
+    unstuffing and restart markers, DC prediction, de-zigzag,
+    dequantization, separable float IDCT, level shift, and (for 3
+    components) the JFIF YCbCr->RGB transform. Returns (w, h, pixels)
+    with pixels (h, w) for grayscale or (h, w, 3) RGB.
+
+    Supported: 8-bit baseline (SOF0), 1 or 3 components, 4:4:4 only.
+    Progressive (SOF2), other SOFn, arithmetic coding, and subsampled
+    chroma raise ValueError with the unsupported feature named — the
+    documented residual stub."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None  # (h, w, [(cid, hsamp, vsamp, tq)])
+    restart_interval = 0
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        ln = int.from_bytes(payload[pos : pos + 2], "big")
+        body = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                zz = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8)
+                q = np.zeros((8, 8), dtype=np.int64)
+                for k, (r, c) in enumerate(_JPEG_ZZ):
+                    q[r, c] = zz[k]
+                qtabs[tq] = q
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                tree = _huff_decode_tree(bits, vals)
+                (ac_tabs if tc else dc_tabs)[th] = tree
+                b += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            fh = int.from_bytes(body[1:3], "big")
+            fw = int.from_bytes(body[3:5], "big")
+            nf = body[5]
+            comps = []
+            for ci in range(nf):
+                cid, hv, tq = body[6 + 3 * ci], body[7 + 3 * ci], body[8 + 3 * ci]
+                if hv != 0x11:
+                    raise ValueError("chroma subsampling unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+            if nf not in (1, 3):
+                raise ValueError(f"{nf}-component frames unsupported")
+            frame = (fh, fw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"SOF{marker - 0xC0} unsupported (baseline sequential only)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            sel = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                sel.append((cs, tdta >> 4, tdta & 0xF))
+            scan = sel
+            pos += ln
+            break  # entropy-coded data follows
+        pos += ln
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0 or SOS")
+    fh, fw, comps = frame
+    if fh % 8 or fw % 8:
+        raise ValueError("partial-MCU images unsupported (dims must be 8k)")
+    nf = len(comps)
+    if len(scan) != nf:
+        raise ValueError("multi-scan files unsupported (single interleaved scan)")
+    comp_q = []
+    for (cid, tq), (cs, td, ta) in zip(comps, scan):
+        if cs != cid:
+            raise ValueError("scan component order must match frame")
+        # quant table pre-permuted into ZIGZAG order so dequant +
+        # de-zigzag is one vectorized scatter per block
+        comp_q.append(
+            (
+                qtabs[tq].reshape(64)[_JPEG_ZZ_FLAT].astype(np.float64),
+                dc_tabs[td],
+                ac_tabs[ta],
+            )
+        )
+    planes = [np.zeros((fh, fw), dtype=np.float64) for _ in range(nf)]
+    br = _BitReader(payload, pos)
+    pred = [0] * nf
+    mcu_rows, mcu_cols = fh // 8, fw // 8
+    rst = 0
+    for m in range(mcu_rows * mcu_cols):
+        if restart_interval and m and m % restart_interval == 0:
+            br.sync_restart(rst)
+            rst = (rst + 1) % 8
+            pred = [0] * nf
+        by, bx = divmod(m, mcu_cols)
+        for ci in range(nf):
+            q_zz, dct, act = comp_q[ci]
+            zz = [0] * 64
+            size = _read_symbol(br, dct)
+            diff = _extend(br.receive(size), size) if size else 0
+            pred[ci] += diff
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = _read_symbol(br, act)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                zz[k] = _extend(br.receive(s), s)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_JPEG_ZZ_FLAT] = np.asarray(zz, dtype=np.float64) * q_zz
+            block = _IDCT_A.T @ coef.reshape(8, 8) @ _IDCT_A
+            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block + 128.0
+    if nf == 1:
+        px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return fw, fh, px
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    px = np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+    return fw, fh, px

@@ -176,20 +176,25 @@ def q_mm_frame_sample(spark, sf_dir):
 
 
 def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
-    """Placeholder for natively-coded formats (JPEG/video — PIL,
-    libvips, ffmpeg are not installed here).
+    """Placeholder for the remaining natively-coded formats
+    (progressive/subsampled JPEG and video — PIL, libvips, ffmpeg are
+    not installed here).
 
     Formats decodable in pure Python are NOT stubbed: kernels/image.py
-    implements real PPM (P6), 24-bit BMP, and PNG (stdlib zlib inflate +
-    all five scanline filters) codecs, exercised end-to-end by
-    ``q_mm_decode_pixel_stats`` and ``q_mm_phash_dedup``. A production
-    deployment swaps this stub for the native codec; the mapInPandas
-    plumbing is unchanged by that swap.
+    implements real PPM (P6), 24-bit BMP, PNG (stdlib zlib inflate +
+    all five scanline filters), QOI, and — round 9 — BASELINE
+    SEQUENTIAL JPEG (marker parse, canonical huffman entropy decode
+    with byte unstuffing and restart markers, dequant, IDCT, YCbCr),
+    exercised end-to-end by ``q_mm_decode_pixel_stats``,
+    ``q_mm_phash_dedup``, ``q_mm_qoi_decode_stats``, and
+    ``q_mm_jpeg_decode_stats``. A production deployment swaps this
+    stub for the native codec; the mapInPandas plumbing is unchanged
+    by that swap.
     """
     raise NotImplementedError(
-        "native image codecs (JPEG/video) are not available in this"
-        " environment; see kernels/image.py for the pure-Python"
-        " PPM/BMP/PNG formats"
+        "progressive/subsampled JPEG and video codecs are not available"
+        " in this environment; see kernels/image.py for the pure-Python"
+        " PPM/BMP/PNG/QOI and baseline-JPEG formats"
     )
 
 
@@ -730,3 +735,124 @@ def q_mm_payload_dedup(spark, sf_dir):
         )
     )
     return grouped.filter(F.col("n_copies") > 1)
+
+
+# --- Real baseline JPEG decode --------------------------------------------
+
+JPEG_BH = 2  # block rows; block cols vary 2..4 per doc
+
+
+@register(
+    "q_mm_jpeg_decode_stats",
+    # independent-recompute oracle, same contract as the QOI/WAV gates:
+    # the planted image is BLOCK-CONSTANT (each 8x8 block one byte of the
+    # text), which is the one shape a LOSSY codec reproduces bit-exactly
+    # (DC-only blocks under all-8s quant tables: quantized DC == the
+    # level-shifted value; gray r==g==b pixels survive the YCbCr
+    # round-trip exactly). The oracle rebuilds the DECODED buffer by
+    # string arithmetic — each block char repeated 8x per row (24x for
+    # 3-channel RGB rows) and each block row repeated 8 times — so a
+    # huffman mis-decode, DC-predictor slip, dequant/IDCT scale error,
+    # zig-zag mix-up, restart-marker desync, or color-transform bias
+    # changes sum_px or px_sha and breaks the gate. Even docs decode
+    # grayscale; odd docs decode 3-component YCbCr with restart markers.
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(2 + doc_id % 3 AS BIGINT) AS bw,
+             CAST({JPEG_BH} AS BIGINT) AS bh,
+             doc_id % 2 = 1 AS rgb,
+             substr(repeat(text, CAST(CEIL(12.0 / LENGTH(text)) AS BIGINT)),
+                    1, CAST((2 + doc_id % 3) * {JPEG_BH} AS INT)) AS bpx
+      FROM documents
+    ),
+    built AS (
+      SELECT doc_id, bw, bh, rgb, bpx,
+             array_to_string(list_transform(range(0, bh), j ->
+               repeat(array_to_string(list_transform(range(0, bw), i ->
+                 repeat(substr(bpx, CAST(j * bw + i + 1 AS INT), 1),
+                        CASE WHEN rgb THEN 24 ELSE 8 END)), ''), 8)), '')
+               AS buf
+      FROM img
+    )
+    SELECT doc_id,
+           CASE WHEN rgb THEN 'jpeg_rgb' ELSE 'jpeg_gray' END AS fmt,
+           bw * 8 AS width, bh * 8 AS height,
+           CAST((CASE WHEN rgb THEN 192 ELSE 64 END)
+                * LIST_SUM(LIST_TRANSFORM(RANGE(0, bw * bh),
+                    i -> ASCII(substr(bpx, CAST(i + 1 AS INT), 1))))
+                AS BIGINT) AS sum_px,
+           substr(sha256(buf), 1, 16) AS px_sha
+    FROM built
+    """,
+)
+def q_mm_jpeg_decode_stats(spark, sf_dir):
+    """REAL baseline JPEG decode end-to-end (ITU-T T.81 sequential DCT):
+    each document's text bytes become the 8x8-block values of a small
+    block-constant image, encoded to a full JFIF byte stream (Annex K
+    huffman tables, all-8s quant, interleaved 4:4:4 MCUs, restart
+    markers on the RGB path) and decoded back by the independent
+    pure-Python decoder in kernels/image.py — marker parse, canonical
+    huffman with byte unstuffing, DC prediction, de-zigzag, dequant,
+    separable float IDCT, level shift, YCbCr->RGB. Block-constant
+    inputs are the bit-exact subset of a lossy codec (DC-only under
+    all-8s quantization), which is what lets the DuckDB oracle
+    recompute the decoded buffer from the text alone. One Arrow-batched
+    mapInPandas pass, per-partition, no shuffle; progressive JPEG and
+    subsampled chroma remain the documented decoder stub
+    (kernels/image.py decode_jpeg docstring)."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.image import decode_jpeg, encode_jpeg
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def jpeg_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "fmt", "width", "height", "sum_px", "px_sha")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if not text or not text.isascii():
+                    raise ValueError(
+                        f"q_mm_jpeg_decode_stats: doc {doc_id} has empty or"
+                        " non-ASCII text; the planted-block contract"
+                        " requires non-empty ASCII"
+                    )
+                bw, bh = 2 + doc_id % 3, JPEG_BH
+                n = bw * bh
+                raw = (text.encode("utf-8") * -(-n // len(text)))[:n]
+                vals = np.frombuffer(raw, dtype=np.uint8).reshape(bh, bw)
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                if doc_id % 2:
+                    rgb = np.stack([img] * 3, axis=-1)
+                    buf = encode_jpeg(rgb, restart_interval=2)
+                    w, h, px = decode_jpeg(buf)
+                    assert px.shape == (bh * 8, bw * 8, 3), doc_id
+                    assert np.array_equal(px, rgb), doc_id
+                    fmt = "jpeg_rgb"
+                else:
+                    buf = encode_jpeg(img)
+                    w, h, px = decode_jpeg(buf)
+                    assert px.shape == (bh * 8, bw * 8), doc_id
+                    assert np.array_equal(px, img), doc_id
+                    fmt = "jpeg_gray"
+                flat = px.tobytes()
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_px"].append(int(np.frombuffer(flat, np.uint8)
+                                         .sum(dtype=np.int64)))
+                out["px_sha"].append(
+                    _hashlib.sha256(flat).hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        jpeg_stats,
+        "doc_id long, fmt string, width long, height long,"
+        " sum_px long, px_sha string",
+    )
