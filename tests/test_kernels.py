@@ -889,3 +889,78 @@ def test_jpeg_dispatches_through_decode_image():
     fmt, w, h, px = decode_image(encode_jpeg(img))
     assert (fmt, w, h) == ("jpeg", 8, 8)
     assert px.shape == (8, 8, 3) and np.all(px == 31)
+
+
+def test_exif_roundtrip_both_byte_orders():
+    from utxo_to_parquet_spark.kernels.exif import decode_exif, encode_exif
+
+    for be in (False, True):
+        blob = encode_exif(
+            width=1920, height=1080, make="acme photo", orientation=6,
+            datetime="2024:05:01 12:34:56", iso=400, exposure=(1, 125),
+            big_endian=be,
+        )
+        got = decode_exif(blob)
+        assert got == {
+            "byte_order": "MM" if be else "II",
+            "width": 1920, "height": 1080, "make": "acme photo",
+            "orientation": 6, "datetime": "2024:05:01 12:34:56",
+            "iso": 400, "exposure": (1, 125),
+        }
+
+
+def test_exif_layout_pinned_against_spec():
+    """Pin the byte layout to TIFF 6.0: header II/42/offset-8, entry
+    count, ascending tag order, inline SHORT padding, and out-of-line
+    ASCII placement after the IFD."""
+    import struct
+
+    from utxo_to_parquet_spark.kernels.exif import encode_exif
+
+    blob = encode_exif(
+        width=640, height=480, make="zz", orientation=1,
+        datetime="2024:01:01 00:00:00", iso=100, exposure=(1, 50),
+    )
+    assert blob[:8] == b"II" + struct.pack("<HI", 42, 8)
+    (n,) = struct.unpack_from("<H", blob, 8)
+    assert n == 6
+    tags = [struct.unpack_from("<H", blob, 10 + 12 * k)[0] for k in range(n)]
+    assert tags == sorted(tags) == [0x0100, 0x0101, 0x010F, 0x0112, 0x0132, 0x8769]
+    # make == "zz" -> 3 bytes with NUL, INLINE (<=4), zero-padded to 4
+    k = tags.index(0x010F)
+    tag, typ, count = struct.unpack_from("<HHI", blob, 10 + 12 * k)
+    assert (typ, count) == (2, 3)
+    assert blob[10 + 12 * k + 8 : 10 + 12 * k + 12] == b"zz\x00\x00"
+    # datetime (20 bytes with NUL) is out-of-line right after the IFD
+    k = tags.index(0x0132)
+    tag, typ, count, off = struct.unpack_from("<HHII", blob, 10 + 12 * k)
+    assert (typ, count) == (2, 20)
+    assert off == 8 + 2 + 12 * 6 + 4  # first out-of-line slot
+    assert blob[off : off + 20] == b"2024:01:01 00:00:00\x00"
+
+
+def test_exif_decode_errors_are_loud():
+    import pytest
+
+    from utxo_to_parquet_spark.kernels.exif import decode_exif, encode_exif
+
+    blob = bytearray(
+        encode_exif(
+            width=10, height=10, make="m", orientation=1,
+            datetime="2024:01:01 00:00:00", iso=100, exposure=(1, 50),
+        )
+    )
+    with pytest.raises(ValueError, match="byte order"):
+        decode_exif(b"XX" + bytes(blob[2:]))
+    bad_magic = bytearray(blob)
+    bad_magic[2] = 43
+    with pytest.raises(ValueError, match="magic"):
+        decode_exif(bytes(bad_magic))
+    with pytest.raises(ValueError, match="EOF"):
+        decode_exif(bytes(blob[:40]))
+    # unknown value type
+    import struct as _s
+    bad_type = bytearray(blob)
+    _s.pack_into("<H", bad_type, 10 + 2, 9)  # first entry's type -> 9
+    with pytest.raises(ValueError, match="unknown TIFF type"):
+        decode_exif(bytes(bad_type))

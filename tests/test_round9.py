@@ -120,3 +120,118 @@ def test_bpe_encode_greedy_run_semantics(tmp_path, spark):
     assert n_words2 == 2
     # aaa contributes 2 or 1 tokens; xy contributes 2 or 1
     assert 2 <= n_tok2 <= 4
+
+
+def _write_table(tmp_path, name, rows, cols):
+    base = pq.read_schema(f"/root/testdata/sf0.001/{name}.parquet")
+    table = pa.Table.from_pylist(
+        [dict(zip(cols, r)) for r in rows], schema=base
+    )
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"]
+
+
+def test_ks_test_separated_distributions_hit_d_one(tmp_path, spark):
+    """Fully separated samples (every F order cheaper than every other
+    order) must give D = 1.0 exactly -> d_e6 == 1000000 and
+    d_num == n1*n2."""
+    from datetime import datetime
+
+    dt = datetime(2024, 1, 1)
+    rows = [(k, k % 7, "F", 100.0 + k, dt, "1-URGENT") for k in range(20)]
+    rows += [(100 + k, k % 7, "O", 900.0 + k, dt, "1-URGENT") for k in range(30)]
+    sf = _write_table(tmp_path, "orders", rows, ORDER_COLS)
+    r = QUERIES["q_agg_ks_test"](spark, sf).collect()[0]
+    assert (r.n1, r.n2) == (20, 30)
+    assert r.d_num == 20 * 30
+    assert r.d_e6 == 1_000_000
+
+
+def test_permutation_test_planted_effect_escapes_null(tmp_path, spark):
+    """Even-keyed customers place 12 orders, odd-keyed 2: the observed
+    |T| must exceed every sign-randomization replica (p < 1/65); with
+    no effect it should sit inside the distribution."""
+    from datetime import datetime
+
+    dt = datetime(2024, 1, 1)
+    rows = []
+    key = 0
+    for cust in range(60):
+        n = 12 if cust % 2 == 0 else 2
+        for _ in range(n):
+            rows.append((key, cust, "F", 100.0, dt, "1-URGENT"))
+            key += 1
+    sf = _write_table(tmp_path, "orders", rows, ORDER_COLS)
+    out = {r.perm_id: r.t_abs for r in
+           QUERIES["q_agg_permutation_test"](spark, sf).collect()}
+    t_obs = out.pop(-1)
+    assert len(out) == 64
+    assert all(t_obs > t for t in out.values())  # p = 1/65
+
+
+def test_markov_stationary_two_state_cycle(tmp_path, spark):
+    """A deterministic a->b->a->... stream has stationary (1/2, 1/2):
+    both types end at pi_e9 ~ 5e8 (exact up to integer-div truncation
+    leakage of < K*types parts per 1e9)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, ("a" if i % 2 == 0 else "b"),
+         1.0, "{}")
+        for i in range(400)
+    ]
+    sf = _write_table(tmp_path, "events",
+                      rows, ["event_id", "ts", "user_id", "event_type",
+                             "value", "props"])
+    out = {r.event_type: r.pi_e9 for r in
+           QUERIES["q_events_markov_stationary"](spark, sf).collect()}
+    assert set(out) == {"a", "b"}
+    for v in out.values():
+        assert abs(v - 500_000_000) <= 100  # truncation leakage only
+
+
+def test_range_search_radius_cut_is_exact(tmp_path, spark):
+    """A near-duplicate of a query vector is returned; an orthogonal
+    vector is not; the query itself is excluded."""
+    import numpy as np
+
+    d = 8
+    q = [1.0] + [0.0] * (d - 1)
+    near = [0.99] + [0.01] * (d - 1)  # cos ~ 0.999
+    orth = [0.0] * (d - 1) + [1.0]  # cos = 0
+    rows = [
+        (0, [float(x) for x in q], 0),
+        (1, [float(x) for x in near], 0),
+        (2, [float(x) for x in orth], 1),
+    ]
+    sf = _write_table(tmp_path, "embeddings", rows,
+                      ["vec_id", "embedding", "label"])
+    out = [(r.q_id, r.c_id) for r in
+           QUERIES["q_sim_range_search"](spark, sf).collect()]
+    assert (0, 1) in out
+    assert all(c != 2 for _, c in out)
+    assert all(q != c for q, c in out)
+
+
+def test_bpe_vocab_first_merge_is_dominant_pair(tmp_path, spark):
+    """The merge log's step 1 must be the corpus's dominant adjacent
+    pair, and fertility must separate a fragmenting language from a
+    fused one."""
+    rows = [
+        (1, " ".join(["aaaa"] * 20), "en", "web", 1),
+        (2, "xyz xyz", "de", "web", 1),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    vocab = {r.step: (r.a, r.b) for r in
+             QUERIES["q_text_bpe_vocab"](spark, sf).collect()}
+    assert vocab[1] == ("a", "a")
+    fert = {r.lang: r.fertility_e4 for r in
+            QUERIES["q_text_token_fertility"](spark, sf).collect()}
+    # en words fully fuse across 10 merges; whatever de ends at, the
+    # heavy-duplicated en must be at least as fused
+    assert fert["en"] <= fert["de"]

@@ -255,6 +255,38 @@ OPS = {
     "q_text_bpe_encode": "documents",
     # JPEG decode: per-partition mapInPandas, corpus-linear, no shuffle
     "q_mm_jpeg_decode_stats": "documents",
+    # round 9 sweep (verdict item 6): every remaining op with join /
+    # window / iteration fan-out risk gets a measured cell — iterative
+    # graph ops, the attribution/funnel/path family, as-of + range
+    # joins, the pair-join dedup family, IVF-PQ/kmeans/MMR, SCD2 and
+    # rolling-median windows, shingle joins, and the prefix-sum packer
+    "q_graph_pagerank": "graph",
+    "q_graph_triangles": "graph",
+    "q_events_attribution": "events",
+    "q_events_funnel_conversion": "events",
+    "q_events_top_paths": "events",
+    "q_events_asof_join": "events",
+    "q_range_join": "graph",
+    "q_dedup_ngram_jaccard": "documents",
+    "q_dedup_embedding_lsh": "embeddings",
+    "q_dedup_sorted_neighborhood": "documents",
+    "q_dedup_decontaminate": "documents",
+    "q_sim_ivfpq_topk": "embeddings",
+    "q_sim_kmeans": "embeddings",
+    "q_sim_mmr_rerank": "embeddings",
+    "q_mm_phash_dedup": "documents",
+    "q_text_contamination_ngram": "documents",
+    "q_pipeline_sequence_pack": "documents",
+    "q_events_scd2": "events",
+    "q_window_rolling_median": "graph",
+    # round-9 new ops
+    "q_text_bpe_vocab": "documents",
+    "q_text_token_fertility": "documents",
+    "q_sim_range_search": "embeddings",
+    "q_agg_ks_test": "graph",
+    "q_agg_permutation_test": "graph",
+    "q_events_markov_stationary": "events",
+    "q_mm_exif_parse": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

@@ -4116,3 +4116,125 @@ def q_events_peak_detection(spark, sf_dir):
         (F.col("s") - F.col("r")).cast("long").alias("neighbor_sum"),
         (F.col("cnt") - 1).cast("long").alias("n_neighbors"),
     )
+
+
+# --- Markov stationary distribution ----------------------------------------
+
+MARKOV_POWER_K = 16  # power-iteration steps; the ~8-type fixture chain
+# mixes in far fewer, and each extra step is one join over a |types|^2
+# relation — free at any corpus size
+MARKOV_E9 = 1_000_000_000
+
+
+def _markov_stationary_oracle(k: int = MARKOV_POWER_K) -> str:
+    """K chained MATERIALIZED CTE steps of the integer power iteration
+    (the q_text_bpe_encode oracle pattern: materialize every level or
+    DuckDB inlines the chain exponentially)."""
+    parts = [
+        f"""
+    WITH seq AS MATERIALIZED (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS MATERIALIZED (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    r AS MATERIALIZED (
+      SELECT src, CAST(SUM(n) AS BIGINT) AS rn FROM c GROUP BY src
+    ),
+    tn AS MATERIALIZED (
+      SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nt FROM events
+    ),
+    v0 AS MATERIALIZED (
+      SELECT event_type AS t, CAST({MARKOV_E9} // tn.nt AS BIGINT) AS val
+      FROM (SELECT DISTINCT event_type FROM events), tn
+    )"""
+    ]
+    for m in range(1, k + 1):
+        parts.append(
+            f""",
+    v{m} AS MATERIALIZED (
+      SELECT c.dst AS t,
+             CAST(SUM((v.val * c.n) // r.rn) AS BIGINT) AS val
+      FROM v{m - 1} v JOIN c ON c.src = v.t JOIN r ON r.src = c.src
+      GROUP BY c.dst
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT t AS event_type, val AS pi_e9,
+           CAST(ROW_NUMBER() OVER (ORDER BY val DESC, t) AS BIGINT) AS rnk
+    FROM v{k}"""
+    )
+    return "".join(parts)
+
+
+@register("q_events_markov_stationary", oracle=_markov_stationary_oracle())
+def q_events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain — where a
+    user's behavior settles if the observed transition dynamics run
+    forever; the long-run load profile a capacity model needs and the
+    baseline an anomalous-session scorer compares against. Composes
+    q_events_markov_transition's counts with {MARKOV_POWER_K} steps of
+    power iteration.
+
+    Exact-integer discipline: the distribution is carried as e9
+    fixed-point BIGINTs and each step computes
+    v'[dst] = sum_src (v[src] * n(src,dst)) div rowsum(src) — integer
+    div of positives, identical on both engines, so the iterate is
+    bit-deterministic (a float version would hash-flip on partial-agg
+    merge order). Truncation leaks ~|types| parts per 1e9 per step —
+    invisible at e9 with 16 steps — and any type with no outgoing
+    transitions drops out identically on both sides (inner join).
+
+    Plan shape: one user-partitioned LEAD over the corpus, then
+    everything iterates on the |types|^2 count relation (~64 rows at
+    any corpus size); per step one join + one hash aggregate, lineage
+    cut every 4 steps (the HITS localCheckpoint idiom). The oracle
+    replays the identical iteration as {MARKOV_POWER_K} materialized
+    CTE levels."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    c = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    r = c.groupBy("src").agg(F.sum("n").cast("long").alias("rn"))
+    tn = ev.agg(F.countDistinct("event_type").alias("nt"))
+    v = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(tn))  # 1-row type-count attach
+        .select(
+            F.col("event_type").alias("t"),
+            F.expr(f"{MARKOV_E9} div nt").cast("long").alias("val"),
+        )
+    )
+    for step in range(1, MARKOV_POWER_K + 1):
+        v = (
+            v.join(c, c["src"] == v["t"])
+            .join(r, "src")
+            .select(
+                F.col("dst"),
+                F.expr("(val * n) div rn").alias("term"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("term").cast("long").alias("val"))
+            .select(F.col("dst").alias("t"), "val")
+        )
+        if step % 4 == 0:
+            v = v.localCheckpoint(eager=True)
+    wr = W.orderBy(F.desc("val"), "t")
+    return v.select(
+        F.col("t").alias("event_type"),
+        F.col("val").alias("pi_e9"),
+        F.row_number().over(wr).cast("long").alias("rnk"),
+    )

@@ -856,3 +856,102 @@ def q_mm_jpeg_decode_stats(spark, sf_dir):
         "doc_id long, fmt string, width long, height long,"
         " sum_px long, px_sha string",
     )
+
+
+# --- TIFF/EXIF metadata extraction ----------------------------------------
+
+
+@register(
+    "q_mm_exif_parse",
+    # independent-recompute oracle: every planted field is
+    # engine-identical arithmetic over (doc_id, text), and blob_len pins
+    # the WRITER's TIFF layout arithmetic too (144 fixed bytes + the
+    # out-of-line Make tail when len(make)+NUL exceeds the 4-byte inline
+    # slot). A parser that misread byte order, walked the wrong IFD
+    # offset, confused inline vs out-of-line placement, or swapped
+    # rational num/den flips a column and breaks the hash.
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             string_split(text, ' ')[1] AS make
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+           CAST(320 + (d.doc_id % 64) * 16 AS BIGINT) AS width,
+           CAST(240 + (d.doc_id % 48) * 16 AS BIGINT) AS height,
+           f.make,
+           CAST(1 + d.doc_id % 8 AS BIGINT) AS orientation,
+           '2024:01:01 '
+             || lpad(CAST(d.doc_id % 24 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST(d.doc_id % 60 AS VARCHAR), 2, '0') || ':'
+             || lpad(CAST((d.doc_id * 7) % 60 AS VARCHAR), 2, '0') AS dt,
+           CAST(100 * (1 + d.doc_id % 32) AS BIGINT) AS iso,
+           CAST(1 AS BIGINT) AS exp_num,
+           CAST(50 + d.doc_id % 200 AS BIGINT) AS exp_den,
+           CAST(144 + CASE WHEN LENGTH(f.make) >= 4
+                           THEN LENGTH(f.make) + 1 ELSE 0 END
+                AS BIGINT) AS blob_len
+    FROM documents d JOIN f ON f.doc_id = d.doc_id
+    """,
+)
+def q_mm_exif_parse(spark, sf_dir):
+    """TIFF/EXIF metadata extraction — the multimodal path image
+    pipelines run far more often than pixel decode (dedup on
+    camera+timestamp, exposure/ISO quality filters, orientation-aware
+    resizing). Each document plants deterministic camera fields
+    (dimensions, Make = the doc's first word, orientation, datetime,
+    ISO, exposure rational), writes a real TIFF/EXIF blob — IFD0 +
+    ExifIFD sub-directory, alternating II/MM byte order per doc — and
+    parses it back with the independent reader in kernels/exif.py.
+    One Arrow-batched mapInPandas pass, no shuffle; GPS IFDs,
+    maker notes, and APP1-embedded EXIF are the documented residual
+    scope (kernels/exif.py module docstring)."""
+    import pandas as pd
+
+    from ..kernels.exif import decode_exif, encode_exif
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def exif_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = ("doc_id", "byte_order", "width", "height", "make",
+                    "orientation", "dt", "iso", "exp_num", "exp_den",
+                    "blob_len")
+            out = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                make = text.split(" ")[0]
+                dt = "2024:01:01 {:02d}:{:02d}:{:02d}".format(
+                    doc_id % 24, doc_id % 60, (doc_id * 7) % 60
+                )
+                blob = encode_exif(
+                    width=320 + (doc_id % 64) * 16,
+                    height=240 + (doc_id % 48) * 16,
+                    make=make,
+                    orientation=1 + doc_id % 8,
+                    datetime=dt,
+                    iso=100 * (1 + doc_id % 32),
+                    exposure=(1, 50 + doc_id % 200),
+                    big_endian=bool(doc_id % 2),
+                )
+                got = decode_exif(blob)
+                out["doc_id"].append(doc_id)
+                out["byte_order"].append(got["byte_order"])
+                out["width"].append(got["width"])
+                out["height"].append(got["height"])
+                out["make"].append(got["make"])
+                out["orientation"].append(got["orientation"])
+                out["dt"].append(got["datetime"])
+                out["iso"].append(got["iso"])
+                out["exp_num"].append(got["exposure"][0])
+                out["exp_den"].append(got["exposure"][1])
+                out["blob_len"].append(len(blob))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        exif_stats,
+        "doc_id long, byte_order string, width long, height long,"
+        " make string, orientation long, dt string, iso long,"
+        " exp_num long, exp_den long, blob_len long",
+    )

@@ -4176,3 +4176,208 @@ def q_basket_rules(spark, sf_dir):
         F.expr("(1000000 * n_baskets * nab) div (sa * sb)")
         .cast("long").alias("lift_e6"),
     )
+
+
+# --- two-sample distribution tests ----------------------------------------
+
+
+@register(
+    "q_agg_ks_test",
+    oracle="""
+    WITH val AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT v,
+             SUM(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             SUM(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+      FROM val
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM val
+    )
+    SELECT t.n1, t.n2,
+           CAST(MAX(ABS(c.cum1 * t.n2 - c.cum2 * t.n1)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(c.cum1 * t.n2 - c.cum2 * t.n1)) * 1000000
+                // (t.n1 * t.n2) AS BIGINT) AS d_e6
+    FROM cum c, tot t
+    GROUP BY t.n1, t.n2
+    """,
+)
+def q_agg_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the order-value
+    distributions of fulfilled ('F') and open/pending orders — the
+    distribution-shift detector a data pipeline runs between corpus
+    snapshots (here: does order value shift once orders complete?).
+
+    D = max_x |F1(x) - F2(x)| computed EXACTLY in integers: one
+    map-side-combinable aggregate onto the DISTINCT-cents relation, the
+    two-pass distributed prefix sum (``global_cumsum``: range partition
+    + 32-row offset carry — no corpus-sized single-partition window),
+    then max |cum1*n2 - cum2*n1| — a common-denominator comparison with
+    no division until the final e6 snap (integer div, positive
+    operands). Int64 bound: cum*n <= n1*n2 ~ 5.8e12 at the 16x probe
+    and the e6 product stays under 2^63 through ~64x; past that, widen
+    the cross products to DECIMAL(38,0)/HUGEINT (the documented swap).
+    At 100 TB: the distinct-value relation is the only shuffled
+    intermediate, and the KS scan is linear in it."""
+    from .registry import global_cumsum
+
+    o = load(spark, sf_dir, "orders")
+    val = o.groupBy(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v")
+    ).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    cum = global_cumsum(val, "v", ["c1", "c2"])
+    tot = val.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))  # 1-row totals attach
+        .select(
+            "n1",
+            "n2",
+            F.abs(
+                F.col("cum_c1") * F.col("n2") - F.col("cum_c2") * F.col("n1")
+            ).alias("gap"),
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("gap").alias("d_num"))
+    )
+    return d.select(
+        "n1",
+        "n2",
+        F.col("d_num").cast("long").alias("d_num"),
+        F.expr("(d_num * 1000000) div (n1 * n2)").cast("long").alias("d_e6"),
+    )
+
+
+PERM_R = 64  # sign-randomization replicas
+_PERM_M32 = 1 << 32
+
+
+@register(
+    "q_agg_permutation_test",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+      FROM c
+    ),
+    obs AS (
+      SELECT CAST(-1 AS BIGINT) AS perm_id,
+             CAST(ABS(SUM((CASE WHEN c.o_custkey % 2 = 0 THEN 1 ELSE -1 END)
+                          * (t.n * c.x - t.s))) AS BIGINT) AS t_abs
+      FROM c, tot t GROUP BY ALL
+    ),
+    reps AS (
+      SELECT c.o_custkey, c.x, t.n, t.s, r.r,
+             ((c.o_custkey + r.r * 1000003) % {_PERM_M32}) AS k0
+      FROM c, tot t, (SELECT UNNEST(range(0, {PERM_R})) AS r) r
+    ),
+    mix1 AS (SELECT *, (k0 * 1540483477) % {_PERM_M32} AS h1 FROM reps),
+    mix2 AS (SELECT *, (xor(h1, h1 // 32768) * 889871637) % {_PERM_M32} AS h2
+             FROM mix1),
+    signed AS (
+      SELECT r, CAST(ABS(SUM((xor(h2, h2 // 8192) % 2 * 2 - 1)
+                             * (n * x - s))) AS BIGINT) AS t_abs
+      FROM mix2 GROUP BY r
+    )
+    SELECT perm_id, t_abs FROM obs
+    UNION ALL
+    SELECT CAST(r AS BIGINT) AS perm_id, t_abs FROM signed
+    """,
+)
+def q_agg_permutation_test(spark, sf_dir):
+    """Sign-randomization (Fisher-style permutation) test for whether
+    even- and odd-keyed customers draw the same order-count
+    distribution — the exchangeability check a pipeline runs to
+    validate that a hash-based split didn't correlate with behavior.
+    The null is true by construction here, so observed |T| should sit
+    inside the replica distribution; the constructed-case test plants a
+    real effect and watches it escape.
+
+    Statistic: T = |sum_i s_i * (n*x_i - S)| over per-customer order
+    counts — scaled centering (n*x - S) keeps everything in EXACT
+    BIGINTs (no mean division), and s_i is +/-1 from the library's
+    xorshift-multiply integer mix (multipliers < 2^31, engine-identical
+    arithmetic, the q_agg_bootstrap_ci idiom — md5-per-draw measured
+    40x slower there). perm_id -1 carries the OBSERVED parity labels;
+    rows 0..{PERM_R}-1 are the sign replicas. p-value = rank of the
+    observed row among replicas, left to the consumer (the constructed
+    test computes it). Int64 bound: |T| <= n^2 * max_x ~ 3e14 at the
+    16x probe; the documented swap past ~1e9 customers is widening
+    (n*x - S) to DECIMAL(38,0)/HUGEINT.
+
+    Plan shape: one groupBy onto the customer relation, a {PERM_R}-way
+    replica explode of that ALREADY-AGGREGATED relation (map-side
+    generated, never the raw corpus), one hash aggregate per replica —
+    all map-side combinable."""
+    c = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    tot = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    ct = c.crossJoin(F.broadcast(tot))  # 1-row totals attach
+    centered = F.col("n") * F.col("x") - F.col("s")
+    obs = ct.select(
+        (F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(-1) * centered)
+        .alias("term")
+    ).agg(
+        F.lit(-1).cast("long").alias("perm_id"),
+        F.abs(F.sum("term")).cast("long").alias("t_abs"),
+    )
+    reps = ct.select(
+        "o_custkey",
+        "x",
+        "n",
+        "s",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_R - 1))).alias("r"),
+    )
+    k0 = (F.col("o_custkey") + F.col("r") * 1000003) % _PERM_M32
+    h1 = (k0 * 1540483477) % _PERM_M32
+    h2 = (
+        F.expr(f"(cast(h1 as bigint) ^ (h1 div 32768)) * 889871637"
+               f" % {_PERM_M32}")
+    )
+    signed = (
+        reps.withColumn("h1", h1)
+        .withColumn("h2", h2)
+        .withColumn(
+            "sgn", F.expr("(cast(h2 as bigint) ^ (h2 div 8192)) % 2 * 2 - 1")
+        )
+        .groupBy("r")
+        .agg(
+            F.abs(
+                F.sum(F.col("sgn") * (F.col("n") * F.col("x") - F.col("s")))
+            )
+            .cast("long")
+            .alias("t_abs")
+        )
+        .select(F.col("r").cast("long").alias("perm_id"), "t_abs")
+    )
+    return obs.unionByName(signed)

@@ -2412,3 +2412,83 @@ def q_sim_triplet_margin(spark, sf_dir):
         "d2_other",
         (F.col("d2_other") - F.col("d2_own")).cast("long").alias("margin"),
     )
+
+
+# --- radius (range) search --------------------------------------------------
+
+RANGE_TAU = 0.25  # cosine radius; fixture p99 inter-vector cosine ~0.29,
+# so the threshold returns the genuinely-close tail (~1% of pairs), not
+# the bulk — and the qscale copies keep that fraction per corpus
+
+
+@register(
+    "q_sim_range_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+               FROM embeddings
+               WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID}),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings),
+    sims AS (
+      SELECT q_id, c_id,
+             ROUND(LIST_DOT_PRODUCT(qe, ce)
+                   / (SQRT(LIST_DOT_PRODUCT(qe, qe))
+                      * SQRT(LIST_DOT_PRODUCT(ce, ce))), 6) AS cosine
+      FROM q JOIN c ON q_id <> c_id
+    )
+    SELECT q_id, c_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, c_id) AS BIGINT)
+             AS rn
+    FROM sims WHERE cosine >= {RANGE_TAU}
+    """,
+)
+def q_sim_range_search(spark, sf_dir):
+    """Radius (range) search: ALL corpus vectors within cosine >=
+    {RANGE_TAU} of each query — the FAISS range_search companion to
+    top-k (dedup wants "everything this close", not "the 10 closest";
+    a fixed k either truncates dense neighborhoods or pads sparse
+    ones). Same Arrow-batched numpy scorer and bit-identical
+    left-to-right accumulation as q_sim_cosine_topk (lr_matmul); the
+    threshold compares the ROUNDED 6-decimal cosine on both engines,
+    so the cut can only disagree where the underlying doubles differ —
+    and they don't, by the lr_matmul contract. Output ranks survivors
+    per query for stable downstream consumption. At 100 TB this is one
+    corpus scan per batch of Q_CAP queries with a |survivors|-sized
+    shuffle — the window partitions by query over the already-filtered
+    tail, never the corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    q_pd = _query_vectors(emb).select("vec_id", "embedding").toPandas()
+    Q = _to_matrix(q_pd["embedding"])
+    q_ids = q_pd["vec_id"].to_numpy()
+    _, q_sq = lr_matmul(Q, Q[:0])
+    q_norm = np.sqrt(q_sq)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _to_matrix(pdf["embedding"])
+            c_ids = pdf["vec_id"].to_numpy()
+            dots, c_sq = lr_matmul(C, Q)
+            cos = dots / (q_norm[None, :] * np.sqrt(c_sq)[:, None])
+            n_c, n_q = cos.shape
+            out = pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n_c),
+                    "c_id": np.repeat(c_ids, n_q),
+                    "cosine": cos.ravel(),
+                }
+            )
+            # filter INSIDE the scorer: only the close tail (~1%) ever
+            # reaches the shuffle — the radius push-down a range search
+            # exists for
+            out["cosine"] = out["cosine"].round(6)
+            yield out[(out.q_id != out.c_id) & (out.cosine >= RANGE_TAU)]
+
+    sims = emb.select("vec_id", "embedding").mapInPandas(
+        score, "q_id long, c_id long, cosine double"
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return sims.select(
+        "q_id", "c_id", "cosine", F.row_number().over(w).cast("long").alias("rn")
+    )

@@ -1343,11 +1343,15 @@ BPE_ENC_MERGES = 10
 _BPE_D = "·"  # symbol delimiter; outside the corpus alphabet (ASCII)
 
 
-def _bpe_encode_oracle(n_merges: int = BPE_ENC_MERGES) -> str:
-    """Machine-generated chained-CTE replay of the BPE trainer+encoder:
-    v0 = per-word character symbols, then for each step m a 1-row best
-    pair b{m} (scalar subqueries) and the rewritten vocab v{m} via a
-    delimited-string fold with greedy leftmost merge semantics."""
+def _bpe_chain_sql(n_merges: int = BPE_ENC_MERGES) -> str:
+    """Machine-generated chained-CTE replay of the BPE trainer: v0 =
+    per-word character symbols, then for each step m a 1-row best pair
+    b{m} and the rewritten vocab v{m} via a delimited-string fold with
+    greedy leftmost merge semantics. Shared by the encode / vocab /
+    fertility oracles so the three replay ONE trainer definition.
+    Every level is MATERIALIZED: each references the previous twice
+    (pair count + rewrite), so inlining would re-evaluate the chain
+    exponentially (measured: 'Too many open files' at depth 10)."""
     d = _BPE_D
     parts = [
         f"""
@@ -1396,8 +1400,13 @@ def _bpe_encode_oracle(n_merges: int = BPE_ENC_MERGES) -> str:
       FROM v{p}, bx{m}
     )"""
         )
-    parts.append(
-        f""",
+    return "".join(parts)
+
+
+def _bpe_encode_oracle(n_merges: int = BPE_ENC_MERGES) -> str:
+    return (
+        _bpe_chain_sql(n_merges)
+        + f""",
     enc AS (
       SELECT word, CAST(len(syms) AS BIGINT) AS n_tok,
              CAST(list_max(list_transform(syms, x -> length(x)))
@@ -1416,7 +1425,68 @@ def _bpe_encode_oracle(n_merges: int = BPE_ENC_MERGES) -> str:
     WHERE t.word <> ''
     GROUP BY t.doc_id"""
     )
-    return "".join(parts)
+
+
+def _bpe_train(docs):
+    """Shared Spark-side trainer (the single source of truth the three
+    BPE entries compose): returns (encoded vocab DataFrame with
+    word/freq/syms, merge list [(a, b)]). See q_text_bpe_encode's
+    docstring for the scale/determinism contract."""
+    d = _BPE_D
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    v = wf.withColumn(
+        "syms", F.expr("filter(split(word, ''), x -> x <> '')")
+    ).localCheckpoint(eager=True)
+
+    def _sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(BPE_ENC_MERGES):
+        pairs = (
+            v.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] as a, syms[i+1] as b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("total"))
+        )
+        top = (
+            pairs.orderBy(
+                F.desc("total"), F.concat(F.col("a"), F.lit(d), F.col("b"))
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:  # vocab fully merged: oracle's NULL pair is a no-op too
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        fold = (
+            f"aggregate(syms, '{d}', (acc, x) -> "
+            f"CASE WHEN x = '{_sq(b)}' AND endswith(acc, '{d}{_sq(a)}{d}') "
+            f"THEN concat(left(acc, length(acc) - {len(a)} - 1), "
+            f"'{_sq(a)}{_sq(b)}{d}') "
+            f"ELSE concat(acc, x, '{d}') END)"
+        )
+        v = (
+            v.withColumn(
+                "syms", F.expr(f"filter(split({fold}, '{d}'), x -> x <> '')")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v, merges
 
 
 @register("q_text_bpe_encode", oracle=_bpe_encode_oracle())
@@ -1447,59 +1517,7 @@ def q_text_bpe_encode(spark, sf_dir):
     Delimiter '{_BPE_D}' is outside the fixture's ASCII alphabet —
     symbols never contain it."""
     docs = load(spark, sf_dir, "documents")
-    d = _BPE_D
-    wf = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-    )
-    v = wf.withColumn(
-        "syms", F.expr("filter(split(word, ''), x -> x <> '')")
-    ).localCheckpoint(eager=True)
-
-    def _sq(s: str) -> str:
-        return s.replace("'", "''")
-
-    for _ in range(BPE_ENC_MERGES):
-        pairs = (
-            v.filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(syms) - 2),"
-                        " i -> struct(syms[i] as a, syms[i+1] as b))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("total"))
-        )
-        top = (
-            pairs.orderBy(
-                F.desc("total"), F.concat(F.col("a"), F.lit(d), F.col("b"))
-            )
-            .limit(1)
-            .collect()
-        )
-        if not top:  # vocab fully merged: oracle's NULL pair is a no-op too
-            break
-        a, b = top[0]["a"], top[0]["b"]
-        fold = (
-            f"aggregate(syms, '{d}', (acc, x) -> "
-            f"CASE WHEN x = '{_sq(b)}' AND endswith(acc, '{d}{_sq(a)}{d}') "
-            f"THEN concat(left(acc, length(acc) - {len(a)} - 1), "
-            f"'{_sq(a)}{_sq(b)}{d}') "
-            f"ELSE concat(acc, x, '{d}') END)"
-        )
-        v = (
-            v.withColumn(
-                "syms", F.expr(f"filter(split({fold}, '{d}'), x -> x <> '')")
-            )
-            .localCheckpoint(eager=True)
-        )
-
+    v, _merges = _bpe_train(docs)
     enc = v.select(
         "word",
         F.size("syms").cast("long").alias("n_tok"),
@@ -1517,6 +1535,88 @@ def q_text_bpe_encode(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_words"),
             F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
             F.max("mx").cast("long").alias("max_token_len"),
+        )
+    )
+
+
+
+def _bpe_vocab_oracle(n_merges: int = BPE_ENC_MERGES) -> str:
+    steps = "\n    UNION ALL\n".join(
+        f"    SELECT CAST({m} AS BIGINT) AS step, a, b FROM b{m}"
+        for m in range(1, n_merges + 1)
+    )
+    return _bpe_chain_sql(n_merges) + f"""
+{steps}"""
+
+
+@register("q_text_bpe_vocab", oracle=_bpe_vocab_oracle())
+def q_text_bpe_vocab(spark, sf_dir):
+    """The trained BPE merge list itself — the merges.txt artifact a
+    tokenizer ships: step number and the (a, b) symbol pair fused at
+    that step, in training order. Composes the shared trainer
+    (_bpe_train, the same loop q_text_bpe_encode runs) and emits its
+    constant-bounded merge log as a {BPE_ENC_MERGES}-row DataFrame; the
+    oracle replays the chain and unions the per-step best-pair CTEs, so
+    a tie-break or fold divergence at ANY step flips this gate even if
+    downstream token counts happen to collide."""
+    docs = load(spark, sf_dir, "documents")
+    _v, merges = _bpe_train(docs)
+    rows = [(m + 1, a, b) for m, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "step long, a string, b string")
+
+
+def _bpe_fertility_oracle(n_merges: int = BPE_ENC_MERGES) -> str:
+    return (
+        _bpe_chain_sql(n_merges)
+        + f""",
+    enc AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_tok FROM v{n_merges}
+    ),
+    tok AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(e.n_tok) * 10000 // COUNT(*) AS BIGINT)
+             AS fertility_e4
+    FROM tok t JOIN enc e ON e.word = t.word
+    WHERE t.word <> ''
+    GROUP BY t.lang"""
+    )
+
+
+@register("q_text_token_fertility", oracle=_bpe_fertility_oracle())
+def q_text_token_fertility(spark, sf_dir):
+    """Tokenizer fertility by language: BPE tokens emitted per word —
+    the standard multilingual-tokenizer equity audit (a tokenizer
+    trained on one language's statistics fragments the others into more
+    tokens, inflating their effective sequence length and training
+    cost). Composes the shared trainer + encoded vocab with a per-lang
+    corpus aggregate; fertility is exact integer e4 (tokens*1e4 div
+    words, positive operands). Same plan shape as q_text_bpe_encode
+    with the final grain at |languages| instead of |docs|."""
+    docs = load(spark, sf_dir, "documents")
+    v, _merges = _bpe_train(docs)
+    enc = v.select("word", F.size("syms").cast("long").alias("n_tok"))
+    tokw = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        tokw.join(enc, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("(n_tokens * 10000) div n_words")
+            .cast("long")
+            .alias("fertility_e4"),
         )
     )
 

@@ -49,6 +49,17 @@ def get_spark(app_name: str = "utxo_to_parquet_spark", *, shuffle_partitions: in
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Opt-in shuffle/spill directory (e.g. tmpfs): on this bench host the
+    # virtual disk stalls unpredictably (bench.py documents 1-13 s swings
+    # for the same 79 MB write), and shuffle-heavy converts at mainnet
+    # depth spend most of their wall time in those stalls rather than in
+    # the engine. A real cluster's shuffle lands on node-local NVMe; the
+    # gsort bench models that with SPARK_GRAFT_LOCAL_DIR=/dev/shm/... —
+    # must be set before the first session of the process (the JVM reads
+    # spark.local.dir once at startup).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
