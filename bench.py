@@ -220,6 +220,13 @@ HEADLINE = [
     "q_dedup_substring_removal",
     "q_text_bpe_encode",
     "q_mm_jpeg_decode_stats",
+    "q_mm_exif_parse",
+    "q_agg_ks_test",
+    "q_agg_permutation_test",
+    "q_events_markov_stationary",
+    "q_text_bpe_vocab",
+    "q_text_token_fertility",
+    "q_sim_range_search",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

@@ -87,6 +87,13 @@ ALLOWED_NESTED_LOOP = {
     "q_pipeline_filter_funnel",
     # constant 9-row shard dim fanned out over doc ids (HRW scoring)
     "q_pipeline_rendezvous_shards",
+    # sample totals (n1, n2): 1-row aggregate attach onto the
+    # distinct-value cumsum relation
+    "q_agg_ks_test",
+    # global (n, S) centering scalars: 1-row aggregate attach onto the
+    # per-customer count relation (once for the observed statistic,
+    # once under the replica explode)
+    "q_agg_permutation_test",
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —
@@ -136,6 +143,16 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
     # rn <= 12 filter lets Spark rewrite the unpartitioned window into
     # TakeOrderedAndProject(limit=12) — per-partition top-k + merge, no
     # Exchange SinglePartition in the executed plan at all
+    "q_agg_ks_test": (
+        "global_cumsum offset window runs over the 32-row per-partition "
+        "totals relation; per-row cumulative sums are pid-PARTITIONED "
+        "(same two-pass prefix-sum shape as q_text_heaps_law)"
+    ),
+    "q_events_markov_stationary": (
+        "final rank window runs over the stationary-distribution vector "
+        "— one row per EVENT TYPE (~8 at any corpus size; the "
+        "transition matrix itself is |types|^2)"
+    ),
     "q_agg_bootstrap_ci": (
         "replica-mean ranking window runs over the groupBy(b) aggregate "
         "— input is exactly BOOT_B=32 rows regardless of corpus size"
