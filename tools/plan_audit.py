@@ -94,6 +94,9 @@ ALLOWED_NESTED_LOOP = {
     # per-customer count relation (once for the observed statistic,
     # once under the replica explode)
     "q_agg_permutation_test",
+    # |bigram types| scalar: 1-row countDistinct attach onto the
+    # vocab^2-bounded bigram-type relation
+    "q_text_kneser_ney",
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —

@@ -964,9 +964,17 @@ import numpy as _np
 
 EMB_BANDS = 4
 EMB_BAND_BITS = 6
+# the pool holds more planes than the registered default consumes:
+# rows [0, EMB_BANDS*EMB_BAND_BITS) are bit-identical to the original
+# 24-row draw (numpy Generators fill row-major from a sequential
+# stream, verified), so the gated oracle is unchanged; the extra rows
+# serve the scaled-bits weak-scaling variant (key space must grow with
+# the corpus or bucket occupancy — and the pair join — grows linearly
+# with it; the qscale probe measured exponent 1.18-1.26 at fixed bits)
+EMB_MAX_BITS = 12
 _PLANES = (
     _np.random.default_rng(7)
-    .standard_normal((EMB_BANDS * EMB_BAND_BITS, 64))
+    .standard_normal((EMB_BANDS * EMB_MAX_BITS, 64))
     .round(6)
     .tolist()
 )
@@ -1007,7 +1015,7 @@ def _embedding_lsh_oracle() -> str:
 
 
 @register("q_dedup_embedding_lsh", oracle=_embedding_lsh_oracle())
-def q_dedup_embedding_lsh(spark, sf_dir):
+def q_dedup_embedding_lsh(spark, sf_dir, band_bits: int = EMB_BAND_BITS):
     """Embedding near-dup, the 100-TB path: sign-random-projection LSH
     with the banded-OR construction ({EMB_BANDS} bands x {EMB_BAND_BITS}
     fixed literal hyperplanes), candidate pairs from an equi-join on
@@ -1018,6 +1026,14 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     aggregation. Recall is tunable with bands x bits (more bands = more
     recall, more candidates); cross-all-band misses are the documented
     LSH trade.
+
+    ``band_bits`` parametrizes the key width for weak scaling: a FIXED
+    key space means bucket occupancy — and the candidate pair join —
+    grows linearly with the corpus (the qscale probe measured exponent
+    1.18 on decorrelated copies at 6 bits). Production LSH grows bits
+    ~log2(N) so occupancy stays bounded; the probe's scaled-bits
+    variant (bits = 6 + log2(k)) measures exactly that. The registered
+    default keeps {EMB_BAND_BITS} bits and the unchanged oracle.
     """
     import numpy as np
     import pandas as pd
@@ -1032,7 +1048,9 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     # sign test on the unrounded dot must agree with the oracle), versus
     # ~24*64 interpreted expression evals per row. The embedding rides
     # through as double[] for the exact-cosine verify join below.
-    P = np.array(_PLANES, dtype=np.float64)
+    P = np.array(
+        _PLANES[: EMB_BANDS * band_bits], dtype=np.float64
+    )
 
     def keys(batches):
         for pdf in batches:
@@ -1045,8 +1063,8 @@ def q_dedup_embedding_lsh(spark, sf_dir):
             frames = []
             for b in range(EMB_BANDS):
                 bkey = np.zeros(len(C), dtype=np.int64)
-                for j in range(EMB_BAND_BITS):
-                    bkey += np.where(bits[:, b * EMB_BAND_BITS + j], 1 << j, 0)
+                for j in range(band_bits):
+                    bkey += np.where(bits[:, b * band_bits + j], 1 << j, 0)
                 frames.append(
                     pd.DataFrame(
                         {

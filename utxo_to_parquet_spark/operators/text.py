@@ -1621,6 +1621,108 @@ def q_text_token_fertility(spark, sf_dir):
     )
 
 
+KN_D_E4 = 7500  # Kneser-Ney absolute discount 0.75, e4 fixed-point
+KN_TOP = 25
+
+
+@register(
+    "q_text_kneser_ney",
+    oracle=f"""
+    WITH bg AS (
+      SELECT tl[CAST(u.i AS INT)] AS w1, tl[CAST(u.i AS INT) + 1] AS w2
+      FROM (SELECT string_split(text, ' ') AS tl FROM documents),
+           UNNEST(range(1, len(tl))) AS u(i)
+      WHERE tl[CAST(u.i AS INT)] <> '' AND tl[CAST(u.i AS INT) + 1] <> ''
+    ),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_left
+             FROM c12 GROUP BY w2),
+    fert AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_right
+             FROM c12 GROUP BY w1),
+    ndd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndd FROM c12),
+    p AS (
+      SELECT g.w1, g.w2, g.c12,
+             CAST((GREATEST(g.c12 * 10000 - {{KN_D_E4}}, 0)::HUGEINT
+                     * n.ndd::HUGEINT
+                   + {{KN_D_E4}}::HUGEINT * f.n_right::HUGEINT
+                     * ct.n_left::HUGEINT)
+                  * 1000000000
+                  // (c.c1::HUGEINT * 10000 * n.ndd::HUGEINT)
+                  AS BIGINT) AS p_kn_e9
+      FROM c12 g
+      JOIN c1 c ON c.w1 = g.w1
+      JOIN fert f ON f.w1 = g.w1
+      JOIN cont ct ON ct.w2 = g.w2
+      CROSS JOIN ndd n
+    )
+    SELECT w1, w2, c12, p_kn_e9
+    FROM p ORDER BY c12 DESC, w1, w2 LIMIT {{KN_TOP}}
+    """.format(KN_D_E4=KN_D_E4, KN_TOP=KN_TOP),
+)
+def q_text_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities for the corpus's
+    top-{KN_TOP} bigrams — the smoothing that made n-gram LMs
+    competitive (Kneser & Ney 1995; Chen & Goodman 1998) and the
+    quality-scoring upgrade over the add-one bigram scorer
+    (q_text_perplexity_bigram): continuation counts replace raw
+    unigram frequency, so "francisco" stops looking probable after
+    everything.
+
+    p_KN(w2|w1) = max(c12 - D, 0)/c1 + D * n_right(w1)/c1 * p_cont(w2)
+    with p_cont = n_left(w2) / |bigram types| and D = 0.75, computed as
+    ONE exact integer expression: numerator and denominator are
+    cross-multiplied to a common denominator in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — the established widening pair whose integer
+    division semantics match exactly (q_agg_lorenz_curve precedent; a
+    BIGINT e9 product overflows at the 16x probe's bigram-type count).
+    All inputs are map-side-combinable counts over the VOCAB^2-bounded
+    bigram-type relation; the top-{KN_TOP} cut is orderBy+limit, which
+    Spark executes as TakeOrderedAndProject (per-partition top-k +
+    merge, no single-partition window)."""
+    docs = load(spark, sf_dir, "documents")
+    # adjacent pairs straight from the split array — one explode, no
+    # corpus self-join (ws is 0-indexed in Spark SQL expressions)
+    ws = docs.select(F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    bg = ws.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] as w1, ws[i+1] as w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2").filter(
+        (F.col("w1") != "") & (F.col("w2") != "")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n_left"))
+    fert = c12.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n_right"))
+    ndd = c12.agg(F.count(F.lit(1)).cast("long").alias("ndd"))
+    p = (
+        c12.join(c1, "w1")
+        .join(fert, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(ndd))  # 1-row bigram-type-count attach
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr(
+                f"cast((cast(greatest(c12 * 10000 - {KN_D_E4}, 0) as decimal(38,0))"
+                f" * ndd"
+                f" + cast({KN_D_E4} as decimal(38,0)) * n_right * n_left)"
+                f" * 1000000000"
+                f" div (cast(c1 as decimal(38,0)) * 10000 * ndd) as bigint)"
+            ).alias("p_kn_e9"),
+        )
+    )
+    return p.orderBy(F.desc("c12"), "w1", "w2").limit(KN_TOP)
+
+
 N_SHUFFLE_SHARDS = 16
 
 
