@@ -228,6 +228,7 @@ HEADLINE = [
     "q_text_token_fertility",
     "q_sim_range_search",
     "q_text_kneser_ney",
+    "q_utxo_merkle_root",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

@@ -264,3 +264,32 @@ def test_kneser_ney_continuation_beats_raw_frequency(tmp_path, spark):
     # p(francisco|san) ~ (12-0.75)/12 + backoff ~ 0.94
     c12, p = out[("san", "francisco")]
     assert c12 == 12 and p > 900_000_000
+
+
+def test_merkle_root_flips_on_any_single_coin_change(tmp_path, spark):
+    """The commitment property: the same lineitem-derived set gives the
+    same root twice; perturbing ONE row's amount flips it."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    for t in ("orders", "lineitem"):
+        shutil.copy(f"{src}/{t}.parquet", tmp_path / f"{t}.parquet")
+    r1 = QUERIES["q_utxo_merkle_root"](spark, str(tmp_path)).collect()[0]
+    r2 = QUERIES["q_utxo_merkle_root"](spark, str(tmp_path)).collect()[0]
+    assert r1.merkle_root == r2.merkle_root  # deterministic
+    assert r1.n_leaves >= 2 and r1.depth >= 1
+    # perturb one coin's amount
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{src}/lineitem.parquet").to_pandas()
+    t.loc[0, "l_extendedprice"] = t.loc[0, "l_extendedprice"] + 1.0
+    import pyarrow as pa
+
+    base = pq.read_schema(f"{src}/lineitem.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(t, schema=base, preserve_index=False),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    r3 = QUERIES["q_utxo_merkle_root"](spark, str(tmp_path)).collect()[0]
+    assert r3.n_leaves == r1.n_leaves
+    assert r3.merkle_root != r1.merkle_root

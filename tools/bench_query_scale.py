@@ -288,6 +288,8 @@ OPS = {
     "q_events_markov_stationary": "events",
     "q_mm_exif_parse": "documents",
     "q_text_kneser_ney": "documents",
+    # merkle: log2(n) geometrically shrinking hash aggregates
+    "q_utxo_merkle_root": "graph",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

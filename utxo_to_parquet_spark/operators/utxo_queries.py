@@ -930,3 +930,131 @@ def q_utxo_dust_feerate(spark, sf_dir):
             F.expr("n_dust * 10000 div n_utxos").alias("dust_bp"),
         )
     )
+
+
+# --- UTXO set commitment (merkle root) --------------------------------------
+
+MERKLE_MAX_LEVELS = 24  # oracle CTE-chain depth: covers 2^24 = 16.7M
+# leaves — 28x the 16x-probe corpus; the Spark loop sizes itself
+
+
+def _merkle_oracle(levels: int = MERKLE_MAX_LEVELS) -> str:
+    """Fixed-depth chained MATERIALIZED CTE replay of the pairwise tree
+    (the q_text_bpe_encode oracle pattern): each level pairs adjacent
+    nodes, duplicating an odd tail node (Bitcoin merkle convention);
+    levels past the root pass the single row through unchanged."""
+    parts = [
+        f"""
+    WITH utxos AS MATERIALIZED ({UTXOS_CTE}),
+    l0 AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER (
+               ORDER BY txid || lpad(CAST(vout AS VARCHAR), 6, '0')
+                        || sha256(txid || ':' || CAST(vout AS VARCHAR)
+                                  || ':' || CAST(amount AS VARCHAR))
+             ) - 1 AS idx,
+             sha256(txid || ':' || CAST(vout AS VARCHAR) || ':'
+                    || CAST(amount AS VARCHAR)) AS h
+      FROM utxos
+    )"""
+    ]
+    for k in range(1, levels + 1):
+        p = k - 1
+        parts.append(
+            f""",
+    l{k} AS MATERIALIZED (
+      SELECT idx, h FROM l{p} WHERE (SELECT COUNT(*) FROM l{p}) = 1
+      UNION ALL
+      SELECT idx // 2 AS idx,
+             sha256(MAX(CASE WHEN idx % 2 = 0 THEN h END)
+                 || COALESCE(MAX(CASE WHEN idx % 2 = 1 THEN h END),
+                             MAX(CASE WHEN idx % 2 = 0 THEN h END))) AS h
+      FROM l{p} WHERE (SELECT COUNT(*) FROM l{p}) > 1
+      GROUP BY idx // 2
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST((SELECT COUNT(*) FROM l0) AS BIGINT) AS n_leaves,
+           CAST(CEIL(LOG2((SELECT COUNT(*) FROM l0))) AS BIGINT) AS depth,
+           h AS merkle_root
+    FROM l{levels}"""
+    )
+    return "".join(parts)
+
+
+@register("q_utxo_merkle_root", oracle=_merkle_oracle())
+def q_utxo_merkle_root(spark, sf_dir):
+    """Merkle commitment over the UTXO set — the assumeutxo-style
+    snapshot digest: two nodes can prove they hold the SAME set with one
+    hash, and any single-coin discrepancy flips the root. Leaves are
+    sha256 over the canonical '(txid:vout:amount)' string in global
+    (txid, vout) order; inner nodes are sha256 over the two children's
+    HEX-STRING digests concatenated (DuckDB 1.x sha256 is VARCHAR-only,
+    so the engine-identical canonical form is the hex tree — same
+    commitment properties, a documented deviation from Bitcoin's
+    raw-byte double-SHA), odd tail duplicated (the Bitcoin block-merkle
+    convention; the reference's dumptxoutset input is itself committed
+    upstream by the analogous assumeutxo hash, main.rs reads it blind).
+
+    Distributed shape: the global leaf index comes from the two-pass
+    ``global_cumsum`` recipe (range partition + 32-row offset carry —
+    never a corpus-wide single-partition window); each tree level is
+    ONE hash aggregate on ``idx div 2`` (map-side combinable, two rows
+    per group), so the whole tree is ceil(log2(n)) shuffles of
+    geometrically SHRINKING relations — at 100 TB the first level
+    dominates and everything above is noise. The driver loop reads one
+    row-count scalar per level (<= ~40 total at any conceivable scale
+    — the same constant-bound class as the BPE merge collects). The
+    oracle replays the identical tree as {MERKLE_MAX_LEVELS} fixed
+    materialized CTE levels with single-row pass-through past the
+    root."""
+    from .registry import global_cumsum
+
+    u = utxos_df(spark, sf_dir)
+    # the sort key appends the leaf hash: the synthesized fixture view
+    # derives txid from a MODDED orderkey, so (txid, vout) can repeat,
+    # and a bare (txid, vout) key would leave the tie order
+    # engine-dependent; with the hash appended, any remaining ties are
+    # IDENTICAL leaves, whose relative order cannot change the tree
+    leaf_h = F.sha2(
+        F.concat_ws(
+            ":",
+            F.col("txid"),
+            F.col("vout").cast("string"),
+            F.col("amount").cast("string"),
+        ),
+        256,
+    )
+    keyed = u.select(
+        F.concat(
+            F.col("txid"),
+            F.lpad(F.col("vout").cast("string"), 6, "0"),
+            leaf_h,
+        ).alias("k"),
+        leaf_h.alias("h"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    leaves = global_cumsum(keyed, "k", ["one"]).select(
+        (F.col("cum_one") - 1).alias("idx"), "h"
+    )
+    cur = leaves.localCheckpoint(eager=True)
+    n_leaves = cur.count()
+    depth = 0
+    left = F.max(F.when(F.col("idx") % 2 == 0, F.col("h")))
+    right = F.max(F.when(F.col("idx") % 2 == 1, F.col("h")))
+    while cur.count() > 1:
+        cur = (
+            cur.groupBy(F.expr("idx div 2").alias("idx"))
+            .agg(
+                F.sha2(
+                    F.concat(left, F.coalesce(right, left)), 256
+                ).alias("h")
+            )
+            .localCheckpoint(eager=True)  # per-level counts stay O(level)
+        )
+        depth += 1
+    return cur.select(
+        F.lit(n_leaves).cast("long").alias("n_leaves"),
+        F.lit(depth).cast("long").alias("depth"),
+        F.col("h").alias("merkle_root"),
+    )
