@@ -229,6 +229,7 @@ HEADLINE = [
     "q_sim_range_search",
     "q_text_kneser_ney",
     "q_utxo_merkle_root",
+    "q_dedup_cluster_report",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

@@ -290,6 +290,7 @@ OPS = {
     "q_text_kneser_ney": "documents",
     # merkle: log2(n) geometrically shrinking hash aggregates
     "q_utxo_merkle_root": "graph",
+    "q_dedup_cluster_report": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

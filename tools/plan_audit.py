@@ -97,6 +97,8 @@ ALLOWED_NESTED_LOOP = {
     # |bigram types| scalar: 1-row countDistinct attach onto the
     # vocab^2-bounded bigram-type relation
     "q_text_kneser_ney",
+    # corpus total: 1-row count attach onto the |clusters| relation
+    "q_dedup_cluster_report",
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —

@@ -1992,3 +1992,76 @@ def q_dedup_savings(spark, sf_dir):
         F.sum(F.col("csize") - 1).cast("long").alias("docs_dropped"),
         F.sum(F.col("tok_all") - F.col("tok_one")).cast("long").alias("tokens_dropped"),
     )
+
+
+@register(
+    "q_dedup_cluster_report",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {{minhash}}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    ),
+    sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS csize,
+             CAST(MIN(doc_id) AS BIGINT) AS canonical
+      FROM comp GROUP BY component
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT s.csize AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(s.csize) AS BIGINT) AS n_docs_in,
+           CAST(SUM(s.csize - 1) AS BIGINT) AS n_removable,
+           CAST(MIN(s.canonical) AS BIGINT) AS example_cluster,
+           CAST(SUM(s.csize - 1) * 1000000 // MAX(t.n_docs) AS BIGINT)
+             AS removable_ppm
+    FROM sizes s, tot t
+    GROUP BY s.csize
+    """.format(minhash=_minhash_oracle()),
+)
+def q_dedup_cluster_report(spark, sf_dir):
+    """The dedup REPORT a pipeline owner reads before pulling the
+    trigger: near-dup cluster-size histogram over the MinHash-LSH
+    connected components — how many pairs/triples/bigger clusters exist,
+    how many documents a keep-one-per-cluster pass would delete
+    (n_removable per size, removable_ppm of the corpus), and an example
+    cluster id per size for spot checks. The histogram's shape is the
+    standard sanity gate: a giant component (one huge cluster_size row)
+    means the LSH threshold is too loose, a wall of 2s means re-crawl
+    duplicates. Pure composition: CC cluster assignment (the shared
+    min-label loop), one size aggregate, one histogram aggregate, one
+    1-row corpus total — everything past CC operates on the
+    |clusters|-sized relation."""
+    comp = _components_df(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("csize"),
+        F.min("doc_id").cast("long").alias("canonical"),
+    )
+    tot = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))  # 1-row corpus total attach
+        .groupBy(F.col("csize").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("csize").cast("long").alias("n_docs_in"),
+            F.sum(F.col("csize") - 1).cast("long").alias("n_removable"),
+            F.min("canonical").cast("long").alias("example_cluster"),
+            F.expr(
+                "cast(sum(csize - 1) * 1000000 div max(n_docs) as bigint)"
+            ).alias("removable_ppm"),
+        )
+    )
