@@ -4230,7 +4230,12 @@ def q_events_markov_stationary(spark, sf_dir):
             .agg(F.sum("term").cast("long").alias("val"))
             .select(F.col("dst").alias("t"), "val")
         )
-        if step % 4 == 0:
+        # lineage cut every 4 steps, but never on the FINAL iterate: the
+        # closing rank window must be visibly fed by the step's hash
+        # aggregate (a checkpoint truncates the plan to an RDD scan and
+        # the plan auditor's self-check could no longer prove the
+        # window's input is the |types|-bounded aggregate)
+        if step % 4 == 0 and step != MARKOV_POWER_K:
             v = v.localCheckpoint(eager=True)
     wr = W.orderBy(F.desc("val"), "t")
     return v.select(
