@@ -230,6 +230,8 @@ HEADLINE = [
     "q_text_kneser_ney",
     "q_utxo_merkle_root",
     "q_dedup_cluster_report",
+    "q_sim_pq_distortion",
+    "q_mix_budget_waterfill",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

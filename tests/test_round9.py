@@ -293,3 +293,30 @@ def test_merkle_root_flips_on_any_single_coin_change(tmp_path, spark):
     r3 = QUERIES["q_utxo_merkle_root"](spark, str(tmp_path)).collect()[0]
     assert r3.n_leaves == r1.n_leaves
     assert r3.merkle_root != r1.merkle_root
+
+
+def test_waterfill_conserves_budget_and_respects_supply(tmp_path, spark):
+    """Water-filling invariants on a planted corpus: no source exceeds
+    its supply, saturated sources get exactly their supply, the
+    unsaturated shares are proportional to weights (integer-div
+    rounding aside), and total allocation ~ budget."""
+    # src1 (w=2) tiny supply -> saturates; src2/src3 (w=3, w=4) huge
+    rows = []
+    did = 0
+    for src, n_docs, words in (("src1", 2, 5), ("src2", 40, 50), ("src3", 40, 50)):
+        for _ in range(n_docs):
+            rows.append((did, " ".join(f"t{did}w{j}" for j in range(words)),
+                         "en", src, 1))
+            did += 1
+    sf = _write_docs(tmp_path, rows)
+    out = {r.source: r for r in
+           QUERIES["q_mix_budget_waterfill"](spark, sf).collect()}
+    total_tok = sum(r.tokens_avail for r in out.values())
+    budget = total_tok * 3 // 4
+    assert all(r.alloc_tokens <= r.tokens_avail for r in out.values())
+    assert out["src1"].saturated and out["src1"].alloc_tokens == 10
+    # unsaturated allocations proportional to weights 3:4 (div slack 1)
+    a2, a3 = out["src2"].alloc_tokens, out["src3"].alloc_tokens
+    assert abs(a2 * 4 - a3 * 3) <= 7  # integer-div slack
+    got = sum(r.alloc_tokens for r in out.values())
+    assert budget - len(out) <= got <= budget  # conservation minus div residue

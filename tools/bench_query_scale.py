@@ -291,6 +291,8 @@ OPS = {
     # merkle: log2(n) geometrically shrinking hash aggregates
     "q_utxo_merkle_root": "graph",
     "q_dedup_cluster_report": "documents",
+    "q_sim_pq_distortion": "embeddings",
+    "q_mix_budget_waterfill": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

@@ -99,6 +99,8 @@ ALLOWED_NESTED_LOOP = {
     "q_text_kneser_ney",
     # corpus total: 1-row count attach onto the |clusters| relation
     "q_dedup_cluster_report",
+    # corpus total: 1-row count attach onto the PQ_M*PQ_K code grid
+    "q_sim_pq_distortion",
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —

@@ -767,3 +767,160 @@ def q_pipeline_rendezvous_shards(spark, sf_dir):
             .cast("long").alias("n_moved_in"),
         )
     )
+
+
+# --- token-budget water-filling --------------------------------------------
+
+WF_ROUNDS = 8  # saturation cascade depth; both engines run the SAME
+# fixed rounds, so even an unconverged cascade is engine-identical
+WF_BUDGET_NUM, WF_BUDGET_DEN = 3, 4  # budget = 3/4 of corpus tokens
+
+
+def _waterfill_oracle(rounds: int = WF_ROUNDS) -> str:
+    """K-round chained MATERIALIZED CTE replay (the BPE-oracle pattern;
+    scalar aggregates hoisted into 1-row CTEs). Round semantics: with
+    remaining budget R over the active set, prelim_i = R*w_i div W_act;
+    sources whose prelim covers their whole supply saturate at supply;
+    if NO source saturates this round the allocation is final; the last
+    round force-finalizes."""
+    parts = [
+        f"""
+    WITH s0 AS MATERIALIZED (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok,
+             CAST(1 + CAST(substr(source, 4) AS BIGINT) % 7 AS BIGINT) AS w,
+             CAST(NULL AS BIGINT) AS alloc
+      FROM documents GROUP BY source
+    ),
+    b0 AS MATERIALIZED (
+      SELECT CAST(SUM(tok) * {WF_BUDGET_NUM} // {WF_BUDGET_DEN} AS BIGINT)
+               AS budget
+      FROM s0
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        force = "TRUE" if k == rounds else "FALSE"
+        parts.append(
+            f""",
+    g{k} AS MATERIALIZED (
+      SELECT (SELECT budget FROM b0)
+               - COALESCE((SELECT SUM(alloc) FROM s{p}
+                           WHERE alloc IS NOT NULL), 0) AS r,
+             (SELECT SUM(w) FROM s{p} WHERE alloc IS NULL) AS wu
+    ),
+    pre{k} AS MATERIALIZED (
+      SELECT s.source, s.tok, s.w, s.alloc,
+             CASE WHEN s.alloc IS NULL AND g.wu > 0
+                  THEN (g.r * s.w) // g.wu END AS prelim
+      FROM s{p} s, g{k} g
+    ),
+    ns{k} AS MATERIALIZED (
+      SELECT COUNT(*) AS n_sat FROM pre{k}
+      WHERE alloc IS NULL AND prelim >= tok
+    ),
+    s{k} AS MATERIALIZED (
+      SELECT source, tok, w,
+             CASE WHEN alloc IS NOT NULL THEN alloc
+                  WHEN prelim >= tok THEN tok
+                  WHEN (SELECT n_sat FROM ns{k}) = 0 OR {force}
+                       THEN prelim
+                  ELSE NULL END AS alloc
+      FROM pre{k}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT source, tok AS tokens_avail, w AS weight,
+           CAST(alloc AS BIGINT) AS alloc_tokens,
+           alloc >= tok AS saturated,
+           CAST(alloc * 10000 // tok AS BIGINT) AS fill_bp
+    FROM s{rounds}"""
+    )
+    return "".join(parts)
+
+
+@register("q_mix_budget_waterfill", oracle=_waterfill_oracle())
+def q_mix_budget_waterfill(spark, sf_dir):
+    """Token-budget water-filling across sources — the allocator that
+    turns target mixture WEIGHTS into an achievable token plan under a
+    hard budget: each source gets budget share proportional to its
+    weight, but a source can't supply more than it HAS; its surplus
+    refills the still-active sources round by round (the classic
+    water-filling cascade every data-mixture paper hand-waves as
+    "renormalize over the remainder"). Weights derive from the source
+    id (1 + idx % 7 — the fixture's sources are deliberately uniform in
+    supply, so differing weights are what create saturation); budget =
+    {WF_BUDGET_NUM}/{WF_BUDGET_DEN} of corpus tokens.
+
+    Exact-integer discipline: supplies and budget are BIGINT token
+    counts, per-round shares are (R * w) div W_active (positive integer
+    div, engine-identical), and the cascade runs a FIXED {WF_ROUNDS}
+    rounds on both engines (each round either saturates >=1 source,
+    finalizes, or no-ops; the last round force-finalizes), so the
+    result is bit-deterministic even in the no-convergence corner. At
+    100 TB the only corpus-sized stage is the per-source token count;
+    the cascade iterates on the |sources| relation with three 1-row
+    scalar attaches per round."""
+    docs = load(spark, sf_dir, "documents")
+    s = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("tok"),
+        )
+        .withColumn(
+            "w",
+            (1 + F.substring("source", 4, 10).cast("long") % 7).cast("long"),
+        )
+        .withColumn("alloc", F.lit(None).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    budget = s.agg(
+        F.expr(
+            f"cast(sum(tok) * {WF_BUDGET_NUM} div {WF_BUDGET_DEN} as bigint)"
+        ).alias("budget")
+    )
+    s = s.crossJoin(F.broadcast(budget))  # 1-row budget attach
+    for k in range(1, WF_ROUNDS + 1):
+        force = F.lit(k == WF_ROUNDS)
+        g = s.agg(
+            (
+                F.max("budget")
+                - F.coalesce(F.sum(F.when(F.col("alloc").isNotNull(), F.col("alloc"))), F.lit(0))
+            ).alias("r"),
+            F.sum(F.when(F.col("alloc").isNull(), F.col("w"))).alias("wu"),
+        )
+        pre = s.crossJoin(F.broadcast(g)).withColumn(  # 1-row (R, W_act)
+            "prelim",
+            F.when(
+                F.col("alloc").isNull() & (F.col("wu") > 0),
+                F.expr("(r * w) div wu"),
+            ),
+        )
+        ns = pre.agg(
+            F.count(
+                F.when(
+                    F.col("alloc").isNull() & (F.col("prelim") >= F.col("tok")),
+                    1,
+                )
+            ).alias("n_sat")
+        )
+        s = (
+            pre.crossJoin(F.broadcast(ns))  # 1-row saturation count
+            .withColumn(
+                "alloc",
+                F.when(F.col("alloc").isNotNull(), F.col("alloc"))
+                .when(F.col("prelim") >= F.col("tok"), F.col("tok"))
+                .when((F.col("n_sat") == 0) | force, F.col("prelim")),
+            )
+            .select("source", "tok", "w", "alloc", "budget")
+            .localCheckpoint(eager=True)
+        )
+    return s.select(
+        "source",
+        F.col("tok").alias("tokens_avail"),
+        F.col("w").alias("weight"),
+        F.col("alloc").cast("long").alias("alloc_tokens"),
+        (F.col("alloc") >= F.col("tok")).alias("saturated"),
+        F.expr("cast(alloc * 10000 div tok as bigint)").alias("fill_bp"),
+    )

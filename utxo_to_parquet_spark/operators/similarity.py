@@ -2492,3 +2492,110 @@ def q_sim_range_search(spark, sf_dir):
     return sims.select(
         "q_id", "c_id", "cosine", F.row_number().over(w).cast("long").alias("rn")
     )
+
+
+@register(
+    "q_sim_pq_distortion",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < {PQ_K}),
+    sub AS (SELECT UNNEST(range(0, {PQ_M})) AS m),
+    dist AS (
+      SELECT v.vec_id, sub.m, cent.cid,
+             LIST_DOT_PRODUCT(list_slice(v.e, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}),
+                              list_slice(v.e, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}))
+             - 2 * LIST_DOT_PRODUCT(list_slice(v.e, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}),
+                                    list_slice(cent.c, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}))
+             + LIST_DOT_PRODUCT(list_slice(cent.c, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}),
+                                list_slice(cent.c, sub.m * {PQ_SUB} + 1, (sub.m + 1) * {PQ_SUB}))
+               AS d2
+      FROM v CROSS JOIN sub CROSS JOIN cent
+    ),
+    best AS (
+      SELECT vec_id, m, cid, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+      FROM dist
+    ),
+    asg AS (SELECT m, cid, d2 FROM best WHERE rn = 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
+    SELECT CAST(a.m AS BIGINT) AS subspace, CAST(a.cid AS BIGINT) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(SUM(CAST(FLOOR(a.d2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_d2_e6,
+           CAST(COUNT(*) * 10000 // MAX(t.n) AS BIGINT) AS share_bp
+    FROM asg a, tot t
+    GROUP BY a.m, a.cid
+    """,
+)
+def q_sim_pq_distortion(spark, sf_dir):
+    """PQ codebook quality audit: per (subspace, code) — how many
+    vectors each centroid absorbs and the exact total quantization
+    error it carries. The two failure modes a PQ deployment checks
+    before shipping codes to the ANN tier: DEAD codes (share_bp ~ 0:
+    wasted codebook entries — retrain) and HOT codes (share_bp >>
+    10000/{PQ_K}: the subspace is under-clustered and distances blur).
+    Composes q_sim_pq_codes' encoder (same constant {PQ_K}-vector
+    codebook pull, same lr-ordered bit-identical d2) with per-row e6
+    fixed-pointing BEFORE the sum, so the per-code error mass is an
+    order-free BIGINT (a float SUM here would hash-flip on partial-agg
+    merge order — the round-8 rule). Output is {PQ_M}x{PQ_K} rows at
+    any corpus size; the only corpus-sized stage is the Arrow-batched
+    encode scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent_pd = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    C = _to_matrix(cent_pd["embedding"])
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _to_matrix(pdf["embedding"])
+            n = A.shape[0]
+            out_m, out_c, out_e = [], [], []
+            for m in range(PQ_M):
+                lo, hi = m * PQ_SUB, (m + 1) * PQ_SUB
+                aa = np.zeros(n)
+                ac = np.zeros((n, PQ_K))
+                cc = np.zeros(PQ_K)
+                for i in range(lo, hi):
+                    ai = A[:, i]
+                    ci = C[:, i]
+                    aa += ai * ai
+                    ac += ai[:, None] * ci[None, :]
+                    cc += ci * ci
+                d2 = aa[:, None] - 2 * ac + cc[None, :]
+                best = np.argmin(d2, axis=1)
+                out_m.append(np.full(n, m, dtype=np.int64))
+                out_c.append(best.astype(np.int64))
+                # e6 fixed-point BEFORE any summation (order-free mass)
+                out_e.append(
+                    np.floor(d2[np.arange(n), best] * 1e6 + 0.5).astype(np.int64)
+                )
+            yield pd.DataFrame(
+                {
+                    "m": np.concatenate(out_m),
+                    "cid": np.concatenate(out_c),
+                    "d2_e6": np.concatenate(out_e),
+                }
+            )
+
+    asg = emb.select("vec_id", "embedding").mapInPandas(
+        assign, "m long, cid long, d2_e6 long"
+    )
+    tot = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        asg.crossJoin(F.broadcast(tot))  # 1-row corpus total attach
+        .groupBy(F.col("m").alias("subspace"), F.col("cid").alias("code"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.sum("d2_e6").cast("long").alias("sum_d2_e6"),
+            F.expr("cast(count(1) * 10000 div max(n) as bigint)").alias(
+                "share_bp"
+            ),
+        )
+    )
