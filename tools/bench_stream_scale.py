@@ -52,6 +52,9 @@ OPS = {
     # round 8: cadence moment-sum monoid — per-commit summary rows are
     # bounded by |active users|, constant under time-shifted replay
     "q_stream_cadence": "events",
+    # round 9: transition-count monoid — per-commit summary is
+    # |users| x |type pairs| internal counts + 2 endpoint types/user
+    "q_stream_markov_transition": "events",
 }
 
 

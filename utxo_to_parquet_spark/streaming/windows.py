@@ -1417,3 +1417,132 @@ def q_stream_cadence(spark, sf_dir):
         F.floor(cv2 * 1e6 + F.lit(0.5)).cast("long").alias("cv2_e6"),
         F.lit(n_commits >= 2).alias("multi_commit"),
     )
+
+
+# --- streaming Markov-transition maintenance --------------------------------
+
+_MKV_SINK_DIRS: dict[str, str] = {}
+
+
+def markov_batch_summary(batch_df):
+    """Per-commit summary for streaming transition-count maintenance:
+    (a) per-user INTERNAL adjacent-pair counts within the batch and
+    (b) the user's first/last event type (ts, event_id order) so two
+    adjacent commits merge with ONE bridging transition. Bounded by
+    |users in batch| x |type pairs|, never |events|."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        batch_df.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("user_id", "src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ends = batch_df.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("first_type"),
+        F.max(F.struct("ts", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("last_type"),
+    )
+    return pairs, ends
+
+
+@register(
+    "q_stream_markov_transition",
+    # static-replay equivalence: the fold across commits must reproduce
+    # the BATCH operator exactly, so the oracle IS the batch SQL — the
+    # gate proves the (internal counts + boundary bridge) decomposition
+    # is lossless, not approximately right
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL
+          GROUP BY src, dst)
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6) AS p
+    FROM c
+    """,
+)
+def q_stream_markov_transition(spark, sf_dir):
+    """Streaming maintenance of the event-type transition matrix — the
+    mergeable-state twin of ``q_events_markov_transition``: adjacency
+    counts are a MONOID under concatenation of time-ordered streams
+    (internal counts add; the only cross-commit information is one
+    bridging transition per user per boundary, last_type(prev) ->
+    first_type(next)). Each micro-batch commits its bounded summary
+    (per-user pair counts + endpoints); the read-side fold is one lag
+    over batch endpoints per user (<= EWMA_REPLAY_BATCHES rows/user)
+    plus two hash aggregates. Time-range batch splitting keeps ts ties
+    inside one commit, so the fold is bit-identical to the single-pass
+    LEAD — the oracle is the batch operator's own SQL."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    sdf = _events_time_ordered_stream(spark, sf_dir)
+    if sf_dir not in _MKV_SINK_DIRS:
+        _MKV_SINK_DIRS[sf_dir] = _tmpdir("markov_sink_")
+    base = _MKV_SINK_DIRS[sf_dir]
+    p_dir, e_dir = base + "/pairs", base + "/ends"
+    for d in (p_dir, e_dir):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+
+    def write_batch(batch_df, batch_id):
+        pairs, ends = markov_batch_summary(batch_df)
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(p_dir)
+        ends.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(e_dir)
+
+    with _stream_partitions(spark):
+        q = sdf.writeStream.outputMode("append").foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+            _capture_stream_plan(q)
+        finally:
+            q.stop()
+
+    internal = (
+        spark.read.parquet(p_dir)
+        .groupBy("src", "dst")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    ends = spark.read.parquet(e_dir)
+    wb = W.partitionBy("user_id").orderBy("batch_id")
+    bridges = (
+        ends.select(
+            "user_id",
+            F.lag("last_type").over(wb).alias("src"),
+            F.col("first_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    c = (
+        internal.unionByName(bridges)
+        .groupBy("src", "dst")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    tot = W.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"),
+    )
