@@ -86,11 +86,11 @@ OPS = {
     "q_sim_cosine_topk": "embeddings",
     "q_sim_ivf_topk": "embeddings",
     # round 6: retrieval + cross-source diagnostics, and the two
-    # blocked-quadratic embedding ops. NOTE: the fixture's blocking is
-    # FIXED (SEM_K seeds / a constant label set), so per-block size
-    # grows with the corpus here and the measured exponent is expected
-    # superlinear — production scales the centroid/list count with N,
-    # which keeps block size constant (see SCALING.md)
+    # blocked-quadratic embedding ops. Round 10: both now scale their
+    # key space / seed count with the corpus BY DEFAULT
+    # (emb_band_bits_for / sem_seeds_for), so these default cells are
+    # expected sublinear; the fixed-parameter contrast variants below
+    # keep the old failure mode on record (see SCALING.md)
     "q_text_bm25_topk": "documents",
     "q_dedup_cross_source_overlap": "documents",
     "q_dedup_semantic": "embeddings",
@@ -546,14 +546,19 @@ def main() -> None:
 
     from utxo_to_parquet_spark.operators.dedup import SEM_K, q_dedup_semantic
 
-    def run_scaled_seeds(k):
-        return q_dedup_semantic(spark, dirs[k], sem_k=SEM_K * k)
+    # round-10 flip: seeds ∝ corpus is now the REGISTERED DEFAULT
+    # (sem_seeds_for), so the main sweep's q_dedup_semantic cell IS the
+    # scaled-seeds measurement. This contrast variant pins the OLD fixed
+    # 8-seed behavior to keep the failure mode on record.
+    def run_fixed_seeds(k):
+        return q_dedup_semantic(spark, dirs[k], sem_k=SEM_K)
 
-    run_scaled_seeds.__name__ = "q_dedup_semantic[seeds=8k]"
-    result["q_dedup_semantic_scaled_seeds"] = {
+    run_fixed_seeds.__name__ = "q_dedup_semantic[seeds=8 fixed]"
+    result["q_dedup_semantic_fixed_seeds"] = {
         "table": "embeddings",
-        "note": f"sem_k = {SEM_K}*k: centroid count grows with the corpus",
-        **cells(run_scaled_seeds),
+        "note": f"contrast: sem_k pinned at {SEM_K} (pre-round-10 default) — "
+                "per-cluster compare block grows with the corpus",
+        **cells(run_fixed_seeds),
     }
 
     # decorrelated-copies variant: the verbatim embedding copies make
@@ -567,33 +572,41 @@ def main() -> None:
     build_rolled_copies(max(SCALES))
     rdirs = {k: build_rolled_dir(k) for k in SCALES}
 
+    # round-10 flip: corpus-scaled band bits (emb_band_bits_for) is now
+    # the REGISTERED DEFAULT, so this rolled-copies cell measures the
+    # default form in the honest (decorrelated) growth direction — at
+    # n = 2000k the derived width is exactly 6 + log2(k), the round-9
+    # variant that measured 0.53.
     def run_lsh_rolled(k):
         return qs["q_dedup_embedding_lsh"](spark, rdirs[k])
 
-    run_lsh_rolled.__name__ = "q_dedup_embedding_lsh[rolled]"
+    run_lsh_rolled.__name__ = "q_dedup_embedding_lsh[rolled,default]"
     result["q_dedup_embedding_lsh_decorrelated"] = {
         "table": "embeddings",
-        "note": "per-copy dimension roll: cross-copy cosines ~0, "
-                "within-copy duplicate structure preserved exactly",
+        "note": "DEFAULT form on per-copy dimension-rolled copies "
+                "(cross-copy cosines ~0, within-copy duplicate structure "
+                "preserved exactly); corpus-scaled key width engages "
+                "automatically",
         **cells(run_lsh_rolled),
     }
 
-    # scaled-bits variant: decorrelated copies are not enough — a FIXED
-    # key space still piles 16x the vectors into the same buckets, so
-    # the pair join grows linearly with corpus (measured 1.18 above).
-    # Growing the band keys ~log2(k) (what production LSH does) keeps
-    # bucket occupancy bounded.
-    from utxo_to_parquet_spark.operators.dedup import q_dedup_embedding_lsh
+    # contrast variant: pin the OLD fixed 6-bit key space to keep the
+    # failure mode on record — bucket occupancy, and the pair join,
+    # grow linearly with the corpus (round 9 measured 1.18 rolled).
+    from utxo_to_parquet_spark.operators.dedup import (
+        EMB_BAND_BITS,
+        q_dedup_embedding_lsh,
+    )
 
     def run_lsh_bits(k):
-        bits = 6 + {1: 0, 4: 2, 16: 4}[k]
-        return q_dedup_embedding_lsh(spark, rdirs[k], band_bits=bits)
+        return q_dedup_embedding_lsh(spark, rdirs[k], band_bits=EMB_BAND_BITS)
 
-    run_lsh_bits.__name__ = "q_dedup_embedding_lsh[rolled,bits=6+log2k]"
-    result["q_dedup_embedding_lsh_scaled_bits"] = {
+    run_lsh_bits.__name__ = "q_dedup_embedding_lsh[rolled,bits=6 fixed]"
+    result["q_dedup_embedding_lsh_fixed_bits"] = {
         "table": "embeddings",
-        "note": "rolled copies + band key width 6 + log2(k): key space "
-                "grows with the corpus, bucket occupancy stays bounded",
+        "note": f"contrast: key width pinned at {EMB_BAND_BITS} bits "
+                "(pre-round-10 default) on rolled copies — fixed key "
+                "space, occupancy grows with corpus",
         **cells(run_lsh_bits),
     }
 

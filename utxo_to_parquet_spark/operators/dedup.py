@@ -963,14 +963,22 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 import numpy as _np
 
 EMB_BANDS = 4
-EMB_BAND_BITS = 6
-# the pool holds more planes than the registered default consumes:
-# rows [0, EMB_BANDS*EMB_BAND_BITS) are bit-identical to the original
-# 24-row draw (numpy Generators fill row-major from a sequential
-# stream, verified), so the gated oracle is unchanged; the extra rows
-# serve the scaled-bits weak-scaling variant (key space must grow with
-# the corpus or bucket occupancy — and the pair join — grows linearly
-# with it; the qscale probe measured exponent 1.18-1.26 at fixed bits)
+EMB_BAND_BITS = 6  # base (minimum) key width per band
+# Corpus-scaled key width (the ROUND-10 REGISTERED DEFAULT, flipping the
+# round-9 probe finding): a FIXED key space means bucket occupancy — and
+# the candidate pair join — grows linearly with the corpus (qscale
+# measured exponent 1.26 raw / 1.18 decorrelated at 6 bits; the scaled
+# variant bits = 6 + log2(k) measured 0.53). The default now derives
+# extra bits from the corpus count with pure-integer doubling
+# thresholds, engine-identical by construction:
+#   bits = EMB_BAND_BITS + sum_i [ n > EMB_BASE_N << i ],  i < 6
+# so n <= 2000 keeps 6 bits (all gate SFs), and each corpus doubling
+# past EMB_BASE_N adds one bit, capped at EMB_MAX_BITS.
+# Plane indexing is FIXED-STRIDE (band * EMB_MAX_BITS + j) so bit j of a
+# band's key names the same hyperplane at every width — the dynamic
+# width is just a low-bit mask of the full 12-bit key, which is what
+# lets the static oracle SQL express it with one scalar-subquery mask.
+EMB_BASE_N = 2000
 EMB_MAX_BITS = 12
 _PLANES = (
     _np.random.default_rng(7)
@@ -980,31 +988,54 @@ _PLANES = (
 )
 
 
-def _emb_band_bits_sql(band: int) -> str:
+def emb_band_bits_for(n: int) -> int:
+    """Key width for a corpus of ``n`` vectors (shared by the Spark op,
+    the oracle's threshold-sum replica, and the weak-scaling probe)."""
+    return EMB_BAND_BITS + sum(
+        n > (EMB_BASE_N << i) for i in range(EMB_MAX_BITS - EMB_BAND_BITS)
+    )
+
+
+def _emb_full_key_sql(band: int) -> str:
+    """Full EMB_MAX_BITS-wide key for one band; the dynamic width is a
+    low-bit mask applied by the caller."""
     return " + ".join(
-        f"(CASE WHEN LIST_DOT_PRODUCT(e, {_PLANES[band * EMB_BAND_BITS + j]}::DOUBLE[]) > 0"
+        f"(CASE WHEN LIST_DOT_PRODUCT(e, {_PLANES[band * EMB_MAX_BITS + j]}::DOUBLE[]) > 0"
         f" THEN {1 << j} ELSE 0 END)"
-        for j in range(EMB_BAND_BITS)
+        for j in range(EMB_MAX_BITS)
     )
 
 
 def _embedding_lsh_oracle() -> str:
+    # corpus-scaled key width: the same integer doubling-threshold sum
+    # emb_band_bits_for computes, as SQL over COUNT(*) — then each
+    # band's full 12-bit key is masked to the low `bits` bits. Pure
+    # integer compares + shifts: engine-identical by construction.
+    extra = " + ".join(
+        f"(CASE WHEN n > {EMB_BASE_N << i} THEN 1 ELSE 0 END)"
+        for i in range(EMB_MAX_BITS - EMB_BAND_BITS)
+    )
     keys = ",\n             ".join(
-        f"CAST({_emb_band_bits_sql(b)} AS BIGINT) AS bk{b}" for b in range(EMB_BANDS)
+        f"CAST(({_emb_full_key_sql(b)}) % msk AS BIGINT) AS bk{b}"
+        for b in range(EMB_BANDS)
     )
     band_rows = " UNION ALL ".join(
         f"SELECT vec_id, e, nrm, {b} AS band, bk{b} AS bkey FROM keyed"
         for b in range(EMB_BANDS)
     )
     return f"""
-    WITH v AS (
+    WITH bb AS (
+      SELECT (1 << ({EMB_BAND_BITS} + {extra})) AS msk
+      FROM (SELECT COUNT(*) AS n FROM embeddings)
+    ),
+    v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
              SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
     ),
     keyed AS (SELECT vec_id, e, nrm,
              {keys}
-      FROM v),
+      FROM v CROSS JOIN bb),
     bands AS ({band_rows})
     SELECT DISTINCT a.vec_id AS dup_a, b.vec_id AS dup_b,
            ROUND(LIST_DOT_PRODUCT(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
@@ -1015,25 +1046,28 @@ def _embedding_lsh_oracle() -> str:
 
 
 @register("q_dedup_embedding_lsh", oracle=_embedding_lsh_oracle())
-def q_dedup_embedding_lsh(spark, sf_dir, band_bits: int = EMB_BAND_BITS):
+def q_dedup_embedding_lsh(spark, sf_dir, band_bits: int | None = None):
     """Embedding near-dup, the 100-TB path: sign-random-projection LSH
-    with the banded-OR construction ({EMB_BANDS} bands x {EMB_BAND_BITS}
-    fixed literal hyperplanes), candidate pairs from an equi-join on
-    (band, key), exact cosine >= threshold as the verify step, DISTINCT
-    to collapse multi-band collisions. Versus q_dedup_embedding_cosine's
-    all-pairs O(N²), candidates shrink ~16x at test scale and the join
-    is a plain shuffle hash join on the key, so it scales like any other
+    with the banded-OR construction ({EMB_BANDS} bands of fixed literal
+    hyperplanes), candidate pairs from an equi-join on (band, key),
+    exact cosine >= threshold as the verify step, DISTINCT to collapse
+    multi-band collisions. Versus q_dedup_embedding_cosine's all-pairs
+    O(N²), candidates shrink ~16x at test scale and the join is a plain
+    shuffle hash join on the key, so it scales like any other
     aggregation. Recall is tunable with bands x bits (more bands = more
     recall, more candidates); cross-all-band misses are the documented
     LSH trade.
 
-    ``band_bits`` parametrizes the key width for weak scaling: a FIXED
-    key space means bucket occupancy — and the candidate pair join —
-    grows linearly with the corpus (the qscale probe measured exponent
-    1.18 on decorrelated copies at 6 bits). Production LSH grows bits
-    ~log2(N) so occupancy stays bounded; the probe's scaled-bits
-    variant (bits = 6 + log2(k)) measures exactly that. The registered
-    default keeps {EMB_BAND_BITS} bits and the unchanged oracle.
+    The REGISTERED DEFAULT scales the key width with the corpus
+    (``emb_band_bits_for``: one extra bit per corpus doubling past
+    {EMB_BASE_N}, capped at {EMB_MAX_BITS}) — a fixed key space lets
+    bucket occupancy, and hence the candidate pair join, grow linearly
+    with the corpus (round-9 qscale: exponent 1.26 raw / 1.18
+    decorrelated at fixed 6 bits vs 0.53 with bits = 6 + log2(k)). The
+    count() feeding the width is one scalar driver job, same bound
+    class as the IVF centroid pulls. ``band_bits`` overrides for probe
+    variants (e.g. pinning 6 bits to re-measure the fixed-space
+    failure).
     """
     import numpy as np
     import pandas as pd
@@ -1041,15 +1075,24 @@ def q_dedup_embedding_lsh(spark, sf_dir, band_bits: int = EMB_BAND_BITS):
     from .similarity import lr_matmul, _to_matrix
 
     emb = load(spark, sf_dir, "embeddings")
+    if band_bits is None:
+        band_bits = emb_band_bits_for(emb.count())
 
-    # bucket keys + norms in one vectorized pass: 24 plane dots per
-    # vector via numpy in dimension order (bit-identical to the
-    # aggregate/zip_with HOF chain and DuckDB's LIST_DOT_PRODUCT — the
-    # sign test on the unrounded dot must agree with the oracle), versus
-    # ~24*64 interpreted expression evals per row. The embedding rides
-    # through as double[] for the exact-cosine verify join below.
+    # bucket keys + norms in one vectorized pass: band_bits plane dots
+    # per band per vector via numpy in dimension order (bit-identical to
+    # the aggregate/zip_with HOF chain and DuckDB's LIST_DOT_PRODUCT —
+    # the sign test on the unrounded dot must agree with the oracle).
+    # Plane rows are fixed-stride (band * EMB_MAX_BITS + j) so the key
+    # at width b is exactly the low-b-bit mask of the full 12-bit key
+    # the oracle computes. The embedding rides through as double[] for
+    # the exact-cosine verify join below.
     P = np.array(
-        _PLANES[: EMB_BANDS * band_bits], dtype=np.float64
+        [
+            _PLANES[b * EMB_MAX_BITS + j]
+            for b in range(EMB_BANDS)
+            for j in range(band_bits)
+        ],
+        dtype=np.float64,
     )
 
     def keys(batches):
@@ -1622,8 +1665,23 @@ def q_dedup_sorted_neighborhood(spark, sf_dir):
     return out
 
 
-SEM_K = 8  # seed centroids: the first SEM_K vectors by vec_id
+SEM_K = 8  # minimum seed centroids: the first vectors by vec_id
 SEM_TAU = 0.4  # within-cluster cosine prune threshold
+# Corpus-scaled seed count (ROUND-10 REGISTERED DEFAULT): a fixed seed
+# count makes the per-cluster compare block grow linearly with the
+# corpus (round-9 qscale: exponent 1.19 fixed vs 0.52 with seeds ∝ N).
+# One seed per SEM_TARGET vectors keeps expected cluster size — and the
+# within-cluster O(chunk x cluster) compare — bounded. Integer div on
+# both engines, so the cut is engine-identical. All gate SFs (500 /
+# 2000 vectors) resolve to the historical 8 seeds; the 16x probe replay
+# (32000 vectors) resolves to 128 = the measured-0.52 variant.
+SEM_TARGET = 250
+
+
+def sem_seeds_for(n: int) -> int:
+    """Seed-centroid count for a corpus of ``n`` vectors (shared by the
+    Spark op, the oracle's GREATEST/div replica, and the probe)."""
+    return max(SEM_K, n // SEM_TARGET)
 
 
 @register(
@@ -1636,7 +1694,8 @@ SEM_TAU = 0.4  # within-cluster cosine prune threshold
     ),
     seeds AS (
       SELECT vec_id AS seed_id, e AS se, sq AS ssq FROM v
-      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {SEM_K}
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id)
+              <= GREATEST({SEM_K}, (SELECT COUNT(*) FROM v) // {SEM_TARGET})
     ),
     assign AS (
       SELECT vec_id, e, sq, seed_id,
@@ -1665,7 +1724,7 @@ SEM_TAU = 0.4  # within-cluster cosine prune threshold
 )
 def q_dedup_semantic(spark, sf_dir, sem_k: int | None = None):
     """Semantic dedup, SemDeDup-style: assign every embedding to its
-    nearest of {SEM_K} deterministic seed centroids (the first {SEM_K}
+    nearest deterministic seed centroid (the first ``sem_seeds_for(N)``
     vectors by vec_id — in production the centroids from q_sim_kmeans),
     then within each cluster drop any vector whose cosine to an
     EARLIER-id cluster member reaches {SEM_TAU} (greedy keep-first, so
@@ -1683,19 +1742,21 @@ def q_dedup_semantic(spark, sf_dir, sem_k: int | None = None):
     inclusion set are bit-deterministic across engines (np.argmin's
     first-minimum rule IS the seed-id tiebreak, seeds sorted by id).
 
-    ``sem_k`` overrides the registered {SEM_K}-seed default (the oracle
-    pins {SEM_K}) — the centroid-count knob production scales with the
-    corpus; tools/bench_query_scale.py's mitigation probe sweeps it to
-    show block sizes (and the weak-scaling exponent) stay bounded when
-    seeds grow ∝ N.
+    The REGISTERED DEFAULT scales seeds with the corpus
+    (``sem_seeds_for``: one seed per {SEM_TARGET} vectors, floor
+    {SEM_K}) — the round-9 probe measured exponent 1.19 at a fixed 8
+    seeds vs 0.52 with seeds ∝ N, because a fixed seed count lets the
+    per-cluster compare block grow linearly with the corpus. The
+    count() feeding it is one scalar driver job. ``sem_k`` overrides
+    for probe variants.
     """
     import pandas as pd
 
     from .similarity import _to_matrix, lr_matmul
 
-    if sem_k is None:
-        sem_k = SEM_K
     emb = load(spark, sf_dir, "embeddings")
+    if sem_k is None:
+        sem_k = sem_seeds_for(emb.count())
     seed_rows = sorted(
         emb.orderBy("vec_id").limit(sem_k).select("vec_id", "embedding").collect()
     )  # constant-bounded TakeOrdered pull: at most sem_k rows
