@@ -206,8 +206,13 @@ def main():
     print(json.dumps(line), flush=True)
     shutil.rmtree(tmp, ignore_errors=True)
     # tmpfs shuffle dir: Spark removes its own subdirs at shutdown, but
-    # a crashed run must not leave GBs pinned in RAM
-    shutil.rmtree("/dev/shm/spark_gsort_local", ignore_errors=True)
+    # a crashed run must not leave GBs pinned in RAM. Clean whatever dir
+    # is actually in effect — a user-preset SPARK_GRAFT_LOCAL_DIR (the
+    # documented opt-out; setdefault above leaves it untouched) must get
+    # the same cleanup, not just the default literal (ADVICE r9).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir and local_dir.startswith("/dev/shm/"):
+        shutil.rmtree(local_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 
@@ -779,18 +780,16 @@ class _BitReader:
 def _huff_decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """(size, code) -> symbol lookup built canonically — the decode-side
     inverse of _huff_codes, built independently from BITS/HUFFVAL.
-    Memoized on the raw table bytes: real streams reuse the same four
-    Annex K tables file after file, and rebuilding per file was ~7% of
-    decode wall time."""
-    return _huff_decode_tree_cached(bytes(bits), bytes(vals))
-
-
-from functools import lru_cache as _lru_cache
+    Memoized on the (hashable) tuple forms of the tables: real streams
+    reuse the same four Annex K tables file after file, and rebuilding
+    per file was ~7% of decode wall time. Tuple keys avoid the per-call
+    bytes() copies the first cut paid just to hit the cache (ADVICE r9)."""
+    return _huff_decode_tree_cached(tuple(bits), tuple(vals))
 
 
 @_lru_cache(maxsize=64)
 def _huff_decode_tree_cached(
-    bits: bytes, vals: bytes
+    bits: tuple[int, ...], vals: tuple[int, ...]
 ) -> dict[tuple[int, int], int]:
     out: dict[tuple[int, int], int] = {}
     code, k = 0, 0

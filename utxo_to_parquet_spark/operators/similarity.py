@@ -2430,9 +2430,10 @@ RANGE_TAU = 0.25  # cosine radius; fixture p99 inter-vector cosine ~0.29,
     c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings),
     sims AS (
       SELECT q_id, c_id,
-             ROUND(LIST_DOT_PRODUCT(qe, ce)
+             FLOOR(LIST_DOT_PRODUCT(qe, ce)
                    / (SQRT(LIST_DOT_PRODUCT(qe, qe))
-                      * SQRT(LIST_DOT_PRODUCT(ce, ce))), 6) AS cosine
+                      * SQRT(LIST_DOT_PRODUCT(ce, ce))) * 1e6 + 0.5) / 1e6
+               AS cosine
       FROM q JOIN c ON q_id <> c_id
     )
     SELECT q_id, c_id, cosine,
@@ -2481,8 +2482,11 @@ def q_sim_range_search(spark, sf_dir):
             )
             # filter INSIDE the scorer: only the close tail (~1%) ever
             # reaches the shuffle — the radius push-down a range search
-            # exists for
-            out["cosine"] = out["cosine"].round(6)
+            # exists for. The 6-decimal snap is the library-standard
+            # floor(x*1e6 + 0.5) (round-half-up), matching the oracle's
+            # FLOOR form by construction — pandas .round(6) banker's-
+            # rounds ties the other way in principle (ADVICE r9).
+            out["cosine"] = np.floor(out["cosine"] * 1e6 + 0.5) / 1e6
             yield out[(out.q_id != out.c_id) & (out.cosine >= RANGE_TAU)]
 
     sims = emb.select("vec_id", "embedding").mapInPandas(
