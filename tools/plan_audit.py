@@ -155,6 +155,13 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "totals relation; per-row cumulative sums are pid-PARTITIONED "
         "(same two-pass prefix-sum shape as q_text_heaps_law)"
     ),
+    "q_utxo_merkle_root": (
+        "leaf-index offset window runs over the 32-row per-partition "
+        "count relation (inlined global_cumsum recipe); per-row "
+        "row_number is pid-PARTITIONED and the fold levels are hash "
+        "aggregates — the round-10 lazy fixed-depth fold exposes the "
+        "full plan (the old per-level checkpoints truncated it)"
+    ),
     "q_events_markov_stationary": (
         "final rank window runs over the stationary-distribution vector "
         "— one row per EVENT TYPE (~8 at any corpus size; the "

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .registry import load, register
@@ -934,23 +935,32 @@ def q_utxo_dust_feerate(spark, sf_dir):
 
 # --- UTXO set commitment (merkle root) --------------------------------------
 
-MERKLE_MAX_LEVELS = 24  # oracle CTE-chain depth: covers 2^24 = 16.7M
+MERKLE_FANIN = 16  # children per inner node (round-10: was 2 — fan-in
+# 16 cuts the level count, and with it the per-level checkpoint +
+# count-job constant, ~4x with identical commitment properties)
+MERKLE_MAX_LEVELS = 6  # oracle CTE-chain depth: covers 16^6 = 16.7M
 # leaves — 28x the 16x-probe corpus; the Spark loop sizes itself
 
 
 def _merkle_oracle(levels: int = MERKLE_MAX_LEVELS) -> str:
-    """Fixed-depth chained MATERIALIZED CTE replay of the pairwise tree
-    (the q_text_bpe_encode oracle pattern): each level pairs adjacent
-    nodes, duplicating an odd tail node (Bitcoin merkle convention);
-    levels past the root pass the single row through unchanged."""
+    """Fixed-depth chained MATERIALIZED CTE replay of the fan-in-16
+    tree (the q_text_bpe_encode oracle pattern): each level hashes the
+    ordered concat of the up-to-{MERKLE_FANIN} children present in a
+    group (CONCAT_WS skips absent slots on both engines — digests are
+    fixed 64-hex, so the concat is unambiguous); levels past the root
+    pass the single row through unchanged."""
+    children = ",\n                 ".join(
+        f"MAX(CASE WHEN idx % {MERKLE_FANIN} = {j} THEN h END)"
+        for j in range(MERKLE_FANIN)
+    )
     parts = [
         f"""
     WITH utxos AS MATERIALIZED ({UTXOS_CTE}),
     l0 AS MATERIALIZED (
       SELECT ROW_NUMBER() OVER (
-               ORDER BY txid || lpad(CAST(vout AS VARCHAR), 6, '0')
-                        || sha256(txid || ':' || CAST(vout AS VARCHAR)
-                                  || ':' || CAST(amount AS VARCHAR))
+               ORDER BY txid, vout,
+                        sha256(txid || ':' || CAST(vout AS VARCHAR)
+                               || ':' || CAST(amount AS VARCHAR))
              ) - 1 AS idx,
              sha256(txid || ':' || CAST(vout AS VARCHAR) || ':'
                     || CAST(amount AS VARCHAR)) AS h
@@ -964,18 +974,17 @@ def _merkle_oracle(levels: int = MERKLE_MAX_LEVELS) -> str:
     l{k} AS MATERIALIZED (
       SELECT idx, h FROM l{p} WHERE (SELECT COUNT(*) FROM l{p}) = 1
       UNION ALL
-      SELECT idx // 2 AS idx,
-             sha256(MAX(CASE WHEN idx % 2 = 0 THEN h END)
-                 || COALESCE(MAX(CASE WHEN idx % 2 = 1 THEN h END),
-                             MAX(CASE WHEN idx % 2 = 0 THEN h END))) AS h
+      SELECT idx // {MERKLE_FANIN} AS idx,
+             sha256(CONCAT_WS('',
+                 {children})) AS h
       FROM l{p} WHERE (SELECT COUNT(*) FROM l{p}) > 1
-      GROUP BY idx // 2
+      GROUP BY idx // {MERKLE_FANIN}
     )"""
         )
     parts.append(
         f"""
     SELECT CAST((SELECT COUNT(*) FROM l0) AS BIGINT) AS n_leaves,
-           CAST(CEIL(LOG2((SELECT COUNT(*) FROM l0))) AS BIGINT) AS depth,
+           CAST(CEIL(LOG2((SELECT COUNT(*) FROM l0)) / 4) AS BIGINT) AS depth,
            h AS merkle_root
     FROM l{levels}"""
     )
@@ -999,23 +1008,29 @@ def q_utxo_merkle_root(spark, sf_dir):
     Distributed shape: the global leaf index comes from the two-pass
     ``global_cumsum`` recipe (range partition + 32-row offset carry —
     never a corpus-wide single-partition window); each tree level is
-    ONE hash aggregate on ``idx div 2`` (map-side combinable, two rows
-    per group), so the whole tree is ceil(log2(n)) shuffles of
-    geometrically SHRINKING relations — at 100 TB the first level
-    dominates and everything above is noise. The driver loop reads one
-    row-count scalar per level (<= ~40 total at any conceivable scale
-    — the same constant-bound class as the BPE merge collects). The
-    oracle replays the identical tree as {MERKLE_MAX_LEVELS} fixed
-    materialized CTE levels with single-row pass-through past the
-    root."""
-    from .registry import global_cumsum
-
+    ONE hash aggregate on ``idx div {MERKLE_FANIN}`` (map-side
+    combinable, <= {MERKLE_FANIN} rows per group; children concat in
+    idx order, absent slots skipped — unambiguous because every digest
+    is exactly 64 hex chars), so the whole tree is ceil(log16(n))
+    shuffles of geometrically SHRINKING relations — at 100 TB the
+    first level dominates and everything above is noise. Fan-in
+    {MERKLE_FANIN} (round 10, was pairwise) cuts the level count — and
+    the per-level localCheckpoint + count-job constant that dominated
+    the local wall time — ~4x with the same commitment properties. The
+    driver loop reads one row-count scalar per level (<= ~10 total at
+    any conceivable scale — the same constant-bound class as the BPE
+    merge collects). The oracle replays the identical tree as
+    {MERKLE_MAX_LEVELS} fixed materialized CTE levels with single-row
+    pass-through past the root."""
     u = utxos_df(spark, sf_dir)
     # the sort key appends the leaf hash: the synthesized fixture view
     # derives txid from a MODDED orderkey, so (txid, vout) can repeat,
     # and a bare (txid, vout) key would leave the tie order
     # engine-dependent; with the hash appended, any remaining ties are
-    # IDENTICAL leaves, whose relative order cannot change the tree
+    # IDENTICAL leaves, whose relative order cannot change the tree.
+    # Ordering is the (txid, vout, h) TUPLE — not a padded concat key —
+    # so the checkpoints carry no redundant 134-char sort string
+    # (round-10: the leaf-indexing pass, not the fold, dominated wall).
     leaf_h = F.sha2(
         F.concat_ws(
             ":",
@@ -1025,34 +1040,53 @@ def q_utxo_merkle_root(spark, sf_dir):
         ),
         256,
     )
-    keyed = u.select(
-        F.concat(
-            F.col("txid"),
-            F.lpad(F.col("vout").cast("string"), 6, "0"),
-            leaf_h,
-        ).alias("k"),
-        leaf_h.alias("h"),
-        F.lit(1).cast("long").alias("one"),
+    # h projected first so the sha2 is computed once per row; the
+    # checkpoint materializes the hashes so the range exchange's
+    # sampling pass doesn't re-run the scan + hash chain
+    order_cols = ["txid", "vout", "h"]
+    keyed = u.withColumn("h", leaf_h).select(*order_cols).localCheckpoint(
+        eager=True
     )
-    leaves = global_cumsum(keyed, "k", ["one"]).select(
-        (F.col("cum_one") - 1).alias("idx"), "h"
+    # global dense index: the two-pass global_cumsum recipe inlined over
+    # the tuple order (range partition pinned by checkpoint + 32-row
+    # offset carry — never a corpus-wide single-partition window)
+    part = (
+        keyed.repartitionByRange(32, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    cur = leaves.localCheckpoint(eager=True)
-    n_leaves = cur.count()
-    depth = 0
-    left = F.max(F.when(F.col("idx") % 2 == 0, F.col("h")))
-    right = F.max(F.when(F.col("idx") % 2 == 1, F.col("h")))
-    while cur.count() > 1:
-        cur = (
-            cur.groupBy(F.expr("idx div 2").alias("idx"))
-            .agg(
-                F.sha2(
-                    F.concat(left, F.coalesce(right, left)), 256
-                ).alias("h")
-            )
-            .localCheckpoint(eager=True)  # per-level counts stay O(level)
+    n_leaves = part.count()
+    wloc = W.partitionBy("__pid").orderBy(*order_cols)
+    local = part.withColumn("__li", F.row_number().over(wloc))
+    woff = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
         )
+    )
+    cur = local.join(F.broadcast(offsets), "__pid").select(
+        (F.col("__off") + F.col("__li") - 1).alias("idx"), "h"
+    )
+    # depth from n_leaves by exact integer ceil-division — the fold runs
+    # a FIXED number of levels lazily, so the whole tree is ONE job of
+    # chained geometrically-shrinking hash aggregates: no per-level
+    # checkpoint, count job, or driver round-trip (round-10; the loop
+    # previously paid ~17 checkpoint+count pairs)
+    depth, m = 0, n_leaves
+    while m > 1:
+        m = -(-m // MERKLE_FANIN)
         depth += 1
+    children = [
+        F.max(F.when(F.col("idx") % MERKLE_FANIN == j, F.col("h")))
+        for j in range(MERKLE_FANIN)
+    ]
+    for _ in range(depth):
+        cur = cur.groupBy(F.expr(f"idx div {MERKLE_FANIN}").alias("idx")).agg(
+            F.sha2(F.concat_ws("", *children), 256).alias("h")
+        )
     return cur.select(
         F.lit(n_leaves).cast("long").alias("n_leaves"),
         F.lit(depth).cast("long").alias("depth"),
