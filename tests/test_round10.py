@@ -1,0 +1,134 @@
+"""Round-10 constructed-case tests: witness-verified substring dedup,
+corpus-scaled dedup defaults, merkle fan-in."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_documents(tmp_path, rows):
+    """rows: list of (doc_id, text, source); full fixture schema."""
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+
+P = " ".join(f"p{i}" for i in range(10))
+Q = " ".join(f"q{i}" for i in range(10))
+R = " ".join(f"r{i}" for i in range(10))
+
+
+def test_substring_exact_flags_abutting_overmerge(tmp_path, spark):
+    """The canonical shingle-chain over-extension: doc1 = P Q R where
+    P Q comes from doc2 and Q R from doc3. Every 8-word unit of doc1 is
+    duplicated SOMEWHERE, so the island chain merges all of P Q R into
+    one 30-word span — but that span occurs whole in NO single other
+    document. The verify pass must flag it (is_exact=False) and trim the
+    verified prefix to exactly |P Q| = 20 words (the doc2 witness),
+    while doc2's and doc3's own spans verify fully."""
+    from utxo_to_parquet_spark.operators.dedup import q_dedup_substring_exact
+
+    _write_documents(
+        tmp_path,
+        [
+            (1, f"{P} {Q} {R}", "web"),
+            (2, f"{P} {Q}", "web"),
+            (3, f"{Q} {R}", "web"),
+        ],
+    )
+    out = {r.doc_id: r for r in q_dedup_substring_exact(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+
+    d1 = out[1]
+    assert (d1.span_start, d1.span_words, d1.n_units) == (0, 30, 23)
+    assert d1.is_exact is False
+    assert d1.verified_words == 20  # the doc2 witness covers exactly P Q
+    assert d1.n_full_witnesses == 0
+
+    d2 = out[2]
+    assert (d2.span_start, d2.span_words) == (0, 20)
+    assert d2.is_exact is True and d2.n_full_witnesses == 1
+    assert d2.verified_words == 20
+
+    d3 = out[3]
+    assert (d3.span_start, d3.span_words) == (0, 20)
+    assert d3.is_exact is True and d3.n_full_witnesses == 1
+    assert d3.verified_words == 20
+
+
+def test_substring_exact_counts_multiple_full_witnesses(tmp_path, spark):
+    """A span duplicated verbatim in k other docs reports k full
+    witnesses and stays exact."""
+    from utxo_to_parquet_spark.operators.dedup import q_dedup_substring_exact
+
+    boiler = f"{P} {Q}"
+    _write_documents(
+        tmp_path,
+        [
+            (1, boiler, "a"),
+            (2, boiler, "b"),
+            (3, boiler, "c"),
+        ],
+    )
+    out = q_dedup_substring_exact(spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.is_exact is True
+        assert r.n_full_witnesses == 2
+        assert r.verified_words == r.span_words == 20
+
+
+def test_emb_band_bits_scale_with_corpus():
+    """Key width grows one bit per corpus doubling past the base, capped
+    at EMB_MAX_BITS — the scale-safe default the round-9 probe measured
+    at exponent 0.53."""
+    from utxo_to_parquet_spark.operators.dedup import (
+        EMB_BAND_BITS,
+        EMB_BASE_N,
+        EMB_MAX_BITS,
+        emb_band_bits_for,
+    )
+
+    assert emb_band_bits_for(1) == EMB_BAND_BITS
+    assert emb_band_bits_for(EMB_BASE_N) == EMB_BAND_BITS
+    assert emb_band_bits_for(EMB_BASE_N + 1) == EMB_BAND_BITS + 1
+    assert emb_band_bits_for(EMB_BASE_N * 16) == EMB_BAND_BITS + 4
+    assert emb_band_bits_for(10**12) == EMB_MAX_BITS
+
+
+def test_sem_seeds_scale_with_corpus():
+    from utxo_to_parquet_spark.operators.dedup import (
+        SEM_K,
+        SEM_TARGET,
+        sem_seeds_for,
+    )
+
+    assert sem_seeds_for(0) == SEM_K
+    assert sem_seeds_for(SEM_K * SEM_TARGET) == SEM_K
+    assert sem_seeds_for(32000) == 128  # the 16x probe replay
+    assert sem_seeds_for(SEM_TARGET * 100) == 100
+
+
+def test_merkle_depth_matches_fanin_fold():
+    """The Python ceil-div depth equals ceil(log16 n) (what the oracle
+    computes as CEIL(LOG2(n)/4)) for every n in the awkward range."""
+    import math
+
+    from utxo_to_parquet_spark.operators.utxo_queries import MERKLE_FANIN
+
+    for n in list(range(1, 300)) + [16**3, 16**3 + 1, 600000, 16**5]:
+        depth, m = 0, n
+        while m > 1:
+            m = -(-m // MERKLE_FANIN)
+            depth += 1
+        expect = 0 if n == 1 else math.ceil(math.log2(n) / 4 - 1e-12)
+        assert depth == expect, n
