@@ -851,6 +851,82 @@ def test_jpeg_rgb_restart_markers_reset_predictors():
     assert np.array_equal(px, rgb)
 
 
+def test_jpeg_420_mcu_walk_layout_pinned():
+    """Pin the 4:2:0 MCU interleave to T.81 A.2.3 by hand-deriving the
+    entropy bytes of a single 16x16 MCU whose four 8x8 quadrants are
+    129/130/131/132 (gray r==g==b, so Y == value and Cb == Cr == 128):
+
+    - Y blocks walk ROW-MAJOR (TL, TR, BL, BR), so the DC diffs are
+      +1,+1,+1,+1: DC-lum cat-1 code '010' + magnitude bit '1' + AC-lum
+      EOB '1010' = 0b01011010 = 0x5A per block. A column-major walk
+      would give diffs +1,+2,-1,+2 and different bytes.
+    - Cb then Cr follow as ONE block each (level-shifted DC 0: DC-chr
+      cat-0 '00' + AC-chr EOB '00'), packing to the single byte 0x00.
+    - SOF0 advertises luma 0x22, chroma 0x11.
+    """
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_jpeg, encode_jpeg
+
+    vals = np.array([[129, 130], [131, 132]], dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    rgb = np.stack([img] * 3, axis=-1)
+    buf = encode_jpeg(rgb, sampling="4:2:0")
+    i = buf.index(b"\xff\xc0")
+    assert buf[i + 4 : i + 19] == bytes(
+        [8, 0, 16, 0, 16, 3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    k = buf.index(b"\xff\xda")
+    assert buf[k + 4 : k + 12] == bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0])
+    assert buf[k + 14 : -2] == bytes([0x5A, 0x5A, 0x5A, 0x5A, 0x00])
+    w, h, px = decode_jpeg(buf)
+    assert (w, h) == (16, 16)
+    assert np.array_equal(px, rgb)
+
+
+def test_jpeg_422_mcu_walk_layout_pinned():
+    """Same pin for 4:2:2: one 16x8 MCU, two Y blocks left-to-right
+    (DC diffs +1,+1 -> 0x5A 0x5A) then Cb, Cr (0x00)."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_jpeg, encode_jpeg
+
+    vals = np.array([[129, 130]], dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    rgb = np.stack([img] * 3, axis=-1)
+    buf = encode_jpeg(rgb, sampling="4:2:2")
+    i = buf.index(b"\xff\xc0")
+    assert buf[i + 4 : i + 19] == bytes(
+        [8, 0, 8, 0, 16, 3, 1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    k = buf.index(b"\xff\xda")
+    assert buf[k + 14 : -2] == bytes([0x5A, 0x5A, 0x00])
+    w, h, px = decode_jpeg(buf)
+    assert (w, h) == (16, 8)
+    assert np.array_equal(px, rgb)
+
+
+def test_jpeg_subsampled_roundtrip_sweep():
+    """decode(encode(px)) bit-exact for MCU-tile-constant images across
+    both subsampled layouts, value sweep, and restart intervals."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_jpeg, encode_jpeg
+
+    for v0 in (0, 7, 99, 200, 255):
+        vals = ((np.arange(6) * 53 + v0) % 256).reshape(2, 3)
+        for samp, rh, rw in [("4:2:0", 16, 16), ("4:2:2", 8, 16)]:
+            img = np.repeat(
+                np.repeat(vals, rh, axis=0), rw, axis=1
+            ).astype(np.uint8)
+            rgb = np.stack([img] * 3, axis=-1)
+            for rst in (0, 1, 2):
+                buf = encode_jpeg(rgb, restart_interval=rst, sampling=samp)
+                w, h, px = decode_jpeg(buf)
+                assert (w, h) == (3 * rw, 2 * rh)
+                assert np.array_equal(px, rgb), (v0, samp, rst)
+
+
 def test_jpeg_decode_errors_are_loud():
     import numpy as np
     import pytest
@@ -864,11 +940,25 @@ def test_jpeg_decode_errors_are_loud():
     prog = bytes(buf[: i + 1]) + b"\xc2" + bytes(buf[i + 2 :])
     with pytest.raises(ValueError, match="SOF2"):
         decode_jpeg(prog)
-    # chroma subsampling: sampling factor 0x22
+    # single-component scans are non-interleaved (T.81 A.2.2): sampling
+    # factors are normalized to 1x1, so a grayscale stream claiming
+    # 0x22 still decodes to the same pixels
     sub = bytearray(buf)
     sub[i + 11] = 0x22  # H/V byte of component 1 in SOF0
-    with pytest.raises(ValueError, match="subsampling"):
-        decode_jpeg(bytes(sub))
+    w, h, px = decode_jpeg(bytes(sub))
+    assert np.array_equal(px, img)
+    # sampling factor out of the 1..4 range
+    bad = bytearray(buf)
+    bad[i + 11] = 0x50
+    with pytest.raises(ValueError, match="out of range"):
+        decode_jpeg(bytes(bad))
+    # non-integer upsampling ratio: 4:2:0 luma (2x2) with a 3x3 chroma
+    rgb = np.stack([np.full((16, 16), 100, np.uint8)] * 3, axis=-1)
+    cbuf = bytearray(encode_jpeg(rgb, sampling="4:2:0"))
+    ic = cbuf.index(b"\xff\xc0")
+    cbuf[ic + 14] = 0x33  # H/V byte of component 2 (Cb)
+    with pytest.raises(ValueError, match="non-integer upsampling"):
+        decode_jpeg(bytes(cbuf))
     # 16-bit quant table
     j = buf.index(b"\xff\xdb")
     q16 = bytearray(buf)

@@ -621,8 +621,13 @@ def _encode_coef_bits(v: int, size: int) -> int:
     return v if v >= 0 else v - 1 + (1 << size)
 
 
+# sampling name -> luma (h, v) factors; chroma is always (1, 1), so
+# "4:2:0" halves chroma both ways and "4:2:2" horizontally only
+_JPEG_SAMPLINGS = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+
+
 def encode_jpeg(
-    pixels: np.ndarray, restart_interval: int = 0
+    pixels: np.ndarray, restart_interval: int = 0, sampling: str = "4:4:4"
 ) -> bytes:
     """Baseline sequential JFIF encoder, DC-exact by construction: the
     quantization tables are all 8s, so a CONSTANT 8x8 block's only
@@ -631,17 +636,35 @@ def encode_jpeg(
     bit-exact for block-constant inputs, which is what makes a lossy
     codec oracle-gateable (q_mm_jpeg_decode_stats). Gray (h, w) input
     emits 1-component grayscale; (h, w, 3) RGB emits 3-component
-    YCbCr 4:4:4 (interleaved MCUs, chroma tables) — also exact for
-    r==g==b inputs, where the color transform is the identity on Y and
-    pins Cb=Cr=128. Dimensions must be multiples of 8 (no edge
-    replication — the encoder's job here is to exercise the decoder,
-    not to ship partial-MCU padding)."""
+    YCbCr (interleaved MCUs, chroma tables) — also exact for r==g==b
+    inputs, where the color transform is the identity on Y and pins
+    Cb=Cr=128.
+
+    ``sampling`` selects the chroma geometry: "4:4:4" (1 block per
+    component per MCU), "4:2:2" (2 Y blocks, chroma half-width), or
+    "4:2:0" (4 Y blocks, chroma half-width and half-height — the
+    dominant real-world web-JPEG layout). Chroma planes are box-mean
+    downsampled, which is exact when every MCU-sized region is
+    constant; the block-constant check then applies per PLANE block, so
+    the DC-exact contract needs constancy at MCU granularity (16x16
+    for 4:2:0, 8x16 for 4:2:2). Dimensions must be multiples of the
+    MCU size (no edge replication — the encoder's job here is to
+    exercise the decoder, not to ship partial-MCU padding)."""
+    if sampling not in _JPEG_SAMPLINGS:
+        raise ValueError(f"unknown sampling {sampling!r}")
+    hs, vs = _JPEG_SAMPLINGS[sampling]
     gray = pixels.ndim == 2
+    if gray and sampling != "4:4:4":
+        raise ValueError("grayscale has no chroma to subsample")
     h, w = pixels.shape[:2]
-    if h % 8 or w % 8:
-        raise ValueError("encode_jpeg requires multiple-of-8 dimensions")
+    if h % (8 * vs) or w % (8 * hs):
+        raise ValueError(
+            f"encode_jpeg {sampling} requires multiple-of-{8 * vs}x"
+            f"{8 * hs} dimensions"
+        )
     if gray:
         comps = [pixels.astype(np.float64)]
+        samps = [(1, 1)]
     else:
         r = pixels[:, :, 0].astype(np.float64)
         g = pixels[:, :, 1].astype(np.float64)
@@ -649,7 +672,16 @@ def encode_jpeg(
         y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
         cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
         cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        if (hs, vs) != (1, 1):
+            # box-mean downsample: exact for MCU-constant regions
+            cb = np.round(
+                cb.reshape(h // vs, vs, w // hs, hs).mean(axis=(1, 3))
+            )
+            cr = np.round(
+                cr.reshape(h // vs, vs, w // hs, hs).mean(axis=(1, 3))
+            )
         comps = [y, cb, cr]
+        samps = [(hs, vs), (1, 1), (1, 1)]
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
@@ -665,7 +697,8 @@ def encode_jpeg(
     nf = 1 if gray else 3
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nf])
     for ci in range(nf):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        ch, cv = samps[ci]
+        sof += bytes([ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1])
     out += seg(0xC0, sof)  # SOF0 baseline
     tables = [(0x00, _JPEG_DC_LUM), (0x10, _JPEG_AC_LUM)]
     if not gray:
@@ -688,7 +721,7 @@ def encode_jpeg(
     ]
     bw = _BitWriter()
     pred = [0] * nf
-    mcu_rows, mcu_cols = h // 8, w // 8
+    mcu_rows, mcu_cols = h // (8 * vs), w // (8 * hs)
     n_mcu = mcu_rows * mcu_cols
     rst = 0
     for m in range(n_mcu):
@@ -701,22 +734,29 @@ def encode_jpeg(
             pred = [0] * nf
         by, bx = divmod(m, mcu_cols)
         for ci in range(nf):
-            block = comps[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            if not np.all(block == block[0, 0]):
-                raise ValueError(
-                    "encode_jpeg encodes block-constant images only (the"
-                    " DC-exact contract); got a non-constant 8x8 block"
-                )
-            dc = int(block[0, 0]) - 128  # quantized DC == level-shifted value
-            diff = dc - pred[ci]
-            pred[ci] = dc
-            size = _dc_category(diff)
-            code, ln = dc_codes[ci][size]
-            bw.put(code, ln)
-            if size:
-                bw.put(_encode_coef_bits(diff, size), size)
-            code, ln = ac_codes[ci][0x00]  # EOB: all 63 ACs are zero
-            bw.put(code, ln)
+            ch, cv = samps[ci]
+            for v in range(cv):
+                for hh in range(ch):
+                    r0 = (by * cv + v) * 8
+                    c0 = (bx * ch + hh) * 8
+                    block = comps[ci][r0 : r0 + 8, c0 : c0 + 8]
+                    if not np.all(block == block[0, 0]):
+                        raise ValueError(
+                            "encode_jpeg encodes block-constant images only"
+                            " (the DC-exact contract); got a non-constant"
+                            " 8x8 block"
+                        )
+                    # quantized DC == level-shifted value
+                    dc = int(block[0, 0]) - 128
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    size = _dc_category(diff)
+                    code, ln = dc_codes[ci][size]
+                    bw.put(code, ln)
+                    if size:
+                        bw.put(_encode_coef_bits(diff, size), size)
+                    code, ln = ac_codes[ci][0x00]  # EOB: all 63 ACs zero
+                    bw.put(code, ln)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -831,10 +871,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     components) the JFIF YCbCr->RGB transform. Returns (w, h, pixels)
     with pixels (h, w) for grayscale or (h, w, 3) RGB.
 
-    Supported: 8-bit baseline (SOF0), 1 or 3 components, 4:4:4 only.
-    Progressive (SOF2), other SOFn, arithmetic coding, and subsampled
-    chroma raise ValueError with the unsupported feature named — the
-    documented residual stub."""
+    Supported: 8-bit baseline (SOF0), 1 or 3 components, 4:4:4 plus
+    the subsampled chroma layouts whose factors divide the frame's max
+    (4:2:0, 4:2:2, 4:4:0, 4:1:1 — interleaved MCU walk per T.81 A.2.3,
+    chroma upsampled by pixel replication). Progressive (SOF2), other
+    SOFn, and arithmetic coding raise ValueError with the unsupported
+    feature named — the documented residual stub."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -886,9 +928,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             comps = []
             for ci in range(nf):
                 cid, hv, tq = body[6 + 3 * ci], body[7 + 3 * ci], body[8 + 3 * ci]
-                if hv != 0x11:
-                    raise ValueError("chroma subsampling unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"sampling factors {hi}x{vi} out of range")
+                comps.append((cid, hi, vi, tq))
             if nf not in (1, 3):
                 raise ValueError(f"{nf}-component frames unsupported")
             frame = (fh, fw, comps)
@@ -912,13 +955,27 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     if frame is None or scan is None:
         raise ValueError("missing SOF0 or SOS")
     fh, fw, comps = frame
-    if fh % 8 or fw % 8:
-        raise ValueError("partial-MCU images unsupported (dims must be 8k)")
     nf = len(comps)
+    if nf == 1:
+        # single-component scans are non-interleaved (T.81 A.2.2):
+        # sampling factors do not shape the data — normalize to 1x1
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _, hi, vi, _ in comps:
+        if hmax % hi or vmax % vi:
+            raise ValueError(
+                f"non-integer upsampling ratio ({hi}x{vi} vs {hmax}x{vmax})"
+            )
+    if fh % (8 * vmax) or fw % (8 * hmax):
+        raise ValueError(
+            f"partial-MCU images unsupported (dims must be multiples of"
+            f" {8 * vmax}x{8 * hmax})"
+        )
     if len(scan) != nf:
         raise ValueError("multi-scan files unsupported (single interleaved scan)")
     comp_q = []
-    for (cid, tq), (cs, td, ta) in zip(comps, scan):
+    for (cid, hi, vi, tq), (cs, td, ta) in zip(comps, scan):
         if cs != cid:
             raise ValueError("scan component order must match frame")
         # quant table pre-permuted into ZIGZAG order so dequant +
@@ -930,10 +987,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 ac_tabs[ta],
             )
         )
-    planes = [np.zeros((fh, fw), dtype=np.float64) for _ in range(nf)]
+    # per-component planes at NATIVE (subsampled) resolution; upsampled
+    # to frame resolution after the scan
+    planes = [
+        np.zeros((fh * vi // vmax, fw * hi // hmax), dtype=np.float64)
+        for _, hi, vi, _ in comps
+    ]
     br = _BitReader(payload, pos)
     pred = [0] * nf
-    mcu_rows, mcu_cols = fh // 8, fw // 8
+    mcu_rows, mcu_cols = fh // (8 * vmax), fw // (8 * hmax)
     rst = 0
     for m in range(mcu_rows * mcu_cols):
         if restart_interval and m and m % restart_interval == 0:
@@ -942,30 +1004,46 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             pred = [0] * nf
         by, bx = divmod(m, mcu_cols)
         for ci in range(nf):
+            _, hi, vi, _ = comps[ci]
             q_zz, dct, act = comp_q[ci]
-            zz = [0] * 64
-            size = _read_symbol(br, dct)
-            diff = _extend(br.receive(size), size) if size else 0
-            pred[ci] += diff
-            zz[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = _read_symbol(br, act)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                zz[k] = _extend(br.receive(s), s)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_JPEG_ZZ_FLAT] = np.asarray(zz, dtype=np.float64) * q_zz
-            block = _IDCT_A.T @ coef.reshape(8, 8) @ _IDCT_A
-            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block + 128.0
+            # interleave order within the MCU: the component's vi x hi
+            # block grid, row-major (T.81 A.2.3)
+            for v in range(vi):
+                for hh in range(hi):
+                    zz = [0] * 64
+                    size = _read_symbol(br, dct)
+                    diff = _extend(br.receive(size), size) if size else 0
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _read_symbol(br, act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run overflows block")
+                        zz[k] = _extend(br.receive(s), s)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_JPEG_ZZ_FLAT] = np.asarray(zz, dtype=np.float64) * q_zz
+                    block = _IDCT_A.T @ coef.reshape(8, 8) @ _IDCT_A
+                    r0 = (by * vi + v) * 8
+                    c0 = (bx * hi + hh) * 8
+                    planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block + 128.0
+    # replication upsample back to frame resolution (the JFIF simple
+    # upsample; a decoder choosing fancy upsampling would differ only on
+    # non-constant chroma, which the DC-exact oracle never plants)
+    for ci in range(nf):
+        _, hi, vi, _ = comps[ci]
+        if (hi, vi) != (hmax, vmax):
+            planes[ci] = np.repeat(
+                np.repeat(planes[ci], vmax // vi, axis=0), hmax // hi, axis=1
+            )
     if nf == 1:
         px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return fw, fh, px

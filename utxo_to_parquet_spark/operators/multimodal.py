@@ -177,24 +177,25 @@ def q_mm_frame_sample(spark, sf_dir):
 
 def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
     """Placeholder for the remaining natively-coded formats
-    (progressive/subsampled JPEG and video — PIL, libvips, ffmpeg are
-    not installed here).
+    (progressive JPEG and video — PIL, libvips, ffmpeg are not
+    installed here).
 
     Formats decodable in pure Python are NOT stubbed: kernels/image.py
     implements real PPM (P6), 24-bit BMP, PNG (stdlib zlib inflate +
-    all five scanline filters), QOI, and — round 9 — BASELINE
+    all five scanline filters), QOI, and — rounds 9/10 — BASELINE
     SEQUENTIAL JPEG (marker parse, canonical huffman entropy decode
-    with byte unstuffing and restart markers, dequant, IDCT, YCbCr),
-    exercised end-to-end by ``q_mm_decode_pixel_stats``,
-    ``q_mm_phash_dedup``, ``q_mm_qoi_decode_stats``, and
-    ``q_mm_jpeg_decode_stats``. A production deployment swaps this
-    stub for the native codec; the mapInPandas plumbing is unchanged
-    by that swap.
+    with byte unstuffing and restart markers, dequant, IDCT, YCbCr,
+    and the 4:2:0/4:2:2 subsampled MCU interleave with chroma
+    replication upsampling), exercised end-to-end by
+    ``q_mm_decode_pixel_stats``, ``q_mm_phash_dedup``,
+    ``q_mm_qoi_decode_stats``, and ``q_mm_jpeg_decode_stats``. A
+    production deployment swaps this stub for the native codec; the
+    mapInPandas plumbing is unchanged by that swap.
     """
     raise NotImplementedError(
-        "progressive/subsampled JPEG and video codecs are not available"
-        " in this environment; see kernels/image.py for the pure-Python"
-        " PPM/BMP/PNG/QOI and baseline-JPEG formats"
+        "progressive-JPEG and video codecs are not available in this"
+        " environment; see kernels/image.py for the pure-Python"
+        " PPM/BMP/PNG/QOI and baseline-JPEG (incl. 4:2:0/4:2:2) formats"
     )
 
 
@@ -745,40 +746,53 @@ JPEG_BH = 2  # block rows; block cols vary 2..4 per doc
 @register(
     "q_mm_jpeg_decode_stats",
     # independent-recompute oracle, same contract as the QOI/WAV gates:
-    # the planted image is BLOCK-CONSTANT (each 8x8 block one byte of the
-    # text), which is the one shape a LOSSY codec reproduces bit-exactly
-    # (DC-only blocks under all-8s quant tables: quantized DC == the
-    # level-shifted value; gray r==g==b pixels survive the YCbCr
-    # round-trip exactly). The oracle rebuilds the DECODED buffer by
-    # string arithmetic — each block char repeated 8x per row (24x for
-    # 3-channel RGB rows) and each block row repeated 8 times — so a
-    # huffman mis-decode, DC-predictor slip, dequant/IDCT scale error,
-    # zig-zag mix-up, restart-marker desync, or color-transform bias
-    # changes sum_px or px_sha and breaks the gate. Even docs decode
-    # grayscale; odd docs decode 3-component YCbCr with restart markers.
+    # the planted image is TILE-CONSTANT (each MCU-sized tile one byte
+    # of the text), which is the one shape a LOSSY codec reproduces
+    # bit-exactly (DC-only blocks under all-8s quant tables: quantized
+    # DC == the level-shifted value; gray r==g==b pixels survive the
+    # YCbCr round-trip exactly, and box-mean chroma downsampling +
+    # replication upsampling are identities on constant tiles). The
+    # oracle rebuilds the DECODED buffer by string arithmetic — each
+    # tile char repeated rep_w x (3 channels when RGB) per row and each
+    # tile row repeated rep_h times — so a huffman mis-decode,
+    # DC-predictor slip, dequant/IDCT scale error, zig-zag mix-up,
+    # restart-marker desync, MCU-interleave walk error, chroma
+    # upsampling bug, or color-transform bias changes sum_px or px_sha
+    # and breaks the gate. Even docs decode grayscale (8x8 tiles); odd
+    # docs decode 3-component YCbCr cycling the sampling layouts:
+    # doc_id%3=0 -> 4:4:4 with restart markers (8x8 tiles), 1 -> 4:2:0
+    # with restarts (16x16 tiles), 2 -> 4:2:2 (8x16 tiles).
     oracle=f"""
     WITH img AS (
       SELECT doc_id,
              CAST(2 + doc_id % 3 AS BIGINT) AS bw,
              CAST({JPEG_BH} AS BIGINT) AS bh,
              doc_id % 2 = 1 AS rgb,
+             CASE WHEN doc_id % 2 = 0 THEN 8
+                  WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS rep_w,
+             CASE WHEN doc_id % 2 = 0 THEN 8
+                  WHEN doc_id % 3 = 1 THEN 16 ELSE 8 END AS rep_h,
              substr(repeat(text, CAST(CEIL(12.0 / LENGTH(text)) AS BIGINT)),
                     1, CAST((2 + doc_id % 3) * {JPEG_BH} AS INT)) AS bpx
       FROM documents
     ),
     built AS (
-      SELECT doc_id, bw, bh, rgb, bpx,
+      SELECT doc_id, bw, bh, rgb, bpx, rep_w, rep_h,
              array_to_string(list_transform(range(0, bh), j ->
                repeat(array_to_string(list_transform(range(0, bw), i ->
                  repeat(substr(bpx, CAST(j * bw + i + 1 AS INT), 1),
-                        CASE WHEN rgb THEN 24 ELSE 8 END)), ''), 8)), '')
+                        CAST(rep_w * CASE WHEN rgb THEN 3 ELSE 1 END
+                             AS INT))), ''), CAST(rep_h AS INT))), '')
                AS buf
       FROM img
     )
     SELECT doc_id,
-           CASE WHEN rgb THEN 'jpeg_rgb' ELSE 'jpeg_gray' END AS fmt,
-           bw * 8 AS width, bh * 8 AS height,
-           CAST((CASE WHEN rgb THEN 192 ELSE 64 END)
+           CASE WHEN NOT rgb THEN 'jpeg_gray'
+                WHEN doc_id % 3 = 0 THEN 'jpeg_rgb'
+                WHEN doc_id % 3 = 1 THEN 'jpeg_rgb_420'
+                ELSE 'jpeg_rgb_422' END AS fmt,
+           bw * rep_w AS width, bh * rep_h AS height,
+           CAST(rep_w * rep_h * (CASE WHEN rgb THEN 3 ELSE 1 END)
                 * LIST_SUM(LIST_TRANSFORM(RANGE(0, bw * bh),
                     i -> ASCII(substr(bpx, CAST(i + 1 AS INT), 1))))
                 AS BIGINT) AS sum_px,
@@ -788,18 +802,22 @@ JPEG_BH = 2  # block rows; block cols vary 2..4 per doc
 )
 def q_mm_jpeg_decode_stats(spark, sf_dir):
     """REAL baseline JPEG decode end-to-end (ITU-T T.81 sequential DCT):
-    each document's text bytes become the 8x8-block values of a small
-    block-constant image, encoded to a full JFIF byte stream (Annex K
-    huffman tables, all-8s quant, interleaved 4:4:4 MCUs, restart
-    markers on the RGB path) and decoded back by the independent
-    pure-Python decoder in kernels/image.py — marker parse, canonical
-    huffman with byte unstuffing, DC prediction, de-zigzag, dequant,
-    separable float IDCT, level shift, YCbCr->RGB. Block-constant
-    inputs are the bit-exact subset of a lossy codec (DC-only under
-    all-8s quantization), which is what lets the DuckDB oracle
-    recompute the decoded buffer from the text alone. One Arrow-batched
-    mapInPandas pass, per-partition, no shuffle; progressive JPEG and
-    subsampled chroma remain the documented decoder stub
+    each document's text bytes become the MCU-tile values of a small
+    tile-constant image, encoded to a full JFIF byte stream (Annex K
+    huffman tables, all-8s quant, interleaved MCUs, restart markers)
+    and decoded back by the independent pure-Python decoder in
+    kernels/image.py — marker parse, canonical huffman with byte
+    unstuffing, DC prediction, de-zigzag, dequant, separable float
+    IDCT, level shift, chroma replication upsample, YCbCr->RGB. The
+    RGB docs cycle all three sampling layouts (4:4:4 / 4:2:0 with
+    restarts / 4:2:2 — round 10 added the subsampled MCU interleave +
+    chroma upsampling, the dominant real-world web-JPEG shapes).
+    Tile-constant inputs are the bit-exact subset of a lossy codec
+    (DC-only under all-8s quantization; box-mean downsample and
+    replication upsample are identities on constant tiles), which is
+    what lets the DuckDB oracle recompute the decoded buffer from the
+    text alone. One Arrow-batched mapInPandas pass, per-partition, no
+    shuffle; progressive JPEG and video remain the documented stub
     (kernels/image.py decode_jpeg docstring)."""
     import hashlib as _hashlib
 
@@ -826,15 +844,25 @@ def q_mm_jpeg_decode_stats(spark, sf_dir):
                 n = bw * bh
                 raw = (text.encode("utf-8") * -(-n // len(text)))[:n]
                 vals = np.frombuffer(raw, dtype=np.uint8).reshape(bh, bw)
-                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
                 if doc_id % 2:
+                    # cycle sampling layouts: tile size = the MCU, so
+                    # every emitted block (luma AND box-mean chroma) is
+                    # constant and the round trip stays bit-exact
+                    samp, fmt, rep_w, rep_h, rst = {
+                        0: ("4:4:4", "jpeg_rgb", 8, 8, 2),
+                        1: ("4:2:0", "jpeg_rgb_420", 16, 16, 1),
+                        2: ("4:2:2", "jpeg_rgb_422", 16, 8, 0),
+                    }[doc_id % 3]
+                    img = np.repeat(
+                        np.repeat(vals, rep_h, axis=0), rep_w, axis=1
+                    )
                     rgb = np.stack([img] * 3, axis=-1)
-                    buf = encode_jpeg(rgb, restart_interval=2)
+                    buf = encode_jpeg(rgb, restart_interval=rst, sampling=samp)
                     w, h, px = decode_jpeg(buf)
-                    assert px.shape == (bh * 8, bw * 8, 3), doc_id
+                    assert px.shape == (bh * rep_h, bw * rep_w, 3), doc_id
                     assert np.array_equal(px, rgb), doc_id
-                    fmt = "jpeg_rgb"
                 else:
+                    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
                     buf = encode_jpeg(img)
                     w, h, px = decode_jpeg(buf)
                     assert px.shape == (bh * 8, bw * 8), doc_id
