@@ -253,6 +253,8 @@ def _utxo_dump_path(rows: int) -> str:
 
 
 def main():
+    global T_START
+    T_START = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
@@ -358,6 +360,21 @@ def main():
 
     # the cold-run duplicate is informational, not part of the suite sum
     total = round(sum(v for k, v in times.items() if k != "utxo_convert_cold"), 3)
+    # host context rides in the artifact so the driver-vs-isolated noise
+    # band (r9 verdict measured a uniform ~1.37x inflation under load)
+    # is attributable WITHIN the record, not by cross-referencing
+    # (round-9 item 6)
+    try:
+        with open("/proc/loadavg") as fh:
+            load1, load5, load15 = (float(x) for x in fh.read().split()[:3])
+    except OSError:  # non-Linux fallback: os.getloadavg
+        load1, load5, load15 = os.getloadavg()
+    host = {
+        "loadavg": [load1, load5, load15],
+        "cpus": os.cpu_count(),
+        "start_unix": int(T_START),
+        "wall_sec": round(time.time() - T_START, 1),
+    }
     result = {
         "metric": "suite_seconds",
         "value": total,
@@ -368,6 +385,7 @@ def main():
         # per-trial spread for the two headline rows: a real regression
         # moves the MIN; host noise widens the spread (round-9 item 3)
         "trials": per_trial,
+        "host": host,
     }
     # Emit the summary twice (stderr first, stdout last) and persist a
     # durable copy: round-5's driver capture truncated the single stdout
@@ -397,6 +415,7 @@ def main():
             if k in times
         },
         "trials": per_trial,
+        "host": host,
         "full_record": "BENCH_local.json",
     }
     print(json.dumps(compact), flush=True)

@@ -1006,11 +1006,13 @@ def _emb_full_key_sql(band: int) -> str:
     )
 
 
-def _embedding_lsh_oracle() -> str:
-    # corpus-scaled key width: the same integer doubling-threshold sum
-    # emb_band_bits_for computes, as SQL over COUNT(*) — then each
-    # band's full 12-bit key is masked to the low `bits` bits. Pure
-    # integer compares + shifts: engine-identical by construction.
+def _emb_lsh_cte() -> str:
+    """Shared CTE chain for the embedding-LSH oracles: corpus-scaled key
+    width (the same integer doubling-threshold sum emb_band_bits_for
+    computes, as SQL over COUNT(*)) masking each band's full 12-bit key
+    to the low ``bits`` bits — pure integer compares + shifts,
+    engine-identical by construction. Ends with the ``bands`` relation
+    (one row per (vector, band) with its bucket key)."""
     extra = " + ".join(
         f"(CASE WHEN n > {EMB_BASE_N << i} THEN 1 ELSE 0 END)"
         for i in range(EMB_MAX_BITS - EMB_BAND_BITS)
@@ -1023,8 +1025,7 @@ def _embedding_lsh_oracle() -> str:
         f"SELECT vec_id, e, nrm, {b} AS band, bk{b} AS bkey FROM keyed"
         for b in range(EMB_BANDS)
     )
-    return f"""
-    WITH bb AS (
+    return f"""bb AS (
       SELECT (1 << ({EMB_BAND_BITS} + {extra})) AS msk
       FROM (SELECT COUNT(*) AS n FROM embeddings)
     ),
@@ -1036,7 +1037,12 @@ def _embedding_lsh_oracle() -> str:
     keyed AS (SELECT vec_id, e, nrm,
              {keys}
       FROM v CROSS JOIN bb),
-    bands AS ({band_rows})
+    bands AS ({band_rows})"""
+
+
+def _embedding_lsh_oracle() -> str:
+    return f"""
+    WITH {_emb_lsh_cte()}
     SELECT DISTINCT a.vec_id AS dup_a, b.vec_id AS dup_b,
            ROUND(LIST_DOT_PRODUCT(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
     FROM bands a JOIN bands b
@@ -1045,30 +1051,12 @@ def _embedding_lsh_oracle() -> str:
     """
 
 
-@register("q_dedup_embedding_lsh", oracle=_embedding_lsh_oracle())
-def q_dedup_embedding_lsh(spark, sf_dir, band_bits: int | None = None):
-    """Embedding near-dup, the 100-TB path: sign-random-projection LSH
-    with the banded-OR construction ({EMB_BANDS} bands of fixed literal
-    hyperplanes), candidate pairs from an equi-join on (band, key),
-    exact cosine >= threshold as the verify step, DISTINCT to collapse
-    multi-band collisions. Versus q_dedup_embedding_cosine's all-pairs
-    O(N²), candidates shrink ~16x at test scale and the join is a plain
-    shuffle hash join on the key, so it scales like any other
-    aggregation. Recall is tunable with bands x bits (more bands = more
-    recall, more candidates); cross-all-band misses are the documented
-    LSH trade.
-
-    The REGISTERED DEFAULT scales the key width with the corpus
-    (``emb_band_bits_for``: one extra bit per corpus doubling past
-    {EMB_BASE_N}, capped at {EMB_MAX_BITS}) — a fixed key space lets
-    bucket occupancy, and hence the candidate pair join, grow linearly
-    with the corpus (round-9 qscale: exponent 1.26 raw / 1.18
-    decorrelated at fixed 6 bits vs 0.53 with bits = 6 + log2(k)). The
-    count() feeding the width is one scalar driver job, same bound
-    class as the IVF centroid pulls. ``band_bits`` overrides for probe
-    variants (e.g. pinning 6 bits to re-measure the fixed-space
-    failure).
-    """
+def _emb_lsh_scored(spark, sf_dir, band_bits: int | None = None):
+    """Shared LSH candidate scorer: banded keys -> DISTINCT candidate
+    pairs -> exact cosine, UNFILTERED (``cos_raw`` column).
+    q_dedup_embedding_lsh applies the registered threshold on top;
+    q_dedup_threshold_sweep buckets the same scored pairs against a
+    threshold grid."""
     import numpy as np
     import pandas as pd
 
@@ -1156,8 +1144,106 @@ def q_dedup_embedding_lsh(spark, sf_dir, band_bits: int | None = None):
         pairs.join(a, "dup_a")
         .join(b, "dup_b")
         .withColumn("cos_raw", dot / (F.col("na") * F.col("nb")))
+    )
+
+
+@register("q_dedup_embedding_lsh", oracle=_embedding_lsh_oracle())
+def q_dedup_embedding_lsh(spark, sf_dir, band_bits: int | None = None):
+    """Embedding near-dup, the 100-TB path: sign-random-projection LSH
+    with the banded-OR construction ({EMB_BANDS} bands of fixed literal
+    hyperplanes), candidate pairs from an equi-join on (band, key),
+    exact cosine >= threshold as the verify step, DISTINCT to collapse
+    multi-band collisions. Versus q_dedup_embedding_cosine's all-pairs
+    O(N²), candidates shrink ~16x at test scale and the join is a plain
+    shuffle hash join on the key, so it scales like any other
+    aggregation. Recall is tunable with bands x bits (more bands = more
+    recall, more candidates); cross-all-band misses are the documented
+    LSH trade.
+
+    The REGISTERED DEFAULT scales the key width with the corpus
+    (``emb_band_bits_for``: one extra bit per corpus doubling past
+    {EMB_BASE_N}, capped at {EMB_MAX_BITS}) — a fixed key space lets
+    bucket occupancy, and hence the candidate pair join, grow linearly
+    with the corpus (round-9 qscale: exponent 1.26 raw / 1.18
+    decorrelated at fixed 6 bits vs 0.53 with bits = 6 + log2(k)). The
+    count() feeding the width is one scalar driver job, same bound
+    class as the IVF centroid pulls. ``band_bits`` overrides for probe
+    variants (e.g. pinning 6 bits to re-measure the fixed-space
+    failure). Candidate scoring is shared with q_dedup_threshold_sweep
+    via ``_emb_lsh_scored``.
+    """
+    return (
+        _emb_lsh_scored(spark, sf_dir, band_bits)
         .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
         .select("dup_a", "dup_b", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+# threshold grid for the sweep: spans loose near-dup to near-identity;
+# integer e6 literals so the cut is an integer compare on both engines
+SWEEP_TAUS_E6 = [250000, 500000, 700000, 800000, 900000, 950000, 990000]
+
+
+def _threshold_sweep_oracle() -> str:
+    taus = ", ".join(f"({t})" for t in SWEEP_TAUS_E6)
+    # reuse the LSH candidate chain, but keep the UNFILTERED snapped
+    # cosine and bucket it against the grid
+    return f"""
+    WITH {_emb_lsh_cte()},
+    scored AS (
+      SELECT DISTINCT a.vec_id AS dup_a, b.vec_id AS dup_b,
+             CAST(FLOOR(LIST_DOT_PRODUCT(a.e, b.e) / (a.nrm * b.nrm) * 1e6
+                        + 0.5) AS BIGINT) AS cos_e6
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    ),
+    taus(tau_e6) AS (VALUES {taus})
+    SELECT CAST(tau_e6 AS BIGINT) AS tau_e6,
+           CAST(COUNT(CASE WHEN cos_e6 >= tau_e6 THEN 1 END) AS BIGINT)
+             AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN cos_e6 >= tau_e6 THEN dup_b END)
+                AS BIGINT) AS n_docs_removed
+    FROM taus CROSS JOIN scored
+    GROUP BY tau_e6
+    """
+
+
+@register("q_dedup_threshold_sweep", oracle=_threshold_sweep_oracle())
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """Threshold-selection sweep for embedding dedup: bucket the SAME
+    LSH candidate pairs q_dedup_embedding_lsh scores against a grid of
+    cosine thresholds and report, per threshold, the surviving pair
+    count and the would-be-removed document count under keep-lowest-id
+    — the table an operator reads before committing a dedup tau at
+    corpus scale (every tau here is one more row, not one more corpus
+    scan). Candidates only — pairs missed by every band are invisible
+    at any tau, the documented LSH recall trade.
+
+    The cosine snaps to e6 fixed point and the grid is integer e6
+    literals, so every cut is an exact integer compare on both engines.
+    Plan: the shared scorer's output (bounded by the banded candidate
+    join) crossed with the constant 7-row grid — one broadcast
+    nested-loop over a 7-row literal relation, then one groupBy(tau)
+    with a distinct-agg; nothing new shuffles the corpus."""
+    scored = _emb_lsh_scored(spark, sf_dir).select(
+        "dup_a",
+        "dup_b",
+        F.floor(F.col("cos_raw") * 1e6 + F.lit(0.5)).cast("long").alias("cos_e6"),
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in SWEEP_TAUS_E6], "tau_e6 long"
+    )
+    hit = F.col("cos_e6") >= F.col("tau_e6")
+    return (
+        F.broadcast(taus)
+        .crossJoin(scored)
+        .groupBy("tau_e6")
+        .agg(
+            F.count(F.when(hit, 1)).cast("long").alias("n_pairs"),
+            F.countDistinct(F.when(hit, F.col("dup_b")))
+            .cast("long")
+            .alias("n_docs_removed"),
+        )
     )
 
 

@@ -4381,3 +4381,108 @@ def q_agg_permutation_test(spark, sf_dir):
         .select(F.col("r").cast("long").alias("perm_id"), "t_abs")
     )
     return obs.unionByName(signed)
+
+
+# --- chi-squared independence + Cramér's V --------------------------------
+
+@register(
+    "q_agg_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS rf, o_orderpriority AS sm,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rmarg AS (SELECT rf, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY rf),
+    cmarg AS (SELECT sm, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY sm),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT rf) AS BIGINT) AS r_levels,
+                   CAST(COUNT(DISTINCT sm) AS BIGINT) AS c_levels
+            FROM cells),
+    terms AS (
+      -- chi2 = sum O^2*N/(R*C) - N; each term snapped to e6 fixed point
+      -- BEFORE the sum so the 21-cell summation order cannot flip the
+      -- hash (identical double expression tree both engines)
+      SELECT CAST(FLOOR(CAST(c.o AS DOUBLE) * c.o / r.rt / m.ct
+                        * t.n * 1e6 + 0.5) AS BIGINT) AS term_e6
+      FROM cells c
+      JOIN rmarg r ON r.rf = c.rf
+      JOIN cmarg m ON m.sm = c.sm
+      CROSS JOIN tot t
+    )
+    SELECT t.n, t.r_levels, t.c_levels,
+           (t.r_levels - 1) * (t.c_levels - 1) AS dof,
+           CAST(s.chi2_e6 AS BIGINT) AS chi2_e6,
+           CAST(FLOOR(SQRT((CAST(s.chi2_e6 AS DOUBLE) / 1e6)
+                           / (t.n * LEAST(t.r_levels - 1, t.c_levels - 1)))
+                      * 1e6 + 0.5) AS BIGINT) AS cramers_v_e6
+    FROM tot t CROSS JOIN
+         (SELECT CAST(SUM(term_e6) AS BIGINT)
+                 - (SELECT n FROM tot) * 1000000 AS chi2_e6
+          FROM terms) s
+    """,
+)
+def q_agg_chi2_independence(spark, sf_dir):
+    """Pearson chi-squared test of independence between two categorical
+    columns (order status x order priority) plus Cramér's V effect size — the
+    drift/association check a pipeline runs between a label and a
+    grouping dimension before trusting a stratified split.
+
+    Exactness recipe: observed/margin/total counts are exact BIGINTs;
+    chi2 uses the algebraic identity sum((O-E)^2/E) = sum(O^2*N/(R*C))
+    - N so no intermediate subtraction of floats, and each cell term is
+    snapped to e6 fixed point BEFORE the sum (the summation-order rule)
+    with one identical double expression tree per engine. Cramér's V =
+    sqrt(chi2 / (N * min(r-1, c-1))) is a single correctly-rounded sqrt
+    over already-identical integers. Plan: one map-side-combinable
+    groupBy over the fact table, two 3/7-row margin aggregates joined
+    back broadcast-size, a 21-row term relation, one scalar fold —
+    nothing here grows beyond the category domain at any corpus size.
+    O^2*N stays inside the double's 53-bit mantissa for any single
+    cell under ~94M rows at these domains; past that, widen the term to
+    DECIMAL(38,6) (the q_text cum-product precedent)."""
+    li = load(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("rf"), F.col("o_orderpriority").alias("sm")
+    )
+    cells = li.groupBy("rf", "sm").agg(F.count(F.lit(1)).alias("o"))
+    rmarg = cells.groupBy("rf").agg(F.sum("o").alias("rt"))
+    cmarg = cells.groupBy("sm").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("rf").alias("r_levels"),
+        F.countDistinct("sm").alias("c_levels"),
+    )
+    terms = (
+        cells.join(F.broadcast(rmarg), "rf")
+        .join(F.broadcast(cmarg), "sm")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                F.col("o").cast("double") * F.col("o") / F.col("rt")
+                / F.col("ct") * F.col("n") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("term_e6"),
+            "n",
+        )
+    )
+    s = terms.groupBy("n").agg(
+        (F.sum("term_e6") - F.col("n") * F.lit(1000000)).alias("chi2_e6")
+    )
+    k = F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+    return (
+        tot.join(F.broadcast(s), "n")
+        .select(
+            "n",
+            "r_levels",
+            "c_levels",
+            ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("dof"),
+            F.col("chi2_e6").cast("long").alias("chi2_e6"),
+            F.floor(
+                F.sqrt(
+                    (F.col("chi2_e6").cast("double") / F.lit(1e6))
+                    / (F.col("n") * k)
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long").alias("cramers_v_e6"),
+        )
+    )

@@ -2603,3 +2603,87 @@ def q_sim_pq_distortion(spark, sf_dir):
             ),
         )
     )
+
+
+# --- Johnson-Lindenstrauss random-projection audit -------------------------
+
+JL_DIM = 16  # target dimension: 4x compression of the 64-dim fixture
+# fixed literal Gaussian projection rows (seeded, rounded) so Spark and
+# the DuckDB oracle apply the IDENTICAL map — the _PLANES convention
+_JL_ROWS = (
+    np.random.default_rng(13).standard_normal((JL_DIM, 64)).round(6).tolist()
+)
+
+
+def _jl_oracle() -> str:
+    dots = [
+        f"LIST_DOT_PRODUCT(e, {row}::DOUBLE[])" for row in _JL_ROWS
+    ]
+    proj_sq = " + ".join(f"(d{j} * d{j})" for j in range(JL_DIM))
+    dcols = ",\n             ".join(f"{d} AS d{j}" for j, d in enumerate(dots))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]) AS sq
+      FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, sq,
+             {dcols}
+      FROM v WHERE sq > 0
+    )
+    SELECT vec_id,
+           CAST({JL_DIM} AS BIGINT) AS proj_dim,
+           CAST(FLOOR(d0 * 1e6 + 0.5) AS BIGINT) AS p0_e6,
+           CAST(FLOOR(({proj_sq}) / ({JL_DIM} * sq) * 1e6 + 0.5) AS BIGINT)
+             AS ratio_e6
+    FROM p
+    """
+
+
+@register("q_sim_jl_projection", oracle=_jl_oracle())
+def q_sim_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random-projection audit: project every
+    embedding to {JL_DIM} dims with a fixed Gaussian matrix and report
+    the squared-norm preservation ratio ||Pv||^2 / ({JL_DIM} ||v||^2)
+    (expectation 1 under JL; the concentration of these ratios is what
+    licenses replacing 64-dim scans with {JL_DIM}-dim ones in coarse
+    ANN / dedup prefilters). p0_e6 pins one raw coordinate so a sign or
+    row-order slip cannot hide inside the norm.
+
+    Plan: stateless Arrow-batched mapInPandas with the {JL_DIM}x64
+    literal matrix in the task closure — no join, no shuffle, corpus-
+    linear, the cheapest possible 100-TB shape. Determinism: dots
+    accumulate per dimension (lr_matmul contract = DuckDB
+    LIST_DOT_PRODUCT), the squared-norm sum accumulates left-to-right
+    over the {JL_DIM} components, and both outputs snap to e6 fixed
+    point; zero-norm vectors are filtered on BOTH engines (the NaN
+    rule)."""
+    emb = load(spark, sf_dir, "embeddings")
+    P = np.array(_JL_ROWS, dtype=np.float64)
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _to_matrix(pdf["embedding"])
+            dots, c_sq = lr_matmul(C, P)
+            keep = c_sq > 0
+            dots, c_sq = dots[keep], c_sq[keep]
+            proj_sq = np.zeros(len(c_sq))
+            for j in range(JL_DIM):  # left-to-right, matches the oracle
+                proj_sq += dots[:, j] * dots[:, j]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "proj_dim": np.full(len(c_sq), JL_DIM, dtype=np.int64),
+                    "p0_e6": np.floor(dots[:, 0] * 1e6 + 0.5).astype(np.int64),
+                    "ratio_e6": np.floor(
+                        proj_sq / (JL_DIM * c_sq) * 1e6 + 0.5
+                    ).astype(np.int64),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        project, "vec_id long, proj_dim long, p0_e6 long, ratio_e6 long"
+    )

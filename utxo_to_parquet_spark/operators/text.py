@@ -4576,3 +4576,79 @@ def q_text_burrows_delta(spark, sf_dir):
             "cast((2 * sum(zdiff_e6) + count(*)) div (2 * count(*)) as long)"
         ).alias("delta_e6"),
     )
+
+
+# --- MATTR: moving-average type-token ratio --------------------------------
+
+MATTR_WIN = 50  # standard MATTR window (Covington & McFall)
+
+
+@register(
+    "q_text_mattr",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, n_words,
+             CAST(LEAST(n_words, {MATTR_WIN}) AS BIGINT) AS width,
+             CAST(n_words - LEAST(n_words, {MATTR_WIN}) + 1 AS BIGINT)
+               AS n_windows,
+             CAST(LIST_SUM(LIST_TRANSFORM(
+                    range(0, n_words - LEAST(n_words, {MATTR_WIN}) + 1),
+                    s -> len(list_distinct(
+                           w[CAST(s + 1 AS INT)
+                             : CAST(s + LEAST(n_words, {MATTR_WIN}) AS INT)]))))
+                  AS BIGINT) AS sum_distinct
+      FROM ws
+    )
+    SELECT doc_id, n_words, width, n_windows, sum_distinct,
+           CAST(sum_distinct * 1000000 // (n_windows * width) AS BIGINT)
+             AS mattr_e6
+    FROM win
+    """,
+)
+def q_text_mattr(spark, sf_dir):
+    """Moving-Average Type-Token Ratio (Covington & McFall): lexical
+    diversity that, unlike raw TTR, does not collapse with document
+    length — the quality signal that separates vocabulary-rich prose
+    from template spam at equal length. Per document: slide a
+    {MATTR_WIN}-word window stride 1, count DISTINCT words per window,
+    average the ratios (documents shorter than the window degrade to
+    whole-document TTR: one window of width n).
+
+    All window work happens INSIDE one JVM higher-order-function
+    projection (transform over the start sequence + array_distinct over
+    slices) — no explode, no shuffle, no Python; per-doc cost is
+    O(len x {MATTR_WIN}), bounded by the document, embarrassingly
+    parallel at any corpus size. The ratio is exact integer div of the
+    window-distinct SUM (engine-identical; the avg-of-ratios equals
+    sum/(n_windows*width) because every window has equal width)."""
+    docs = load(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+    )
+    width = F.least(F.col("n_words"), F.lit(MATTR_WIN)).cast("long")
+    win = ws.select(
+        "doc_id",
+        "n_words",
+        width.alias("width"),
+        (F.col("n_words") - width + 1).cast("long").alias("n_windows"),
+        F.aggregate(
+            F.expr(
+                f"transform(sequence(0, size(w) - least(size(w), {MATTR_WIN})),"
+                f" s -> size(array_distinct("
+                f"slice(w, s + 1, least(size(w), {MATTR_WIN})))))"
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_distinct"),
+    )
+    return win.withColumn(
+        "mattr_e6",
+        F.expr("sum_distinct * 1000000 div (n_windows * width)").cast("long"),
+    )
