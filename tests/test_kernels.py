@@ -1054,3 +1054,92 @@ def test_exif_decode_errors_are_loud():
     _s.pack_into("<H", bad_type, 10 + 2, 9)  # first entry's type -> 9
     with pytest.raises(ValueError, match="unknown TIFF type"):
         decode_exif(bytes(bad_type))
+
+
+def test_gif_layout_pinned_against_spec():
+    """Pin the GIF87a byte layout and the LZW packing by hand: the 2x2
+    image [[65,66],[65,66]] emits codes CLEAR(256), 65, 66, 258, EOI(257)
+    — the third pixel pair (65,66) re-uses table entry 258 created by
+    the first — all at 9 bits, LSB-first, which packs to exactly
+    00 83 08 11 18 10 (derived by hand from the spec's packing rule,
+    not from the implementation)."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_gif, encode_gif
+
+    buf = encode_gif(np.array([[65, 66], [65, 66]], dtype=np.uint8))
+    assert buf[:6] == b"GIF87a"
+    assert buf[6:8] == b"\x02\x00" and buf[8:10] == b"\x02\x00"  # 2x2
+    assert buf[10] == 0xF7  # GCT present, 256 entries
+    # grayscale identity palette
+    assert buf[13:16] == b"\x00\x00\x00" and buf[778:781] == b"\xff\xff\xff"
+    assert buf[781] == 0x2C  # image descriptor
+    assert buf[791] == 8  # LZW min code size
+    assert buf[792] == 6  # one 6-byte sub-block
+    assert buf[793:799] == b"\x00\x83\x08\x11\x18\x10"
+    assert buf[799] == 0 and buf[800] == 0x3B
+    w, h, px = decode_gif(buf)
+    assert (w, h) == (2, 2)
+    assert np.array_equal(px, [[65, 66], [65, 66]])
+
+
+def test_gif_lzw_width_bump_and_kwkwk():
+    """Cross the 512-entry 9->10 bit boundary (and beyond) with
+    incompressible data, and stress the KwKwK special case with a
+    constant image — both must round-trip byte-exact."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_gif, encode_gif
+
+    rng = np.random.RandomState(7)
+    big = rng.randint(0, 256, size=(64, 64)).astype(np.uint8)
+    w, h, px = decode_gif(encode_gif(big))
+    assert np.array_equal(px, big)
+    const = np.full((30, 40), 200, np.uint8)
+    w, h, px = decode_gif(encode_gif(const))
+    assert np.array_equal(px, const)
+
+
+def test_gif_table_full_mid_stream_clear():
+    """Force the 4096-entry table cap: enough low-entropy data to fill
+    the dictionary makes the encoder emit a mid-stream CLEAR; the
+    decoder must resynchronize and still reproduce the pixels."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_gif, encode_gif
+
+    px_in = np.tile(np.arange(256, dtype=np.uint8), 400).reshape(400, 256)
+    w, h, px = decode_gif(encode_gif(px_in))
+    assert (w, h) == (256, 400)
+    assert np.array_equal(px, px_in)
+
+
+def test_gif_dispatches_through_decode_image():
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_image, encode_gif
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    fmt, w, h, px = decode_image(encode_gif(g))
+    assert fmt == "gif" and (w, h) == (8, 8)
+    assert px.shape == (8, 8, 3)
+    assert np.array_equal(px[:, :, 0], g)
+
+
+def test_gif_decode_errors_are_loud():
+    import numpy as np
+    import pytest
+
+    from utxo_to_parquet_spark.kernels.image import decode_gif, encode_gif
+
+    buf = bytearray(encode_gif(np.full((8, 8), 9, np.uint8)))
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTGIF" + bytes(buf[6:]))
+    # interlace flag on the image descriptor
+    bad = bytearray(buf)
+    bad[781 + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(bad))
+    # truncated LZW stream: chop the sub-block contents
+    with pytest.raises(ValueError):
+        decode_gif(bytes(buf[:794]) + b"\x00\x3b")

@@ -1,5 +1,5 @@
 """Pure-Python image codecs: PPM (P6), BMP (24-bit uncompressed), PNG
-(8-bit truecolor), and QOI (RGB).
+(8-bit truecolor), QOI (RGB), GIF (87a, LZW), and baseline JPEG.
 
 The container has no native image libraries, so these formats — all
 decodable with byte arithmetic plus stdlib zlib — let the multimodal
@@ -37,6 +37,8 @@ __all__ = [
     "decode_png",
     "encode_qoi",
     "decode_qoi",
+    "encode_gif",
+    "decode_gif",
     "decode_image",
 ]
 
@@ -484,6 +486,9 @@ def decode_image(payload: bytes) -> tuple[str, int, int, np.ndarray]:
         if px.ndim == 2:  # grayscale: widen to the dispatcher's RGB contract
             px = np.stack([px] * 3, axis=-1)
         return "jpeg", w, h, px
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, px = decode_gif(payload)
+        return "gif", w, h, np.stack([px] * 3, axis=-1)
     raise ValueError(f"unknown image magic {payload[:2]!r}")
 
 
@@ -1055,3 +1060,226 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         np.round(np.stack([r, g, b], axis=-1)), 0, 255
     ).astype(np.uint8)
     return fw, fh, px
+
+
+# --- GIF (GIF87a, LZW) ------------------------------------------------------
+#
+# Real GIF codec, pure Python, following the PNG/QOI/JPEG precedent: the
+# encoder and decoder are two independent walks of the spec (GIF87a
+# framing + the GIF flavor of variable-width LZW, LSB-first bit packing,
+# clear/EOI codes, 12-bit table cap with mid-stream clear), meeting at
+# the q_mm_gif_decode_stats oracle gate and layout-pinned unit tests.
+# The emitted palette is the 256-entry grayscale identity table, so an
+# 8-bit gray image's pixel VALUES are its palette INDICES — LZW is
+# lossless, so decode(encode(px)) must be byte-exact for ANY image, not
+# just block-constant ones (unlike the lossy-JPEG DC-exact contract).
+
+_GIF_MAX_BITS = 12  # LZW table cap per spec: 4096 entries
+
+
+def _lzw_encode(seq, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width starting min+1, LSB-first
+    bit packing, CLEAR emitted first and whenever the table fills.
+    Width bumps when the NEXT emittable code would not fit — one entry
+    AHEAD of the decoder's bump (the encoder's table is one entry
+    larger when it emits), so both sides agree on every code's width."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_size = min_code_size + 1
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset():
+        return {(i,): i for i in range(clear)}, eoi + 1
+
+    table, next_code = reset()
+    put(clear)
+    prefix: tuple = ()
+    for px in seq:
+        cand = prefix + (int(px),)
+        if cand in table:
+            prefix = cand
+            continue
+        put(table[prefix])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < _GIF_MAX_BITS:
+            code_size += 1
+        elif next_code == (1 << _GIF_MAX_BITS) + 1:
+            put(clear)
+            table, next_code = reset()
+            code_size = min_code_size + 1
+        prefix = (int(px),)
+    if prefix:
+        put(table[prefix])
+    put(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> list[int]:
+    """Inverse walk: width bumps when the next free slot reaches the
+    width's capacity; code == next-slot is the KwKwK case."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    code_size = min_code_size + 1
+
+    def get() -> int:
+        nonlocal acc, nbits, pos
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        return code
+
+    table: list[tuple] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    prev: tuple = ()
+    while True:
+        code = get()
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            code_size = min_code_size + 1
+            prev = ()
+            continue
+        if code == eoi:
+            break
+        if prev == ():
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):  # KwKwK
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table")
+        out.extend(entry)
+        if prev != () and (
+            len(table) == (1 << code_size) and code_size < _GIF_MAX_BITS
+        ):
+            code_size += 1
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError(
+            f"LZW pixel count {len(out)} != expected {n_expected}"
+        )
+    return out
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """GIF87a writer: 8-bit gray (h, w) input, 256-entry grayscale
+    global color table (value == index), one non-interlaced image
+    descriptor at (0,0), LZW min code size 8, 255-byte data
+    sub-blocks, trailer."""
+    if pixels.ndim != 2:
+        raise ValueError("encode_gif takes an 8-bit gray (h, w) array")
+    h, w = pixels.shape
+    out = bytearray(b"GIF87a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    # GCT flag set, 8 bits/pixel color resolution, GCT size 2^(7+1)=256
+    out += bytes([0xF7, 0x00, 0x00])
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + bytes(4)  # image descriptor at (0, 0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += b"\x00"  # no local color table, not interlaced
+    out += bytes([8])  # LZW minimum code size
+    data = _lzw_encode(pixels.reshape(-1), 8)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """GIF87a/89a reader for the encoder's shape: global color table,
+    89a extension blocks skipped, first image descriptor decoded
+    (non-interlaced), palette applied. Returns (w, h, gray) when the
+    palette is the grayscale identity, else (w, h, rgb)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    pos = 6
+    sw = int.from_bytes(payload[pos : pos + 2], "little")
+    sh = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+    flags = payload[pos + 4]
+    pos += 7
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            raise ValueError("GIF contains no image descriptor")
+        if b == 0x21:  # 89a extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        break
+    left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+    top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+    w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+    h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+    iflags = payload[pos + 9]
+    pos += 10
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    if iflags & 0x80:
+        n = 2 << (iflags & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    if gct is None:
+        raise ValueError("GIF image without a color table")
+    if (left, top, w, h) != (0, 0, sw, sh):
+        raise ValueError("sub-rectangle GIF frames unsupported")
+    min_code_size = payload[pos]
+    pos += 1
+    data = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: unterminated data sub-blocks")
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            break
+        if pos + ln > len(payload):
+            raise ValueError("truncated GIF: short data sub-block")
+        data += payload[pos : pos + ln]
+        pos += ln
+    idx = np.array(
+        _lzw_decode(bytes(data), min_code_size, w * h), dtype=np.int64
+    ).reshape(h, w)
+    if idx.max() >= len(gct):
+        raise ValueError("palette index out of range")
+    gray_identity = len(gct) == 256 and bool(
+        np.all(gct == np.arange(256, dtype=np.uint8)[:, None])
+    )
+    if gray_identity:
+        return w, h, idx.astype(np.uint8)
+    return w, h, gct[idx]

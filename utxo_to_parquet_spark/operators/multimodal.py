@@ -983,3 +983,92 @@ def q_mm_exif_parse(spark, sf_dir):
         " make string, orientation long, dt string, iso long,"
         " exp_num long, exp_den long, blob_len long",
     )
+
+
+# --- Real GIF (LZW) decode -------------------------------------------------
+
+GIF_H = 6  # planted image height; width varies 4..8 per doc
+
+
+@register(
+    "q_mm_gif_decode_stats",
+    # independent-recompute oracle, same contract as the QOI/JPEG gates
+    # but STRONGER in one way: GIF's LZW is lossless, so the planted
+    # pixels are the raw text bytes with NO block/tile-constant
+    # restriction — every ASCII pattern exercises prefix-table growth,
+    # and a width-bump off-by-one, LSB packing slip, KwKwK mishandle,
+    # sub-block framing bug, or palette misread desynchronizes the
+    # stream and flips sum_px/px_sha. 48 = max width (8) * GIF_H.
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS BIGINT) AS width,
+             CAST({GIF_H} AS BIGINT) AS height,
+             substr(repeat(text, CAST(CEIL(48.0 / LENGTH(text)) AS BIGINT)),
+                    1, CAST((4 + doc_id % 5) * {GIF_H} AS INT)) AS px
+      FROM documents
+    )
+    SELECT doc_id, 'gif' AS fmt, width, height,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, width * height),
+             i -> ASCII(substr(px, CAST(i + 1 AS INT), 1)))) AS BIGINT)
+             AS sum_px,
+           substr(sha256(px), 1, 16) AS px_sha
+    FROM img
+    """,
+)
+def q_mm_gif_decode_stats(spark, sf_dir):
+    """REAL GIF decode end-to-end (GIF87a + the GIF flavor of LZW):
+    each document's text bytes become a width x {GIF_H} 8-bit image
+    over the grayscale identity palette, encoded to a full GIF87a byte
+    stream (logical screen descriptor, 256-entry global color table,
+    image descriptor, variable-width LSB-first LZW in 255-byte
+    sub-blocks) and decoded back by the independent pure-Python decoder
+    in kernels/image.py. LZW is LOSSLESS, so unlike the JPEG gate no
+    tile-constant restriction applies — decode(encode(px)) must be
+    byte-exact for arbitrary text bytes, and the DuckDB oracle
+    recomputes the decoded buffer's sum and sha from the text alone.
+    One Arrow-batched mapInPandas pass, per-partition, no shuffle —
+    corpus-linear, the same plumbing shape a native-codec swap keeps."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.image import decode_gif, encode_gif
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gif_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "fmt", "width", "height", "sum_px", "px_sha")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if not text or not text.isascii():
+                    raise ValueError(
+                        f"q_mm_gif_decode_stats: doc {doc_id} has empty or"
+                        " non-ASCII text; the synthesized-pixel contract"
+                        " requires non-empty ASCII"
+                    )
+                w, h = 4 + doc_id % 5, GIF_H
+                n = w * h
+                raw = (text.encode("utf-8") * -(-n // len(text)))[:n]
+                px_in = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+                dw, dh, px = decode_gif(encode_gif(px_in))
+                assert (dw, dh) == (w, h), doc_id
+                assert np.array_equal(px, px_in), doc_id
+                flat = px.tobytes()
+                out["doc_id"].append(doc_id)
+                out["fmt"].append("gif")
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_px"].append(
+                    int(np.frombuffer(flat, np.uint8).sum(dtype=np.int64)))
+                out["px_sha"].append(_hashlib.sha256(flat).hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        gif_stats,
+        "doc_id long, fmt string, width long, height long,"
+        " sum_px long, px_sha string",
+    )
