@@ -359,8 +359,13 @@ def test_image_decode_errors_are_loud():
         encode_ppm,
     )
 
-    with pytest.raises(ValueError, match="unknown image magic"):
+    # GIF is a KNOWN magic since round 10 — a truncated one fails in
+    # the GIF decoder, loudly; a genuinely unknown container still hits
+    # the dispatcher's unknown-magic error
+    with pytest.raises(ValueError, match="truncated GIF"):
         decode_image(b"GIF89a...")
+    with pytest.raises(ValueError, match="unknown image magic"):
+        decode_image(b"WEBPxx...")
     full = encode_ppm(np.zeros((4, 4, 3), dtype=np.uint8))
     with pytest.raises(ValueError, match="truncated PPM raster"):
         decode_ppm(full[:-1])

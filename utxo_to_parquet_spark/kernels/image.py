@@ -1219,6 +1219,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
     palette is the grayscale identity, else (w, h, rgb)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF: bad signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF: missing logical screen descriptor")
     pos = 6
     sw = int.from_bytes(payload[pos : pos + 2], "little")
     sh = int.from_bytes(payload[pos + 2 : pos + 4], "little")
