@@ -1515,9 +1515,11 @@ def q_dedup_substring(spark, sf_dir):
     return _substring_spans(spark, sf_dir)
 
 
-@register(
-    "q_dedup_substring_removal",
-    oracle=f"""
+def _substring_removal_oracle() -> str:
+    """Per-doc duplicated-word coverage ledger SQL — shared by the
+    registered q_dedup_substring_removal gate and the cascade oracle in
+    pipeline.py (which consumes it as a CTE subquery)."""
+    return f"""
     WITH {_SUBSTR_UNITS_DUCK},
     iv AS (
       SELECT doc_id, span_start AS s,
@@ -1555,8 +1557,10 @@ def q_dedup_substring(spark, sf_dir):
            CAST(COALESCE(cov.dup_words, 0) * 10000
                 // len(string_split(d.text, ' ')) AS BIGINT) AS dup_ratio_e4
     FROM documents d LEFT JOIN cov ON cov.doc_id = d.doc_id
-    """,
-)
+    """
+
+
+@register("q_dedup_substring_removal", oracle=_substring_removal_oracle())
 def q_dedup_substring_removal(spark, sf_dir):
     """Removal ledger for substring-level dedup: per document, how many
     words sit inside a cross-document duplicated span — the quantity a
