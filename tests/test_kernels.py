@@ -1148,3 +1148,47 @@ def test_gif_decode_errors_are_loud():
     # truncated LZW stream: chop the sub-block contents
     with pytest.raises(ValueError):
         decode_gif(bytes(buf[:794]) + b"\x00\x3b")
+
+
+def test_tga_roundtrip_and_packets():
+    """RLE and uncompressed TGA round-trip byte-exact; run packets cap
+    at 128 pixels and never cross rows; bottom-up variant decodes."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.image import decode_tga, encode_tga
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(9, 17, 3)).astype(np.uint8)
+    for rle in (True, False):
+        w, h, out = decode_tga(encode_tga(px, rle=rle))
+        assert (w, h) == (17, 9)
+        assert np.array_equal(out, px)
+    # a constant 2x400 image: 400-px rows must split into 128-cap run
+    # packets that stop at the row boundary (4 packets/row: 128+128+128+16)
+    const = np.full((2, 400, 3), 9, np.uint8)
+    buf = encode_tga(const)
+    assert len(buf) == 18 + 2 * 4 * 4  # header + 8 packets x (1+3) bytes
+    w, h, out = decode_tga(buf)
+    assert np.array_equal(out, const)
+    # bottom-up storage (descriptor bit 5 clear): flip rows on decode
+    flipped = bytearray(encode_tga(px, rle=False))
+    flipped[17] = 0x00
+    w, h, out = decode_tga(bytes(flipped))
+    assert np.array_equal(out, px[::-1])
+
+
+def test_tga_decode_errors_are_loud():
+    import numpy as np
+    import pytest
+
+    from utxo_to_parquet_spark.kernels.image import decode_tga, encode_tga
+
+    buf = encode_tga(np.full((4, 4, 3), 7, np.uint8))
+    with pytest.raises(ValueError, match="truncated TGA header"):
+        decode_tga(buf[:10])
+    bad = bytearray(buf)
+    bad[2] = 3  # grayscale type unsupported
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_tga(bytes(bad))
+    with pytest.raises(ValueError, match="truncated TGA RLE"):
+        decode_tga(buf[:-2])

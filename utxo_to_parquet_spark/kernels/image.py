@@ -39,6 +39,8 @@ __all__ = [
     "decode_qoi",
     "encode_gif",
     "decode_gif",
+    "encode_tga",
+    "decode_tga",
     "decode_image",
 ]
 
@@ -1285,3 +1287,115 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
     if gray_identity:
         return w, h, idx.astype(np.uint8)
     return w, h, gct[idx]
+
+
+# --- TGA (Truevision TARGA, 24-bit, RLE) -----------------------------------
+#
+# Real TGA codec, pure Python: 18-byte header, image types 2
+# (uncompressed truecolor) and 10 (RLE truecolor), BGR byte order,
+# bottom-up or top-down row order per the descriptor bit. RLE packets
+# never cross row boundaries (per spec recommendation, and what real
+# writers emit). Lossless — decode(encode(px)) must be byte-exact for
+# any image, the GIF/QOI contract.
+
+
+def encode_tga(pixels: np.ndarray, rle: bool = True) -> bytes:
+    """RGB uint8 (H, W, 3) -> 24-bit TGA, top-down; RLE (type 10) by
+    default, uncompressed (type 2) otherwise."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {arr.shape}")
+    h, w, _ = arr.shape
+    hdr = bytearray(18)
+    hdr[2] = 10 if rle else 2
+    hdr[12:14] = w.to_bytes(2, "little")
+    hdr[14:16] = h.to_bytes(2, "little")
+    hdr[16] = 24
+    hdr[17] = 0x20  # top-down, no alpha bits
+    out = bytearray(hdr)
+    bgr = arr[:, :, ::-1]
+    if not rle:
+        out += bgr.tobytes()
+        return bytes(out)
+    for y in range(h):
+        row = bgr[y]
+        x = 0
+        while x < w:
+            # measure the run at x
+            run = 1
+            while (
+                x + run < w and run < 128
+                and (row[x + run] == row[x]).all()
+            ):
+                run += 1
+            if run >= 2:
+                out.append(0x80 | (run - 1))
+                out += row[x].tobytes()
+                x += run
+                continue
+            # raw packet: scan ahead until a 2+ run starts (or 128 cap)
+            start = x
+            x += 1
+            while x < w and (x - start) < 128:
+                if x + 1 < w and (row[x + 1] == row[x]).all():
+                    break
+                x += 1
+            out.append((x - start) - 1)
+            out += row[start:x].tobytes()
+    return bytes(out)
+
+
+def decode_tga(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """24-bit TGA (types 2 and 10) -> (w, h, RGB uint8 (H, W, 3))."""
+    if len(payload) < 18:
+        raise ValueError("truncated TGA header")
+    id_len, cmap_type, img_type = payload[0], payload[1], payload[2]
+    if cmap_type != 0:
+        raise ValueError("color-mapped TGA unsupported")
+    if img_type not in (2, 10):
+        raise ValueError(f"TGA image type {img_type} unsupported")
+    w = int.from_bytes(payload[12:14], "little")
+    h = int.from_bytes(payload[14:16], "little")
+    bpp, desc = payload[16], payload[17]
+    if bpp != 24:
+        raise ValueError(f"only 24-bit TGA supported, got {bpp}")
+    pos = 18 + id_len
+    n = w * h
+    if img_type == 2:
+        need = n * 3
+        raw = payload[pos : pos + need]
+        if len(raw) != need:
+            raise ValueError("truncated TGA raster")
+        bgr = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+    else:
+        px = np.empty((n, 3), np.uint8)
+        i = 0
+        while i < n:
+            if pos >= len(payload):
+                raise ValueError("truncated TGA RLE stream")
+            head = payload[pos]
+            pos += 1
+            count = (head & 0x7F) + 1
+            if i + count > n:
+                raise ValueError("TGA RLE packet overruns image")
+            if head & 0x80:
+                if pos + 3 > len(payload):
+                    raise ValueError("truncated TGA RLE run")
+                px[i : i + count] = np.frombuffer(
+                    payload[pos : pos + 3], np.uint8
+                )
+                pos += 3
+            else:
+                need = count * 3
+                if pos + need > len(payload):
+                    raise ValueError("truncated TGA raw packet")
+                px[i : i + count] = np.frombuffer(
+                    payload[pos : pos + need], np.uint8
+                ).reshape(count, 3)
+                pos += need
+            i += count
+        bgr = px.reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    if not (desc & 0x20):  # bottom-up storage
+        rgb = rgb[::-1]
+    return w, h, np.ascontiguousarray(rgb)

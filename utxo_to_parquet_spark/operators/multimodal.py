@@ -1072,3 +1072,98 @@ def q_mm_gif_decode_stats(spark, sf_dir):
         "doc_id long, fmt string, width long, height long,"
         " sum_px long, px_sha string",
     )
+
+
+# --- Real TGA (RLE) decode --------------------------------------------------
+
+TGA_H = 7  # planted image height; width varies 4..8 per doc
+
+
+@register(
+    "q_mm_tga_decode_stats",
+    # independent-recompute oracle, QOI/GIF contract: TGA RLE is
+    # lossless, pixels are raw text bytes (no tile restriction); the
+    # ASCII corpus drives both packet kinds (repeated characters form
+    # runs, mixed text forms raw packets) and the row-boundary rule.
+    # 168 = max width (8) * TGA_H * 3.
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS BIGINT) AS width,
+             CAST({TGA_H} AS BIGINT) AS height,
+             substr(repeat(text, CAST(CEIL(168.0 / LENGTH(text)) AS BIGINT)),
+                    1, CAST((4 + doc_id % 5) * {TGA_H} * 3 AS INT)) AS px
+      FROM documents
+    )
+    SELECT doc_id, 'tga' AS fmt, width, height,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, width * height),
+             i -> ASCII(substr(px, CAST(i * 3 + 1 AS INT), 1)))) AS BIGINT) AS sum_r,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, width * height),
+             i -> ASCII(substr(px, CAST(i * 3 + 2 AS INT), 1)))) AS BIGINT) AS sum_g,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, width * height),
+             i -> ASCII(substr(px, CAST(i * 3 + 3 AS INT), 1)))) AS BIGINT) AS sum_b,
+           substr(sha256(px), 1, 16) AS px_sha
+    FROM img
+    """,
+)
+def q_mm_tga_decode_stats(spark, sf_dir):
+    """REAL TGA decode end-to-end (Truevision TARGA, 24-bit type-10
+    RLE): each document's text bytes become a width x {TGA_H} RGB
+    image, encoded to a full TGA byte stream (18-byte header, top-down
+    descriptor, BGR order, run/raw packets that never cross row
+    boundaries) and decoded back by the independent pure-Python decoder
+    in kernels/image.py. Lossless, so decode(encode(px)) must be
+    byte-exact for arbitrary text bytes and the DuckDB oracle
+    recomputes per-channel sums and the buffer sha from the text alone
+    — a run-length fencepost, BGR mixup, row-orientation slip, or
+    128-pixel packet-cap bug flips the hash. One Arrow-batched
+    mapInPandas pass, per-partition, no shuffle. TGA has no magic
+    bytes, so it is NOT sniffed by decode_image — callers address the
+    codec explicitly, as real pipelines do for extension-routed
+    formats."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.image import decode_tga, encode_tga
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def tga_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "fmt", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "px_sha")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if not text or not text.isascii():
+                    raise ValueError(
+                        f"q_mm_tga_decode_stats: doc {doc_id} has empty or"
+                        " non-ASCII text; the synthesized-pixel contract"
+                        " requires non-empty ASCII"
+                    )
+                w, h = 4 + doc_id % 5, TGA_H
+                n = w * h * 3
+                raw = (text.encode("utf-8") * -(-n // len(text)))[:n]
+                px_in = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                dw, dh, px = decode_tga(encode_tga(px_in))
+                assert (dw, dh) == (w, h), doc_id
+                assert np.array_equal(px, px_in), doc_id
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out["doc_id"].append(doc_id)
+                out["fmt"].append("tga")
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+                out["px_sha"].append(
+                    _hashlib.sha256(px.tobytes()).hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        tga_stats,
+        "doc_id long, fmt string, width long, height long,"
+        " sum_r long, sum_g long, sum_b long, px_sha string",
+    )
