@@ -4243,3 +4243,150 @@ def q_events_markov_stationary(spark, sf_dir):
         F.col("val").alias("pi_e9"),
         F.row_number().over(wr).cast("long").alias("rnk"),
     )
+
+
+# --- Holt's linear-trend exponential smoothing -----------------------------
+
+HOLT_A_NUM, HOLT_B_NUM, HOLT_DEN = 3, 1, 10  # alpha = 0.3, beta = 0.1
+
+
+@register(
+    "q_events_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE w AS (
+      SELECT (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts)))
+               // (3600000000000 * {TS_MAX_BUCKETS}) + 1 AS wh,
+             MIN(epoch_ns(ts)) AS tmin, MAX(epoch_ns(ts)) AS tmax
+      FROM events
+    ),
+    grid AS (
+      SELECT tmin // (3600000000000 * wh) AS bmin,
+             tmax // (3600000000000 * wh)
+               - tmin // (3600000000000 * wh) + 1 AS n
+      FROM w
+    ),
+    cnt AS (
+      SELECT event_type,
+             epoch_ns(ts) // (3600000000000 * (SELECT wh FROM w))
+               - (SELECT bmin FROM grid) AS b,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    xs AS (
+      SELECT ty.event_type, CAST(g.i + 1 AS BIGINT) AS t,
+             COALESCE(c.x, 0) AS x
+      FROM (SELECT DISTINCT event_type FROM events) ty
+      CROSS JOIN (SELECT UNNEST(range(0, (SELECT n FROM grid))) AS i) g
+      LEFT JOIN cnt c ON c.event_type = ty.event_type AND c.b = g.i
+    ),
+    init AS (
+      SELECT x1.event_type, x1.x * 1000000 AS s,
+             (x2.x - x1.x) * 1000000 AS b
+      FROM (SELECT event_type, x FROM xs WHERE t = 1) x1
+      JOIN (SELECT event_type, x FROM xs WHERE t = 2) x2
+        ON x2.event_type = x1.event_type
+    ),
+    rec(event_type, t, s, b) AS (
+      SELECT event_type, CAST(2 AS BIGINT), s, b FROM init
+      UNION ALL
+      SELECT r.event_type, r.t + 1,
+             ({HOLT_A_NUM} * c.x * 1000000
+              + ({HOLT_DEN} - {HOLT_A_NUM}) * (r.s + r.b)) // {HOLT_DEN},
+             ({HOLT_B_NUM} * ((({HOLT_A_NUM} * c.x * 1000000
+                + ({HOLT_DEN} - {HOLT_A_NUM}) * (r.s + r.b)) // {HOLT_DEN})
+                - r.s)
+              + ({HOLT_DEN} - {HOLT_B_NUM}) * r.b) // {HOLT_DEN}
+      FROM rec r JOIN xs c ON c.event_type = r.event_type AND c.t = r.t + 1
+      WHERE r.t < (SELECT n FROM grid)
+    )
+    SELECT event_type,
+           CAST((SELECT n FROM grid) AS BIGINT) AS n_buckets,
+           CAST(s AS BIGINT) AS level_e6,
+           CAST(b AS BIGINT) AS trend_e6,
+           CAST(s + b AS BIGINT) AS forecast_1_e6,
+           CAST(s + 24 * b AS BIGINT) AS forecast_24_e6
+    FROM rec WHERE t = (SELECT n FROM grid)
+    """,
+)
+def q_events_holt_linear(spark, sf_dir):
+    """Holt's linear-trend exponential smoothing over each event type's
+    bucketed load series (alpha={HOLT_A_NUM}/{HOLT_DEN},
+    beta={HOLT_B_NUM}/{HOLT_DEN}) with 1-step and 24-step forecasts —
+    the capacity-planning companion to the changepoint/anomaly family:
+    level + trend state after the full history, maintained exactly.
+
+    Determinism is the recursion itself: every update is integer
+    arithmetic in e6 fixed point with truncating integer division at
+    each step ON BOTH ENGINES (Spark ``div`` and DuckDB ``//`` both
+    truncate toward zero on integers), so the final state is
+    bit-identical by construction — no float fold, no summation-order
+    exposure. Missing buckets count as zero (the gap-filled dense grid;
+    smoothing semantics require them).
+
+    Scale shape: the series is span-adaptive (_span_bucket_hours caps
+    it at ~{TS_MAX_BUCKETS} points however long retention grows), so
+    the per-type fold is over a BOUNDED array inside one JVM
+    higher-order aggregate — the corpus-scan part is one
+    map-side-combinable (type, bucket) count. The oracle replays the
+    identical recursion as a recursive CTE (the round-7 rule: DuckDB
+    list_reduce mutates struct accumulators, recursive CTEs don't)."""
+    ev = load_events(spark, sf_dir)
+    r = ev.agg(
+        F.min("ts").alias("tmin"), F.max("ts").alias("tmax")
+    ).collect()[0]  # one 2-scalar pull, the _span_bucket_hours class
+    wh = (int(r.tmax) - int(r.tmin)) // (3600 * NS * TS_MAX_BUCKETS) + 1
+    width = 3600 * NS * wh
+    bmin = int(r.tmin) // width
+    n = int(r.tmax) // width - bmin + 1
+    if n < 2:
+        raise ValueError("q_events_holt_linear needs >= 2 buckets")
+    cnt = (
+        ev.select(
+            "event_type", (F.expr(f"ts div {width}") - F.lit(bmin)).alias("b")
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    grid = (
+        cnt.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("b"),
+        )
+        .select("event_type", F.col("b").cast("long").alias("b"))
+    )
+    series = (
+        grid.join(cnt, ["event_type", "b"], "left_outer")
+        .select(
+            "event_type", "b", F.coalesce("x", F.lit(0).cast("long")).alias("x")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(b, x))), p -> p.x)"
+            ).alias("xs")
+        )
+    )
+    A, B, D = HOLT_A_NUM, HOLT_B_NUM, HOLT_DEN
+    s_next = f"({A} * x * 1000000 + {D - A} * (acc.s + acc.b)) div {D}"
+    fold = (
+        f"aggregate(slice(xs, 3, {n - 2}), "
+        f"named_struct('s', xs[0] * cast(1000000 as bigint), "
+        f"             'b', (xs[1] - xs[0]) * cast(1000000 as bigint)), "
+        f"(acc, x) -> named_struct("
+        f"  's', {s_next}, "
+        f"  'b', ({B} * (({s_next}) - acc.s) + {D - B} * acc.b) div {D}))"
+    )
+    return series.select(
+        "event_type",
+        F.lit(n).cast("long").alias("n_buckets"),
+        F.expr(fold).alias("st"),
+    ).select(
+        "event_type",
+        "n_buckets",
+        F.col("st.s").cast("long").alias("level_e6"),
+        F.col("st.b").cast("long").alias("trend_e6"),
+        (F.col("st.s") + F.col("st.b")).cast("long").alias("forecast_1_e6"),
+        (F.col("st.s") + 24 * F.col("st.b")).cast("long").alias("forecast_24_e6"),
+    )
