@@ -132,3 +132,33 @@ def test_merkle_depth_matches_fanin_fold():
             depth += 1
         expect = 0 if n == 1 else math.ceil(math.log2(n) / 4 - 1e-12)
         assert depth == expect, n
+
+
+def test_suffix_ranks_order_constructed_suffixes(tmp_path, spark):
+    """Prefix-doubling ranks must order suffixes exactly as a direct
+    (brute-force) suffix sort does, across documents, including equal
+    suffixes in different documents sharing one rank."""
+    from utxo_to_parquet_spark.operators.text import q_text_suffix_ranks
+
+    docs = [
+        (1, "b a b a b", "w"),
+        (2, "a b a b", "w"),
+        (3, "c b a", "w"),
+    ]
+    _write_documents(tmp_path, docs)
+    out = {
+        (r.doc_id, r.pos): r.srank
+        for r in q_text_suffix_ranks(spark, str(tmp_path)).collect()
+    }
+    suffixes = {}
+    for doc_id, text, _ in docs:
+        w = text.split(" ")
+        for p in range(len(w)):
+            suffixes[(doc_id, p)] = tuple(w[p:])
+    assert set(out) == set(suffixes)
+    # dense brute-force ranks over the distinct sorted suffixes
+    ordered = sorted(set(suffixes.values()))
+    brute = {k: ordered.index(v) + 1 for k, v in suffixes.items()}
+    assert out == brute
+    # equal suffixes across docs share a rank: "a b" occurs in docs 1+2
+    assert out[(1, 3)] == out[(2, 2)]

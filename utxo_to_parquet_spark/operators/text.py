@@ -4652,3 +4652,131 @@ def q_text_mattr(spark, sf_dir):
         "mattr_e6",
         F.expr("sum_distinct * 1000000 div (n_windows * width)").cast("long"),
     )
+
+
+# --- distributed suffix ranks (prefix doubling) -----------------------------
+
+SUFFIX_LEVELS = 8  # oracle CTE depth: resolves suffixes up to 2^8 = 256
+# words — 2.5x the fixture max; the Spark loop sizes itself from the
+# observed max and raises if a document ever exceeds the oracle bound
+
+
+def _suffix_rank_oracle() -> str:
+    parts = [
+        """
+    WITH ws AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             w[CAST(u.i AS INT) + 1] AS tok
+      FROM ws, UNNEST(range(0, len(w))) AS u(i)
+    ),
+    l0 AS MATERIALIZED (
+      SELECT doc_id, pos,
+             CAST(DENSE_RANK() OVER (ORDER BY tok) AS BIGINT) AS r
+      FROM toks
+    )"""
+    ]
+    for k in range(1, SUFFIX_LEVELS + 1):
+        shift = 1 << (k - 1)
+        parts.append(
+            f""",
+    l{k} AS MATERIALIZED (
+      SELECT a.doc_id, a.pos,
+             CAST(DENSE_RANK() OVER (ORDER BY a.r, COALESCE(b.r, 0))
+                  AS BIGINT) AS r
+      FROM l{k - 1} a LEFT JOIN l{k - 1} b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + {shift}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT doc_id, pos, r AS srank FROM l{SUFFIX_LEVELS}"""
+    )
+    return "".join(parts)
+
+
+@register("q_text_suffix_ranks", oracle=_suffix_rank_oracle())
+def q_text_suffix_ranks(spark, sf_dir):
+    """Distributed suffix-array construction via PREFIX DOUBLING (the
+    Flick & Aluru distributed-memory scheme, word-granular): after
+    round k every position's rank orders suffixes by their first 2^k
+    words, so ceil(log2(max_doc_len)) rounds yield the full suffix
+    ranks — equal ranks <=> equal suffixes, and sorting by rank IS the
+    suffix array. This is the primitive that upgrades shingle-based
+    substring dedup to Lee-et-al byte-exact maximal repeats (adjacent
+    ranks + LCP = every repeated span, exactly): q_dedup_substring_exact
+    verifies spans against witnesses; suffix ranks would enumerate them
+    exhaustively.
+
+    Plan shape, all-relational, no driver data: (1) initial ranks =
+    global dense rank of the token vocabulary (distinct + the two-pass
+    range-partition/offset-carry recipe — never a corpus-wide
+    single-partition window); (2) each doubling round pairs every
+    position's rank with the rank 2^k ahead IN THE SAME DOCUMENT (one
+    equi-self-join; absent = 0, ranks start at 1), packs the pair into
+    one BIGINT key (r * (N+2) + r2 — order-preserving since r2 <= N;
+    for corpora past ~10^9 positions widen the key to DECIMAL(38,0),
+    the established widening path), dense-ranks the DISTINCT keys with
+    the same two-pass recipe, and joins back. Rounds are
+    log2(max_doc_len) — 7 here — each a constant number of hash/range
+    shuffles of (id, pos, rank) triples; localCheckpoint per round cuts
+    lineage exactly like the graph iteratives. The oracle replays the
+    identical doubling as {SUFFIX_LEVELS} fixed materialized CTE levels
+    (levels past convergence are provably no-ops: identical suffixes
+    keep identical pair keys, distinct ranks keep their order)."""
+    from .registry import global_cumsum
+
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.max(F.size(F.split("text", " "))).alias("maxlen"),
+        F.sum(F.size(F.split("text", " "))).alias("npos"),
+    ).collect()[0]  # one 2-scalar pull (the _span_bucket_hours class)
+    maxlen, npos = int(stats.maxlen), int(stats.npos)
+    if maxlen > (1 << SUFFIX_LEVELS):
+        raise ValueError(
+            f"document of {maxlen} words exceeds the oracle's"
+            f" 2^{SUFFIX_LEVELS}-word doubling depth"
+        )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+    vocab = toks.select("tok").distinct().withColumn("one", F.lit(1))
+    vrank = global_cumsum(vocab, "tok", ["one"]).select(
+        "tok", F.col("cum_one").alias("r")
+    )
+    cur = toks.join(vrank, "tok").select("doc_id", "pos", "r").localCheckpoint(
+        eager=True
+    )
+    M = npos + 2
+    rounds = 0
+    while (1 << rounds) < maxlen:
+        rounds += 1
+    for k in range(rounds):
+        shift = 1 << k
+        ahead = cur.select(
+            "doc_id",
+            (F.col("pos") - F.lit(shift)).alias("pos"),
+            F.col("r").alias("r2"),
+        )
+        keyed = cur.join(ahead, ["doc_id", "pos"], "left_outer").select(
+            "doc_id",
+            "pos",
+            (
+                F.col("r") * F.lit(M)
+                + F.coalesce(F.col("r2"), F.lit(0).cast("long"))
+            ).alias("key"),
+        )
+        keys = keyed.select("key").distinct().withColumn("one", F.lit(1))
+        krank = global_cumsum(keys, "key", ["one"]).select(
+            "key", F.col("cum_one").alias("r")
+        )
+        cur = (
+            keyed.join(krank, "key")
+            .select("doc_id", "pos", "r")
+            .localCheckpoint(eager=True)
+        )
+    return cur.select(
+        "doc_id", "pos", F.col("r").cast("long").alias("srank")
+    )
