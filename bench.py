@@ -232,6 +232,19 @@ HEADLINE = [
     "q_dedup_cluster_report",
     "q_sim_pq_distortion",
     "q_mix_budget_waterfill",
+    # round 10: witness-verified substring dedup, chi2/Cramér's V,
+    # MATTR, JL projection audit, dedup tau sweep, GIF + TGA codecs,
+    # dedup cascade ledger, Holt trend, prefix-doubling suffix ranks
+    "q_dedup_substring_exact",
+    "q_agg_chi2_independence",
+    "q_text_mattr",
+    "q_sim_jl_projection",
+    "q_dedup_threshold_sweep",
+    "q_mm_gif_decode_stats",
+    "q_mm_tga_decode_stats",
+    "q_pipeline_dedup_cascade",
+    "q_events_holt_linear",
+    "q_text_suffix_ranks",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

@@ -162,3 +162,21 @@ def test_suffix_ranks_order_constructed_suffixes(tmp_path, spark):
     assert out == brute
     # equal suffixes across docs share a rank: "a b" occurs in docs 1+2
     assert out[(1, 3)] == out[(2, 2)]
+
+
+def test_readme_query_count_matches_registry():
+    """ADVICE r9: derive the README count from the registry so it can't
+    drift again."""
+    import os
+    import re
+
+    from utxo_to_parquet_spark.operators import all_queries
+
+    readme = open(
+        os.path.join(os.path.dirname(__file__), "..", "README.md")
+    ).read()
+    m = re.search(r"(\d+) registered queries", readme)
+    assert m, "README must state the registered-query count"
+    assert int(m.group(1)) == len(all_queries())
+    m2 = re.search(r"ALL (\d+) queries", readme)
+    assert m2 and int(m2.group(1)) == len(all_queries())

@@ -293,6 +293,17 @@ OPS = {
     "q_dedup_cluster_report": "documents",
     "q_sim_pq_distortion": "embeddings",
     "q_mix_budget_waterfill": "documents",
+    # round-10 new ops (every op on a probe-scaled table gets a cell on
+    # arrival; chi2 reads the unscaled orders dim so it has none)
+    "q_dedup_substring_exact": "documents",
+    "q_text_mattr": "documents",
+    "q_sim_jl_projection": "embeddings",
+    "q_dedup_threshold_sweep": "embeddings",
+    "q_mm_gif_decode_stats": "documents",
+    "q_mm_tga_decode_stats": "documents",
+    "q_pipeline_dedup_cascade": "documents",
+    "q_events_holt_linear": "events",
+    "q_text_suffix_ranks": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS
