@@ -157,12 +157,12 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "totals relation; per-row cumulative sums are pid-PARTITIONED "
         "(same two-pass prefix-sum shape as q_text_heaps_law)"
     ),
-    "q_text_suffix_ranks": (
-        "prefix-doubling rank assignment: every offset window runs over "
-        "the 32-row per-partition totals relation (global_cumsum recipe, "
-        "once for the vocabulary and once per doubling round's distinct "
-        "pair keys); per-row ranking is pid-PARTITIONED throughout"
-    ),
+    # q_text_suffix_ranks needs no entry: its offset windows (the
+    # global_cumsum recipe over 32-row totals relations, once for the
+    # vocabulary and once per doubling round) sit INSIDE per-round
+    # localCheckpoints, so the returned plan the auditor sees is the
+    # final checkpoint's RDD scan — an allowlist entry here would be
+    # stale (the self-check test enforces that)
     "q_utxo_merkle_root": (
         "leaf-index offset window runs over the 32-row per-partition "
         "count relation (inlined global_cumsum recipe); per-row "
