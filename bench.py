@@ -245,6 +245,7 @@ HEADLINE = [
     "q_pipeline_dedup_cascade",
     "q_events_holt_linear",
     "q_text_suffix_ranks",
+    "q_text_longest_repeat",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

@@ -180,3 +180,54 @@ def test_readme_query_count_matches_registry():
     assert int(m.group(1)) == len(all_queries())
     m2 = re.search(r"ALL (\d+) queries", readme)
     assert m2 and int(m2.group(1)) == len(all_queries())
+
+
+def test_longest_repeat_matches_bruteforce(tmp_path, spark):
+    """SA+LCP maximal repeats vs a direct brute force: cross-document
+    shared blocks and INTERNAL (same-doc) repeats both count; lengths
+    must be exact."""
+    from utxo_to_parquet_spark.operators.text import q_text_longest_repeat
+
+    A = " ".join(f"a{i}" for i in range(12))
+    E = " ".join(f"e{i}" for i in range(9))
+    docs = [
+        (1, f"{A} j0 j1 j2 j3 j4 j5", "w"),          # shares A with doc 2
+        (2, f"c0 c1 {A} d0 d1 d2", "w"),              # A embedded mid-doc
+        (3, f"{E} f0 f1 f2 {E}", "w"),                # internal repeat E
+    ]
+    _write_documents(tmp_path, docs)
+    out = {
+        r.doc_id: r for r in q_text_longest_repeat(spark, str(tmp_path)).collect()
+    }
+
+    # brute force: for every suffix, max common prefix with any OTHER
+    # suffix in the corpus
+    suf = []
+    for doc_id, text, _ in docs:
+        w = text.split(" ")
+        for p in range(len(w)):
+            suf.append((doc_id, p, w[p:]))
+
+    def cpl(x, y):
+        n = 0
+        for a, b in zip(x, y):
+            if a != b:
+                break
+            n += 1
+        return n
+
+    brute = {}
+    for i, (d, p, s) in enumerate(suf):
+        best = 0
+        for j, (d2, p2, s2) in enumerate(suf):
+            if i != j:
+                best = max(best, cpl(s, s2))
+        brute.setdefault(d, []).append(best)
+    for doc_id, text, _ in docs:
+        exp_max = max(brute[doc_id])
+        exp_n8 = sum(1 for v in brute[doc_id] if v >= 8)
+        got = out[doc_id]
+        assert got.n_words == len(text.split(" "))
+        assert got.max_rep_words == exp_max, (doc_id, got, exp_max)
+        assert got.n_rep_positions == exp_n8, (doc_id, got, exp_n8)
+    assert out[1].max_rep_words == 12 and out[3].max_rep_words == 9

@@ -304,6 +304,7 @@ OPS = {
     "q_pipeline_dedup_cascade": "documents",
     "q_events_holt_linear": "events",
     "q_text_suffix_ranks": "documents",
+    "q_text_longest_repeat": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

@@ -4661,10 +4661,12 @@ SUFFIX_LEVELS = 8  # oracle CTE depth: resolves suffixes up to 2^8 = 256
 # observed max and raises if a document ever exceeds the oracle bound
 
 
-def _suffix_rank_oracle() -> str:
+def _suffix_levels_cte() -> str:
+    """Shared CTE chain for the suffix-array oracles: token positions
+    and the full prefix-doubling rank ladder l0..l{SUFFIX_LEVELS}
+    (level k ranks order suffixes by their first 2^k words)."""
     parts = [
-        """
-    WITH ws AS MATERIALIZED (
+        """ws AS MATERIALIZED (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
     toks AS MATERIALIZED (
@@ -4690,11 +4692,13 @@ def _suffix_rank_oracle() -> str:
         ON b.doc_id = a.doc_id AND b.pos = a.pos + {shift}
     )"""
         )
-    parts.append(
-        f"""
-    SELECT doc_id, pos, r AS srank FROM l{SUFFIX_LEVELS}"""
-    )
     return "".join(parts)
+
+
+def _suffix_rank_oracle() -> str:
+    return f"""
+    WITH {_suffix_levels_cte()}
+    SELECT doc_id, pos, r AS srank FROM l{SUFFIX_LEVELS}"""
 
 
 @register("q_text_suffix_ranks", oracle=_suffix_rank_oracle())
@@ -4726,6 +4730,18 @@ def q_text_suffix_ranks(spark, sf_dir):
     identical doubling as {SUFFIX_LEVELS} fixed materialized CTE levels
     (levels past convergence are provably no-ops: identical suffixes
     keep identical pair keys, distinct ranks keep their order)."""
+    levels, _, _ = _suffix_levels(spark, sf_dir)
+    return levels[-1].select(
+        "doc_id", "pos", F.col("r").cast("long").alias("srank")
+    )
+
+
+def _suffix_levels(spark, sf_dir):
+    """Prefix-doubling ladder builder shared by q_text_suffix_ranks and
+    q_text_longest_repeat: returns (levels, maxlen, npos) where
+    levels[k] is the checkpointed (doc_id, pos, r) rank table ordering
+    suffixes by their first 2^k words; levels[-1] is the full suffix
+    rank. See q_text_suffix_ranks for the plan-shape argument."""
     from .registry import global_cumsum
 
     docs = load(spark, sf_dir, "documents")
@@ -4749,6 +4765,7 @@ def q_text_suffix_ranks(spark, sf_dir):
     cur = toks.join(vrank, "tok").select("doc_id", "pos", "r").localCheckpoint(
         eager=True
     )
+    levels = [cur]
     M = npos + 2
     rounds = 0
     while (1 << rounds) < maxlen:
@@ -4777,6 +4794,224 @@ def q_text_suffix_ranks(spark, sf_dir):
             .select("doc_id", "pos", "r")
             .localCheckpoint(eager=True)
         )
-    return cur.select(
-        "doc_id", "pos", F.col("r").cast("long").alias("srank")
+        levels.append(cur)
+    return levels, maxlen, npos
+
+
+# --- longest repeated substring per document (SA + LCP) ---------------------
+
+REP_MIN_WORDS = 8  # reporting threshold for repeated-position counts —
+# matches dedup.SUBSTR_W so the SA path and the shingle ledger describe
+# the same ">= 8-word repeat" universe
+
+
+def _longest_repeat_oracle() -> str:
+    top = SUFFIX_LEVELS + 1
+    parts = [
+        f"""
+    WITH {_suffix_levels_cte()},
+    dl AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM toks GROUP BY doc_id
+    ),
+    sa AS MATERIALIZED (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (ORDER BY r, doc_id, pos) AS idx
+      FROM l{SUFFIX_LEVELS}
+    ),
+    w{top} AS MATERIALIZED (
+      SELECT a.doc_id AS ad, a.pos AS ap, b.doc_id AS bd, b.pos AS bp,
+             CAST(0 AS BIGINT) AS lcp, a.pos AS pa, b.pos AS pb
+      FROM sa a JOIN sa b ON b.idx = a.idx + 1
+    )"""
+    ]
+    for k in range(SUFFIX_LEVELS, -1, -1):
+        step = 1 << k
+        hit = f"ra.r IS NOT NULL AND rb.r IS NOT NULL AND ra.r = rb.r"
+        parts.append(
+            f""",
+    w{k} AS MATERIALIZED (
+      SELECT t.ad, t.ap, t.bd, t.bp,
+             t.lcp + CASE WHEN {hit} THEN {step} ELSE 0 END AS lcp,
+             t.pa + CASE WHEN {hit} THEN {step} ELSE 0 END AS pa,
+             t.pb + CASE WHEN {hit} THEN {step} ELSE 0 END AS pb
+      FROM w{k + 1} t
+      LEFT JOIN l{k} ra ON ra.doc_id = t.ad AND ra.pos = t.pa
+      LEFT JOIN l{k} rb ON rb.doc_id = t.bd AND rb.pos = t.pb
+    )"""
+        )
+    parts.append(
+        f""",
+    lcps AS (
+      SELECT t.ad, t.ap, t.bd, t.bp,
+             LEAST(t.lcp, la.n_words - t.ap, lb.n_words - t.bp) AS lcp
+      FROM w0 t
+      JOIN dl la ON la.doc_id = t.ad
+      JOIN dl lb ON lb.doc_id = t.bd
+    ),
+    sides AS (
+      SELECT ad AS doc_id, ap AS pos, lcp FROM lcps
+      UNION ALL
+      SELECT bd AS doc_id, bp AS pos, lcp FROM lcps
+    ),
+    perpos AS (
+      SELECT doc_id, pos, MAX(lcp) AS dup_len FROM sides GROUP BY 1, 2
+    )
+    SELECT p.doc_id, d.n_words,
+           CAST(MAX(p.dup_len) AS BIGINT) AS max_rep_words,
+           CAST(COUNT(CASE WHEN p.dup_len >= {REP_MIN_WORDS} THEN 1 END)
+                AS BIGINT) AS n_rep_positions
+    FROM perpos p JOIN dl d ON d.doc_id = p.doc_id
+    GROUP BY 1, 2"""
+    )
+    return "".join(parts)
+
+
+@register("q_text_longest_repeat", oracle=_longest_repeat_oracle())
+def q_text_longest_repeat(spark, sf_dir):
+    """EXACT maximal-repeat lengths per document — the Lee et al.
+    suffix-array deliverable the shingle family approximates: for every
+    suffix, the longest prefix it shares with ANY other suffix in the
+    corpus (same or other document) equals its max LCP with its two
+    neighbors in suffix-array order, so per document we report the
+    longest repeated span (max over positions) and how many positions
+    start a >= {REP_MIN_WORDS}-word repeat.
+
+    Construction composes q_text_suffix_ranks' retained prefix-doubling
+    ladder: (1) the SA index is a two-pass global row number over
+    (rank, doc, pos) — range partition + 32-row offset carry; (2)
+    adjacent pairs are one equi-self-join on idx+1; (3) each pair's LCP
+    comes from the CLASSIC descending doubling walk — at level k, if
+    the two cursors' level-k ranks exist and agree, both advance 2^k
+    and the LCP grows by 2^k (one hash join per level per side against
+    the checkpointed rank table, ~2 log2(maxlen) joins of id-sized
+    rows total); (4) the claim is capped by both suffix lengths
+    (rank-equal-and-exhausted pairs are whole-suffix-equal, where the
+    true LCP is the shorter suffix — the cap is what makes any
+    starting level equivalent, so the Spark walk over its
+    log2(maxlen)+1 levels and the oracle's fixed {SUFFIX_LEVELS}+1
+    levels agree exactly). Everything is integer; no floats anywhere.
+
+    At 100 TB: the ladder is the dominant cost (log rounds of linear
+    shuffles, measured exponent 0.34); the walk adds a constant number
+    of linear hash joins. Internal (same-document) repeats count, as
+    in Lee et al."""
+    from .registry import global_cumsum  # noqa: F401  (ladder helper path)
+
+    levels, maxlen, npos = _suffix_levels(spark, sf_dir)
+    final = levels[-1]
+    # SA index: inlined two-pass global row number over the tuple order
+    part = (
+        final.repartitionByRange(32, "r", "doc_id", "pos")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wloc = W.partitionBy("__pid").orderBy("r", "doc_id", "pos")
+    local = part.withColumn("__li", F.row_number().over(wloc))
+    woff = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
+        )
+    )
+    sa = (
+        local.join(F.broadcast(offsets), "__pid")
+        .select(
+            "doc_id", "pos", (F.col("__off") + F.col("__li")).alias("idx")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = sa.select(
+        F.col("doc_id").alias("ad"), F.col("pos").alias("ap"), "idx"
+    )
+    b = sa.select(
+        F.col("doc_id").alias("bd"),
+        F.col("pos").alias("bp"),
+        (F.col("idx") - 1).alias("idx"),
+    )
+    cur = (
+        a.join(b, "idx")
+        .select(
+            "ad", "ap", "bd", "bp",
+            F.lit(0).cast("long").alias("lcp"),
+            F.col("ap").alias("pa"),
+            F.col("bp").alias("pb"),
+        )
+    )
+    for k in range(len(levels) - 1, -1, -1):
+        step = 1 << k
+        lk = levels[k]
+        ra = lk.select(
+            F.col("doc_id").alias("__da"),
+            F.col("pos").alias("__qa"),
+            F.col("r").alias("__ra"),
+        )
+        rb = lk.select(
+            F.col("doc_id").alias("__db"),
+            F.col("pos").alias("__qb"),
+            F.col("r").alias("__rb"),
+        )
+        cur = (
+            cur.join(
+                ra,
+                (F.col("__da") == F.col("ad")) & (F.col("__qa") == F.col("pa")),
+                "left_outer",
+            )
+            .join(
+                rb,
+                (F.col("__db") == F.col("bd")) & (F.col("__qb") == F.col("pb")),
+                "left_outer",
+            )
+        )
+        hit = (
+            F.col("__ra").isNotNull()
+            & F.col("__rb").isNotNull()
+            & (F.col("__ra") == F.col("__rb"))
+        )
+        adv = F.when(hit, F.lit(step).cast("long")).otherwise(F.lit(0).cast("long"))
+        cur = cur.select(
+            "ad", "ap", "bd", "bp",
+            (F.col("lcp") + adv).alias("lcp"),
+            (F.col("pa") + adv).alias("pa"),
+            (F.col("pb") + adv).alias("pb"),
+        )
+    docs = load(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_words")
+    )
+    lcps = (
+        cur.join(dl.select(F.col("doc_id").alias("ad"),
+                           F.col("n_words").alias("__na")), "ad")
+        .join(dl.select(F.col("doc_id").alias("bd"),
+                        F.col("n_words").alias("__nb")), "bd")
+        .select(
+            "ad", "ap", "bd", "bp",
+            F.least(
+                F.col("lcp"),
+                F.col("__na") - F.col("ap"),
+                F.col("__nb") - F.col("bp"),
+            ).alias("lcp"),
+        )
+    )
+    sides = lcps.select(
+        F.col("ad").alias("doc_id"), F.col("ap").alias("pos"), "lcp"
+    ).unionByName(
+        lcps.select(
+            F.col("bd").alias("doc_id"), F.col("bp").alias("pos"), "lcp"
+        )
+    )
+    perpos = sides.groupBy("doc_id", "pos").agg(F.max("lcp").alias("dup_len"))
+    return (
+        perpos.groupBy("doc_id")
+        .agg(
+            F.max("dup_len").cast("long").alias("max_rep_words"),
+            F.count(
+                F.when(F.col("dup_len") >= REP_MIN_WORDS, 1)
+            ).cast("long").alias("n_rep_positions"),
+        )
+        .join(dl, "doc_id")
+        .select("doc_id", "n_words", "max_rep_words", "n_rep_positions")
     )
