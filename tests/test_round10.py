@@ -231,3 +231,36 @@ def test_longest_repeat_matches_bruteforce(tmp_path, spark):
         assert got.max_rep_words == exp_max, (doc_id, got, exp_max)
         assert got.n_rep_positions == exp_n8, (doc_id, got, exp_n8)
     assert out[1].max_rep_words == 12 and out[3].max_rep_words == 9
+
+
+def test_sa_repeat_positions_equal_shingle_hits(spark):
+    """Cross-family invariant: a position starts a >= 8-word repeat
+    (SA dup_len >= REP_MIN_WORDS) iff its 8-word shingle unit is
+    duplicated (the dedup family's hits relation) — the two
+    independently-built pipelines must agree per document on the
+    fixture corpus."""
+    from utxo_to_parquet_spark.operators.dedup import (
+        SUBSTR_W,
+        _substring_hits,
+        _substring_units,
+    )
+    from utxo_to_parquet_spark.operators.text import (
+        REP_MIN_WORDS,
+        q_text_longest_repeat,
+    )
+
+    assert REP_MIN_WORDS == SUBSTR_W
+    sf = "/root/testdata/sf0.001"
+    sa = {
+        r.doc_id: r.n_rep_positions
+        for r in q_text_longest_repeat(spark, sf).collect()
+    }
+    hits = _substring_hits(_substring_units(spark, sf))
+    sh = {
+        r.doc_id: r.n
+        for r in hits.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    for doc_id, n_sa in sa.items():
+        assert sh.get(doc_id, 0) == n_sa, (doc_id, sh.get(doc_id, 0), n_sa)
+    # and no doc has shingle hits without SA seeing them
+    assert all(doc_id in sa for doc_id in sh)
