@@ -264,3 +264,108 @@ def test_sa_repeat_positions_equal_shingle_hits(spark):
         assert sh.get(doc_id, 0) == n_sa, (doc_id, sh.get(doc_id, 0), n_sa)
     # and no doc has shingle hits without SA seeing them
     assert all(doc_id in sa for doc_id in sh)
+
+
+def _write_orders(tmp_path, rows):
+    """rows: list of (o_orderkey, status, priority); full orders schema."""
+    import datetime
+
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([1] * len(rows), pa.int64()),
+            "o_orderstatus": pa.array([r[1] for r in rows], pa.string()),
+            "o_totalprice": pa.array([100.0] * len(rows), pa.float64()),
+            "o_orderdate": pa.array(
+                [datetime.datetime(2024, 1, 1)] * len(rows),
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "orders.parquet"))
+
+
+def test_chi2_constructed_2x2(tmp_path, spark):
+    """Known 2x2 contingency table [[10,20],[30,40]]: replicate the
+    exact per-term e6 snapping in Python and compare chi2/Cramér's V
+    bit-for-bit."""
+    import math
+
+    from utxo_to_parquet_spark.operators.relational import (
+        q_agg_chi2_independence,
+    )
+
+    counts = {("F", "HI"): 10, ("F", "LO"): 20, ("O", "HI"): 30, ("O", "LO"): 40}
+    rows = []
+    k = 0
+    for (st, pr), n in counts.items():
+        for _ in range(n):
+            rows.append((k, st, pr))
+            k += 1
+    _write_orders(tmp_path, rows)
+    out = q_agg_chi2_independence(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    n = 100
+    rt = {"F": 30, "O": 70}
+    ct = {"HI": 40, "LO": 60}
+    terms = sum(
+        math.floor(o * o / rt[a] / ct[b] * n * 1e6 + 0.5)
+        for (a, b), o in counts.items()
+    )
+    chi2_e6 = terms - n * 1000000
+    assert (r.n, r.r_levels, r.c_levels, r.dof) == (100, 2, 2, 1)
+    assert r.chi2_e6 == chi2_e6
+    assert r.cramers_v_e6 == math.floor(
+        math.sqrt((chi2_e6 / 1e6) / (n * 1)) * 1e6 + 0.5
+    )
+
+
+def test_mattr_constructed(tmp_path, spark):
+    """All-distinct words -> MATTR 1.0 exactly; a fully repeated word ->
+    1/width; short doc degrades to whole-doc TTR."""
+    from utxo_to_parquet_spark.operators.text import MATTR_WIN, q_text_mattr
+
+    distinct60 = " ".join(f"w{i}" for i in range(60))
+    same60 = " ".join(["x"] * 60)
+    short = "a b c a"
+    _write_documents(
+        tmp_path, [(1, distinct60, "s"), (2, same60, "s"), (3, short, "s")]
+    )
+    out = {r.doc_id: r for r in q_text_mattr(spark, str(tmp_path)).collect()}
+    assert out[1].width == MATTR_WIN and out[1].n_windows == 11
+    assert out[1].mattr_e6 == 1000000
+    assert out[2].mattr_e6 == 1000000 // MATTR_WIN * 1  # 1 distinct / 50
+    assert out[3].width == 4 and out[3].n_windows == 1
+    assert out[3].mattr_e6 == 3 * 1000000 // 4  # TTR of the whole doc
+
+
+def test_jl_projection_pins_raw_coordinate(spark):
+    """p0_e6 must equal the left-to-right dot of the vector with JL row
+    0 (recomputed independently), and the norm ratios must concentrate
+    near 1 — the JL guarantee at 16 dims."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.operators.similarity import (
+        _JL_ROWS,
+        JL_DIM,
+        q_sim_jl_projection,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_sim_jl_projection(spark, sf).collect()
+    assert all(r.proj_dim == JL_DIM for r in out)
+    ratios = [r.ratio_e6 / 1e6 for r in out]
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 0.5 < med < 2.0
+    # recompute one vector's p0 with strict left-to-right accumulation
+    import pyarrow.parquet as pq2
+
+    t = pq2.read_table(f"{sf}/embeddings.parquet").to_pydict()
+    vec = {i: e for i, e in zip(t["vec_id"], t["embedding"])}
+    r0 = next(r for r in out if r.vec_id == min(vec))
+    acc = 0.0
+    for x, p in zip(vec[min(vec)], _JL_ROWS[0]):
+        acc += float(np.float64(x)) * p
+    assert r0.p0_e6 == int(np.floor(acc * 1e6 + 0.5))
