@@ -1,0 +1,110 @@
+"""Round-11 constructed-case tests: GIF dispatcher/bounds hardening,
+chi2 sqrt clamp, and the new operators added this round."""
+
+import numpy as np
+import pytest
+
+from utxo_to_parquet_spark.kernels.image import (
+    decode_gif,
+    decode_image,
+    encode_gif,
+)
+
+
+def _color_palette_gif() -> bytes:
+    """encode_gif output with the grayscale-identity global color table
+    patched to a non-identity palette (r=i, g=0, b=255-i)."""
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    raw = bytearray(encode_gif(px))
+    # GCT starts right after the 13-byte header in encode_gif's layout
+    for i in range(256):
+        raw[13 + 3 * i : 13 + 3 * i + 3] = bytes([i, 0, 255 - i])
+    return bytes(raw)
+
+
+def test_decode_gif_color_palette_returns_rgb():
+    w, h, px = decode_gif(_color_palette_gif())
+    assert (w, h) == (4, 3)
+    assert px.shape == (3, 4, 3)
+    assert px[0, 2, 0] == 2 and px[0, 2, 1] == 0 and px[0, 2, 2] == 253
+
+
+def test_decode_image_color_gif_keeps_rgb_contract():
+    """ADVICE r10: a color-palette GIF must come out (h, w, 3), not a
+    malformed 4-D stack of an already-RGB array."""
+    kind, w, h, px = decode_image(_color_palette_gif())
+    assert kind == "gif"
+    assert px.shape == (3, 4, 3)
+
+
+def test_decode_image_gray_gif_still_widens():
+    px = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    kind, w, h, out = decode_image(encode_gif(px))
+    assert out.shape == (3, 4, 3)
+    assert (out[..., 0] == px).all() and (out[..., 1] == px).all()
+
+
+def test_truncated_gif_extension_raises_value_error():
+    """An 89a extension whose sub-blocks run off the end must raise the
+    loud ValueError contract, not IndexError."""
+    # header + screen descriptor (no GCT) + extension intro, then a
+    # sub-block length pointing past the end of the payload
+    payload = (
+        b"GIF89a" + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + bytes([0x00, 0x00, 0x00])  # no GCT
+        + bytes([0x21, 0xF9, 0xFF])  # extension, label, 255-byte sub-block
+    )
+    with pytest.raises(ValueError, match="truncated GIF"):
+        decode_gif(payload)
+
+
+def test_truncated_gif_image_descriptor_raises_value_error():
+    payload = (
+        b"GIF87a" + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + bytes([0x00, 0x00, 0x00])
+        + bytes([0x2C, 0x00, 0x00])  # descriptor cut short
+    )
+    with pytest.raises(ValueError, match="truncated GIF"):
+        decode_gif(payload)
+
+
+def test_gif_missing_descriptor_after_extensions_raises():
+    payload = (
+        b"GIF87a" + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + bytes([0x00, 0x00, 0x00])
+        + bytes([0x21, 0xFE, 0x01, 0x41, 0x00])  # complete comment ext
+    )
+    with pytest.raises(ValueError, match="GIF"):
+        decode_gif(payload)
+
+
+def test_chi2_negative_clamp_spark(spark):
+    """ADVICE r10: e6 rounding can make chi2_e6 slightly negative on a
+    near-independent table; the Cramér's V sqrt must clamp at 0 rather
+    than produce NULL/NaN. Exercise the exact registered expression on
+    a constructed independent 2x2 table (chi2 exactly 0, where any
+    negative rounding residue would have surfaced pre-clamp)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", "x", -3)], "rf string, sm string, chi2_e6 long"
+    )
+    out = df.select(
+        F.floor(
+            F.sqrt(
+                (F.greatest(F.col("chi2_e6"), F.lit(0)).cast("double") / F.lit(1e6))
+                / F.lit(4.0)
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("v")
+    ).collect()
+    assert out[0].v == 0
+
+    import duckdb
+
+    v = duckdb.sql(
+        "SELECT CAST(FLOOR(SQRT((CAST(GREATEST(-3, 0) AS DOUBLE) / 1e6) / 4.0)"
+        " * 1e6 + 0.5) AS BIGINT) AS v"
+    ).fetchone()[0]
+    assert v == 0

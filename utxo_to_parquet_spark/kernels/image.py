@@ -490,7 +490,9 @@ def decode_image(payload: bytes) -> tuple[str, int, int, np.ndarray]:
         return "jpeg", w, h, px
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h, px = decode_gif(payload)
-        return "gif", w, h, np.stack([px] * 3, axis=-1)
+        if px.ndim == 2:  # gray-identity palette: widen to the RGB contract
+            px = np.stack([px] * 3, axis=-1)
+        return "gif", w, h, px
     raise ValueError(f"unknown image magic {payload[:2]!r}")
 
 
@@ -1239,13 +1241,21 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError("GIF contains no image descriptor")
         if b == 0x21:  # 89a extension: skip sub-blocks
             pos += 2
-            while payload[pos]:
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF: unterminated extension")
+                if not payload[pos]:
+                    break
                 pos += 1 + payload[pos]
             pos += 1
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
         break
+    else:
+        raise ValueError("truncated GIF: missing image descriptor")
+    if pos + 10 > len(payload):
+        raise ValueError("truncated GIF: incomplete image descriptor")
     left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
     top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
     w = int.from_bytes(payload[pos + 5 : pos + 7], "little")

@@ -4413,7 +4413,11 @@ def q_agg_permutation_test(spark, sf_dir):
     SELECT t.n, t.r_levels, t.c_levels,
            (t.r_levels - 1) * (t.c_levels - 1) AS dof,
            CAST(s.chi2_e6 AS BIGINT) AS chi2_e6,
-           CAST(FLOOR(SQRT((CAST(s.chi2_e6 AS DOUBLE) / 1e6)
+           -- GREATEST clamp: per-cell half-up rounding (21 cells, up to
+           -- ~0.5 each) can push a near-independent table's chi2_e6
+           -- slightly negative; sqrt of that would NaN on one engine
+           -- and error on the other.
+           CAST(FLOOR(SQRT((CAST(GREATEST(s.chi2_e6, 0) AS DOUBLE) / 1e6)
                            / (t.n * LEAST(t.r_levels - 1, t.c_levels - 1)))
                       * 1e6 + 0.5) AS BIGINT) AS cramers_v_e6
     FROM tot t CROSS JOIN
@@ -4477,8 +4481,11 @@ def q_agg_chi2_independence(spark, sf_dir):
             ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("dof"),
             F.col("chi2_e6").cast("long").alias("chi2_e6"),
             F.floor(
+                # clamp: rounding noise can make chi2_e6 slightly negative
+                # on a near-independent table; never feed sqrt a negative
                 F.sqrt(
-                    (F.col("chi2_e6").cast("double") / F.lit(1e6))
+                    (F.greatest(F.col("chi2_e6"), F.lit(0)).cast("double")
+                     / F.lit(1e6))
                     / (F.col("n") * k)
                 )
                 * F.lit(1e6)
