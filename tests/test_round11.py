@@ -108,3 +108,19 @@ def test_chi2_negative_clamp_spark(spark):
         " * 1e6 + 0.5) AS BIGINT) AS v"
     ).fetchone()[0]
     assert v == 0
+
+
+def test_suffix_ladder_memoized_per_session(spark):
+    """The prefix-doubling ladder is the library's most expensive
+    primitive; both SA consumers must share one build per (app, corpus)."""
+    from utxo_to_parquet_spark.operators import text as T
+
+    sf = "/root/testdata/sf0.001"
+    key = (spark.sparkContext.applicationId, sf)
+    T._SUFFIX_LADDER_CACHE.pop(key, None)
+    first = T._suffix_levels(spark, sf)
+    second = T._suffix_levels(spark, sf)
+    assert second is first  # cache hit: identical tuple, no rebuild
+    assert key in T._SUFFIX_LADDER_CACHE
+    # a different corpus is a different key (no false sharing)
+    assert (spark.sparkContext.applicationId, "/elsewhere") not in T._SUFFIX_LADDER_CACHE

@@ -4736,13 +4736,30 @@ def q_text_suffix_ranks(spark, sf_dir):
     )
 
 
+_SUFFIX_LADDER_CACHE: dict = {}
+# One prefix-doubling ladder per (Spark application, corpus): the ladder is
+# the single most expensive primitive in the library (~17 s at sf0.1) and
+# both q_text_suffix_ranks and q_text_longest_repeat consume the SAME
+# checkpointed rank tables — building it twice per suite run was 12% of
+# total suite wall (round-10 verdict item 1). Checkpointed DataFrames stay
+# valid for the lifetime of the SparkContext, so the key is the
+# applicationId (unique per context — a restarted session gets a fresh
+# ladder), never id(spark) (reusable after GC).
+
+
 def _suffix_levels(spark, sf_dir):
     """Prefix-doubling ladder builder shared by q_text_suffix_ranks and
     q_text_longest_repeat: returns (levels, maxlen, npos) where
     levels[k] is the checkpointed (doc_id, pos, r) rank table ordering
     suffixes by their first 2^k words; levels[-1] is the full suffix
-    rank. See q_text_suffix_ranks for the plan-shape argument."""
+    rank. Memoized per (applicationId, sf_dir) — see the cache note
+    above. See q_text_suffix_ranks for the plan-shape argument."""
     from .registry import global_cumsum
+
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SUFFIX_LADDER_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
 
     docs = load(spark, sf_dir, "documents")
     stats = docs.agg(
@@ -4795,7 +4812,8 @@ def _suffix_levels(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
         levels.append(cur)
-    return levels, maxlen, npos
+    _SUFFIX_LADDER_CACHE[cache_key] = (levels, maxlen, npos)
+    return _SUFFIX_LADDER_CACHE[cache_key]
 
 
 # --- longest repeated substring per document (SA + LCP) ---------------------
