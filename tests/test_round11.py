@@ -124,3 +124,96 @@ def test_suffix_ladder_memoized_per_session(spark):
     assert key in T._SUFFIX_LADDER_CACHE
     # a different corpus is a different key (no false sharing)
     assert (spark.sparkContext.applicationId, "/elsewhere") not in T._SUFFIX_LADDER_CACHE
+
+
+def _write_documents(tmp_path, rows):
+    """rows: list of (doc_id, text, source); full fixture schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+
+A = " ".join(f"a{i}" for i in range(8))
+B = " ".join(f"b{i}" for i in range(8))
+
+
+def _divergence_corpus(tmp_path):
+    """doc1 repeats an 8-word phrase INTERNALLY (no cross-doc dup);
+    doc2/doc3 share an 8-word phrase ACROSS documents; doc4 is all
+    unique words. Every doc is 18 words."""
+    _write_documents(
+        tmp_path,
+        [
+            (1, f"{A} x0 x1 {A}", "s1"),
+            (2, " ".join(f"c{i}" for i in range(5)) + f" {B} "
+                + " ".join(f"d{i}" for i in range(5)), "s2"),
+            (3, " ".join(f"e{i}" for i in range(5)) + f" {B} "
+                + " ".join(f"f{i}" for i in range(5)), "s3"),
+            (4, " ".join(f"u{i}" for i in range(18)), "s4"),
+        ],
+    )
+
+
+def test_sa_coverage_counts_internal_repeats_shingles_do_not(tmp_path, spark):
+    """The constructed divergence between the word-aligned shingle
+    ledger (cross-document units only) and the exact SA ledger (Lee et
+    al. 'within and across'): an internally-repeated phrase is coverage
+    for the SA family and invisible to the shingle family, while a
+    cross-document phrase gets identical coverage from both."""
+    from utxo_to_parquet_spark.operators.dedup import (
+        q_dedup_substring_removal,
+    )
+    from utxo_to_parquet_spark.operators.text import q_text_repeat_coverage
+
+    _divergence_corpus(tmp_path)
+    sf = str(tmp_path)
+    sa = {r.doc_id: r for r in q_text_repeat_coverage(spark, sf).collect()}
+    sh = {r.doc_id: r for r in q_dedup_substring_removal(spark, sf).collect()}
+
+    # internal repeat: SA covers both copies (positions 0-7 and 10-17),
+    # shingle ledger sees nothing (no OTHER document shares the units)
+    assert sa[1].dup_words == 16 and sa[1].n_spans == 2
+    assert sa[1].dup_ratio_e4 == 16 * 10000 // 18
+    assert sh[1].dup_words == 0 and sh[1].n_spans == 0
+
+    # cross-document phrase: both ledgers cover exactly the 8 words
+    for d in (2, 3):
+        assert sa[d].dup_words == 8 and sa[d].n_spans == 1
+        assert sh[d].dup_words == 8 and sh[d].n_spans == 1
+
+    # all-unique control: zero everywhere
+    assert sa[4].dup_words == 0 and sh[4].dup_words == 0
+
+
+def test_cascades_diverge_only_on_internal_repeat(tmp_path, spark):
+    """End-to-end: the SA-driven cascade drops the internally-repeated
+    doc at the substring stage (16/18 coverage >= the 50% cut) while the
+    shingle cascade keeps it; every other doc is staged identically
+    (cross-doc coverage 8/18 = 44% sits below the cut in both)."""
+    from utxo_to_parquet_spark.operators.pipeline import (
+        q_pipeline_dedup_cascade,
+        q_pipeline_dedup_cascade_sa,
+    )
+
+    _divergence_corpus(tmp_path)
+    sf = str(tmp_path)
+    sh = {r.source: r for r in q_pipeline_dedup_cascade(spark, sf).collect()}
+    sa = {r.source: r for r in q_pipeline_dedup_cascade_sa(spark, sf).collect()}
+
+    assert sh["s1"].removed_substr == 0 and sh["s1"].n_kept == 1
+    assert sa["s1"].removed_substr == 1 and sa["s1"].n_kept == 0
+    for s in ("s2", "s3", "s4"):
+        assert (sh[s].removed_exact, sh[s].removed_near,
+                sh[s].removed_substr, sh[s].n_kept) == (
+               sa[s].removed_exact, sa[s].removed_near,
+               sa[s].removed_substr, sa[s].n_kept)

@@ -1058,3 +1058,131 @@ def q_pipeline_dedup_cascade(spark, sf_dir):
         ),
         F.count(F.when(F.col("stage") == "kept", 1)).alias("n_kept"),
     )
+
+
+# --- SA-driven dedup cascade -------------------------------------------------
+
+
+def _dedup_cascade_sa_oracle() -> str:
+    from .dedup import _minhash_oracle
+    from .text import _repeat_coverage_oracle
+
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    ledger AS ({_repeat_coverage_oracle()}),
+    d AS (
+      SELECT doc_id, source, md5(lower(text)) AS h FROM documents
+    ),
+    k1 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id)
+               AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    rm2 AS (
+      SELECT DISTINCT p.doc_b AS doc_id
+      FROM pairs p
+      JOIN k1 a ON a.doc_id = p.doc_a
+      JOIN k1 b ON b.doc_id = p.doc_b
+    ),
+    rm3 AS (
+      SELECT l.doc_id
+      FROM ledger l
+      JOIN k1 ON k1.doc_id = l.doc_id
+      WHERE l.doc_id NOT IN (SELECT doc_id FROM rm2)
+        AND l.dup_ratio_e4 >= {CASCADE_SUBSTR_E4}
+    ),
+    lab AS (
+      SELECT d.source,
+             CASE WHEN k1.doc_id IS NULL THEN 'exact'
+                  WHEN rm2.doc_id IS NOT NULL THEN 'near'
+                  WHEN rm3.doc_id IS NOT NULL THEN 'substring'
+                  ELSE 'kept' END AS stage
+      FROM d
+      LEFT JOIN k1 ON k1.doc_id = d.doc_id
+      LEFT JOIN rm2 ON rm2.doc_id = d.doc_id
+      LEFT JOIN rm3 ON rm3.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN stage = 'exact' THEN 1 END) AS BIGINT)
+             AS removed_exact,
+           CAST(COUNT(CASE WHEN stage = 'near' THEN 1 END) AS BIGINT)
+             AS removed_near,
+           CAST(COUNT(CASE WHEN stage = 'substring' THEN 1 END) AS BIGINT)
+             AS removed_substr,
+           CAST(COUNT(CASE WHEN stage = 'kept' THEN 1 END) AS BIGINT)
+             AS n_kept
+    FROM lab GROUP BY source
+    """
+
+
+@register("q_pipeline_dedup_cascade_sa", oracle=_dedup_cascade_sa_oracle())
+def q_pipeline_dedup_cascade_sa(spark, sf_dir):
+    """The dedup cascade END-TO-END on the byte-exact suffix-array
+    ledger — the full Lee et al. sequencing with the substring stage
+    consuming q_text_repeat_coverage (SA+LCP per-position repeat
+    lengths) instead of the shingle-chain ledger: stages 1 (exact hash)
+    and 2 (MinHash-LSH keep-first) are identical to
+    q_pipeline_dedup_cascade; stage 3 drops exact+near survivors whose
+    SA-derived duplicated-word coverage is >= {CASCADE_SUBSTR_E4}/10000
+    of the document.
+
+    Versus the shingle cascade, this variant also counts SAME-document
+    repeats toward coverage (Lee et al.'s "within and across") and is
+    exact rather than chain-approximate at span boundaries — on the
+    fixture the two ledgers coincide (round-10 invariant) so the two
+    cascades agree; the constructed internal-repeat corpus in
+    tests/test_round11.py is where they diverge. Plan adds only
+    id-sized semi/anti joins on top of the memoized perpos relation."""
+    from .dedup import _minhash_pairs
+    from .text import q_text_repeat_coverage
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.lower(F.col("text"))).alias("h")
+    )
+    wmin = W.partitionBy("h")
+    k1 = (
+        docs.withColumn("min_id", F.min("doc_id").over(wmin))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select("doc_id")
+    )
+    pairs = _minhash_pairs(spark, sf_dir)
+    rm2 = (
+        pairs.join(k1.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(k1.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    ledger = q_text_repeat_coverage(spark, sf_dir).select(
+        "doc_id", "dup_ratio_e4"
+    )
+    rm3 = (
+        ledger.join(k1, "doc_id")
+        .join(rm2, "doc_id", "left_anti")
+        .filter(F.col("dup_ratio_e4") >= CASCADE_SUBSTR_E4)
+        .select("doc_id")
+    )
+    lab = (
+        docs.join(k1.withColumn("in_k1", F.lit(1)), "doc_id", "left_outer")
+        .join(rm2.withColumn("in_rm2", F.lit(1)), "doc_id", "left_outer")
+        .join(rm3.withColumn("in_rm3", F.lit(1)), "doc_id", "left_outer")
+        .select(
+            "source",
+            F.when(F.col("in_k1").isNull(), "exact")
+            .when(F.col("in_rm2").isNotNull(), "near")
+            .when(F.col("in_rm3").isNotNull(), "substring")
+            .otherwise("kept")
+            .alias("stage"),
+        )
+    )
+    return lab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("stage") == "exact", 1)).alias("removed_exact"),
+        F.count(F.when(F.col("stage") == "near", 1)).alias("removed_near"),
+        F.count(F.when(F.col("stage") == "substring", 1)).alias(
+            "removed_substr"
+        ),
+        F.count(F.when(F.col("stage") == "kept", 1)).alias("n_kept"),
+    )

@@ -4823,11 +4823,13 @@ REP_MIN_WORDS = 8  # reporting threshold for repeated-position counts —
 # the same ">= 8-word repeat" universe
 
 
-def _longest_repeat_oracle() -> str:
+def _sa_perpos_cte() -> str:
+    """WITH-body SQL from the suffix-level ladder down to ``perpos``
+    (doc_id, pos, dup_len) and ``dl`` (doc_id, n_words) — shared by the
+    longest-repeat and repeat-coverage oracles."""
     top = SUFFIX_LEVELS + 1
     parts = [
-        f"""
-    WITH {_suffix_levels_cte()},
+        f"""{_suffix_levels_cte()},
     dl AS MATERIALIZED (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words
       FROM toks GROUP BY doc_id
@@ -4874,47 +4876,40 @@ def _longest_repeat_oracle() -> str:
     ),
     perpos AS (
       SELECT doc_id, pos, MAX(lcp) AS dup_len FROM sides GROUP BY 1, 2
+    )"""
     )
+    return "".join(parts)
+
+
+def _longest_repeat_oracle() -> str:
+    return f"""
+    WITH {_sa_perpos_cte()}
     SELECT p.doc_id, d.n_words,
            CAST(MAX(p.dup_len) AS BIGINT) AS max_rep_words,
            CAST(COUNT(CASE WHEN p.dup_len >= {REP_MIN_WORDS} THEN 1 END)
                 AS BIGINT) AS n_rep_positions
     FROM perpos p JOIN dl d ON d.doc_id = p.doc_id
     GROUP BY 1, 2"""
-    )
-    return "".join(parts)
 
 
-@register("q_text_longest_repeat", oracle=_longest_repeat_oracle())
-def q_text_longest_repeat(spark, sf_dir):
-    """EXACT maximal-repeat lengths per document — the Lee et al.
-    suffix-array deliverable the shingle family approximates: for every
-    suffix, the longest prefix it shares with ANY other suffix in the
-    corpus (same or other document) equals its max LCP with its two
-    neighbors in suffix-array order, so per document we report the
-    longest repeated span (max over positions) and how many positions
-    start a >= {REP_MIN_WORDS}-word repeat.
+_SA_PERPOS_CACHE: dict = {}
+# Per-position repeat lengths are the second most expensive text
+# primitive (the LCP walk on top of the ladder); q_text_longest_repeat,
+# q_text_repeat_coverage, and the SA-driven cascade all consume the same
+# (doc_id, pos, dup_len) relation, so it is memoized per
+# (applicationId, sf_dir) exactly like the ladder itself.
 
-    Construction composes q_text_suffix_ranks' retained prefix-doubling
-    ladder: (1) the SA index is a two-pass global row number over
-    (rank, doc, pos) — range partition + 32-row offset carry; (2)
-    adjacent pairs are one equi-self-join on idx+1; (3) each pair's LCP
-    comes from the CLASSIC descending doubling walk — at level k, if
-    the two cursors' level-k ranks exist and agree, both advance 2^k
-    and the LCP grows by 2^k (one hash join per level per side against
-    the checkpointed rank table, ~2 log2(maxlen) joins of id-sized
-    rows total); (4) the claim is capped by both suffix lengths
-    (rank-equal-and-exhausted pairs are whole-suffix-equal, where the
-    true LCP is the shorter suffix — the cap is what makes any
-    starting level equivalent, so the Spark walk over its
-    log2(maxlen)+1 levels and the oracle's fixed {SUFFIX_LEVELS}+1
-    levels agree exactly). Everything is integer; no floats anywhere.
 
-    At 100 TB: the ladder is the dominant cost (log rounds of linear
-    shuffles, measured exponent 0.34); the walk adds a constant number
-    of linear hash joins. Internal (same-document) repeats count, as
-    in Lee et al."""
-    from .registry import global_cumsum  # noqa: F401  (ladder helper path)
+def _sa_perpos(spark, sf_dir):
+    """(perpos, dl) from the suffix array: perpos = (doc_id, pos,
+    dup_len) where dup_len is the longest prefix the suffix at pos
+    shares with ANY other suffix in the corpus (max LCP with its two
+    SA neighbors), dl = (doc_id, n_words). Checkpointed + memoized;
+    see q_text_longest_repeat for the full plan-shape argument."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SA_PERPOS_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
 
     levels, maxlen, npos = _suffix_levels(spark, sf_dir)
     final = levels[-1]
@@ -5021,7 +5016,45 @@ def q_text_longest_repeat(spark, sf_dir):
             F.col("bd").alias("doc_id"), F.col("bp").alias("pos"), "lcp"
         )
     )
-    perpos = sides.groupBy("doc_id", "pos").agg(F.max("lcp").alias("dup_len"))
+    perpos = (
+        sides.groupBy("doc_id", "pos")
+        .agg(F.max("lcp").alias("dup_len"))
+        .localCheckpoint(eager=True)
+    )
+    _SA_PERPOS_CACHE[cache_key] = (perpos, dl)
+    return _SA_PERPOS_CACHE[cache_key]
+
+
+@register("q_text_longest_repeat", oracle=_longest_repeat_oracle())
+def q_text_longest_repeat(spark, sf_dir):
+    """EXACT maximal-repeat lengths per document — the Lee et al.
+    suffix-array deliverable the shingle family approximates: for every
+    suffix, the longest prefix it shares with ANY other suffix in the
+    corpus (same or other document) equals its max LCP with its two
+    neighbors in suffix-array order, so per document we report the
+    longest repeated span (max over positions) and how many positions
+    start a >= {REP_MIN_WORDS}-word repeat.
+
+    Construction composes q_text_suffix_ranks' retained prefix-doubling
+    ladder: (1) the SA index is a two-pass global row number over
+    (rank, doc, pos) — range partition + 32-row offset carry; (2)
+    adjacent pairs are one equi-self-join on idx+1; (3) each pair's LCP
+    comes from the CLASSIC descending doubling walk — at level k, if
+    the two cursors' level-k ranks exist and agree, both advance 2^k
+    and the LCP grows by 2^k (one hash join per level per side against
+    the checkpointed rank table, ~2 log2(maxlen) joins of id-sized
+    rows total); (4) the claim is capped by both suffix lengths
+    (rank-equal-and-exhausted pairs are whole-suffix-equal, where the
+    true LCP is the shorter suffix — the cap is what makes any
+    starting level equivalent, so the Spark walk over its
+    log2(maxlen)+1 levels and the oracle's fixed {SUFFIX_LEVELS}+1
+    levels agree exactly). Everything is integer; no floats anywhere.
+
+    At 100 TB: the ladder is the dominant cost (log rounds of linear
+    shuffles, measured exponent 0.34); the walk adds a constant number
+    of linear hash joins. Internal (same-document) repeats count, as
+    in Lee et al."""
+    perpos, dl = _sa_perpos(spark, sf_dir)
     return (
         perpos.groupBy("doc_id")
         .agg(
@@ -5032,4 +5065,115 @@ def q_text_longest_repeat(spark, sf_dir):
         )
         .join(dl, "doc_id")
         .select("doc_id", "n_words", "max_rep_words", "n_rep_positions")
+    )
+
+
+# --- SA-derived duplicated-word coverage ledger ------------------------------
+
+
+def _repeat_coverage_oracle() -> str:
+    return f"""
+    WITH {_sa_perpos_cte()},
+    iv AS (
+      SELECT doc_id, pos AS s,
+             pos + {REP_MIN_WORDS} - 1 AS e
+      FROM perpos WHERE dup_len >= {REP_MIN_WORDS}
+    ),
+    brk AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    CAST(-1 AS BIGINT))
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM brk
+    ),
+    merged AS (
+      SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    cov AS (
+      SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS dup_words,
+             CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM merged GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_words,
+           COALESCE(cov.dup_words, CAST(0 AS BIGINT)) AS dup_words,
+           COALESCE(cov.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+           CAST(COALESCE(cov.dup_words, 0) * 10000 // d.n_words AS BIGINT)
+             AS dup_ratio_e4
+    FROM dl d LEFT JOIN cov ON cov.doc_id = d.doc_id
+    """
+
+
+@register("q_text_repeat_coverage", oracle=_repeat_coverage_oracle())
+def q_text_repeat_coverage(spark, sf_dir):
+    """Per-document duplicated-word coverage ledger derived from the
+    SUFFIX ARRAY instead of the shingle chain — the byte-exact half of
+    the Lee et al. pipeline as a removal-ready ledger: a position is a
+    repeat START when its suffix shares >= {REP_MIN_WORDS} leading
+    words with any other suffix in the corpus (dup_len from the SA+LCP
+    walk), each start claims the window [pos, pos+{REP_MIN_WORDS}-1],
+    and per-doc interval union (the same island merge the shingle
+    ledger q_dedup_substring_removal uses) yields dup_words / n_spans /
+    dup_ratio_e4 with IDENTICAL output shape, so the two families are
+    drop-in interchangeable downstream.
+
+    Where they genuinely differ: the shingle ledger's hit relation
+    keeps only units duplicated in ANOTHER document
+    (countDistinct(doc_id) > 1), while the SA's dup_len counts
+    same-document repeats too (as Lee et al. do — "within and across"
+    documents), so a doc that repeats a phrase internally gets coverage
+    here and zero there (constructed divergence test in
+    tests/test_round11.py). On the fixture corpus the two ledgers
+    coincide (the round-10 cross-family invariant).
+
+    Scale: consumes the memoized perpos relation (ladder + LCP walk,
+    measured exponent 0.28); on top of it this is one filter, two
+    per-document windows bounded by document length, and two hash
+    aggregations — all linear, no new corpus-wide state."""
+    perpos, dl = _sa_perpos(spark, sf_dir)
+    iv = perpos.filter(F.col("dup_len") >= REP_MIN_WORDS).select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(REP_MIN_WORDS - 1)).alias("e"),
+    )
+    wprev = W.partitionBy("doc_id").orderBy("s").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    brk = iv.withColumn(
+        "is_new",
+        F.when(
+            F.col("s")
+            > F.coalesce(F.max("e").over(wprev), F.lit(-1).cast("long")),
+            1,
+        ).otherwise(0),
+    )
+    wcum = W.partitionBy("doc_id").orderBy("s").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    isl = brk.withColumn("island", F.sum("is_new").over(wcum))
+    merged = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    cov = merged.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_words"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    return dl.join(cov, "doc_id", "left_outer").select(
+        "doc_id",
+        "n_words",
+        F.coalesce(F.col("dup_words"), F.lit(0).cast("long")).alias(
+            "dup_words"
+        ),
+        F.coalesce(F.col("n_spans"), F.lit(0).cast("long")).alias("n_spans"),
+        F.expr(
+            "cast(coalesce(dup_words, 0) * 10000 div n_words as bigint)"
+        ).alias("dup_ratio_e4"),
     )
