@@ -217,3 +217,38 @@ def test_cascades_diverge_only_on_internal_repeat(tmp_path, spark):
                 sh[s].removed_substr, sh[s].n_kept) == (
                sa[s].removed_exact, sa[s].removed_near,
                sa[s].removed_substr, sa[s].n_kept)
+
+
+def test_bpe_decode_roundtrip_constructed(tmp_path, spark):
+    """decode(encode(text)) == text on a merge-heavy constructed corpus:
+    repeated letters exercise the greedy-leftmost fold ('aaaa' under
+    merge (a,a) -> [aa, aa]), and a DOUBLED space proves the decoder's
+    empty-word path (kept by posexplode, restored by COALESCE)."""
+    import hashlib
+
+    from utxo_to_parquet_spark.operators.text import q_text_bpe_decode
+
+    docs = [
+        (1, "aaaa aaa aa a banana bandana", "s1"),
+        (2, "the cat  sat on the mat", "s1"),  # doubled space
+        (3, "xyzzy plugh xyzzy", "s2"),
+    ]
+    _write_documents(tmp_path, docs)
+    out = {r.doc_id: r for r in q_text_bpe_decode(spark, str(tmp_path)).collect()}
+    assert len(out) == 3
+    for doc_id, text, _ in docs:
+        r = out[doc_id]
+        assert r.roundtrip_ok is True, (doc_id, r)
+        assert r.decoded_md5 == hashlib.md5(text.encode()).hexdigest()
+        assert r.n_words == len(text.split(" "))
+
+
+def test_bpe_trainer_memoized_per_session(spark):
+    from utxo_to_parquet_spark.operators import text as T
+
+    sf = "/root/testdata/sf0.001"
+    key = (spark.sparkContext.applicationId, sf)
+    T._BPE_TRAIN_CACHE.pop(key, None)
+    first = T._bpe_train_cached(spark, sf)
+    second = T._bpe_train_cached(spark, sf)
+    assert second is first

@@ -1427,11 +1427,28 @@ def _bpe_encode_oracle(n_merges: int = BPE_ENC_MERGES) -> str:
     )
 
 
+_BPE_TRAIN_CACHE: dict = {}
+# The trainer's M merge rounds (pair-count aggregate + 1-row collect +
+# checkpointed fold each) are identical for every BPE entry on the same
+# corpus; encode, vocab, fertility, and decode all reuse one trained
+# (vocab, merges) per (applicationId, sf_dir) — same rationale and key
+# discipline as the suffix-array ladder cache.
+
+
+def _bpe_train_cached(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_TRAIN_CACHE.get(key)
+    if hit is None:
+        hit = _bpe_train(load(spark, sf_dir, "documents"))
+        _BPE_TRAIN_CACHE[key] = hit
+    return hit
+
+
 def _bpe_train(docs):
-    """Shared Spark-side trainer (the single source of truth the three
-    BPE entries compose): returns (encoded vocab DataFrame with
-    word/freq/syms, merge list [(a, b)]). See q_text_bpe_encode's
-    docstring for the scale/determinism contract."""
+    """Shared Spark-side trainer (the single source of truth the BPE
+    entries compose, via _bpe_train_cached): returns (encoded vocab
+    DataFrame with word/freq/syms, merge list [(a, b)]). See
+    q_text_bpe_encode's docstring for the scale/determinism contract."""
     d = _BPE_D
     wf = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1517,7 +1534,7 @@ def q_text_bpe_encode(spark, sf_dir):
     Delimiter '{_BPE_D}' is outside the fixture's ASCII alphabet —
     symbols never contain it."""
     docs = load(spark, sf_dir, "documents")
-    v, _merges = _bpe_train(docs)
+    v, _merges = _bpe_train_cached(spark, sf_dir)
     enc = v.select(
         "word",
         F.size("syms").cast("long").alias("n_tok"),
@@ -1560,7 +1577,7 @@ def q_text_bpe_vocab(spark, sf_dir):
     a tie-break or fold divergence at ANY step flips this gate even if
     downstream token counts happen to collide."""
     docs = load(spark, sf_dir, "documents")
-    _v, merges = _bpe_train(docs)
+    _v, merges = _bpe_train_cached(spark, sf_dir)
     rows = [(m + 1, a, b) for m, (a, b) in enumerate(merges)]
     return spark.createDataFrame(rows, "step long, a string, b string")
 
@@ -1598,7 +1615,7 @@ def q_text_token_fertility(spark, sf_dir):
     words, positive operands). Same plan shape as q_text_bpe_encode
     with the final grain at |languages| instead of |docs|."""
     docs = load(spark, sf_dir, "documents")
-    v, _merges = _bpe_train(docs)
+    v, _merges = _bpe_train_cached(spark, sf_dir)
     enc = v.select("word", F.size("syms").cast("long").alias("n_tok"))
     tokw = docs.select(
         "lang", F.explode(F.split("text", " ")).alias("word")
@@ -5176,4 +5193,95 @@ def q_text_repeat_coverage(spark, sf_dir):
         F.expr(
             "cast(coalesce(dup_words, 0) * 10000 div n_words as bigint)"
         ).alias("dup_ratio_e4"),
+    )
+
+
+# --- BPE detokenizer: decode(encode(text)) round trip ------------------------
+
+
+def _bpe_decode_oracle(n_merges: int = BPE_ENC_MERGES) -> str:
+    return (
+        _bpe_chain_sql(n_merges)
+        + f""",
+    dec AS (
+      SELECT word, array_to_string(syms, '') AS dw FROM v{n_merges}
+    ),
+    wlist AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+    ),
+    tokp AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             ws[CAST(u.i AS INT) + 1] AS word
+      FROM wlist, UNNEST(range(0, len(ws))) AS u(i)
+    ),
+    rec AS (
+      SELECT t.doc_id,
+             string_agg(COALESCE(d.dw, ''), ' ' ORDER BY t.pos) AS decoded,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM tokp t LEFT JOIN dec d ON d.word = t.word
+      GROUP BY t.doc_id
+    )
+    SELECT r.doc_id, r.n_words,
+           md5(r.decoded) AS decoded_md5,
+           r.decoded = w.text AS roundtrip_ok
+    FROM rec r JOIN wlist w ON w.doc_id = r.doc_id"""
+    )
+
+
+@register("q_text_bpe_decode", oracle=_bpe_decode_oracle())
+def q_text_bpe_decode(spark, sf_dir):
+    """BPE DETOKENIZER — the decode half the tokenizer family was
+    missing: rebuild every document from its trained symbol arrays and
+    prove decode(encode(text)) == text per document (the loop an
+    LLM-pipeline user actually closes before trusting a tokenizer).
+    Output: word count, md5 of the reconstructed text, and the
+    round-trip boolean — computed as a REAL text comparison on both
+    engines, not asserted.
+
+    Decode is the exact inverse walk of encode: each word's symbols
+    concatenate back to the word (merges only ever fuse adjacent
+    in-word symbols, so '' -join is lossless), and the document
+    reassembles by joining words in original position order —
+    posexplode over the space-split (EMPTY words kept, unlike encode's
+    vocabulary, so doubled spaces would round-trip too via the
+    left-join + COALESCE('')), join the shared trained vocab
+    (_bpe_train_cached — one trainer run per session serves
+    encode/vocab/fertility/decode), then one per-doc sort_array over
+    (pos, word) structs folded with concat_ws. The oracle replays the
+    trainer chain and reassembles with ORDER BY pos string_agg.
+
+    Scale: corpus touched twice (posexplode, reassembly agg); the
+    reassembly carries each document's words exactly once, grouped by
+    doc_id — the same shuffle class as q_text_bpe_encode's final
+    aggregate. No collect beyond the trainer's M 1-row pulls."""
+    v, _merges = _bpe_train_cached(spark, sf_dir)
+    dec = v.select("word", F.array_join("syms", "").alias("dw"))
+    docs = load(spark, sf_dir, "documents")
+    tokp = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    rec = (
+        tokp.join(dec, "word", "left_outer")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.col("dw"), F.lit("")).alias("dw"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, dw))),"
+                    " s -> s.dw)"
+                ),
+            ).alias("decoded"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+    )
+    return rec.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.md5("decoded").alias("decoded_md5"),
+        (F.col("decoded") == F.col("text")).alias("roundtrip_ok"),
     )
