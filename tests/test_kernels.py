@@ -940,11 +940,17 @@ def test_jpeg_decode_errors_are_loud():
 
     img = np.full((8, 8), 100, np.uint8)
     buf = bytearray(encode_jpeg(img))
-    # progressive: flip SOF0 -> SOF2
+    # SOF2 is SUPPORTED since round 11, but a baseline scan header
+    # relabeled progressive is an invalid scan script (Ss=0 with Se=63)
+    # and must still fail loudly
     i = buf.index(b"\xff\xc0")
     prog = bytes(buf[: i + 1]) + b"\xc2" + bytes(buf[i + 2 :])
-    with pytest.raises(ValueError, match="SOF2"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(prog)
+    # genuinely unsupported SOFn still raise by name (lossless SOF3)
+    lossless = bytes(buf[: i + 1]) + b"\xc3" + bytes(buf[i + 2 :])
+    with pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg(lossless)
     # single-component scans are non-interleaved (T.81 A.2.2): sampling
     # factors are normalized to 1x1, so a grayscale stream claiming
     # 0x22 still decodes to the same pixels

@@ -252,3 +252,95 @@ def test_bpe_trainer_memoized_per_session(spark):
     first = T._bpe_train_cached(spark, sf)
     second = T._bpe_train_cached(spark, sf)
     assert second is first
+
+
+# --- progressive JPEG (round-11: SOF2, T.81 Annex G) -------------------------
+
+
+def test_progressive_jpeg_blockconstant_roundtrip():
+    from utxo_to_parquet_spark.kernels.image import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = np.repeat(
+        np.repeat((np.arange(6).reshape(2, 3) * 37 % 256).astype(np.uint8), 8, 0),
+        8, 1,
+    )
+    buf = encode_jpeg_progressive(img)
+    assert b"\xff\xc2" in buf  # really SOF2
+    w, h, px = decode_jpeg(buf)
+    assert (w, h) == (24, 16)
+    assert np.array_equal(px, img)
+    # subsampled color at MCU-constant granularity
+    vals = (np.arange(4).reshape(2, 2) * 53 + 10).astype(np.uint8)
+    rgb = np.stack([np.repeat(np.repeat(vals, 16, 0), 16, 1)] * 3, -1)
+    w, h, px = decode_jpeg(encode_jpeg_progressive(rgb, sampling="4:2:0"))
+    assert np.array_equal(px, rgb)
+
+
+def test_progressive_equals_baseline_on_arbitrary_coefficients():
+    """The differential pin for the whole Annex G entropy layer: the
+    SAME quantized coefficients encoded progressively (spectral bands +
+    successive approximation, custom uniform AC table with EOBn) and
+    sequentially (Annex K tables) must decode to identical pixels —
+    exercising ZRL, cross-block EOB runs, newly-nonzero refinement
+    sign bits, and history-coefficient correction bits on real data."""
+    from utxo_to_parquet_spark.kernels.image import (
+        _encode_baseline_from_coefs,
+        _encode_progressive_from_coefs,
+        decode_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(12):
+        bh, bw = rng.randint(1, 4), rng.randint(1, 4)
+        arr = np.zeros((bh, bw, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                nnz = rng.randint(0, 20)
+                idx = rng.choice(64, size=nnz, replace=False)
+                arr[by, bx, idx] = rng.randint(-200, 201, size=nnz)
+                arr[by, bx, 0] = rng.randint(-120, 121)
+        h, w = bh * 8, bw * 8
+        _, _, p1 = decode_jpeg(_encode_baseline_from_coefs([arr], h, w, [(1, 1)]))
+        _, _, p2 = decode_jpeg(_encode_progressive_from_coefs([arr], h, w, [(1, 1)]))
+        assert np.array_equal(p1, p2), trial
+    # color with 4:2:0 sampling: interleaved DC scan + per-plane AC
+    for trial in range(4):
+        mr, mc = rng.randint(1, 3), rng.randint(1, 3)
+        coefs = []
+        for (bh, bw) in ((2 * mr, 2 * mc), (mr, mc), (mr, mc)):
+            arr = np.zeros((bh, bw, 64), np.int64)
+            for by in range(bh):
+                for bx in range(bw):
+                    idx = rng.choice(64, size=rng.randint(0, 25), replace=False)
+                    arr[by, bx, idx] = rng.randint(-150, 151, size=len(idx))
+            coefs.append(arr)
+        samps = [(2, 2), (1, 1), (1, 1)]
+        b1 = _encode_baseline_from_coefs(coefs, mr * 16, mc * 16, samps)
+        b2 = _encode_progressive_from_coefs(coefs, mr * 16, mc * 16, samps)
+        _, _, p1 = decode_jpeg(b1)
+        _, _, p2 = decode_jpeg(b2)
+        assert np.array_equal(p1, p2), trial
+
+
+def test_progressive_eob_run_and_refinement_paths():
+    """Constructed coefficients that force the corner paths: a long
+    all-zero block run (EOBn with r > 0), a 17-zero in-band gap (ZRL in
+    refinement), and |coef|=1 newly-nonzero next to |coef|>1 history."""
+    from utxo_to_parquet_spark.kernels.image import (
+        _encode_baseline_from_coefs,
+        _encode_progressive_from_coefs,
+        decode_jpeg,
+    )
+
+    arr = np.zeros((1, 5, 64), np.int64)
+    arr[0, 0, 1] = 7      # history coef (refined bit 1)
+    arr[0, 0, 19] = -1    # newly nonzero in refinement, 17-gap -> ZRL
+    arr[0, 0, 63] = 1     # newly nonzero at band end
+    arr[0, 4, 0] = -50    # blocks 1-3 all zero: EOBRUN = 3 (r=1 EOBn)
+    h, w = 8, 40
+    _, _, p1 = decode_jpeg(_encode_baseline_from_coefs([arr], h, w, [(1, 1)]))
+    _, _, p2 = decode_jpeg(_encode_progressive_from_coefs([arr], h, w, [(1, 1)]))
+    assert np.array_equal(p1, p2)

@@ -635,6 +635,38 @@ def _encode_coef_bits(v: int, size: int) -> int:
 _JPEG_SAMPLINGS = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
 
 
+def _jpeg_planes(pixels: np.ndarray, sampling: str):
+    """Validate dims and split into component planes (RGB -> rounded
+    YCbCr, chroma box-mean downsampled per the sampling layout);
+    returns (comps, samps, gray, h, w). Shared by the baseline and
+    progressive encoders."""
+    if sampling not in _JPEG_SAMPLINGS:
+        raise ValueError(f"unknown sampling {sampling!r}")
+    hs, vs = _JPEG_SAMPLINGS[sampling]
+    gray = pixels.ndim == 2
+    if gray and sampling != "4:4:4":
+        raise ValueError("grayscale has no chroma to subsample")
+    h, w = pixels.shape[:2]
+    if h % (8 * vs) or w % (8 * hs):
+        raise ValueError(
+            f"encode_jpeg {sampling} requires multiple-of-{8 * vs}x"
+            f"{8 * hs} dimensions"
+        )
+    if gray:
+        return [pixels.astype(np.float64)], [(1, 1)], gray, h, w
+    r = pixels[:, :, 0].astype(np.float64)
+    g = pixels[:, :, 1].astype(np.float64)
+    b = pixels[:, :, 2].astype(np.float64)
+    y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    if (hs, vs) != (1, 1):
+        # box-mean downsample: exact for MCU-constant regions
+        cb = np.round(cb.reshape(h // vs, vs, w // hs, hs).mean(axis=(1, 3)))
+        cr = np.round(cr.reshape(h // vs, vs, w // hs, hs).mean(axis=(1, 3)))
+    return [y, cb, cr], [(hs, vs), (1, 1), (1, 1)], gray, h, w
+
+
 def encode_jpeg(
     pixels: np.ndarray, restart_interval: int = 0, sampling: str = "4:4:4"
 ) -> bytes:
@@ -659,38 +691,8 @@ def encode_jpeg(
     for 4:2:0, 8x16 for 4:2:2). Dimensions must be multiples of the
     MCU size (no edge replication — the encoder's job here is to
     exercise the decoder, not to ship partial-MCU padding)."""
-    if sampling not in _JPEG_SAMPLINGS:
-        raise ValueError(f"unknown sampling {sampling!r}")
+    comps, samps, gray, h, w = _jpeg_planes(pixels, sampling)
     hs, vs = _JPEG_SAMPLINGS[sampling]
-    gray = pixels.ndim == 2
-    if gray and sampling != "4:4:4":
-        raise ValueError("grayscale has no chroma to subsample")
-    h, w = pixels.shape[:2]
-    if h % (8 * vs) or w % (8 * hs):
-        raise ValueError(
-            f"encode_jpeg {sampling} requires multiple-of-{8 * vs}x"
-            f"{8 * hs} dimensions"
-        )
-    if gray:
-        comps = [pixels.astype(np.float64)]
-        samps = [(1, 1)]
-    else:
-        r = pixels[:, :, 0].astype(np.float64)
-        g = pixels[:, :, 1].astype(np.float64)
-        b = pixels[:, :, 2].astype(np.float64)
-        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
-        cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
-        cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
-        if (hs, vs) != (1, 1):
-            # box-mean downsample: exact for MCU-constant regions
-            cb = np.round(
-                cb.reshape(h // vs, vs, w // hs, hs).mean(axis=(1, 3))
-            )
-            cr = np.round(
-                cr.reshape(h // vs, vs, w // hs, hs).mean(axis=(1, 3))
-            )
-        comps = [y, cb, cr]
-        samps = [(hs, vs), (1, 1), (1, 1)]
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
@@ -770,6 +772,340 @@ def encode_jpeg(
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# --- Progressive JPEG encoder (SOF2, Annex G) -------------------------------
+#
+# Progressive scans need EOBn symbols (0x10..0xE0) that the Annex K
+# baseline AC tables do not define, so progressive streams carry their
+# own AC table: every needed symbol ((r,s) for s 1..12, ZRL, EOB0..14)
+# at a uniform 8-bit code length — 208 codes, canonical 0..207, the
+# all-ones code left unused per B.2.4.2. Decoders read it from the DHT
+# like any other table.
+
+_JPEG_AC_PROG_SYMS = sorted(
+    [(r << 4) | s for r in range(16) for s in range(1, 13)]
+    + [r << 4 for r in range(15)]
+    + [0xF0]
+)
+_JPEG_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, len(_JPEG_AC_PROG_SYMS), 0, 0, 0, 0, 0, 0, 0, 0],
+    _JPEG_AC_PROG_SYMS,
+)
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _jpeg_coef_blocks(comps) -> list:
+    """Quantized zigzag coefficient grids under the DC-exact contract
+    (all-8s quant tables, block-constant planes: the only nonzero
+    coefficient is DC == the level-shifted value)."""
+    coefs = []
+    for plane in comps:
+        ph, pw = plane.shape
+        bh, bw_ = ph // 8, pw // 8
+        arr = np.zeros((bh, bw_, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw_):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                if not np.all(block == block[0, 0]):
+                    raise ValueError(
+                        "encode_jpeg_progressive encodes block-constant"
+                        " images only (the DC-exact contract); got a"
+                        " non-constant 8x8 block"
+                    )
+                arr[by, bx, 0] = int(block[0, 0]) - 128
+        coefs.append(arr)
+    return coefs
+
+
+def _emit_dc_scan(bw_, coefs, samps, mcu_rows, mcu_cols, dc_codes, ah, al):
+    """Interleaved progressive DC scan: first pass (Ah=0) codes the
+    point-transformed diffs; refinement (Ah>0) one raw bit per block."""
+    nf = len(coefs)
+    pred = [0] * nf
+    for m in range(mcu_rows * mcu_cols):
+        by, bx = divmod(m, mcu_cols)
+        for ci in range(nf):
+            ch, cv = samps[ci]
+            for v in range(cv):
+                for hh in range(ch):
+                    dc = int(coefs[ci][by * cv + v, bx * ch + hh, 0])
+                    if ah == 0:
+                        val = dc >> al
+                        diff = val - pred[ci]
+                        pred[ci] = val
+                        size = _dc_category(diff)
+                        code, ln = dc_codes[ci][size]
+                        bw_.put(code, ln)
+                        if size:
+                            bw_.put(_encode_coef_bits(diff, size), size)
+                    else:
+                        bw_.put((dc >> al) & 1, 1)
+
+
+def _emit_ac_first_scan(bw_, arr, ss, se, al, codes):
+    """First-pass AC scan over one component's block grid (G.1.2.2):
+    point-transformed run/size coding with cross-block EOB runs."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = codes[r << 4]
+            bw_.put(code, ln)
+            if r:
+                bw_.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    bh, bwc = arr.shape[:2]
+    for by in range(bh):
+        for bx in range(bwc):
+            blk = arr[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                av = abs(v) >> al
+                if av == 0:
+                    r += 1
+                    continue
+                flush()
+                while r > 15:
+                    code, ln = codes[0xF0]
+                    bw_.put(code, ln)
+                    r -= 16
+                s = av.bit_length()
+                code, ln = codes[(r << 4) | s]
+                bw_.put(code, ln)
+                bw_.put(_encode_coef_bits(av if v > 0 else -av, s), s)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+
+
+def _emit_ac_refine_scan(bw_, arr, ss, se, al, codes):
+    """AC refinement scan (G.1.2.3): newly-nonzero coefficients as s=1
+    symbols with a sign bit; one buffered correction bit for every
+    nonzero-history coefficient crossed; EOB runs carry the rest."""
+    eobrun = 0
+    pend: list = []  # correction bits riding the pending EOB run
+
+    def flush():
+        nonlocal eobrun, pend
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = codes[r << 4]
+            bw_.put(code, ln)
+            if r:
+                bw_.put(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pend:
+            bw_.put(b, 1)
+        pend = []
+
+    bh, bwc = arr.shape[:2]
+    for by in range(bh):
+        for bx in range(bwc):
+            blk = arr[by, bx]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eob = -1  # index of the LAST newly-nonzero coefficient
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i
+            r = 0
+            br_bits: list = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRLs only while a new nonzero lies ahead; runs past
+                # the last one fold into the EOB run
+                while r > 15 and i <= eob:
+                    flush()
+                    code, ln = codes[0xF0]
+                    bw_.put(code, ln)
+                    r -= 16
+                    for b2 in br_bits:
+                        bw_.put(b2, 1)
+                    br_bits = []
+                if t > 1:  # history coefficient: buffer its next bit
+                    br_bits.append(t & 1)
+                    continue
+                flush()
+                code, ln = codes[(r << 4) | 1]
+                bw_.put(code, ln)
+                bw_.put(1 if int(blk[ss + i]) > 0 else 0, 1)
+                for b2 in br_bits:
+                    bw_.put(b2, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                eobrun += 1
+                pend.extend(br_bits)
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+
+
+def _jpeg_common_headers(coefs, h, w, samps, sof_marker, ac_tables):
+    """SOI through DHT for either encoder flavor; returns (bytearray,
+    dc_codes per component)."""
+    nf = len(coefs)
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    qt = bytes([8] * 64)
+    out += _jpeg_seg(0xDB, b"\x00" + qt)
+    if nf == 3:
+        out += _jpeg_seg(0xDB, b"\x01" + qt)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([nf])
+    for ci in range(nf):
+        ch, cv = samps[ci]
+        sof += bytes([ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1])
+    out += _jpeg_seg(sof_marker, sof)
+    tables = [(0x00, _JPEG_DC_LUM)]
+    if nf == 3:
+        tables.append((0x01, _JPEG_DC_CHR))
+    tables += ac_tables
+    for tc_th, (bits, vals) in tables:
+        out += _jpeg_seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    dc_codes = [
+        _huff_codes(*(_JPEG_DC_LUM if ci == 0 else _JPEG_DC_CHR))
+        for ci in range(nf)
+    ]
+    return out, dc_codes
+
+
+def _encode_progressive_from_coefs(coefs, h, w, samps) -> bytes:
+    """SOF2 stream from quantized zigzag coefficient grids: DC first
+    (interleaved, Al=1), per-component AC firsts over two spectral
+    bands (1-5, 6-63, Al=1), DC refinement, per-component AC
+    refinements — the standard libjpeg-style scan script, exercising
+    spectral selection AND successive approximation."""
+    nf = len(coefs)
+    out, dc_codes = _jpeg_common_headers(
+        coefs, h, w, samps, 0xC2, [(0x10, _JPEG_AC_PROG)]
+    )
+    ac_codes = _huff_codes(*_JPEG_AC_PROG)
+    hs, vs = samps[0]
+    mcu_rows, mcu_cols = h // (8 * vs), w // (8 * hs)
+
+    def sos(comp_list, ss, se, ah, al_):
+        b = bytes([len(comp_list)])
+        for ci in comp_list:
+            b += bytes([ci + 1, ((0 if ci == 0 else 1) << 4) | 0])
+        b += bytes([ss, se, (ah << 4) | al_])
+        return _jpeg_seg(0xDA, b)
+
+    def run(emit):
+        bw_ = _BitWriter()
+        emit(bw_)
+        bw_.flush()
+        return bytes(bw_.out)
+
+    AL = 1
+    out += sos(list(range(nf)), 0, 0, 0, AL)
+    out += run(lambda b2: _emit_dc_scan(
+        b2, coefs, samps, mcu_rows, mcu_cols, dc_codes, 0, AL))
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(nf):
+            out += sos([ci], ss, se, 0, AL)
+            out += run(lambda b2, a=coefs[ci], s0=ss, s1=se:
+                       _emit_ac_first_scan(b2, a, s0, s1, AL, ac_codes))
+    out += sos(list(range(nf)), 0, 0, 1, 0)
+    out += run(lambda b2: _emit_dc_scan(
+        b2, coefs, samps, mcu_rows, mcu_cols, dc_codes, 1, 0))
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(nf):
+            out += sos([ci], ss, se, 1, 0)
+            out += run(lambda b2, a=coefs[ci], s0=ss, s1=se:
+                       _emit_ac_refine_scan(b2, a, s0, s1, 0, ac_codes))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_baseline_from_coefs(coefs, h, w, samps) -> bytes:
+    """SOF0 single-scan stream from the SAME quantized coefficient
+    grids (general run/size AC coding, Annex K tables) — the
+    differential twin: decode(progressive) must equal decode(baseline)
+    for any coefficients, which pins the whole Annex G entropy layer
+    against the independently-tested sequential path."""
+    nf = len(coefs)
+    out, dc_codes = _jpeg_common_headers(
+        coefs, h, w, samps, 0xC0,
+        [(0x10, _JPEG_AC_LUM)] + ([(0x11, _JPEG_AC_CHR)] if nf == 3 else []),
+    )
+    ac_codes = [
+        _huff_codes(*(_JPEG_AC_LUM if ci == 0 else _JPEG_AC_CHR))
+        for ci in range(nf)
+    ]
+    sos = bytes([nf])
+    for ci in range(nf):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _jpeg_seg(0xDA, sos)
+    hs, vs = samps[0]
+    mcu_rows, mcu_cols = h // (8 * vs), w // (8 * hs)
+    bw_ = _BitWriter()
+    pred = [0] * nf
+    for m in range(mcu_rows * mcu_cols):
+        by, bx = divmod(m, mcu_cols)
+        for ci in range(nf):
+            ch, cv = samps[ci]
+            for v in range(cv):
+                for hh in range(ch):
+                    blk = coefs[ci][by * cv + v, bx * ch + hh]
+                    dc = int(blk[0])
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    size = _dc_category(diff)
+                    code, ln = dc_codes[ci][size]
+                    bw_.put(code, ln)
+                    if size:
+                        bw_.put(_encode_coef_bits(diff, size), size)
+                    r = 0
+                    for k in range(1, 64):
+                        val = int(blk[k])
+                        if val == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            code, ln = ac_codes[ci][0xF0]
+                            bw_.put(code, ln)
+                            r -= 16
+                        s = abs(val).bit_length()
+                        code, ln = ac_codes[ci][(r << 4) | s]
+                        bw_.put(code, ln)
+                        bw_.put(_encode_coef_bits(val, s), s)
+                        r = 0
+                    if r:
+                        code, ln = ac_codes[ci][0x00]  # EOB
+                        bw_.put(code, ln)
+    bw_.flush()
+    out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, sampling: str = "4:4:4") -> bytes:
+    """Progressive JFIF encoder (SOF2), DC-exact by construction like
+    encode_jpeg: block-constant planes under all-8s quant tables, so
+    decode(encode(px)) is bit-exact and the lossy codec stays
+    oracle-gateable. Emits the standard progressive scan script —
+    interleaved DC first pass at Al=1, per-component spectral-band AC
+    first passes, then DC and AC refinement scans — so a decoder must
+    implement spectral selection AND successive approximation
+    (including the AC correction-bit walk) to reproduce the pixels."""
+    comps, samps, gray, h, w = _jpeg_planes(pixels, sampling)
+    return _encode_progressive_from_coefs(
+        _jpeg_coef_blocks(comps), h, w, samps
+    )
 
 
 class _BitReader:
@@ -872,20 +1208,206 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Baseline sequential JPEG decoder (ITU-T T.81): marker parse, DQT /
-    DHT / SOF0 / SOS / DRI, canonical huffman entropy decode with byte
-    unstuffing and restart markers, DC prediction, de-zigzag,
-    dequantization, separable float IDCT, level shift, and (for 3
-    components) the JFIF YCbCr->RGB transform. Returns (w, h, pixels)
-    with pixels (h, w) for grayscale or (h, w, 3) RGB.
+def _frame_geometry(frame, progressive: bool):
+    """Validate frame dims/sampling shared by both decode paths; returns
+    (fh, fw, comps, hmax, vmax, mcu_rows, mcu_cols). Single-component
+    frames normalize sampling to 1x1 (non-interleaved, T.81 A.2.2)."""
+    fh, fw, comps = frame
+    if len(comps) == 1:
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _, hi, vi, _ in comps:
+        if hmax % hi or vmax % vi:
+            raise ValueError(
+                f"non-integer upsampling ratio ({hi}x{vi} vs {hmax}x{vmax})"
+            )
+    if fh % (8 * vmax) or fw % (8 * hmax):
+        raise ValueError(
+            f"partial-MCU images unsupported (dims must be multiples of"
+            f" {8 * vmax}x{8 * hmax})"
+        )
+    return fh, fw, comps, hmax, vmax, fh // (8 * vmax), fw // (8 * hmax)
 
-    Supported: 8-bit baseline (SOF0), 1 or 3 components, 4:4:4 plus
-    the subsampled chroma layouts whose factors divide the frame's max
-    (4:2:0, 4:2:2, 4:4:0, 4:1:1 — interleaved MCU walk per T.81 A.2.3,
-    chroma upsampled by pixel replication). Progressive (SOF2), other
-    SOFn, and arithmetic coding raise ValueError with the unsupported
-    feature named — the documented residual stub."""
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """First byte offset at or after ``pos`` of a real marker (not a
+    stuffed 0xFF00, not an RSTn)."""
+    while pos + 1 < len(data):
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    raise ValueError("truncated JPEG: no marker after scan data")
+
+
+def _decode_prog_dc_scan(br, sel, ah, al, comps, coefs, dc_tabs, geom,
+                         restart_interval):
+    """Progressive DC scan (T.81 G.1.2.1): first pass (Ah=0) huffman
+    DC-diff decode shifted left Al; refinement (Ah>0) one raw bit per
+    block OR-ed in at Al. Interleaved over the scan's components (MCU
+    walk, T.81 A.2.3) or non-interleaved over the component's own block
+    grid when ns == 1."""
+    fh, fw, _c, hmax, vmax, mcu_rows, mcu_cols = geom
+    idxs = []
+    for cs, td, _ta in sel:
+        ci = next(i for i, c in enumerate(comps) if c[0] == cs)
+        idxs.append((ci, td))
+    first = ah == 0
+    pred = [0] * len(sel)
+    rst = 0
+
+    def one_block(si, ci, td, r, c):
+        if first:
+            size = _read_symbol(br, dc_tabs[td])
+            diff = _extend(br.receive(size), size) if size else 0
+            pred[si] += diff
+            coefs[ci][r, c, 0] = pred[si] << al
+        elif br.bit():
+            coefs[ci][r, c, 0] |= 1 << al
+
+    if len(sel) == 1:
+        ci, td = idxs[0]
+        bh, bw_ = coefs[ci].shape[:2]
+        for n in range(bh * bw_):
+            if restart_interval and n and n % restart_interval == 0:
+                br.sync_restart(rst)
+                rst = (rst + 1) % 8
+                pred = [0] * len(sel)
+            one_block(0, ci, td, n // bw_, n % bw_)
+        return
+    for m in range(mcu_rows * mcu_cols):
+        if restart_interval and m and m % restart_interval == 0:
+            br.sync_restart(rst)
+            rst = (rst + 1) % 8
+            pred = [0] * len(sel)
+        by, bx = divmod(m, mcu_cols)
+        for si, (ci, td) in enumerate(idxs):
+            _, hi, vi, _ = comps[ci]
+            for v in range(vi):
+                for hh in range(hi):
+                    one_block(si, ci, td, by * vi + v, bx * hi + hh)
+
+
+def _decode_prog_ac_first(br, block, ss, se, al, act, eobrun: int) -> int:
+    """One block of a first-pass AC scan (G.1.2.2); returns EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(br, act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.receive(r)
+            return eobrun - 1  # current block counts
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows spectral band")
+        block[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_prog_ac_refine(br, block, ss, se, al, act, eobrun: int) -> int:
+    """One block of an AC refinement scan (G.1.2.3): newly-nonzero
+    coefficients arrive as s=1 symbols with a sign bit; every
+    nonzero-history coefficient crossed contributes one correction
+    bit; EOB runs carry the remaining correction bits."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(br, act)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                if s != 1:
+                    raise ValueError("AC refinement symbol must have s=1")
+                new = p1 if br.bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                new = 0  # ZRL: skip 16 zero-history slots
+            while k <= se:
+                if block[k] != 0:
+                    if br.bit() and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if new and k <= se:
+                block[k] = new
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0:
+                if br.bit() and (block[k] & p1) == 0:
+                    block[k] += p1 if block[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_ac_scan(br, sel, ss, se, ah, al, comps, coefs, ac_tabs,
+                         restart_interval):
+    """Progressive AC scan: always non-interleaved (one component,
+    G.1.1.1.1), row-major over that component's own block grid."""
+    if len(sel) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+    cs, _td, ta = sel[0]
+    ci = next(i for i, c in enumerate(comps) if c[0] == cs)
+    act = ac_tabs[ta]
+    arr = coefs[ci]
+    bh, bw_ = arr.shape[:2]
+    eobrun = 0
+    rst = 0
+    n = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            if restart_interval and n and n % restart_interval == 0:
+                br.sync_restart(rst)
+                rst = (rst + 1) % 8
+                eobrun = 0
+            block = arr[by, bx]
+            if ah == 0:
+                eobrun = _decode_prog_ac_first(br, block, ss, se, al, act,
+                                               eobrun)
+            else:
+                eobrun = _decode_prog_ac_refine(br, block, ss, se, al, act,
+                                                eobrun)
+            n += 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """JPEG decoder (ITU-T T.81): marker parse, DQT / DHT / SOF / SOS /
+    DRI, canonical huffman entropy decode with byte unstuffing and
+    restart markers, DC prediction, de-zigzag, dequantization,
+    separable float IDCT, level shift, and (for 3 components) the JFIF
+    YCbCr->RGB transform. Returns (w, h, pixels) with pixels (h, w)
+    for grayscale or (h, w, 3) RGB.
+
+    Supported: 8-bit baseline sequential (SOF0) AND progressive (SOF2
+    — spectral selection + successive approximation per Annex G:
+    multi-scan coefficient accumulation with DC first/refine, AC
+    first with EOB runs, and the AC refinement correction-bit walk),
+    1 or 3 components, 4:4:4 plus the subsampled chroma layouts whose
+    factors divide the frame's max (4:2:0, 4:2:2, 4:4:0, 4:1:1 —
+    interleaved MCU walk per T.81 A.2.3, chroma upsampled by pixel
+    replication). Other SOFn (lossless, arithmetic, hierarchical)
+    raise ValueError with the unsupported feature named."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -893,8 +1415,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None  # (h, w, [(cid, hsamp, vsamp, tq)])
+    progressive = False
     restart_interval = 0
     scan = None
+    coefs = None  # progressive: per-comp (bh, bw, 64) zigzag accumulators
+    geom = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -928,7 +1453,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 tree = _huff_decode_tree(bits, vals)
                 (ac_tabs if tc else dc_tabs)[th] = tree
                 b += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if body[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             fh = int.from_bytes(body[1:3], "big")
@@ -944,10 +1469,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             if nf not in (1, 3):
                 raise ValueError(f"{nf}-component frames unsupported")
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"SOF{marker - 0xC0} unsupported (baseline sequential only)"
+                f"SOF{marker - 0xC0} unsupported (baseline sequential and"
+                " progressive huffman only)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
@@ -957,93 +1484,134 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             for si in range(ns):
                 cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
                 sel.append((cs, tdta >> 4, tdta & 0xF))
-            scan = sel
-            pos += ln
-            break  # entropy-coded data follows
+            if not progressive:
+                scan = sel
+                pos += ln
+                break  # entropy-coded data follows; single scan
+            if frame is None:
+                raise ValueError("SOS before SOF2")
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if geom is None:
+                geom = _frame_geometry(frame, True)
+                _, _, gcomps, ghmax, gvmax, gmr, gmc = geom
+                coefs = [
+                    np.zeros(
+                        (gmr * vi, gmc * hi, 64), dtype=np.int64
+                    )
+                    for _, hi, vi, _ in gcomps
+                ]
+            br = _BitReader(payload, pos + ln)
+            gcomps = geom[2]
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("progressive DC scan requires Se=0")
+                _decode_prog_dc_scan(br, sel, ah, al, gcomps, coefs,
+                                     dc_tabs, geom, restart_interval)
+            else:
+                if se > 63 or ss > se:
+                    raise ValueError("bad spectral band")
+                _decode_prog_ac_scan(br, sel, ss, se, ah, al, gcomps,
+                                     coefs, ac_tabs, restart_interval)
+            pos = _next_marker_pos(payload, br.pos)
+            continue
         pos += ln
-    if frame is None or scan is None:
-        raise ValueError("missing SOF0 or SOS")
-    fh, fw, comps = frame
-    nf = len(comps)
-    if nf == 1:
-        # single-component scans are non-interleaved (T.81 A.2.2):
-        # sampling factors do not shape the data — normalize to 1x1
-        comps = [(comps[0][0], 1, 1, comps[0][3])]
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for _, hi, vi, _ in comps:
-        if hmax % hi or vmax % vi:
-            raise ValueError(
-                f"non-integer upsampling ratio ({hi}x{vi} vs {hmax}x{vmax})"
-            )
-    if fh % (8 * vmax) or fw % (8 * hmax):
-        raise ValueError(
-            f"partial-MCU images unsupported (dims must be multiples of"
-            f" {8 * vmax}x{8 * hmax})"
-        )
-    if len(scan) != nf:
-        raise ValueError("multi-scan files unsupported (single interleaved scan)")
-    comp_q = []
-    for (cid, hi, vi, tq), (cs, td, ta) in zip(comps, scan):
-        if cs != cid:
-            raise ValueError("scan component order must match frame")
-        # quant table pre-permuted into ZIGZAG order so dequant +
-        # de-zigzag is one vectorized scatter per block
-        comp_q.append(
-            (
-                qtabs[tq].reshape(64)[_JPEG_ZZ_FLAT].astype(np.float64),
-                dc_tabs[td],
-                ac_tabs[ta],
-            )
-        )
-    # per-component planes at NATIVE (subsampled) resolution; upsampled
-    # to frame resolution after the scan
-    planes = [
-        np.zeros((fh * vi // vmax, fw * hi // hmax), dtype=np.float64)
-        for _, hi, vi, _ in comps
-    ]
-    br = _BitReader(payload, pos)
-    pred = [0] * nf
-    mcu_rows, mcu_cols = fh // (8 * vmax), fw // (8 * hmax)
-    rst = 0
-    for m in range(mcu_rows * mcu_cols):
-        if restart_interval and m and m % restart_interval == 0:
-            br.sync_restart(rst)
-            rst = (rst + 1) % 8
-            pred = [0] * nf
-        by, bx = divmod(m, mcu_cols)
-        for ci in range(nf):
-            _, hi, vi, _ = comps[ci]
-            q_zz, dct, act = comp_q[ci]
-            # interleave order within the MCU: the component's vi x hi
-            # block grid, row-major (T.81 A.2.3)
-            for v in range(vi):
-                for hh in range(hi):
-                    zz = [0] * 64
-                    size = _read_symbol(br, dct)
-                    diff = _extend(br.receive(size), size) if size else 0
-                    pred[ci] += diff
-                    zz[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _read_symbol(br, act)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run overflows block")
-                        zz[k] = _extend(br.receive(s), s)
-                        k += 1
+    if frame is None or (scan is None and not progressive):
+        raise ValueError("missing SOF or SOS")
+
+    if progressive:
+        if geom is None:
+            raise ValueError("progressive JPEG with no scans")
+        fh, fw, comps, hmax, vmax, mcu_rows, mcu_cols = geom
+        nf = len(comps)
+        planes = []
+        for ci, (_, hi, vi, tq) in enumerate(comps):
+            q_zz = qtabs[tq].reshape(64)[_JPEG_ZZ_FLAT].astype(np.float64)
+            arr = coefs[ci]
+            bh, bw_ = arr.shape[:2]
+            plane = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+            for by in range(bh):
+                for bx in range(bw_):
                     coef = np.zeros(64, dtype=np.float64)
-                    coef[_JPEG_ZZ_FLAT] = np.asarray(zz, dtype=np.float64) * q_zz
+                    coef[_JPEG_ZZ_FLAT] = arr[by, bx].astype(np.float64) * q_zz
                     block = _IDCT_A.T @ coef.reshape(8, 8) @ _IDCT_A
-                    r0 = (by * vi + v) * 8
-                    c0 = (bx * hi + hh) * 8
-                    planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block + 128.0
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        block + 128.0
+                    )
+            planes.append(plane)
+    else:
+        fh, fw, comps, hmax, vmax, mcu_rows, mcu_cols = _frame_geometry(
+            frame, False
+        )
+        nf = len(comps)
+        if len(scan) != nf:
+            raise ValueError(
+                "multi-scan files unsupported (single interleaved scan)"
+            )
+        comp_q = []
+        for (cid, hi, vi, tq), (cs, td, ta) in zip(comps, scan):
+            if cs != cid:
+                raise ValueError("scan component order must match frame")
+            # quant table pre-permuted into ZIGZAG order so dequant +
+            # de-zigzag is one vectorized scatter per block
+            comp_q.append(
+                (
+                    qtabs[tq].reshape(64)[_JPEG_ZZ_FLAT].astype(np.float64),
+                    dc_tabs[td],
+                    ac_tabs[ta],
+                )
+            )
+        # per-component planes at NATIVE (subsampled) resolution;
+        # upsampled to frame resolution after the scan
+        planes = [
+            np.zeros((fh * vi // vmax, fw * hi // hmax), dtype=np.float64)
+            for _, hi, vi, _ in comps
+        ]
+        br = _BitReader(payload, pos)
+        pred = [0] * nf
+        rst = 0
+        for m in range(mcu_rows * mcu_cols):
+            if restart_interval and m and m % restart_interval == 0:
+                br.sync_restart(rst)
+                rst = (rst + 1) % 8
+                pred = [0] * nf
+            by, bx = divmod(m, mcu_cols)
+            for ci in range(nf):
+                _, hi, vi, _ = comps[ci]
+                q_zz, dct, act = comp_q[ci]
+                # interleave order within the MCU: the component's vi x hi
+                # block grid, row-major (T.81 A.2.3)
+                for v in range(vi):
+                    for hh in range(hi):
+                        zz = [0] * 64
+                        size = _read_symbol(br, dct)
+                        diff = _extend(br.receive(size), size) if size else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            zz[k] = _extend(br.receive(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_JPEG_ZZ_FLAT] = (
+                            np.asarray(zz, dtype=np.float64) * q_zz
+                        )
+                        block = _IDCT_A.T @ coef.reshape(8, 8) @ _IDCT_A
+                        r0 = (by * vi + v) * 8
+                        c0 = (bx * hi + hh) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block + 128.0
     # replication upsample back to frame resolution (the JFIF simple
     # upsample; a decoder choosing fancy upsampling would differ only on
     # non-constant chroma, which the DC-exact oracle never plants)
@@ -1064,6 +1632,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         np.round(np.stack([r, g, b], axis=-1)), 0, 255
     ).astype(np.uint8)
     return fw, fh, px
+
+
 
 
 # --- GIF (GIF87a, LZW) ------------------------------------------------------

@@ -176,26 +176,27 @@ def q_mm_frame_sample(spark, sf_dir):
 
 
 def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
-    """Placeholder for the remaining natively-coded formats
-    (progressive JPEG and video — PIL, libvips, ffmpeg are not
-    installed here).
+    """Placeholder for the remaining natively-coded format (VIDEO —
+    ffmpeg/libav are not installed here).
 
     Formats decodable in pure Python are NOT stubbed: kernels/image.py
     implements real PPM (P6), 24-bit BMP, PNG (stdlib zlib inflate +
-    all five scanline filters), QOI, and — rounds 9/10 — BASELINE
-    SEQUENTIAL JPEG (marker parse, canonical huffman entropy decode
-    with byte unstuffing and restart markers, dequant, IDCT, YCbCr,
-    and the 4:2:0/4:2:2 subsampled MCU interleave with chroma
-    replication upsampling), exercised end-to-end by
-    ``q_mm_decode_pixel_stats``, ``q_mm_phash_dedup``,
+    all five scanline filters), QOI, GIF, TGA, and — rounds 9/10/11 —
+    FULL HUFFMAN JPEG: baseline sequential (marker parse, canonical
+    huffman entropy decode with byte unstuffing and restart markers,
+    dequant, IDCT, YCbCr, the 4:2:0/4:2:2 subsampled MCU interleave
+    with chroma replication upsampling) AND progressive (SOF2 spectral
+    selection + successive approximation per T.81 Annex G), exercised
+    end-to-end by ``q_mm_decode_pixel_stats``, ``q_mm_phash_dedup``,
     ``q_mm_qoi_decode_stats``, and ``q_mm_jpeg_decode_stats``. A
     production deployment swaps this stub for the native codec; the
     mapInPandas plumbing is unchanged by that swap.
     """
     raise NotImplementedError(
-        "progressive-JPEG and video codecs are not available in this"
-        " environment; see kernels/image.py for the pure-Python"
-        " PPM/BMP/PNG/QOI and baseline-JPEG (incl. 4:2:0/4:2:2) formats"
+        "video codecs are not available in this environment; see"
+        " kernels/image.py for the pure-Python PPM/BMP/PNG/QOI/GIF/TGA"
+        " and JPEG (baseline incl. 4:2:0/4:2:2, plus progressive)"
+        " formats"
     )
 
 
@@ -787,10 +788,12 @@ JPEG_BH = 2  # block rows; block cols vary 2..4 per doc
       FROM img
     )
     SELECT doc_id,
-           CASE WHEN NOT rgb THEN 'jpeg_gray'
+           CASE WHEN NOT rgb THEN
+                  (CASE WHEN doc_id % 4 = 0 THEN 'jpeg_gray_prog'
+                        ELSE 'jpeg_gray' END)
                 WHEN doc_id % 3 = 0 THEN 'jpeg_rgb'
                 WHEN doc_id % 3 = 1 THEN 'jpeg_rgb_420'
-                ELSE 'jpeg_rgb_422' END AS fmt,
+                ELSE 'jpeg_rgb_422_prog' END AS fmt,
            bw * rep_w AS width, bh * rep_h AS height,
            CAST(rep_w * rep_h * (CASE WHEN rgb THEN 3 ELSE 1 END)
                 * LIST_SUM(LIST_TRANSFORM(RANGE(0, bw * bh),
@@ -817,14 +820,22 @@ def q_mm_jpeg_decode_stats(spark, sf_dir):
     replication upsample are identities on constant tiles), which is
     what lets the DuckDB oracle recompute the decoded buffer from the
     text alone. One Arrow-batched mapInPandas pass, per-partition, no
-    shuffle; progressive JPEG and video remain the documented stub
-    (kernels/image.py decode_jpeg docstring)."""
+    shuffle. Round 11 cycles PROGRESSIVE (SOF2) variants through the
+    same gate: every fourth gray doc and the 4:2:2 slot encode with the
+    full Annex G scan script (interleaved DC first pass at Al=1,
+    per-component spectral-band AC passes, DC+AC refinement scans), so
+    the decoder's successive-approximation walk sits on the hash path;
+    only video remains stubbed (decode_image_stub)."""
     import hashlib as _hashlib
 
     import numpy as np
     import pandas as pd
 
-    from ..kernels.image import decode_jpeg, encode_jpeg
+    from ..kernels.image import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -847,27 +858,38 @@ def q_mm_jpeg_decode_stats(spark, sf_dir):
                 if doc_id % 2:
                     # cycle sampling layouts: tile size = the MCU, so
                     # every emitted block (luma AND box-mean chroma) is
-                    # constant and the round trip stays bit-exact
+                    # constant and the round trip stays bit-exact; the
+                    # 4:2:2 slot cycles PROGRESSIVE (SOF2 spectral
+                    # selection + successive approximation, round 11)
                     samp, fmt, rep_w, rep_h, rst = {
                         0: ("4:4:4", "jpeg_rgb", 8, 8, 2),
                         1: ("4:2:0", "jpeg_rgb_420", 16, 16, 1),
-                        2: ("4:2:2", "jpeg_rgb_422", 16, 8, 0),
+                        2: ("4:2:2", "jpeg_rgb_422_prog", 16, 8, 0),
                     }[doc_id % 3]
                     img = np.repeat(
                         np.repeat(vals, rep_h, axis=0), rep_w, axis=1
                     )
                     rgb = np.stack([img] * 3, axis=-1)
-                    buf = encode_jpeg(rgb, restart_interval=rst, sampling=samp)
+                    if fmt.endswith("_prog"):
+                        buf = encode_jpeg_progressive(rgb, sampling=samp)
+                    else:
+                        buf = encode_jpeg(
+                            rgb, restart_interval=rst, sampling=samp
+                        )
                     w, h, px = decode_jpeg(buf)
                     assert px.shape == (bh * rep_h, bw * rep_w, 3), doc_id
                     assert np.array_equal(px, rgb), doc_id
                 else:
                     img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-                    buf = encode_jpeg(img)
+                    if doc_id % 4 == 0:  # progressive grayscale slot
+                        buf = encode_jpeg_progressive(img)
+                        fmt = "jpeg_gray_prog"
+                    else:
+                        buf = encode_jpeg(img)
+                        fmt = "jpeg_gray"
                     w, h, px = decode_jpeg(buf)
                     assert px.shape == (bh * 8, bw * 8), doc_id
                     assert np.array_equal(px, img), doc_id
-                    fmt = "jpeg_gray"
                 flat = px.tobytes()
                 out["doc_id"].append(doc_id)
                 out["fmt"].append(fmt)
