@@ -254,6 +254,15 @@ HEADLINE = [
 UTXO_BENCH_ROWS = 2_000_000
 
 
+def _load1() -> float:
+    """1-min loadavg at a trial's start (the bench's quiet-host gate)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except OSError:  # non-Linux fallback
+        return os.getloadavg()[0]
+
+
 def _utxo_dump_path(rows: int) -> str:
     """Synthetic dump, cached across runs (generation is not the thing
     being measured)."""
@@ -318,8 +327,20 @@ def main():
     # minimum is the only stable estimator of engine throughput under
     # that noise, and one extra trial is cheap insurance for the
     # headline number.
-    trials_conv = []
-    for _ in range(3):
+    # loadavg gate (round-10 verdict item 2): the r10 driver run started
+    # at loadavg 4 and halved the convert headline with zero commits on
+    # the decode path. Each trial records the 1-min loadavg at its
+    # start; if after the base 3 trials NO trial started quiet
+    # (load1 <= QUIET_LOAD1), up to 3 extra trials run with a short
+    # decay sleep between them, so a transient co-tenant spike can't be
+    # the only condition the headline was ever measured under. The
+    # metric stays min-of-all; the per-trial loads ride in the artifact
+    # so a noisy headline is attributable WITHIN the record.
+    QUIET_LOAD1 = 2.0
+    trials_conv: list[float] = []
+    conv_loads: list[float] = []
+    while True:
+        conv_loads.append(round(_load1(), 2))
         t0 = time.time()
         # use_cache=False: the timed conversion includes the sequential
         # framing pass, matching what the reference's wall time includes.
@@ -331,6 +352,12 @@ def main():
         n = convert_utxo_dump_to_parquet(spark, dump, out, use_cache=False)
         trials_conv.append(time.time() - t0)
         assert n == UTXO_BENCH_ROWS
+        if len(trials_conv) >= 3 and (
+            min(conv_loads) <= QUIET_LOAD1 or len(trials_conv) >= 6
+        ):
+            break
+        if len(trials_conv) >= 3:
+            time.sleep(5)
     dt = min(trials_conv)
     times["utxo_convert"] = round(dt, 3)
     times["utxo_convert_cold"] = round(trials_conv[0], 3)
@@ -363,6 +390,7 @@ def main():
     times["utxo_point_lookup_parquet"] = round(min(trials), 3)
     per_trial = {
         "utxo_convert": [round(t, 3) for t in trials_conv],
+        "utxo_convert_load1": conv_loads,
         "utxo_point_lookup_parquet": [round(t, 3) for t in trials],
     }
 

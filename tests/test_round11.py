@@ -344,3 +344,166 @@ def test_progressive_eob_run_and_refinement_paths():
     _, _, p1 = decode_jpeg(_encode_baseline_from_coefs([arr], h, w, [(1, 1)]))
     _, _, p2 = decode_jpeg(_encode_progressive_from_coefs([arr], h, w, [(1, 1)]))
     assert np.array_equal(p1, p2)
+
+
+# --- unigram LM tokenizer (seed vocab + Viterbi + hard-EM) -------------------
+
+
+def _write_docs11(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+
+def _uni_train_py(rows):
+    """Independent plain-Python reimplementation of the unigram seed
+    trainer (same hyperparameters as operators.text)."""
+    import math
+    from collections import Counter
+
+    wf = Counter()
+    for _, text, _ in rows:
+        for w in text.split(" "):
+            if w:
+                wf[w] += 1
+    cand = Counter()
+    for w, f in wf.items():
+        for s in range(len(w)):
+            for ln in range(1, min(4, len(w) - s) + 1):
+                cand[w[s : s + ln]] += f
+    vocab = {t: f for t, f in cand.items() if len(t) == 1}
+    multi = sorted(
+        ((t, f) for t, f in cand.items() if len(t) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:200]
+    vocab.update(dict(multi))
+    logt = math.floor(math.log(sum(vocab.values())) * 1e6 + 0.5)
+    wt = {
+        t: (math.floor(math.log(f) * 1e6 + 0.5) - logt) * 64 - 1
+        for t, f in vocab.items()
+    }
+    return wf, vocab, wt
+
+
+def _uni_viterbi_py(word, wt):
+    best = [0]
+    for i in range(1, len(word) + 1):
+        best.append(
+            max(
+                best[s] + wt[word[s:i]]
+                for s in range(max(0, i - 4), i)
+                if word[s:i] in wt
+            )
+        )
+    dp = best[-1]
+    k = (-dp) % 64
+    return dp, k, (dp + k) // 64, best
+
+
+def _uni_backtrack_py(word, wt, best):
+    i, toks = len(word), []
+    while i > 0:
+        starts = [
+            s
+            for s in range(max(0, i - 4), i)
+            if word[s:i] in wt and best[s] + wt[word[s:i]] == best[i]
+        ]
+        s0 = min(starts)
+        toks.append(word[s0:i])
+        i = s0
+    return toks
+
+
+_UNI_ROWS = [
+    (1, "abcabcabc xyz abca", "web"),
+    (2, "xyz xyz qq abcabcabc", "web"),
+    (3, "zz abca qq qq deadbeef", "books"),
+]
+
+
+def test_unigram_vocab_counts_multiplicity(tmp_path, spark):
+    """Seed counts weight each occurrence POSITION: in 'abcabcabc'
+    (freq 2 across docs 1+2) the substring 'abc' occurs 3 times per
+    instance, 'abca' twice, so corpus counts must be 2x that plus the
+    'abca' word's own contribution."""
+    from utxo_to_parquet_spark.operators.text import q_text_unigram_vocab
+
+    _write_docs11(tmp_path, _UNI_ROWS)
+    out = {r.token: r for r in q_text_unigram_vocab(spark, str(tmp_path)).collect()}
+    _, vocab, _ = _uni_train_py(_UNI_ROWS)
+    assert {t: r.freq for t, r in out.items()} == vocab
+    # 'abc': 3 per 'abcabcabc' instance (x2) + 1 per 'abca' (x2) = 8
+    assert out["abc"].freq == 8
+    # 'a' positions: 3 in 'abcabcabc' (freq 2), 2 in 'abca' (freq 2),
+    # 1 in 'deadbeef' (freq 1)
+    assert out["a"].freq == 2 * 3 + 2 * 2 + 1
+    assert all(len(t) <= 4 for t in out)
+
+
+def test_unigram_segment_matches_python_viterbi(tmp_path, spark):
+    from utxo_to_parquet_spark.operators.text import q_text_unigram_segment
+
+    _write_docs11(tmp_path, _UNI_ROWS)
+    out = {
+        r.doc_id: r for r in q_text_unigram_segment(spark, str(tmp_path)).collect()
+    }
+    _, _, wt = _uni_train_py(_UNI_ROWS)
+    for doc_id, text, _ in _UNI_ROWS:
+        words = [w for w in text.split(" ") if w]
+        ks, ss = 0, 0
+        for w in words:
+            _, k, s, _ = _uni_viterbi_py(w, wt)
+            ks += k
+            ss += s
+        r = out[doc_id]
+        assert (r.n_words, r.n_tokens, r.neg_ll_e6) == (len(words), ks, -ss)
+
+
+def test_unigram_hard_em_matches_python_backtrack(tmp_path, spark):
+    """The E-step path counts must equal the independent Python
+    backtrack (min-start tie-break), the refined vocab must be a subset
+    of the seed, every backtracked path must concatenate to its word,
+    and the refined vocab must still cover the corpus."""
+    import math
+
+    from utxo_to_parquet_spark.operators.text import q_text_unigram_hard_em
+
+    _write_docs11(tmp_path, _UNI_ROWS)
+    out = {
+        r.token: r for r in q_text_unigram_hard_em(spark, str(tmp_path)).collect()
+    }
+    wf, vocab, wt = _uni_train_py(_UNI_ROWS)
+    from collections import Counter
+
+    usage = Counter()
+    for w, f in wf.items():
+        _, _, _, best = _uni_viterbi_py(w, wt)
+        toks = _uni_backtrack_py(w, wt, best)
+        assert "".join(reversed(toks)) == w  # path reassembles the word
+        for t in toks:
+            usage[t] += f
+    assert {t: r.viterbi_freq for t, r in out.items()} == dict(usage)
+    assert set(out) <= set(vocab)  # prune only, never invent tokens
+    # refined scores renormalize over the refined totals
+    logt2 = math.floor(math.log(sum(usage.values())) * 1e6 + 0.5)
+    for t, r in out.items():
+        assert r.logp2_e6 == math.floor(math.log(usage[t]) * 1e6 + 0.5) - logt2
+    # re-segmentation feasibility: every word still coverable
+    wt2 = {t: 1 for t in out}
+    for w in wf:
+        cover = [True] + [False] * len(w)
+        for i in range(1, len(w) + 1):
+            cover[i] = any(
+                cover[s] and w[s:i] in wt2 for s in range(max(0, i - 4), i)
+            )
+        assert cover[len(w)], w

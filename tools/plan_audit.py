@@ -103,6 +103,10 @@ ALLOWED_NESTED_LOOP = {
     "q_dedup_cluster_report",
     # corpus total: 1-row count attach onto the PQ_M*PQ_K code grid
     "q_sim_pq_distortion",
+    # refined-vocab total: 1-row sum attach onto the |vocab| usage
+    # relation (the seed trainer's identical attach is behind a
+    # checkpoint and never reaches a returned plan)
+    "q_text_unigram_hard_em",
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —

@@ -5285,3 +5285,380 @@ def q_text_bpe_decode(spark, sf_dir):
         F.md5("decoded").alias("decoded_md5"),
         (F.col("decoded") == F.col("text")).alias("roundtrip_ok"),
     )
+
+
+# --- Unigram LM tokenizer (SentencePiece-style seed + Viterbi) ---------------
+
+UNI_MAXSUB = 4  # seed-vocab substring length cap (SentencePiece's
+# make_seed_sentence_pieces caps candidate piece length the same way)
+UNI_SEED_K = 200  # multi-char seed vocab size — a fixed hyperparameter,
+# exactly as SentencePiece's --vocab_size (NOT a key-space cap: the
+# candidate pool it ranks grows with the corpus)
+_UNI_TIE = 64  # per-token count penalty folded into the integer DP value:
+# wt = (logp_e6) * 64 - 1 makes the DP maximize (sum logp, then fewest
+# tokens) in ONE exact integer — k = pmod(-dp, 64) recovers the token
+# count, valid while words are < 64 chars (fixture max: 8)
+
+
+def _unigram_chain_sql() -> str:
+    """Shared CTE chain for the unigram-tokenizer oracles: word
+    frequencies -> substring-occurrence counts -> seed vocab (all
+    single chars + top-{UNI_SEED_K} multi-char substrings by corpus
+    frequency, ties broken by token) -> e6 log-prob scores and the
+    combined integer DP weight."""
+    return f"""uwf AS MATERIALIZED (
+      SELECT u.word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) u
+      WHERE u.word <> '' GROUP BY 1
+    ),
+    ucand AS MATERIALIZED (
+      SELECT substr(w.word, CAST(s.i AS INT), CAST(l.j AS INT)) AS tok,
+             CAST(SUM(w.freq) AS BIGINT) AS freq
+      FROM uwf w, UNNEST(range(1, length(w.word) + 1)) AS s(i),
+           UNNEST(range(1, {UNI_MAXSUB} + 1)) AS l(j)
+      WHERE s.i + l.j <= length(w.word) + 1 GROUP BY 1
+    ),
+    uvocab AS MATERIALIZED (
+      SELECT tok, freq FROM ucand WHERE length(tok) = 1
+      UNION ALL
+      SELECT tok, freq FROM (
+        SELECT tok, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rk
+        FROM ucand WHERE length(tok) >= 2) WHERE rk <= {UNI_SEED_K}
+    ),
+    uscored AS MATERIALIZED (
+      SELECT tok, freq,
+             CAST(FLOOR(LN(CAST(freq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+               AS score_e6,
+             (CAST(FLOOR(LN(CAST(freq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+              - (SELECT CAST(FLOOR(LN(CAST(SUM(freq) AS DOUBLE)) * 1e6 + 0.5)
+                        AS BIGINT) FROM uvocab)) * {_UNI_TIE} - 1 AS wt
+      FROM uvocab
+    )"""
+
+
+def _unigram_dp_sql() -> str:
+    """CTE chain from the scored vocab down to ``ufin`` (word, dp, k, s)
+    — the per-word Viterbi value, token count, and e6 log-likelihood —
+    plus ``udp``/``ucands`` retained for the backtrack oracle."""
+    return f"""{_unigram_chain_sql()},
+    ucands AS MATERIALIZED (
+      SELECT t.word,
+             LIST({{'start': t.st, 'len': t.len, 'sub': t.sub,
+                    'wt': v.wt}}) AS cands
+      FROM (
+        SELECT w.word, CAST(s.i - 1 AS BIGINT) AS st,
+               CAST(l.j AS BIGINT) AS len,
+               substr(w.word, CAST(s.i AS INT), CAST(l.j AS INT)) AS sub
+        FROM uwf w, UNNEST(range(1, length(w.word) + 1)) AS s(i),
+             UNNEST(range(1, {UNI_MAXSUB} + 1)) AS l(j)
+        WHERE s.i + l.j <= length(w.word) + 1
+      ) t JOIN uscored v ON v.tok = t.sub GROUP BY t.word
+    ),
+    udp AS (
+      SELECT word, 0 AS i, [CAST(0 AS BIGINT)] AS best FROM ucands
+      UNION ALL
+      SELECT d.word, d.i + 1,
+             list_append(d.best, list_max(list_transform(
+                 list_filter(c.cands, x -> x.start + x.len = d.i + 1),
+                 x -> d.best[CAST(x.start AS INT) + 1] + x.wt)))
+      FROM udp d JOIN ucands c ON c.word = d.word
+      WHERE d.i < length(d.word)
+    ),
+    ufin AS (
+      SELECT word, best,
+             best[length(word) + 1] AS dp,
+             ((-best[length(word) + 1]) % {_UNI_TIE} + {_UNI_TIE})
+               % {_UNI_TIE} AS k,
+             CAST((best[length(word) + 1]
+                   + ((-best[length(word) + 1]) % {_UNI_TIE} + {_UNI_TIE})
+                     % {_UNI_TIE}) / {_UNI_TIE} AS BIGINT) AS s
+      FROM udp WHERE i = length(word)
+    )"""
+
+
+_UNIGRAM_CACHE: dict = {}
+# One trained unigram tokenizer per (Spark application, corpus): vocab,
+# segment, and hard-EM all consume the same scored seed vocab and the
+# same per-word Viterbi relation — identical key discipline to
+# _bpe_train_cached and the suffix-array ladder.
+
+
+def _unigram_train_cached(spark, sf_dir):
+    """Returns (wf, scored, fin): word frequencies, the scored seed
+    vocab (tok, freq, score_e6, wt), and the per-word Viterbi relation
+    (word, cands, best, dpv, k, s). All vocab-bounded; fin's DP is one
+    JVM ``aggregate`` expression per word — no Python, no iteration."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _UNIGRAM_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+
+    docs = load(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    subs = (
+        f"flatten(transform(sequence(1, length(word)), s -> "
+        f"transform(sequence(s, least(s + {UNI_MAXSUB - 1}, length(word))),"
+        f" e -> substring(word, s, e - s + 1))))"
+    )
+    cand = (
+        wf.select("freq", F.explode(F.expr(subs)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    chars = cand.filter(F.length("tok") == 1)
+    # fixed-size seed vocab (the --vocab_size hyperparameter): global
+    # sort + limit over the VOCAB-bounded candidate relation, never the
+    # corpus; ties broken by token so both engines pick the same K
+    multi = (
+        cand.filter(F.length("tok") >= 2)
+        .orderBy(F.desc("freq"), "tok")
+        .limit(UNI_SEED_K)
+    )
+    vocab = chars.unionByName(multi)
+    t_row = vocab.agg(
+        F.floor(F.log(F.sum("freq")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("__logt_e6")
+    )
+    score = F.floor(F.log("freq") * 1e6 + F.lit(0.5)).cast("long")
+    scored = (
+        vocab.crossJoin(F.broadcast(t_row))
+        .select(
+            "tok",
+            "freq",
+            score.alias("score_e6"),
+            ((score - F.col("__logt_e6")) * _UNI_TIE - 1).alias("wt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tri = wf.select(
+        "word",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(word)), s -> "
+                f"transform(sequence(s, least(s + {UNI_MAXSUB - 1},"
+                f" length(word))), e -> named_struct("
+                f"'start', cast(s - 1 as bigint),"
+                f" 'len', cast(e - s + 1 as bigint),"
+                f" 'sub', substring(word, s, e - s + 1)))))"
+            )
+        ).alias("c"),
+    ).select("word", "c.start", "c.len", "c.sub")
+    wcands = (
+        tri.join(scored.select(F.col("tok").alias("sub"), "wt"), "sub")
+        .groupBy("word")
+        .agg(F.collect_list(F.struct("start", "len", "sub", "wt")).alias("cands"))
+    )
+    fin = (
+        wcands.withColumn(
+            "best",
+            F.expr(
+                "aggregate(sequence(1, length(word)),"
+                " array(cast(0 as bigint)),"
+                " (acc, i) -> concat(acc, array(array_max(transform("
+                "filter(cands, x -> x.start + x.len = i),"
+                " x -> element_at(acc, cast(x.start as int) + 1)"
+                " + x.wt)))))"
+            ),
+        )
+        .withColumn("dpv", F.element_at("best", -1))
+        .withColumn("k", F.expr(f"pmod(-dpv, {_UNI_TIE})"))
+        .withColumn(
+            "s",
+            F.expr(f"cast((dpv + pmod(-dpv, {_UNI_TIE})) / {_UNI_TIE}"
+                   f" as bigint)"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _UNIGRAM_CACHE[cache_key] = (wf, scored, fin)
+    return _UNIGRAM_CACHE[cache_key]
+
+
+@register(
+    "q_text_unigram_vocab",
+    oracle=f"""
+    WITH {_unigram_chain_sql()}
+    SELECT tok AS token, CAST(LENGTH(tok) AS BIGINT) AS token_len,
+           freq, score_e6
+    FROM uscored
+    """,
+)
+def q_text_unigram_vocab(spark, sf_dir):
+    """Unigram-LM tokenizer SEED VOCAB (Kudo 2018, the SentencePiece
+    seeding stage): every single character plus the top-{UNI_SEED_K}
+    most frequent substrings of length <= {UNI_MAXSUB}, scored by e6
+    log frequency — the vocabulary q_text_unigram_segment's Viterbi
+    maximizes over, completing the tokenizer-family pair BPE started
+    (merge-driven vs likelihood-driven subwords).
+
+    Plan: the corpus is touched ONCE (word explode + count); candidate
+    generation and ranking iterate the vocab-bounded word-frequency
+    table (substring explode is |vocab| x L x {UNI_MAXSUB} rows, orders
+    of magnitude below corpus rows; the top-K sort is over that same
+    relation). Frequency ties rank by token string on both engines.
+    Scores snap with the library-standard floor(ln(x)*1e6 + 0.5) —
+    integer inputs, so both engines' libm agree at e6 granularity."""
+    _, scored, _ = _unigram_train_cached(spark, sf_dir)
+    return scored.select(
+        F.col("tok").alias("token"),
+        F.length("tok").cast("long").alias("token_len"),
+        "freq",
+        "score_e6",
+    )
+
+
+@register(
+    "q_text_unigram_segment",
+    oracle=f"""
+    WITH RECURSIVE {_unigram_dp_sql()},
+    utokp AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(f.k) AS BIGINT) AS n_tokens,
+           CAST(-SUM(f.s) AS BIGINT) AS neg_ll_e6
+    FROM utokp t JOIN ufin f ON f.word = t.word
+    WHERE t.word <> ''
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_unigram_segment(spark, sf_dir):
+    """Unigram-LM VITERBI SEGMENTATION: tokenize every document with
+    the seed vocab by maximizing the sum of token log-probabilities —
+    the decode half of the SentencePiece algorithm, and the
+    likelihood-driven counterpart to q_text_bpe_encode's merge replay.
+    Per document: word count, optimal token count, and the exact
+    negative log-likelihood (e6-scaled) of the optimal segmentation.
+
+    The Viterbi DP runs entirely inside ONE JVM higher-order
+    expression per distinct word (aggregate over positions; each step
+    maxes over the candidate tokens ending there), so there is no
+    per-word iteration at the plan level and no Python anywhere. The
+    objective is EXACT integer lexicographic (max sum logp_e6, then
+    fewest tokens): each token's weight is logp_e6 * {_UNI_TIE} - 1,
+    so k = pmod(-dp, {_UNI_TIE}) and the e6 log-likelihood
+    s = (dp + k) / {_UNI_TIE} are both recovered from the single DP
+    value — no float comparisons, no tie ambiguity. The oracle replays
+    the identical DP as a recursive CTE over positions (bounded by max
+    word length), 1-based where DuckDB lists are. Corpus is touched
+    once at the end: explode to words, join the |vocab|-sized Viterbi
+    relation, one per-doc aggregate — the exact q_text_bpe_encode
+    shuffle shape."""
+    docs = load(spark, sf_dir, "documents")
+    _, _, fin = _unigram_train_cached(spark, sf_dir)
+    tokw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        tokw.join(fin.select("word", "k", "s"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("k").cast("long").alias("n_tokens"),
+            (-F.sum("s")).cast("long").alias("neg_ll_e6"),
+        )
+    )
+
+
+@register(
+    "q_text_unigram_hard_em",
+    oracle=f"""
+    WITH RECURSIVE {_unigram_dp_sql()},
+    ubt AS (
+      SELECT word, CAST(length(word) AS INT) AS i,
+             CAST([] AS VARCHAR[]) AS toks, best
+      FROM ufin
+      UNION ALL
+      SELECT b.word,
+             CAST((list_sort(list_filter(c.cands,
+                x -> x.start + x.len = b.i
+                 AND b.best[CAST(x.start AS INT) + 1] + x.wt
+                     = b.best[b.i + 1])))[1].start AS INT),
+             list_append(b.toks,
+               (list_sort(list_filter(c.cands,
+                x -> x.start + x.len = b.i
+                 AND b.best[CAST(x.start AS INT) + 1] + x.wt
+                     = b.best[b.i + 1])))[1].sub),
+             b.best
+      FROM ubt b JOIN ucands c ON c.word = b.word
+      WHERE b.i > 0
+    ),
+    uusage AS (
+      SELECT t.tok, CAST(SUM(w.freq) AS BIGINT) AS viterbi_freq
+      FROM (SELECT word, toks FROM ubt WHERE i = 0) p
+      JOIN uwf w ON w.word = p.word, UNNEST(p.toks) AS t(tok)
+      GROUP BY 1
+    )
+    SELECT tok AS token, viterbi_freq,
+           CAST(FLOOR(LN(CAST(viterbi_freq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+           - (SELECT CAST(FLOOR(LN(CAST(SUM(viterbi_freq) AS DOUBLE)) * 1e6
+                          + 0.5) AS BIGINT) FROM uusage) AS logp2_e6
+    FROM uusage
+    """,
+)
+def q_text_unigram_hard_em(spark, sf_dir):
+    """One HARD-EM (Viterbi-EM) refinement round of the unigram
+    tokenizer — the trainer step SentencePiece iterates: E-step =
+    Viterbi-segment the corpus under the current scores (the argmax
+    path, recovered exactly by backtracking the integer DP), M-step =
+    re-estimate token probabilities from the path counts, implicitly
+    PRUNING every seed token the optimal segmentation never uses
+    (SentencePiece's prune_sentence_pieces). Output: the refined vocab
+    with its Viterbi usage counts and renormalized e6 log-probs.
+
+    The backtrack is the same bounded JVM fold as the forward DP
+    (aggregate over <= word-length steps, each picking the
+    minimum-start candidate that achieves best[i] — start determines
+    the token once the end is fixed, so the choice is unique and both
+    engines' struct-sort picks it identically). M-step counts are pure
+    integers (path occurrences weighted by word frequency), so the
+    refined scores snap exactly like the seed's. Every word's round-1
+    path tokens survive the prune by construction, so the refined
+    vocab always still covers the corpus (re-segmentation feasibility
+    is tested, not assumed). Corpus cost: the same single word-explode
+    the seed already paid; everything else is vocab-bounded."""
+    wf, _, fin = _unigram_train_cached(spark, sf_dir)
+    chosen = (
+        "element_at(array_sort(filter(cands, x -> x.start + x.len = st.i"
+        " and element_at(best, cast(x.start as int) + 1) + x.wt ="
+        " element_at(best, st.i + 1))), 1)"
+    )
+    bt = fin.withColumn(
+        "toks",
+        F.expr(
+            f"aggregate(sequence(1, length(word)),"
+            f" named_struct('i', cast(length(word) as int),"
+            f" 'toks', cast(array() as array<string>)),"
+            f" (st, z) -> if(st.i <= 0, st, named_struct("
+            f"'i', cast({chosen}.start as int),"
+            f" 'toks', concat(st.toks, array({chosen}.sub)))),"
+            f" st -> st.toks)"
+        ),
+    )
+    usage = (
+        bt.select("word", F.explode("toks").alias("tok"))
+        .join(wf, "word")
+        .groupBy("tok")
+        .agg(F.sum("freq").cast("long").alias("viterbi_freq"))
+    )
+    t2 = usage.agg(
+        F.floor(F.log(F.sum("viterbi_freq")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("__logt2_e6")
+    )
+    return usage.crossJoin(F.broadcast(t2)).select(
+        F.col("tok").alias("token"),
+        "viterbi_freq",
+        (
+            F.floor(F.log("viterbi_freq") * 1e6 + F.lit(0.5)).cast("long")
+            - F.col("__logt2_e6")
+        ).alias("logp2_e6"),
+    )
