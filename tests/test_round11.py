@@ -507,3 +507,32 @@ def test_unigram_hard_em_matches_python_backtrack(tmp_path, spark):
                 cover[s] and w[s:i] in wt2 for s in range(max(0, i - 4), i)
             )
         assert cover[len(w)], w
+
+
+def test_distinct_substrings_matches_bruteforce(tmp_path, spark):
+    """SA closed form vs literal enumeration: count distinct word
+    tuples over all spans of all docs, including cross-document
+    repeats ('b c' in docs 1 and 2 counts once)."""
+    from utxo_to_parquet_spark.operators.text import q_text_distinct_substrings
+
+    rows = [
+        (1, "a b c a b", "web"),
+        (2, "b c d", "web"),
+        (3, "a b c a b", "books"),  # doc 1 verbatim: adds nothing new
+    ]
+    _write_docs11(tmp_path, rows)
+    spans = set()
+    total = 0
+    for _, text, _ in rows:
+        ws = text.split(" ")
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws) + 1):
+                spans.add(tuple(ws[i:j]))
+                total += 1
+    out = q_text_distinct_substrings(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_positions == sum(len(t.split(" ")) for _, t, _ in rows)
+    assert r.total_spans == total
+    assert r.distinct_spans == len(spans)
+    assert r.sum_lcp == total - len(spans)

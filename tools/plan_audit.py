@@ -107,6 +107,8 @@ ALLOWED_NESTED_LOOP = {
     # relation (the seed trainer's identical attach is behind a
     # checkpoint and never reaches a returned plan)
     "q_text_unigram_hard_em",
+    # two 1-row aggregates joined (total spans x sum of LCPs)
+    "q_text_distinct_substrings",
 }
 # queries whose unpartitioned window runs over a PROVABLY BOUNDED input
 # (an upstream aggregate over a small domain), never the raw fact rows —

@@ -4918,10 +4918,12 @@ _SA_PERPOS_CACHE: dict = {}
 
 
 def _sa_perpos(spark, sf_dir):
-    """(perpos, dl) from the suffix array: perpos = (doc_id, pos,
+    """(perpos, dl, lcps) from the suffix array: perpos = (doc_id, pos,
     dup_len) where dup_len is the longest prefix the suffix at pos
     shares with ANY other suffix in the corpus (max LCP with its two
-    SA neighbors), dl = (doc_id, n_words). Checkpointed + memoized;
+    SA neighbors), dl = (doc_id, n_words), lcps = the raw SA-adjacent
+    pair relation (ad, ap, bd, bp, lcp) the distinct-substring
+    counter sums. Checkpointed + memoized;
     see q_text_longest_repeat for the full plan-shape argument."""
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     hit = _SA_PERPOS_CACHE.get(cache_key)
@@ -5025,6 +5027,7 @@ def _sa_perpos(spark, sf_dir):
                 F.col("__nb") - F.col("bp"),
             ).alias("lcp"),
         )
+        .localCheckpoint(eager=True)
     )
     sides = lcps.select(
         F.col("ad").alias("doc_id"), F.col("ap").alias("pos"), "lcp"
@@ -5038,7 +5041,7 @@ def _sa_perpos(spark, sf_dir):
         .agg(F.max("lcp").alias("dup_len"))
         .localCheckpoint(eager=True)
     )
-    _SA_PERPOS_CACHE[cache_key] = (perpos, dl)
+    _SA_PERPOS_CACHE[cache_key] = (perpos, dl, lcps)
     return _SA_PERPOS_CACHE[cache_key]
 
 
@@ -5071,7 +5074,7 @@ def q_text_longest_repeat(spark, sf_dir):
     shuffles, measured exponent 0.34); the walk adds a constant number
     of linear hash joins. Internal (same-document) repeats count, as
     in Lee et al."""
-    perpos, dl = _sa_perpos(spark, sf_dir)
+    perpos, dl, _ = _sa_perpos(spark, sf_dir)
     return (
         perpos.groupBy("doc_id")
         .agg(
@@ -5155,7 +5158,7 @@ def q_text_repeat_coverage(spark, sf_dir):
     measured exponent 0.28); on top of it this is one filter, two
     per-document windows bounded by document length, and two hash
     aggregations — all linear, no new corpus-wide state."""
-    perpos, dl = _sa_perpos(spark, sf_dir)
+    perpos, dl, _ = _sa_perpos(spark, sf_dir)
     iv = perpos.filter(F.col("dup_len") >= REP_MIN_WORDS).select(
         "doc_id",
         F.col("pos").alias("s"),
@@ -5661,4 +5664,61 @@ def q_text_unigram_hard_em(spark, sf_dir):
             F.floor(F.log("viterbi_freq") * 1e6 + F.lit(0.5)).cast("long")
             - F.col("__logt2_e6")
         ).alias("logp2_e6"),
+    )
+
+
+# --- distinct substring count (SA + LCP closed form) -------------------------
+
+
+@register(
+    "q_text_distinct_substrings",
+    oracle=f"""
+    WITH {_sa_perpos_cte()},
+    tot AS (
+      SELECT CAST(SUM(n_words) AS BIGINT) AS n_positions,
+             CAST(SUM(n_words * (n_words + 1) / 2) AS BIGINT) AS total_spans
+      FROM dl
+    ),
+    sl AS (
+      SELECT CAST(SUM(lcp) AS BIGINT) AS sum_lcp FROM lcps
+    )
+    SELECT t.n_positions, t.total_spans, s.sum_lcp,
+           t.total_spans - s.sum_lcp AS distinct_spans
+    FROM tot t, sl s
+    """,
+)
+def q_text_distinct_substrings(spark, sf_dir):
+    """EXACT count of distinct word-level substrings across the whole
+    corpus — the classic suffix-array closed form: distinct spans =
+    (total spans) - (sum of LCPs between ADJACENT suffixes in SA
+    order). Each suffix contributes its length; its LCP with the
+    previous suffix is exactly the prefix-spans already counted, so the
+    subtraction double-counts nothing — including substrings repeated
+    ACROSS documents, which per-doc counting can't dedup. The
+    distinct/total ratio is the corpus's exact substring-novelty mass,
+    the denominator-exact version of what q_text_ngram_novelty
+    estimates at fixed n.
+
+    Composes the memoized SA machinery end-to-end: the prefix-doubling
+    ladder, the two-pass SA index, and the adjacent-pair LCP walk are
+    all shared with q_text_longest_repeat (one build per session);
+    this query adds only two 1-row aggregates over the checkpointed
+    pair relation — no new corpus-wide state, no new shuffles beyond
+    the two scalar folds. Rank-equal (whole-suffix-identical) pairs
+    enter with LCP = the shorter suffix via the established length
+    cap, which is precisely what the closed form requires. Everything
+    is integer."""
+    _, dl, lcps = _sa_perpos(spark, sf_dir)
+    tot = dl.agg(
+        F.sum("n_words").cast("long").alias("n_positions"),
+        F.sum(
+            (F.col("n_words") * (F.col("n_words") + 1) / 2).cast("long")
+        ).cast("long").alias("total_spans"),
+    )
+    sl = lcps.agg(F.sum("lcp").cast("long").alias("sum_lcp"))
+    return tot.crossJoin(F.broadcast(sl)).select(
+        "n_positions",
+        "total_spans",
+        "sum_lcp",
+        (F.col("total_spans") - F.col("sum_lcp")).alias("distinct_spans"),
     )
