@@ -536,3 +536,110 @@ def test_distinct_substrings_matches_bruteforce(tmp_path, spark):
     assert r.total_spans == total
     assert r.distinct_spans == len(spans)
     assert r.sum_lcp == total - len(spans)
+
+
+# --- G.711 + IMA ADPCM kernels -----------------------------------------------
+
+
+def test_g711_reference_vectors():
+    """Spec-pinned code points: mu-law 0xFF is +0 and 0x80 is the top
+    segment midpoint 32124; A-law 0x80^0x55=0xD5 is +8 and 0x2A is the
+    negative full-scale midpoint -32256."""
+    from utxo_to_parquet_spark.kernels.g711 import decode_alaw, decode_ulaw
+
+    assert decode_ulaw(np.array([0xFF], np.uint8))[0] == 0
+    assert decode_ulaw(np.array([0x80], np.uint8))[0] == 32124
+    assert decode_ulaw(np.array([0x00], np.uint8))[0] == -32124
+    assert decode_alaw(np.array([0xD5], np.uint8))[0] == 8
+    assert decode_alaw(np.array([0x2A], np.uint8))[0] == -32256
+
+
+def test_g711_roundtrip_properties():
+    """Over the FULL int16 domain: reconstruction is monotone, the
+    error is bounded by the top-segment half step (+ clip loss for
+    mu-law), and companding is idempotent on codebook points."""
+    from utxo_to_parquet_spark.kernels.g711 import (
+        decode_alaw,
+        decode_ulaw,
+        encode_alaw,
+        encode_ulaw,
+    )
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    for enc, dec, bound in (
+        (encode_ulaw, decode_ulaw, 644),
+        (encode_alaw, decode_alaw, 512),
+    ):
+        d = dec(enc(x)).astype(np.int32)
+        assert np.all(np.diff(d) >= 0)
+        assert np.abs(d - x.astype(np.int32)).max() == bound
+        # idempotence: decoded values re-encode to the same code — up to
+        # mu-law's minus-zero duality (0x7F and 0xFF both decode to 0,
+        # and 0 re-encodes to the positive form)
+        a, b = enc(d.astype(np.int16)), enc(x)
+        diff = np.nonzero(a != b)[0]
+        assert set(a[diff].tolist()) <= {0xFF} and set(b[diff].tolist()) <= {0x7F}
+
+
+def test_g711_wav_container_tags():
+    """Tag 7/6 files must round-trip through the chunk walker and
+    reject inconsistent fmt fields loudly."""
+    import struct
+
+    import pytest
+
+    from utxo_to_parquet_spark.kernels.audio import decode_wav, encode_wav
+    from utxo_to_parquet_spark.kernels.g711 import decode_ulaw, encode_ulaw
+
+    arr = np.array([[0, 100], [-5000, 32767], [12345, -32768]], np.int16)
+    raw = encode_wav(arr, 8000, codec="ulaw")
+    rate, ch, out = decode_wav(raw)
+    assert (rate, ch) == (8000, 2)
+    assert (out == decode_ulaw(encode_ulaw(arr)).reshape(-1, 2)).all()
+    # patch fmt bits 8 -> 16: tag 7 with 16-bit samples must raise
+    bad = bytearray(raw)
+    i = bad.index(b"fmt ")
+    (tag,) = struct.unpack_from("<H", bad, i + 8)
+    assert tag == 7
+    struct.pack_into("<H", bad, i + 8 + 14, 16)
+    with pytest.raises(ValueError, match="requires 8-bit"):
+        decode_wav(bytes(bad))
+
+
+def test_adpcm_decoder_mirrors_encoder_state():
+    from utxo_to_parquet_spark.kernels.g711 import (
+        ima_adpcm_decode,
+        ima_adpcm_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-32768, 32768, 300).astype(np.int16)
+    nib, fpred, fidx = ima_adpcm_encode(pcm)
+    dec = ima_adpcm_decode(nib)
+    assert int(dec[-1]) == fpred
+    assert nib.max() <= 15
+    # smooth signal: after lock-in the tracking error is tiny relative
+    # to full scale (the quantizer step adapts down)
+    t = np.arange(400)
+    smooth = (3000 * np.sin(t / 10)).astype(np.int16)
+    nib2, _, fidx2 = ima_adpcm_encode(smooth)
+    dec2 = ima_adpcm_decode(nib2).astype(np.int32)
+    assert np.abs(dec2[50:] - smooth[50:].astype(np.int32)).max() < 128
+    # constant signal drives the step index to the floor (clamp at 0)
+    const = np.zeros(100, dtype=np.int16)
+    _, _, fidx3 = ima_adpcm_encode(const)
+    assert fidx3 == 0
+
+
+def test_adpcm_nonzero_initial_state():
+    from utxo_to_parquet_spark.kernels.g711 import (
+        ima_adpcm_decode,
+        ima_adpcm_encode,
+    )
+
+    pcm = np.array([100, 200, -300, 4000, -32768, 32767], np.int16)
+    nib, fp, fi = ima_adpcm_encode(pcm, predictor=-1234, index=40)
+    dec = ima_adpcm_decode(nib, predictor=-1234, index=40)
+    assert int(dec[-1]) == fp
+    nib2, fp2, _ = ima_adpcm_encode(pcm)
+    assert fp2 != fp  # state actually matters

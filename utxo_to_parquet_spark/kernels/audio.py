@@ -12,9 +12,11 @@ requires), and cross-checks the ``fmt `` fields against the ``data``
 payload — so a parser that assumed fixed offsets, forgot pad bytes, or
 trusted byte counts over block alignment fails loudly here.
 
-Only integer PCM (format tag 1) is supported; compressed WAVE formats
-(ADPCM, MP3-in-WAV, ...) genuinely require native codecs and stay
-behind the documented stub in multimodal.py.
+Integer PCM (format tag 1) plus the two G.711 companded forms the
+telephony world ships as WAV — mu-law (tag 7) and A-law (tag 6), both
+pure integer transforms implemented in kernels/g711.py — are
+supported; perceptual formats (MP3-in-WAV, ...) genuinely require
+native codecs and stay behind the documented stub in multimodal.py.
 
 No Spark imports: unit-testable standalone, callable from pandas UDFs.
 """
@@ -28,17 +30,25 @@ import numpy as np
 __all__ = ["encode_wav", "decode_wav"]
 
 _FMT_PCM = 1
+_FMT_ALAW = 6
+_FMT_ULAW = 7
 
 
 def encode_wav(
-    samples: np.ndarray, sample_rate: int, *, with_list_chunk: bool = True
+    samples: np.ndarray,
+    sample_rate: int,
+    *,
+    with_list_chunk: bool = True,
+    codec: str = "pcm16",
 ) -> bytes:
-    """int16 array (n,) mono or (n, ch) -> RIFF/WAVE, PCM16.
+    """int16 array (n,) mono or (n, ch) -> RIFF/WAVE.
 
-    ``with_list_chunk`` inserts an ancillary LIST/INFO chunk (with an
-    ODD-sized payload, so the spec's pad byte is exercised) between
-    ``fmt `` and ``data`` — decoders must skip it by size, not assume
-    the canonical 44-byte layout.
+    ``codec``: "pcm16" (format tag 1, 16-bit), "ulaw" (tag 7) or "alaw"
+    (tag 6) — the G.711 forms compand each sample to 8 bits via
+    kernels/g711.py before framing. ``with_list_chunk`` inserts an
+    ancillary LIST/INFO chunk (with an ODD-sized payload, so the spec's
+    pad byte is exercised) between ``fmt `` and ``data`` — decoders
+    must skip it by size, not assume the canonical 44-byte layout.
     """
     arr = np.asarray(samples, dtype="<i2")
     if arr.ndim == 1:
@@ -48,10 +58,20 @@ def encode_wav(
     n, ch = arr.shape
     if ch < 1 or ch > 8:
         raise ValueError(f"unreasonable channel count {ch}")
-    block_align = ch * 2
+    if codec == "pcm16":
+        tag, bits, payload = _FMT_PCM, 16, arr.tobytes()
+    elif codec in ("ulaw", "alaw"):
+        from .g711 import encode_alaw, encode_ulaw
+
+        comp = encode_ulaw(arr) if codec == "ulaw" else encode_alaw(arr)
+        tag = _FMT_ULAW if codec == "ulaw" else _FMT_ALAW
+        bits, payload = 8, comp.astype(np.uint8).tobytes()
+    else:
+        raise ValueError(f"unsupported codec {codec!r}")
+    block_align = ch * (bits // 8)
     byte_rate = sample_rate * block_align
     fmt = struct.pack(
-        "<HHIIHH", _FMT_PCM, ch, sample_rate, byte_rate, block_align, 16
+        "<HHIIHH", tag, ch, sample_rate, byte_rate, block_align, bits
     )
     chunks = [b"fmt " + struct.pack("<I", len(fmt)) + fmt]
     if with_list_chunk:
@@ -59,7 +79,7 @@ def encode_wav(
         chunks.append(b"LIST" + struct.pack("<I", len(info)) + info)
         if len(info) % 2:
             chunks.append(b"\x00")  # RIFF word-alignment pad byte
-    data = arr.tobytes()
+    data = payload
     chunks.append(b"data" + struct.pack("<I", len(data)) + data)
     if len(data) % 2:
         chunks.append(b"\x00")
@@ -69,6 +89,8 @@ def encode_wav(
 
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """RIFF/WAVE bytes -> (sample_rate, n_channels, int16 array (n, ch)).
+
+    G.711 payloads (tags 6/7) are expanded to linear int16.
 
     Walks the chunk list: RIFF framing verified, unknown chunks skipped
     by declared size + pad byte, ``fmt `` must precede ``data``, and the
@@ -99,19 +121,36 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
             if fmt_fields is None:
                 raise ValueError("data chunk before fmt chunk")
             tag, ch, rate, _byte_rate, block_align, bits = fmt_fields
-            if tag != _FMT_PCM:
+            if tag == _FMT_PCM:
+                want_bits, width = 16, 2
+            elif tag in (_FMT_ULAW, _FMT_ALAW):
+                want_bits, width = 8, 1
+            else:
                 raise ValueError(f"unsupported WAVE format tag {tag}")
-            if bits != 16:
-                raise ValueError(f"only PCM16 supported, got {bits}-bit")
-            if block_align != ch * 2:
+            if bits != want_bits:
                 raise ValueError(
-                    f"block align {block_align} != channels*2 ({ch * 2})"
+                    f"format tag {tag} requires {want_bits}-bit samples,"
+                    f" got {bits}-bit"
+                )
+            if block_align != ch * width:
+                raise ValueError(
+                    f"block align {block_align} != channels*{width}"
+                    f" ({ch * width})"
                 )
             if csize % block_align:
                 raise ValueError(
                     f"data size {csize} is not whole frames of {block_align}"
                 )
-            arr = np.frombuffer(body, dtype="<i2").reshape(-1, ch)
+            if tag == _FMT_PCM:
+                arr = np.frombuffer(body, dtype="<i2").reshape(-1, ch)
+            else:
+                from .g711 import decode_alaw, decode_ulaw
+
+                comp = np.frombuffer(body, dtype=np.uint8)
+                pcm = (
+                    decode_ulaw(comp) if tag == _FMT_ULAW else decode_alaw(comp)
+                )
+                arr = pcm.reshape(-1, ch)
             return rate, ch, arr
         # unknown/ancillary chunk: skip by size (+ spec pad byte)
         off += 8 + csize + (csize % 2)

@@ -1189,3 +1189,253 @@ def q_mm_tga_decode_stats(spark, sf_dir):
         "doc_id long, fmt string, width long, height long,"
         " sum_r long, sum_g long, sum_b long, px_sha string",
     )
+
+
+# --- G.711 companded WAV decode (mu-law / A-law, format tags 7/6) ------------
+
+_G711_SEG_SQL = """CASE WHEN m >= 16384 THEN 7 WHEN m >= 8192 THEN 6
+                 WHEN m >= 4096 THEN 5 WHEN m >= 2048 THEN 4
+                 WHEN m >= 1024 THEN 3 WHEN m >= 512 THEN 2
+                 WHEN m >= 256 THEN 1 ELSE 0 END"""
+
+
+@register(
+    "q_mm_g711_decode_stats",
+    # independent-recompute oracle, same contract as the WAV gate but for
+    # a LOSSY codec: G.711 companding is pure integer arithmetic (ITU-T
+    # G.711 segment tables), so the oracle re-derives each DECODED sample
+    # from the recipe by replaying encode+decode as CASE/shift arithmetic
+    # — segment lookup, mantissa extraction, midpoint expansion, the
+    # mu-law bias-then-complement and the A-law 0x55-toggle sign
+    # convention all live in both engines independently. Any mismatch in
+    # clip, bias, segment thresholds, mantissa shift, or the two formats'
+    # OPPOSITE sign-bit conventions flips sum_s/sum_sq/max_abs_err.
+    # Even docs ride tag 7 (mu-law), odd docs tag 6 (A-law), through the
+    # real RIFF container (fmt tag + 8-bit block align validated by the
+    # chunk walker).
+    oracle=f"""
+    WITH spec AS (
+      SELECT doc_id,
+             CAST({{base_n}} + doc_id % 17 AS BIGINT) AS n_frames,
+             CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+             doc_id % 2 = 0 AS is_ulaw
+      FROM documents
+    ),
+    samp AS (
+      SELECT doc_id, is_ulaw, n_frames, n_channels,
+             (doc_id * {{mix_a}} + u.j * {{mix_b}}) % 65536 - 32768 AS x
+      FROM spec, UNNEST(range(0, n_frames * n_channels)) AS u(j)
+    ),
+    stage1 AS (
+      SELECT *, CASE WHEN is_ulaw THEN LEAST(ABS(x), 32635) + 132
+                     ELSE LEAST(ABS(x), 32767) END AS m
+      FROM samp
+    ),
+    stage2 AS (
+      SELECT *, {_G711_SEG_SQL} AS e FROM stage1
+    ),
+    stage3 AS (
+      SELECT *, CASE
+        WHEN is_ulaw THEN ((((m >> (e + 3)) & 15) * 8 + 132) * (1 << e)) - 132
+        WHEN e = 0 THEN (m >> 4) * 16 + 8
+        ELSE (((m >> (e + 3)) & 15) * 16 + 264) * (1 << (e - 1)) END AS mag
+      FROM stage2
+    ),
+    dec AS (
+      SELECT doc_id, is_ulaw, n_frames, n_channels, x,
+             CASE WHEN x < 0 THEN -mag ELSE mag END AS d
+      FROM stage3
+    )
+    SELECT doc_id,
+           CASE WHEN is_ulaw THEN 'ulaw' ELSE 'alaw' END AS codec,
+           n_frames, n_channels,
+           CAST(SUM(d) AS BIGINT) AS sum_s,
+           CAST(MIN(d) AS BIGINT) AS min_s,
+           CAST(MAX(d) AS BIGINT) AS max_s,
+           CAST(SUM(d * d) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(d - x)) AS BIGINT) AS max_abs_err
+    FROM dec GROUP BY 1, 2, 3, 4
+    """.format(base_n=WAV_BASE_N, mix_a=WAV_MIX_A, mix_b=WAV_MIX_B),
+)
+def q_mm_g711_decode_stats(spark, sf_dir):
+    """REAL lossy-codec decode end-to-end: per document the same
+    PCM16 mix as the WAV gate is companded to 8-bit G.711 (mu-law for
+    even docs, A-law for odd), framed as a spec-correct RIFF/WAVE file
+    under the matching format tag (7/6, 8-bit block align), then
+    decoded back through the independent chunk walker + kernels/g711.py
+    segment expansion. Emitted: exact integer moments of the DECODED
+    waveform plus the max companding error — the quantization-noise
+    bound a telephony pipeline actually audits (<= half the top
+    segment's step: ~512 A-law, ~644 mu-law with the 0x84 bias under
+    clip). decode(encode(x)) is NOT identity here; the gate instead
+    proves both engines land on the identical reconstruction, which
+    pins every constant in the companding tables. One Arrow-batched
+    mapInPandas pass, per-partition, no shuffle."""
+    import pandas as pd
+
+    from ..kernels.audio import decode_wav, encode_wav
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def g711_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "codec", "n_frames", "n_channels",
+                "sum_s", "min_s", "max_s", "sum_sq", "max_abs_err",
+            )}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = WAV_BASE_N + doc_id % 17
+                ch = 1 + doc_id % 2
+                codec = "ulaw" if doc_id % 2 == 0 else "alaw"
+                j = np.arange(n * ch, dtype=np.int64)
+                xs = (doc_id * WAV_MIX_A + j * WAV_MIX_B) % 65536 - 32768
+                arr = xs.astype(np.int16).reshape(n, ch)
+                rate, dch, dec = decode_wav(encode_wav(arr, 8000, codec=codec))
+                assert (rate, dch, dec.shape[0]) == (8000, ch, n), doc_id
+                flat = dec.astype(np.int64).reshape(-1)
+                out["doc_id"].append(doc_id)
+                out["codec"].append(codec)
+                out["n_frames"].append(n)
+                out["n_channels"].append(ch)
+                out["sum_s"].append(int(flat.sum()))
+                out["min_s"].append(int(flat.min()))
+                out["max_s"].append(int(flat.max()))
+                out["sum_sq"].append(int((flat * flat).sum()))
+                out["max_abs_err"].append(int(np.abs(flat - xs).max()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        g711_stats,
+        "doc_id long, codec string, n_frames long, n_channels long,"
+        " sum_s long, min_s long, max_s long, sum_sq long,"
+        " max_abs_err long",
+    )
+
+
+# --- IMA ADPCM round trip (stateful 4-bit differential codec) ----------------
+
+ADPCM_BASE_N = 24  # samples = ADPCM_BASE_N + doc_id % 9 (bounds the
+# oracle's recursion depth at 32)
+ADPCM_MIX_B = 137  # small per-step delta so the quantizer visits LOW
+# step indices; the %65536 wrap injects one full-scale jump per period,
+# exercising saturation and both state clamps
+
+
+def _adpcm_oracle() -> str:
+    from ..kernels.g711 import IMA_INDEX_TABLE, IMA_STEP_TABLE
+
+    steps = "[" + ",".join(str(v) for v in IMA_STEP_TABLE) + "]"
+    idxt = "[" + ",".join(str(v) for v in IMA_INDEX_TABLE) + "]"
+    # the reconstructed sample, inlined everywhere it is consumed (the
+    # recursive term cannot alias intermediates)
+    vp = "(step // 8 + b4 * step + b2 * (step // 2) + b1 * (step // 4))"
+    p2 = (f"GREATEST(-32768, LEAST(32767, pred + CASE WHEN diff < 0"
+          f" THEN -{vp} ELSE {vp} END))")
+    return f"""
+    WITH RECURSIVE aspec AS MATERIALIZED (
+      SELECT doc_id, CAST({ADPCM_BASE_N} + doc_id % 9 AS BIGINT) AS n
+      FROM documents
+    ),
+    asamp AS MATERIALIZED (
+      SELECT doc_id, CAST(u.j AS BIGINT) AS j,
+             (doc_id * {WAV_MIX_A} + u.j * {ADPCM_MIX_B}) % 65536 - 32768 AS x
+      FROM aspec, UNNEST(range(0, n)) AS u(j)
+    ),
+    arec AS (
+      SELECT doc_id, CAST(-1 AS BIGINT) AS j, 0 AS pred, 0 AS idx,
+             CAST(0 AS BIGINT) AS sum_dec, CAST(0 AS BIGINT) AS sum_sq,
+             CAST(0 AS BIGINT) AS max_err
+      FROM aspec
+      UNION ALL
+      SELECT doc_id, j, {p2} AS pred2,
+             GREATEST(0, LEAST(88, idx
+               + ({idxt})[b4 * 4 + b2 * 2 + b1 + 1])) AS idx2,
+             sum_dec + {p2},
+             sum_sq + {p2} * {p2},
+             GREATEST(max_err, ABS({p2} - x))
+      FROM (
+        SELECT *,
+               CASE WHEN ad >= step THEN 1 ELSE 0 END AS b4,
+               CASE WHEN ad - CASE WHEN ad >= step THEN step ELSE 0 END
+                         >= step // 2 THEN 1 ELSE 0 END AS b2,
+               CASE WHEN ad - CASE WHEN ad >= step THEN step ELSE 0 END
+                  - CASE WHEN ad - CASE WHEN ad >= step THEN step ELSE 0 END
+                             >= step // 2 THEN step // 2 ELSE 0 END
+                         >= step // 4 THEN 1 ELSE 0 END AS b1
+        FROM (
+          SELECT r.doc_id, s.j, s.x, r.pred, r.idx, r.sum_dec, r.sum_sq,
+                 r.max_err, s.x - r.pred AS diff, ABS(s.x - r.pred) AS ad,
+                 ({steps})[r.idx + 1] AS step
+          FROM arec r JOIN asamp s ON s.doc_id = r.doc_id AND s.j = r.j + 1
+        )
+      )
+    )
+    SELECT a.doc_id, sp.n AS n_samples, a.sum_dec,
+           a.sum_sq AS sum_sq_dec, a.max_err AS max_abs_err,
+           CAST(a.pred AS BIGINT) AS final_pred,
+           CAST(a.idx AS BIGINT) AS final_index
+    FROM arec a JOIN aspec sp ON sp.doc_id = a.doc_id AND a.j = sp.n - 1
+    """
+
+
+@register("q_mm_adpcm_roundtrip_stats", oracle=_adpcm_oracle())
+def q_mm_adpcm_roundtrip_stats(spark, sf_dir):
+    """IMA ADPCM round trip — the STATEFUL differential codec the G.711
+    gate's memoryless companders can't represent: every 4-bit nibble's
+    meaning depends on the (predictor, step-index) state evolved over
+    ALL previous samples, so one mis-stepped table entry or clamp
+    desynchronizes the entire remainder of the stream (which is why
+    sum/sum_sq/final-state make an unforgiving gate). The decoder's
+    output is exactly the encoder's reconstructed-predictor trajectory
+    (IMA rev 3.00); the oracle replays encode+decode jointly as a
+    recursive CTE over sample index — quantizer bits by subtractive
+    comparison, vpdiff reconstruction, both state clamps, the step and
+    index tables as spec literals — with recursion depth bounded by the
+    per-doc sample count ({ADPCM_BASE_N}+8 max). The mix's small
+    per-step delta keeps the quantizer in LOW step indices between the
+    one full-scale wrap per period, so both the tracking and the
+    saturation regimes are exercised.
+
+    Scale: streams are per-document independent — the sequential state
+    loop runs inside the Arrow batch (kernels/g711.py), parallel across
+    documents/partitions, no shuffle; identical plumbing to every other
+    codec gate."""
+    import pandas as pd
+
+    from ..kernels.g711 import ima_adpcm_decode, ima_adpcm_encode
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def adpcm_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "sum_dec", "sum_sq_dec",
+                "max_abs_err", "final_pred", "final_index",
+            )}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = ADPCM_BASE_N + doc_id % 9
+                j = np.arange(n, dtype=np.int64)
+                xs = (doc_id * WAV_MIX_A + j * ADPCM_MIX_B) % 65536 - 32768
+                nib, fpred, fidx = ima_adpcm_encode(xs.astype(np.int16))
+                dec = ima_adpcm_decode(nib).astype(np.int64)
+                assert int(dec[-1]) == fpred, doc_id  # decoder mirrors encoder
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["sum_dec"].append(int(dec.sum()))
+                out["sum_sq_dec"].append(int((dec * dec).sum()))
+                out["max_abs_err"].append(int(np.abs(dec - xs).max()))
+                out["final_pred"].append(fpred)
+                out["final_index"].append(fidx)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        adpcm_stats,
+        "doc_id long, n_samples long, sum_dec long, sum_sq_dec long,"
+        " max_abs_err long, final_pred long, final_index long",
+    )
