@@ -246,6 +246,15 @@ HEADLINE = [
     "q_events_holt_linear",
     "q_text_suffix_ranks",
     "q_text_longest_repeat",
+    # round 11: unigram-LM tokenizer (train + Viterbi segment), SA
+    # distinct-substring closed form (warm perpos after the two SA rows
+    # above — measures the capstone's incremental cost), G.711 + ADPCM
+    # audio codecs, MJPEG-AVI video decode
+    "q_text_unigram_segment",
+    "q_text_distinct_substrings",
+    "q_mm_g711_decode_stats",
+    "q_mm_adpcm_roundtrip_stats",
+    "q_mm_video_decode_stats",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

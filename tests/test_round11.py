@@ -643,3 +643,93 @@ def test_adpcm_nonzero_initial_state():
     assert int(dec[-1]) == fp
     nib2, fp2, _ = ima_adpcm_encode(pcm)
     assert fp2 != fp  # state actually matters
+
+
+# --- PNG Adam7 + MJPEG AVI video ----------------------------------------------
+
+
+def test_png_adam7_roundtrip_all_sizes():
+    """Every pass-grid edge case: sizes where some passes are empty
+    (1x1 has only pass 1; 2x3, 5x7 exercise partial passes) plus sizes
+    crossing the 8x8 tile."""
+    from utxo_to_parquet_spark.kernels.image import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 10), (16, 17), (3, 1), (1, 9)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        raw = encode_png(px, interlace=True)
+        dw, dh, out = decode_png(raw)
+        assert (dw, dh) == (w, h) and (out == px).all(), (h, w)
+        # the interlaced payload is a genuinely different byte stream
+        assert raw != encode_png(px)
+
+
+def test_png_adam7_ihdr_flag_and_truncation():
+    from utxo_to_parquet_spark.kernels.image import decode_png, encode_png
+
+    px = np.arange(12 * 10 * 3, dtype=np.uint8).reshape(12, 10, 3) % 256
+    raw = bytearray(encode_png(px, interlace=True))
+    i = raw.index(b"IHDR")
+    assert raw[i + 4 + 12] == 1  # interlace byte set
+    # unknown interlace method must fail loudly
+    import struct
+    import zlib
+
+    bad = bytearray(raw)
+    bad[i + 4 + 12] = 2
+    data = bytes(bad[i + 4 : i + 4 + 13])
+    struct.pack_into(">I", bad, i + 4 + 13, zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bytes(bad))
+
+
+def _tile_frames(seed, n, bh=2, bw=3):
+    rng = np.random.default_rng(seed)
+    return [
+        np.kron(rng.integers(0, 256, (bh, bw)).astype(np.uint8),
+                np.ones((8, 8), np.uint8))
+        for _ in range(n)
+    ]
+
+
+def test_mjpeg_avi_roundtrip_gray_and_rgb():
+    from utxo_to_parquet_spark.kernels.video import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    frames = _tile_frames(5, 5)
+    fps, dec = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=12))
+    assert fps == 12 and len(dec) == 5
+    assert all((a == b).all() for a, b in zip(frames, dec))
+    rgb = [np.stack([f] * 3, axis=-1) for f in frames[:3]]
+    fps2, dec2 = decode_avi_mjpeg(encode_avi_mjpeg(rgb, fps=25))
+    assert fps2 == 25 and all((a == b).all() for a, b in zip(rgb, dec2))
+
+
+def test_mjpeg_avi_strict_parsing():
+    """idx1 offsets, stream handler, and frame-count consistency are
+    all verified, not trusted."""
+    import struct
+
+    from utxo_to_parquet_spark.kernels.video import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    raw = encode_avi_mjpeg(_tile_frames(7, 4), fps=10)
+    bad = bytearray(raw)
+    i = bad.index(b"idx1")
+    bad[i + 8 + 8] ^= 1  # first entry offset
+    with pytest.raises(ValueError, match="idx1"):
+        decode_avi_mjpeg(bytes(bad))
+    bad2 = bytearray(raw)
+    j = bad2.index(b"MJPG")
+    bad2[j : j + 4] = b"H264"
+    with pytest.raises(ValueError, match="MJPG"):
+        decode_avi_mjpeg(bytes(bad2))
+    bad3 = bytearray(raw)
+    k = bad3.index(b"avih")
+    struct.pack_into("<I", bad3, k + 8 + 16, 9)  # dwTotalFrames lie
+    with pytest.raises(ValueError, match="frames"):
+        decode_avi_mjpeg(bytes(bad3))

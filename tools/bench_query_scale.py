@@ -305,6 +305,15 @@ OPS = {
     "q_events_holt_linear": "events",
     "q_text_suffix_ranks": "documents",
     "q_text_longest_repeat": "documents",
+    # round-11 new ops: unigram tokenizer (vocab-bounded trainer + one
+    # corpus explode), the three mapInPandas codec gates (expected
+    # ~linear: per-doc work, no shuffle). q_text_distinct_substrings'
+    # cells live in the dedicated deeper probe BENCH_sa_depth.json.
+    "q_text_unigram_segment": "documents",
+    "q_text_unigram_hard_em": "documents",
+    "q_mm_g711_decode_stats": "documents",
+    "q_mm_adpcm_roundtrip_stats": "documents",
+    "q_mm_video_decode_stats": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS
@@ -507,11 +516,24 @@ def main() -> None:
 
     import math
 
+    def clear_memo_caches() -> None:
+        """The SA/BPE/unigram trainers memoize per (app, corpus); reps
+        must stay COLD or best-of-3 would time only the post-trainer
+        tail (the round-10 suffix cells were recorded pre-memoization,
+        so clearing keeps the protocol consistent with them)."""
+        from utxo_to_parquet_spark.operators import text as T
+
+        T._SUFFIX_LADDER_CACHE.clear()
+        T._SA_PERPOS_CACHE.clear()
+        T._UNIGRAM_CACHE.clear()
+        T._BPE_TRAIN_CACHE.clear()
+
     def cells(run_one) -> dict:
         secs = {}
         for k in SCALES:
             best = float("inf")
             for _ in range(3):
+                clear_memo_caches()
                 t0 = time.time()
                 n = len(run_one(k).collect())
                 best = min(best, time.time() - t0)

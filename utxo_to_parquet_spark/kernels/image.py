@@ -183,6 +183,16 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, spec order. Pass k's
+# reduced image has ceil((w - x0)/dx) x ceil((h - y0)/dy) pixels and is
+# serialized as an independent filtered raster (filters reference only
+# rows/pixels WITHIN the pass).
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
 def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     """PNG spec Paeth predictor, vectorized: nearest of left/up/up-left
     to the linear estimate a + b - c, ties broken left, up, up-left."""
@@ -191,9 +201,9 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
+def encode_png(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
     """RGB uint8 array (H, W, 3) -> PNG (bit depth 8, color type 2
-    truecolor, no interlace).
+    truecolor; sequential, or Adam7 when ``interlace``).
 
     Scanline y uses filter type y % 5 — None/Sub/Up/Average/Paeth in
     rotation — so any image taller than 4 rows drives EVERY unfilter
@@ -205,7 +215,30 @@ def encode_png(pixels: np.ndarray) -> bytes:
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) RGB array, got {arr.shape}")
     h, w, _ = arr.shape
-    flat = arr.reshape(h, w * 3).astype(np.int16)
+    if interlace:
+        rasters = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                rasters.append(_png_filter_rows(sub))
+        idat = zlib.compress(b"".join(rasters), 9)
+    else:
+        idat = zlib.compress(_png_filter_rows(arr), 9)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_rows(arr: np.ndarray) -> bytes:
+    """Serialize one (reduced) image as filtered scanlines, filter type
+    rotating y % 5 — shared by the sequential raster and each Adam7
+    pass (pass rasters are independently filtered per the spec)."""
+    h, w = arr.shape[0], arr.shape[1]
+    flat = np.ascontiguousarray(arr).reshape(h, w * 3).astype(np.int16)
     zero = np.zeros(3, dtype=np.int16)
     lines = []
     prior = np.zeros(w * 3, dtype=np.int16)
@@ -226,28 +259,23 @@ def encode_png(pixels: np.ndarray) -> bytes:
             filt = row - _paeth(left, prior, ul)
         lines.append(bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes())
         prior = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    idat = zlib.compress(b"".join(lines), 9)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", idat)
-        + _png_chunk(b"IEND", b"")
-    )
+    return b"".join(lines)
 
 
 def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """PNG (8-bit truecolor, non-interlaced) -> (width, height, RGB
-    uint8 (H, W, 3)).
+    """PNG (8-bit truecolor, sequential or Adam7) -> (width, height,
+    RGB uint8 (H, W, 3)).
 
     A real decoder, not a round-trip inverse: chunk framing with CRC-32
     verification on every chunk, multiple IDAT chunks concatenated
     before the single zlib stream is inflated (the spec allows the
-    stream to be split anywhere), ancillary chunks skipped, and all five
-    scanline filters (None/Sub/Up/Average/Paeth) reconstructed. Palette,
-    alpha, 16-bit, and Adam7 interlacing fail loudly — silently
-    misreading a corrupt or unsupported payload is the one unacceptable
-    behavior in a curation pipeline."""
+    stream to be split anywhere), ancillary chunks skipped, all five
+    scanline filters (None/Sub/Up/Average/Paeth) reconstructed, and
+    BOTH interlace methods — sequential and Adam7 (seven independently
+    filtered reduced rasters scattered back through the pass grid).
+    Palette, alpha, and 16-bit fail loudly — silently misreading a
+    corrupt or unsupported payload is the one unacceptable behavior in
+    a curation pipeline."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     off = 8
@@ -293,22 +321,57 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         )
     if comp != 0 or filt_method != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7 interlacing not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     raw = zlib.decompress(bytes(idat))
-    stride = w * 3
-    if len(raw) != h * (stride + 1):
+    if interlace == 0:
+        expected = h * (w * 3 + 1)
+        if len(raw) != expected:
+            raise ValueError(
+                f"PNG raster size {len(raw)} != expected {expected}"
+            )
+        out, _ = _png_unfilter_rows(raw, 0, w, h)
+        return w, h, out.reshape(h, w, 3)
+    # Adam7: seven independently-filtered reduced rasters, concatenated
+    # in the single zlib stream; empty passes contribute zero bytes
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    off2 = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub, off2 = _png_unfilter_rows(raw, off2, pw, ph)
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, 3)
+    if off2 != len(raw):
         raise ValueError(
-            f"PNG raster size {len(raw)} != expected {h * (stride + 1)}"
+            f"PNG Adam7 stream has {len(raw) - off2} trailing bytes"
+        )
+    return w, h, img
+
+
+def _png_unfilter_rows(
+    raw: bytes, off: int, w: int, h: int
+) -> tuple[np.ndarray, int]:
+    """Reconstruct one (reduced) image's filtered scanlines starting at
+    ``off``; returns ((h, w*3) uint8 array, next offset). Shared by the
+    sequential raster and each Adam7 pass — a pass is its own filter
+    context (prior row starts at zero per the spec)."""
+    stride = w * 3
+    if off + h * (stride + 1) > len(raw):
+        raise ValueError(
+            f"PNG raster truncated: need {h * (stride + 1)} bytes at"
+            f" {off}, have {len(raw) - off}"
         )
     out = np.empty((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int16)
     zero = np.zeros(3, dtype=np.int16)
     for y in range(h):
-        ft = raw[y * (stride + 1)]
+        ft = raw[off]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=off + 1
         ).astype(np.int16)
+        off += stride + 1
         if ft == 0:
             recon = line
         elif ft == 2:
@@ -332,10 +395,10 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
                     pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                 recon[x] = (line[x] + pred) & 0xFF
         else:
-            raise ValueError(f"unknown PNG filter type {ft} on row {y}")
+            raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = recon.astype(np.uint8)
         prior = recon.astype(np.int16)
-    return w, h, out.reshape(h, w, 3)
+    return out, off
 
 
 # ------------------------------------------------- QOI (RGB, 3-channel)

@@ -176,8 +176,13 @@ def q_mm_frame_sample(spark, sf_dir):
 
 
 def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
-    """Placeholder for the remaining natively-coded format (VIDEO —
-    ffmpeg/libav are not installed here).
+    """Placeholder for the remaining natively-coded formats
+    (INTER-FRAME video codecs — H.264/VP9/AV1 — ffmpeg/libav are not
+    installed here). Video itself is no longer fully stubbed: round 11
+    added a real Motion-JPEG AVI path (kernels/video.py — RIFF
+    container walk + per-frame T.81 decode, exercised end-to-end by
+    ``q_mm_video_decode_stats``), which covers the one mainstream
+    video codec that is pure-Python decodable.
 
     Formats decodable in pure Python are NOT stubbed: kernels/image.py
     implements real PPM (P6), 24-bit BMP, PNG (stdlib zlib inflate +
@@ -193,10 +198,11 @@ def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
     mapInPandas plumbing is unchanged by that swap.
     """
     raise NotImplementedError(
-        "video codecs are not available in this environment; see"
-        " kernels/image.py for the pure-Python PPM/BMP/PNG/QOI/GIF/TGA"
-        " and JPEG (baseline incl. 4:2:0/4:2:2, plus progressive)"
-        " formats"
+        "inter-frame video codecs (H.264/VP9/AV1) are not available in"
+        " this environment; see kernels/video.py for the pure-Python"
+        " Motion-JPEG AVI path and kernels/image.py for"
+        " PPM/BMP/PNG (incl. Adam7)/QOI/GIF/TGA and JPEG (baseline"
+        " incl. 4:2:0/4:2:2, plus progressive)"
     )
 
 
@@ -276,9 +282,14 @@ def q_mm_decode_pixel_stats(spark, sf_dir):
                 n = w * h * 3
                 raw = (text.encode("utf-8") * -(-n // len(text)))[:n]
                 arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
-                payload = {1: encode_bmp, 2: encode_png}.get(
-                    doc_id % 3, encode_ppm
-                )(arr)
+                if doc_id % 3 == 2:
+                    # half the PNG slots ride Adam7 so BOTH interlace
+                    # methods cycle through the same pixel-recipe gate
+                    payload = encode_png(arr, interlace=doc_id % 6 == 2)
+                elif doc_id % 3 == 1:
+                    payload = encode_bmp(arr)
+                else:
+                    payload = encode_ppm(arr)
                 fmt, dw, dh, px = decode_image(payload)
                 assert (dw, dh) == (w, h), (doc_id, dw, dh)
                 sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
@@ -477,9 +488,14 @@ def q_mm_phash_dedup(spark, sf_dir):
                 n = w * h * 3
                 raw = (text.encode("utf-8") * -(-n // len(text)))[:n]
                 arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
-                payload = {1: encode_bmp, 2: encode_png}.get(
-                    doc_id % 3, encode_ppm
-                )(arr)
+                if doc_id % 3 == 2:
+                    # half the PNG slots ride Adam7 so BOTH interlace
+                    # methods cycle through the same pixel-recipe gate
+                    payload = encode_png(arr, interlace=doc_id % 6 == 2)
+                elif doc_id % 3 == 1:
+                    payload = encode_bmp(arr)
+                else:
+                    payload = encode_ppm(arr)
                 fmt, dw, dh, px = decode_image(payload)
                 lum = px.reshape(-1, 3).sum(axis=1, dtype=np.int64)
                 total, npx = int(lum.sum()), dw * dh
@@ -1438,4 +1454,128 @@ def q_mm_adpcm_roundtrip_stats(spark, sf_dir):
         adpcm_stats,
         "doc_id long, n_samples long, sum_dec long, sum_sq_dec long,"
         " max_abs_err long, final_pred long, final_index long",
+    )
+
+
+# --- REAL video decode: Motion-JPEG in AVI -----------------------------------
+
+
+@register(
+    "q_mm_video_decode_stats",
+    # same independent-recompute contract as the image gates, extended
+    # across the TIME axis: every frame is a tile-constant gray image
+    # (the bit-exact subset of the lossy T.81 path), frame f's tile
+    # bytes are the text window starting at offset f, and the oracle
+    # rebuilds every DECODED frame buffer by string arithmetic and
+    # hashes their in-order concatenation — so a frame-order slip, a
+    # dropped/duplicated movi chunk, a pad-byte desync, or any
+    # single-frame JPEG bug changes video_sha or sum_px.
+    oracle="""
+    WITH vspec AS (
+      SELECT doc_id,
+             CAST(3 + doc_id % 3 AS BIGINT) AS n_frames,
+             CAST(2 + doc_id % 3 AS BIGINT) AS bw,
+             CAST(2 AS BIGINT) AS bh,
+             CAST(8 + (doc_id % 2) * 4 AS BIGINT) AS fps,
+             repeat(text, CAST(CEIL(24.0 / LENGTH(text)) AS BIGINT)) AS rt
+      FROM documents
+    ),
+    vframes AS (
+      SELECT doc_id, n_frames, bw, bh, fps, CAST(u.f AS BIGINT) AS fidx,
+             substr(rt, CAST(u.f + 1 AS INT), CAST(bw * bh AS INT)) AS bpx
+      FROM vspec, UNNEST(range(0, n_frames)) AS u(f)
+    ),
+    vbuilt AS (
+      SELECT doc_id, n_frames, bw, bh, fps, fidx, bpx,
+             array_to_string(list_transform(range(0, bh), j ->
+               repeat(array_to_string(list_transform(range(0, bw), i ->
+                 repeat(substr(bpx, CAST(j * bw + i + 1 AS INT), 1), 8)),
+                 ''), 8)), '') AS buf,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, bw * bh),
+               i -> ASCII(substr(bpx, CAST(i + 1 AS INT), 1)))) AS BIGINT)
+               AS tile_sum
+      FROM vframes
+    )
+    SELECT doc_id, fps, n_frames,
+           bw * 8 AS width, bh * 8 AS height,
+           CAST(64 * SUM(tile_sum) AS BIGINT) AS sum_px,
+           substr(sha256(string_agg(buf, '' ORDER BY fidx)), 1, 16)
+             AS video_sha
+    FROM vbuilt
+    GROUP BY doc_id, fps, n_frames, bw, bh
+    """,
+)
+def q_mm_video_decode_stats(spark, sf_dir):
+    """REAL video decode end-to-end — the modality that was stubbed
+    until round 11: each document becomes a short Motion-JPEG AVI (the
+    one mainstream video codec needing no native library: a RIFF
+    container of complete per-frame baseline JFIF images), written and
+    re-parsed by kernels/video.py — RIFF/'AVI ' framing, avih/strh/strf
+    header consistency, the movi chunk walk with pad bytes, idx1
+    entries validated against actual chunk offsets — with every frame
+    decoded by the independent T.81 decoder. Frames are 8x8-tile
+    -constant (the DC-exact lossless subset), frame f's tiles drawn
+    from the text at offset f so consecutive frames differ; emitted per
+    doc: fps (from the strh scale/rate pair), frame count, dimensions,
+    the exact pixel sum over the whole clip, and a sha over the decoded
+    frames in order. Inter-frame codecs (H.264, VP9) remain honestly
+    stubbed — they need native decoders this container lacks.
+
+    One Arrow-batched mapInPandas pass, per-partition, no shuffle —
+    identical plumbing to every other codec gate, and the schema a
+    native-decoder swap would keep."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.video import decode_avi_mjpeg, encode_avi_mjpeg
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def video_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "fps", "n_frames", "width", "height",
+                "sum_px", "video_sha",
+            )}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if not text or not text.isascii():
+                    raise ValueError(
+                        f"q_mm_video_decode_stats: doc {doc_id} has empty"
+                        " or non-ASCII text; the tile recipe requires"
+                        " non-empty ASCII"
+                    )
+                nf = 3 + doc_id % 3
+                bw, bh = 2 + doc_id % 3, 2
+                fps = 8 + (doc_id % 2) * 4
+                rt = (text * -(-24 // len(text))).encode("utf-8")
+                frames = []
+                for f in range(nf):
+                    tiles = np.frombuffer(
+                        rt[f : f + bw * bh], dtype=np.uint8
+                    ).reshape(bh, bw)
+                    frames.append(np.kron(tiles, np.ones((8, 8), np.uint8)))
+                dfps, dec = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=fps))
+                assert dfps == fps and len(dec) == nf, doc_id
+                sha = _hashlib.sha256()
+                total = 0
+                for px in dec:
+                    assert px.shape == (bh * 8, bw * 8), (doc_id, px.shape)
+                    sha.update(px.tobytes())
+                    total += int(px.sum(dtype=np.int64))
+                out["doc_id"].append(doc_id)
+                out["fps"].append(fps)
+                out["n_frames"].append(nf)
+                out["width"].append(bw * 8)
+                out["height"].append(bh * 8)
+                out["sum_px"].append(total)
+                out["video_sha"].append(sha.hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        video_stats,
+        "doc_id long, fps long, n_frames long, width long, height long,"
+        " sum_px long, video_sha string",
     )
