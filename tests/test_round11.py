@@ -733,3 +733,52 @@ def test_mjpeg_avi_strict_parsing():
     struct.pack_into("<I", bad3, k + 8 + 16, 9)  # dwTotalFrames lie
     with pytest.raises(ValueError, match="frames"):
         decode_avi_mjpeg(bytes(bad3))
+
+
+def test_audio_autocorr_matches_numpy(spark):
+    """Lags are order-sensitive: recompute r_k from the recipe in plain
+    numpy and require exact equality; a reversed or permuted decode
+    would keep r_0 but flip r_1..r_4."""
+    from utxo_to_parquet_spark.operators.multimodal import (
+        AC_MAX_LAG,
+        WAV_BASE_N,
+        WAV_MIX_A,
+        WAV_MIX_B,
+        q_mm_audio_autocorr,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {(r.doc_id, r.lag): r.r for r in q_mm_audio_autocorr(spark, sf).collect()}
+    for doc_id in (0, 1, 7, 16):
+        n = WAV_BASE_N + doc_id % 17
+        j = np.arange(n, dtype=np.int64)
+        xs = (doc_id * WAV_MIX_A + j * WAV_MIX_B) % 65536 - 32768
+        for k in range(AC_MAX_LAG + 1):
+            assert out[(doc_id, k)] == int(np.dot(xs[: n - k], xs[k:]))
+    # r_0 is the energy the WAV gate reports for mono docs? no — this op
+    # is always mono; just check positivity and lag-0 dominance
+    assert all(out[(d, 0)] >= abs(out[(d, 2)]) for d in (0, 1, 7))
+
+
+def test_tokenizer_compare_consistent_with_family_ops(spark):
+    """The comparison op must agree exactly with its two component
+    family ops on the same corpus and session (shared trainers)."""
+    from utxo_to_parquet_spark.operators.pipeline import (
+        q_pipeline_tokenizer_compare,
+    )
+    from utxo_to_parquet_spark.operators.text import (
+        q_text_bpe_encode,
+        q_text_unigram_segment,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cmp_ = {r.doc_id: r for r in q_pipeline_tokenizer_compare(spark, sf).collect()}
+    bpe = {r.doc_id: r for r in q_text_bpe_encode(spark, sf).collect()}
+    uni = {r.doc_id: r for r in q_text_unigram_segment(spark, sf).collect()}
+    assert set(cmp_) == set(bpe) == set(uni)
+    for d, r in cmp_.items():
+        assert r.n_words == bpe[d].n_words == uni[d].n_words
+        assert r.n_bpe_tokens == bpe[d].n_bpe_tokens
+        assert r.n_unigram_tokens == uni[d].n_tokens
+        assert r.uni_per_bpe_e4 == r.n_unigram_tokens * 10000 // r.n_bpe_tokens
+        assert r.n_words <= r.n_unigram_tokens  # >= one token per word

@@ -1579,3 +1579,81 @@ def q_mm_video_decode_stats(spark, sf_dir):
         "doc_id long, fps long, n_frames long, width long, height long,"
         " sum_px long, video_sha string",
     )
+
+
+# --- exact integer autocorrelation over the decoded waveform -----------------
+
+AC_MAX_LAG = 4
+
+
+@register(
+    "q_mm_audio_autocorr",
+    # exact-integer DSP feature through the real decode path: the oracle
+    # recomputes r_k = sum_j x_j * x_{j+k} from the recipe alone, so the
+    # container walk + PCM slice must reproduce every sample in order
+    # (r_0 doubles as the energy already gated by q_mm_wav_decode_stats;
+    # the higher lags are order-sensitive where the sums are not)
+    oracle=f"""
+    WITH spec AS (
+      SELECT doc_id, CAST({WAV_BASE_N} + doc_id % 17 AS BIGINT) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n,
+             LIST_TRANSFORM(RANGE(0, n),
+               j -> (doc_id * {WAV_MIX_A} + j * {WAV_MIX_B}) % 65536 - 32768)
+               AS xs
+      FROM spec
+    ),
+    lags AS (
+      SELECT doc_id, n, xs, CAST(u.k AS BIGINT) AS lag
+      FROM s, UNNEST(range(0, {AC_MAX_LAG} + 1)) AS u(k)
+    )
+    SELECT doc_id, lag,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, n - lag),
+             j -> xs[CAST(j + 1 AS INT)] * xs[CAST(j + lag + 1 AS INT)]))
+             AS BIGINT) AS r
+    FROM lags
+    """,
+)
+def q_mm_audio_autocorr(spark, sf_dir):
+    """Audio FEATURE EXTRACTION through the real container path: exact
+    integer autocorrelation r_k = sum_j x_j * x_{{j+k}} at lags
+    0..{AC_MAX_LAG} over each document's decoded mono PCM — the
+    periodicity/pitch feature an audio curation pipeline computes
+    before filtering, and (unlike the moment gates) ORDER-SENSITIVE:
+    any sample permutation the chunk walker could introduce leaves the
+    sums intact but flips every lag >= 1. The waveform rides the
+    RIFF/WAVE round trip (encode -> chunk-walk decode) before the
+    feature is computed, so the feature sits downstream of the real
+    codec exactly as a production extractor would.
+
+    All integer (PCM16 products summed in int64 — n < 64k samples can't
+    overflow), one Arrow-batched mapInPandas pass, no shuffle; the
+    per-doc lag loop is {AC_MAX_LAG + 1} vectorized numpy dot products."""
+    import pandas as pd
+
+    from ..kernels.audio import decode_wav, encode_wav
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def ac_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "lag": [], "r": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = WAV_BASE_N + doc_id % 17
+                j = np.arange(n, dtype=np.int64)
+                xs = (doc_id * WAV_MIX_A + j * WAV_MIX_B) % 65536 - 32768
+                _, _, dec = decode_wav(encode_wav(xs.astype(np.int16), 8000))
+                x = dec.astype(np.int64).reshape(-1)
+                assert x.shape[0] == n, doc_id
+                for k in range(AC_MAX_LAG + 1):
+                    out["doc_id"].append(doc_id)
+                    out["lag"].append(k)
+                    out["r"].append(int(np.dot(x[: n - k], x[k:])))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(ac_stats, "doc_id long, lag long, r long")

@@ -1186,3 +1186,71 @@ def q_pipeline_dedup_cascade_sa(spark, sf_dir):
         ),
         F.count(F.when(F.col("stage") == "kept", 1)).alias("n_kept"),
     )
+
+
+# --- tokenizer family comparison (BPE vs unigram) ----------------------------
+
+
+def _tokenizer_compare_oracle() -> str:
+    from .text import BPE_ENC_MERGES, _bpe_chain_sql, _unigram_dp_sql
+
+    bpe = _bpe_chain_sql().strip()
+    assert bpe.startswith("WITH ")
+    return f"""
+    WITH RECURSIVE {bpe[len("WITH "):]},
+    {_unigram_dp_sql()},
+    tokc AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(LEN(b.syms)) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(u.k) AS BIGINT) AS n_unigram_tokens,
+           CAST(SUM(u.k) * 10000 // SUM(LEN(b.syms)) AS BIGINT)
+             AS uni_per_bpe_e4
+    FROM tokc t
+    JOIN v{BPE_ENC_MERGES} b ON b.word = t.word
+    JOIN ufin u ON u.word = t.word
+    WHERE t.word <> ''
+    GROUP BY t.doc_id"""
+
+
+@register("q_pipeline_tokenizer_compare", oracle=_tokenizer_compare_oracle())
+def q_pipeline_tokenizer_compare(spark, sf_dir):
+    """Head-to-head TOKENIZER COST COMPARISON — the question a pipeline
+    owner actually asks before committing a vocabulary: per document,
+    how many tokens does the merge-driven tokenizer (BPE, Sennrich)
+    spend vs the likelihood-driven one (unigram LM, Kudo), and what is
+    the exact ratio? Composes the two trained-and-memoized family
+    trainers (_bpe_train_cached, _unigram_train_cached) — one trainer
+    run each per session serves every consumer — and joins BOTH
+    vocab-bounded per-word relations onto a single corpus explode, so
+    the marginal cost over either tokenizer alone is one extra
+    hash join of |vocab|-sized state. The oracle replays both trainer
+    chains (the BPE merge CTE ladder and the recursive unigram Viterbi)
+    in one WITH RECURSIVE body; the ratio is integer e4 arithmetic on
+    both engines."""
+    from .registry import load as _load
+    from .text import _bpe_train_cached, _unigram_train_cached
+
+    docs = _load(spark, sf_dir, "documents")
+    v, _merges = _bpe_train_cached(spark, sf_dir)
+    enc = v.select("word", F.size("syms").cast("long").alias("bpe_k"))
+    _, _, fin = _unigram_train_cached(spark, sf_dir)
+    uni = fin.select("word", F.col("k").cast("long").alias("uni_k"))
+    tokw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        tokw.join(enc, "word")
+        .join(uni, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("bpe_k").cast("long").alias("n_bpe_tokens"),
+            F.sum("uni_k").cast("long").alias("n_unigram_tokens"),
+            F.expr("cast(sum(uni_k) * 10000 div sum(bpe_k) as bigint)")
+            .alias("uni_per_bpe_e4"),
+        )
+    )
