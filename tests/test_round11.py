@@ -782,3 +782,21 @@ def test_tokenizer_compare_consistent_with_family_ops(spark):
         assert r.n_unigram_tokens == uni[d].n_tokens
         assert r.uni_per_bpe_e4 == r.n_unigram_tokens * 10000 // r.n_bpe_tokens
         assert r.n_words <= r.n_unigram_tokens  # >= one token per word
+
+
+def test_graph_search_recall_floor(spark):
+    """Graph ANN must actually navigate: recall@5 vs the brute-force
+    twin on the fixture, with a floor well above the entry-points-only
+    baseline (scoring just the block entries gives ~0.14)."""
+    from utxo_to_parquet_spark.operators.similarity import (
+        q_sim_cosine_topk,
+        q_sim_graph_search_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bf = {(r.q_id, r.c_id) for r in q_sim_cosine_topk(spark, sf).collect()}
+    gs = {(r.q_id, r.c_id) for r in q_sim_graph_search_topk(spark, sf).collect()}
+    recall = len(bf & gs) / len(bf)
+    assert recall >= 0.75, recall  # measured 0.83 on the fixture
+    # the search never reports a vector as its own neighbor
+    assert all(q != c for q, c in gs)
