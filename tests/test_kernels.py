@@ -442,6 +442,7 @@ def test_png_layout_pinned_against_spec():
 
 def test_png_decode_errors_are_loud():
     import struct
+    import zlib
 
     import numpy as np
     import pytest
@@ -458,13 +459,15 @@ def test_png_decode_errors_are_loud():
     with pytest.raises(ValueError, match="truncated PNG chunk"):
         decode_png(full[:-6])
 
-    # 16-bit / paletted / interlaced headers must be refused, not misread
+    # 16-bit / paletted / unknown-interlace headers must be refused, not
+    # misread (Adam7 itself is SUPPORTED since round 11 — flipping the
+    # interlace byte on a sequential stream is tested separately below).
     # IHDR data occupies bytes 16..28 (sig 8 + len 4 + type 4):
     # width@16 height@20 depth@24 color@25 comp@26 filter@27 interlace@28
     for field_off, val, msg in (
         (24, 16, "only 8-bit truecolor"),  # bit depth 16
         (25, 3, "only 8-bit truecolor"),  # color type: palette
-        (28, 1, "interlacing"),  # Adam7
+        (28, 2, "interlace"),  # unknown interlace method
     ):
         hacked = bytearray(full)
         hacked[field_off] = val
@@ -478,6 +481,15 @@ def test_png_decode_errors_are_loud():
 
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"\x89PNX" + full[4:])
+
+    # a SEQUENTIAL stream mislabeled as Adam7 must fail loudly (the
+    # pass rasters won't tile the byte stream), never decode garbage
+    hacked = bytearray(full)
+    hacked[28] = 1
+    ihdr = bytes(hacked[12:29])
+    struct.pack_into(">I", hacked, 29, zlib.crc32(ihdr) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="PNG"):
+        decode_png(bytes(hacked))
 
 
 def test_pubkey_decompress_matches_group_law():
