@@ -800,3 +800,31 @@ def test_graph_search_recall_floor(spark):
     assert recall >= 0.75, recall  # measured 0.83 on the fixture
     # the search never reports a vector as its own neighbor
     assert all(q != c for q, c in gs)
+
+
+def test_naive_bayes_learns_planted_violations(spark):
+    """The learned model must separate the rule-labeled classes on the
+    fixture: 100% training accuracy (the planted markup is perfectly
+    class-pure), strongly negative log-odds on every planted token, and
+    near-balanced log-odds on ordinary corpus words."""
+    from utxo_to_parquet_spark.operators.text import (
+        q_quality_naive_bayes,
+        q_quality_nb_score,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    model = {r.token: r for r in q_quality_naive_bayes(spark, sf).collect()}
+    for t in ("###", "$$$", "@@@", "0", "1", "22", "333"):
+        assert model[t].c_good == 0
+        assert model[t].logodds_e6 < -1_000_000, t
+    assert model["__prior__"].logodds_e6 > 0  # good docs are the majority
+    # ordinary words appear in both classes at similar rates
+    common = [r for t, r in model.items()
+              if t not in ("###", "$$$", "@@@", "0", "1", "22", "333", "__prior__")]
+    assert all(abs(r.logodds_e6) < 1_000_000 for r in common)
+
+    scored = q_quality_nb_score(spark, sf).collect()
+    assert len(scored) == 500
+    assert all(r.correct for r in scored)  # exactly separable by design
+    n_bad = sum(1 for r in scored if r.is_bad)
+    assert n_bad == sum(1 for r in scored if r.predicted_bad) > 0

@@ -1,4 +1,5 @@
-"""ANN accuracy/cost artifact: recall@k vs n_probe for the IVF family.
+"""ANN accuracy/cost artifact: recall@k vs n_probe for the IVF family,
+plus (round 11) recall@k vs beam width for the graph-search family.
 
 The recall tests in tests/test_similarity.py assert a floor; this tool
 records the actual curve so the trade-off is a number, not a threshold.
@@ -123,7 +124,29 @@ def sweep(spark, sim, sf_dir: str, n_labels: int) -> dict:
         point = {"rerank_n": rerank_n, "recall_at_k": round(recall_of(rows), 4)}
         rerank_curve.append(point)
         print(f"ivfpq rerank_n={rerank_n}: {json.dumps(point)}", flush=True)
-    return {"n_queries": n_q, "curves": curves, "ivfpq_rerank_sweep": rerank_curve}
+    # round 11: the graph-ANN family's knob — recall vs beam width
+    # (efSearch) at fixed steps/degree, same ground truth
+    graph_curve = []
+    for beam in (8, 16, 32, 64):
+        best = float("inf")
+        rows = None
+        for _ in range(2):
+            t0 = time.time()
+            rows = sim.q_sim_graph_search_topk(spark, sf_dir, beam=beam).collect()
+            best = min(best, time.time() - t0)
+        point = {
+            "beam": beam,
+            "recall_at_k": round(recall_of(rows), 4),
+            "sec": round(best, 2),
+        }
+        graph_curve.append(point)
+        print(f"graph beam={beam}: {json.dumps(point)}", flush=True)
+    return {
+        "n_queries": n_q,
+        "curves": curves,
+        "ivfpq_rerank_sweep": rerank_curve,
+        "graph_beam_sweep": graph_curve,
+    }
 
 
 def main() -> None:

@@ -2780,7 +2780,8 @@ def _graph_search_oracle() -> str:
 
 
 @register("q_sim_graph_search_topk", oracle=_graph_search_oracle())
-def q_sim_graph_search_topk(spark, sf_dir):
+def q_sim_graph_search_topk(spark, sf_dir, beam: int = GS_BEAM,
+                            steps: int = GS_STEPS):
     """GRAPH-BASED ANN (the HNSW/NSG family, batch form): answer every
     query by BEAM SEARCH over a navigable kNN graph instead of scanning
     the corpus — the third ANN strategy next to IVF (posting lists) and
@@ -2846,14 +2847,14 @@ def q_sim_graph_search_topk(spark, sf_dir):
         )
         return scored, (
             scored.withColumn("rn", F.row_number().over(wnd))
-            .filter(F.col("rn") <= GS_BEAM)
+            .filter(F.col("rn") <= beam)
             .select("q_id", "c_id", "cosine")
             .localCheckpoint(eager=True)
         )
 
     cand = qv.select("q_id").crossJoin(F.broadcast(entries.select("c_id")))
     scored, beam = score_and_prune(cand)
-    for _ in range(GS_STEPS):
+    for _ in range(steps):
         grown = beam.select("q_id", "c_id").unionByName(
             beam.select("q_id", F.col("c_id").alias("src"))
             .join(uedges, "src")

@@ -5722,3 +5722,197 @@ def q_text_distinct_substrings(spark, sf_dir):
         "sum_lcp",
         (F.col("total_spans") - F.col("sum_lcp")).alias("distinct_spans"),
     )
+
+
+# --- in-engine quality classifier: multinomial Naive Bayes -------------------
+
+_NB_AUG_SQL = """concat(text,
+             CASE WHEN doc_id % 7 = 0 THEN ' ### $$$ @@@' ELSE '' END,
+             CASE WHEN doc_id % 11 = 0 THEN ' 0 1 22 333' ELSE '' END)"""
+# the same planted low-quality markup q_text_gopher_quality injects, so
+# the rule filter and the learned classifier describe one corpus
+
+_NB_MODEL_SQL = f"""nbdocs AS MATERIALIZED (
+      SELECT doc_id,
+             (doc_id % 7 = 0 OR doc_id % 11 = 0) AS is_bad,
+             {_NB_AUG_SQL} AS aug
+      FROM documents
+    ),
+    nbtok AS MATERIALIZED (
+      SELECT is_bad, UNNEST(string_split(aug, ' ')) AS word FROM nbdocs
+    ),
+    nbcnt AS MATERIALIZED (
+      SELECT word,
+             CAST(COUNT(CASE WHEN NOT is_bad THEN 1 END) AS BIGINT) AS c_good,
+             CAST(COUNT(CASE WHEN is_bad THEN 1 END) AS BIGINT) AS c_bad
+      FROM nbtok WHERE word <> '' GROUP BY 1
+    ),
+    nbtot AS MATERIALIZED (
+      SELECT CAST(SUM(c_good) AS BIGINT) AS n_good,
+             CAST(SUM(c_bad) AS BIGINT) AS n_bad,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM nbcnt
+    ),
+    nbmodel AS MATERIALIZED (
+      SELECT c.word AS token, c.c_good, c.c_bad,
+             CAST(FLOOR((LN(CAST(c.c_good + 1 AS DOUBLE))
+                         - LN(CAST(t.n_good + t.v AS DOUBLE))
+                         - LN(CAST(c.c_bad + 1 AS DOUBLE))
+                         + LN(CAST(t.n_bad + t.v AS DOUBLE))) * 1e6 + 0.5)
+                  AS BIGINT) AS logodds_e6
+      FROM nbcnt c, nbtot t
+      UNION ALL
+      SELECT '__prior__',
+             CAST(COUNT(CASE WHEN NOT is_bad THEN 1 END) AS BIGINT),
+             CAST(COUNT(CASE WHEN is_bad THEN 1 END) AS BIGINT),
+             CAST(FLOOR((LN(CAST(COUNT(CASE WHEN NOT is_bad THEN 1 END)
+                                 AS DOUBLE))
+                         - LN(CAST(COUNT(CASE WHEN is_bad THEN 1 END)
+                                   AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+      FROM nbdocs
+    )"""
+
+
+def _nb_model(spark, sf_dir):
+    """Shared Spark-side trainer: (model df, docs-with-aug df). One
+    corpus explode + one vocab-bounded aggregate; see
+    q_quality_naive_bayes for the plan/determinism contract."""
+    docs = load(spark, sf_dir, "documents")
+    is_bad = (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0)
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" ### $$$ @@@")).otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" 0 1 22 333")).otherwise(""),
+    )
+    nbdocs = docs.select(
+        "doc_id", is_bad.alias("is_bad"), aug.alias("aug")
+    )
+    cnt = (
+        nbdocs.select("is_bad", F.explode(F.split("aug", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(
+            F.count(F.when(~F.col("is_bad"), 1)).cast("long").alias("c_good"),
+            F.count(F.when(F.col("is_bad"), 1)).cast("long").alias("c_bad"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("c_good").cast("long").alias("n_good"),
+        F.sum("c_bad").cast("long").alias("n_bad"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    logodds = F.floor(
+        (
+            F.log((F.col("c_good") + 1).cast("double"))
+            - F.log((F.col("n_good") + F.col("v")).cast("double"))
+            - F.log((F.col("c_bad") + 1).cast("double"))
+            + F.log((F.col("n_bad") + F.col("v")).cast("double"))
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    word_rows = cnt.crossJoin(F.broadcast(tot)).select(
+        F.col("word").alias("token"), "c_good", "c_bad",
+        logodds.alias("logodds_e6"),
+    )
+    prior = nbdocs.agg(
+        F.count(F.when(~F.col("is_bad"), 1)).cast("long").alias("c_good"),
+        F.count(F.when(F.col("is_bad"), 1)).cast("long").alias("c_bad"),
+    ).select(
+        F.lit("__prior__").alias("token"), "c_good", "c_bad",
+        F.floor(
+            (F.log(F.col("c_good").cast("double"))
+             - F.log(F.col("c_bad").cast("double"))) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("logodds_e6"),
+    )
+    return word_rows.unionByName(prior).localCheckpoint(eager=True), nbdocs
+
+
+@register(
+    "q_quality_naive_bayes",
+    oracle=f"""
+    WITH {_NB_MODEL_SQL}
+    SELECT token, c_good, c_bad, logodds_e6 FROM nbmodel
+    """,
+)
+def q_quality_naive_bayes(spark, sf_dir):
+    """Train a QUALITY CLASSIFIER inside the engine — the fastText-style
+    workflow every curation pipeline runs: a rule filter labels a seed
+    corpus (here the Gopher gate's planted markup/digit-run violations,
+    injected exactly as q_text_gopher_quality plants them), and a
+    multinomial Naive Bayes model learns per-token log-odds that
+    generalize the rules. NB is the one standard text classifier whose
+    TRAINING is a single distributed aggregate: per-(token, class)
+    counts with Laplace smoothing — no epochs, no sequential updates,
+    no learning rate — so it distributes perfectly where SGD cannot.
+    Output: (token, class counts, e6 log-odds weight) plus the
+    '__prior__' row (class-balance log-odds), i.e. the full model as a
+    relation.
+
+    Determinism: every LN argument is an INTEGER-valued double
+    (smoothed counts and totals), the library's established snapping
+    domain; the four-term sum is IEEE-identical on both engines and
+    floors to e6. Plan: one corpus explode -> one vocab-bounded
+    aggregate -> a 1-row totals attach (behind the checkpoint);
+    map-side combinable end to end. At 100 TB training cost equals one
+    token-count pass — the cheapest possible trainer."""
+    model, _ = _nb_model(spark, sf_dir)
+    return model
+
+
+@register(
+    "q_quality_nb_score",
+    oracle=f"""
+    WITH {_NB_MODEL_SQL},
+    nbfeat AS (
+      SELECT doc_id, is_bad, UNNEST(string_split(aug, ' ')) AS token
+      FROM nbdocs
+      UNION ALL
+      SELECT doc_id, is_bad, '__prior__' FROM nbdocs
+    ),
+    nbscore AS (
+      SELECT f.doc_id, f.is_bad,
+             CAST(SUM(m.logodds_e6) AS BIGINT) AS score_e6
+      FROM nbfeat f JOIN nbmodel m USING (token)
+      WHERE f.token <> ''
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, is_bad, score_e6,
+           score_e6 <= 0 AS predicted_bad,
+           (score_e6 <= 0) = is_bad AS correct
+    FROM nbscore
+    """,
+)
+def q_quality_nb_score(spark, sf_dir):
+    """APPLY the trained Naive Bayes model back over the corpus — the
+    scoring pass that turns the model relation into per-document
+    quality decisions: score = prior log-odds + sum of token log-odds
+    (all EXACT BIGINT arithmetic once the model is snapped — the
+    floating point lives only inside the trainer), predict bad when the
+    good-vs-bad log-odds is <= 0, and emit the agreement with the
+    rule-filter label so the accuracy audit is a SQL aggregate away
+    (on the fixture the planted violations are perfectly separable and
+    training accuracy is 100% — pinned by the test, not assumed).
+
+    The '__prior__' row rides the same join as every token (each doc
+    gets one synthetic '__prior__' feature), so scoring is ONE
+    explode + ONE hash join against the vocab-bounded model + ONE
+    per-doc aggregate — no driver state, no broadcast of corpus-scaled
+    data, the exact shape of applying any bag-of-words model at
+    100 TB."""
+    model, nbdocs = _nb_model(spark, sf_dir)
+    feat = nbdocs.select(
+        "doc_id", "is_bad", F.explode(F.split("aug", " ")).alias("token")
+    ).filter(F.col("token") != "").unionByName(
+        nbdocs.select("doc_id", "is_bad", F.lit("__prior__").alias("token"))
+    )
+    score = (
+        feat.join(model.select("token", "logodds_e6"), "token")
+        .groupBy("doc_id", "is_bad")
+        .agg(F.sum("logodds_e6").cast("long").alias("score_e6"))
+    )
+    return score.select(
+        "doc_id", "is_bad", "score_e6",
+        (F.col("score_e6") <= 0).alias("predicted_bad"),
+        ((F.col("score_e6") <= 0) == F.col("is_bad")).alias("correct"),
+    )
