@@ -2853,14 +2853,14 @@ def q_sim_graph_search_topk(spark, sf_dir, beam: int = GS_BEAM,
         )
 
     cand = qv.select("q_id").crossJoin(F.broadcast(entries.select("c_id")))
-    scored, beam = score_and_prune(cand)
+    scored, frontier = score_and_prune(cand)
     for _ in range(steps):
-        grown = beam.select("q_id", "c_id").unionByName(
-            beam.select("q_id", F.col("c_id").alias("src"))
+        grown = frontier.select("q_id", "c_id").unionByName(
+            frontier.select("q_id", F.col("c_id").alias("src"))
             .join(uedges, "src")
             .select("q_id", F.col("dst").alias("c_id"))
         ).distinct()
-        scored, beam = score_and_prune(grown)
+        scored, frontier = score_and_prune(grown)
     return (
         scored.filter(F.col("c_id") != F.col("q_id"))
         .withColumn("rn", F.row_number().over(wnd))
