@@ -151,3 +151,17 @@ def test_stream_cadence_equals_batch_twin_and_crosses_commits(spark):
         assert (s.n_gaps, s.sum_gap_min, s.cv2_e6) == (
             b.n_gaps, b.sum_gap_min, b.cv2_e6), uid
         assert s.multi_commit
+
+
+def test_stream_nb_counts_matches_batch(spark):
+    """The streaming classifier refresh must reproduce the batch
+    trainer exactly across >= 2 real commits: counts AND snapped
+    log-odds, token for token (full-outer join inside the op, so a
+    token seen by only one side would surface as matches_batch=False
+    or NULL)."""
+    from utxo_to_parquet_spark.streaming.windows import q_stream_nb_counts
+
+    rows = q_stream_nb_counts(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 10
+    assert all(r.multi_commit for r in rows)
+    assert all(r.matches_batch for r in rows)

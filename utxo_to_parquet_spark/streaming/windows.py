@@ -1546,3 +1546,168 @@ def q_stream_markov_transition(spark, sf_dir):
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(tot), 6).alias("p"),
     )
+
+
+# --- streaming Naive Bayes count maintenance ---------------------------------
+
+_NB_STREAM_DIRS: dict[str, str] = {}
+_NB_SINK_DIRS: dict[str, str] = {}
+NB_REPLAY_BATCHES = 4
+
+
+def _documents_chunked_stream(spark, sf_dir):
+    """Multi-batch replay of the documents fixture: range-split on
+    doc_id into NB_REPLAY_BATCHES files, maxFilesPerTrigger=1 — the
+    documents twin of _events_time_ordered_stream (ingest order is
+    arrival order; NB counts are order-free, which is exactly what the
+    equivalence gate demonstrates). Memoized per fixture dir."""
+    import os
+    import shutil
+
+    src_key = f"{sf_dir}/documents.parquet"
+    if src_key not in _NB_STREAM_DIRS:
+        stream_dir = _tmpdir("documents_chunked_stream_")
+        docs = spark.read.parquet(src_key)
+        lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+        span = max(hi - lo + 1, 1)
+        for i in range(NB_REPLAY_BATCHES):
+            a = lo + span * i // NB_REPLAY_BATCHES
+            b = lo + span * (i + 1) // NB_REPLAY_BATCHES
+            tmp = os.path.join(stream_dir, f"_tmp{i}")
+            (
+                docs.filter((F.col("doc_id") >= a) & (F.col("doc_id") < b))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = next(
+                p for p in os.listdir(tmp) if p.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(tmp, part),
+                os.path.join(stream_dir, f"chunk{i}.parquet"),
+            )
+            shutil.rmtree(tmp)
+        _NB_STREAM_DIRS[src_key] = stream_dir
+    schema = spark.read.parquet(src_key).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_NB_STREAM_DIRS[src_key])
+    )
+
+
+def _nb_stream_oracle() -> str:
+    from ..operators.text import _NB_MODEL_SQL
+
+    return f"""
+    WITH {_NB_MODEL_SQL}
+    SELECT token, c_good, c_bad, logodds_e6,
+           TRUE AS multi_commit, TRUE AS matches_batch
+    FROM nbmodel WHERE token <> '__prior__'
+    """
+
+
+@register("q_stream_nb_counts", oracle=_nb_stream_oracle())
+def q_stream_nb_counts(spark, sf_dir):
+    """STREAMING CLASSIFIER REFRESH — the online half of the Naive
+    Bayes pair: per micro-batch, each arriving document chunk
+    contributes its (token, class) counts to an append-only sink
+    (per-commit state is vocab-bounded, KBs regardless of batch size),
+    and the live model is just ``SUM`` per token because count
+    matrices are ADDITIVE — the same mergeable-monoid argument as the
+    Count-Min/HLL maintenance twins, here carrying a full classifier.
+    After the replay the merged counts must equal the BATCH trainer's
+    counts exactly and the e6 log-odds recomputed from them must equal
+    the batch model (``matches_batch`` is a REAL comparison per token,
+    not asserted), with ``multi_commit`` pinning that the equivalence
+    genuinely crossed >= {NB_REPLAY_BATCHES - 1}+ commits. This is the
+    production shape for keeping a quality filter current while the
+    crawl streams in: no retraining, one additive merge per commit."""
+    import shutil
+
+    from ..operators.text import _nb_model
+
+    sdf = _documents_chunked_stream(spark, sf_dir)
+    if sf_dir not in _NB_SINK_DIRS:
+        _NB_SINK_DIRS[sf_dir] = _tmpdir("nb_sink_")
+    sink = _NB_SINK_DIRS[sf_dir] + "/counts"
+    shutil.rmtree(sink, ignore_errors=True)
+
+    is_bad = (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0)
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" ### $$$ @@@")).otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" 0 1 22 333")).otherwise(""),
+    )
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.select(is_bad.alias("is_bad"), aug.alias("aug"))
+            .select("is_bad", F.explode(F.split("aug", " ")).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(
+                F.count(F.when(~F.col("is_bad"), 1)).cast("long").alias("c_good"),
+                F.count(F.when(F.col("is_bad"), 1)).cast("long").alias("c_bad"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    with _stream_partitions(spark):
+        q = sdf.writeStream.outputMode("append").foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+            _capture_stream_plan(q)
+        finally:
+            q.stop()
+
+    cells = spark.read.parquet(sink)
+    n_commits = cells.select("batch_id").distinct().count()
+    merged = (
+        cells.groupBy("token")
+        .agg(
+            F.sum("c_good").cast("long").alias("c_good"),
+            F.sum("c_bad").cast("long").alias("c_bad"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = merged.agg(
+        F.sum("c_good").cast("long").alias("n_good"),
+        F.sum("c_bad").cast("long").alias("n_bad"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    logodds = F.floor(
+        (
+            F.log((F.col("c_good") + 1).cast("double"))
+            - F.log((F.col("n_good") + F.col("v")).cast("double"))
+            - F.log((F.col("c_bad") + 1).cast("double"))
+            + F.log((F.col("n_bad") + F.col("v")).cast("double"))
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    live = merged.crossJoin(F.broadcast(tot)).select(
+        "token", "c_good", "c_bad", logodds.alias("logodds_e6")
+    )
+    batch_model, _ = _nb_model(spark, sf_dir)
+    ref = batch_model.filter(F.col("token") != "__prior__").select(
+        F.col("token"),
+        F.col("c_good").alias("ref_good"),
+        F.col("c_bad").alias("ref_bad"),
+        F.col("logodds_e6").alias("ref_lo"),
+    )
+    return (
+        live.join(ref, "token", "full_outer")
+        .select(
+            "token", "c_good", "c_bad", "logodds_e6",
+            F.lit(n_commits >= 2).alias("multi_commit"),
+            (
+                (F.col("c_good") == F.col("ref_good"))
+                & (F.col("c_bad") == F.col("ref_bad"))
+                & (F.col("logodds_e6") == F.col("ref_lo"))
+            ).alias("matches_batch"),
+        )
+    )
