@@ -828,3 +828,30 @@ def test_naive_bayes_learns_planted_violations(spark):
     assert all(r.correct for r in scored)  # exactly separable by design
     n_bad = sum(1 for r in scored if r.is_bad)
     assert n_bad == sum(1 for r in scored if r.predicted_bad) > 0
+
+
+def test_ivf_kmeans_routing_consistency(spark):
+    """The learned-quantizer IVF must (a) return well-formed per-query
+    top-k from probed k-means lists only, and (b) achieve recall in
+    line with probing IVFK_PROBE/KMEANS_K of an isotropic corpus —
+    clearly above a single-list floor."""
+    from utxo_to_parquet_spark.operators.similarity import (
+        IVFK_PROBE,
+        KMEANS_K,
+        TOP_K,
+        q_sim_cosine_topk,
+        q_sim_ivf_kmeans_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_sim_ivf_kmeans_topk(spark, sf).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.rn)
+        assert r.q_id != r.c_id
+    assert all(sorted(v) == list(range(1, TOP_K + 1)) for v in per_q.values())
+    bf = {(r.q_id, r.c_id) for r in q_sim_cosine_topk(spark, sf).collect()}
+    got = {(r.q_id, r.c_id) for r in rows}
+    recall = len(bf & got) / len(bf)
+    expected_frac = IVFK_PROBE / KMEANS_K  # isotropic corpus: ~probed mass
+    assert recall >= expected_frac * 0.6, recall

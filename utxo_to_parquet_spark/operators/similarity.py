@@ -452,19 +452,12 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
-def _kmeans_oracle() -> str:
-    """Lloyd's k-means, UNROLLED to {KMEANS_ITERS} fixed iterations of
-    pure SQL (the same unrolled-fixpoint trick as the PageRank/BFS
-    oracles): deterministic init from the first {KMEANS_K} vectors,
-    then per iteration an argmin assignment (ROW_NUMBER over summed
-    squared distance, ties to the lowest cluster — numpy argmin picks
-    the first minimum, so the tie-breaks agree) and a per-(cluster,dim)
-    AVG update with COALESCE keeping empty clusters' previous centroid
-    (mirroring by_cluster.get(i, centroids[i]) in the Spark path).
-    Cross-engine float-sum ordering differs at ~1e-15 relative; an
-    assignment flip would need two centroids equidistant from a point
-    to that precision, and the final inertia is rounded to 2 decimals —
-    both far outside the discrepancy scale."""
+def _kmeans_chain_ctes() -> tuple[list, str, str]:
+    """(cte_list, final_assign_name, routing_centroid_name) — the
+    unrolled Lloyd chain shared by the q_sim_kmeans gate and the
+    learned-quantizer IVF oracle. The routing centroids are the ones
+    the FINAL assignment used (c{KMEANS_ITERS - 1}), so posting lists
+    and query routing come from the same quantizer state."""
     ctes = [
         """
     dims AS (
@@ -511,38 +504,51 @@ def _kmeans_oracle() -> str:
     )"""
             )
             prev_c = f"c{i}"
+    return ctes, f"a{KMEANS_ITERS}", prev_c
+
+
+def _kmeans_oracle() -> str:
+    """Lloyd's k-means, UNROLLED to {KMEANS_ITERS} fixed iterations of
+    pure SQL (the same unrolled-fixpoint trick as the PageRank/BFS
+    oracles): deterministic init from the first {KMEANS_K} vectors,
+    then per iteration an argmin assignment (ROW_NUMBER over summed
+    squared distance, ties to the lowest cluster — numpy argmin picks
+    the first minimum, so the tie-breaks agree) and a per-(cluster,dim)
+    AVG update with COALESCE keeping empty clusters' previous centroid
+    (mirroring by_cluster.get(i, centroids[i]) in the Spark path).
+    Cross-engine float-sum ordering differs at ~1e-15 relative; an
+    assignment flip would need two centroids equidistant from a point
+    to that precision, and the final inertia is rounded to 2 decimals —
+    both far outside the discrepancy scale."""
+    ctes, assign, _cent = _kmeans_chain_ctes()
     return (
         "WITH "
         + ",".join(ctes)
         + f"""
     SELECT cluster, COUNT(*) AS n_vecs, ROUND(SUM(d2), 2) AS inertia
-    FROM a{KMEANS_ITERS} GROUP BY cluster ORDER BY cluster
+    FROM {assign} GROUP BY cluster ORDER BY cluster
     """
     )
 
 
-@register("q_sim_kmeans", oracle=_kmeans_oracle())
-def q_sim_kmeans(spark, sf_dir):
-    """Lloyd's k-means ({KMEANS_K} clusters, {KMEANS_ITERS} fixed
-    iterations) — the iterative-algorithm pattern on DataFrames:
+_KMEANS_CACHE: dict = {}
+# One trained quantizer per (Spark application, corpus): q_sim_kmeans
+# and the learned-quantizer IVF both consume the same final assignment
+# and routing centroids — identical key discipline to the BPE/SA/unigram
+# trainer caches.
 
-    - deterministic init (the first {KMEANS_K} vectors by vec_id);
-    - assignment = broadcast the k centroids, pick argmin squared
-      distance (computed JVM-side with zip_with/aggregate);
-    - update = posexplode to (cluster, dim, v), average per (cluster,
-      dim) — one shuffle per iteration;
-    - each iteration's assignment DataFrame is cached and the previous
-      one unpersisted, so the lineage (and recomputation cost) does not
-      grow with the iteration count — the standard guard for iterative
-      Spark jobs.
 
-    Iterations are a fixed small count (no driver-side convergence loop
-    over collect()ed state beyond the k×d centroid table, which IS small
-    by construction — that is the one legitimate driver round-trip).
-    Hash-gated against an UNROLLED pure-SQL Lloyd's oracle
-    (_kmeans_oracle); inertia monotonicity is additionally asserted in
-    tests/test_similarity.py.
-    """
+def _kmeans_train_cached(spark, sf_dir):
+    """Returns (assigned, route_centroids): the final Lloyd assignment
+    (vec_id, e, cluster, d2) checkpointed, and the k x d centroid list
+    that PRODUCED it (c_{KMEANS_ITERS-1} in oracle terms) — posting
+    lists and query routing must come from the same quantizer state.
+    See q_sim_kmeans for the full plan/determinism contract."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _KMEANS_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -579,9 +585,11 @@ def q_sim_kmeans(spark, sf_dir):
 
     assigned = None
     centroids = k_first
+    route_centroids = k_first
     for _ in range(KMEANS_ITERS):
         prev = assigned
-        assigned = assign(centroids).cache()
+        route_centroids = centroids
+        assigned = assign(centroids).localCheckpoint(eager=True)
         new_cent = (
             assigned.select("cluster", F.posexplode("e").alias("dim", "v"))
             .groupBy("cluster", "dim")
@@ -593,9 +601,34 @@ def q_sim_kmeans(spark, sf_dir):
         )
         by_cluster = {r.cluster: list(r.c) for r in new_cent}
         centroids = [by_cluster.get(i, centroids[i]) for i in range(KMEANS_K)]
-        if prev is not None:
-            prev.unpersist()
+        del prev  # checkpointed; nothing to unpersist
+    _KMEANS_CACHE[cache_key] = (assigned, route_centroids)
+    return _KMEANS_CACHE[cache_key]
 
+
+@register("q_sim_kmeans", oracle=_kmeans_oracle())
+def q_sim_kmeans(spark, sf_dir):
+    """Lloyd's k-means ({KMEANS_K} clusters, {KMEANS_ITERS} fixed
+    iterations) — the iterative-algorithm pattern on DataFrames:
+
+    - deterministic init (the first {KMEANS_K} vectors by vec_id);
+    - assignment = broadcast the k centroids, pick argmin squared
+      distance (computed JVM-side with zip_with/aggregate);
+    - update = posexplode to (cluster, dim, v), average per (cluster,
+      dim) — one shuffle per iteration;
+    - each iteration's assignment DataFrame is cached and the previous
+      one unpersisted, so the lineage (and recomputation cost) does not
+      grow with the iteration count — the standard guard for iterative
+      Spark jobs.
+
+    Iterations are a fixed small count (no driver-side convergence loop
+    over collect()ed state beyond the k×d centroid table, which IS small
+    by construction — that is the one legitimate driver round-trip).
+    Hash-gated against an UNROLLED pure-SQL Lloyd's oracle
+    (_kmeans_oracle); inertia monotonicity is additionally asserted in
+    tests/test_similarity.py.
+    """
+    assigned, _route = _kmeans_train_cached(spark, sf_dir)
     return (
         assigned.groupBy("cluster")
         .agg(
@@ -2864,6 +2897,142 @@ def q_sim_graph_search_topk(spark, sf_dir, beam: int = GS_BEAM,
     return (
         scored.filter(F.col("c_id") != F.col("q_id"))
         .withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cosine", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+# --- IVF with a LEARNED coarse quantizer (k-means posting lists) -------------
+
+IVFK_PROBE = 3  # probed k-means lists per query (of KMEANS_K)
+
+
+def _ivf_kmeans_oracle() -> str:
+    ctes, assign, cent = _kmeans_chain_ctes()
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+    qdk AS (
+      SELECT d.vec_id AS q_id, c.cluster,
+             ROUND(SUM((d.v - c.cv) * (d.v - c.cv)), 6) AS dist
+      FROM dims d JOIN {cent} c USING (dim)
+      WHERE d.vec_id % {QUERY_MOD} = 0 AND d.vec_id < {Q_MAX_ID}
+      GROUP BY 1, 2
+    ),
+    prk AS (
+      SELECT q_id, cluster FROM (
+        SELECT q_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM qdk) WHERE rn <= {IVFK_PROBE}
+    ),
+    qvk AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe,
+             SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS qn
+      FROM embeddings
+      WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID}
+    ),
+    cvk AS (
+      SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce,
+             SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS cn
+      FROM embeddings
+    ),
+    sck AS (
+      SELECT p.q_id, a.vec_id AS c_id,
+             ROUND(LIST_DOT_PRODUCT(q.qe, v.ce) / (q.qn * v.cn), 6)
+               AS cosine
+      FROM prk p
+      JOIN {assign} a ON a.cluster = p.cluster
+      JOIN qvk q ON q.q_id = p.q_id
+      JOIN cvk v ON v.c_id = a.vec_id
+      WHERE a.vec_id <> p.q_id
+    )
+    SELECT q_id, c_id, cosine, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT q_id, c_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, c_id) AS rn
+      FROM sck) WHERE rn <= {TOP_K}"""
+    )
+
+
+@register("q_sim_ivf_kmeans_topk", oracle=_ivf_kmeans_oracle())
+def q_sim_ivf_kmeans_topk(spark, sf_dir):
+    """IVF with a LEARNED coarse quantizer — the production composition
+    the label-routed q_sim_ivf_topk stands in for: posting lists are
+    the k-means assignment (the same trained state q_sim_kmeans gates,
+    via the memoized trainer), and each query probes its {IVFK_PROBE}
+    nearest of the {KMEANS_K} centroids THAT PRODUCED those lists (the
+    quantizer used for routing and for list assignment must be the same
+    state, or recall silently degrades — which is why the trainer
+    returns the pre-final-update centroids the last assignment used).
+    Exact cosine then runs only inside probed lists.
+
+    Plan shape: training is the q_sim_kmeans plan (one shuffle per
+    Lloyd iteration, k x d driver state); routing distances snap to e6
+    with (dist, cluster) tie-breaks; candidate scoring is the same
+    vectorized per-list mapInPandas scorer as q_sim_ivf_topk
+    (probes and query vectors are Q_CAP-bounded constant pulls,
+    lr_matmul keeps the floats bit-identical to the oracle's
+    LIST_DOT_PRODUCT). The oracle replays the full Lloyd chain plus
+    routing and scoring in one statement."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, route_centroids = _kmeans_train_cached(spark, sf_dir)
+
+    # routing: squared L2 of each query to the k routing centroids,
+    # accumulated IN DIMENSION ORDER (lr_matmul discipline) so the
+    # e6-snapped distances match the oracle's SUM over dims exactly
+    q_pd = _query_vectors(emb).select("vec_id", "embedding").toPandas()
+    Q = _to_matrix(q_pd["embedding"])
+    q_ids = q_pd["vec_id"].to_numpy()
+    Cm = np.array(route_centroids)  # (k, d)
+    d2 = np.zeros((len(q_ids), KMEANS_K))
+    for i in range(Q.shape[1]):
+        diff = Q[:, i][:, None] - Cm[:, i][None, :]
+        d2 += diff * diff
+    d2 = np.floor(d2 * 1e6 + 0.5) / 1e6  # ROUND(x, 6) twin on positives
+    probe_map: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        order = np.lexsort((np.arange(KMEANS_K), d2[qi]))[:IVFK_PROBE]
+        for cl in order:
+            probe_map.setdefault(int(cl), []).append(qi)
+
+    _, q_sq = lr_matmul(Q, Q[:0])
+    q_norm = np.sqrt(q_sq)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for cluster, grp in pdf.groupby("cluster"):
+                qs = probe_map.get(int(cluster))
+                if not qs:
+                    continue
+                qs = np.array(sorted(set(qs)))
+                C = _to_matrix(grp["e"])
+                c_ids = grp["vec_id"].to_numpy()
+                dots, c_sq = lr_matmul(C, Q[qs])
+                cos = dots / (q_norm[qs][None, :] * np.sqrt(c_sq)[:, None])
+                n_c, n_q = cos.shape
+                out = pd.DataFrame(
+                    {
+                        "q_id": np.tile(q_ids[qs], n_c),
+                        "c_id": np.repeat(c_ids, n_q),
+                        "cosine": cos.ravel(),
+                    }
+                )
+                yield out[out.q_id != out.c_id]
+
+    sims = (
+        assigned.select("vec_id", "cluster", "e")
+        .mapInPandas(score, "q_id long, c_id long, cosine double")
+        .select("q_id", "c_id", F.round("cosine", 6).alias("cosine"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", "cosine", F.col("rn").cast("long").alias("rn"))
     )
