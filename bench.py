@@ -255,6 +255,14 @@ HEADLINE = [
     "q_mm_g711_decode_stats",
     "q_mm_adpcm_roundtrip_stats",
     "q_mm_video_decode_stats",
+    # round-11 wave 2: graph ANN + learned-quantizer IVF, NB classifier
+    # train/score, tokenizer comparison, container autocorr
+    "q_sim_graph_search_topk",
+    "q_sim_ivf_kmeans_topk",
+    "q_quality_naive_bayes",
+    "q_quality_nb_score",
+    "q_pipeline_tokenizer_compare",
+    "q_mm_audio_autocorr",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

@@ -314,6 +314,17 @@ OPS = {
     "q_mm_g711_decode_stats": "documents",
     "q_mm_adpcm_roundtrip_stats": "documents",
     "q_mm_video_decode_stats": "documents",
+    # round-11 wave 2: integer autocorr through the container (linear
+    # map), composed tokenizer comparison (two memoized vocab-bounded
+    # trainers + one corpus explode), NB classifier train/score (one
+    # aggregate / one join), graph ANN (constant-join search over the
+    # blocked kNN build), learned-quantizer IVF (Lloyd + probed lists)
+    "q_mm_audio_autocorr": "documents",
+    "q_pipeline_tokenizer_compare": "documents",
+    "q_quality_naive_bayes": "documents",
+    "q_quality_nb_score": "documents",
+    "q_sim_graph_search_topk": "embeddings",
+    "q_sim_ivf_kmeans_topk": "embeddings",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS
@@ -521,12 +532,14 @@ def main() -> None:
         must stay COLD or best-of-3 would time only the post-trainer
         tail (the round-10 suffix cells were recorded pre-memoization,
         so clearing keeps the protocol consistent with them)."""
+        from utxo_to_parquet_spark.operators import similarity as S
         from utxo_to_parquet_spark.operators import text as T
 
         T._SUFFIX_LADDER_CACHE.clear()
         T._SA_PERPOS_CACHE.clear()
         T._UNIGRAM_CACHE.clear()
         T._BPE_TRAIN_CACHE.clear()
+        S._KMEANS_CACHE.clear()
 
     def cells(run_one) -> dict:
         secs = {}
