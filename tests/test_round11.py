@@ -855,3 +855,62 @@ def test_ivf_kmeans_routing_consistency(spark):
     recall = len(bf & got) / len(bf)
     expected_frac = IVFK_PROBE / KMEANS_K  # isotropic corpus: ~probed mass
     assert recall >= expected_frac * 0.6, recall
+
+
+def test_holt_winters_matches_python_recursion(spark):
+    """Independent plain-Python replay of the integer HW recursion
+    (init + per-step updates with truncating div) over the fixture's
+    actual bucketed series must equal the JVM fold exactly."""
+    import duckdb
+
+    from utxo_to_parquet_spark.operators.events import (
+        HW_A,
+        HW_B,
+        HW_D,
+        HW_G,
+        HW_L,
+        TS_MAX_BUCKETS,
+        q_events_holt_winters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.event_type: r for r in q_events_holt_winters(spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    tmin, tmax = con.execute(
+        "SELECT MIN(epoch_ns(ts)), MAX(epoch_ns(ts)) FROM events"
+    ).fetchone()
+    wh = (tmax - tmin) // (3600 * 10**9 * 1000 * TS_MAX_BUCKETS // 1000) + 1
+    width = 3600 * 10**9 * wh
+    bmin = tmin // width
+    n = tmax // width - bmin + 1
+    rows = con.execute(
+        f"SELECT event_type, epoch_ns(ts) // {width} - {bmin} AS b, COUNT(*)"
+        f" FROM events GROUP BY 1, 2"
+    ).fetchall()
+    series: dict[str, list[int]] = {}
+    for et, b, x in rows:
+        series.setdefault(et, [0] * n)[int(b)] = int(x)
+
+    def tdiv(a, b):  # truncate toward zero, both engines' semantics
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    L, A, B, G, D = HW_L, HW_A, HW_B, HW_G, HW_D
+    for et, xs in series.items():
+        m = sum(xs[:L]) // L
+        s = m * 10**6
+        b = tdiv((sum(xs[L : 2 * L]) - sum(xs[:L])) * 10**6, L * L)
+        c = [(v - m) * 10**6 for v in xs[:L]]
+        for t in range(L, n):
+            x = xs[t]
+            j = t % L
+            s2 = tdiv(A * (x * 10**6 - c[j]) + (D - A) * (s + b), D)
+            b2 = tdiv(B * (s2 - s) + (D - B) * b, D)
+            c[j] = tdiv(G * (x * 10**6 - s2) + (D - G) * c[j], D)
+            s, b = s2, b2
+        r = out[et]
+        assert (r.n_buckets, r.level_e6, r.trend_e6) == (n, s, b), et
+        assert r.season_next_e6 == c[n % L]
+        assert r.forecast_1_e6 == s + b + c[n % L]
+        assert r.season_amp_e6 == max(c) - min(c)

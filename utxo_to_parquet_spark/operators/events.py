@@ -4390,3 +4390,198 @@ def q_events_holt_linear(spark, sf_dir):
         (F.col("st.s") + F.col("st.b")).cast("long").alias("forecast_1_e6"),
         (F.col("st.s") + 24 * F.col("st.b")).cast("long").alias("forecast_24_e6"),
     )
+
+
+# --- Holt-Winters triple exponential smoothing (additive seasonality) -------
+
+HW_L = 24  # season length in buckets (the daily cycle on an hourly grid)
+HW_A, HW_B, HW_G, HW_D = 3, 1, 2, 10  # alpha=0.3, beta=0.1, gamma=0.2
+
+
+def _holt_winters_oracle() -> str:
+    L, A, B, G, D = HW_L, HW_A, HW_B, HW_G, HW_D
+    cj = f"r.c[CAST(r.t % {L} AS INT) + 1]"
+    snx = (f"(({A} * (x.x * 1000000 - {cj})"
+           f" + {D - A} * (r.s + r.b)) // {D})")
+    bnx = f"(({B} * ({snx} - r.s) + {D - B} * r.b) // {D})"
+    cjn = f"(({G} * (x.x * 1000000 - {snx}) + {D - G} * {cj}) // {D})"
+    return f"""
+    WITH RECURSIVE w AS (
+      SELECT (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts)))
+               // (3600000000000 * {TS_MAX_BUCKETS}) + 1 AS wh,
+             MIN(epoch_ns(ts)) AS tmin, MAX(epoch_ns(ts)) AS tmax
+      FROM events
+    ),
+    grid AS (
+      SELECT tmin // (3600000000000 * wh) AS bmin,
+             tmax // (3600000000000 * wh)
+               - tmin // (3600000000000 * wh) + 1 AS n
+      FROM w
+    ),
+    cnt AS (
+      SELECT event_type,
+             epoch_ns(ts) // (3600000000000 * (SELECT wh FROM w))
+               - (SELECT bmin FROM grid) AS b,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    xsr AS (
+      SELECT ty.event_type, CAST(g.i + 1 AS BIGINT) AS t,
+             COALESCE(c.x, 0) AS x
+      FROM (SELECT DISTINCT event_type FROM events) ty
+      CROSS JOIN (SELECT UNNEST(range(0, (SELECT n FROM grid))) AS i) g
+      LEFT JOIN cnt c ON c.event_type = ty.event_type AND c.b = g.i
+    ),
+    hwser AS (
+      SELECT event_type, LIST(x ORDER BY t) AS xs FROM xsr GROUP BY 1
+    ),
+    hwinit AS (
+      SELECT event_type,
+             (list_sum(xs[1:{L}]) // {L}) * 1000000 AS s0,
+             ((list_sum(xs[{L + 1}:{2 * L}]) - list_sum(xs[1:{L}]))
+               * 1000000) // {L * L} AS b0,
+             list_transform(xs[1:{L}],
+               v -> (v - (list_sum(xs[1:{L}]) // {L})) * 1000000) AS c0
+      FROM hwser
+    ),
+    hwrec(event_type, t, s, b, c) AS (
+      SELECT event_type, CAST({L} AS BIGINT), CAST(s0 AS BIGINT),
+             CAST(b0 AS BIGINT), c0
+      FROM hwinit
+      UNION ALL
+      SELECT r.event_type, r.t + 1, {snx}, {bnx},
+             list_transform(r.c, (v, i) ->
+               CASE WHEN i = CAST(r.t % {L} AS INT) + 1
+                    THEN {cjn} ELSE v END)
+      FROM hwrec r JOIN xsr x
+        ON x.event_type = r.event_type AND x.t = r.t + 1
+      WHERE r.t < (SELECT n FROM grid)
+    )
+    SELECT event_type,
+           CAST((SELECT n FROM grid) AS BIGINT) AS n_buckets,
+           CAST(s AS BIGINT) AS level_e6,
+           CAST(b AS BIGINT) AS trend_e6,
+           CAST(c[CAST((SELECT n FROM grid) % {L} AS INT) + 1] AS BIGINT)
+             AS season_next_e6,
+           CAST(s + b + c[CAST((SELECT n FROM grid) % {L} AS INT) + 1]
+                AS BIGINT) AS forecast_1_e6,
+           CAST(list_max(c) - list_min(c) AS BIGINT) AS season_amp_e6
+    FROM hwrec WHERE t = (SELECT n FROM grid)
+    """
+
+
+@register("q_events_holt_winters", oracle=_holt_winters_oracle())
+def q_events_holt_winters(spark, sf_dir):
+    """Holt-Winters TRIPLE exponential smoothing (additive seasonality,
+    season length {HW_L} buckets — the daily cycle on the hourly grid)
+    — completing the smoothing ladder after EWMA (level) and
+    q_events_holt_linear (level+trend): the level/trend/seasonal state
+    after the full history, the next bucket's seasonal component, the
+    1-step forecast, and the seasonal amplitude. This is the model
+    capacity planners actually fit to diurnal load.
+
+    Same exact-integer discipline as the Holt gate, extended to the
+    seasonal VECTOR: state is (t, s, b, c[{HW_L}]) in e6 fixed point;
+    every update truncates with integer div on both engines, and the
+    one season slot touched per step is rewritten via an
+    index-conditional transform (Spark's 0-based index vs DuckDB's
+    1-based is absorbed at the call sites). Init is the classic
+    two-season recipe in integers: s = mean of season one, b =
+    (season-two sum - season-one sum) div L^2, c_i = x_i - mean.
+
+    Scale shape: identical to q_events_holt_linear — one map-side
+    (type, bucket) count over the corpus, then a per-type fold over the
+    span-capped (~{TS_MAX_BUCKETS}-point) series inside one JVM
+    higher-order aggregate carrying a {HW_L}-slot array; the oracle
+    replays it as a recursive CTE."""
+    L, A, B, G, D = HW_L, HW_A, HW_B, HW_G, HW_D
+    ev = load_events(spark, sf_dir)
+    r = ev.agg(
+        F.min("ts").alias("tmin"), F.max("ts").alias("tmax")
+    ).collect()[0]  # one 2-scalar pull, the _span_bucket_hours class
+    wh = (int(r.tmax) - int(r.tmin)) // (3600 * NS * TS_MAX_BUCKETS) + 1
+    width = 3600 * NS * wh
+    bmin = int(r.tmin) // width
+    n = int(r.tmax) // width - bmin + 1
+    if n < 2 * L + 1:
+        raise ValueError(
+            f"q_events_holt_winters needs >= {2 * L + 1} buckets, got {n}"
+        )
+    cnt = (
+        ev.select(
+            "event_type", (F.expr(f"ts div {width}") - F.lit(bmin)).alias("b")
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    series = (
+        cnt.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("b"),
+        )
+        .select("event_type", F.col("b").cast("long").alias("b"))
+        .join(cnt, ["event_type", "b"], "left_outer")
+        .select(
+            "event_type", "b", F.coalesce("x", F.lit(0).cast("long")).alias("x")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(b, x))), p -> p.x)"
+            ).alias("xs")
+        )
+    )
+    cj = f"element_at(acc.c, cast(pmod(acc.t, {L}) as int) + 1)"
+    snx = f"(({A} * (x * 1000000 - {cj}) + {D - A} * (acc.s + acc.b)) div {D})"
+    bnx = f"(({B} * ({snx} - acc.s) + {D - B} * acc.b) div {D})"
+    cjn = f"(({G} * (x * 1000000 - {snx}) + {D - G} * {cj}) div {D})"
+    init = series.select(
+        "event_type",
+        "xs",
+        F.expr(
+            f"aggregate(slice(xs, 1, {L}), cast(0 as bigint), (a, v) -> a + v)"
+        ).alias("sum1"),
+        F.expr(
+            f"aggregate(slice(xs, {L + 1}, {L}), cast(0 as bigint),"
+            f" (a, v) -> a + v)"
+        ).alias("sum2"),
+    ).select(
+        "event_type",
+        "xs",
+        (F.expr(f"sum1 div {L}") * 1000000).alias("s0"),
+        F.expr(f"((sum2 - sum1) * 1000000) div {L * L}").alias("b0"),
+        F.expr(
+            f"transform(slice(xs, 1, {L}),"
+            f" v -> (v - (sum1 div {L})) * cast(1000000 as bigint))"
+        ).alias("c0"),
+    )
+    fold = (
+        f"aggregate(slice(xs, {L + 1}, {n - L}), "
+        f"named_struct('t', cast({L} as bigint), 's', s0, 'b', b0, 'c', c0), "
+        f"(acc, x) -> named_struct("
+        f"  't', acc.t + 1, "
+        f"  's', {snx}, "
+        f"  'b', {bnx}, "
+        f"  'c', transform(acc.c, (v, i) -> "
+        f"       if(i = cast(pmod(acc.t, {L}) as int), {cjn}, v))))"
+    )
+    jn = f"cast({n % L} as int) + 1"
+    return init.select(
+        "event_type",
+        F.lit(n).cast("long").alias("n_buckets"),
+        F.expr(fold).alias("st"),
+    ).select(
+        "event_type",
+        "n_buckets",
+        F.col("st.s").cast("long").alias("level_e6"),
+        F.col("st.b").cast("long").alias("trend_e6"),
+        F.expr(f"element_at(st.c, {jn})").cast("long").alias("season_next_e6"),
+        (F.col("st.s") + F.col("st.b") + F.expr(f"element_at(st.c, {jn})"))
+        .cast("long")
+        .alias("forecast_1_e6"),
+        (F.expr("array_max(st.c)") - F.expr("array_min(st.c)"))
+        .cast("long")
+        .alias("season_amp_e6"),
+    )

@@ -1254,3 +1254,85 @@ def q_pipeline_tokenizer_compare(spark, sf_dir):
             .alias("uni_per_bpe_e4"),
         )
     )
+
+
+# --- learned-filter attrition: the NB classifier as a cleaning stage ---------
+
+
+def _nb_filter_oracle() -> str:
+    from .text import _NB_MODEL_SQL
+
+    return f"""
+    WITH {_NB_MODEL_SQL},
+    nffeat AS (
+      SELECT doc_id, is_bad, UNNEST(string_split(aug, ' ')) AS token
+      FROM nbdocs
+      UNION ALL
+      SELECT doc_id, is_bad, '__prior__' FROM nbdocs
+    ),
+    nfscore AS (
+      SELECT f.doc_id, f.is_bad,
+             CAST(SUM(m.logodds_e6) AS BIGINT) AS score_e6
+      FROM nffeat f JOIN nbmodel m USING (token)
+      WHERE f.token <> ''
+      GROUP BY 1, 2
+    ),
+    nfsrc AS (
+      SELECT d.source, s.is_bad, s.score_e6 <= 0 AS dropped
+      FROM nfscore s JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_in,
+           CAST(COUNT(CASE WHEN dropped THEN 1 END) AS BIGINT) AS n_dropped,
+           CAST(COUNT(CASE WHEN NOT dropped THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(COUNT(CASE WHEN dropped <> is_bad THEN 1 END) AS BIGINT)
+             AS n_disagree_with_rules
+    FROM nfsrc GROUP BY source
+    """
+
+
+@register("q_pipeline_nb_filter", oracle=_nb_filter_oracle())
+def q_pipeline_nb_filter(spark, sf_dir):
+    """The LEARNED filter deployed as a cleaning stage — the step after
+    q_quality_naive_bayes in the real workflow: score every document
+    with the trained model, drop at log-odds <= 0, and report per-SOURCE
+    attrition (in/dropped/kept) plus the count of disagreements with
+    the rule filter that labeled the training data. Per-source attrition
+    is the governance number a curation team actually watches (a filter
+    that silently empties one crawl source is a pipeline incident even
+    when global precision looks fine), and the disagreement column is
+    the drift alarm for retiring rules in favor of the model.
+
+    Composes the memoized NB trainer and the scoring join
+    (q_quality_nb_score's shape) with one extra broadcast-sized
+    per-source aggregate — corpus touched once beyond the shared
+    trainer pass. On this fixture the planted violations are exactly
+    learnable, so n_disagree_with_rules is 0 for every source — a
+    computed result the gate hashes, not an assertion."""
+    from .text import _nb_model
+
+    model, nbdocs = _nb_model(spark, sf_dir)
+    feat = nbdocs.select(
+        "doc_id", "is_bad", F.explode(F.split("aug", " ")).alias("token")
+    ).filter(F.col("token") != "").unionByName(
+        nbdocs.select("doc_id", "is_bad", F.lit("__prior__").alias("token"))
+    )
+    score = (
+        feat.join(model.select("token", "logodds_e6"), "token")
+        .groupBy("doc_id", "is_bad")
+        .agg(F.sum("logodds_e6").cast("long").alias("score_e6"))
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    dropped = F.col("score_e6") <= 0
+    return (
+        score.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_in"),
+            F.count(F.when(dropped, 1)).cast("long").alias("n_dropped"),
+            F.count(F.when(~dropped, 1)).cast("long").alias("n_kept"),
+            F.count(F.when(dropped != F.col("is_bad"), 1))
+            .cast("long")
+            .alias("n_disagree_with_rules"),
+        )
+    )
