@@ -914,3 +914,37 @@ def test_holt_winters_matches_python_recursion(spark):
         assert r.season_next_e6 == c[n % L]
         assert r.forecast_1_e6 == s + b + c[n % L]
         assert r.season_amp_e6 == max(c) - min(c)
+
+
+def test_decontaminate_exact_matches_bruteforce(tmp_path, spark):
+    """Quadratic brute force over a constructed corpus: doc 10 is the
+    test doc; doc 1 contains an 11-word test passage mid-document,
+    doc 2 shares only a 3-word fragment (below threshold), doc 3 shares
+    nothing. Exact overlaps, exact flags."""
+    from utxo_to_parquet_spark.operators.dedup import (
+        CONTAM_EXACT_W,
+        q_dedup_decontaminate_exact,
+    )
+
+    bench = " ".join(f"t{i}" for i in range(20))  # the 'benchmark' text
+    passage = " ".join(f"t{i}" for i in range(5, 16))  # 11 words of it
+    frag = "t2 t3 t4"
+    rows = [
+        (1, f"u0 u1 {passage} u2 u3", "web"),
+        (2, f"v0 {frag} v1 v2 v3 v4", "web"),
+        (3, " ".join(f"w{i}" for i in range(9)), "web"),
+        (10, bench, "bench"),  # doc_id % 10 == 0 -> test slice
+    ]
+    _write_docs11(tmp_path, rows)
+    out = {
+        r.doc_id: r
+        for r in q_dedup_decontaminate_exact(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3}  # test docs excluded from the report
+    assert out[1].max_test_overlap_words == 11
+    assert out[1].contaminated is True
+    assert out[2].max_test_overlap_words == 3
+    assert out[2].contaminated is False
+    assert out[3].max_test_overlap_words == 0
+    assert out[3].contaminated is False
+    assert CONTAM_EXACT_W == 8

@@ -163,6 +163,12 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "totals relation; per-row cumulative sums are pid-PARTITIONED "
         "(same two-pass prefix-sum shape as q_text_heaps_law)"
     ),
+    "q_dedup_decontaminate_exact": (
+        "global_cumsum offset windows run over the 32-row per-partition "
+        "totals relation (twice: the forward and reverse test-suffix "
+        "counts); per-row cumulative sums are pid-PARTITIONED and the "
+        "LCP running minima are PARTITIONED by between-test segment id"
+    ),
     # q_text_suffix_ranks needs no entry: its offset windows (the
     # global_cumsum recipe over 32-row totals relations, once for the
     # vocabulary and once per doubling round) sit INSIDE per-round

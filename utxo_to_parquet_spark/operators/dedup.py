@@ -2370,3 +2370,160 @@ def q_dedup_cluster_report(spark, sf_dir):
             ).alias("removable_ppm"),
         )
     )
+
+
+# --- EXACT benchmark decontamination via the suffix array --------------------
+
+CONTAM_MOD = 10  # benchmark membership: doc_id % CONTAM_MOD == 0 (the
+# same held-out-slice convention as the embedding query set)
+CONTAM_EXACT_W = 8  # contamination threshold in words — matches the
+# shingle family's unit width so approximate and exact agree on scope
+
+
+def _decontaminate_exact_oracle() -> str:
+    from .text import _sa_perpos_cte
+
+    return f"""
+    WITH {_sa_perpos_cte()},
+    dx AS (
+      SELECT s.doc_id, s.pos, s.idx, (s.doc_id % {CONTAM_MOD} = 0) AS is_test,
+             lp.lcp AS lcp_prev, ln.lcp AS lcp_next
+      FROM sa s
+      LEFT JOIN lcps lp ON lp.bd = s.doc_id AND lp.bp = s.pos
+      LEFT JOIN lcps ln ON ln.ad = s.doc_id AND ln.ap = s.pos
+    ),
+    df1 AS (
+      SELECT *,
+             SUM(CASE WHEN is_test THEN 1 ELSE 0 END)
+               OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS gf,
+             SUM(CASE WHEN is_test THEN 1 ELSE 0 END)
+               OVER (ORDER BY idx DESC ROWS UNBOUNDED PRECEDING) AS gb
+      FROM dx
+    ),
+    df2 AS (
+      SELECT doc_id, pos, is_test,
+             CASE WHEN gf >= 1 THEN
+               MIN(CASE WHEN is_test THEN NULL ELSE lcp_prev END)
+                 OVER (PARTITION BY gf ORDER BY idx ROWS UNBOUNDED PRECEDING)
+             END AS ov_f,
+             CASE WHEN gb >= 1 THEN
+               MIN(CASE WHEN is_test THEN NULL ELSE lcp_next END)
+                 OVER (PARTITION BY gb ORDER BY idx DESC
+                       ROWS UNBOUNDED PRECEDING)
+             END AS ov_b
+      FROM df1
+    ),
+    dov AS (
+      SELECT doc_id, GREATEST(COALESCE(ov_f, 0), COALESCE(ov_b, 0)) AS ov
+      FROM df2 WHERE NOT is_test
+    )
+    SELECT o.doc_id, d.n_words,
+           CAST(MAX(o.ov) AS BIGINT) AS max_test_overlap_words,
+           MAX(o.ov) >= {CONTAM_EXACT_W} AS contaminated
+    FROM dov o JOIN dl d USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@register("q_dedup_decontaminate_exact", oracle=_decontaminate_exact_oracle())
+def q_dedup_decontaminate_exact(spark, sf_dir):
+    """EXACT benchmark decontamination — the suffix-array upgrade of
+    q_text_contamination_ngram / q_dedup_decontaminate's fixed-width
+    n-gram probes: for every TRAINING document, the length of its
+    longest word sequence that appears ANYWHERE in the held-out test
+    slice (doc_id % {CONTAM_MOD} == 0), exactly — no shingle width to
+    tune, no hash collisions, overlaps of every length visible. This is
+    the Lee-et-al-style guarantee an eval-integrity audit actually
+    wants: contaminated = (exact max overlap >= {CONTAM_EXACT_W}
+    words).
+
+    The algorithm is the classic cross-set LCP scan on the global
+    suffix array: the longest match between a train suffix and the
+    test SET is its LCP with the NEAREST test suffix in SA order
+    (LCP telescopes as min over adjacent-boundary LCPs, and it only
+    decreases with SA distance), so two running scans suffice —
+    forward and backward over SA order, each a running count of test
+    suffixes (the distributed two-pass global_cumsum, never a
+    single-partition window) followed by a running MIN of boundary
+    LCPs within each between-test-suffixes segment (a window
+    PARTITIONED by the segment id). Everything reuses the memoized
+    ladder/SA/LCP relations — the marginal cost over the SA family is
+    two cumsums, two segment windows, and one per-doc max. Verified
+    against a quadratic brute-force scan in tests.
+
+    At 100 TB: the scan is linear in suffix count with no new
+    corpus-wide state, and test-set size does not gate anything (the
+    segments just shorten as test suffixes densify)."""
+    from .registry import global_cumsum
+    from .text import _sa_perpos
+
+    _, dl, lcps, sa = _sa_perpos(spark, sf_dir)
+    dx = (
+        sa.join(
+            lcps.select(
+                F.col("bd").alias("doc_id"),
+                F.col("bp").alias("pos"),
+                F.col("lcp").alias("lcp_prev"),
+            ),
+            ["doc_id", "pos"],
+            "left_outer",
+        )
+        .join(
+            lcps.select(
+                F.col("ad").alias("doc_id"),
+                F.col("ap").alias("pos"),
+                F.col("lcp").alias("lcp_next"),
+            ),
+            ["doc_id", "pos"],
+            "left_outer",
+        )
+        .withColumn(
+            "t", (F.col("doc_id") % CONTAM_MOD == 0).cast("long")
+        )
+        .withColumn("ridx", -F.col("idx"))
+    )
+    fwd = global_cumsum(dx, "idx", ["t"]).withColumnRenamed("cum_t", "gf")
+    both = global_cumsum(fwd, "ridx", ["t"]).withColumnRenamed("cum_t", "gb")
+    wf = (
+        W.partitionBy("gf")
+        .orderBy("idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wb = (
+        W.partitionBy("gb")
+        .orderBy(F.desc("idx"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_test = F.col("t") == 1
+    scanned = both.select(
+        "doc_id",
+        "pos",
+        "t",
+        F.when(
+            F.col("gf") >= 1,
+            F.min(F.when(~is_test, F.col("lcp_prev"))).over(wf),
+        ).alias("ov_f"),
+        F.when(
+            F.col("gb") >= 1,
+            F.min(F.when(~is_test, F.col("lcp_next"))).over(wb),
+        ).alias("ov_b"),
+    )
+    ov = scanned.filter(~is_test).select(
+        "doc_id",
+        F.greatest(
+            F.coalesce("ov_f", F.lit(0)), F.coalesce("ov_b", F.lit(0))
+        ).alias("ov"),
+    )
+    return (
+        ov.groupBy("doc_id")
+        .agg(F.max("ov").cast("long").alias("max_test_overlap_words"))
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "max_test_overlap_words",
+            (F.col("max_test_overlap_words") >= CONTAM_EXACT_W).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -4918,12 +4918,13 @@ _SA_PERPOS_CACHE: dict = {}
 
 
 def _sa_perpos(spark, sf_dir):
-    """(perpos, dl, lcps) from the suffix array: perpos = (doc_id, pos,
+    """(perpos, dl, lcps, sa) from the suffix array: perpos = (doc_id, pos,
     dup_len) where dup_len is the longest prefix the suffix at pos
     shares with ANY other suffix in the corpus (max LCP with its two
     SA neighbors), dl = (doc_id, n_words), lcps = the raw SA-adjacent
     pair relation (ad, ap, bd, bp, lcp) the distinct-substring
-    counter sums. Checkpointed + memoized;
+    counter sums, sa = (doc_id, pos, idx) the exact-decontamination
+    scan orders by. Checkpointed + memoized;
     see q_text_longest_repeat for the full plan-shape argument."""
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     hit = _SA_PERPOS_CACHE.get(cache_key)
@@ -5041,7 +5042,7 @@ def _sa_perpos(spark, sf_dir):
         .agg(F.max("lcp").alias("dup_len"))
         .localCheckpoint(eager=True)
     )
-    _SA_PERPOS_CACHE[cache_key] = (perpos, dl, lcps)
+    _SA_PERPOS_CACHE[cache_key] = (perpos, dl, lcps, sa)
     return _SA_PERPOS_CACHE[cache_key]
 
 
@@ -5074,7 +5075,7 @@ def q_text_longest_repeat(spark, sf_dir):
     shuffles, measured exponent 0.34); the walk adds a constant number
     of linear hash joins. Internal (same-document) repeats count, as
     in Lee et al."""
-    perpos, dl, _ = _sa_perpos(spark, sf_dir)
+    perpos, dl, _, _ = _sa_perpos(spark, sf_dir)
     return (
         perpos.groupBy("doc_id")
         .agg(
@@ -5158,7 +5159,7 @@ def q_text_repeat_coverage(spark, sf_dir):
     measured exponent 0.28); on top of it this is one filter, two
     per-document windows bounded by document length, and two hash
     aggregations — all linear, no new corpus-wide state."""
-    perpos, dl, _ = _sa_perpos(spark, sf_dir)
+    perpos, dl, _, _ = _sa_perpos(spark, sf_dir)
     iv = perpos.filter(F.col("dup_len") >= REP_MIN_WORDS).select(
         "doc_id",
         F.col("pos").alias("s"),
@@ -5708,7 +5709,7 @@ def q_text_distinct_substrings(spark, sf_dir):
     enter with LCP = the shorter suffix via the established length
     cap, which is precisely what the closed form requires. Everything
     is integer."""
-    _, dl, lcps = _sa_perpos(spark, sf_dir)
+    _, dl, lcps, _ = _sa_perpos(spark, sf_dir)
     tot = dl.agg(
         F.sum("n_words").cast("long").alias("n_positions"),
         F.sum(
