@@ -263,6 +263,11 @@ HEADLINE = [
     "q_quality_nb_score",
     "q_pipeline_tokenizer_compare",
     "q_mm_audio_autocorr",
+    # round-11 wave 3: HW seasonal smoothing, learned-filter funnel,
+    # exact SA decontamination (warm perpos after the SA rows above)
+    "q_events_holt_winters",
+    "q_pipeline_nb_filter",
+    "q_dedup_decontaminate_exact",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

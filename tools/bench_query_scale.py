@@ -325,6 +325,12 @@ OPS = {
     "q_quality_nb_score": "documents",
     "q_sim_graph_search_topk": "embeddings",
     "q_sim_ivf_kmeans_topk": "embeddings",
+    # round-11 wave 3: HW seasonal fold (span-capped series), learned
+    # filter (corpus explode + model join), exact SA decontamination
+    # (cold ladder + two cumsum scans — the composed cost, honestly)
+    "q_events_holt_winters": "events",
+    "q_pipeline_nb_filter": "documents",
+    "q_dedup_decontaminate_exact": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS
