@@ -4493,3 +4493,123 @@ def q_agg_chi2_independence(spark, sf_dir):
             ).cast("long").alias("cramers_v_e6"),
         )
     )
+
+
+# --- Hilbert-curve clustering key (the locality upgrade of Z-order) ----------
+
+
+def _hilbert_stage_exprs() -> "tuple[list[str], list[str]]":
+    """Per-level (x, y, d) update expressions for the 8-bit Hilbert
+    xy2d walk (the standard iterative algorithm: quadrant digit, then
+    the conditional flip+swap rotation with n-1 = 255), for Spark SQL
+    and DuckDB. One staged SELECT per level keeps the expression tree
+    linear — inlining all 8 levels would square x/y references per
+    level."""
+    spark_stages, duck_stages = [], []
+    for k in range(7, -1, -1):
+        s = 1 << k
+        for terms, rx, ry, xor in (
+            (spark_stages, f"(shiftright(x, {k}) & 1)",
+             f"(shiftright(y, {k}) & 1)", "({a} ^ {b})"),
+            (duck_stages, f"((x >> {k}) & 1)", f"((y >> {k}) & 1)",
+             "xor({a}, {b})"),
+        ):
+            xr = xor.format(a=f"(3 * {rx})", b=ry)
+            terms.append(
+                (
+                    f"d + {s * s} * {xr} AS d",
+                    f"CASE WHEN {ry} = 0 THEN"
+                    f" (CASE WHEN {rx} = 1 THEN 255 - y ELSE y END)"
+                    f" ELSE x END AS x",
+                    f"CASE WHEN {ry} = 0 THEN"
+                    f" (CASE WHEN {rx} = 1 THEN 255 - x ELSE x END)"
+                    f" ELSE y END AS y",
+                )
+            )
+    return spark_stages, duck_stages
+
+
+_H_SPARK_STAGES, _H_DUCK_STAGES = _hilbert_stage_exprs()
+
+
+def _hilbert_oracle() -> str:
+    ctes = [
+        """h0 AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 256 AS BIGINT) AS xd,
+             CAST(datediff('day', DATE '1970-01-01', o_orderdate) % 256
+                  AS BIGINT) AS yd,
+             CAST(o_custkey % 256 AS BIGINT) AS x,
+             CAST(datediff('day', DATE '1970-01-01', o_orderdate) % 256
+                  AS BIGINT) AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM orders
+    )"""
+    ]
+    for i, (de, xe, ye) in enumerate(_H_DUCK_STAGES, start=1):
+        ctes.append(
+            f"""h{i} AS (
+      SELECT o_orderkey, xd, yd, {xe}, {ye}, {de} FROM h{i - 1}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT d // 1024 AS h_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(xd) - MIN(xd) AS BIGINT) AS cust_spread,
+           CAST(MAX(yd) - MIN(yd) AS BIGINT) AS day_spread
+    FROM h{len(_H_DUCK_STAGES)}
+    GROUP BY 1"""
+    )
+
+
+@register("q_hilbert_key", oracle=_hilbert_oracle())
+def q_hilbert_key(spark, sf_dir):
+    """Hilbert-curve clustering key — the locality UPGRADE of
+    q_zorder_key's Morton interleave: the Hilbert walk visits every
+    (custkey mod 256, order-day mod 256) cell exactly once with
+    UNIT-STEP moves (no Morton 'seams' where consecutive keys jump
+    across the plane), so equal-width key ranges cover tighter
+    rectangles and min/max page stats prune better on BOTH dimensions.
+    Same deployment mechanics as Z-order: compute the key, then
+    repartitionByRange(hkey).sortWithinPartitions(hkey) before the
+    parquet sink. Emitted: the per-1024-key-bucket spread audit,
+    directly comparable against q_zorder_key's buckets.
+
+    The key is the standard iterative xy2d walk (8 levels for 8-bit
+    dims: quadrant digit d += s^2 * ((3*rx) XOR ry), then the
+    conditional flip-and-swap rotation), unrolled as 8 staged
+    projections of pure integer bit arithmetic — one whole-stage-
+    codegen pipeline, no shuffle before the final bucket aggregate, no
+    UDF. Bijectivity over the full 256x256 grid and unit-step locality
+    of consecutive keys are pinned by tests against the textbook
+    recursive form."""
+    o = load(spark, sf_dir, "orders")
+    cur = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("long").alias("xd"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            % 256
+        ).alias("yd"),
+    ).select(
+        "o_orderkey", "xd", "yd",
+        F.col("xd").alias("x"), F.col("yd").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    for de, xe, ye in _H_SPARK_STAGES:
+        cur = cur.select(
+            "o_orderkey", "xd", "yd",
+            F.expr(xe), F.expr(ye), F.expr(de),
+        )
+    return (
+        cur.groupBy((F.col("d") / 1024).cast("long").alias("h_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.max("xd") - F.min("xd")).cast("long").alias("cust_spread"),
+            (F.max("yd") - F.min("yd")).cast("long").alias("day_spread"),
+        )
+    )
