@@ -268,6 +268,7 @@ HEADLINE = [
     "q_events_holt_winters",
     "q_pipeline_nb_filter",
     "q_dedup_decontaminate_exact",
+    "q_hilbert_key",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline
