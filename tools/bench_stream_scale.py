@@ -55,6 +55,11 @@ OPS = {
     # round 9: transition-count monoid — per-commit summary is
     # |users| x |type pairs| internal counts + 2 endpoint types/user
     "q_stream_markov_transition": "events",
+    # round 11: NB classifier count maintenance — per-commit summary is
+    # the vocab-bounded (token, class) count table; merged model must
+    # stay equal to the batch trainer at every scale (the op itself
+    # recomputes matches_batch, so a drift would flip out_rows' flags)
+    "q_stream_nb_counts": "documents",
 }
 
 
