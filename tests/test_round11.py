@@ -1003,3 +1003,14 @@ def test_hilbert_staged_form_matches_textbook_and_beats_morton(spark):
     z_worst = max(max(r.cust_spread, r.day_spread) for r in zb)
     assert h_worst <= z_worst
     assert h_worst <= 63  # a 1024-key Hilbert range stays in a 64-ish box
+
+
+def test_mjpeg_avi_encoder_validation():
+    from utxo_to_parquet_spark.kernels.video import encode_avi_mjpeg
+
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi_mjpeg([], fps=10)
+    frames = _tile_frames(3, 2)
+    bad = [frames[0], np.zeros((8, 8), np.uint8)]
+    with pytest.raises(ValueError, match="share one shape"):
+        encode_avi_mjpeg(bad, fps=10)
