@@ -5917,3 +5917,48 @@ def q_quality_nb_score(spark, sf_dir):
         (F.col("score_e6") <= 0).alias("predicted_bad"),
         ((F.col("score_e6") <= 0) == F.col("is_bad")).alias("correct"),
     )
+
+
+@register(
+    "q_text_unigram_fertility",
+    oracle=f"""
+    WITH RECURSIVE {_unigram_dp_sql()},
+    uftok AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(f.k) AS BIGINT) AS n_tokens,
+           CAST(SUM(f.k) * 10000 // COUNT(*) AS BIGINT) AS fertility_e4
+    FROM uftok t JOIN ufin f ON f.word = t.word
+    WHERE t.word <> ''
+    GROUP BY t.lang
+    """,
+)
+def q_text_unigram_fertility(spark, sf_dir):
+    """Per-LANGUAGE unigram tokenizer fertility (tokens per word, e4) —
+    the vocabulary-equity audit q_text_token_fertility runs for BPE,
+    now for the likelihood-driven tokenizer: a language whose words the
+    seed vocab segments into many pieces pays more sequence length per
+    word, the multilingual-fairness number tokenizer papers report.
+    Reuses the memoized Viterbi relation (one trainer per session
+    serves vocab/segment/hard-EM/compare/fertility); the corpus is
+    touched once (explode + |vocab|-join + per-lang aggregate), the
+    exact q_text_bpe_encode shuffle shape keyed by language."""
+    docs = load(spark, sf_dir, "documents")
+    _, _, fin = _unigram_train_cached(spark, sf_dir)
+    tokw = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        tokw.join(fin.select("word", "k"), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.expr("cast(sum(k) * 10000 div count(1) as bigint)").alias(
+                "fertility_e4"
+            ),
+        )
+    )
