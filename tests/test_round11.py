@@ -1014,3 +1014,32 @@ def test_mjpeg_avi_encoder_validation():
     bad = [frames[0], np.zeros((8, 8), np.uint8)]
     with pytest.raises(ValueError, match="share one shape"):
         encode_avi_mjpeg(bad, fps=10)
+
+
+def test_unigram_fertility_consistent_with_segment(spark):
+    """Per-language fertility must agree with the per-doc segmentation
+    totals (same session, shared trainer)."""
+    import duckdb
+
+    from utxo_to_parquet_spark.operators.text import (
+        q_text_unigram_fertility,
+        q_text_unigram_segment,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fert = {r.lang: r for r in q_text_unigram_fertility(spark, sf).collect()}
+    seg = {r.doc_id: r for r in q_text_unigram_segment(spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    langs = dict(con.execute("SELECT doc_id, lang FROM documents").fetchall())
+    from collections import defaultdict
+
+    words, toks = defaultdict(int), defaultdict(int)
+    for d, r in seg.items():
+        words[langs[d]] += r.n_words
+        toks[langs[d]] += r.n_tokens
+    assert set(fert) == set(words)
+    for lang, r in fert.items():
+        assert (r.n_words, r.n_tokens) == (words[lang], toks[lang])
+        assert r.fertility_e4 == toks[lang] * 10000 // words[lang]
+        assert r.fertility_e4 >= 10000  # >= one token per word
