@@ -69,15 +69,22 @@ def decode_ulaw(code: np.ndarray) -> np.ndarray:
 def encode_alaw(pcm: np.ndarray) -> np.ndarray:
     """int16 linear PCM -> uint8 A-law (G.711, 0x55 toggle).
 
-    A-law marks POSITIVE samples with the 0x80 bit (the opposite of
-    mu-law) and has no bias; sub-segment 0 is linear (mant = m >> 4).
+    Bit-interoperable with the published Sun/ITU reference C
+    (g711.c ``linear2alaw``): the encoder works on the 13-bit
+    magnitude ``x >> 3``, ONE'S-COMPLEMENTED for negatives
+    (``(-x - 1) >> 3``, i.e. ``~x >> 3``) before the segment search —
+    negative quantization cells are shifted by one relative to
+    ``|x|``, which is what standard A-law codecs emit at negative
+    segment boundaries. Segments 0 and 1 are both linear with mantissa
+    shift 1; A-law marks POSITIVE samples with the 0x80 bit (the
+    opposite of mu-law) and has no bias.
     """
     x = np.asarray(pcm, dtype=np.int32)
-    sign = np.where(x >= 0, 0x80, 0).astype(np.int32)
-    m = np.minimum(np.abs(x), 32767)
-    exp = _exponent(m)
-    mant = np.where(exp == 0, m >> 4, (m >> (exp + 3)) & 0x0F)
-    return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+    mask = np.where(x >= 0, 0xD5, 0x55).astype(np.int32)
+    p = np.where(x >= 0, x, ~x) >> 3  # 13-bit, one's-complement for x < 0
+    exp = _exponent(p << 3)
+    mant = (p >> np.maximum(exp, 1)) & 0x0F
+    return (((exp << 4) | mant) ^ mask).astype(np.uint8)
 
 
 def decode_alaw(code: np.ndarray) -> np.ndarray:

@@ -53,6 +53,8 @@ def encode_avi_mjpeg(
     makes the video gate hashable)."""
     if not frames:
         raise ValueError("MJPEG AVI needs at least one frame")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
     shape = frames[0].shape
     if any(f.shape != shape for f in frames):
         raise ValueError("all frames must share one shape")

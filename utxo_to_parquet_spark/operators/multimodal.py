@@ -1214,6 +1214,13 @@ _G711_SEG_SQL = """CASE WHEN m >= 16384 THEN 7 WHEN m >= 8192 THEN 6
                  WHEN m >= 1024 THEN 3 WHEN m >= 512 THEN 2
                  WHEN m >= 256 THEN 1 ELSE 0 END"""
 
+# A-law segment search over the 13-bit magnitude (Sun seg_aend table,
+# boundaries = the mu-law ones >> 3)
+_ALAW_SEG_SQL = """CASE WHEN m >= 2048 THEN 7 WHEN m >= 1024 THEN 6
+                 WHEN m >= 512 THEN 5 WHEN m >= 256 THEN 4
+                 WHEN m >= 128 THEN 3 WHEN m >= 64 THEN 2
+                 WHEN m >= 32 THEN 1 ELSE 0 END"""
+
 
 @register(
     "q_mm_g711_decode_stats",
@@ -1243,18 +1250,24 @@ _G711_SEG_SQL = """CASE WHEN m >= 16384 THEN 7 WHEN m >= 8192 THEN 6
       FROM spec, UNNEST(range(0, n_frames * n_channels)) AS u(j)
     ),
     stage1 AS (
+      -- mu-law: biased 16-bit magnitude; A-law (Sun/ITU linear2alaw):
+      -- 13-bit magnitude, ONE'S-COMPLEMENTED for negatives (-x-1 >> 3)
       SELECT *, CASE WHEN is_ulaw THEN LEAST(ABS(x), 32635) + 132
-                     ELSE LEAST(ABS(x), 32767) END AS m
+                     ELSE (CASE WHEN x >= 0 THEN x ELSE -x - 1 END) >> 3
+                END AS m
       FROM samp
     ),
     stage2 AS (
-      SELECT *, {_G711_SEG_SQL} AS e FROM stage1
+      SELECT *, CASE WHEN is_ulaw THEN {_G711_SEG_SQL}
+                     ELSE {_ALAW_SEG_SQL} END AS e
+      FROM stage1
     ),
     stage3 AS (
       SELECT *, CASE
         WHEN is_ulaw THEN ((((m >> (e + 3)) & 15) * 8 + 132) * (1 << e)) - 132
-        WHEN e = 0 THEN (m >> 4) * 16 + 8
-        ELSE (((m >> (e + 3)) & 15) * 16 + 264) * (1 << (e - 1)) END AS mag
+        WHEN e = 0 THEN ((m >> 1) & 15) * 16 + 8
+        ELSE (((m >> GREATEST(e, 1)) & 15) * 16 + 264)
+             * (1 << GREATEST(e - 1, 0)) END AS mag
       FROM stage2
     ),
     dec AS (

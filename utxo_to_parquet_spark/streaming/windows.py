@@ -1703,7 +1703,7 @@ def q_stream_nb_counts(spark, sf_dir):
         live.join(ref, "token", "full_outer")
         .select(
             "token", "c_good", "c_bad", "logodds_e6",
-            F.lit(n_commits >= 2).alias("multi_commit"),
+            F.lit(n_commits >= NB_REPLAY_BATCHES - 1).alias("multi_commit"),
             (
                 (F.col("c_good") == F.col("ref_good"))
                 & (F.col("c_bad") == F.col("ref_bad"))
