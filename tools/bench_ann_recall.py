@@ -124,19 +124,28 @@ def sweep(spark, sim, sf_dir: str, n_labels: int) -> dict:
         point = {"rerank_n": rerank_n, "recall_at_k": round(recall_of(rows), 4)}
         rerank_curve.append(point)
         print(f"ivfpq rerank_n={rerank_n}: {json.dumps(point)}", flush=True)
-    # round 11: the graph-ANN family's knob — recall vs beam width
-    # (efSearch) at fixed steps/degree, same ground truth
+    # round 11/12: the graph-ANN family's knobs — recall vs (beam,
+    # steps), now HIERARCHICAL (L1 route-in + long-range links +
+    # visited ledger). scored_per_q is the ledger size per query — the
+    # exact-scoring cost axis the recall buys; steps scale with beam so
+    # each width is measured at its own saturation point.
     graph_curve = []
-    for beam in (8, 16, 32, 64):
+    for beam, steps in ((32, 4), (48, 5), (64, 6), (96, 7), (128, 8)):
         best = float("inf")
         rows = None
+        scored_per_q = None
         for _ in range(2):
             t0 = time.time()
-            rows = sim.q_sim_graph_search_topk(spark, sf_dir, beam=beam).collect()
+            res, ledger = sim._graph_search(spark, sf_dir, beam, steps)
+            rows = res.collect()
             best = min(best, time.time() - t0)
+            if scored_per_q is None:
+                scored_per_q = ledger.count() / n_q
         point = {
             "beam": beam,
+            "steps": steps,
             "recall_at_k": round(recall_of(rows), 4),
+            "scored_per_q": round(scored_per_q, 1),
             "sec": round(best, 2),
         }
         graph_curve.append(point)

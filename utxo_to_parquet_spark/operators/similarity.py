@@ -1173,11 +1173,11 @@ def q_sim_knn_graph(spark, sf_dir):
     )
 
 
-def _knn_edges(emb, knn_k: int):
-    """Blocked kNN edge builder shared by q_sim_knn_graph (report graph,
-    k={KNN_K}) and q_sim_graph_search_topk (denser SEARCH graph) —
-    returns (src, dst, nn_rank, cos_raw) with the cap/sub-split
-    discipline documented on q_sim_knn_graph."""
+def _make_knn_block(knn_k: int):
+    """Build the per-block exact-kNN pandas kernel used by _knn_edges
+    (label/sub blocks) and _l1_edges (the single routing-layer block):
+    within the block, rank by raw cosine with the stable-argsort
+    dst-ascending tiebreak, keep the top knn_k."""
 
     def knn_block(pdf):
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
@@ -1217,21 +1217,54 @@ def _knn_edges(emb, knn_k: int):
             }
         )
 
+    return knn_block
+
+
+def _md5_mod_col():
+    """The engine-identical md5-derived integer of vec_id (15 hex chars
+    = 60 bits) used for sub-blocking and routing-layer sampling."""
+    return F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _knn_edges(emb, knn_k: int):
+    """Blocked kNN edge builder shared by q_sim_knn_graph (report graph,
+    k={KNN_K}) and q_sim_graph_search_topk (denser SEARCH graph) —
+    returns (src, dst, nn_rank, cos_raw) with the cap/sub-split
+    discipline documented on q_sim_knn_graph."""
+    knn_block = _make_knn_block(knn_k)
+
     cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("nl"))
     n_sub = F.ceil(F.col("nl") / F.lit(float(KNN_BLOCK_CAP))).cast("long")
     # md5-derived sub key (engine-identical): id patterns correlated
     # with a plain modulus can blow past the cap or collapse a label
     # into one residue class — hashing restores the multinomial bound
-    sub_hash = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
     return (
         emb.select("vec_id", "label", "embedding")
         .join(F.broadcast(cnt), "label")
-        .withColumn("sub", sub_hash % n_sub)
+        .withColumn("sub", _md5_mod_col() % n_sub)
         .groupBy("label", "sub")
         .applyInPandas(
             knn_block, "src long, dst long, nn_rank long, cos_raw double"
+        )
+    )
+
+
+def _l1_edges(emb, l1_mod: int, deg: int):
+    """Long-range links of the HNSW-style coarse layer: exact kNN at
+    degree ``deg`` over the md5-sampled routing nodes (expected size
+    ~GS_L1_CAP, corpus-independent), computed as ONE block of the same
+    kernel _knn_edges uses. These edges cross labels, which is what
+    stitches the per-label kNN components into one navigable graph."""
+    return (
+        emb.filter(_md5_mod_col() % l1_mod == 0)
+        .select("vec_id", "embedding")
+        .withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(
+            _make_knn_block(deg),
+            "src long, dst long, nn_rank long, cos_raw double",
         )
     )
 
@@ -2733,15 +2766,23 @@ def q_sim_jl_projection(spark, sf_dir):
 
 GS_DEGREE = 8  # search-graph out-degree (denser than the k=KNN_K report
 # graph — graph-ANN navigability needs degree >> k, the HNSW M knob)
-GS_BEAM = 32  # beam width (HNSW efSearch)
-GS_STEPS = 4  # expansion rounds — a FIXED constant, so the whole search
+GS_BEAM = 96  # beam width (HNSW efSearch) over the cumulative ledger
+GS_STEPS = 7  # expansion rounds — a FIXED constant, so the whole search
 # is a constant number of joins regardless of corpus size
+GS_ENTRIES = 8  # entry points per query after routing through the
+# coarse layer (HNSW's descend-from-the-top-layer step, batch form)
+GS_L1_CAP = 64  # expected routing-layer size: nodes are md5-sampled at
+# mod ceil(N / GS_L1_CAP), so the layer stays ~constant as N grows —
+# the log-sized upper layer of HNSW, flattened to one level
+GS_L1_DEGREE = 8  # out-degree of the routing layer's own kNN graph —
+# these edges CROSS labels (long-range links), stitching the per-label
+# kNN components into one navigable graph
 
 
 def _graph_search_oracle() -> str:
     parts = [f"""
     WITH c AS (SELECT label, COUNT(*) AS nl FROM embeddings GROUP BY label),
-    v AS (
+    v AS MATERIALIZED (
       SELECT em.vec_id, em.label,
              ('0x' || substr(md5(CAST(em.vec_id AS VARCHAR)), 1, 15))::BIGINT
                % CAST(CEIL(c.nl / {KNN_BLOCK_CAP}.0) AS BIGINT) AS sub,
@@ -2756,18 +2797,40 @@ def _graph_search_oracle() -> str:
       FROM v a JOIN v b
         ON a.label = b.label AND a.sub = b.sub AND a.vec_id <> b.vec_id
     ),
-    kranked AS (
+    kranked AS MATERIALIZED (
       SELECT src, dst,
              ROW_NUMBER() OVER (PARTITION BY src
                                 ORDER BY cos_raw DESC, dst) AS rn
       FROM kpairs
     ),
-    uedges AS (
+    l1 AS (
+      SELECT vec_id FROM embeddings
+      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+            % GREATEST(CAST(CEIL((SELECT COUNT(*) FROM embeddings)
+                                 / {GS_L1_CAP}.0) AS BIGINT), 1) = 0
+    ),
+    l1p AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             LIST_DOT_PRODUCT(a.e, b.e) / (a.nrm * b.nrm) AS cos_raw
+      FROM v a JOIN l1 la ON a.vec_id = la.vec_id
+      JOIN v b ON b.vec_id <> a.vec_id
+      JOIN l1 lb ON b.vec_id = lb.vec_id
+    ),
+    l1r AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cos_raw DESC, dst) AS rn
+      FROM l1p
+    ),
+    uedges AS MATERIALIZED (
       SELECT src, dst FROM kranked WHERE rn <= {GS_DEGREE}
       UNION
       SELECT dst AS src, src AS dst FROM kranked WHERE rn <= {GS_DEGREE}
+      UNION
+      SELECT src, dst FROM l1r WHERE rn <= {GS_L1_DEGREE}
+      UNION
+      SELECT dst AS src, src AS dst FROM l1r WHERE rn <= {GS_L1_DEGREE}
     ),
-    entries AS (SELECT MIN(vec_id) AS c_id FROM embeddings GROUP BY label),
     qv AS (
       SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe,
              SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[],
@@ -2775,74 +2838,69 @@ def _graph_search_oracle() -> str:
       FROM embeddings
       WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID}
     ),
-    cand0 AS (SELECT q_id, e.c_id FROM qv, entries e)"""]
-
-    def score_beam(i: int, cand: str) -> str:
-        return f""",
-    scored{i} AS (
-      SELECT q.q_id, t.c_id,
+    led0 AS MATERIALIZED (
+      SELECT q.q_id, l.vec_id AS c_id,
              ROUND(LIST_DOT_PRODUCT(q.qe, w.e) / (q.qn * w.nrm), 6)
                AS cosine
-      FROM {cand} t JOIN qv q USING (q_id) JOIN v w ON w.vec_id = t.c_id
+      FROM qv q CROSS JOIN l1 l JOIN v w ON w.vec_id = l.vec_id
     ),
-    beam{i} AS (
-      SELECT q_id, c_id, cosine FROM (
-        SELECT q_id, c_id, cosine,
+    fr0 AS MATERIALIZED (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
                ROW_NUMBER() OVER (PARTITION BY q_id
                                   ORDER BY cosine DESC, c_id) AS rn
-        FROM scored{i}) WHERE rn <= {GS_BEAM}
-    )"""
-
-    parts.append(score_beam(0, "cand0"))
+        FROM led0) WHERE rn <= {GS_ENTRIES}
+    )"""]
     for st in range(1, GS_STEPS + 1):
         parts.append(f""",
-    cand{st} AS (
-      SELECT q_id, c_id FROM beam{st - 1}
-      UNION
-      SELECT b.q_id, ed.dst AS c_id
-      FROM beam{st - 1} b JOIN uedges ed ON ed.src = b.c_id
+    new{st} AS MATERIALIZED (
+      SELECT DISTINCT f.q_id, ed.dst AS c_id
+      FROM fr{st - 1} f JOIN uedges ed ON ed.src = f.c_id
+      WHERE NOT EXISTS (SELECT 1 FROM led{st - 1} l
+                        WHERE l.q_id = f.q_id AND l.c_id = ed.dst)
+    ),
+    led{st} AS MATERIALIZED (
+      SELECT q_id, c_id, cosine FROM led{st - 1}
+      UNION ALL
+      SELECT n.q_id, n.c_id,
+             ROUND(LIST_DOT_PRODUCT(q.qe, w.e) / (q.qn * w.nrm), 6)
+               AS cosine
+      FROM new{st} n JOIN qv q USING (q_id) JOIN v w ON w.vec_id = n.c_id
     )""")
-        parts.append(score_beam(st, f"cand{st}"))
+        if st < GS_STEPS:
+            parts.append(f""",
+    fr{st} AS MATERIALIZED (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, c_id) AS rn
+        FROM led{st}) WHERE rn <= {GS_BEAM}
+    )""")
     parts.append(f"""
     SELECT q_id, c_id, cosine, CAST(rn AS BIGINT) AS rn FROM (
       SELECT q_id, c_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY q_id
                                 ORDER BY cosine DESC, c_id) AS rn
-      FROM scored{GS_STEPS} WHERE c_id <> q_id) WHERE rn <= {TOP_K}""")
+      FROM led{GS_STEPS} WHERE c_id <> q_id) WHERE rn <= {TOP_K}""")
     return "".join(parts)
 
 
-@register("q_sim_graph_search_topk", oracle=_graph_search_oracle())
-def q_sim_graph_search_topk(spark, sf_dir, beam: int = GS_BEAM,
-                            steps: int = GS_STEPS):
-    """GRAPH-BASED ANN (the HNSW/NSG family, batch form): answer every
-    query by BEAM SEARCH over a navigable kNN graph instead of scanning
-    the corpus — the third ANN strategy next to IVF (posting lists) and
-    LSH (hash buckets), and the one modern vector stores default to.
-    The search graph is the blocked kNN builder at degree {GS_DEGREE}
-    (denser than the k={KNN_K} report graph — navigability needs
-    degree >> k, HNSW's M knob), made undirected; search seeds at every
-    block's entry point (min vec_id — the IVF-style coarse route in),
-    then runs {GS_STEPS} rounds of expand-neighbors / score /
-    keep-top-{GS_BEAM} (efSearch={GS_BEAM}), and reports the final
-    top-{TOP_K} per query. Measured on the fixture: recall@{TOP_K}
-    0.83 vs the brute-force twin while scoring <= beam x degree x steps
-    candidates per query instead of N (the test pins the floor).
+def _graph_search(spark, sf_dir, beam: int, steps: int):
+    """The hierarchical graph-ANN search shared by the registered op
+    and tools/bench_ann_recall.py (which also reads the LEDGER — the
+    scored-candidates-per-query cost axis of the recall sweep).
+    Returns (topk_result, ledger)."""
+    import math
 
-    Scale shape: building the graph is the q_sim_knn_graph plan (one
-    hash shuffle, cap-bounded blocks); the SEARCH is a CONSTANT number
-    of joins of Q_CAP-bounded relations against the edge list — per
-    query it touches O(beam x degree x steps) vectors regardless of
-    corpus size, which is the entire point of graph ANN. Every scoring
-    step snaps to e6 with (cosine DESC, id) ranking, so Spark and the
-    oracle's unrolled {GS_STEPS}-step CTE chain agree exactly; the HOF
-    dot product accumulates left-to-right, bit-identical to DuckDB's
-    LIST_DOT_PRODUCT."""
     emb = load(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    l1_mod = max(1, math.ceil(n_vec / GS_L1_CAP))
     edges = _knn_edges(emb, GS_DEGREE).select("src", "dst")
+    lre = _l1_edges(emb, l1_mod, GS_L1_DEGREE).select("src", "dst")
+    both = edges.unionByName(lre)
     uedges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        both.unionByName(
+            both.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .localCheckpoint(eager=True)
@@ -2857,7 +2915,6 @@ def q_sim_graph_search_topk(spark, sf_dir, beam: int = GS_BEAM,
         F.col("embedding").alias("qe"),
         _norm(F.col("embedding")).alias("qn"),
     )
-    entries = emb.groupBy("label").agg(F.min("vec_id").alias("c_id"))
 
     dot = F.aggregate(
         F.zip_with(
@@ -2869,8 +2926,8 @@ def q_sim_graph_search_topk(spark, sf_dir, beam: int = GS_BEAM,
     )
     wnd = W.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
 
-    def score_and_prune(cand):
-        scored = (
+    def score(cand):
+        return (
             cand.join(F.broadcast(qv), "q_id")
             .join(w, "c_id")
             .select(
@@ -2878,28 +2935,81 @@ def q_sim_graph_search_topk(spark, sf_dir, beam: int = GS_BEAM,
                 F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
             )
         )
-        return scored, (
-            scored.withColumn("rn", F.row_number().over(wnd))
-            .filter(F.col("rn") <= beam)
-            .select("q_id", "c_id", "cosine")
-            .localCheckpoint(eager=True)
-        )
 
-    cand = qv.select("q_id").crossJoin(F.broadcast(entries.select("c_id")))
-    scored, frontier = score_and_prune(cand)
+    l1_ids = (
+        emb.filter(_md5_mod_col() % l1_mod == 0)
+        .select(F.col("vec_id").alias("c_id"))
+    )
+    ledger = score(
+        qv.select("q_id").crossJoin(F.broadcast(l1_ids))
+    ).localCheckpoint(eager=True)
+    width = GS_ENTRIES
     for _ in range(steps):
-        grown = frontier.select("q_id", "c_id").unionByName(
+        frontier = (
+            ledger.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") <= width)
+            .select("q_id", "c_id")
+        )
+        new = (
             frontier.select("q_id", F.col("c_id").alias("src"))
             .join(uedges, "src")
             .select("q_id", F.col("dst").alias("c_id"))
-        ).distinct()
-        scored, frontier = score_and_prune(grown)
-    return (
-        scored.filter(F.col("c_id") != F.col("q_id"))
+            .distinct()
+            .join(ledger.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti")
+        )
+        ledger = ledger.unionByName(score(new)).localCheckpoint(eager=True)
+        width = beam
+    result = (
+        ledger.filter(F.col("c_id") != F.col("q_id"))
         .withColumn("rn", F.row_number().over(wnd))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", "cosine", F.col("rn").cast("long").alias("rn"))
     )
+    return result, ledger
+
+
+@register("q_sim_graph_search_topk", oracle=_graph_search_oracle())
+def q_sim_graph_search_topk(spark, sf_dir, beam: int = GS_BEAM,
+                            steps: int = GS_STEPS):
+    """GRAPH-BASED ANN (the HNSW family, batch form): answer every
+    query by beam search over a navigable graph instead of scanning
+    the corpus — the third ANN strategy next to IVF (posting lists)
+    and LSH (hash buckets), and the one modern vector stores default
+    to. Hierarchical, HNSW-style (Malkov & Yashunin 2016), in three
+    ingredients:
+
+    - COARSE LAYER: ~{GS_L1_CAP} md5-sampled routing nodes. Each query
+      scores the whole layer (constant cost) and descends from its
+      top-{GS_ENTRIES} — HNSW's upper-layer route-in, flattened to one
+      level. The layer's own degree-{GS_L1_DEGREE} kNN graph is merged
+      into the edge list: those edges cross labels (LONG-RANGE links),
+      stitching the per-label kNN components into one navigable graph
+      — without them, routed entries strand whole components
+      (measured: recall drops below the flat-entry baseline).
+    - BASE LAYER: the blocked kNN builder at degree {GS_DEGREE}
+      (denser than the k={KNN_K} report graph — navigability needs
+      degree >> k, HNSW's M knob), made undirected.
+    - VISITED LEDGER: each (query, candidate) is scored ONCE; the beam
+      (efSearch={GS_BEAM}) and the final top-{TOP_K} rank over the
+      cumulative ledger (HNSW's visited set). The pre-ledger search
+      re-scored every beam survivor each round — at beam 32 it paid
+      ~933 scorings/query for recall@5 0.53 on the isotropic sf0.1
+      fixture; this search pays ~1175 for 0.84 (and on a clustered
+      corpus ~290 for 1.0 vs ~870 before — see BENCH_ann_recall.json).
+
+    Scale shape: the graph build is the q_sim_knn_graph plan (one hash
+    shuffle, cap-bounded blocks) plus ONE bounded block for the coarse
+    layer; the search is a CONSTANT number of joins of Q_CAP-bounded
+    relations against the edge list — per query it touches
+    O(L1 + beam x degree x steps) vectors regardless of corpus size,
+    which is the entire point of graph ANN. Every scoring step snaps
+    to e6 with (cosine DESC, id) ranking and the ledger's anti-join
+    runs identically as NOT EXISTS in the oracle's unrolled
+    {GS_STEPS}-step CTE chain, so Spark and DuckDB agree exactly; the
+    HOF dot product accumulates left-to-right, bit-identical to
+    DuckDB's LIST_DOT_PRODUCT."""
+    return _graph_search(spark, sf_dir, beam, steps)[0]
+
 
 
 # --- IVF with a LEARNED coarse quantizer (k-means posting lists) -------------
