@@ -925,30 +925,37 @@ def _emit_ac_first_scan(bw_, arr, ss, se, al, codes):
             eobrun = 0
 
     bh, bwc = arr.shape[:2]
-    for by in range(bh):
-        for bx in range(bwc):
-            blk = arr[by, bx]
-            r = 0
-            for k in range(ss, se + 1):
-                v = int(blk[k])
-                av = abs(v) >> al
-                if av == 0:
-                    r += 1
-                    continue
+    band = np.abs(arr.reshape(bh * bwc, 64)[:, ss : se + 1].astype(np.int64))
+    band >>= al
+    width = se + 1 - ss
+    for bi in range(bh * bwc):
+        row = band[bi]
+        nzi = np.nonzero(row)[0]
+        if not len(nzi):  # whole band zero after the point transform:
+            eobrun += 1  # the block IS the EOB run — no per-slot walk
+            if eobrun == 0x7FFF:
                 flush()
-                while r > 15:
-                    code, ln = codes[0xF0]
-                    bw_.put(code, ln)
-                    r -= 16
-                s = av.bit_length()
-                code, ln = codes[(r << 4) | s]
+            continue
+        blk = arr[bi // bwc, bi % bwc]
+        last = -1
+        for i in nzi:
+            i = int(i)
+            r = i - last - 1
+            last = i
+            av = int(row[i])
+            flush()
+            while r > 15:
+                code, ln = codes[0xF0]
                 bw_.put(code, ln)
-                bw_.put(_encode_coef_bits(av if v > 0 else -av, s), s)
-                r = 0
-            if r > 0:
-                eobrun += 1
-                if eobrun == 0x7FFF:
-                    flush()
+                r -= 16
+            s = av.bit_length()
+            code, ln = codes[(r << 4) | s]
+            bw_.put(code, ln)
+            bw_.put(_encode_coef_bits(av if int(blk[ss + i]) > 0 else -av, s), s)
+        if last < width - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
     flush()
 
 
@@ -973,46 +980,55 @@ def _emit_ac_refine_scan(bw_, arr, ss, se, al, codes):
         pend = []
 
     bh, bwc = arr.shape[:2]
-    for by in range(bh):
-        for bx in range(bwc):
-            blk = arr[by, bx]
-            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
-            eob = -1  # index of the LAST newly-nonzero coefficient
-            for i, t in enumerate(absv):
-                if t == 1:
-                    eob = i
-            r = 0
-            br_bits: list = []
-            for i, t in enumerate(absv):
-                if t == 0:
-                    r += 1
-                    continue
-                # ZRLs only while a new nonzero lies ahead; runs past
-                # the last one fold into the EOB run
-                while r > 15 and i <= eob:
-                    flush()
-                    code, ln = codes[0xF0]
-                    bw_.put(code, ln)
-                    r -= 16
-                    for b2 in br_bits:
-                        bw_.put(b2, 1)
-                    br_bits = []
-                if t > 1:  # history coefficient: buffer its next bit
-                    br_bits.append(t & 1)
-                    continue
+    band = np.abs(arr.reshape(bh * bwc, 64)[:, ss : se + 1].astype(np.int64))
+    band >>= al
+    width = se + 1 - ss
+    for bi in range(bh * bwc):
+        row = band[bi]
+        nzi = np.nonzero(row)[0]
+        if not len(nzi):  # all-zero band: the block IS the EOB run
+            eobrun += 1
+            if eobrun == 0x7FFF:
                 flush()
-                code, ln = codes[(r << 4) | 1]
+            continue
+        blk = arr[bi // bwc, bi % bwc]
+        ones = nzi[row[nzi] == 1]
+        # index of the LAST newly-nonzero coefficient; ZRLs only while
+        # one lies ahead — runs past it fold into the EOB run
+        eob = int(ones[-1]) if len(ones) else -1
+        r = 0
+        last = -1
+        br_bits: list = []
+        for i in nzi:
+            i = int(i)
+            r += i - last - 1  # zero-history slots crossed
+            last = i
+            t = int(row[i])
+            while r > 15 and i <= eob:
+                flush()
+                code, ln = codes[0xF0]
                 bw_.put(code, ln)
-                bw_.put(1 if int(blk[ss + i]) > 0 else 0, 1)
+                r -= 16
                 for b2 in br_bits:
                     bw_.put(b2, 1)
                 br_bits = []
-                r = 0
-            if r > 0 or br_bits:
-                eobrun += 1
-                pend.extend(br_bits)
-                if eobrun == 0x7FFF:
-                    flush()
+            if t > 1:  # history coefficient: buffer its next bit
+                br_bits.append(t & 1)
+                continue
+            flush()
+            code, ln = codes[(r << 4) | 1]
+            bw_.put(code, ln)
+            bw_.put(1 if int(blk[ss + i]) > 0 else 0, 1)
+            for b2 in br_bits:
+                bw_.put(b2, 1)
+            br_bits = []
+            r = 0
+        r += width - 1 - last  # trailing zero-history slots
+        if r > 0 or br_bits:
+            eobrun += 1
+            pend.extend(br_bits)
+            if eobrun == 0x7FFF:
+                flush()
     flush()
 
 
@@ -1203,12 +1219,23 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        b = (self.acc >> self.nbits) & 1
+        # trim consumed bits: without this the accumulator grows with
+        # the whole scan and every fill's shift turns quadratic
+        self.acc &= (1 << self.nbits) - 1
+        return b
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        """MSB-first n-bit read as ONE arithmetic slice (the batched
+        correction-bit reads of the AC refinement walk hand n up to the
+        spectral-band width)."""
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def sync_restart(self, expect: int) -> None:
@@ -1269,6 +1296,18 @@ def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
 def _extend(v: int, size: int) -> int:
     # F.2.2.1 EXTEND: low `size` bits back to a signed coefficient
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _dequant_idct_blocks(zzflat: "np.ndarray", q_zz: "np.ndarray") -> "np.ndarray":
+    """(nb, 64) zigzag-order integer coefficients -> (nb, 8, 8) spatial
+    blocks (+128 level shift), batched: dequant in zigzag order, one
+    de-zigzag scatter, then the separable IDCT as two BROADCAST
+    matmuls over the whole block stack. Shared by the sequential and
+    progressive paths so both produce identical floats."""
+    nb = zzflat.shape[0]
+    C = np.zeros((nb, 64), dtype=np.float64)
+    C[:, _JPEG_ZZ_FLAT] = zzflat.astype(np.float64) * q_zz
+    return _IDCT_A.T @ C.reshape(nb, 8, 8) @ _IDCT_A + 128.0
 
 
 def _frame_geometry(frame, progressive: bool):
@@ -1379,11 +1418,34 @@ def _decode_prog_ac_first(br, block, ss, se, al, act, eobrun: int) -> int:
     return 0
 
 
+def _refine_crossed(br, block, pos, p1, m1) -> None:
+    """Apply the correction bits of the crossed nonzero-history
+    positions ``pos`` (an index array, or a 2-D (rows, cols) tuple for
+    a whole-EOB-run slab, in row-major walk order): ONE batched bit
+    read, then a vectorized conditional += — exactly G.1.2.3's
+    per-coefficient rule, which reads a bit for EVERY crossed nonzero
+    coefficient and applies it only where the Al bit is still clear."""
+    n = len(pos[0]) if isinstance(pos, tuple) else len(pos)
+    if not n:
+        return
+    v = br.receive(n)
+    bits = (v >> np.arange(n - 1, -1, -1, dtype=np.int64)) & 1
+    vals = block[pos]
+    upd = (bits == 1) & ((vals & p1) == 0)
+    block[pos] = np.where(
+        upd, np.where(vals >= 0, vals + p1, vals + m1), vals
+    )
+
+
 def _decode_prog_ac_refine(br, block, ss, se, al, act, eobrun: int) -> int:
     """One block of an AC refinement scan (G.1.2.3): newly-nonzero
     coefficients arrive as s=1 symbols with a sign bit; every
     nonzero-history coefficient crossed contributes one correction
-    bit; EOB runs carry the remaining correction bits."""
+    bit; EOB runs carry the remaining correction bits. The crossing
+    walks are index arithmetic over the (scan-stable) nonzero mask —
+    how many zero-history slots the run skips and which history
+    coefficients it crosses depend only on block state, never on the
+    bit values, so each walk's bits arrive as one batched read."""
     p1 = 1 << al
     m1 = -1 << al
     k = ss
@@ -1402,24 +1464,22 @@ def _decode_prog_ac_refine(br, block, ss, se, al, act, eobrun: int) -> int:
                         eobrun += br.receive(r)
                     break
                 new = 0  # ZRL: skip 16 zero-history slots
-            while k <= se:
-                if block[k] != 0:
-                    if br.bit() and (block[k] & p1) == 0:
-                        block[k] += p1 if block[k] >= 0 else m1
-                else:
-                    if r == 0:
-                        break
-                    r -= 1
-                k += 1
+            seg = block[k : se + 1]
+            nz = np.nonzero(seg)[0]
+            zero = np.nonzero(seg == 0)[0]
+            # the run stops at the (r+1)-th zero-history slot (where
+            # the new coefficient lands) or falls off the band
+            stop = int(zero[r]) if r < len(zero) else se + 1 - k
+            _refine_crossed(br, block, k + nz[nz < stop], p1, m1)
+            k += stop
             if new and k <= se:
                 block[k] = new
             k += 1
     if eobrun > 0:
-        while k <= se:
-            if block[k] != 0:
-                if br.bit() and (block[k] & p1) == 0:
-                    block[k] += p1 if block[k] >= 0 else m1
-            k += 1
+        if k <= se:
+            _refine_crossed(
+                br, block, k + np.nonzero(block[k : se + 1])[0], p1, m1
+            )
         eobrun -= 1
     return eobrun
 
@@ -1435,23 +1495,41 @@ def _decode_prog_ac_scan(br, sel, ss, se, ah, al, comps, coefs, ac_tabs,
     act = ac_tabs[ta]
     arr = coefs[ci]
     bh, bw_ = arr.shape[:2]
+    flat = arr.reshape(bh * bw_, 64)
+    nb = bh * bw_
     eobrun = 0
     rst = 0
     n = 0
-    for by in range(bh):
-        for bx in range(bw_):
-            if restart_interval and n and n % restart_interval == 0:
-                br.sync_restart(rst)
-                rst = (rst + 1) % 8
-                eobrun = 0
-            block = arr[by, bx]
-            if ah == 0:
-                eobrun = _decode_prog_ac_first(br, block, ss, se, al, act,
-                                               eobrun)
-            else:
-                eobrun = _decode_prog_ac_refine(br, block, ss, se, al, act,
-                                                eobrun)
-            n += 1
+    p1 = 1 << al
+    m1 = -1 << al
+    while n < nb:
+        if restart_interval and n and n % restart_interval == 0:
+            br.sync_restart(rst)
+            rst = (rst + 1) % 8
+            eobrun = 0
+        if eobrun > 0:
+            # the whole remaining EOB run (bounded by the next restart
+            # boundary) is ONE numpy slab: first-pass blocks consume no
+            # bits at all; refinement blocks read one correction bit
+            # per nonzero-history coefficient, in row-major walk order
+            run = min(eobrun, nb - n)
+            if restart_interval:
+                run = min(run, restart_interval - n % restart_interval)
+            if ah != 0:
+                slab = flat[n : n + run, ss : se + 1]
+                rows, cols = np.nonzero(slab)
+                _refine_crossed(br, slab, (rows, cols), p1, m1)
+            eobrun -= run
+            n += run
+            continue
+        block = flat[n]
+        if ah == 0:
+            eobrun = _decode_prog_ac_first(br, block, ss, se, al, act,
+                                           eobrun)
+        else:
+            eobrun = _decode_prog_ac_refine(br, block, ss, se, al, act,
+                                            eobrun)
+        n += 1
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -1594,16 +1672,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             q_zz = qtabs[tq].reshape(64)[_JPEG_ZZ_FLAT].astype(np.float64)
             arr = coefs[ci]
             bh, bw_ = arr.shape[:2]
-            plane = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
-            for by in range(bh):
-                for bx in range(bw_):
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[_JPEG_ZZ_FLAT] = arr[by, bx].astype(np.float64) * q_zz
-                    block = _IDCT_A.T @ coef.reshape(8, 8) @ _IDCT_A
-                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                        block + 128.0
-                    )
-            planes.append(plane)
+            blocks = _dequant_idct_blocks(arr.reshape(bh * bw_, 64), q_zz)
+            planes.append(
+                blocks.reshape(bh, bw_, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh * 8, bw_ * 8)
+            )
     else:
         fh, fw, comps, hmax, vmax, mcu_rows, mcu_cols = _frame_geometry(
             frame, False
@@ -1628,8 +1702,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
             )
         # per-component planes at NATIVE (subsampled) resolution;
         # upsampled to frame resolution after the scan
-        planes = [
-            np.zeros((fh * vi // vmax, fw * hi // hmax), dtype=np.float64)
+        # buffer each block's zigzag coefficients during the entropy
+        # walk; dequant + IDCT runs batched per component afterwards
+        zzbufs = [
+            np.zeros(
+                ((fh * vi // vmax // 8) * (fw * hi // hmax // 8), 64),
+                dtype=np.int64,
+            )
             for _, hi, vi, _ in comps
         ]
         br = _BitReader(payload, pos)
@@ -1667,14 +1746,18 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                                 raise ValueError("AC run overflows block")
                             zz[k] = _extend(br.receive(s), s)
                             k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_JPEG_ZZ_FLAT] = (
-                            np.asarray(zz, dtype=np.float64) * q_zz
-                        )
-                        block = _IDCT_A.T @ coef.reshape(8, 8) @ _IDCT_A
-                        r0 = (by * vi + v) * 8
-                        c0 = (bx * hi + hh) * 8
-                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block + 128.0
+                        bwc = fw * hi // hmax // 8
+                        zzbufs[ci][(by * vi + v) * bwc + bx * hi + hh] = zz
+        planes = []
+        for ci, (_, hi, vi, _) in enumerate(comps):
+            bhc = fh * vi // vmax // 8
+            bwc = fw * hi // hmax // 8
+            blocks = _dequant_idct_blocks(zzbufs[ci], comp_q[ci][0])
+            planes.append(
+                blocks.reshape(bhc, bwc, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bhc * 8, bwc * 8)
+            )
     # replication upsample back to frame resolution (the JFIF simple
     # upsample; a decoder choosing fancy upsampling would differ only on
     # non-constant chroma, which the DC-exact oracle never plants)
