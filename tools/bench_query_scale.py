@@ -331,6 +331,17 @@ OPS = {
     "q_events_holt_winters": "events",
     "q_pipeline_nb_filter": "documents",
     "q_dedup_decontaminate_exact": "documents",
+    # round-12 fills (VERDICT r11 #1): the seven round-11 ops that rode
+    # already-probed machinery but lacked their own cells — including
+    # q_text_distinct_substrings at the sweep's own 16x (its deeper
+    # 64x octave lives in BENCH_sa_depth.json)
+    "q_hilbert_key": "orders",
+    "q_text_bpe_decode": "documents",
+    "q_text_repeat_coverage": "documents",
+    "q_pipeline_dedup_cascade_sa": "documents",
+    "q_text_unigram_vocab": "documents",
+    "q_text_unigram_fertility": "documents",
+    "q_text_distinct_substrings": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

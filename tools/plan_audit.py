@@ -58,6 +58,7 @@ ALLOWED_NESTED_LOOP = {
     "q_agg_benford_audit",  # total order count: 1-row sum attach
     "q_utxo_dust_feerate",  # feerate sweep: 3-row constant dim fan-out
     "q_dedup_threshold_sweep",  # tau grid: 7-row literal dim fan-out
+    "q_text_unigram_soft_em",  # vocab-max score: 1-row max attach (w8 anchor)
     "q_agg_chi2_independence",  # N/levels total: 1-row aggregate attach
     "q_agg_hhi_concentration",  # revenue total: 1-row sum attach
     "q_graph_modularity",  # directed edge count M: 1-row attach

@@ -2015,6 +2015,177 @@ def decode_gif(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, gct[idx]
 
 
+# --- GIF89a animation (graphic control, sub-rectangles, disposal) ----------
+
+
+def encode_gif_anim(
+    w: int,
+    h: int,
+    frames: list,
+    *,
+    background: int = 0,
+    loop: int | None = 0,
+) -> bytes:
+    """GIF89a animation writer. ``frames`` is a list of
+    ``(left, top, patch, disposal, delay_cs, transparent)`` tuples:
+    ``patch`` an 8-bit gray sub-rectangle pasted at (left, top),
+    ``disposal`` the graphic-control method applied AFTER the frame
+    (0/1 = leave, 2 = restore to background, 3 = restore to previous),
+    ``delay_cs`` hundredths of a second, ``transparent`` a palette
+    index whose patch pixels leave the canvas unchanged (or None).
+    Emits the 256-entry grayscale identity global color table, the
+    NETSCAPE2.0 looping application extension (when ``loop`` is not
+    None), one graphic-control extension + image descriptor + LZW
+    stream per frame, and the trailer."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, background & 0xFF, 0x00])
+    for i in range(256):
+        out += bytes([i, i, i])
+    if loop is not None:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        out += loop.to_bytes(2, "little") + b"\x00"
+    for left, top, patch, disposal, delay_cs, transparent in frames:
+        patch = np.asarray(patch, dtype=np.uint8)
+        if patch.ndim != 2:
+            raise ValueError("animation patches must be 8-bit gray rects")
+        ph, pw = patch.shape
+        if left < 0 or top < 0 or left + pw > w or top + ph > h:
+            raise ValueError("frame rectangle exceeds the logical screen")
+        if disposal not in (0, 1, 2, 3):
+            raise ValueError(f"reserved disposal method {disposal}")
+        gce_flags = (disposal << 2) | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gce_flags])
+        out += int(delay_cs).to_bytes(2, "little")
+        out += bytes([transparent or 0, 0])
+        out += b"\x2c"
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += pw.to_bytes(2, "little") + ph.to_bytes(2, "little")
+        out += b"\x00" + bytes([8])
+        data = _lzw_encode(patch.reshape(-1), 8)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_anim(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """GIF89a animation reader: walks every block to the trailer and
+    COMPOSITES the frame sequence per the 89a graphic-control rules —
+    sub-rectangle paste honoring transparency, then the frame\'s
+    disposal (2 restores its rect to the LSD background index, 3
+    restores the pre-frame canvas). Returns (w, h, (F, h, w) uint8
+    canvases-as-displayed) for the grayscale identity palette."""
+    if payload[:6] != b"GIF89a":
+        raise ValueError("not a GIF89a animation")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF: missing logical screen descriptor")
+    pos = 6
+    w = int.from_bytes(payload[pos : pos + 2], "little")
+    h = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+    flags = payload[pos + 4]
+    background = payload[pos + 5]
+    pos += 7
+    if not flags & 0x80:
+        raise ValueError("animated GIF without a global color table")
+    n = 2 << (flags & 0x07)
+    gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+    pos += 3 * n
+    if n != 256 or not np.all(gct == np.arange(256, dtype=np.uint8)[:, None]):
+        raise ValueError("animation decoder expects the gray identity palette")
+    canvas = np.full((h, w), background, dtype=np.uint8)
+    out_frames = []
+    disposal, transparent = 0, None
+    saw_trailer = False
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            saw_trailer = True
+            break
+        if b == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[pos + 1]
+            pos += 2
+            blocks = []
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF: unterminated extension")
+                ln = payload[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                blocks.append(payload[pos : pos + ln])
+                pos += ln
+            if label == 0xF9:  # graphic control
+                if len(blocks) != 1 or len(blocks[0]) != 4:
+                    raise ValueError("malformed graphic control extension")
+                gflags = blocks[0][0]
+                disposal = (gflags >> 2) & 0x7
+                if disposal > 3:
+                    raise ValueError(f"reserved disposal method {disposal}")
+                transparent = blocks[0][3] if gflags & 1 else None
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF: incomplete image descriptor")
+        left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+        pw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        ph = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if iflags & 0x80:
+            raise ValueError("local color tables unsupported in animations")
+        if left + pw > w or top + ph > h:
+            raise ValueError("frame rectangle exceeds the logical screen")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF: unterminated data sub-blocks")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            if pos + ln > len(payload):
+                raise ValueError("truncated GIF: short data sub-block")
+            data += payload[pos : pos + ln]
+            pos += ln
+        patch = np.array(
+            _lzw_decode(bytes(data), min_code_size, pw * ph), dtype=np.int64
+        ).reshape(ph, pw)
+        if patch.max(initial=0) >= 256:
+            raise ValueError("palette index out of range")
+        patch = patch.astype(np.uint8)
+        before = canvas.copy()
+        region = canvas[top : top + ph, left : left + pw]
+        if transparent is None:
+            region[:] = patch
+        else:
+            mask = patch != transparent
+            region[mask] = patch[mask]
+        out_frames.append(canvas.copy())  # the canvas AS DISPLAYED
+        if disposal == 2:
+            canvas[top : top + ph, left : left + pw] = background
+        elif disposal == 3:
+            canvas = before
+        disposal, transparent = 0, None
+    if not saw_trailer:
+        raise ValueError("truncated GIF: missing trailer")
+    if not out_frames:
+        raise ValueError("GIF contains no image descriptor")
+    return w, h, np.stack(out_frames)
+
+
 # --- TGA (Truevision TARGA, 24-bit, RLE) -----------------------------------
 #
 # Real TGA codec, pure Python: 18-byte header, image types 2

@@ -1112,6 +1112,161 @@ def q_mm_gif_decode_stats(spark, sf_dir):
     )
 
 
+# --- GIF89a animation decode (graphic control + disposal compositing) -------
+
+GIF_ANIM_BG = 46  # background palette index = '.' so the oracle can
+# splice restore-to-background fills as plain string arithmetic
+
+
+@register(
+    "q_mm_gif_anim_stats",
+    # per-FRAME oracle: the 89a compositing rules (sub-rectangle paste,
+    # then the frame's disposal) are pure string splicing over the
+    # flattened canvas, so DuckDB rebuilds each displayed canvas
+    # independently — frame 0 full, frame 1 a pasted patch with
+    # DISPOSAL 2 (its rect restored to background before frame 2),
+    # frame 2 a second patch on the restored canvas. One hash row per
+    # (doc, frame): a paste offset, disposal or LZW slip anywhere
+    # flips that frame's sum_px/px_sha.
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS BIGINT) AS w,
+             CAST({GIF_H} AS BIGINT) AS h,
+             repeat(text, CAST(CEIL(61.0 / LENGTH(text)) AS BIGINT)) AS rep
+      FROM documents
+    ),
+    geom AS (
+      SELECT *,
+             substr(rep, 1, CAST(w * h AS INT)) AS c0,
+             doc_id % (w - 1) AS l1, doc_id % ({GIF_H} - 1) AS t1,
+             (doc_id * 3) % (w - 2) AS l2, (doc_id * 5) % ({GIF_H} - 1) AS t2,
+             substr(rep, CAST(doc_id % 11 AS INT) + 1, 4) AS pa,
+             substr(rep, CAST(doc_id % 13 AS INT) + 1, 6) AS pb
+      FROM img
+    ),
+    f1 AS (
+      SELECT *, array_to_string(LIST_TRANSFORM(RANGE(0, h), r ->
+        CASE WHEN r >= t1 AND r < t1 + 2 THEN
+          substr(c0, CAST(r * w AS INT) + 1, CAST(l1 AS INT))
+          || substr(pa, CAST((r - t1) * 2 AS INT) + 1, 2)
+          || substr(c0, CAST(r * w + l1 + 2 AS INT) + 1,
+                    CAST(w - l1 - 2 AS INT))
+        ELSE substr(c0, CAST(r * w AS INT) + 1, CAST(w AS INT)) END), '')
+        AS c1
+      FROM geom
+    ),
+    f2base AS (
+      SELECT *, array_to_string(LIST_TRANSFORM(RANGE(0, h), r ->
+        CASE WHEN r >= t1 AND r < t1 + 2 THEN
+          substr(c1, CAST(r * w AS INT) + 1, CAST(l1 AS INT))
+          || repeat(chr({GIF_ANIM_BG}), 2)
+          || substr(c1, CAST(r * w + l1 + 2 AS INT) + 1,
+                    CAST(w - l1 - 2 AS INT))
+        ELSE substr(c1, CAST(r * w AS INT) + 1, CAST(w AS INT)) END), '')
+        AS cb
+      FROM f1
+    ),
+    f2 AS (
+      SELECT *, array_to_string(LIST_TRANSFORM(RANGE(0, h), r ->
+        CASE WHEN r >= t2 AND r < t2 + 2 THEN
+          substr(cb, CAST(r * w AS INT) + 1, CAST(l2 AS INT))
+          || substr(pb, CAST((r - t2) * 3 AS INT) + 1, 3)
+          || substr(cb, CAST(r * w + l2 + 3 AS INT) + 1,
+                    CAST(w - l2 - 3 AS INT))
+        ELSE substr(cb, CAST(r * w AS INT) + 1, CAST(w AS INT)) END), '')
+        AS c2
+      FROM f2base
+    ),
+    frames AS (
+      SELECT doc_id, w, h, u.fi AS frame_idx,
+             CASE u.fi WHEN 0 THEN c0 WHEN 1 THEN c1 ELSE c2 END AS px
+      FROM f2, UNNEST([0, 1, 2]) AS u(fi)
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           w AS width, h AS height,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, w * h),
+             i -> ASCII(substr(px, CAST(i + 1 AS INT), 1)))) AS BIGINT)
+             AS sum_px,
+           substr(sha256(px), 1, 16) AS px_sha
+    FROM frames
+    """,
+)
+def q_mm_gif_anim_stats(spark, sf_dir):
+    """REAL GIF89a ANIMATION decode end-to-end: per document a 3-frame
+    animation over the w x {GIF_H} text canvas — frame 0 full
+    (disposal 1), frame 1 a 2x2 sub-rectangle patch with DISPOSAL 2
+    (restore-to-background), frame 2 a 2x3 patch pasted onto the
+    restored canvas — written by kernels/image.py's 89a writer
+    (graphic-control extensions, NETSCAPE2.0 loop block, per-frame LZW
+    streams) and decoded back by the independent compositing reader,
+    which must honor paste rectangles AND the post-frame disposal to
+    reproduce each displayed canvas. Emits one row PER FRAME with the
+    composited canvas's exact sum and sha; the DuckDB oracle rebuilds
+    all three canvases from the text by string splicing alone. One
+    Arrow-batched mapInPandas pass, per-partition, no shuffle."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.image import decode_gif_anim, encode_gif_anim
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def anim_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height", "sum_px", "px_sha",
+            )}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if not text or not text.isascii():
+                    raise ValueError(
+                        f"q_mm_gif_anim_stats: doc {doc_id} has empty or"
+                        " non-ASCII text; the synthesized-pixel contract"
+                        " requires non-empty ASCII"
+                    )
+                w, h = 4 + doc_id % 5, GIF_H
+                rep = (text * -(-61 // len(text))).encode("utf-8")
+                base = np.frombuffer(rep[: w * h], np.uint8).reshape(h, w)
+                l1, t1 = doc_id % (w - 1), doc_id % (GIF_H - 1)
+                l2, t2 = (doc_id * 3) % (w - 2), (doc_id * 5) % (GIF_H - 1)
+                o1, o2 = doc_id % 11, doc_id % 13
+                pa = np.frombuffer(rep[o1 : o1 + 4], np.uint8).reshape(2, 2)
+                pb = np.frombuffer(rep[o2 : o2 + 6], np.uint8).reshape(2, 3)
+                buf = encode_gif_anim(
+                    w, h,
+                    [
+                        (0, 0, base, 1, 10, None),
+                        (l1, t1, pa, 2, 5, None),
+                        (l2, t2, pb, 1, 5, None),
+                    ],
+                    background=GIF_ANIM_BG,
+                )
+                dw, dh, frames = decode_gif_anim(buf)
+                assert (dw, dh, len(frames)) == (w, h, 3), doc_id
+                for fi, canvas in enumerate(frames):
+                    flat = canvas.tobytes()
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_px"].append(
+                        int(np.frombuffer(flat, np.uint8).sum(dtype=np.int64))
+                    )
+                    out["px_sha"].append(
+                        _hashlib.sha256(flat).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        anim_stats,
+        "doc_id long, frame_idx long, width long, height long,"
+        " sum_px long, px_sha string",
+    )
+
+
 # --- Real TGA (RLE) decode --------------------------------------------------
 
 TGA_H = 7  # planted image height; width varies 4..8 per doc
@@ -1468,6 +1623,105 @@ def q_mm_adpcm_roundtrip_stats(spark, sf_dir):
         "doc_id long, n_samples long, sum_dec long, sum_sq_dec long,"
         " max_abs_err long, final_pred long, final_index long",
     )
+
+
+# --- FLAC decode (lossless Rice/fixed-prediction audio) ----------------------
+
+
+@register(
+    "q_mm_flac_decode_stats",
+    # independent-recompute oracle, same contract as q_mm_wav_decode_stats
+    # but through a COMPRESSED lossless container: the planted PCM16 mix
+    # is encoded to FLAC (kernels/flac.py — STREAMINFO + MD5, multi-frame
+    # fixed-blocksize framing at block 16, CONSTANT/FIXED/VERBATIM
+    # subframes, Rice residuals, CRC-8/16) and decoded back by the
+    # independent frame walker. FLAC is LOSSLESS, so the decoded moments
+    # are pure SQL arithmetic over the recipe; `lossless` is a REAL
+    # sample-for-sample comparison computed in the kernel, not asserted.
+    # A desync anywhere — sync code, coded number, Rice parameter,
+    # predictor order, zigzag, CRC — flips sums or raises.
+    oracle=f"""
+    WITH spec AS (
+      SELECT doc_id,
+             CAST({WAV_BASE_N} + doc_id % 17 AS BIGINT) AS n_frames,
+             CAST(1 + doc_id % 2 AS BIGINT) AS n_channels
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_frames, n_channels,
+             LIST_TRANSFORM(RANGE(0, n_frames * n_channels),
+               j -> (doc_id * {WAV_MIX_A} + j * {WAV_MIX_B}) % 65536 - 32768)
+               AS xs
+      FROM spec
+    )
+    SELECT doc_id, n_channels, n_frames,
+           CAST(CEIL(n_frames / 16.0) AS BIGINT) AS n_flac_frames,
+           TRUE AS lossless,
+           CAST(LIST_SUM(xs) AS BIGINT) AS sum_s,
+           CAST(LIST_MIN(xs) AS BIGINT) AS min_s,
+           CAST(LIST_MAX(xs) AS BIGINT) AS max_s,
+           CAST(LIST_SUM(LIST_TRANSFORM(xs, x -> x * x)) AS BIGINT) AS sum_sq
+    FROM s
+    """,
+)
+def q_mm_flac_decode_stats(spark, sf_dir):
+    """REAL lossless-compressed audio decode end-to-end: the same PCM16
+    mix as the WAV gate, per document, is encoded to FLAC (xiph/RFC 9639
+    — the one mainstream lossless audio codec whose stages are all
+    integer arithmetic, hence implementable without native libraries)
+    at block size 16 so every document crosses MULTIPLE frame
+    boundaries (n_flac_frames = ceil(n/16) pins the walk), then decoded
+    back through kernels/flac.py's independent frame walker: sync +
+    UTF-8 coded number + CRC-8, subframe headers, Rice residual
+    expansion, fixed-predictor reconstruction, CRC-16 and the
+    STREAMINFO MD5 over the whole stream. Emitted: the decoded
+    waveform's exact integer moments (the oracle recomputes them from
+    the recipe — losslessness through the container spec, not shared
+    code) plus a REAL decoded-equals-planted comparison. One
+    Arrow-batched mapInPandas pass, per-partition, no shuffle."""
+    import pandas as pd
+
+    from ..kernels.flac import decode_flac, encode_flac
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def flac_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_channels", "n_frames", "n_flac_frames",
+                "lossless", "sum_s", "min_s", "max_s", "sum_sq",
+            )}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = WAV_BASE_N + doc_id % 17
+                ch = 1 + doc_id % 2
+                j = np.arange(n * ch, dtype=np.int64)
+                xs = (doc_id * WAV_MIX_A + j * WAV_MIX_B) % 65536 - 32768
+                arr = xs.astype(np.int16).reshape(n, ch)
+                rate, dch, dec = decode_flac(
+                    encode_flac(arr, 8000, block_size=16)
+                )
+                assert (rate, dch, dec.shape[0]) == (8000, ch, n), doc_id
+                flat = dec.astype(np.int64).reshape(-1)
+                out["doc_id"].append(doc_id)
+                out["n_channels"].append(ch)
+                out["n_frames"].append(n)
+                out["n_flac_frames"].append(-(-n // 16))
+                out["lossless"].append(bool((flat == xs).all()))
+                out["sum_s"].append(int(flat.sum()))
+                out["min_s"].append(int(flat.min()))
+                out["max_s"].append(int(flat.max()))
+                out["sum_sq"].append(int((flat * flat).sum()))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        flac_stats,
+        "doc_id long, n_channels long, n_frames long, n_flac_frames long,"
+        " lossless boolean, sum_s long, min_s long, max_s long, sum_sq long",
+    )
+
 
 
 # --- REAL video decode: Motion-JPEG in AVI -----------------------------------

@@ -5668,6 +5668,210 @@ def q_text_unigram_hard_em(spark, sf_dir):
     )
 
 
+UNISOFT_MAXLEN = 10  # soft-EM word-length cap: den <= 2^(4L-1) paths x
+# weights and num*1e6 must stay in BIGINT (L=10 -> num*1e6 <= ~5.5e18);
+# the fixture's words are <= 8 chars so nothing is excluded there
+_UNISOFT_OCT = 1386294  # floor(ln(4) * 1e6): one quantization octave
+
+
+def _unigram_soft_sql() -> str:
+    """CTE chain for the soft-EM oracle: the shared seed-vocab chain,
+    3-bit octave-quantized weights, per-word candidate lists, and the
+    forward/backward path-weight recursions (exact BIGINT — the 8^L
+    per-char base measure cancels per word, see q_text_unigram_soft_em)."""
+    return f"""{_unigram_chain_sql()},
+    u8 AS MATERIALIZED (
+      SELECT tok, freq,
+             GREATEST(1, 8 - ((SELECT MAX(score_e6) FROM uscored)
+                              - score_e6) // {_UNISOFT_OCT}) AS w8
+      FROM uscored
+    ),
+    ucands8 AS MATERIALIZED (
+      SELECT t.word,
+             LIST({{'start': t.st, 'len': t.len, 'sub': t.sub,
+                    'w8': v.w8}}) AS cands
+      FROM (
+        SELECT w.word, CAST(s.i - 1 AS BIGINT) AS st,
+               CAST(l.j AS BIGINT) AS len,
+               substr(w.word, CAST(s.i AS INT), CAST(l.j AS INT)) AS sub
+        FROM uwf w, UNNEST(range(1, length(w.word) + 1)) AS s(i),
+             UNNEST(range(1, {UNI_MAXSUB} + 1)) AS l(j)
+        WHERE s.i + l.j <= length(w.word) + 1
+          AND length(w.word) <= {UNISOFT_MAXLEN}
+      ) t JOIN u8 v ON v.tok = t.sub GROUP BY t.word
+    ),
+    usf AS (
+      SELECT word, 0 AS i, [CAST(1 AS BIGINT)] AS f FROM ucands8
+      UNION ALL
+      SELECT d.word, d.i + 1,
+             list_append(d.f, COALESCE(list_sum(list_transform(
+                 list_filter(c.cands, x -> x.start + x.len = d.i + 1),
+                 x -> d.f[CAST(x.start AS INT) + 1] * x.w8)), 0))
+      FROM usf d JOIN ucands8 c ON c.word = d.word
+      WHERE d.i < length(d.word)
+    ),
+    ubk AS (
+      SELECT word, 0 AS j, [CAST(1 AS BIGINT)] AS g FROM ucands8
+      UNION ALL
+      SELECT d.word, d.j + 1,
+             list_append(d.g, COALESCE(list_sum(list_transform(
+                 list_filter(c.cands,
+                   x -> x.start = length(d.word) - d.j - 1),
+                 x -> x.w8 * d.g[CAST(length(d.word) - x.start - x.len
+                                      AS INT) + 1])), 0))
+      FROM ubk d JOIN ucands8 c ON c.word = d.word
+      WHERE d.j < length(d.word)
+    ),
+    uocc AS (
+      SELECT c.word, x.sub AS tok,
+             CAST(SUM(f.f[CAST(x.start AS INT) + 1] * x.w8
+                 * b.g[CAST(length(c.word) - x.start - x.len AS INT) + 1])
+               AS BIGINT) AS num,
+             CAST(MAX(f.f[length(c.word) + 1]) AS BIGINT) AS den
+      FROM ucands8 c, UNNEST(c.cands) AS u(x)
+      JOIN (SELECT word, f FROM usf WHERE i = length(word)) f
+        ON f.word = c.word
+      JOIN (SELECT word, g FROM ubk WHERE j = length(word)) b
+        ON b.word = c.word
+      GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "q_text_unigram_soft_em",
+    oracle=f"""
+    WITH RECURSIVE {_unigram_soft_sql()}
+    SELECT o.tok AS token,
+           CAST(MAX(v.w8) AS BIGINT) AS w8,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w.freq * (o.num * 1000000 // o.den)) AS BIGINT)
+             AS soft_freq_e6
+    FROM uocc o JOIN uwf w ON w.word = o.word JOIN u8 v ON v.tok = o.tok
+    GROUP BY 1
+    """,
+)
+def q_text_unigram_soft_em(spark, sf_dir):
+    """One SOFT-EM E-step of the unigram tokenizer (Kudo 2018's real
+    EM, vs q_text_unigram_hard_em's Viterbi-EM): per token, the
+    forward-backward EXPECTED count over all segmentations, corpus-
+    frequency weighted — the statistic SentencePiece's M-step
+    renormalizes. Where hard EM credits only the single argmax path
+    (pruning everything off it), soft EM spreads posterior mass over
+    every path; the constructed disagreement case is pinned in
+    tests/test_round12.py.
+
+    Exact-integer discipline: piece scores quantize to 3-bit OCTAVE
+    weights w8 = max(1, 8 - (octaves below the top score)), and the
+    quantized model is p(piece) = w8 / 8^len(piece) — a per-CHAR base
+    measure, so every segmentation of a length-L word carries the same
+    8^L denominator, which cancels in the posterior. Expected counts
+    are then ratios of plain path-weight sums: forward f[i] (weight of
+    prefix segmentations) and backward g[j] fold per word inside ONE
+    JVM ``aggregate`` each, num(occurrence) = f[start] * w8 * g[rest],
+    den = f[L] (== g[L], asserted by a test), floored to e6 per
+    (word, token) and summed with word frequencies — BIGINT throughout
+    (L is capped at {UNISOFT_MAXLEN}: den <= 2^(4L-1), so num * 1e6
+    stays under 2^63; the fixture's words are all shorter). The oracle
+    replays the identical recursions as recursive CTEs. Vocab-bounded
+    relations only; the corpus is never re-touched."""
+    _, scored, _ = _unigram_train_cached(spark, sf_dir)
+    wf, _, _ = _unigram_train_cached(spark, sf_dir)
+    mx = scored.agg(F.max("score_e6").alias("__mx"))
+    w8 = scored.crossJoin(F.broadcast(mx)).select(
+        F.col("tok").alias("sub"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.lit(8) - F.expr(f"(__mx - score_e6) div {_UNISOFT_OCT}"),
+        ).alias("w8"),
+    )
+    tri = wf.filter(F.length("word") <= UNISOFT_MAXLEN).select(
+        "word",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(word)), s -> "
+                f"transform(sequence(s, least(s + {UNI_MAXSUB - 1},"
+                f" length(word))), e -> named_struct("
+                f"'start', cast(s - 1 as bigint),"
+                f" 'len', cast(e - s + 1 as bigint),"
+                f" 'sub', substring(word, s, e - s + 1)))))"
+            )
+        ).alias("c"),
+    ).select("word", "c.start", "c.len", "c.sub")
+    wcands = (
+        tri.join(w8, "sub")
+        .groupBy("word")
+        .agg(F.collect_list(F.struct("start", "len", "sub", "w8"))
+             .alias("cands"))
+    )
+    folded = (
+        wcands.withColumn(
+            "f",
+            F.expr(
+                "aggregate(sequence(1, length(word)),"
+                " array(cast(1 as bigint)),"
+                " (acc, i) -> concat(acc, array(coalesce(aggregate("
+                "filter(cands, x -> x.start + x.len = i),"
+                " cast(0 as bigint),"
+                " (s, x) -> s + element_at(acc, cast(x.start as int) + 1)"
+                " * x.w8), cast(0 as bigint)))))"
+            ),
+        )
+        .withColumn(
+            "g",
+            F.expr(
+                "aggregate(sequence(1, length(word)),"
+                " array(cast(1 as bigint)),"
+                " (acc, j) -> concat(acc, array(coalesce(aggregate("
+                "filter(cands, x -> x.start = length(word) - j),"
+                " cast(0 as bigint),"
+                " (s, x) -> s + x.w8 * element_at(acc,"
+                " cast(length(word) - x.start - x.len as int) + 1)),"
+                " cast(0 as bigint)))))"
+            ),
+        )
+        .withColumn("den", F.element_at("f", -1))
+    )
+    occ = (
+        folded.select(
+            "word", "den",
+            F.explode("cands").alias("x"),
+            F.col("f"), F.col("g"),
+        )
+        .select(
+            "word", "den", F.col("x.sub").alias("token"),
+            (
+                F.element_at("f", F.col("x.start").cast("int") + 1)
+                * F.col("x.w8")
+                * F.element_at(
+                    "g",
+                    (F.length("word") - F.col("x.start") - F.col("x.len"))
+                    .cast("int") + 1,
+                )
+            ).alias("num1"),
+        )
+        .groupBy("word", "token")
+        .agg(
+            F.sum("num1").cast("long").alias("num"),
+            F.max("den").cast("long").alias("den"),
+        )
+    )
+    return (
+        occ.join(wf.select("word", "freq"), "word")
+        .join(
+            w8.select(F.col("sub").alias("token"), F.col("w8").alias("tw8")),
+            "token",
+        )
+        .groupBy("token")
+        .agg(
+            F.max("tw8").cast("long").alias("w8"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.col("freq") * F.expr("num * 1000000 div den"))
+            .cast("long")
+            .alias("soft_freq_e6"),
+        )
+    )
+
+
 # --- distinct substring count (SA + LCP closed form) -------------------------
 
 
