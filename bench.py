@@ -269,6 +269,12 @@ HEADLINE = [
     "q_pipeline_nb_filter",
     "q_dedup_decontaminate_exact",
     "q_hilbert_key",
+    # round 12: FLAC lossless audio, GIF89a animation compositing, the
+    # soft-EM unigram E-step (warm trainer after the unigram rows above)
+    "q_mm_flac_decode_stats",
+    "q_mm_gif_anim_stats",
+    "q_text_unigram_soft_em",
+    "q_mm_video_delta_stats",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

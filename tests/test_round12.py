@@ -435,3 +435,81 @@ def test_unigram_soft_vs_hard_em_disagree(tmp_path, spark):
     # w8(b)=w8(ab)=8 (equal freqs) -> den=72, E[ab]=8/72, E[a]=64/72
     assert soft["ab"] == 5 * (8 * 1000000 // 72)
     assert soft["a"] == 5 * (64 * 1000000 // 72)
+
+# --- BI_RLE8 inter-frame AVI ---------------------------------------------------
+
+
+def test_rle8_handbuilt_stream_semantics():
+    """Escape semantics pinned byte-by-byte on a 4x4 canvas: encoded
+    run, DELTA cursor move (skipped pixels untouched), end-of-line,
+    absolute mode with its word pad, end-of-bitmap."""
+    from utxo_to_parquet_spark.kernels.video import _rle8_apply
+
+    canvas = np.full((4, 4), 99, np.uint8)
+    data = bytes(
+        [3, 5]            # run: 3 pixels of 5 at (x=0, y=0 bottom row)
+        + [0, 2, 0, 2]    # delta: skip to (x=3, y=2)
+        + [1, 7]          # run: 1 pixel of 7 at (3, 2)
+        + [0, 0]          # end of line -> (0, 3)
+        + [0, 3, 1, 2, 3, 0]  # absolute: 3 literals + word pad
+        + [0, 1]          # end of bitmap
+    )
+    _rle8_apply(canvas, data)
+    exp = np.full((4, 4), 99, np.uint8)
+    exp[3, 0:3] = 5       # bottom row is y=0 -> array row h-1-0 = 3
+    exp[1, 3] = 7         # y=2 -> array row 1
+    exp[0, 0:3] = [1, 2, 3]  # y=3 (top row)
+    assert (canvas == exp).all()
+
+
+def test_rle8_avi_roundtrip_and_delta_sizes():
+    from utxo_to_parquet_spark.kernels.video import (
+        _rle8_frame,
+        decode_avi_rle8,
+        encode_avi_rle8,
+    )
+
+    rng = np.random.default_rng(9)
+    f0 = rng.integers(0, 256, size=(12, 20)).astype(np.uint8)
+    f1 = f0.copy()
+    f1[3:6, 4:9] = rng.integers(0, 256, size=(3, 5)).astype(np.uint8)
+    f2 = f1.copy()
+    f2[10, :] = 77
+    fps, out = decode_avi_rle8(encode_avi_rle8([f0, f1, f2], fps=10))
+    assert fps == 10 and len(out) == 3
+    for got, want in zip(out, (f0, f1, f2)):
+        assert (got == want).all()
+    # the inter-frame point: delta frames are much smaller than the key
+    key = len(_rle8_frame(None, f0))
+    assert len(_rle8_frame(f0, f1)) < key / 3
+    assert len(_rle8_frame(f1, f2)) < key / 3
+    assert len(_rle8_frame(f0, f0)) == 2  # identical frame = just EOB
+
+
+def test_rle8_validation():
+    from utxo_to_parquet_spark.kernels.video import (
+        _rle8_apply,
+        decode_avi_rle8,
+        encode_avi_rle8,
+    )
+
+    c = np.zeros((2, 4), np.uint8)
+    with pytest.raises(ValueError, match="overruns"):
+        _rle8_apply(c.copy(), bytes([5, 1, 0, 1]))
+    with pytest.raises(ValueError, match="truncated"):
+        _rle8_apply(c.copy(), bytes([2, 1]))
+    with pytest.raises(ValueError, match="trailing"):
+        _rle8_apply(c.copy(), bytes([0, 1, 9]))
+    with pytest.raises(ValueError, match="outside"):
+        _rle8_apply(c.copy(), bytes([0, 2, 9, 0, 0, 1]))
+    f0 = np.arange(8, dtype=np.uint8).reshape(2, 4)
+    buf = bytearray(encode_avi_rle8([f0, f0]))
+    # flip the second idx1 entry's flags to AVIIF_KEYFRAME: only frame
+    # 0 may carry it
+    i = bytes(buf).rindex(b"00dc")
+    import struct as _s
+    _s.pack_into("<I", buf, i + 4, 0x10)
+    with pytest.raises(ValueError, match="keyframe"):
+        decode_avi_rle8(bytes(buf))
+    with pytest.raises(ValueError, match="at least one frame"):
+        encode_avi_rle8([])

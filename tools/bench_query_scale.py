@@ -342,6 +342,12 @@ OPS = {
     "q_text_unigram_vocab": "documents",
     "q_text_unigram_fertility": "documents",
     "q_text_distinct_substrings": "documents",
+    # round-12 new ops: two mapInPandas codec gates (expected ~linear,
+    # the per-byte decode floor) and the vocab-bounded soft-EM E-step
+    "q_mm_flac_decode_stats": "documents",
+    "q_mm_gif_anim_stats": "documents",
+    "q_text_unigram_soft_em": "documents",
+    "q_mm_video_delta_stats": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

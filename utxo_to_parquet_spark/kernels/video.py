@@ -5,9 +5,11 @@ video codec that needs NO native library: an MJPEG AVI is a RIFF
 container (the same chunk discipline as kernels/audio.py's WAVE walker,
 per the public AVI RIFF File Reference) whose ``movi`` list carries one
 complete baseline JFIF image per frame — decoded here by the
-independent T.81 decoder in kernels/image.py. Inter-frame codecs
-(H.264, VP9, ...) genuinely require native decoders and remain behind
-the documented stub in operators/multimodal.py.
+independent T.81 decoder in kernels/image.py. Round 12 adds the
+INTER-FRAME half via BI_RLE8 AVI (see below): delta frames whose
+skipped pixels persist from the previous frame. Motion-compensated DCT
+codecs (H.264, VP9, AV1) genuinely require native decoders and remain
+behind the documented stub in operators/multimodal.py.
 
 The writer emits a spec-correct file: ``hdrl`` list with a 56-byte
 ``avih`` main header and a ``strl`` stream list (``strh`` with
@@ -32,7 +34,8 @@ import numpy as np
 
 from .image import decode_jpeg, encode_jpeg
 
-__all__ = ["encode_avi_mjpeg", "decode_avi_mjpeg"]
+__all__ = ["encode_avi_mjpeg", "decode_avi_mjpeg",
+           "encode_avi_rle8", "decode_avi_rle8"]
 
 
 def _chunk(ckid: bytes, data: bytes) -> bytes:
@@ -229,3 +232,349 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, list[np.ndarray]]:
                 f"frame {i} is {fw}x{fh}, headers say {aw}x{ah}"
             )
     return fps, frames
+
+
+# --- BI_RLE8 AVI: INTER-FRAME video through the published RLE8 spec ---------
+#
+# The BMP/AVI RLE8 encoding (Microsoft BITMAPINFOHEADER documentation,
+# biCompression = BI_RLE8) is the one publicly-specified video coding
+# with TEMPORAL prediction implementable without native libraries: its
+# escape codes — end-of-line (00 00), end-of-bitmap (00 01) and DELTA
+# (00 02 dx dy) — move the cursor WITHOUT writing, and in an AVI stream
+# every skipped pixel retains the PREVIOUS FRAME's value. Delta frames
+# therefore encode only what changed: real inter-frame compression,
+# leaving only the motion-compensated DCT codecs (H.264/VP9/AV1)
+# stubbed. Bottom-up rows, 8-bit palette indices, absolute mode
+# (00 n>=3, word-padded) for non-repeating stretches.
+
+
+def _rle8_encode_rows(rows_changed, prev, cur, w) -> bytes:
+    """RLE8-encode one frame given per-row change masks. ``rows_changed``
+    iterates (y_from_bottom, [(x0, x1), ...]) with runs ascending; the
+    cursor only ever moves right/up, via EOL and DELTA escapes."""
+    out = bytearray()
+    cx = cy = 0
+
+    def move_to(x, y):
+        nonlocal cx, cy
+        if y > cy and cx > x:
+            out.extend(b"\x00\x00")  # EOL: (0, cy+1)
+            cx, cy = 0, cy + 1
+        while y > cy:
+            dy = min(y - cy, 255)
+            out.extend(bytes([0, 2, 0, dy]))
+            cy += dy
+        while x > cx:
+            dx = min(x - cx, 255)
+            out.extend(bytes([0, 2, dx, 0]))
+            cx += dx
+
+    def emit_segment(vals):
+        nonlocal cx
+        # maximal equal runs; short (<3) neighbors merge into absolute
+        # mode so both record kinds are exercised deterministically
+        runs = []
+        j = 0
+        while j < len(vals):
+            k = j
+            while k < len(vals) and vals[k] == vals[j]:
+                k += 1
+            runs.append((k - j, int(vals[j])))
+            j = k
+        i = 0
+        while i < len(runs):
+            n, c = runs[i]
+            if n >= 3:
+                while n > 0:
+                    take = min(n, 255)
+                    out.extend(bytes([take, c]))
+                    n -= take
+                i += 1
+                continue
+            lit = []
+            while i < len(runs) and runs[i][0] < 3:
+                lit.extend([runs[i][1]] * runs[i][0])
+                i += 1
+            if len(lit) >= 3:
+                j2 = 0
+                while j2 < len(lit):
+                    chunk = lit[j2 : j2 + 255]
+                    if len(chunk) < 3:  # tail too short for absolute mode
+                        for c2 in chunk:
+                            out.extend(bytes([1, c2]))
+                    else:
+                        out.extend(bytes([0, len(chunk)]))
+                        out.extend(bytes(chunk))
+                        if len(chunk) % 2:
+                            out.append(0)
+                    j2 += 255
+            else:
+                for c2 in lit:
+                    out.extend(bytes([1, c2]))
+        cx += len(vals)
+
+    for y, segs in rows_changed:
+        for x0, x1 in segs:
+            move_to(x0, y)
+            emit_segment(cur[y, x0:x1].tolist() if hasattr(cur, "shape")
+                         else cur[y][x0:x1])
+    out.extend(b"\x00\x01")  # end of bitmap
+    return bytes(out)
+
+
+def _rle8_frame(prev: "np.ndarray | None", cur: np.ndarray) -> bytes:
+    """One RLE8 frame payload: full coverage when ``prev`` is None
+    (keyframe), else only the changed runs (delta frame)."""
+    h, w = cur.shape
+    flip = cur[::-1]  # bottom-up row order
+    rows = []
+    if prev is None:
+        for y in range(h):
+            rows.append((y, [(0, w)]))
+    else:
+        pflip = prev[::-1]
+        for y in range(h):
+            diff = flip[y] != pflip[y]
+            if not diff.any():
+                continue
+            idx = np.nonzero(diff)[0]
+            segs = []
+            s = p = int(idx[0])
+            for x in idx[1:]:
+                x = int(x)
+                if x == p + 1:
+                    p = x
+                else:
+                    segs.append((s, p + 1))
+                    s = p = x
+            segs.append((s, p + 1))
+            rows.append((y, segs))
+    return _rle8_encode_rows(rows, prev, flip, w)
+
+
+def _rle8_apply(canvas: np.ndarray, data: bytes) -> None:
+    """Apply one RLE8 frame to the persistent canvas in place (the
+    decoder half of the spec walk); raises on any overrun."""
+    h, w = canvas.shape
+    x = y = 0  # y counts rows from the BOTTOM
+    i = 0
+    while True:
+        if i + 2 > len(data):
+            raise ValueError("truncated RLE8 stream (no end-of-bitmap)")
+        a, b = data[i], data[i + 1]
+        i += 2
+        if a:  # encoded run
+            if y >= h or x + a > w:
+                raise ValueError("RLE8 run overruns the frame")
+            canvas[h - 1 - y, x : x + a] = b
+            x += a
+        elif b == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("RLE8 end-of-line past the top row")
+        elif b == 1:  # end of bitmap
+            if i != len(data):
+                raise ValueError("trailing bytes after RLE8 end-of-bitmap")
+            return
+        elif b == 2:  # delta: skipped pixels keep the previous frame
+            if i + 2 > len(data):
+                raise ValueError("truncated RLE8 delta escape")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("RLE8 delta moves outside the frame")
+        else:  # absolute mode, b >= 3 literals, word-padded
+            if y >= h or x + b > w:
+                raise ValueError("RLE8 absolute run overruns the frame")
+            if i + b > len(data):
+                raise ValueError("truncated RLE8 absolute run")
+            canvas[h - 1 - y, x : x + b] = np.frombuffer(
+                data[i : i + b], np.uint8
+            )
+            x += b
+            i += b + (b % 2)
+
+
+def encode_avi_rle8(frames: list, fps: int = 25) -> bytes:
+    """List of full (h, w) uint8 gray canvases -> BI_RLE8 AVI bytes:
+    frame 0 a keyframe, every later frame a DELTA frame carrying only
+    the changed runs (cursor skips via EOL/delta escapes). Grayscale
+    identity palette in strf; the keyframe alone gets AVIIF_KEYFRAME
+    in idx1."""
+    if not frames:
+        raise ValueError("RLE8 AVI needs at least one frame")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
+    shape = frames[0].shape
+    if any(f.shape != shape or f.ndim != 2 for f in frames):
+        raise ValueError("all frames must be 8-bit gray with one shape")
+    h, w = shape
+    payloads = []
+    prev = None
+    for f in frames:
+        f = np.asarray(f, dtype=np.uint8)
+        payloads.append(_rle8_frame(prev, f))
+        prev = f
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1,
+        max(len(p) for p in payloads), w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"MRLE"
+        + struct.pack(
+            "<IHHIIIIIIIIhhhh",
+            0, 0, 0, 0, 1, fps, 0, len(frames),
+            max(len(p) for p in payloads), 0, 0, 0, 0, w, h,
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 8, 1,  # biCompression = 1 = BI_RLE8
+        sum(len(p) for p in payloads) // len(payloads), 0, 0, 256, 0,
+    ) + b"".join(bytes([i, i, i, 0]) for i in range(256))  # gray RGBQUADs
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_body = bytearray(b"movi")
+    offsets = []
+    for p in payloads:
+        offsets.append(len(movi_body))
+        movi_body += _chunk(b"00dc", p)
+    movi = _chunk(b"LIST", bytes(movi_body))
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", 0x10 if i == 0 else 0, off, len(p))
+        for i, (off, p) in enumerate(zip(offsets, payloads))
+    )
+    body = b"AVI " + hdrl + movi + _chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_rle8(payload: bytes) -> tuple[int, list[np.ndarray]]:
+    """BI_RLE8 AVI bytes -> (fps, composited (h, w) uint8 canvases).
+
+    The INTER-FRAME half lives here: one persistent canvas is carried
+    across frames, and each RLE8 payload only overwrites what it
+    encodes — delta frames leave every skipped pixel at the previous
+    frame's value. Strict walk: RIFF framing, avih/strh/strf
+    consistency (MRLE handler, 8-bit BI_RLE8, gray identity palette),
+    idx1 offsets/sizes verified and the keyframe flag pinned to frame
+    0 only."""
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF file")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 > len(payload):
+        raise ValueError(
+            f"RIFF size {riff_size} overruns payload of {len(payload)}"
+        )
+    if payload[8:12] != b"AVI ":
+        raise ValueError(f"not an AVI form: {payload[8:12]!r}")
+
+    avih = strh = strf = None
+    raw_frames: list[bytes] = []
+    frame_meta: list[tuple[int, int]] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal avih, strh, strf
+        off = start
+        while off + 8 <= end:
+            ckid = payload[off : off + 4]
+            (csize,) = struct.unpack_from("<I", payload, off + 4)
+            body_start = off + 8
+            if body_start + csize > end:
+                raise ValueError(f"chunk {ckid!r} overruns its parent list")
+            if ckid == b"LIST":
+                form = payload[body_start : body_start + 4]
+                if form == b"movi":
+                    movi_walk(body_start, body_start + csize)
+                else:
+                    walk(body_start + 4, body_start + csize)
+            elif ckid == b"avih":
+                avih = payload[body_start : body_start + csize]
+            elif ckid == b"strh":
+                strh = payload[body_start : body_start + csize]
+            elif ckid == b"strf":
+                strf = payload[body_start : body_start + csize]
+            elif ckid == b"idx1":
+                check_idx1(payload[body_start : body_start + csize])
+            off = body_start + csize + (csize % 2)
+
+    def movi_walk(start: int, end: int) -> None:
+        off = start + 4
+        while off + 8 <= end:
+            ckid = payload[off : off + 4]
+            (csize,) = struct.unpack_from("<I", payload, off + 4)
+            if off + 8 + csize > end:
+                raise ValueError("movi frame chunk overruns the list")
+            if ckid == b"00dc":
+                frame_meta.append((off - start, csize))
+                raw_frames.append(payload[off + 8 : off + 8 + csize])
+            off += 8 + csize + (csize % 2)
+
+    def check_idx1(body: bytes) -> None:
+        if len(body) % 16:
+            raise ValueError(f"idx1 size {len(body)} not a multiple of 16")
+        n = len(body) // 16
+        if n != len(frame_meta):
+            raise ValueError(
+                f"idx1 has {n} entries for {len(frame_meta)} frames"
+            )
+        for i in range(n):
+            ckid = body[16 * i : 16 * i + 4]
+            flags, ioff, isize = struct.unpack_from("<III", body, 16 * i + 4)
+            if ckid != b"00dc":
+                raise ValueError(f"idx1 entry {i} ckid {ckid!r}")
+            if (ioff, isize) != frame_meta[i]:
+                raise ValueError(
+                    f"idx1 entry {i} ({ioff}, {isize}) != actual"
+                    f" {frame_meta[i]}"
+                )
+            want = 0x10 if i == 0 else 0
+            if flags != want:
+                raise ValueError(
+                    f"idx1 entry {i} flags {flags:#x}: only the keyframe"
+                    " carries AVIIF_KEYFRAME"
+                )
+
+    walk(12, 8 + riff_size)
+    if avih is None or strh is None or strf is None:
+        raise ValueError("AVI missing avih/strh/strf headers")
+    fields = struct.unpack_from("<IIIIIIIIII", avih, 0)
+    total_frames, streams, aw, ah = fields[4], fields[6], fields[8], fields[9]
+    if streams != 1:
+        raise ValueError(f"expected 1 stream, header says {streams}")
+    if total_frames != len(raw_frames):
+        raise ValueError(
+            f"avih says {total_frames} frames, movi carries"
+            f" {len(raw_frames)}"
+        )
+    if strh[:4] != b"vids" or strh[4:8] != b"MRLE":
+        raise ValueError(
+            f"unsupported stream {strh[:4]!r}/{strh[4:8]!r} (want vids/MRLE)"
+        )
+    scale, rate = struct.unpack_from("<II", strh, 20)
+    if scale == 0 or rate % scale:
+        raise ValueError(f"non-integer fps rate/scale {rate}/{scale}")
+    fps = rate // scale
+    size, bw, bh, planes, bpp, comp = struct.unpack_from("<IiiHHI", strf, 0)
+    if (bw, abs(bh)) != (aw, ah):
+        raise ValueError("strf dimensions contradict avih")
+    if bpp != 8 or comp != 1:
+        raise ValueError(
+            f"expected 8-bit BI_RLE8 (got {bpp}-bit compression {comp})"
+        )
+    pal = strf[40 : 40 + 1024]
+    if len(pal) != 1024 or any(
+        pal[4 * i : 4 * i + 4] != bytes([i, i, i, 0]) for i in range(256)
+    ):
+        raise ValueError("RLE8 decoder expects the gray identity palette")
+    canvas = np.zeros((ah, aw), dtype=np.uint8)
+    out = []
+    for raw in raw_frames:
+        _rle8_apply(canvas, raw)
+        out.append(canvas.copy())
+    return fps, out

@@ -177,12 +177,15 @@ def q_mm_frame_sample(spark, sf_dir):
 
 def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
     """Placeholder for the remaining natively-coded formats
-    (INTER-FRAME video codecs — H.264/VP9/AV1 — ffmpeg/libav are not
-    installed here). Video itself is no longer fully stubbed: round 11
-    added a real Motion-JPEG AVI path (kernels/video.py — RIFF
-    container walk + per-frame T.81 decode, exercised end-to-end by
-    ``q_mm_video_decode_stats``), which covers the one mainstream
-    video codec that is pure-Python decodable.
+    (motion-compensated DCT video codecs — H.264/VP9/AV1 — ffmpeg/
+    libav are not installed here). Video is no longer fully stubbed:
+    round 11 added a real Motion-JPEG AVI path (kernels/video.py —
+    RIFF container walk + per-frame T.81 decode, exercised end-to-end
+    by ``q_mm_video_decode_stats``), and round 12 added the
+    INTER-FRAME half via BI_RLE8 AVI (delta frames whose skipped
+    pixels persist from the previous frame, ``q_mm_video_delta_stats``)
+    — temporal prediction through a publicly-specified format, leaving
+    only motion compensation + transform coding behind this stub.
 
     Formats decodable in pure Python are NOT stubbed: kernels/image.py
     implements real PPM (P6), 24-bit BMP, PNG (stdlib zlib inflate +
@@ -198,9 +201,10 @@ def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
     mapInPandas plumbing is unchanged by that swap.
     """
     raise NotImplementedError(
-        "inter-frame video codecs (H.264/VP9/AV1) are not available in"
-        " this environment; see kernels/video.py for the pure-Python"
-        " Motion-JPEG AVI path and kernels/image.py for"
+        "motion-compensated DCT video codecs (H.264/VP9/AV1) are not"
+        " available in this environment; see kernels/video.py for the"
+        " pure-Python Motion-JPEG and inter-frame RLE8 AVI paths and"
+        " kernels/image.py for"
         " PPM/BMP/PNG (incl. Adam7)/QOI/GIF/TGA and JPEG (baseline"
         " incl. 4:2:0/4:2:2, plus progressive)"
     )
@@ -1845,6 +1849,149 @@ def q_mm_video_decode_stats(spark, sf_dir):
         video_stats,
         "doc_id long, fps long, n_frames long, width long, height long,"
         " sum_px long, video_sha string",
+    )
+
+
+# --- INTER-FRAME video decode: BI_RLE8 delta frames in AVI -------------------
+
+
+@register(
+    "q_mm_video_delta_stats",
+    # per-FRAME oracle, same splicing contract as q_mm_gif_anim_stats
+    # but through the AVI/RLE8 TEMPORAL-prediction path: frame 0 is a
+    # keyframe, frames 1-2 are DELTA frames carrying only the changed
+    # runs — every skipped pixel must persist from the previous frame,
+    # so the oracle's composite is progressive pasting (no background
+    # restore: RLE8 has no disposal). A cursor-escape slip (EOL, delta
+    # dx/dy, absolute-mode word pad) desynchronizes the canvas and
+    # flips that frame's sum_px/px_sha.
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS BIGINT) AS w,
+             CAST({GIF_H} AS BIGINT) AS h,
+             repeat(text, CAST(CEIL(61.0 / LENGTH(text)) AS BIGINT)) AS rep
+      FROM documents
+    ),
+    geom AS (
+      SELECT *,
+             substr(rep, 1, CAST(w * h AS INT)) AS c0,
+             (doc_id * 7) % (w - 1) AS l1, (doc_id * 3) % ({GIF_H} - 1) AS t1,
+             (doc_id * 5) % (w - 2) AS l2, doc_id % ({GIF_H} - 1) AS t2,
+             substr(rep, CAST(doc_id % 9 AS INT) + 1, 4) AS pa,
+             substr(rep, CAST(doc_id % 15 AS INT) + 1, 6) AS pb
+      FROM img
+    ),
+    f1 AS (
+      SELECT *, array_to_string(LIST_TRANSFORM(RANGE(0, h), r ->
+        CASE WHEN r >= t1 AND r < t1 + 2 THEN
+          substr(c0, CAST(r * w AS INT) + 1, CAST(l1 AS INT))
+          || substr(pa, CAST((r - t1) * 2 AS INT) + 1, 2)
+          || substr(c0, CAST(r * w + l1 + 2 AS INT) + 1,
+                    CAST(w - l1 - 2 AS INT))
+        ELSE substr(c0, CAST(r * w AS INT) + 1, CAST(w AS INT)) END), '')
+        AS c1
+      FROM geom
+    ),
+    f2 AS (
+      SELECT *, array_to_string(LIST_TRANSFORM(RANGE(0, h), r ->
+        CASE WHEN r >= t2 AND r < t2 + 2 THEN
+          substr(c1, CAST(r * w AS INT) + 1, CAST(l2 AS INT))
+          || substr(pb, CAST((r - t2) * 3 AS INT) + 1, 3)
+          || substr(c1, CAST(r * w + l2 + 3 AS INT) + 1,
+                    CAST(w - l2 - 3 AS INT))
+        ELSE substr(c1, CAST(r * w AS INT) + 1, CAST(w AS INT)) END), '')
+        AS c2
+      FROM f1
+    ),
+    frames AS (
+      SELECT doc_id, w, h, u.fi AS frame_idx,
+             CASE u.fi WHEN 0 THEN c0 WHEN 1 THEN c1 ELSE c2 END AS px
+      FROM f2, UNNEST([0, 1, 2]) AS u(fi)
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           w AS width, h AS height,
+           CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, w * h),
+             i -> ASCII(substr(px, CAST(i + 1 AS INT), 1)))) AS BIGINT)
+             AS sum_px,
+           substr(sha256(px), 1, 16) AS px_sha
+    FROM frames
+    """,
+)
+def q_mm_video_delta_stats(spark, sf_dir):
+    """INTER-FRAME video decode end-to-end (BI_RLE8 in AVI — the one
+    publicly-specified video coding with temporal prediction that
+    needs no native library): per document a 3-frame sequence over the
+    w x {GIF_H} text canvas — keyframe, then two frames differing only
+    in a pasted sub-rectangle — is encoded by kernels/video.py's RLE8
+    writer (frame 0 full coverage; frames 1-2 DELTA frames that encode
+    ONLY the changed runs, skipping everything else via EOL/delta
+    cursor escapes) and decoded back by the strict AVI walker, which
+    carries ONE persistent canvas across frames: a skipped pixel's
+    value comes from the previous frame, which is precisely what
+    "inter-frame" means. Emits one row per frame (composited sum +
+    sha); the oracle rebuilds each canvas by string splicing. The
+    in-kernel keyframe/delta split is pinned structurally: idx1 must
+    flag exactly frame 0 as the keyframe. One Arrow-batched
+    mapInPandas pass, per-partition, no shuffle."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.video import decode_avi_rle8, encode_avi_rle8
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def delta_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height", "sum_px", "px_sha",
+            )}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if not text or not text.isascii():
+                    raise ValueError(
+                        f"q_mm_video_delta_stats: doc {doc_id} has empty or"
+                        " non-ASCII text; the synthesized-pixel contract"
+                        " requires non-empty ASCII"
+                    )
+                w, h = 4 + doc_id % 5, GIF_H
+                rep = (text * -(-61 // len(text))).encode("utf-8")
+                c0 = np.frombuffer(rep[: w * h], np.uint8).reshape(h, w).copy()
+                l1, t1 = (doc_id * 7) % (w - 1), (doc_id * 3) % (GIF_H - 1)
+                l2, t2 = (doc_id * 5) % (w - 2), doc_id % (GIF_H - 1)
+                o1, o2 = doc_id % 9, doc_id % 15
+                c1 = c0.copy()
+                c1[t1 : t1 + 2, l1 : l1 + 2] = np.frombuffer(
+                    rep[o1 : o1 + 4], np.uint8
+                ).reshape(2, 2)
+                c2 = c1.copy()
+                c2[t2 : t2 + 2, l2 : l2 + 3] = np.frombuffer(
+                    rep[o2 : o2 + 6], np.uint8
+                ).reshape(2, 3)
+                fps, frames = decode_avi_rle8(
+                    encode_avi_rle8([c0, c1, c2], fps=10)
+                )
+                assert fps == 10 and len(frames) == 3, doc_id
+                for fi, canvas in enumerate(frames):
+                    flat = canvas.tobytes()
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_px"].append(
+                        int(np.frombuffer(flat, np.uint8).sum(dtype=np.int64))
+                    )
+                    out["px_sha"].append(
+                        _hashlib.sha256(flat).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        delta_stats,
+        "doc_id long, frame_idx long, width long, height long,"
+        " sum_px long, px_sha string",
     )
 
 
