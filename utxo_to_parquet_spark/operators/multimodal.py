@@ -2037,10 +2037,12 @@ def q_mm_audio_autocorr(spark, sf_dir):
     periodicity/pitch feature an audio curation pipeline computes
     before filtering, and (unlike the moment gates) ORDER-SENSITIVE:
     any sample permutation the chunk walker could introduce leaves the
-    sums intact but flips every lag >= 1. The waveform rides the
-    RIFF/WAVE round trip (encode -> chunk-walk decode) before the
-    feature is computed, so the feature sits downstream of the real
-    codec exactly as a production extractor would.
+    sums intact but flips every lag >= 1. The waveform rides a LOSSLESS
+    container round trip before the feature is computed — RIFF/WAVE for
+    even docs, FLAC (round 12: Rice-coded frames, kernels/flac.py) for
+    odd docs — so the feature sits downstream of both real codec paths
+    exactly as a production extractor would; the recipe oracle is
+    container-independent because both are lossless.
 
     All integer (PCM16 products summed in int64 — n < 64k samples can't
     overflow), one Arrow-batched mapInPandas pass, no shuffle; the
@@ -2048,6 +2050,7 @@ def q_mm_audio_autocorr(spark, sf_dir):
     import pandas as pd
 
     from ..kernels.audio import decode_wav, encode_wav
+    from ..kernels.flac import decode_flac, encode_flac
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
 
@@ -2061,7 +2064,14 @@ def q_mm_audio_autocorr(spark, sf_dir):
                 n = WAV_BASE_N + doc_id % 17
                 j = np.arange(n, dtype=np.int64)
                 xs = (doc_id * WAV_MIX_A + j * WAV_MIX_B) % 65536 - 32768
-                _, _, dec = decode_wav(encode_wav(xs.astype(np.int16), 8000))
+                if doc_id % 2:
+                    _, _, dec = decode_flac(
+                        encode_flac(xs.astype(np.int16), 8000, block_size=16)
+                    )
+                else:
+                    _, _, dec = decode_wav(
+                        encode_wav(xs.astype(np.int16), 8000)
+                    )
                 x = dec.astype(np.int64).reshape(-1)
                 assert x.shape[0] == n, doc_id
                 for k in range(AC_MAX_LAG + 1):
