@@ -797,7 +797,8 @@ def test_graph_search_recall_floor(spark):
     bf = {(r.q_id, r.c_id) for r in q_sim_cosine_topk(spark, sf).collect()}
     gs = {(r.q_id, r.c_id) for r in q_sim_graph_search_topk(spark, sf).collect()}
     recall = len(bf & gs) / len(bf)
-    assert recall >= 0.75, recall  # measured 0.83 on the fixture
+    # measured 0.94 with the round-12 hierarchical search (0.83 before)
+    assert recall >= 0.85, recall
     # the search never reports a vector as its own neighbor
     assert all(q != c for q, c in gs)
 

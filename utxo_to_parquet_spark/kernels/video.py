@@ -248,10 +248,11 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, list[np.ndarray]]:
 # (00 n>=3, word-padded) for non-repeating stretches.
 
 
-def _rle8_encode_rows(rows_changed, prev, cur, w) -> bytes:
+def _rle8_encode_rows(rows_changed, cur) -> bytes:
     """RLE8-encode one frame given per-row change masks. ``rows_changed``
-    iterates (y_from_bottom, [(x0, x1), ...]) with runs ascending; the
-    cursor only ever moves right/up, via EOL and DELTA escapes."""
+    iterates (y_from_bottom, [(x0, x1), ...]) with runs ascending over
+    the bottom-up raster ``cur``; the cursor only ever moves right/up,
+    via EOL and DELTA escapes."""
     out = bytearray()
     cx = cy = 0
 
@@ -316,8 +317,7 @@ def _rle8_encode_rows(rows_changed, prev, cur, w) -> bytes:
     for y, segs in rows_changed:
         for x0, x1 in segs:
             move_to(x0, y)
-            emit_segment(cur[y, x0:x1].tolist() if hasattr(cur, "shape")
-                         else cur[y][x0:x1])
+            emit_segment(cur[y, x0:x1].tolist())
     out.extend(b"\x00\x01")  # end of bitmap
     return bytes(out)
 
@@ -349,7 +349,7 @@ def _rle8_frame(prev: "np.ndarray | None", cur: np.ndarray) -> bytes:
                     s = p = x
             segs.append((s, p + 1))
             rows.append((y, segs))
-    return _rle8_encode_rows(rows, prev, flip, w)
+    return _rle8_encode_rows(rows, flip)
 
 
 def _rle8_apply(canvas: np.ndarray, data: bytes) -> None:

@@ -5768,14 +5768,15 @@ def q_text_unigram_soft_em(spark, sf_dir):
     are then ratios of plain path-weight sums: forward f[i] (weight of
     prefix segmentations) and backward g[j] fold per word inside ONE
     JVM ``aggregate`` each, num(occurrence) = f[start] * w8 * g[rest],
-    den = f[L] (== g[L], asserted by a test), floored to e6 per
+    den = f[L] (equal to the backward total by symmetry; the
+    brute-force path-enumeration test pins den through the e6
+    ratios), floored to e6 per
     (word, token) and summed with word frequencies — BIGINT throughout
     (L is capped at {UNISOFT_MAXLEN}: den <= 2^(4L-1), so num * 1e6
     stays under 2^63; the fixture's words are all shorter). The oracle
     replays the identical recursions as recursive CTEs. Vocab-bounded
     relations only; the corpus is never re-touched."""
-    _, scored, _ = _unigram_train_cached(spark, sf_dir)
-    wf, _, _ = _unigram_train_cached(spark, sf_dir)
+    wf, scored, _ = _unigram_train_cached(spark, sf_dir)
     mx = scored.agg(F.max("score_e6").alias("__mx"))
     w8 = scored.crossJoin(F.broadcast(mx)).select(
         F.col("tok").alias("sub"),
