@@ -275,6 +275,7 @@ HEADLINE = [
     "q_mm_gif_anim_stats",
     "q_text_unigram_soft_em",
     "q_mm_video_delta_stats",
+    "q_sim_hard_triplets",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline
@@ -423,7 +424,12 @@ def main():
         "utxo_point_lookup_parquet": [round(t, 3) for t in trials],
     }
 
+    # per-query 1-min load at start: the suite runs single-shot, so a
+    # noisy-host cell is attributable within the record (the r12 pair
+    # of runs differed 325 vs 408 s on identical code purely by load)
+    query_load1: dict[str, float] = {}
     for name in HEADLINE:
+        query_load1[name] = round(_load1(), 2)
         t0 = time.time()
         rows = qs[name](spark, sf_dir).collect()
         times[name] = round(time.time() - t0, 3)
@@ -451,6 +457,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "query_load1": query_load1,
         "sf": sf,
         "utxo_convert_rows_per_sec": int(UTXO_BENCH_ROWS / dt),
         # per-trial spread for the two headline rows: a real regression

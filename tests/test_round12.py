@@ -513,3 +513,67 @@ def test_rle8_validation():
         decode_avi_rle8(bytes(buf))
     with pytest.raises(ValueError, match="at least one frame"):
         encode_avi_rle8([])
+
+# --- property round trips (hypothesis) ----------------------------------------
+
+
+def test_flac_roundtrip_property():
+    """decode(encode(x)) == x for arbitrary int16 streams, any channel
+    count 1-3, block sizes that do and don't divide the length."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from utxo_to_parquet_spark.kernels.flac import decode_flac, encode_flac
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=1, max_size=300),
+        st.integers(1, 3),
+        st.sampled_from([16, 17, 64]),
+    )
+    def check(vals, ch, bs):
+        if len(vals) < ch:
+            vals = vals * ch
+        n = len(vals) // ch
+        x = np.array(vals[: n * ch], dtype=np.int64).reshape(n, ch)
+        _, dch, out = decode_flac(encode_flac(x, 8000, block_size=bs))
+        assert dch == ch
+        assert (out == x).all()
+
+    check()
+
+
+def test_rle8_roundtrip_property():
+    """Composited RLE8 AVI frames reproduce every input frame exactly
+    for arbitrary frame sequences (keyframe + deltas)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from utxo_to_parquet_spark.kernels.video import (
+        decode_avi_rle8,
+        encode_avi_rle8,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def check(data):
+        h = data.draw(st.integers(1, 8))
+        w = data.draw(st.integers(1, 12))
+        n = data.draw(st.integers(1, 4))
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+        frames = [rng.integers(0, 256, size=(h, w)).astype(np.uint8)]
+        for _ in range(n - 1):
+            f = frames[-1].copy()
+            if data.draw(st.booleans()):  # mutate a random rect
+                y0 = data.draw(st.integers(0, h - 1))
+                x0 = data.draw(st.integers(0, w - 1))
+                f[y0:, x0:] = rng.integers(
+                    0, 256, size=f[y0:, x0:].shape
+                ).astype(np.uint8)
+            frames.append(f)
+        _, out = decode_avi_rle8(encode_avi_rle8(frames, fps=5))
+        assert len(out) == len(frames)
+        for a, b in zip(out, frames):
+            assert (a == b).all()
+
+    check()

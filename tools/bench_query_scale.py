@@ -348,6 +348,7 @@ OPS = {
     "q_mm_gif_anim_stats": "documents",
     "q_text_unigram_soft_em": "documents",
     "q_mm_video_delta_stats": "documents",
+    "q_sim_hard_triplets": "embeddings",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

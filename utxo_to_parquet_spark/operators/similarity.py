@@ -156,6 +156,124 @@ def q_sim_cosine_topk(spark, sf_dir):
 
 
 @register(
+    "q_sim_hard_triplets",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS q_label,
+                      embedding::DOUBLE[] AS qe
+               FROM embeddings
+               WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID}),
+    c AS (SELECT vec_id AS c_id, CAST(label AS BIGINT) AS c_label,
+                 embedding::DOUBLE[] AS ce FROM embeddings),
+    sims AS (
+      SELECT q_id, q_label, c_id, c_label,
+             ROUND(LIST_DOT_PRODUCT(qe, ce)
+                   / (SQRT(LIST_DOT_PRODUCT(qe, qe))
+                      * SQRT(LIST_DOT_PRODUCT(ce, ce))), 6) AS cosine
+      FROM q JOIN c ON q_id <> c_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, q_label = c_label
+                                   ORDER BY cosine DESC, c_id) AS rn
+      FROM sims
+    ),
+    agg AS (
+      SELECT q_id, q_label,
+             MAX(CASE WHEN q_label = c_label THEN c_id END) AS pos_id,
+             MAX(CASE WHEN q_label = c_label THEN cosine END) AS pos_cos,
+             MAX(CASE WHEN q_label <> c_label THEN c_id END) AS neg_id,
+             MAX(CASE WHEN q_label <> c_label THEN cosine END) AS neg_cos
+      FROM ranked WHERE rn = 1 GROUP BY 1, 2
+    )
+    SELECT q_id, q_label, pos_id, pos_cos, neg_id, neg_cos,
+           CAST(FLOOR(pos_cos * 1e6 + 0.5) AS BIGINT)
+           - CAST(FLOOR(neg_cos * 1e6 + 0.5) AS BIGINT) AS margin_e6
+    FROM agg WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+    """,
+)
+def q_sim_hard_triplets(spark, sf_dir):
+    """HARD-TRIPLET MINING for contrastive embedding training (the
+    FaceNet/DPR data-prep step: Schroff et al. 2015 pick hard
+    positives/negatives by similarity; Karpukhin et al. 2020 mine hard
+    negatives with a retriever): per anchor (the standard query set),
+    the HARDEST POSITIVE (most-similar same-label vector) and the
+    HARDEST NEGATIVE (most-similar different-label vector), plus the
+    e6 margin between them — anchors with margin <= 0 are the ones a
+    triplet-loss trainer upweights, and on this fixture the labels
+    carry no geometry so most margins hover near zero (the honest
+    diagnostic: a near-zero margin distribution means your labels are
+    not yet an embedding-separable signal).
+
+    Scale shape: identical to q_sim_cosine_topk — the anchor side is a
+    CONSTANT <= Q_CAP matrix shipped in the task closure, one numpy
+    pass over the corpus, then per-anchor windows on the snapped score
+    over a Q_CAP-bounded relation. The production swap-in for the
+    scan is any of the library's ANN paths (IVF / LSH / graph search);
+    the mining logic downstream is unchanged."""
+    emb = load(spark, sf_dir, "embeddings")
+    q_pd = (
+        _query_vectors(emb).select("vec_id", "embedding", "label").toPandas()
+    )
+    Q = _to_matrix(q_pd["embedding"])
+    q_ids = q_pd["vec_id"].to_numpy()
+    q_labels = q_pd["label"].to_numpy().astype(np.int64)
+    _, q_sq = lr_matmul(Q, Q[:0])
+    q_norm = np.sqrt(q_sq)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _to_matrix(pdf["embedding"])
+            c_ids = pdf["vec_id"].to_numpy()
+            c_labels = pdf["label"].to_numpy().astype(np.int64)
+            dots, c_sq = lr_matmul(C, Q)
+            cos = dots / (q_norm[None, :] * np.sqrt(c_sq)[:, None])
+            n_c, n_q = cos.shape
+            out = pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n_c),
+                    "q_label": np.tile(q_labels, n_c),
+                    "c_id": np.repeat(c_ids, n_q),
+                    "c_label": np.repeat(c_labels, n_q),
+                    "cosine": cos.ravel(),
+                }
+            )
+            yield out[out.q_id != out.c_id]
+
+    sims = (
+        emb.select("vec_id", "embedding", "label")
+        .mapInPandas(
+            score,
+            "q_id long, q_label long, c_id long, c_label long,"
+            " cosine double",
+        )
+        .select(
+            "q_id", "q_label", "c_id", "c_label",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+    same = F.col("q_label") == F.col("c_label")
+    wnd = W.partitionBy("q_id", same).orderBy(F.desc("cosine"), "c_id")
+    picked = (
+        sims.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") == 1)
+    )
+    e6 = lambda c: F.floor(F.col(c) * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    agg = picked.groupBy("q_id", "q_label").agg(
+        F.max(F.when(same, F.col("c_id"))).alias("pos_id"),
+        F.max(F.when(same, F.col("cosine"))).alias("pos_cos"),
+        F.max(F.when(~same, F.col("c_id"))).alias("neg_id"),
+        F.max(F.when(~same, F.col("cosine"))).alias("neg_cos"),
+    )
+    return agg.filter(
+        F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull()
+    ).select(
+        "q_id", "q_label", "pos_id", "pos_cos", "neg_id", "neg_cos",
+        (e6("pos_cos") - e6("neg_cos")).alias("margin_e6"),
+    )
+
+
+@register(
     "q_sim_norms",
     oracle="""
     SELECT vec_id,
