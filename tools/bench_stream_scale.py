@@ -33,7 +33,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OUT = sys.argv[1] if len(sys.argv) > 1 else "BENCH_stream_scale.json"
+_POS = [a for a in sys.argv[1:] if not a.startswith("--")]
+OUT = _POS[0] if _POS else "BENCH_stream_scale.json"
+# --ops a,b,c: time only the named streams and MERGE their cells into
+# the existing artifact (the bench_query_scale.py --ops discipline)
+OPS_FILTER: set[str] = set()
+for _a in sys.argv[1:]:
+    if _a.startswith("--ops="):
+        OPS_FILTER = set(_a[len("--ops="):].split(","))
 
 OPS = {
     # op -> (streamed table, streamed-row filter factor description)
@@ -60,6 +67,11 @@ OPS = {
     # stay equal to the batch trainer at every scale (the op itself
     # recomputes matches_batch, so a drift would flip out_rows' flags)
     "q_stream_nb_counts": "documents",
+    # round 12: tokenizer-trainer input maintenance — per-commit summary
+    # is the batch's own (word, count) table; the seed vocab re-derived
+    # from the merged counts must equal the batch trainer's exactly (the
+    # op recomputes matches_batch per token)
+    "q_stream_unigram_counts": "documents",
 }
 
 
@@ -84,14 +96,20 @@ def main() -> None:
     build_copies(max(SCALES))
     dirs = {k: build_scale_dir(k) for k in SCALES}
 
+    unknown = OPS_FILTER - OPS.keys()
+    if unknown:
+        sys.exit(f"--ops names not in OPS: {sorted(unknown)}")
+    picked = {k: v for k, v in OPS.items()
+              if not OPS_FILTER or k in OPS_FILTER}
+
     spark = get_spark("bench_stream_scale")
     qs = all_queries()
     # warm python workers / stream machinery once
-    for name in OPS:
+    for name in picked:
         qs[name](spark, dirs[1]).collect()
 
     result: dict[str, dict] = {}
-    for name, table in OPS.items():
+    for name, table in picked.items():
         cells = {}
         for k in SCALES:
             in_rows = pq.ParquetFile(
@@ -132,11 +150,16 @@ def main() -> None:
             ),
         }
 
-    line = {
-        "metric": "stream_weak_scaling",
-        "scales": SCALES,
-        "ops": result,
-    }
+    if OPS_FILTER and os.path.exists(OUT):
+        with open(OUT) as f:
+            line = json.loads(f.read())
+        line["ops"].update(result)
+    else:
+        line = {
+            "metric": "stream_weak_scaling",
+            "scales": SCALES,
+            "ops": result,
+        }
     with open(OUT, "w") as f:
         f.write(json.dumps(line) + "\n")
     print(json.dumps(line), flush=True)

@@ -5387,24 +5387,11 @@ _UNIGRAM_CACHE: dict = {}
 # _bpe_train_cached and the suffix-array ladder.
 
 
-def _unigram_train_cached(spark, sf_dir):
-    """Returns (wf, scored, fin): word frequencies, the scored seed
-    vocab (tok, freq, score_e6, wt), and the per-word Viterbi relation
-    (word, cands, best, dpv, k, s). All vocab-bounded; fin's DP is one
-    JVM ``aggregate`` expression per word — no Python, no iteration."""
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _UNIGRAM_CACHE.get(cache_key)
-    if hit is not None:
-        return hit
-
-    docs = load(spark, sf_dir, "documents")
-    wf = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .localCheckpoint(eager=True)
-    )
+def _scored_vocab_from_wf(wf):
+    """Seed vocab + e6 scores from a (word, freq) relation — the
+    trainer's vocab stage, callable on BATCH word counts or on the
+    streaming twin's merged per-commit counts (word frequencies are an
+    additive monoid, so the two inputs must be identical)."""
     subs = (
         f"flatten(transform(sequence(1, length(word)), s -> "
         f"transform(sequence(s, least(s + {UNI_MAXSUB - 1}, length(word))),"
@@ -5431,7 +5418,7 @@ def _unigram_train_cached(spark, sf_dir):
         .alias("__logt_e6")
     )
     score = F.floor(F.log("freq") * 1e6 + F.lit(0.5)).cast("long")
-    scored = (
+    return (
         vocab.crossJoin(F.broadcast(t_row))
         .select(
             "tok",
@@ -5441,6 +5428,27 @@ def _unigram_train_cached(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
+
+
+def _unigram_train_cached(spark, sf_dir):
+    """Returns (wf, scored, fin): word frequencies, the scored seed
+    vocab (tok, freq, score_e6, wt), and the per-word Viterbi relation
+    (word, cands, best, dpv, k, s). All vocab-bounded; fin's DP is one
+    JVM ``aggregate`` expression per word — no Python, no iteration."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _UNIGRAM_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+
+    docs = load(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    scored = _scored_vocab_from_wf(wf)
     tri = wf.select(
         "word",
         F.explode(

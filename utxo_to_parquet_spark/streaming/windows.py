@@ -1711,3 +1711,91 @@ def q_stream_nb_counts(spark, sf_dir):
             ).alias("matches_batch"),
         )
     )
+
+
+# --- streaming tokenizer-trainer input maintenance ---------------------------
+
+
+def _unigram_stream_oracle() -> str:
+    from ..operators.text import _unigram_chain_sql
+
+    return f"""
+    WITH {_unigram_chain_sql()}
+    SELECT tok AS token, freq, score_e6,
+           TRUE AS multi_commit, TRUE AS matches_batch
+    FROM uscored
+    """
+
+
+@register("q_stream_unigram_counts", oracle=_unigram_stream_oracle())
+def q_stream_unigram_counts(spark, sf_dir):
+    """STREAMING TOKENIZER REFRESH — the online half of the unigram
+    trainer family: per micro-batch, each arriving document chunk
+    contributes its (word, count) cells to an append-only sink (state
+    per commit is the batch's own vocabulary, never the corpus), and
+    the live word-frequency relation is just ``SUM`` per word because
+    counts are ADDITIVE — the same mergeable-monoid argument as the
+    Count-Min/HLL/NB maintenance twins, here feeding a TRAINER. After
+    the replay, the seed vocab re-derived from the merged counts
+    (``_scored_vocab_from_wf``, the literal batch vocab stage) must
+    equal the batch trainer's scored vocab token-for-token — freq AND
+    e6 log-prob score (``matches_batch`` is a REAL comparison, not
+    asserted), with ``multi_commit`` pinning >= {NB_REPLAY_BATCHES - 1}
+    commits. This is the production shape for keeping a tokenizer
+    current while the crawl streams in: no corpus re-scan, one additive
+    merge per commit, vocab re-derivation touches only the vocab-
+    bounded word table."""
+    import shutil
+
+    from ..operators.text import _scored_vocab_from_wf, _unigram_train_cached
+
+    sdf = _documents_chunked_stream(spark, sf_dir)
+    key = sf_dir + "#unigram"
+    if key not in _NB_SINK_DIRS:
+        _NB_SINK_DIRS[key] = _tmpdir("unigram_sink_")
+    sink = _NB_SINK_DIRS[key] + "/counts"
+    shutil.rmtree(sink, ignore_errors=True)
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.select(F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    with _stream_partitions(spark):
+        q = sdf.writeStream.outputMode("append").foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+            _capture_stream_plan(q)
+        finally:
+            q.stop()
+
+    cells = spark.read.parquet(sink)
+    n_commits = cells.select("batch_id").distinct().count()
+    merged = (
+        cells.groupBy("word")
+        .agg(F.sum("n").cast("long").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    live = _scored_vocab_from_wf(merged).select(
+        F.col("tok").alias("token"), "freq", "score_e6"
+    )
+    _, batch_scored, _ = _unigram_train_cached(spark, sf_dir)
+    ref = batch_scored.select(
+        F.col("tok").alias("token"),
+        F.col("freq").alias("ref_freq"),
+        F.col("score_e6").alias("ref_score"),
+    )
+    return live.join(ref, "token", "full_outer").select(
+        "token", "freq", "score_e6",
+        F.lit(n_commits >= NB_REPLAY_BATCHES - 1).alias("multi_commit"),
+        (
+            (F.col("freq") == F.col("ref_freq"))
+            & (F.col("score_e6") == F.col("ref_score"))
+        ).alias("matches_batch"),
+    )
