@@ -276,6 +276,7 @@ HEADLINE = [
     "q_text_unigram_soft_em",
     "q_mm_video_delta_stats",
     "q_sim_hard_triplets",
+    "q_quality_luhn_audit",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

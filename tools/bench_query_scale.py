@@ -349,6 +349,7 @@ OPS = {
     "q_text_unigram_soft_em": "documents",
     "q_mm_video_delta_stats": "documents",
     "q_sim_hard_triplets": "embeddings",
+    "q_quality_luhn_audit": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

@@ -2045,6 +2045,8 @@ def encode_gif_anim(
     for i in range(256):
         out += bytes([i, i, i])
     if loop is not None:
+        if not 0 <= loop <= 0xFFFF:
+            raise ValueError(f"loop count must fit 16 bits, got {loop}")
         out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
         out += loop.to_bytes(2, "little") + b"\x00"
     for left, top, patch, disposal, delay_cs, transparent in frames:

@@ -2059,6 +2059,144 @@ def q_text_countmin(spark, sf_dir):
     )
 
 
+_LUHN_DD = "CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END"
+
+
+def _luhn_sum_sql(s: str, n: int) -> str:
+    """DuckDB: Luhn weighted digit sum of the length-``n`` digit string
+    ``s``, doubling every second digit from the RIGHT (ISO/IEC 7812)."""
+    d = f"CAST(substr(reverse({s}), CAST(j AS INT), 1) AS BIGINT)"
+    return (
+        f"list_sum(list_transform(range(1, {n + 1}), j -> "
+        f"CASE WHEN j % 2 = 1 THEN {d} ELSE {_LUHN_DD.format(d=d)} END))"
+    )
+
+
+def _luhn_sum_spark(s: str, n: int) -> str:
+    """Spark SQL: the identical Luhn weighted sum (HOF aggregate)."""
+    d = f"cast(substring(reverse({s}), j, 1) as bigint)"
+    return (
+        f"aggregate(sequence(1, {n}), cast(0 as bigint), (acc, j) -> "
+        f"acc + CASE WHEN j % 2 = 1 THEN {d} "
+        f"ELSE {_LUHN_DD.format(d=d)} END)"
+    )
+
+
+@register(
+    "q_quality_luhn_audit",
+    # planted both ways: every 13th doc gets a 16-digit number whose
+    # last digit is the CORRECT Luhn check digit (computed by the same
+    # integer arithmetic on both engines), and doc_id % 13 == 5 docs get
+    # the SAME shape with the check digit shifted +5 (always invalid) —
+    # so the audit must count candidates AND split them by checksum,
+    # pinning the doubling pattern, the 9-subtract fold, and the
+    # right-anchored parity. A validator that doubled the wrong parity
+    # or summed raw doubles flips n_luhn_valid on every planted doc.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             lpad(CAST(400000000000000 + (doc_id * 371) % 100000000000000
+                       AS VARCHAR), 15, '0') AS c15
+      FROM documents
+    ),
+    planted AS (
+      SELECT doc_id, c15,
+             (10 - {_luhn_sum_sql("c15 || '0'", 16).replace("j ->", "j ->")}
+              % 10) % 10 AS chk
+      FROM base
+    ),
+    aug AS (
+      SELECT d.doc_id,
+             d.text || CASE
+               WHEN d.doc_id % 13 = 0 THEN ' ' || p.c15 || CAST(p.chk AS VARCHAR)
+               WHEN d.doc_id % 13 = 5
+                 THEN ' ' || p.c15 || CAST((p.chk + 5) % 10 AS VARCHAR)
+               ELSE '' END AS t
+      FROM documents d JOIN planted p USING (doc_id)
+    ),
+    toks AS (
+      SELECT doc_id, u.tok
+      FROM aug, UNNEST(string_split(t, ' ')) AS u(tok)
+      WHERE regexp_matches(u.tok, '^[0-9]{{16}}$')
+    ),
+    judged AS (
+      SELECT doc_id, tok,
+             {_luhn_sum_sql("tok", 16)} % 10 = 0 AS ok
+      FROM toks
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(j.tok) AS BIGINT) AS n_digit16,
+           CAST(COALESCE(SUM(CASE WHEN j.ok THEN 1 END), 0) AS BIGINT)
+             AS n_luhn_valid,
+           COALESCE(SUM(CASE WHEN j.ok THEN 1 END), 0) > 0 AS has_valid_pan
+    FROM aug a LEFT JOIN judged j ON j.doc_id = a.doc_id
+    GROUP BY 1
+    """,
+)
+def q_quality_luhn_audit(spark, sf_dir):
+    """CHECKSUM-VALIDATED PII audit — the step that separates real
+    payment-card numbers from random 16-digit strings before a corpus
+    ships: candidate tokens (exactly 16 digits) are validated by the
+    Luhn checksum (ISO/IEC 7812: double every second digit from the
+    right, fold >9 by subtracting 9, valid iff the sum is 0 mod 10).
+    The fixture is digit-free word soup, so candidates are PLANTED
+    deterministically both ways — a Luhn-VALID number on every 13th
+    doc (check digit computed in-engine by the same integer fold) and
+    a guaranteed-INVALID sibling shape on doc_id % 13 == 5 — making
+    the false-positive rejection path non-degenerate and value-checked
+    per doc. All JVM-side: split + rlike candidate filter, one HOF
+    aggregate per candidate for the weighted sum; no UDF, no shuffle
+    beyond the per-doc aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    c15 = F.lpad(
+        (F.lit(400000000000000) + (F.col("doc_id") * 371) % 100000000000000)
+        .cast("string"),
+        15, "0",
+    )
+    base = docs.select("doc_id", "text", c15.alias("c15"))
+    chk = (
+        F.lit(10)
+        - F.expr(_luhn_sum_spark("c15 || '0'", 16)) % 10
+    ) % 10
+    aug = base.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.lit(" "), F.col("c15"), chk.cast("string")),
+            )
+            .when(
+                F.col("doc_id") % 13 == 5,
+                F.concat(F.lit(" "), F.col("c15"),
+                         ((chk + 5) % 10).cast("string")),
+            )
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    toks = aug.select(
+        "doc_id", F.explode(F.split("t", " ")).alias("tok")
+    ).filter(F.col("tok").rlike("^[0-9]{16}$"))
+    judged = toks.select(
+        "doc_id",
+        (F.expr(_luhn_sum_spark("tok", 16)) % 10 == 0).alias("ok"),
+    )
+    return (
+        aug.select("doc_id")
+        .join(judged, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("ok").cast("long").alias("n_digit16"),
+            F.coalesce(
+                F.sum(F.when(F.col("ok"), 1)), F.lit(0)
+            ).cast("long").alias("n_luhn_valid"),
+            (
+                F.coalesce(F.sum(F.when(F.col("ok"), 1)), F.lit(0)) > 0
+            ).alias("has_valid_pan"),
+        )
+    )
+
+
 PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+"
 PII_PHONE_RE = "555-[0-9][0-9][0-9][0-9]"
 
