@@ -577,3 +577,50 @@ def test_rle8_roundtrip_property():
             assert (a == b).all()
 
     check()
+
+# --- container sniffing --------------------------------------------------------
+
+
+def test_sniff_format_signatures():
+    """Every library container re-identifies from its magic bytes, and
+    the no-magic TGA fallback never shadows a real signature."""
+    from utxo_to_parquet_spark.kernels.audio import encode_wav
+    from utxo_to_parquet_spark.kernels.flac import encode_flac
+    from utxo_to_parquet_spark.kernels.image import (
+        encode_bmp,
+        encode_gif,
+        encode_gif_anim,
+        encode_jpeg,
+        encode_png,
+        encode_ppm,
+        encode_qoi,
+        encode_tga,
+    )
+    from utxo_to_parquet_spark.kernels.sniff import sniff_format
+    from utxo_to_parquet_spark.kernels.video import (
+        encode_avi_mjpeg,
+        encode_avi_rle8,
+    )
+
+    gray = np.full((8, 8), 70, np.uint8)
+    rgb = np.stack([gray] * 3, axis=-1)
+    pcm = np.full((16, 1), -5, np.int16)
+    cases = {
+        "png": encode_png(rgb),
+        "gif": encode_gif(gray),
+        "gif_anim": encode_gif_anim(8, 8, [(0, 0, gray, 1, 0, None)]),
+        "jpeg": encode_jpeg(rgb),
+        "bmp": encode_bmp(rgb),
+        "qoi": encode_qoi(rgb),
+        "tga": encode_tga(rgb),
+        "ppm": encode_ppm(rgb),
+        "wav": encode_wav(pcm, 8000),
+        "flac": encode_flac(pcm, 8000),
+        "avi_mjpeg": encode_avi_mjpeg([gray]),
+        "avi_rle8": encode_avi_rle8([gray, gray], fps=5),
+    }
+    for fmt, blob in cases.items():
+        assert sniff_format(blob) == fmt, (fmt, blob[:16])
+    assert sniff_format(b"") == "unknown"
+    assert sniff_format(b"\x00" * 40) == "unknown"
+    assert sniff_format(b"RIFF\x04\x00\x00\x00JUNK") == "riff"

@@ -350,6 +350,7 @@ OPS = {
     "q_mm_video_delta_stats": "documents",
     "q_sim_hard_triplets": "embeddings",
     "q_quality_luhn_audit": "documents",
+    "q_mm_format_sniff": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

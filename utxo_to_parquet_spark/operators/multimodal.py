@@ -1995,6 +1995,104 @@ def q_mm_video_delta_stats(spark, sf_dir):
     )
 
 
+# --- container sniffing: route blobs to decoders by magic bytes --------------
+
+SNIFF_FORMATS = [  # doc_id % 10 -> planted container
+    "png", "gif", "jpeg", "bmp", "qoi", "tga", "ppm", "wav", "flac",
+    "avi_rle8",
+]
+
+
+@register(
+    "q_mm_format_sniff",
+    # the oracle derives the PLANTED format from doc_id alone; the
+    # engine must build a REAL payload with that round's encoder and
+    # re-identify it from magic bytes only — a wrong signature table,
+    # a writer that emits a malformed header, or a sniffer that trusts
+    # the wrong field flips fmt/sniff_ok for that row. sniff_ok is a
+    # REAL comparison computed in the kernel, not asserted.
+    oracle=f"""
+    SELECT doc_id,
+           ['png', 'gif', 'jpeg', 'bmp', 'qoi', 'tga', 'ppm', 'wav',
+            'flac', 'avi_rle8'][CAST(doc_id % 10 AS INT) + 1] AS fmt,
+           TRUE AS sniff_ok
+    FROM documents
+    """,
+)
+def q_mm_format_sniff(spark, sf_dir):
+    """CONTAINER SNIFFING — the intake-triage stage of a multimodal
+    pipeline: every blob is routed to its decoder by MAGIC BYTES (crawled
+    data lies about extensions). Each document synthesizes a REAL tiny
+    payload with one of the library's ten encoders (cycled by doc_id)
+    and kernels/sniff.py must re-identify it from the bytes alone —
+    including the no-magic TGA fallback and the RIFF form/handler split
+    (WAVE vs AVI, MJPG vs MRLE). One Arrow-batched mapInPandas pass,
+    no shuffle; at 100 TB this is the cheap first pass that partitions
+    a mixed crawl into per-format decode jobs."""
+    import pandas as pd
+
+    from ..kernels.audio import encode_wav
+    from ..kernels.flac import encode_flac
+    from ..kernels.image import (
+        encode_bmp,
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        encode_ppm,
+        encode_qoi,
+        encode_tga,
+    )
+    from ..kernels.sniff import sniff_format
+    from ..kernels.video import encode_avi_rle8
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "sniff_ok": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                fmt = SNIFF_FORMATS[doc_id % 10]
+                v = doc_id % 251
+                gray = np.full((8, 8), v, dtype=np.uint8)
+                rgb = np.stack([gray] * 3, axis=-1)
+                if fmt == "png":
+                    blob = encode_png(rgb)
+                elif fmt == "gif":
+                    blob = encode_gif(gray)
+                elif fmt == "jpeg":
+                    blob = encode_jpeg(rgb)
+                elif fmt == "bmp":
+                    blob = encode_bmp(rgb)
+                elif fmt == "qoi":
+                    blob = encode_qoi(rgb)
+                elif fmt == "tga":
+                    blob = encode_tga(rgb)
+                elif fmt == "ppm":
+                    blob = encode_ppm(rgb)
+                elif fmt == "wav":
+                    blob = encode_wav(
+                        np.full((16, 1), v - 128, dtype=np.int16), 8000
+                    )
+                elif fmt == "flac":
+                    blob = encode_flac(
+                        np.full((16, 1), v - 128, dtype=np.int16), 8000
+                    )
+                else:  # avi_rle8
+                    blob = encode_avi_rle8([gray, gray], fps=5)
+                got = sniff_format(blob)
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["sniff_ok"].append(got == fmt)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        sniff, "doc_id long, fmt string, sniff_ok boolean"
+    )
+
+
 # --- exact integer autocorrelation over the decoded waveform -----------------
 
 AC_MAX_LAG = 4
