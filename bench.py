@@ -278,6 +278,7 @@ HEADLINE = [
     "q_sim_hard_triplets",
     "q_quality_luhn_audit",
     "q_mm_format_sniff",
+    "q_dedup_decontaminate_semantic",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

@@ -351,6 +351,7 @@ OPS = {
     "q_sim_hard_triplets": "embeddings",
     "q_quality_luhn_audit": "documents",
     "q_mm_format_sniff": "documents",
+    "q_dedup_decontaminate_semantic": "embeddings",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

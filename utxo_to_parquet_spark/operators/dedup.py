@@ -1179,6 +1179,96 @@ def q_dedup_embedding_lsh(spark, sf_dir, band_bits: int | None = None):
     )
 
 
+SEM_TEST_MOD = 7  # vec_id % 10 == 7 -> held-out "benchmark" slice
+# (disjoint from the ANN query set's % 10 == 0 residue by construction)
+
+
+def _sem_decontaminate_oracle() -> str:
+    return f"""
+    WITH {_emb_lsh_cte()},
+    cand AS (
+      SELECT DISTINCT
+             CASE WHEN a.vec_id % 10 = {SEM_TEST_MOD}
+                  THEN a.vec_id ELSE b.vec_id END AS test_id,
+             CASE WHEN a.vec_id % 10 = {SEM_TEST_MOD}
+                  THEN b.vec_id ELSE a.vec_id END AS train_id,
+             ROUND(LIST_DOT_PRODUCT(a.e, b.e) / (a.nrm * b.nrm), 6)
+               AS cosine
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+      WHERE (a.vec_id % 10 = {SEM_TEST_MOD})
+            <> (b.vec_id % 10 = {SEM_TEST_MOD})
+    ),
+    best AS (
+      SELECT test_id, train_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY test_id
+                                ORDER BY cosine DESC, train_id) AS rn,
+             COUNT(*) OVER (PARTITION BY test_id) AS nc
+      FROM cand
+    )
+    SELECT t.vec_id AS test_id,
+           CAST(COALESCE(b.nc, 0) AS BIGINT) AS n_candidates,
+           b.cosine AS max_cos,
+           b.train_id AS nearest_train,
+           COALESCE(b.cosine >= {COSINE_DUP_THRESHOLD}, FALSE)
+             AS contaminated
+    FROM (SELECT vec_id FROM embeddings
+          WHERE vec_id % 10 = {SEM_TEST_MOD}) t
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.test_id = t.vec_id
+    """
+
+
+@register("q_dedup_decontaminate_semantic", oracle=_sem_decontaminate_oracle())
+def q_dedup_decontaminate_semantic(spark, sf_dir):
+    """SEMANTIC decontamination — the embedding-space member of the
+    decontamination matrix (exact-string, n-gram, suffix-array, and now
+    nearest-neighbor): for every held-out vector (vec_id % 10 ==
+    {SEM_TEST_MOD}, the planted benchmark slice), the most similar
+    TRAINING vector among the LSH candidates, with the candidate count
+    and a contaminated verdict at the registered near-dup threshold.
+    This is the check paraphrase-level leakage needs: exact and
+    substring decontamination miss a reworded benchmark item whose
+    embedding still sits next to its source (Yang et al. 2023's
+    rephrased-samples finding).
+
+    Scale shape: identical to q_dedup_embedding_lsh — the cross-set
+    candidates are the SAME banded sign-LSH equi-join (corpus-scaled
+    key width, ids-only shuffle, distinct before any vector moves),
+    filtered to pairs that straddle the split; per-test ranking is a
+    window over the candidate relation, never the corpus. Every test
+    vector gets a row (LEFT join), so the negative verdicts are
+    value-checked too."""
+    emb = load(spark, sf_dir, "embeddings")
+    scored = _emb_lsh_scored(spark, sf_dir)
+    is_ta = F.col("dup_a") % 10 == SEM_TEST_MOD
+    is_tb = F.col("dup_b") % 10 == SEM_TEST_MOD
+    cross = scored.filter(is_ta != is_tb).select(
+        F.when(is_ta, F.col("dup_a")).otherwise(F.col("dup_b"))
+        .alias("test_id"),
+        F.when(is_ta, F.col("dup_b")).otherwise(F.col("dup_a"))
+        .alias("train_id"),
+        F.round("cos_raw", 6).alias("cosine"),
+    )
+    wnd = W.partitionBy("test_id").orderBy(F.desc("cosine"), "train_id")
+    best = (
+        cross.withColumn("rn", F.row_number().over(wnd))
+        .withColumn("nc", F.count(F.lit(1)).over(W.partitionBy("test_id")))
+        .filter(F.col("rn") == 1)
+    )
+    tests = emb.filter(F.col("vec_id") % 10 == SEM_TEST_MOD).select(
+        F.col("vec_id").alias("test_id")
+    )
+    return tests.join(best, "test_id", "left").select(
+        "test_id",
+        F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.col("cosine").alias("max_cos"),
+        F.col("train_id").alias("nearest_train"),
+        F.coalesce(
+            F.col("cosine") >= COSINE_DUP_THRESHOLD, F.lit(False)
+        ).alias("contaminated"),
+    )
+
+
 # threshold grid for the sweep: spans loose near-dup to near-identity;
 # integer e6 literals so the cut is an integer compare on both engines
 SWEEP_TAUS_E6 = [250000, 500000, 700000, 800000, 900000, 950000, 990000]
