@@ -279,6 +279,7 @@ HEADLINE = [
     "q_quality_luhn_audit",
     "q_mm_format_sniff",
     "q_dedup_decontaminate_semantic",
+    "q_quality_nb_calibration",
     # q_stream_cadence is measured where streaming belongs —
     # BENCH_stream_scale.json (throughput + state) and the recovery
     # probe — not in the query-latency headline

@@ -352,6 +352,7 @@ OPS = {
     "q_quality_luhn_audit": "documents",
     "q_mm_format_sniff": "documents",
     "q_dedup_decontaminate_semantic": "embeddings",
+    "q_quality_nb_calibration": "documents",
 }
 
 # tables replicated with shifted keys (k disjoint subgraphs) so the BFS

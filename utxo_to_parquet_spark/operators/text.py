@@ -6271,6 +6271,78 @@ def q_quality_nb_score(spark, sf_dir):
 
 
 @register(
+    "q_quality_nb_calibration",
+    oracle=f"""
+    WITH {_NB_MODEL_SQL},
+    nbfeat AS (
+      SELECT doc_id, is_bad, UNNEST(string_split(aug, ' ')) AS token
+      FROM nbdocs
+      UNION ALL
+      SELECT doc_id, is_bad, '__prior__' FROM nbdocs
+    ),
+    nbscore AS (
+      SELECT f.doc_id, f.is_bad,
+             CAST(SUM(m.logodds_e6) AS BIGINT) AS score_e6
+      FROM nbfeat f JOIN nbmodel m USING (token)
+      WHERE f.token <> ''
+      GROUP BY 1, 2
+    )
+    SELECT CAST(FLOOR(score_e6 / 1000000.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN is_bad THEN 1 END), 0) AS BIGINT)
+             AS n_bad,
+           CAST(COALESCE(SUM(CASE WHEN is_bad THEN 1 END), 0) * 10000
+                // COUNT(*) AS BIGINT) AS bad_rate_e4,
+           CAST(SUM(score_e6) AS BIGINT) AS sum_score_e6
+    FROM nbscore GROUP BY 1
+    """,
+)
+def q_quality_nb_calibration(spark, sf_dir):
+    """CALIBRATION CURVE (reliability diagram) for the learned quality
+    filter — the audit that must precede picking a production
+    threshold: documents bucketed by unit-log-odds score bins
+    (bin = floor(score_e6 / 1e6)), each bin reporting its document
+    count, its PLANTED-label bad count, and the empirical bad rate
+    (e4) — a calibrated classifier's bad rate falls monotonically as
+    the good-vs-bad log-odds rises, and the bin where it crosses a
+    target precision IS the threshold. Rides the exact BIGINT scoring
+    relation (one explode + vocab-bounded join + per-doc aggregate) and
+    adds ONE more map-side-combinable aggregate over the per-doc
+    scores; the bin arithmetic is the identical IEEE double floor on
+    both engines (score_e6 is far below 2^53, and integer-div vs
+    floor-div would disagree on negative scores — the known
+    cross-engine trap the double floor avoids)."""
+    model, nbdocs = _nb_model(spark, sf_dir)
+    feat = nbdocs.select(
+        "doc_id", "is_bad", F.explode(F.split("aug", " ")).alias("token")
+    ).filter(F.col("token") != "").unionByName(
+        nbdocs.select("doc_id", "is_bad", F.lit("__prior__").alias("token"))
+    )
+    score = (
+        feat.join(model.select("token", "logodds_e6"), "token")
+        .groupBy("doc_id", "is_bad")
+        .agg(F.sum("logodds_e6").cast("long").alias("score_e6"))
+    )
+    n_bad = F.coalesce(F.sum(F.when(F.col("is_bad"), 1)), F.lit(0))
+    return (
+        score.withColumn(
+            "bin",
+            F.floor(F.col("score_e6") / F.lit(1000000.0)).cast("long"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            n_bad.cast("long").alias("n_bad"),
+            F.expr(
+                "coalesce(sum(case when is_bad then 1 end), 0) * 10000"
+                " div count(1)"
+            ).cast("long").alias("bad_rate_e4"),
+            F.sum("score_e6").cast("long").alias("sum_score_e6"),
+        )
+    )
+
+
+@register(
     "q_text_unigram_fertility",
     oracle=f"""
     WITH RECURSIVE {_unigram_dp_sql()},
