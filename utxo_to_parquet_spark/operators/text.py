@@ -4869,20 +4869,23 @@ def q_text_suffix_ranks(spark, sf_dir):
     verifies spans against witnesses; suffix ranks would enumerate them
     exhaustively.
 
-    Plan shape, all-relational, no driver data: (1) initial ranks =
-    global dense rank of the token vocabulary (distinct + the two-pass
-    range-partition/offset-carry recipe — never a corpus-wide
-    single-partition window); (2) each doubling round pairs every
-    position's rank with the rank 2^k ahead IN THE SAME DOCUMENT (one
-    equi-self-join; absent = 0, ranks start at 1), packs the pair into
-    one BIGINT key (r * (N+2) + r2 — order-preserving since r2 <= N;
-    for corpora past ~10^9 positions widen the key to DECIMAL(38,0),
-    the established widening path), dense-ranks the DISTINCT keys with
-    the same two-pass recipe, and joins back. Rounds are
-    log2(max_doc_len) — 7 here — each a constant number of hash/range
-    shuffles of (id, pos, rank) triples; localCheckpoint per round cuts
-    lineage exactly like the graph iteratives. The oracle replays the
-    identical doubling as {SUFFIX_LEVELS} fixed materialized CTE levels
+    Plan shape, all-relational, no driver data — ACTIVE-SET form
+    (Larsson & Sadakane 1999, round 13): (1) initial keys = each
+    token-class's global start index (one groupBy + the two-pass
+    range-partition/offset-carry cumsum — never a corpus-wide
+    single-partition window); (2) each doubling round looks up the key
+    2^k ahead IN THE SAME DOCUMENT (one equi-join; absent = 0) for the
+    ACTIVE rows only — positions still sharing their class with
+    someone — and re-keys them in place with ONE class-partitioned
+    window (new key = class start + in-class rank - 1, which is again
+    a global start index because refinement splits ties without
+    reordering). Singleton classes are frozen forever and carried over
+    by a broadcast anti-join, so per-round cost tracks the collapsing
+    active set, not npos; rounds stop early at the partition fixpoint
+    (no split => every later level is identical). Rounds are at most
+    log2(max_doc_len) — 7 here — and a single two-pass dense-rank
+    conversion at the end restores DENSE_RANK values, byte-identical
+    to the oracle's {SUFFIX_LEVELS} fixed materialized CTE levels
     (levels past convergence are provably no-ops: identical suffixes
     keep identical pair keys, distinct ranks keep their order)."""
     levels, _, _ = _suffix_levels(spark, sf_dir)
@@ -4930,43 +4933,116 @@ def _suffix_levels(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
-    vocab = toks.select("tok").distinct().withColumn("one", F.lit(1))
-    vrank = global_cumsum(vocab, "tok", ["one"]).select(
-        "tok", F.col("cum_one").alias("r")
+    # ACTIVE-SET prefix doubling (Larsson & Sadakane 1999 "qsufsort",
+    # distributed): internal levels carry RANK()-style keys — each
+    # suffix's key is the GLOBAL START INDEX of its equivalence class
+    # (number of strictly-smaller suffixes + 1) — instead of dense
+    # ranks. Refinement never reorders classes, only splits ties, so a
+    # singleton class's key is FINAL the moment it appears; each round
+    # therefore touches only the positions still in size>1 classes (the
+    # "active set", which collapses after 2-3 rounds once short prefixes
+    # distinguish most of a corpus) instead of re-dense-ranking all
+    # npos positions. A split assigns nr = class_start +
+    # (rank within the class by the lookahead key) - 1, which IS the new
+    # global start index, so the invariant is maintained with one
+    # class-partitioned window over the active rows — no global
+    # distinct, no global two-pass rank, per round. One dense-rank
+    # conversion at the very end restores the DENSE_RANK values the
+    # oracle CTE ladder emits, byte-identical to the old all-rows form.
+    # Key equality <=> class equality holds at every internal level, so
+    # the LCP walk in _sa_perpos consumes the RANK-keyed levels as-is.
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vrank = global_cumsum(vocab, "tok", ["cnt"]).select(
+        "tok",
+        "cnt",
+        (F.col("cum_cnt") - F.col("cnt") + 1).alias("r"),
     )
-    cur = toks.join(vrank, "tok").select("doc_id", "pos", "r").localCheckpoint(
-        eager=True
+    cur = (
+        toks.join(vrank.select("tok", "r"), "tok")
+        .select("doc_id", "pos", "r")
+        .localCheckpoint(eager=True)
     )
     levels = [cur]
-    M = npos + 2
+    # active classes = class start keys with size > 1 (a |classes|-sized
+    # relation, broadcastable); active rows = their member positions
+    actc = vrank.filter(F.col("cnt") > 1).select("r")
+    act = (
+        cur.join(F.broadcast(actc), "r")
+        .select("doc_id", "pos", "r")
+        .localCheckpoint(eager=True)
+    )
+    n_act = act.count()
     rounds = 0
     while (1 << rounds) < maxlen:
         rounds += 1
     for k in range(rounds):
+        if n_act == 0:
+            break  # all classes singleton: every later level is a no-op
         shift = 1 << k
         ahead = cur.select(
             "doc_id",
             (F.col("pos") - F.lit(shift)).alias("pos"),
             F.col("r").alias("r2"),
         )
-        keyed = cur.join(ahead, ["doc_id", "pos"], "left_outer").select(
+        keyed = act.join(ahead, ["doc_id", "pos"], "left_outer").select(
             "doc_id",
             "pos",
-            (
-                F.col("r") * F.lit(M)
-                + F.coalesce(F.col("r2"), F.lit(0).cast("long"))
-            ).alias("key"),
+            "r",
+            F.coalesce(F.col("r2"), F.lit(0).cast("long")).alias("r2n"),
         )
-        keys = keyed.select("key").distinct().withColumn("one", F.lit(1))
-        krank = global_cumsum(keys, "key", ["one"]).select(
-            "key", F.col("cum_one").alias("r")
+        # one class-partitioned window pass: the in-class rank by the
+        # lookahead key yields the new start-index key, and the tie
+        # frame (rangeBetween 0,0 on r2n — same exchange) yields the
+        # new class size, deciding who stays active
+        wcls = W.partitionBy("r").orderBy("r2n")
+        wtie = W.partitionBy("r").orderBy("r2n").rangeBetween(0, 0)
+        upd = (
+            keyed.withColumn(
+                "nr", (F.col("r") + F.rank().over(wcls) - 1).cast("long")
+            )
+            .withColumn("sz", F.count(F.lit(1)).over(wtie))
+            .select("doc_id", "pos", "r", "nr", "sz")
+            .localCheckpoint(eager=True)
         )
+        stats = upd.agg(
+            F.sum((F.col("nr") != F.col("r")).cast("long")).alias("n_split"),
+            F.sum((F.col("sz") > 1).cast("long")).alias("n_act"),
+        ).collect()[0]
+        if int(stats.n_split or 0) == 0:
+            # fixpoint: no class split, this level's rows are identical
+            # to the previous level's (remaining ties are whole-suffix-
+            # identical positions) — stop without the duplicate level
+            n_act = 0
+            break
+        # inactive rows are frozen: carry them over untouched (broadcast
+        # anti-join on the small active-class-key relation), splice in
+        # the re-keyed active rows
         cur = (
-            keyed.join(krank, "key")
-            .select("doc_id", "pos", "r")
+            cur.join(F.broadcast(actc), "r", "left_anti")
+            .unionByName(
+                upd.select("doc_id", "pos", F.col("nr").alias("r"))
+            )
             .localCheckpoint(eager=True)
         )
         levels.append(cur)
+        n_act = int(stats.n_act or 0)
+        still = upd.filter(F.col("sz") > 1)
+        actc = still.select(F.col("nr").alias("r")).distinct()
+        act = still.select("doc_id", "pos", F.col("nr").alias("r"))
+    # restore DENSE_RANK values (the oracle ladder's l{k} semantics) for
+    # the final level only: dense rank = running count of distinct class
+    # start keys — one two-pass cumsum over the |classes| relation
+    final = levels[-1]
+    dkeys = final.select("r").distinct().withColumn("one", F.lit(1))
+    dmap = global_cumsum(dkeys, "r", ["one"]).select(
+        "r", F.col("cum_one").alias("dr")
+    )
+    dense = (
+        final.join(dmap, "r")
+        .select("doc_id", "pos", F.col("dr").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    levels[-1] = dense
     _SUFFIX_LADDER_CACHE[cache_key] = (levels, maxlen, npos)
     return _SUFFIX_LADDER_CACHE[cache_key]
 
@@ -5113,7 +5189,18 @@ def _sa_perpos(spark, sf_dir):
         )
     )
     for k in range(len(levels) - 1, -1, -1):
-        step = 1 << k
+        # TOP level: advance past every document end (2^SUFFIX_LEVELS >=
+        # maxlen by the ladder's guard) instead of 2^k. A top-level hit
+        # means the two suffixes share a whole fixpoint class — i.e. are
+        # identical to their ends — so the true LCP is the shorter
+        # remaining length, which the final least() clamp recovers
+        # exactly; over-advancing just nulls out every deeper lookup.
+        # This is what keeps the walk exact over the early-exited ladder
+        # (and is value-identical on a full ladder, where the old 2^top
+        # advance already cleared maxlen). Distinct pairs never hit the
+        # top (fixpoint ranks separate them) and their LCP is provably
+        # < 2^(top-1), within the honest budget of the deeper levels.
+        step = (1 << SUFFIX_LEVELS) if k == len(levels) - 1 else (1 << k)
         lk = levels[k]
         ra = lk.select(
             F.col("doc_id").alias("__da"),
