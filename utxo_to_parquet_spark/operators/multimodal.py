@@ -31,6 +31,22 @@ FRAME_BYTES = 64  # fake "frame" granularity for the frame-sampler
 SAMPLE_EVERY = 4
 
 
+def _spread(df):
+    """Spread a thin per-document relation across the session's full
+    parallelism before an Arrow-batched decode pass. The synthetic-blob
+    gates derive every payload from doc_id, so their upstream scan is
+    ONE small parquet split and the whole mapInPandas codec pass would
+    otherwise run in a single task (round 13: the sf0.1 fixture read as
+    1 partition, serializing every decode gate). The shuffle moves only
+    the id/text columns — O(input) bytes, no skew (round-robin) — and
+    is exactly the operator a production pipeline uses to fan a decode
+    stage wider than its scan splits; with real multi-file binary
+    corpora the scan's own splits already provide this and the
+    repartition collapses to a cheap rebalance."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def payloads_df(spark, sf_dir):
     """documents → (doc_id, payload binary, meta struct<mime,size,sha>)."""
     docs = load(spark, sf_dir, "documents")
@@ -265,7 +281,9 @@ def q_mm_decode_pixel_stats(spark, sf_dir):
 
     from ..kernels.image import decode_image, encode_bmp, encode_png, encode_ppm
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -475,7 +493,9 @@ def q_mm_phash_dedup(spark, sf_dir):
 
     from ..kernels.image import decode_image, encode_bmp, encode_png, encode_ppm
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -569,7 +589,9 @@ def q_mm_qoi_decode_stats(spark, sf_dir):
 
     from ..kernels.image import decode_image, encode_qoi
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def qoi_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -665,7 +687,7 @@ def q_mm_wav_decode_stats(spark, sf_dir):
 
     from ..kernels.audio import decode_wav, encode_wav
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def wav_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -857,7 +879,9 @@ def q_mm_jpeg_decode_stats(spark, sf_dir):
         encode_jpeg_progressive,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def jpeg_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -981,7 +1005,9 @@ def q_mm_exif_parse(spark, sf_dir):
 
     from ..kernels.exif import decode_exif, encode_exif
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def exif_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1078,7 +1104,9 @@ def q_mm_gif_decode_stats(spark, sf_dir):
 
     from ..kernels.image import decode_gif, encode_gif
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def gif_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1216,7 +1244,9 @@ def q_mm_gif_anim_stats(spark, sf_dir):
 
     from ..kernels.image import decode_gif_anim, encode_gif_anim
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def anim_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1325,7 +1355,9 @@ def q_mm_tga_decode_stats(spark, sf_dir):
 
     from ..kernels.image import decode_tga, encode_tga
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def tga_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1463,7 +1495,7 @@ def q_mm_g711_decode_stats(spark, sf_dir):
 
     from ..kernels.audio import decode_wav, encode_wav
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def g711_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1595,7 +1627,7 @@ def q_mm_adpcm_roundtrip_stats(spark, sf_dir):
 
     from ..kernels.g711 import ima_adpcm_decode, ima_adpcm_encode
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def adpcm_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1687,7 +1719,7 @@ def q_mm_flac_decode_stats(spark, sf_dir):
 
     from ..kernels.flac import decode_flac, encode_flac
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def flac_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1802,7 +1834,9 @@ def q_mm_video_decode_stats(spark, sf_dir):
 
     from ..kernels.video import decode_avi_mjpeg, encode_avi_mjpeg
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def video_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1941,7 +1975,9 @@ def q_mm_video_delta_stats(spark, sf_dir):
 
     from ..kernels.video import decode_avi_rle8, encode_avi_rle8
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def delta_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2045,7 +2081,7 @@ def q_mm_format_sniff(spark, sf_dir):
     from ..kernels.sniff import sniff_format
     from ..kernels.video import encode_avi_rle8
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2150,7 +2186,7 @@ def q_mm_audio_autocorr(spark, sf_dir):
     from ..kernels.audio import decode_wav, encode_wav
     from ..kernels.flac import decode_flac, encode_flac
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def ac_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2163,8 +2199,13 @@ def q_mm_audio_autocorr(spark, sf_dir):
                 j = np.arange(n, dtype=np.int64)
                 xs = (doc_id * WAV_MIX_A + j * WAV_MIX_B) % 65536 - 32768
                 if doc_id % 2:
+                    # block_size=32 keeps every doc multi-block (n is
+                    # 40..56, so 2 blocks: inter-block framing + CRC
+                    # chaining stay exercised) at ~40% of the bs=16
+                    # per-block-analysis cost — the round-12 FLAC
+                    # cycling made this the gate's dominant term
                     _, _, dec = decode_flac(
-                        encode_flac(xs.astype(np.int16), 8000, block_size=16)
+                        encode_flac(xs.astype(np.int16), 8000, block_size=32)
                     )
                 else:
                     _, _, dec = decode_wav(
