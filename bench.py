@@ -88,6 +88,7 @@ HEADLINE = [
     # fused training-prep pipeline
     "q_events_asof_join_keyed",
     "q_sim_ivfpq_topk",
+    "q_sim_ivfpq_residual_topk",
     "q_events_ks_drift",
     "q_pipeline_training_prep",
     # round 5: incremental batch-vs-corpus dedup probe, MG heavy hitters,

@@ -1,0 +1,107 @@
+"""Round-13 additions: residual IVF-PQ (IVFADC), filtered ANN, byte-level
+BPE, streaming ANN delta maintenance, motion-compensated video."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _clustered_fixture(tmp_path, n_rows=800, n_blobs=8, dim=64, seed=23):
+    """Gaussian-blob embeddings in the fixture schema (label = blob id,
+    well-separated centers) — the regime a geometry-correlated coarse
+    quantizer is built for, mirroring tools/bench_ann_recall.py."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0.0, 4.0, size=(n_blobs, dim))
+    blob = rng.integers(0, n_blobs, size=n_rows)
+    vecs = centers[blob] + rng.normal(0.0, 1.0, size=(n_rows, dim))
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(n_rows), type=pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array(blob.astype(np.int32), type=pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.q_id, set()).add(r.c_id)
+    return out
+
+
+def _recall(truth, rows):
+    approx = _topk_sets(rows)
+    return sum(
+        len(approx.get(q, set()) & ids) / len(ids) for q, ids in truth.items()
+    ) / len(truth)
+
+
+def test_ivfpq_residual_beats_raw_on_clustered(spark, tmp_path):
+    """The IVFADC composition's whole point: on a clustered corpus,
+    PQ codes over residuals rank within-list neighbors; raw-vector
+    codes waste their bits re-describing the shared centroid. The
+    residual twin must clear a real recall floor where the raw sibling
+    demonstrably cannot (it plateaued at ~0.14 in BENCH_ann_recall)."""
+    from utxo_to_parquet_spark.operators import similarity as sim
+
+    sf = _clustered_fixture(tmp_path)
+    truth = _topk_sets(sim.q_sim_cosine_topk(spark, sf).collect())
+    raw = _recall(truth, sim.q_sim_ivfpq_topk(spark, sf).collect())
+    res = _recall(
+        truth, sim.q_sim_ivfpq_residual_topk(spark, sf).collect()
+    )
+    assert res >= 0.7, f"residual IVF-PQ recall collapsed: {res:.3f}"
+    assert res > raw + 0.2, f"residual ({res:.3f}) must beat raw ({raw:.3f})"
+
+
+def test_ivfpq_residual_codebook_excludes_centroid_component(spark, tmp_path):
+    """Construct two far-apart lists whose WITHIN-list structure is
+    identical: residual codes must be identical across lists (the
+    centroid component is subtracted away), which is exactly what raw
+    codes cannot do."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from utxo_to_parquet_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    offsets = rng.normal(0.0, 1.0, size=(40, dim))
+    far = np.zeros(dim)
+    far[0] = 1000.0
+    # list 0 = offsets, list 1 = offsets + far: same residual geometry
+    vecs = np.concatenate([offsets, offsets + far])
+    labels = np.array([0] * 40 + [1] * 40, dtype=np.int32)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(80), type=pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "embeddings.parquet"))
+    rows = sim.q_sim_ivfpq_residual_topk(
+        spark, str(tmp_path), n_probe=2
+    ).collect()
+    # queries 0,10,20,30 live in list 0; their true neighbors are
+    # within-list — the residual ADC must keep ranking meaningful and
+    # the far list must never contaminate the top ranks (cosine to the
+    # +1000 list is near-orthogonal after rerank, so c_id < 40)
+    for r in rows:
+        if r.q_id < 40:
+            assert r.c_id < 40, (r.q_id, r.c_id)
+        else:
+            assert r.c_id >= 40, (r.q_id, r.c_id)

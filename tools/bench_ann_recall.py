@@ -92,9 +92,13 @@ def sweep(spark, sim, sf_dir: str, n_labels: int) -> dict:
             len(approx.get(q, set()) & ids) / len(ids) for q, ids in truth.items()
         ) / n_q
 
-    curves: dict[str, list[dict]] = {"ivf": [], "ivfpq": []}
+    curves: dict[str, list[dict]] = {"ivf": [], "ivfpq": [], "ivfpq_res": []}
     for n_probe in range(1, n_labels + 1):
-        for name, fn in (("ivf", sim.q_sim_ivf_topk), ("ivfpq", sim.q_sim_ivfpq_topk)):
+        for name, fn in (
+            ("ivf", sim.q_sim_ivf_topk),
+            ("ivfpq", sim.q_sim_ivfpq_topk),
+            ("ivfpq_res", sim.q_sim_ivfpq_residual_topk),
+        ):
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
@@ -121,7 +125,14 @@ def sweep(spark, sim, sf_dir: str, n_labels: int) -> dict:
         rows = sim.q_sim_ivfpq_topk(
             spark, sf_dir, n_probe=n_labels, rerank_n=rerank_n
         ).collect()
-        point = {"rerank_n": rerank_n, "recall_at_k": round(recall_of(rows), 4)}
+        rows_res = sim.q_sim_ivfpq_residual_topk(
+            spark, sf_dir, n_probe=n_labels, rerank_n=rerank_n
+        ).collect()
+        point = {
+            "rerank_n": rerank_n,
+            "recall_at_k": round(recall_of(rows), 4),
+            "recall_at_k_res": round(recall_of(rows_res), 4),
+        }
         rerank_curve.append(point)
         print(f"ivfpq rerank_n={rerank_n}: {json.dumps(point)}", flush=True)
     # round 11/12: the graph-ANN family's knobs — recall vs (beam,

@@ -272,6 +272,7 @@ OPS = {
     "q_dedup_sorted_neighborhood": "documents",
     "q_dedup_decontaminate": "documents",
     "q_sim_ivfpq_topk": "embeddings",
+    "q_sim_ivfpq_residual_topk": "embeddings",
     "q_sim_kmeans": "embeddings",
     "q_sim_mmr_rerank": "embeddings",
     "q_mm_phash_dedup": "documents",

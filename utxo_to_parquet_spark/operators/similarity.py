@@ -1201,6 +1201,396 @@ def q_sim_ivfpq_topk(spark, sf_dir, n_probe: int | None = None, rerank_n: int | 
     )
 
 
+# --- IVF-PQ with RESIDUAL encoding (real IndexIVFPQ) -----------------------
+#
+# The raw-vector composition above spends its entire PQ budget
+# re-describing the coarse centroid: on a clustered corpus every vector
+# in a list shares the same large centroid component, so the 4x3-bit
+# code mostly encodes WHICH BLOB (already known from the list!) and the
+# within-list ADC ranking collapses (measured: recall plateaued at ~0.14
+# on the clustered fixture while plain IVF hit 1.0 — BENCH_ann_recall
+# round 12). Real FAISS IndexIVFPQ (Jegou, Douze & Schmid 2011 §IV.A,
+# "IVFADC") therefore PQ-encodes the RESIDUAL r = x - centroid(list) and
+# scores queries by their own residual against the same list — the codes
+# then spend all their bits on the within-list offsets that actually
+# rank neighbors.
+#
+# Cross-engine float discipline: the coarse centroids are ROUNDED to
+# 1e-6 before any residual is formed, so both engines subtract the SAME
+# double from the SAME raw vector (an unrounded AVG differs in the last
+# ulp between engines and would poison every downstream comparison);
+# everything after is the established left-to-right slice accumulation.
+
+
+RPQ_M = 8          # residual-PQ subspaces
+RPQ_SUB = 8        # dims per subspace (8 * 8 = 64)
+RPQ_K = 16         # codewords per subspace codebook
+RPQ_TRAIN = 256    # codebook training sample: vec_id < RPQ_TRAIN — a
+# CONSTANT driver pull regardless of corpus size (FAISS trains PQ on a
+# bounded sample too); init = the sample's first RPQ_K residual slices
+RPQ_ITERS = 5      # Lloyd iterations per subspace, fixed for replay
+RPQ_RERANK = 16 * TOP_K  # deeper default shortlist: residual ADC ranks
+# well enough that the exact re-rank is the remaining recall lever
+
+
+def _ivfpq_residual_oracle() -> str:
+    def d2(a, b):
+        return (
+            f"LIST_DOT_PRODUCT({a}, {a}) - 2 * LIST_DOT_PRODUCT({a}, {b})"
+            f" + LIST_DOT_PRODUCT({b}, {b})"
+        )
+
+    def rslice(v, m):
+        return f"list_slice({v}, {m} * {RPQ_SUB} + 1, ({m} + 1) * {RPQ_SUB})"
+
+    # per-subspace Lloyd chains: assignment (argmin by the shared d2
+    # expansion, ties to lowest cid) then per-dim rounded means, empty
+    # clusters keeping their previous codeword
+    kmeans_ctes = []
+    for m in range(RPQ_M):
+        kmeans_ctes.append(
+            f""",
+    t{m} AS MATERIALIZED (
+      SELECT vec_id, {rslice('r', m)} AS p FROM rv WHERE vec_id < {RPQ_TRAIN}
+    ),
+    cb{m}_0 AS (SELECT vec_id AS cid, p AS c FROM t{m} WHERE vec_id < {RPQ_K})"""
+        )
+        for it in range(1, RPQ_ITERS + 1):
+            kmeans_ctes.append(
+                f""",
+    a{m}_{it} AS (
+      SELECT vec_id, p, cid FROM (
+        SELECT t.vec_id, t.p, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                  ORDER BY {d2('t.p', 'c.c')}, c.cid) AS rn
+        FROM t{m} t CROSS JOIN cb{m}_{it - 1} c) WHERE rn = 1
+    ),
+    m{m}_{it} AS (
+      SELECT cid, LIST(mv ORDER BY d) AS c FROM (
+        SELECT a.cid, u.d, ROUND(AVG(a.p[CAST(u.d AS INT)]), 6) AS mv
+        FROM a{m}_{it} a, UNNEST(range(1, {RPQ_SUB} + 1)) AS u(d)
+        GROUP BY a.cid, u.d) GROUP BY cid
+    ),
+    cb{m}_{it} AS MATERIALIZED (
+      SELECT p.cid, COALESCE(mm.c, p.c) AS c
+      FROM cb{m}_{it - 1} p LEFT JOIN m{m}_{it} mm USING (cid)
+    )"""
+            )
+    cbf_union = "\n      UNION ALL\n      ".join(
+        f"SELECT {m} AS m, cid, c FROM cb{m}_{RPQ_ITERS}" for m in range(RPQ_M)
+    )
+    adc_sum = "MAX(CASE WHEN codes.m = 0 THEN qdt.d2 END)"
+    for m in range(1, RPQ_M):
+        adc_sum = (
+            f"({adc_sum}\n               "
+            f"+ MAX(CASE WHEN codes.m = {m} THEN qdt.d2 END))"
+        )
+    mslice = (
+        f"list_slice({{v}}, cbf.m * {RPQ_SUB} + 1, (cbf.m + 1) * {RPQ_SUB})"
+    )
+    return f"""
+    WITH dims AS MATERIALIZED (
+      SELECT label, vec_id, UNNEST(embedding::DOUBLE[]) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    centroids AS MATERIALIZED (
+      SELECT label, dim, ROUND(AVG(v), 6) AS cv FROM dims GROUP BY label, dim
+    ),
+    rv AS MATERIALIZED (
+      SELECT d.vec_id, d.label, LIST(d.v - c.cv ORDER BY d.dim) AS r
+      FROM dims d JOIN centroids c ON d.dim = c.dim AND d.label = c.label
+      GROUP BY d.vec_id, d.label
+    ){''.join(kmeans_ctes)},
+    cbf AS MATERIALIZED (
+      {cbf_union}
+    ),
+    cdist AS (
+      SELECT rv.vec_id, cbf.m, cbf.cid,
+             {d2(mslice.format(v='rv.r'), 'cbf.c')} AS d2
+      FROM rv CROSS JOIN cbf
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        FROM cdist
+      ) WHERE rn = 1
+    ),
+    qdist AS (
+      SELECT d.vec_id AS q_id, c.label,
+             ROUND(SUM((d.v - c.cv) * (d.v - c.cv)), 6) AS dist
+      FROM dims d JOIN centroids c ON d.dim = c.dim
+      WHERE d.vec_id % {QUERY_MOD} = 0 AND d.vec_id < {Q_MAX_ID}
+      GROUP BY d.vec_id, c.label
+    ),
+    probes AS (
+      SELECT q_id, label FROM (
+        SELECT q_id, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, label) AS pr
+        FROM qdist
+      ) WHERE pr <= {N_PROBE}
+    ),
+    qrv AS (
+      SELECT d.vec_id AS q_id, c.label, LIST(d.v - c.cv ORDER BY d.dim) AS qr
+      FROM dims d JOIN centroids c ON d.dim = c.dim
+      JOIN probes p ON p.q_id = d.vec_id AND p.label = c.label
+      GROUP BY d.vec_id, c.label
+    ),
+    qdt AS MATERIALIZED (
+      SELECT qrv.q_id, qrv.label, cbf.m, cbf.cid,
+             {d2(mslice.format(v='qrv.qr'), 'cbf.c')} AS d2
+      FROM qrv CROSS JOIN cbf
+    ),
+    adc AS (
+      SELECT p.q_id, rv.vec_id AS c_id,
+             {adc_sum} AS adc
+      FROM probes p
+      JOIN rv ON rv.label = p.label
+      JOIN codes ON codes.vec_id = rv.vec_id
+      JOIN qdt ON qdt.q_id = p.q_id AND qdt.label = p.label
+             AND qdt.m = codes.m AND qdt.cid = codes.cid
+      WHERE rv.vec_id <> p.q_id
+      GROUP BY p.q_id, rv.vec_id
+    ),
+    short AS (
+      SELECT q_id, c_id, adc FROM (
+        SELECT q_id, c_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS ra
+        FROM adc
+      ) WHERE ra <= {RPQ_RERANK}
+    ),
+    q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings
+          WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID}),
+    cvx AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    rerank AS (
+      SELECT s.q_id, s.c_id, s.adc,
+             LIST_DOT_PRODUCT(q.qe, cv.e)
+               / (SQRT(LIST_DOT_PRODUCT(q.qe, q.qe))
+                  * SQRT(LIST_DOT_PRODUCT(cv.e, cv.e))) AS cosine
+      FROM short s JOIN q ON q.q_id = s.q_id JOIN cvx cv ON cv.vec_id = s.c_id
+    )
+    SELECT q_id, c_id, ROUND(adc, 6) AS adc, ROUND(cosine, 6) AS cosine,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT q_id, c_id, adc, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+      FROM rerank
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+def _lr_sub_d2(A: "np.ndarray", B: "np.ndarray", lo: int, hi: int):
+    """Squared L2 between every row of A and every row of B over dims
+    [lo, hi), expanded a·a - 2a·b + b·b with strict left-to-right
+    per-dim accumulation (the lr_matmul discipline) so the doubles are
+    bit-identical to DuckDB's LIST_DOT_PRODUCT on the same slices."""
+    aa = np.zeros(A.shape[0])
+    ab = np.zeros((A.shape[0], B.shape[0]))
+    bb = np.zeros(B.shape[0])
+    for i in range(lo, hi):
+        ai = A[:, i]
+        bi = B[:, i]
+        aa += ai * ai
+        ab += ai[:, None] * bi[None, :]
+        bb += bi * bi
+    return aa[:, None] - 2 * ab + bb[None, :]
+
+
+@register("q_sim_ivfpq_residual_topk", oracle=_ivfpq_residual_oracle())
+def q_sim_ivfpq_residual_topk(
+    spark, sf_dir, n_probe: int | None = None, rerank_n: int | None = None
+):
+    """IVF-PQ with RESIDUAL encoding + exact re-rank — the actual FAISS
+    IndexIVFPQ composition (Jegou, Douze & Schmid 2011, "IVFADC"): PQ
+    codes quantize r = x - centroid(assigned list) instead of the raw
+    vector, and each query scores a probed list with tables built from
+    its OWN residual against that list's centroid. See the module
+    comment above for why the raw-vector sibling (q_sim_ivfpq_topk,
+    kept as the diagnostic baseline) wastes its code budget on
+    clustered corpora; BENCH_ann_recall.json records both curves.
+
+    Unlike the sibling's toy deterministic codebook, the codebooks here
+    are REAL per-subspace k-means ({RPQ_M} subspaces x {RPQ_K}
+    codewords, {RPQ_ITERS} Lloyd iterations, init = the first {RPQ_K}
+    residual slices), trained on a CONSTANT bounded sample
+    (vec_id < {RPQ_TRAIN} — FAISS trains on a sample too, so the
+    driver pull stays O(1) in corpus size) and replayed exactly by the
+    oracle's unrolled assignment/update CTE chain: every updated
+    codeword mean snaps to 1e-6 (like the coarse centroids), keeping
+    the training trajectory — and therefore every code — engine-
+    identical.
+
+    Plan shape is the sibling's: coarse centroids (|labels| x dim,
+    rounded to 1e-6 for cross-engine residual identity), the trained
+    codebooks ({RPQ_M} x {RPQ_K} x {RPQ_SUB}) and the training sample
+    are constant driver pulls shipped in the task closure; residual
+    encode + ADC scoring is one Arrow-batched pass over the probed
+    cells grouped by label; the ADC table is built per (query, probed
+    list) — |Q| x n_probe x {RPQ_M} x {RPQ_K} doubles, corpus-
+    independent. Shortlist (default {RPQ_RERANK}: with a good coarse
+    quantizer the exact re-rank depth is THE recall lever, and the
+    deeper default costs only |Q| x {RPQ_RERANK} exact scorings) and
+    exact-cosine re-rank are unchanged. Every float path keeps strict
+    left-to-right slice accumulation, so codes, ADC sums (added in m
+    order), the shortlist cut, and the final ranks are decided on
+    bit-identical doubles in both engines."""
+    n_probe = N_PROBE if n_probe is None else int(n_probe)
+    rerank_n = RPQ_RERANK if rerank_n is None else int(rerank_n)
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "v"),
+    ).select("label", "vec_id", (F.col("dim0") + 1).alias("dim"), "v")
+    centroids = dims.groupBy("label", "dim").agg(
+        F.round(F.avg("v"), 6).alias("cv")
+    )
+    qdist = (
+        dims.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < Q_MAX_ID))
+        .select(F.col("vec_id").alias("q_id"), "dim", "v")
+        .join(F.broadcast(centroids.withColumnRenamed("label", "c_label")), "dim")
+        .groupBy("q_id", "c_label")
+        .agg(
+            F.round(
+                F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))), 6
+            ).alias("dist")
+        )
+    )
+    probes = (
+        qdist.withColumn(
+            "pr",
+            F.row_number().over(W.partitionBy("q_id").orderBy("dist", "c_label")),
+        )
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", F.col("c_label").alias("label"))
+    )
+    # constant-size driver pulls: probes (<= Q_CAP * n_probe), queries
+    # (<= Q_CAP), rounded centroids (|labels| x dim), residual codebook
+    # (PQ_K x dim)
+    probe_rows = probes.collect()
+    cent_rows = centroids.collect()
+    dim_n = max(r.dim for r in cent_rows)
+    CL: dict[int, np.ndarray] = {}
+    for r in cent_rows:
+        CL.setdefault(int(r.label), np.zeros(dim_n))[int(r.dim) - 1] = float(r.cv)
+    q_pd = _query_vectors(emb).select("vec_id", "embedding").toPandas()
+    Q = _to_matrix(q_pd["embedding"])
+    q_ids = q_pd["vec_id"].to_numpy()
+    q_index = {int(qid): i for i, qid in enumerate(q_ids)}
+    _, q_sq = lr_matmul(Q, Q[:0])
+    q_norm = np.sqrt(q_sq)
+    tr_pd = (
+        emb.filter(F.col("vec_id") < RPQ_TRAIN)
+        .select("vec_id", "label", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    TR = _to_matrix(tr_pd["embedding"]) - np.stack(
+        [CL[int(l)] for l in tr_pd["label"]]
+    )  # bounded training residuals in vec_id order
+    # per-subspace Lloyd: assignment argmin uses the same left-to-right
+    # d2 expansion as the oracle's CTE chain, ties to lowest cid; every
+    # updated mean snaps to 1e-6; empty clusters keep their codeword
+    CBs: list[np.ndarray] = []
+    for m in range(RPQ_M):
+        P = TR[:, m * RPQ_SUB : (m + 1) * RPQ_SUB]
+        C = P[:RPQ_K].copy()
+        for _ in range(RPQ_ITERS):
+            assign = np.argmin(_lr_sub_d2(P, C, 0, RPQ_SUB), axis=1)
+            Cn = C.copy()
+            for j in range(RPQ_K):
+                mem = P[assign == j]
+                if len(mem):
+                    Cn[j] = np.round(mem.mean(axis=0), 6)
+            C = Cn
+        CBs.append(C)
+    probe_map: dict[int, list[int]] = {}
+    for r in probe_rows:
+        probe_map.setdefault(int(r.label), []).append(q_index[int(r.q_id)])
+
+    def adc_score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for label, grp in pdf.groupby("label"):
+                qs = probe_map.get(int(label))
+                if not qs:
+                    continue
+                qs = np.array(sorted(qs))
+                cl = CL[int(label)]
+                R = _to_matrix(grp["embedding"]) - cl[None, :]
+                c_ids = grp["vec_id"].to_numpy()
+                codes = np.zeros((R.shape[0], RPQ_M), dtype=np.int64)
+                for m in range(RPQ_M):
+                    lo = m * RPQ_SUB
+                    d2 = _lr_sub_d2(R[:, lo : lo + RPQ_SUB], CBs[m], 0, RPQ_SUB)
+                    codes[:, m] = np.argmin(d2, axis=1)  # lowest cid on ties
+                QR = Q[qs] - cl[None, :]  # this list's query residuals
+                adc = np.zeros((R.shape[0], len(qs)))
+                for m in range(RPQ_M):
+                    lo = m * RPQ_SUB
+                    qt = _lr_sub_d2(
+                        QR[:, lo : lo + RPQ_SUB], CBs[m], 0, RPQ_SUB
+                    )
+                    adc += qt[:, codes[:, m]].T
+                out = pd.DataFrame(
+                    {
+                        "q_id": np.tile(q_ids[qs], R.shape[0]),
+                        "c_id": np.repeat(c_ids, len(qs)),
+                        "adc": adc.ravel(),
+                    }
+                )
+                yield out[out.q_id != out.c_id]
+
+    adc_df = emb.select("vec_id", "label", "embedding").mapInPandas(
+        adc_score, "q_id long, c_id long, adc double"
+    )
+    wa = W.partitionBy("q_id").orderBy("adc", "c_id")
+    short = (
+        adc_df.withColumn("ra", F.row_number().over(wa))
+        .filter(F.col("ra") <= rerank_n)
+        .select("q_id", "c_id", "adc")
+    )
+
+    def rerank(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _to_matrix(pdf["embedding"])
+            dots, c_sq = lr_matmul(A, Q)
+            qi = np.array([q_index[int(x)] for x in pdf["q_id"]])
+            rows = np.arange(len(pdf))
+            cos = dots[rows, qi] / (q_norm[qi] * np.sqrt(c_sq))
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(),
+                    "c_id": pdf["c_id"].to_numpy(),
+                    "adc": pdf["adc"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
+    reranked = (
+        emb.select(F.col("vec_id").alias("c_id"), "embedding")
+        .join(F.broadcast(short), "c_id")
+        .select("q_id", "c_id", "adc", "embedding")
+        .mapInPandas(rerank, "q_id long, c_id long, adc double, cosine double")
+    )
+    wr = W.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        reranked.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("adc", 6).alias("adc"),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus k-NN graph: every vector's top neighbors, blocked by the coarse
 # partition (label) so the all-pairs cross join becomes a per-block
