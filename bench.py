@@ -89,6 +89,7 @@ HEADLINE = [
     "q_events_asof_join_keyed",
     "q_sim_ivfpq_topk",
     "q_sim_ivfpq_residual_topk",
+    "q_sim_filtered_topk",
     "q_events_ks_drift",
     "q_pipeline_training_prep",
     # round 5: incremental batch-vs-corpus dedup probe, MG heavy hitters,

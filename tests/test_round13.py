@@ -105,3 +105,43 @@ def test_ivfpq_residual_codebook_excludes_centroid_component(spark, tmp_path):
             assert r.c_id < 40, (r.q_id, r.c_id)
         else:
             assert r.c_id >= 40, (r.q_id, r.c_id)
+
+
+def test_filtered_topk_predicate_and_dominance(spark, tmp_path):
+    """Every emitted candidate satisfies the metadata predicate, the
+    filtered search recalls (near-)exact filtered ground truth on a
+    clustered corpus, and it strictly dominates post-filtering the
+    unfiltered top-k — at identical traversal cost (same memoized
+    ledger)."""
+    from utxo_to_parquet_spark.operators import similarity as sim
+
+    sf = _clustered_fixture(tmp_path)
+    filt = sim.q_sim_filtered_topk(spark, sf).collect()
+    assert filt, "filtered search returned nothing"
+    for r in filt:
+        assert r.c_id % sim.FILT_MOD == sim.FILT_V
+        assert r.c_id != r.q_id
+    # brute-force filtered ground truth
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(str(tmp_path / "embeddings.parquet"))
+    ids = t["vec_id"].to_numpy()
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cmask = ids % sim.FILT_MOD == sim.FILT_V
+    C, cids = Xn[cmask], ids[cmask]
+    truth = {}
+    for qi in np.where((ids % sim.QUERY_MOD == 0) & (ids < sim.Q_MAX_ID))[0]:
+        cos = C @ Xn[qi]
+        cos[cids == ids[qi]] = -9.0
+        truth[int(ids[qi])] = {
+            int(c) for c in cids[np.argsort(-cos)[: sim.TOP_K]]
+        }
+    unfiltered = sim.q_sim_graph_search_topk(spark, sf).collect()
+    post = [r for r in unfiltered if r.c_id % sim.FILT_MOD == sim.FILT_V]
+    r_filt = _recall(truth, filt)
+    r_post = _recall(truth, post)
+    assert r_filt >= 0.9, f"filtered-search recall collapsed: {r_filt:.3f}"
+    assert r_filt > r_post + 0.3, (r_filt, r_post)

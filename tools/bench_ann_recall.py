@@ -146,6 +146,7 @@ def sweep(spark, sim, sf_dir: str, n_labels: int) -> dict:
         rows = None
         scored_per_q = None
         for _ in range(2):
+            sim._GS_CACHE.clear()  # memoized ledger would fake the timing
             t0 = time.time()
             res, ledger = sim._graph_search(spark, sf_dir, beam, steps)
             rows = res.collect()
@@ -161,12 +162,66 @@ def sweep(spark, sim, sf_dir: str, n_labels: int) -> dict:
         }
         graph_curve.append(point)
         print(f"graph beam={beam}: {json.dumps(point)}", flush=True)
+    # round 13: the metadata-filtered ANN cell — filtered ledger ranking
+    # vs post-filtering the unfiltered top-k, at IDENTICAL scored_per_q
+    # (both rank the same memoized traversal ledger). Ground truth =
+    # exact cosine top-k among predicate-passing candidates.
+    ftruth = filtered_truth(sf_dir, sim)
+    sim._GS_CACHE.clear()
+    res, ledger = sim._graph_search(spark, sf_dir, sim.GS_BEAM, sim.GS_STEPS)
+    unfiltered = res.collect()
+    filtered = sim.q_sim_filtered_topk(spark, sf_dir).collect()  # warm ledger
+    post = [
+        r for r in unfiltered if r.c_id % sim.FILT_MOD == sim.FILT_V
+    ]
+    def frecall(rows) -> float:
+        approx = topk_sets(rows)
+        return sum(
+            len(approx.get(q, set()) & ids) / len(ids)
+            for q, ids in ftruth.items()
+        ) / len(ftruth)
+    filtered_cell = {
+        "selectivity": f"c_id % {sim.FILT_MOD} == {sim.FILT_V}",
+        "scored_per_q": round(ledger.count() / n_q, 1),
+        "recall_filtered_search": round(frecall(filtered), 4),
+        "recall_post_filter_topk": round(frecall(post), 4),
+    }
+    print(f"filtered ANN: {json.dumps(filtered_cell)}", flush=True)
     return {
         "n_queries": n_q,
         "curves": curves,
         "ivfpq_rerank_sweep": rerank_curve,
         "graph_beam_sweep": graph_curve,
+        "filtered_search": filtered_cell,
     }
+
+
+def filtered_truth(sf_dir: str, sim) -> dict[int, set[int]]:
+    """Exact filtered ground truth: per query, the cosine top-TOP_K
+    among candidates with c_id % FILT_MOD == FILT_V (self excluded),
+    brute-forced in numpy from the parquet."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(glob.glob(os.path.join(sf_dir, "embeddings.parquet"))[0])
+    ids = t["vec_id"].to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qmask = (ids % sim.QUERY_MOD == 0) & (ids < sim.Q_MAX_ID)
+    cmask = ids % sim.FILT_MOD == sim.FILT_V
+    out: dict[int, set[int]] = {}
+    C = Xn[cmask]
+    cids = ids[cmask]
+    for qi in np.where(qmask)[0]:
+        cos = C @ Xn[qi]
+        cos[cids == ids[qi]] = -9.0
+        top = np.argsort(-cos)[: sim.TOP_K]
+        out[int(ids[qi])] = {int(c) for c in cids[top]}
+    return out
 
 
 def main() -> None:

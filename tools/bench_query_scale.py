@@ -273,6 +273,7 @@ OPS = {
     "q_dedup_decontaminate": "documents",
     "q_sim_ivfpq_topk": "embeddings",
     "q_sim_ivfpq_residual_topk": "embeddings",
+    "q_sim_filtered_topk": "embeddings",
     "q_sim_kmeans": "embeddings",
     "q_sim_mmr_rerank": "embeddings",
     "q_mm_phash_dedup": "documents",
@@ -569,6 +570,7 @@ def main() -> None:
         T._UNIGRAM_CACHE.clear()
         T._BPE_TRAIN_CACHE.clear()
         S._KMEANS_CACHE.clear()
+        S._GS_CACHE.clear()
 
     def cells(run_one) -> dict:
         secs = {}
