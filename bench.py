@@ -90,6 +90,8 @@ HEADLINE = [
     "q_sim_ivfpq_topk",
     "q_sim_ivfpq_residual_topk",
     "q_sim_filtered_topk",
+    "q_text_bbpe_encode",
+    "q_text_bbpe_roundtrip",
     "q_events_ks_drift",
     "q_pipeline_training_prep",
     # round 5: incremental batch-vs-corpus dedup probe, MG heavy hitters,

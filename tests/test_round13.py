@@ -145,3 +145,100 @@ def test_filtered_topk_predicate_and_dominance(spark, tmp_path):
     r_post = _recall(truth, post)
     assert r_filt >= 0.9, f"filtered-search recall collapsed: {r_filt:.3f}"
     assert r_filt > r_post + 0.3, (r_filt, r_post)
+
+
+# --- byte-level BPE -----------------------------------------------------------
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+BBPE_EDGE_TEXTS = [
+    "hello hello world",
+    "a  b   c",                       # multi-space runs
+    "don't stop! don't",              # apostrophes + punctuation runs
+    "héllo wörld héllo",  # 2-byte UTF-8
+    "emoji \U0001f600\U0001f600 twice \U0001f600",  # 4-byte UTF-8
+    "tab\there\tand  2  spaces",      # tabs inside punct class
+    "42abc7 42abc7",                  # digit/letter boundaries
+    " leading and trailing ",
+    "你好世界 你好",  # 3-byte UTF-8 (CJK)
+]
+
+
+def test_bbpe_roundtrip_multibyte_whitespace(spark, tmp_path):
+    """The no-OOV guarantee on planted edge cases: multi-byte UTF-8
+    (2/3/4-byte sequences), tabs, doubled spaces, leading/trailing
+    space — decode(encode(text)) == text for every document."""
+    from utxo_to_parquet_spark.operators import text as T
+
+    sf = _write_docs(tmp_path, BBPE_EDGE_TEXTS)
+    rows = T.q_text_bbpe_roundtrip(spark, sf).collect()
+    assert len(rows) == len(BBPE_EDGE_TEXTS)
+    bad = [r.doc_id for r in rows if not r.roundtrip_ok]
+    assert not bad, f"round trip failed for docs {bad}"
+
+
+def test_bbpe_merges_match_reference_trainer(spark, tmp_path):
+    """Trained merge list vs an independent pure-Python BPE reference
+    (most-frequent adjacent pair, ties by delimited string, greedy
+    leftmost rewrite) on the same pre-tokenized byte corpus."""
+    import re
+    from collections import Counter
+
+    from utxo_to_parquet_spark.operators import text as T
+
+    sf = _write_docs(tmp_path, BBPE_EDGE_TEXTS)
+    _v, merges = T._bbpe_train_cached(spark, sf)
+
+    # reference trainer
+    pat = re.compile(T.BBPE_PAT)
+    wf = Counter()
+    for t in BBPE_EDGE_TEXTS:
+        toks = pat.findall(t)
+        assert "".join(toks) == t
+        wf.update(toks)
+    vocab = {
+        w: [w.encode("utf-8").hex().upper()[i : i + 2]
+            for i in range(0, 2 * len(w.encode("utf-8")), 2)]
+        for w in wf
+    }
+    ref_merges = []
+    for _ in range(T.BBPE_MERGES):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wf[w]
+        if not pairs:
+            break
+        best = min(
+            pairs.items(),
+            key=lambda kv: (-kv[1], kv[0][0] + "·" + kv[0][1]),
+        )[0]
+        ref_merges.append(best)
+        a, b = best
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert merges == ref_merges

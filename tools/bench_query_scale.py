@@ -274,6 +274,8 @@ OPS = {
     "q_sim_ivfpq_topk": "embeddings",
     "q_sim_ivfpq_residual_topk": "embeddings",
     "q_sim_filtered_topk": "embeddings",
+    "q_text_bbpe_encode": "documents",
+    "q_text_bbpe_roundtrip": "documents",
     "q_sim_kmeans": "embeddings",
     "q_sim_mmr_rerank": "embeddings",
     "q_mm_phash_dedup": "documents",
@@ -569,6 +571,7 @@ def main() -> None:
         T._SA_PERPOS_CACHE.clear()
         T._UNIGRAM_CACHE.clear()
         T._BPE_TRAIN_CACHE.clear()
+        T._BBPE_TRAIN_CACHE.clear()
         S._KMEANS_CACHE.clear()
         S._GS_CACHE.clear()
 

@@ -1343,18 +1343,21 @@ BPE_ENC_MERGES = 10
 _BPE_D = "·"  # symbol delimiter; outside the corpus alphabet (ASCII)
 
 
-def _bpe_chain_sql(n_merges: int = BPE_ENC_MERGES) -> str:
+def _bpe_chain_sql(n_merges: int = BPE_ENC_MERGES, base_sql: str | None = None) -> str:
     """Machine-generated chained-CTE replay of the BPE trainer: v0 =
     per-word character symbols, then for each step m a 1-row best pair
     b{m} and the rewritten vocab v{m} via a delimited-string fold with
     greedy leftmost merge semantics. Shared by the encode / vocab /
-    fertility oracles so the three replay ONE trainer definition.
-    Every level is MATERIALIZED: each references the previous twice
-    (pair count + rewrite), so inlining would re-evaluate the chain
-    exponentially (measured: 'Too many open files' at depth 10)."""
+    fertility oracles so the three replay ONE trainer definition (and,
+    via ``base_sql``, by the byte-level trainer, whose v0 carries hex
+    byte symbols from the regex pre-tokenizer instead — the merge
+    levels are symbol-agnostic). Every level is MATERIALIZED: each
+    references the previous twice (pair count + rewrite), so inlining
+    would re-evaluate the chain exponentially (measured: 'Too many
+    open files' at depth 10)."""
     d = _BPE_D
-    parts = [
-        f"""
+    if base_sql is None:
+        base_sql = f"""
     WITH wf AS MATERIALIZED (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
@@ -1366,7 +1369,7 @@ def _bpe_chain_sql(n_merges: int = BPE_ENC_MERGES) -> str:
                             i -> substr(word, CAST(i AS INT), 1)) AS syms
       FROM wf
     )"""
-    ]
+    parts = [base_sql]
     for m in range(1, n_merges + 1):
         p = m - 1
         parts.append(
@@ -1449,7 +1452,6 @@ def _bpe_train(docs):
     entries compose, via _bpe_train_cached): returns (encoded vocab
     DataFrame with word/freq/syms, merge list [(a, b)]). See
     q_text_bpe_encode's docstring for the scale/determinism contract."""
-    d = _BPE_D
     wf = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -1459,12 +1461,21 @@ def _bpe_train(docs):
     v = wf.withColumn(
         "syms", F.expr("filter(split(word, ''), x -> x <> '')")
     ).localCheckpoint(eager=True)
+    return _bpe_merge_rounds(v, BPE_ENC_MERGES)
+
+
+def _bpe_merge_rounds(v, n_merges: int):
+    """The symbol-agnostic BPE merge loop shared by the char-level and
+    byte-level trainers: n_merges rounds of (adjacent-pair count over
+    the vocab-bounded symbol table, 1-row top-pair collect, JVM fold
+    rewrite, checkpoint). Returns (rewritten vocab, merge list)."""
+    d = _BPE_D
 
     def _sq(s: str) -> str:
         return s.replace("'", "''")
 
     merges: list[tuple[str, str]] = []
-    for _ in range(BPE_ENC_MERGES):
+    for _ in range(n_merges):
         pairs = (
             v.filter(F.size("syms") >= 2)
             .select(
@@ -5511,6 +5522,220 @@ def q_text_bpe_decode(spark, sf_dir):
     return rec.join(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         "n_words",
+        F.md5("decoded").alias("decoded_md5"),
+        (F.col("decoded") == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+# --- BYTE-level BPE with regex pre-tokenization (GPT-2/tiktoken style) -------
+#
+# The production tokenizer shape (Radford et al. 2019 §2.2; tiktoken):
+# (1) a regex PRE-TOKENIZER cuts text into word-ish pieces so merges
+# never cross word boundaries, and (2) the symbol alphabet is the 256
+# BYTES of each piece's UTF-8 encoding, so there is NO OOV — any text,
+# any script, any emoji tokenizes, with unseen content falling back to
+# byte symbols. Differences from GPT-2's exact recipe, both deliberate:
+# the pre-tokenizer pattern drops GPT-2's lookahead clause
+# (`\s+(?!\S)`) because RE2 — DuckDB's engine — supports no lookarounds;
+# the simplified alternation below is still LOSSLESS (every char is
+# matched by exactly one piece, proven by the round-trip gate), it just
+# attaches runs of spaces to the preceding token boundary differently.
+# And bytes are represented as hex pairs (hex(utf8(piece)) split every
+# 2 chars) instead of GPT-2's byte-to-unicode bijection — the same
+# information, engine-identical, and delimiter-safe.
+
+BBPE_MERGES = 10
+# lookahead-free GPT-2-style pre-tokenizer: optionally-space-prefixed
+# letter runs / digit runs / punctuation runs, plus bare space runs
+BBPE_PAT = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+_BBPE_BASE_SQL = f"""
+    WITH wf AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(regexp_extract_all(text, '{BBPE_PAT}')) AS word
+            FROM documents)
+      GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+      SELECT word, freq,
+             regexp_extract_all(hex(encode(word)), '..') AS syms
+      FROM wf
+    )"""
+
+
+_BBPE_TRAIN_CACHE: dict = {}
+
+
+def _bbpe_train_cached(spark, sf_dir):
+    """Byte-level twin of _bpe_train_cached: pre-token frequency table
+    via the regex pre-tokenizer, hex-byte-pair initial symbols, then
+    the SAME symbol-agnostic merge loop. Memoized per (applicationId,
+    sf_dir) like every trainer."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BBPE_TRAIN_CACHE.get(key)
+    if hit is None:
+        docs = load(spark, sf_dir, "documents")
+        wf = (
+            docs.select(
+                F.explode(
+                    F.expr(f"regexp_extract_all(text, '{BBPE_PAT}', 0)")
+                ).alias("word")
+            )
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        )
+        v = wf.withColumn(
+            "syms",
+            F.expr("regexp_extract_all(hex(encode(word, 'utf-8')), '..', 0)"),
+        ).localCheckpoint(eager=True)
+        hit = _bpe_merge_rounds(v, BBPE_MERGES)
+        _BBPE_TRAIN_CACHE[key] = hit
+    return hit
+
+
+def _bbpe_encode_oracle() -> str:
+    return (
+        _bpe_chain_sql(BBPE_MERGES, base_sql=_BBPE_BASE_SQL)
+        + f""",
+    enc AS (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_tok,
+             CAST(list_max(list_transform(syms, x -> length(x))) // 2
+                  AS BIGINT) AS mxb
+      FROM v{BBPE_MERGES}
+    ),
+    tok AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(text, '{BBPE_PAT}')) AS word
+      FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+           CAST(SUM(e.n_tok) AS BIGINT) AS n_bbpe_tokens,
+           CAST(MAX(e.mxb) AS BIGINT) AS max_token_bytes
+    FROM tok t JOIN enc e ON e.word = t.word
+    GROUP BY t.doc_id"""
+    )
+
+
+@register("q_text_bbpe_encode", oracle=_bbpe_encode_oracle())
+def q_text_bbpe_encode(spark, sf_dir):
+    """BYTE-level BPE ENCODE (GPT-2/tiktoken family): regex
+    pre-tokenization, UTF-8 byte alphabet (no OOV by construction),
+    {BBPE_MERGES} trained merges, then per document the pre-token
+    count, byte-BPE token count, and longest learned token in BYTES.
+    See the section comment for the two documented deviations from
+    GPT-2's exact recipe (lookahead-free pattern for RE2 parity,
+    hex-pair byte rendering).
+
+    Plan shape is q_text_bpe_encode's, with the pre-tokenizer regex as
+    a JVM regexp_extract_all in place of the space split: every merge
+    round iterates the VOCAB-BOUNDED pre-token frequency table (pair
+    count -> 1-row top-pair collect -> JVM fold rewrite -> checkpoint),
+    and the corpus is touched once at the end (explode + equi-join +
+    per-doc aggregate). The oracle replays the identical trainer
+    through the shared chained-CTE generator — one merge-loop
+    definition serves both tokenizer families on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    v, _merges = _bbpe_train_cached(spark, sf_dir)
+    enc = v.select(
+        "word",
+        F.size("syms").cast("long").alias("n_tok"),
+        F.expr("array_max(transform(syms, x -> length(x))) div 2")
+        .cast("long")
+        .alias("mxb"),
+    )
+    tokw = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all(text, '{BBPE_PAT}', 0)")).alias(
+            "word"
+        ),
+    )
+    return (
+        tokw.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pretokens"),
+            F.sum("n_tok").cast("long").alias("n_bbpe_tokens"),
+            F.max("mxb").cast("long").alias("max_token_bytes"),
+        )
+    )
+
+
+def _bbpe_roundtrip_oracle() -> str:
+    return (
+        _bpe_chain_sql(BBPE_MERGES, base_sql=_BBPE_BASE_SQL)
+        + f""",
+    dec AS (
+      SELECT word, decode(unhex(array_to_string(syms, ''))) AS dw
+      FROM v{BBPE_MERGES}
+    ),
+    plist AS (
+      SELECT doc_id, text, regexp_extract_all(text, '{BBPE_PAT}') AS ws
+      FROM documents
+    ),
+    tokp AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             ws[CAST(u.i AS INT) + 1] AS word
+      FROM plist, UNNEST(range(0, len(ws))) AS u(i)
+    ),
+    rec AS (
+      SELECT t.doc_id,
+             string_agg(d.dw, '' ORDER BY t.pos) AS decoded,
+             CAST(COUNT(*) AS BIGINT) AS n_pretokens
+      FROM tokp t JOIN dec d ON d.word = t.word
+      GROUP BY t.doc_id
+    )
+    SELECT r.doc_id, r.n_pretokens,
+           md5(r.decoded) AS decoded_md5,
+           r.decoded = p.text AS roundtrip_ok
+    FROM rec r JOIN plist p ON p.doc_id = r.doc_id"""
+    )
+
+
+@register("q_text_bbpe_roundtrip", oracle=_bbpe_roundtrip_oracle())
+def q_text_bbpe_roundtrip(spark, sf_dir):
+    """Byte-level BPE ROUND TRIP: decode(encode(text)) == text per
+    document, as a real text comparison on both engines. This is the
+    no-OOV guarantee made checkable: every pre-token's merged symbols
+    concatenate back to its exact hex byte string (merges only fuse
+    adjacent in-piece symbols), unhex+utf8-decode restores the piece,
+    and pieces reassemble in position order — which simultaneously
+    proves the LOSSLESSNESS of the lookahead-free pre-tokenizer (every
+    character lands in exactly one piece; multi-byte and whitespace
+    edge cases are pinned by constructed-corpus tests).
+
+    Scale: corpus touched twice (pre-token posexplode, per-doc
+    reassembly aggregate); the trained vocab is shared with
+    q_text_bbpe_encode via the session cache. Same shuffle classes as
+    the char-level decode twin."""
+    v, _merges = _bbpe_train_cached(spark, sf_dir)
+    dec = v.select(
+        "word",
+        F.decode(F.unhex(F.concat_ws("", F.col("syms"))), "utf-8").alias("dw"),
+    )
+    docs = load(spark, sf_dir, "documents")
+    tokp = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"regexp_extract_all(text, '{BBPE_PAT}', 0)")
+        ).alias("pos", "word"),
+    )
+    rec = (
+        tokp.join(dec, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, dw))),"
+                    " s -> s.dw)"
+                ),
+            ).alias("decoded"),
+            F.count(F.lit(1)).cast("long").alias("n_pretokens"),
+        )
+    )
+    return rec.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "n_pretokens",
         F.md5("decoded").alias("decoded_md5"),
         (F.col("decoded") == F.col("text")).alias("roundtrip_ok"),
     )
