@@ -72,6 +72,11 @@ OPS = {
     # from the merged counts must equal the batch trainer's exactly (the
     # op recomputes matches_batch per token)
     "q_stream_unigram_counts": "documents",
+    # round 13: banded sign-LSH index maintenance — per-commit state is
+    # the arriving delta's own (band, bkey, vec_id) posting rows; the
+    # merged index must equal the batch build bucket-for-bucket at every
+    # scale (the op recomputes matches_batch per bucket)
+    "q_stream_ann_delta": "embeddings",
 }
 
 

@@ -1799,3 +1799,202 @@ def q_stream_unigram_counts(spark, sf_dir):
             & (F.col("score_e6") == F.col("ref_score"))
         ).alias("matches_batch"),
     )
+
+
+# --- streaming ANN index maintenance ------------------------------------------
+
+_ANN_STREAM_DIRS: dict[str, str] = {}
+_ANN_SINK_DIRS: dict[str, str] = {}
+ANN_REPLAY_BATCHES = 4
+
+
+def _embeddings_chunked_stream(spark, sf_dir):
+    """File-source readStream over the embeddings table range-split on
+    vec_id into ANN_REPLAY_BATCHES files, maxFilesPerTrigger=1 — the
+    vector twin of _documents_chunked_stream (arrival order is ingest
+    order; the band index is order-free, which is what the equivalence
+    gate demonstrates). Memoized per fixture dir."""
+    import os
+    import shutil
+
+    src_key = f"{sf_dir}/embeddings.parquet"
+    if src_key not in _ANN_STREAM_DIRS:
+        stream_dir = _tmpdir("embeddings_chunked_stream_")
+        emb = spark.read.parquet(src_key)
+        lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+        span = max(hi - lo + 1, 1)
+        for i in range(ANN_REPLAY_BATCHES):
+            a = lo + span * i // ANN_REPLAY_BATCHES
+            b = lo + span * (i + 1) // ANN_REPLAY_BATCHES
+            tmp = os.path.join(stream_dir, f"_tmp{i}")
+            (
+                emb.filter((F.col("vec_id") >= a) & (F.col("vec_id") < b))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            os.rename(
+                os.path.join(tmp, part),
+                os.path.join(stream_dir, f"chunk{i}.parquet"),
+            )
+            shutil.rmtree(tmp)
+        _ANN_STREAM_DIRS[src_key] = stream_dir
+    schema = spark.read.parquet(src_key).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_ANN_STREAM_DIRS[src_key])
+    )
+
+
+def _ann_delta_oracle() -> str:
+    from ..operators.dedup import _emb_lsh_cte
+
+    return f"""
+    WITH {_emb_lsh_cte()}
+    SELECT CAST(band AS BIGINT) AS band, bkey,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           BIT_XOR(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT)
+             AS member_fp,
+           TRUE AS multi_commit, TRUE AS matches_batch
+    FROM bands
+    GROUP BY band, bkey
+    """
+
+
+@register("q_stream_ann_delta", oracle=_ann_delta_oracle())
+def q_stream_ann_delta(spark, sf_dir):
+    """STREAMING ANN INDEX MAINTENANCE — the online half of the banded
+    sign-LSH index every embedding-dedup / semantic-decontamination /
+    candidate-generation chain in this library searches: per
+    micro-batch, each ARRIVING vector appends its {EMB_BANDS} band
+    rows (band, bucket key, vec_id) to an append-only posting sink —
+    the per-commit state is exactly the delta's own band rows (bounded
+    by batch size, never the corpus), because bucket keys are
+    per-vector deterministic (fixed hyperplanes) and a banded index is
+    an ADDITIVE relation: index(base + delta) == index(base) UNION
+    index(delta), the same mergeable-monoid argument as the sketch
+    twins, here carrying a vector-search index. No rebuild, no
+    re-bucketing, one append per commit — the production shape for
+    keeping a vector store's candidate generator current while
+    embeddings stream in.
+
+    After the replay the merged index must equal the BATCH-built index
+    bucket-for-bucket: per (band, bkey) the occupancy AND an order-free
+    member-set fingerprint (BIT_XOR of the engine-identical md5-derived
+    member ids) are compared against the static construction
+    (``matches_batch`` is a real comparison, not asserted), with
+    ``multi_commit`` pinning >= {ANN_REPLAY_BATCHES} - 1 real commits.
+    Bucket-set equality makes any index-derived search — candidate
+    pairs, incremental-dedup admission, filtered top-k over the probed
+    buckets — identical over base+delta vs rebuild, which is the
+    search-equivalence claim, reduced to its generating relation.
+
+    The key width is pinned to the batch index's corpus-scaled width
+    (a deployment config in production — an appending index cannot
+    re-derive it per commit, and re-keying on growth is exactly the
+    REBUILD this twin exists to avoid)."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import (
+        EMB_BANDS,
+        EMB_MAX_BITS,
+        _PLANES,
+        emb_band_bits_for,
+    )
+    from ..operators.registry import load
+    from ..operators.similarity import _to_matrix, lr_matmul
+
+    static = load(spark, sf_dir, "embeddings")
+    band_bits = emb_band_bits_for(static.count())
+    P = np.array(
+        [
+            _PLANES[b * EMB_MAX_BITS + j]
+            for b in range(EMB_BANDS)
+            for j in range(band_bits)
+        ],
+        dtype=np.float64,
+    )
+
+    def band_rows(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        C = _to_matrix(pdf["embedding"])
+        dots, _ = lr_matmul(C, P)
+        bits = dots > 0
+        frames = []
+        for b in range(EMB_BANDS):
+            bkey = np.zeros(len(C), dtype=np.int64)
+            for j in range(band_bits):
+                bkey += np.where(bits[:, b * band_bits + j], 1 << j, 0)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "band": np.full(len(C), b, dtype=np.int64),
+                        "bkey": bkey,
+                    }
+                )
+            )
+        return pd.concat(frames)
+
+    sdf = _embeddings_chunked_stream(spark, sf_dir)
+    key = f"{sf_dir}/ann_delta"
+    if key not in _ANN_SINK_DIRS:
+        _ANN_SINK_DIRS[key] = _tmpdir("ann_delta_sink_")
+    sink = _ANN_SINK_DIRS[key] + "/postings"
+    shutil.rmtree(sink, ignore_errors=True)
+
+    def write_batch(batch_df, batch_id):
+        pdf = batch_df.select("vec_id", "embedding").toPandas()
+        if not len(pdf):
+            return
+        out = band_rows(pdf)
+        out["batch_id"] = batch_id
+        batch_df.sparkSession.createDataFrame(
+            out, "vec_id long, band long, bkey long, batch_id long"
+        ).write.mode("append").parquet(sink)
+
+    with _stream_partitions(spark):
+        q = sdf.writeStream.outputMode("append").foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+            _capture_stream_plan(q)
+        finally:
+            q.stop()
+
+    postings = spark.read.parquet(sink)
+    n_commits = postings.select("batch_id").distinct().count()
+    fp = F.expr(
+        "bit_xor(cast(conv(substring(md5(cast(vec_id as string)), 1, 15),"
+        " 16, 10) as bigint))"
+    )
+    live = postings.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        fp.alias("member_fp"),
+    )
+    # batch-built index: the identical keying pass over the static table
+    batch_postings = (
+        static.select("vec_id", "embedding")
+        .mapInPandas(
+            lambda it: (band_rows(pdf) for pdf in it if len(pdf)),
+            "vec_id long, band long, bkey long",
+        )
+    )
+    ref = batch_postings.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).cast("long").alias("ref_n"),
+        fp.alias("ref_fp"),
+    )
+    return live.join(ref, ["band", "bkey"], "full_outer").select(
+        "band",
+        "bkey",
+        "n_vecs",
+        "member_fp",
+        F.lit(n_commits >= ANN_REPLAY_BATCHES - 1).alias("multi_commit"),
+        (
+            (F.col("n_vecs") == F.col("ref_n"))
+            & (F.col("member_fp") == F.col("ref_fp"))
+        ).alias("matches_batch"),
+    )
