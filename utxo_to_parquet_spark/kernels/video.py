@@ -35,7 +35,8 @@ import numpy as np
 from .image import decode_jpeg, encode_jpeg
 
 __all__ = ["encode_avi_mjpeg", "decode_avi_mjpeg",
-           "encode_avi_rle8", "decode_avi_rle8"]
+           "encode_avi_rle8", "decode_avi_rle8",
+           "encode_avi_mc", "decode_avi_mc"]
 
 
 def _chunk(ckid: bytes, data: bytes) -> bytes:
@@ -577,4 +578,463 @@ def decode_avi_rle8(payload: bytes) -> tuple[int, list[np.ndarray]]:
     for raw in raw_frames:
         _rle8_apply(canvas, raw)
         out.append(canvas.copy())
+    return fps, out
+
+
+# --- MPEG-1-STYLE motion-compensated DCT video ("MC01") ----------------------
+#
+# The last video tier: temporal prediction with MOTION VECTORS plus a
+# transform-coded residual — the architecture of every MPEG/H.26x codec
+# (ISO/IEC 11172-2 §2.4: macroblock full-pel motion compensation, 8x8
+# DCT of the prediction error, run/level entropy coding). This is an
+# MPEG-1-STYLE SUBSET, not MPEG-1 bitstream syntax: the container is
+# AVI (fourcc "MC01"), I-frames are complete baseline JFIF images
+# (MPEG-1 intra coding IS JPEG-style — reusing kernels/image.py's T.81
+# codec is the honest equivalence), and P-frames carry the scheme
+# below with Exp-Golomb entropy coding (the H.264 §9.1 universal code)
+# instead of MPEG's Huffman VLC tables. Real H.264/VP9/AV1 (sub-pel
+# interpolation, in-loop filters, arithmetic coding) still need native
+# decoders and remain behind the multimodal stub.
+#
+# P-frame bitstream (MSB-first bits, macroblocks in raster order):
+#   per 16x16 macroblock:
+#     1 bit   skip          1 = copy the co-located previous-frame MB
+#                           (MPEG P-skip: MV (0,0), no residual)
+#     se(dx), se(dy)        full-pel motion vector into the previous
+#                           RECONSTRUCTED frame (always in-bounds)
+#     4 bits  cbp           coded-block pattern for the MB's four 8x8
+#                           blocks in TL,TR,BL,BR order (bit 3 = TL)
+#     per coded block:
+#       ue(n)               number of nonzero quantized coefficients
+#       n x (ue(run), se(level))   zigzag run-before gaps + levels
+#   Quantization is the flat table QDC=8 / QAC=16 with round-half-away
+#   (level = sign * floor(|X|/Q + 0.5)); the encoder is CLOSED-LOOP
+#   (predicts from its own reconstruction), so encoder and decoder
+#   reference frames are bit-identical and drift is impossible.
+
+MC_QDC = 8   # DC step 8 == the T.81 DC-exact contract: a constant-c
+# residual block has DC 8c, quantizes to level c, reconstructs to c
+MC_QAC = 16
+MC_SEARCH = 8  # full-pel search radius (candidates ordered by
+# (|dx|+|dy|, dy, dx) — the deterministic tie-break)
+
+
+class _MCBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, bits: int, width: int) -> None:
+        for i in range(width - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((bits >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                self.acc = self.n = 0
+
+    def ue(self, v: int) -> None:  # Exp-Golomb, H.264 §9.1
+        x = v + 1
+        nb = x.bit_length()
+        self.put(0, nb - 1)
+        self.put(x, nb)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.buf.append((self.acc << (8 - self.n)) & 0xFF)
+            self.acc = self.n = 0
+        return bytes(self.buf)
+
+
+class _MCBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def bit(self) -> int:
+        byte = self.pos >> 3
+        if byte >= len(self.data):
+            raise ValueError("MC01 bitstream truncated")
+        b = (self.data[byte] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def ue(self) -> int:
+        z = 0
+        while self.bit() == 0:
+            z += 1
+            if z > 32:
+                raise ValueError("MC01 Exp-Golomb prefix overrun")
+        x = 1
+        for _ in range(z):
+            x = (x << 1) | self.bit()
+        return x - 1
+
+    def se(self) -> int:
+        u = self.ue()
+        return (u + 1) // 2 if u % 2 else -(u // 2)
+
+
+def _mc_quant_table() -> "np.ndarray":
+    q = np.full((8, 8), MC_QAC, dtype=np.float64)
+    q[0, 0] = MC_QDC
+    return q
+
+
+def _mc_fdct(block: "np.ndarray") -> "np.ndarray":
+    from .image import _IDCT_A
+
+    return _IDCT_A @ block @ _IDCT_A.T
+
+
+def _mc_idct(coef: "np.ndarray") -> "np.ndarray":
+    from .image import _IDCT_A
+
+    return _IDCT_A.T @ coef @ _IDCT_A
+
+
+def _mc_encode_pframe(prev: "np.ndarray", cur: "np.ndarray",
+                      search: int) -> tuple[bytes, "np.ndarray"]:
+    """One P-frame: returns (payload, reconstruction). ``prev`` is the
+    previous RECONSTRUCTED frame (closed loop)."""
+    from .image import _JPEG_ZZ_FLAT
+
+    h, w = cur.shape
+    q = _mc_quant_table()
+    zz = _JPEG_ZZ_FLAT
+    cands = sorted(
+        ((dx, dy) for dx in range(-search, search + 1)
+         for dy in range(-search, search + 1)),
+        key=lambda v: (abs(v[0]) + abs(v[1]), v[1], v[0]),
+    )
+    bw_ = _MCBitWriter()
+    recon = np.empty_like(cur)
+    previ = prev.astype(np.int32)
+    curi = cur.astype(np.int32)
+    for y in range(0, h, 16):
+        for x in range(0, w, 16):
+            mb = curi[y : y + 16, x : x + 16]
+            if (mb == previ[y : y + 16, x : x + 16]).all():
+                bw_.put(1, 1)  # P-skip
+                recon[y : y + 16, x : x + 16] = prev[y : y + 16, x : x + 16]
+                continue
+            best, best_sad = None, None
+            for dx, dy in cands:
+                py, px = y + dy, x + dx
+                if not (0 <= py <= h - 16 and 0 <= px <= w - 16):
+                    continue
+                sad = int(
+                    np.abs(mb - previ[py : py + 16, px : px + 16]).sum()
+                )
+                if best_sad is None or sad < best_sad:
+                    best, best_sad = (dx, dy), sad
+            dx, dy = best
+            pred = previ[y + dy : y + dy + 16, x + dx : x + dx + 16]
+            resid = (mb - pred).astype(np.float64)
+            levels = []
+            cbp = 0
+            for bi, (by, bx) in enumerate(
+                ((0, 0), (0, 8), (8, 0), (8, 8))
+            ):
+                X = _mc_fdct(resid[by : by + 8, bx : bx + 8]) / q
+                lv = (np.sign(X) * np.floor(np.abs(X) + 0.5)).astype(
+                    np.int64
+                )
+                lvzz = lv.reshape(64)[zz]
+                levels.append(lvzz)
+                if lvzz.any():
+                    cbp |= 1 << (3 - bi)
+            bw_.put(0, 1)
+            bw_.se(dx)
+            bw_.se(dy)
+            bw_.put(cbp, 4)
+            rec = pred.astype(np.float64)
+            for bi, (by, bx) in enumerate(
+                ((0, 0), (0, 8), (8, 0), (8, 8))
+            ):
+                lvzz = levels[bi]
+                if not (cbp >> (3 - bi)) & 1:
+                    continue
+                nz = np.nonzero(lvzz)[0]
+                bw_.ue(len(nz))
+                last = -1
+                for k in nz:
+                    bw_.ue(int(k - last - 1))
+                    bw_.se(int(lvzz[k]))
+                    last = int(k)
+                deq = np.zeros(64)
+                deq[zz[nz]] = lvzz[nz] * q.reshape(64)[zz[nz]]
+                rec[by : by + 8, bx : bx + 8] += _mc_idct(deq.reshape(8, 8))
+            recon[y : y + 16, x : x + 16] = np.clip(
+                np.round(rec), 0, 255
+            ).astype(np.uint8)
+    return bw_.flush(), recon
+
+
+def _mc_decode_pframe(prev: "np.ndarray", payload: bytes) -> "np.ndarray":
+    from .image import _JPEG_ZZ_FLAT
+
+    h, w = prev.shape
+    q = _mc_quant_table()
+    zz = _JPEG_ZZ_FLAT
+    br = _MCBitReader(payload)
+    recon = np.empty_like(prev)
+    previ = prev.astype(np.int32)
+    for y in range(0, h, 16):
+        for x in range(0, w, 16):
+            if br.bit():  # P-skip
+                recon[y : y + 16, x : x + 16] = prev[y : y + 16, x : x + 16]
+                continue
+            dx = br.se()
+            dy = br.se()
+            py, px = y + dy, x + dx
+            if not (0 <= py <= h - 16 and 0 <= px <= w - 16):
+                raise ValueError(
+                    f"MC01 motion vector ({dx},{dy}) leaves the frame at"
+                    f" macroblock ({x},{y})"
+                )
+            cbp = 0
+            for _ in range(4):
+                cbp = (cbp << 1) | br.bit()
+            rec = previ[py : py + 16, px : px + 16].astype(np.float64)
+            for bi, (by, bx) in enumerate(
+                ((0, 0), (0, 8), (8, 0), (8, 8))
+            ):
+                if not (cbp >> (3 - bi)) & 1:
+                    continue
+                n = br.ue()
+                if not 1 <= n <= 64:
+                    raise ValueError(f"MC01 coded block with {n} coeffs")
+                deq = np.zeros(64)
+                k = -1
+                for _ in range(n):
+                    k += br.ue() + 1
+                    if k > 63:
+                        raise ValueError("MC01 zigzag run overruns block")
+                    lv = br.se()
+                    if lv == 0:
+                        raise ValueError("MC01 zero level is not codable")
+                    deq[zz[k]] = lv * q.reshape(64)[zz[k]]
+                rec[by : by + 8, bx : bx + 8] += _mc_idct(deq.reshape(8, 8))
+            recon[y : y + 16, x : x + 16] = np.clip(
+                np.round(rec), 0, 255
+            ).astype(np.uint8)
+    return recon
+
+
+def encode_avi_mc(frames: list, fps: int = 25, *, gop: int = 0,
+                  search: int = MC_SEARCH) -> bytes:
+    """List of (h, w) uint8 gray frames (dims multiples of 16) ->
+    motion-compensated "MC01" AVI: frame 0 (and every ``gop``-th frame
+    when gop > 0) an I-frame carried as a complete baseline JFIF
+    payload, every other frame a P-frame per the bitstream above.
+    I-frames alone get AVIIF_KEYFRAME in idx1. The encoder is closed-
+    loop: P-frames predict from the DECODED previous frame."""
+    from .image import decode_jpeg, encode_jpeg
+
+    if not frames:
+        raise ValueError("MC01 AVI needs at least one frame")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
+    shape = frames[0].shape
+    if any(f.shape != shape or f.ndim != 2 for f in frames):
+        raise ValueError("all frames must be 8-bit gray with one shape")
+    h, w = shape
+    if h % 16 or w % 16:
+        raise ValueError(
+            f"MC01 frames must be multiples of 16 (got {w}x{h}) —"
+            " macroblock motion compensation has no partial-MB path"
+        )
+    payloads: list[bytes] = []
+    keyflags: list[bool] = []
+    prev_recon = None
+    for i, f in enumerate(frames):
+        f = np.asarray(f, dtype=np.uint8)
+        if i == 0 or (gop and i % gop == 0):
+            data = encode_jpeg(f)
+            _, _, px = decode_jpeg(data)
+            prev_recon = px.astype(np.uint8)
+            payloads.append(data)
+            keyflags.append(True)
+        else:
+            data, prev_recon = _mc_encode_pframe(prev_recon, f, search)
+            payloads.append(data)
+            keyflags.append(False)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1,
+        max(len(p) for p in payloads), w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"MC01"
+        + struct.pack(
+            "<IHHIIIIIIIIhhhh",
+            0, 0, 0, 0, 1, fps, 0, len(frames),
+            max(len(p) for p in payloads), 0, 0, 0, 0, w, h,
+        )
+    )
+    strf = struct.pack(
+        "<Iii HHI I iiII".replace(" ", ""),
+        40, w, h, 1, 8,
+        struct.unpack("<I", b"MC01")[0],  # biCompression fourcc
+        sum(len(p) for p in payloads) // len(payloads), 0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_body = bytearray(b"movi")
+    offsets = []
+    for p in payloads:
+        offsets.append(len(movi_body))
+        movi_body += _chunk(b"00dc", p)
+    movi = _chunk(b"LIST", bytes(movi_body))
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", 0x10 if key else 0, off, len(p))
+        for key, (off, p) in zip(keyflags, zip(offsets, payloads))
+    )
+    body = b"AVI " + hdrl + movi + _chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mc(payload: bytes) -> tuple[int, list[np.ndarray]]:
+    """"MC01" AVI bytes -> (fps, reconstructed (h, w) uint8 frames).
+
+    Strict walk like the MJPEG/RLE8 readers: RIFF framing, header
+    consistency (MC01 handler and biCompression), idx1 offsets/sizes
+    verified with AVIIF_KEYFRAME exactly on I-frames (an I-frame is
+    recognized by its JFIF SOI marker — the flag and the payload must
+    agree), and every motion vector bounds-checked. P-frames decode
+    against the previous reconstruction; a P-frame before any I-frame
+    is an error."""
+    from .image import decode_jpeg
+
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF file")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 > len(payload):
+        raise ValueError(
+            f"RIFF size {riff_size} overruns payload of {len(payload)}"
+        )
+    if payload[8:12] != b"AVI ":
+        raise ValueError(f"not an AVI form: {payload[8:12]!r}")
+
+    avih = strh = strf = None
+    raw_frames: list[bytes] = []
+    frame_meta: list[tuple[int, int]] = []
+    key_flags: list[int] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal avih, strh, strf
+        off = start
+        while off + 8 <= end:
+            ckid = payload[off : off + 4]
+            (csize,) = struct.unpack_from("<I", payload, off + 4)
+            body_start = off + 8
+            if body_start + csize > end:
+                raise ValueError(f"chunk {ckid!r} overruns its parent list")
+            if ckid == b"LIST":
+                form = payload[body_start : body_start + 4]
+                if form == b"movi":
+                    movi_walk(body_start, body_start + csize)
+                else:
+                    walk(body_start + 4, body_start + csize)
+            elif ckid == b"avih":
+                avih = payload[body_start : body_start + csize]
+            elif ckid == b"strh":
+                strh = payload[body_start : body_start + csize]
+            elif ckid == b"strf":
+                strf = payload[body_start : body_start + csize]
+            elif ckid == b"idx1":
+                check_idx1(payload[body_start : body_start + csize])
+            off = body_start + csize + (csize % 2)
+
+    def movi_walk(start: int, end: int) -> None:
+        off = start + 4
+        while off + 8 <= end:
+            ckid = payload[off : off + 4]
+            (csize,) = struct.unpack_from("<I", payload, off + 4)
+            if off + 8 + csize > end:
+                raise ValueError("movi frame chunk overruns the list")
+            if ckid == b"00dc":
+                frame_meta.append((off - start, csize))
+                raw_frames.append(payload[off + 8 : off + 8 + csize])
+            off += 8 + csize + (csize % 2)
+
+    def check_idx1(body: bytes) -> None:
+        if len(body) % 16:
+            raise ValueError(f"idx1 size {len(body)} not a multiple of 16")
+        n = len(body) // 16
+        if n != len(frame_meta):
+            raise ValueError(
+                f"idx1 has {n} entries for {len(frame_meta)} frames"
+            )
+        for i in range(n):
+            ckid = body[16 * i : 16 * i + 4]
+            flags, ioff, isize = struct.unpack_from("<III", body, 16 * i + 4)
+            if ckid != b"00dc":
+                raise ValueError(f"idx1 entry {i} ckid {ckid!r}")
+            if (ioff, isize) != frame_meta[i]:
+                raise ValueError(
+                    f"idx1 entry {i} ({ioff}, {isize}) != actual"
+                    f" {frame_meta[i]}"
+                )
+            is_jfif = raw_frames[i][:2] == b"\xff\xd8"
+            want = 0x10 if is_jfif else 0
+            if flags != want:
+                raise ValueError(
+                    f"idx1 entry {i} flags {flags:#x} disagree with the"
+                    f" payload type ({'I' if is_jfif else 'P'}-frame)"
+                )
+            key_flags.append(flags)
+
+    walk(12, 8 + riff_size)
+    if avih is None or strh is None or strf is None:
+        raise ValueError("AVI missing avih/strh/strf headers")
+    fields = struct.unpack_from("<IIIIIIIIII", avih, 0)
+    total_frames, streams, aw, ah = fields[4], fields[6], fields[8], fields[9]
+    if streams != 1:
+        raise ValueError(f"expected 1 stream, header says {streams}")
+    if total_frames != len(raw_frames):
+        raise ValueError(
+            f"avih says {total_frames} frames, movi carries"
+            f" {len(raw_frames)}"
+        )
+    if strh[:4] != b"vids" or strh[4:8] != b"MC01":
+        raise ValueError(
+            f"unsupported stream {strh[:4]!r}/{strh[4:8]!r} (want vids/MC01)"
+        )
+    scale, rate = struct.unpack_from("<II", strh, 20)
+    if scale == 0 or rate % scale:
+        raise ValueError(f"non-integer fps rate/scale {rate}/{scale}")
+    fps = rate // scale
+    _, bw2, bh2, _planes, bpp, comp = struct.unpack_from("<IiiHHI", strf, 0)
+    if (bw2, abs(bh2)) != (aw, ah):
+        raise ValueError("strf dimensions contradict avih")
+    if bpp != 8 or comp != struct.unpack("<I", b"MC01")[0]:
+        raise ValueError(
+            f"expected 8-bit MC01 (got {bpp}-bit compression {comp:#x})"
+        )
+    prev = None
+    out: list[np.ndarray] = []
+    for raw in raw_frames:
+        if raw[:2] == b"\xff\xd8":  # I-frame: complete JFIF payload
+            _, _, px = decode_jpeg(raw)
+            if px.ndim != 2:
+                raise ValueError("MC01 I-frame must be grayscale")
+            if px.shape != (ah, aw):
+                raise ValueError(
+                    f"I-frame {px.shape} contradicts headers ({ah},{aw})"
+                )
+            prev = px.astype(np.uint8)
+        else:
+            if prev is None:
+                raise ValueError("MC01 P-frame before any I-frame")
+            prev = _mc_decode_pframe(prev, raw)
+        out.append(prev.copy())
     return fps, out

@@ -192,16 +192,22 @@ def q_mm_frame_sample(spark, sf_dir):
 
 
 def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
-    """Placeholder for the remaining natively-coded formats
-    (motion-compensated DCT video codecs — H.264/VP9/AV1 — ffmpeg/
-    libav are not installed here). Video is no longer fully stubbed:
-    round 11 added a real Motion-JPEG AVI path (kernels/video.py —
-    RIFF container walk + per-frame T.81 decode, exercised end-to-end
-    by ``q_mm_video_decode_stats``), and round 12 added the
-    INTER-FRAME half via BI_RLE8 AVI (delta frames whose skipped
-    pixels persist from the previous frame, ``q_mm_video_delta_stats``)
-    — temporal prediction through a publicly-specified format, leaving
-    only motion compensation + transform coding behind this stub.
+    """Placeholder for the remaining natively-coded formats (modern
+    entropy-/loop-filter-heavy video codecs — H.264/VP9/AV1 — ffmpeg/
+    libav are not installed here). Video is no longer architecturally
+    stubbed AT ALL: round 11 added a real Motion-JPEG AVI path
+    (kernels/video.py — RIFF container walk + per-frame T.81 decode,
+    ``q_mm_video_decode_stats``), round 12 the INTER-FRAME half via
+    BI_RLE8 AVI (delta frames whose skipped pixels persist from the
+    previous frame, ``q_mm_video_delta_stats``), and round 13 the
+    MPEG-1-STYLE motion-compensated subset "MC01" (per-macroblock
+    full-pel motion vectors + 8x8 residual DCT + run/level Exp-Golomb,
+    closed-loop encoder, ``q_mm_video_mc_stats``) — every architectural
+    ingredient of MPEG/H.26x coding now has a real, gated pure-Python
+    path. What remains behind this stub is only what genuinely needs
+    native decoders: sub-pel interpolation filters, in-loop
+    deblocking, and CABAC/range arithmetic coding at real bitstream
+    compatibility.
 
     Formats decodable in pure Python are NOT stubbed: kernels/image.py
     implements real PPM (P6), 24-bit BMP, PNG (stdlib zlib inflate +
@@ -217,9 +223,10 @@ def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
     mapInPandas plumbing is unchanged by that swap.
     """
     raise NotImplementedError(
-        "motion-compensated DCT video codecs (H.264/VP9/AV1) are not"
+        "native-bitstream video codecs (H.264/VP9/AV1) are not"
         " available in this environment; see kernels/video.py for the"
-        " pure-Python Motion-JPEG and inter-frame RLE8 AVI paths and"
+        " pure-Python Motion-JPEG, inter-frame RLE8, and MC01"
+        " motion-compensated AVI paths and"
         " kernels/image.py for"
         " PPM/BMP/PNG (incl. Adam7)/QOI/GIF/TGA and JPEG (baseline"
         " incl. 4:2:0/4:2:2, plus progressive)"
@@ -2220,3 +2227,122 @@ def q_mm_audio_autocorr(spark, sf_dir):
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(ac_stats, "doc_id long, lag long, r long")
+
+
+# --- motion-compensated video decode (MC01, the MPEG-1-style subset) ---------
+
+
+@register(
+    "q_mm_video_mc_stats",
+    # per-FRAME oracle: the sprite recipe is closed-form, so every
+    # reconstructed frame is recomputed by string splicing (chr-run
+    # rows) and the sum in integer arithmetic. Motion compensation is
+    # exercised for real: a wrong motion vector, a residual added to
+    # the wrong block, a drifted closed-loop reference, or a quant
+    # round slip flips that frame's px_sha. All pixel values < 128 so
+    # chr() splicing stays single-byte on both engines.
+    oracle="""
+    WITH geom AS (
+      SELECT doc_id,
+             CAST(16 * (2 + doc_id % 2) AS BIGINT) AS w,
+             CAST(32 AS BIGINT) AS h,
+             CAST(30 + doc_id % 60 AS BIGINT) AS bg,
+             (16 * (2 + doc_id % 2)) // 8 - 1 AS n,
+             8 * (doc_id % 3) AS sy
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, w, h, bg, sy, CAST(u.fi AS BIGINT) AS frame_idx,
+             CAST(95 + doc_id % 20 + 3 * u.fi AS BIGINT) AS sv,
+             8 * (CASE WHEN (doc_id + u.fi) % (2 * n - 2) < n
+                       THEN (doc_id + u.fi) % (2 * n - 2)
+                       ELSE 2 * n - 2 - (doc_id + u.fi) % (2 * n - 2)
+                  END) AS sx
+      FROM geom, UNNEST([0, 1, 2, 3]) AS u(fi)
+    ),
+    px AS (
+      SELECT *, array_to_string(LIST_TRANSFORM(RANGE(0, h), r ->
+        CASE WHEN r >= sy AND r < sy + 16 THEN
+          repeat(chr(CAST(bg AS INT)), CAST(sx AS INT))
+          || repeat(chr(CAST(sv AS INT)), 16)
+          || repeat(chr(CAST(bg AS INT)), CAST(w - sx - 16 AS INT))
+        ELSE repeat(chr(CAST(bg AS INT)), CAST(w AS INT)) END), '')
+        AS canvas
+      FROM frames
+    )
+    SELECT doc_id, frame_idx, w AS width, h AS height,
+           CAST(bg * (w * h - 256) + sv * 256 AS BIGINT) AS sum_px,
+           substr(sha256(canvas), 1, 16) AS px_sha
+    FROM px
+    """,
+)
+def q_mm_video_mc_stats(spark, sf_dir):
+    """MOTION-COMPENSATED video decode end-to-end (MC01 in AVI — the
+    MPEG-1-style subset in kernels/video.py: per-macroblock full-pel
+    motion vectors into the previous reconstruction plus an 8x8
+    residual DCT, run/level Exp-Golomb coded; I-frames are complete
+    baseline JFIF payloads through the T.81 codec). Per document a
+    4-frame sequence — a 16x16 sprite bouncing in 8px steps over a
+    uniform background with per-frame brightness drift — is encoded
+    (frame 0 I, frames 1-3 P) and decoded by the strict AVI walker;
+    every macroblock path is exercised: P-skip (static background),
+    pure-MC blocks (the moving sprite matched at a nonzero vector),
+    and coded residual blocks (the brightness drift survives only as
+    DCT coefficients on top of the motion prediction). The recipe
+    keeps all content 8-aligned and block-constant, so the quantizer's
+    DC-exact contract makes every reconstruction EXACT and hashable —
+    the oracle recomputes each frame by string splicing. The
+    keyframe/P split is pinned structurally: idx1 must flag exactly
+    the JFIF payload as AVIIF_KEYFRAME (the decoder cross-checks flag
+    against payload type). P-frames are a fraction of the MJPEG
+    equivalent's bytes — the size pin lives in tests/test_round13.py.
+    One Arrow-batched mapInPandas pass, per-partition, no shuffle."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.video import decode_avi_mc, encode_avi_mc
+
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
+
+    def mc_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height", "sum_px", "px_sha",
+            )}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 16 * (2 + doc_id % 2), 32
+                bg = 30 + doc_id % 60
+                n = w // 8 - 1
+                period = 2 * n - 2
+                sy = 8 * (doc_id % 3)
+                frames = []
+                for f in range(4):
+                    sv = 95 + doc_id % 20 + 3 * f
+                    m = (doc_id + f) % period
+                    sx = 8 * (m if m < n else period - m)
+                    c = np.full((h, w), bg, np.uint8)
+                    c[sy : sy + 16, sx : sx + 16] = sv
+                    frames.append(c)
+                fps = 6 + doc_id % 4
+                dfps, dec = decode_avi_mc(encode_avi_mc(frames, fps=fps))
+                assert dfps == fps and len(dec) == 4, doc_id
+                for fi, px in enumerate(dec):
+                    assert px.shape == (h, w), (doc_id, px.shape)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_px"].append(int(px.sum(dtype=np.int64)))
+                    out["px_sha"].append(
+                        _hashlib.sha256(px.tobytes()).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        mc_stats,
+        "doc_id long, frame_idx long, width long, height long,"
+        " sum_px long, px_sha string",
+    )
