@@ -414,3 +414,31 @@ def test_mc_gop_periodic_keyframes():
         assert (a == b).all()
     # frames 0 and 2 are JFIF keyframes in the container
     assert buf.count(b"\xff\xd8\xff") == 2
+
+
+# --- binary quantization + Hamming --------------------------------------------
+
+
+def test_binary_hamming_recall_floor(spark, tmp_path):
+    """On a clustered corpus the re-ranked binary scan must recover
+    most of the exact top-k (Charikar: Hamming on sign bits is a
+    monotone proxy for angle), and every emitted hamming must equal
+    the sign-disagreement count recomputed from the raw vectors."""
+    import pyarrow.parquet as pq
+
+    from utxo_to_parquet_spark.operators import similarity as sim
+
+    sf = _clustered_fixture(tmp_path)
+    truth = _topk_sets(sim.q_sim_cosine_topk(spark, sf).collect())
+    rows = sim.q_sim_binary_hamming_topk(spark, sf).collect()
+    rec = _recall(truth, rows)
+    assert rec >= 0.85, f"re-ranked BQ recall collapsed: {rec:.3f}"
+    t = pq.read_table(str(tmp_path / "embeddings.parquet"))
+    ids = t["vec_id"].to_numpy()
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+    )
+    signs = {int(i): (x > 0) for i, x in zip(ids, X)}
+    for r in rows[:50]:
+        want = int((signs[r.q_id] != signs[r.c_id]).sum())
+        assert r.hamming == want, (r.q_id, r.c_id, r.hamming, want)

