@@ -94,6 +94,7 @@ HEADLINE = [
     "q_text_bbpe_roundtrip",
     "q_mm_video_mc_stats",
     "q_sim_binary_hamming_topk",
+    "q_dedup_cdc_chunks",
     "q_events_ks_drift",
     "q_pipeline_training_prep",
     # round 5: incremental batch-vs-corpus dedup probe, MG heavy hitters,

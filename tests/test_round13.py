@@ -442,3 +442,38 @@ def test_binary_hamming_recall_floor(spark, tmp_path):
     for r in rows[:50]:
         want = int((signs[r.q_id] != signs[r.c_id]).sum())
         assert r.hamming == want, (r.q_id, r.c_id, r.hamming, want)
+
+
+# --- content-defined chunking ---------------------------------------------------
+
+
+def test_cdc_boundaries_shift_resistant(spark, tmp_path):
+    """The property CDC exists for: prepending words to a document
+    moves only the boundaries NEAR the edit, so the identical tail
+    re-chunks identically and keeps deduplicating — fixed-size blocks
+    would lose every boundary after the insertion."""
+    from utxo_to_parquet_spark.operators import dedup as D
+
+    base = " ".join(f"w{i * 7 % 101}x{i}" for i in range(120))
+    shifted = "zzq aab " + base  # 2-word insertion at the front
+    sf = _write_docs(tmp_path, [base, shifted, "totally different words here"])
+    rows = {r.doc_id: r for r in D.q_dedup_cdc_chunks(spark, sf).collect()}
+    # both copies must share most of their chunks (all but the ones
+    # overlapping the first CDC_W-word windows after the edit)
+    assert rows[1].n_shared_chunks >= rows[1].n_chunks - 2, rows[1]
+    assert rows[2].n_shared_chunks >= rows[2].n_chunks - 3, rows[2]
+    assert rows[1].shared_words >= rows[1].n_words - 16
+    # the unrelated doc shares nothing
+    assert rows[3].n_shared_chunks == 0 and rows[3].shared_words == 0
+
+
+def test_cdc_chunks_cover_document(spark, tmp_path):
+    """Chunks partition every document exactly: word counts add up."""
+    from utxo_to_parquet_spark.operators import dedup as D
+
+    texts = ["a b c d e f g h i j k l m n o p", "a b", "single"]
+    sf = _write_docs(tmp_path, texts)
+    rows = {r.doc_id: r for r in D.q_dedup_cdc_chunks(spark, sf).collect()}
+    for i, t in enumerate(texts, start=1):
+        assert rows[i].n_words == len(t.split()), (i, rows[i])
+        assert 1 <= rows[i].n_chunks <= rows[i].n_words

@@ -278,6 +278,7 @@ OPS = {
     "q_text_bbpe_roundtrip": "documents",
     "q_mm_video_mc_stats": "documents",
     "q_sim_binary_hamming_topk": "embeddings",
+    "q_dedup_cdc_chunks": "documents",
     "q_sim_kmeans": "embeddings",
     "q_sim_mmr_rerank": "embeddings",
     "q_mm_phash_dedup": "documents",

@@ -2617,3 +2617,161 @@ def q_dedup_decontaminate_exact(spark, sf_dir):
             ),
         )
     )
+
+
+# --- content-defined chunking (CDC) dedup ------------------------------------
+#
+# The dedup granularity between whole-document hashing and the
+# suffix-array substring machinery: split every document at
+# CONTENT-DEFINED boundaries — a position is a boundary iff the
+# fingerprint of the last CDC_W words satisfies a threshold test — then
+# dedup the chunks across documents. Because boundaries are PURE
+# FUNCTIONS of a local window (the property behind rolling-hash CDC:
+# Muthitacharoen et al. 2001 LBFS, Xia et al. 2016 FastCDC), inserting
+# or deleting words only moves boundaries NEAR the edit; identical
+# passages elsewhere re-chunk identically and keep deduplicating —
+# exactly what fixed-size blocks cannot do. This is the unconstrained
+# local-window variant (no min/max chunk clamps: those make a boundary
+# depend on the previous ACCEPTED boundary, i.e. a sequential scan —
+# the clamp-free form is what stays embarrassingly parallel, one
+# window pass per document).
+
+CDC_W = 4    # boundary window: fingerprint of the last CDC_W words
+CDC_DIV = 8  # boundary iff fp % CDC_DIV == 0 -> expected ~8-word chunks
+
+
+@register(
+    "q_dedup_cdc_chunks",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             w[CAST(u.i AS INT) + 1] AS word
+      FROM ws, UNNEST(range(0, len(w))) AS u(i)
+    ),
+    win AS (
+      SELECT doc_id, pos, word,
+             COALESCE(LAG(word, 3) OVER dw, '') || ' ' ||
+             COALESCE(LAG(word, 2) OVER dw, '') || ' ' ||
+             COALESCE(LAG(word, 1) OVER dw, '') || ' ' || word AS wnd
+      FROM toks
+      WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    flags AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN ('0x' || substr(md5(wnd), 1, 15))::BIGINT
+                       % {CDC_DIV} = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM win
+    ),
+    chunks AS (
+      SELECT doc_id, pos, word,
+             COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS chunk_id
+      FROM flags
+    ),
+    cfp AS (
+      SELECT doc_id, chunk_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             md5(string_agg(word, ' ' ORDER BY pos)) AS fp
+      FROM chunks GROUP BY doc_id, chunk_id
+    ),
+    shared AS (
+      SELECT fp FROM cfp GROUP BY fp
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(c.n_words) AS BIGINT) AS n_words,
+           CAST(COUNT(s.fp) AS BIGINT) AS n_shared_chunks,
+           CAST(COALESCE(SUM(CASE WHEN s.fp IS NOT NULL
+                                  THEN c.n_words END), 0) AS BIGINT)
+             AS shared_words
+    FROM cfp c LEFT JOIN shared s ON s.fp = c.fp
+    GROUP BY c.doc_id
+    """,
+)
+def q_dedup_cdc_chunks(spark, sf_dir):
+    """CONTENT-DEFINED CHUNKING dedup: per document the chunk count,
+    total words, and how many chunks (and words) are SHARED with at
+    least one other document — the LBFS/FastCDC storage-dedup shape
+    applied to corpus text, and the granularity that catches the
+    planted duplicated passages whole-doc hashing misses without
+    paying the suffix-array machinery. See the section comment for the
+    boundary rule and why the clamp-free local-window variant is the
+    parallel one.
+
+    Plan shape: one posexplode, one PER-DOCUMENT window pass (LAG x3 +
+    a prefix-sum of boundary flags — both partitioned by doc_id, never
+    corpus-wide), one groupBy (doc, chunk) to fingerprint chunks
+    (md5 of the position-ordered words), a chunk-fingerprint self-
+    aggregation for the shared set (map-side combinable), and a
+    broadcast-able left join back. Everything is exact integer /
+    md5-string arithmetic — the boundary fingerprint is the
+    established engine-identical md5-derived BIGINT — so the oracle
+    replays it cell-for-cell. At 100 TB every stage is
+    partition-parallel; the shared-fingerprint relation is the only
+    shuffle wider than a document."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+    dw = W.partitionBy("doc_id").orderBy("pos")
+    wnd = F.concat_ws(
+        " ",
+        F.coalesce(F.lag("word", 3).over(dw), F.lit("")),
+        F.coalesce(F.lag("word", 2).over(dw), F.lit("")),
+        F.coalesce(F.lag("word", 1).over(dw), F.lit("")),
+        F.col("word"),
+    )
+    fp_int = F.conv(F.substring(F.md5(wnd), 1, 15), 16, 10).cast("long")
+    flags = toks.withColumn(
+        "b", F.when(fp_int % CDC_DIV == 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    chunked = flags.withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum("b").over(dw.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    cfp = (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, word))),"
+                        " s -> s.word)"
+                    ),
+                )
+            ).alias("fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shared = (
+        cfp.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    return (
+        cfp.join(F.broadcast(shared.withColumn("s", F.lit(1))), "fp", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.count("s").cast("long").alias("n_shared_chunks"),
+            F.coalesce(
+                F.sum(F.when(F.col("s").isNotNull(), F.col("n_words"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("shared_words"),
+        )
+    )
