@@ -477,3 +477,60 @@ def test_cdc_chunks_cover_document(spark, tmp_path):
     for i, t in enumerate(texts, start=1):
         assert rows[i].n_words == len(t.split()), (i, rows[i])
         assert 1 <= rows[i].n_chunks <= rows[i].n_words
+
+
+# --- WordPiece ------------------------------------------------------------------
+
+
+def test_wordpiece_score_is_likelihood_ratio_not_frequency(spark, tmp_path):
+    """Construct a corpus where the most FREQUENT pair is not the
+    highest-SCORE pair: 'xy' occurs 8x but x,y are everywhere (score
+    8/(hi*hi)); 'qz' occurs 4x and q,z occur nowhere else (score
+    4/(4*4)). WordPiece must merge (q, ##z) first; frequency-ranked
+    BPE would pick (x, ##y)."""
+    from utxo_to_parquet_spark.operators import text as T
+
+    docs = (["xy"] * 8 + ["qz"] * 4 + ["xa"] * 6 + ["ya"] * 6
+            + ["ax"] * 5 + ["ay"] * 5)
+    sf = _write_docs(tmp_path, [" ".join(docs)])
+    _vocab, merges = T._wp_train_cached(spark, sf)
+    assert merges[0] == ("q", "##z"), merges
+
+
+def test_wordpiece_encode_is_greedy_longest_match(spark, tmp_path):
+    """Per-document token counts must equal an independent pure-Python
+    greedy longest-match encoder run against the same trained vocab."""
+    from utxo_to_parquet_spark.operators import text as T
+
+    texts = [
+        "abab abab cdcd",
+        "ab cd abab abcd",
+        "aaaa bbbb abab",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    vocab, _ = T._wp_train_cached(spark, sf)
+    initial = {p for p in vocab if not p.startswith("##")}
+    cont = {p[2:] for p in vocab if p.startswith("##")}
+
+    def greedy(word):
+        pos, n, mx = 0, 0, 0
+        while pos < len(word):
+            table = initial if pos == 0 else cont
+            ln = next(
+                l for l in range(len(word) - pos, 0, -1)
+                if word[pos : pos + l] in table
+            )
+            n += 1
+            mx = max(mx, ln)
+            pos += ln
+        return n, mx
+
+    rows = {r.doc_id: r for r in
+            T.q_text_wordpiece_encode(spark, sf).collect()}
+    for i, t in enumerate(texts, start=1):
+        words = t.split()
+        n = sum(greedy(w)[0] for w in words)
+        mx = max(greedy(w)[1] for w in words)
+        assert rows[i].n_words == len(words)
+        assert rows[i].n_wp_tokens == n, (i, rows[i], n)
+        assert rows[i].max_piece_chars == mx

@@ -279,6 +279,7 @@ OPS = {
     "q_mm_video_mc_stats": "documents",
     "q_sim_binary_hamming_topk": "embeddings",
     "q_dedup_cdc_chunks": "documents",
+    "q_text_wordpiece_encode": "documents",
     "q_sim_kmeans": "embeddings",
     "q_sim_mmr_rerank": "embeddings",
     "q_mm_phash_dedup": "documents",
@@ -575,6 +576,7 @@ def main() -> None:
         T._UNIGRAM_CACHE.clear()
         T._BPE_TRAIN_CACHE.clear()
         T._BBPE_TRAIN_CACHE.clear()
+        T._WP_TRAIN_CACHE.clear()
         S._KMEANS_CACHE.clear()
         S._GS_CACHE.clear()
 

@@ -6697,3 +6697,328 @@ def q_text_unigram_fertility(spark, sf_dir):
             ),
         )
     )
+
+
+# --- WordPiece tokenizer (BERT family) ---------------------------------------
+#
+# The fourth tokenizer family next to char-BPE, byte-BPE, and the
+# unigram LM — the BERT lineage (Schuster & Nakajima 2012; Devlin et
+# al. 2018 §A): TRAINING is BPE-shaped but ranks merge candidates by
+# the LIKELIHOOD-RATIO score count(ab) / (count(a) * count(b)) instead
+# of raw pair frequency (merge what co-occurs more than chance, not
+# what is merely common), and ENCODING is GREEDY LONGEST-MATCH-FIRST
+# against the trained vocabulary — not a replay of the merge sequence
+# — with '##' marking continuation pieces. The score is a double
+# division of exact BIGINTs, identical across engines (IEEE-754
+# division is correctly rounded, and both engines see the same two
+# integers); ties break on (score DESC, a||'·'||b).
+
+WP_MERGES = 10
+WP_UNROLL = 8  # greedy-parse unroll depth == max pieces per word; the
+# Spark side guards max word length <= WP_UNROLL like the SA ladder
+
+
+def _wp_chain_sql() -> str:
+    d = _BPE_D
+    parts = [
+        f"""
+    WITH wf AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    v0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_transform(range(1, length(word) + 1),
+               i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+                         ELSE '##' || substr(word, CAST(i AS INT), 1) END)
+               AS syms
+      FROM wf
+    )"""
+    ]
+    for m in range(1, WP_MERGES + 1):
+        p = m - 1
+        parts.append(
+            f""",
+    sc{m} AS MATERIALIZED (
+      SELECT u.sym, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM v{p}, UNNEST(syms) AS u(sym) GROUP BY u.sym
+    ),
+    b{m} AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT pc.a, pc.b,
+               pc.total / (sa.cnt * sb.cnt) AS score
+        FROM (
+          SELECT syms[CAST(u.i AS INT)] AS a,
+                 syms[CAST(u.i AS INT) + 1] AS b,
+                 CAST(SUM(freq) AS BIGINT) AS total
+          FROM v{p}, UNNEST(range(1, len(syms))) AS u(i)
+          GROUP BY 1, 2
+        ) pc
+        JOIN sc{m} sa ON sa.sym = pc.a
+        JOIN sc{m} sb ON sb.sym = pc.b
+      ) ORDER BY score DESC, a || '{d}' || b LIMIT 1
+    ),
+    bx{m} AS MATERIALIZED (
+      SELECT COALESCE((SELECT a FROM b{m}), '') AS ba,
+             COALESCE((SELECT b FROM b{m}), '') AS bb
+    ),
+    v{m} AS MATERIALIZED (
+      SELECT word, freq,
+             list_filter(string_split(
+               list_reduce(list_prepend('{d}', syms), (acc, x) ->
+                 CASE WHEN x = bb
+                       AND ends_with(acc, '{d}' || ba || '{d}')
+                      THEN left(acc, length(acc) - length(ba) - 1)
+                           || ba || substr(bb, 3) || '{d}'
+                      ELSE acc || x || '{d}' END),
+               '{d}'), x -> x <> '') AS syms
+      FROM v{p}, bx{m}
+    )"""
+        )
+    merged_union = "\n      UNION\n      ".join(
+        f"SELECT ba || substr(bb, 3) AS piece FROM bx{m} WHERE ba <> ''"
+        for m in range(1, WP_MERGES + 1)
+    )
+    parts.append(
+        f""",
+    vocab AS MATERIALIZED (
+      SELECT DISTINCT u.sym AS piece FROM v0, UNNEST(syms) AS u(sym)
+      UNION
+      {merged_union}
+    )"""
+    )
+    return "".join(parts)
+
+
+def _wp_encode_oracle() -> str:
+    steps = []
+    for k in range(1, WP_UNROLL + 1):
+        steps.append(
+            f""",
+    g{k} AS (
+      SELECT g.word,
+             CASE WHEN g.pos > length(g.word) THEN g.pos
+                  ELSE g.pos + l.adv END AS pos,
+             CASE WHEN g.pos > length(g.word) THEN g.n
+                  ELSE g.n + 1 END AS n,
+             CASE WHEN g.pos > length(g.word) THEN g.mx
+                  ELSE GREATEST(g.mx, l.adv) END AS mx
+      FROM g{k - 1} g LEFT JOIN lmatch l
+        ON l.word = g.word AND l.pos = g.pos
+    )"""
+        )
+    return (
+        _wp_chain_sql()
+        + f""",
+    vp AS (
+      SELECT piece,
+             CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                  ELSE piece END AS raw,
+             (piece LIKE '##%') AS cont
+      FROM vocab
+    ),
+    lmatch AS MATERIALIZED (
+      SELECT w.word, CAST(u.p AS BIGINT) AS pos,
+             CAST(MAX(length(vp.raw)) AS BIGINT) AS adv
+      FROM wf w, UNNEST(range(1, length(w.word) + 1)) AS u(p)
+      JOIN vp ON vp.cont = (u.p > 1)
+            AND substr(w.word, CAST(u.p AS INT), length(vp.raw)) = vp.raw
+      GROUP BY 1, 2
+    ),
+    g0 AS (
+      SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n,
+             CAST(0 AS BIGINT) AS mx
+      FROM wf
+    ){''.join(steps)},
+    tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(g.n) AS BIGINT) AS n_wp_tokens,
+           CAST(MAX(g.mx) AS BIGINT) AS max_piece_chars
+    FROM tok t JOIN g{WP_UNROLL} g ON g.word = t.word
+    WHERE t.word <> ''
+    GROUP BY t.doc_id"""
+    )
+
+
+_WP_TRAIN_CACHE: dict = {}
+
+
+def _wp_train_cached(spark, sf_dir):
+    """WordPiece trainer: likelihood-ratio-ranked merges over the
+    vocab-bounded word-frequency table, memoized per (applicationId,
+    sf_dir) like every trainer. Returns (final vocab piece list,
+    merge list [(a, b)])."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _WP_TRAIN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    d = _BPE_D
+    docs = load(spark, sf_dir, "documents")
+    maxw = int(
+        docs.agg(
+            F.max(
+                F.array_max(
+                    F.transform(F.split("text", " "), lambda w: F.length(w))
+                )
+            )
+        ).collect()[0][0]
+    )  # one scalar pull, the SA-ladder guard pattern
+    if maxw > WP_UNROLL:
+        raise ValueError(
+            f"word of {maxw} chars exceeds the oracle's {WP_UNROLL}-step"
+            " greedy-parse unroll"
+        )
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    v = wf.withColumn(
+        "syms",
+        F.expr(
+            "transform(filter(split(word, ''), x -> x <> ''),"
+            " (x, i) -> IF(i = 0, x, concat('##', x)))"
+        ),
+    ).localCheckpoint(eager=True)
+
+    def _sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    alphabet = [
+        r.sym for r in v.select(F.explode("syms").alias("sym")).distinct().collect()
+    ]
+    merges: list[tuple[str, str]] = []
+    pieces: list[str] = []
+    for _ in range(WP_MERGES):
+        pairs = (
+            v.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] as a, syms[i+1] as b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("long").alias("total"))
+        )
+        sc = (
+            v.select("freq", F.explode("syms").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+        )
+        top = (
+            pairs.join(sc.select(F.col("sym").alias("a"), F.col("cnt").alias("ca")), "a")
+            .join(sc.select(F.col("sym").alias("b"), F.col("cnt").alias("cb")), "b")
+            .select(
+                "a",
+                "b",
+                (F.col("total") / (F.col("ca") * F.col("cb"))).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.concat(F.col("a"), F.lit(d), F.col("b")))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merged = a + b[2:]  # the right element is always a continuation
+        merges.append((a, b))
+        pieces.append(merged)
+        fold = (
+            f"aggregate(syms, '{d}', (acc, x) -> "
+            f"CASE WHEN x = '{_sq(b)}' AND endswith(acc, '{d}{_sq(a)}{d}') "
+            f"THEN concat(left(acc, length(acc) - {len(a)} - 1), "
+            f"'{_sq(merged)}{d}') "
+            f"ELSE concat(acc, x, '{d}') END)"
+        )
+        v = (
+            v.withColumn(
+                "syms", F.expr(f"filter(split({fold}, '{d}'), x -> x <> '')")
+            )
+            .localCheckpoint(eager=True)
+        )
+    vocab = sorted(set(alphabet) | set(pieces))
+    _WP_TRAIN_CACHE[key] = (vocab, merges)
+    return _WP_TRAIN_CACHE[key]
+
+
+@register("q_text_wordpiece_encode", oracle=_wp_encode_oracle())
+def q_text_wordpiece_encode(spark, sf_dir):
+    """WORDPIECE tokenizer (BERT family): train {WP_MERGES} merges
+    ranked by the likelihood-ratio score count(ab)/(count(a)*count(b)),
+    then tokenize every document by GREEDY LONGEST-MATCH-FIRST against
+    the trained vocabulary (alphabet + merged pieces, continuations
+    prefixed '##') — the encode rule that distinguishes WordPiece from
+    BPE's merge-replay. Per document: word count, WordPiece token
+    count, longest matched piece (raw chars). See the section comment
+    for the cross-engine score discipline.
+
+    Plan shape: the trainer iterates the vocab-bounded word-frequency
+    table ({WP_MERGES} rounds of pair+symbol counts, a 1-row collect,
+    a JVM fold rewrite, checkpoint — the BPE pattern with one extra
+    map-side-combinable aggregate for symbol counts). The greedy
+    encoder runs over DISTINCT WORDS ONLY with the constant-size vocab
+    in the task closure (alphabet + {WP_MERGES} pieces — never
+    corpus-scaled Python), and the corpus is touched once (explode +
+    equi-join + per-doc aggregate). The oracle replays the trainer as
+    chained CTEs and the greedy parse as a {WP_UNROLL}-step unrolled
+    cursor walk over the longest-match table (adv = MAX(piece length)
+    per (word, position)) — no OOV is possible on the training corpus
+    because every alphabet character is itself a piece."""
+    docs = load(spark, sf_dir, "documents")
+    vocab, _merges = _wp_train_cached(spark, sf_dir)
+    initial = {p for p in vocab if not p.startswith("##")}
+    cont = {p[2:] for p in vocab if p.startswith("##")}
+    maxlen = max(len(p) for p in cont | initial)
+
+    def encode_words(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"word": [], "n_pieces": [], "mx": []}
+            for word in pdf["word"]:
+                pos, n, mx = 0, 0, 0
+                while pos < len(word):
+                    table = initial if pos == 0 else cont
+                    for ln in range(min(maxlen, len(word) - pos), 0, -1):
+                        if word[pos : pos + ln] in table:
+                            break
+                    n += 1
+                    mx = max(mx, ln)
+                    pos += ln
+                out["word"].append(word)
+                out["n_pieces"].append(n)
+                out["mx"].append(mx)
+            yield pd.DataFrame(out)
+
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    enc = words.mapInPandas(
+        encode_words, "word string, n_pieces long, mx long"
+    )
+    tokw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        tokw.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_wp_tokens"),
+            F.max("mx").cast("long").alias("max_piece_chars"),
+        )
+    )
