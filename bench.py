@@ -96,6 +96,7 @@ HEADLINE = [
     "q_sim_binary_hamming_topk",
     "q_dedup_cdc_chunks",
     "q_text_wordpiece_encode",
+    "q_mm_video_halfpel_stats",
     "q_events_ks_drift",
     "q_pipeline_training_prep",
     # round 5: incremental batch-vs-corpus dedup probe, MG heavy hitters,

@@ -312,8 +312,8 @@ def test_mc_pframe_hand_built_bitstream():
     # rebuild: dy must keep the window in-bounds for MB (0,0)
     bw = _MCBitWriter()
     bw.put(0, 1)
-    bw.se(1)            # dx = 1
-    bw.se(1)            # dy = 1
+    bw.se(2)            # dx2 = 2 half-pel units = 1 full pel
+    bw.se(2)            # dy2 = 2 -> dy = 1
     bw.put(0b1000, 4)   # cbp: TL only
     bw.ue(1)            # one coefficient
     bw.ue(0)            # run 0 -> zigzag index 0 (DC)
@@ -333,7 +333,7 @@ def test_mc_pframe_hand_built_bitstream():
     # Exp-Golomb round trip on the reader
     br = _MCBitReader(payload)
     assert br.bit() == 0
-    assert br.se() == 1 and br.se() == 1
+    assert br.se() == 2 and br.se() == 2
 
 
 def test_mc_decoder_rejects_malformed():
@@ -349,7 +349,7 @@ def test_mc_decoder_rejects_malformed():
     prev = np.zeros((16, 16), np.uint8)
     bw = _MCBitWriter()
     bw.put(0, 1)
-    bw.se(-5)  # dx = -5 leaves the frame at MB (0,0)
+    bw.se(-5)  # dx2 = -5 (2.5px left) leaves the frame at MB (0,0)
     bw.se(0)
     bw.put(0, 4)
     with pytest.raises(ValueError, match="motion vector"):
@@ -534,3 +534,52 @@ def test_wordpiece_encode_is_greedy_longest_match(spark, tmp_path):
         assert rows[i].n_words == len(words)
         assert rows[i].n_wp_tokens == n, (i, rows[i], n)
         assert rows[i].max_piece_chars == mx
+
+
+def test_mc_halfpel_hand_built_bitstream():
+    """Hand-built HALF-PEL P-frame: one 32x16 frame, MB0 with MV
+    dx2 = 1 (half a sample right), no residual -> reconstruction must
+    be the MPEG-1 bilinear average (prev[c] + prev[c+1] + 1) >> 1;
+    MB1 skipped."""
+    from utxo_to_parquet_spark.kernels.video import (
+        _MCBitWriter,
+        _mc_decode_pframe,
+    )
+
+    rng = np.random.default_rng(9)
+    prev = rng.integers(0, 255, (16, 32)).astype(np.uint8)
+    bw = _MCBitWriter()
+    bw.put(0, 1)
+    bw.se(1)   # dx2 = +1 half-pel
+    bw.se(0)
+    bw.put(0, 4)  # no coded blocks
+    bw.put(1, 1)  # skip MB1
+    rec = _mc_decode_pframe(prev, bw.flush())
+    p = prev.astype(np.int32)
+    want = (p[:, 0:17][:, :-1] + p[:, 0:17][:, 1:] + 1) >> 1
+    assert (rec[:, :16] == want.astype(np.uint8)).all()
+    assert (rec[:, 16:] == prev[:, 16:]).all()
+
+
+def test_mc_halfpel_sequence_exact_and_smaller():
+    """A sequence whose P-frames are exact half-sample interpolations
+    reconstructs bit-exactly through the half-pel search, and the
+    stream stays far below the MJPEG equivalent."""
+    from utxo_to_parquet_spark.kernels.video import (
+        decode_avi_mc,
+        encode_avi_mc,
+    )
+
+    bg, sv = 40, 120
+    f0 = np.full((32, 64), bg, np.uint8)
+    f0[8:24, 24:40] = sv
+    frames = [f0]
+    for _ in range(3):
+        p = frames[-1].astype(np.int32)
+        nxt = p.copy()
+        nxt[:, 1:] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        frames.append(nxt.astype(np.uint8))
+    buf = encode_avi_mc(frames, fps=10, halfpel=True)
+    fps, dec = decode_avi_mc(buf)
+    for a, b in zip(frames, dec):
+        assert (a == b).all()

@@ -280,6 +280,7 @@ OPS = {
     "q_sim_binary_hamming_topk": "embeddings",
     "q_dedup_cdc_chunks": "documents",
     "q_text_wordpiece_encode": "documents",
+    "q_mm_video_halfpel_stats": "documents",
     "q_sim_kmeans": "embeddings",
     "q_sim_mmr_rerank": "embeddings",
     "q_mm_phash_dedup": "documents",

@@ -600,8 +600,10 @@ def decode_avi_rle8(payload: bytes) -> tuple[int, list[np.ndarray]]:
 #   per 16x16 macroblock:
 #     1 bit   skip          1 = copy the co-located previous-frame MB
 #                           (MPEG P-skip: MV (0,0), no residual)
-#     se(dx), se(dy)        full-pel motion vector into the previous
-#                           RECONSTRUCTED frame (always in-bounds)
+#     se(dx2), se(dy2)      HALF-PEL-unit motion vector into the previous
+#                           RECONSTRUCTED frame (always in-bounds; odd
+#                           components take the MPEG-1 bilinear
+#                           half-sample average with +1 rounding)
 #     4 bits  cbp           coded-block pattern for the MB's four 8x8
 #                           blocks in TL,TR,BL,BR order (bit 3 = TL)
 #     per coded block:
@@ -696,17 +698,48 @@ def _mc_idct(coef: "np.ndarray") -> "np.ndarray":
     return _IDCT_A.T @ coef @ _IDCT_A
 
 
+def _mc_pred(previ: "np.ndarray", y: int, x: int, dy2: int,
+             dx2: int) -> "np.ndarray":
+    """16x16 prediction at HALF-PEL motion vector (dy2, dx2) in
+    half-sample units (MPEG-1 §2.4.4.2 bilinear half-sample
+    interpolation with the standard +1 rounding). Even components are
+    full-pel copies; odd components average the two (or four)
+    straddled full-pel samples. Caller guarantees the support window
+    is in-bounds."""
+    py, px = y + (dy2 >> 1), x + (dx2 >> 1)
+    hy, hx = dy2 & 1, dx2 & 1
+    P = previ[py : py + 16 + hy, px : px + 16 + hx]
+    if hx:
+        P = (P[:, :-1] + P[:, 1:] + 1) >> 1
+    if hy:
+        P = (P[:-1, :] + P[1:, :] + 1) >> 1
+    return P
+
+
+def _mc_mv_inbounds(h: int, w: int, y: int, x: int, dy2: int,
+                    dx2: int) -> bool:
+    py, px = y + (dy2 >> 1), x + (dx2 >> 1)
+    return (
+        0 <= py and py + 16 + (dy2 & 1) <= h
+        and 0 <= px and px + 16 + (dx2 & 1) <= w
+    )
+
+
 def _mc_encode_pframe(prev: "np.ndarray", cur: "np.ndarray",
-                      search: int) -> tuple[bytes, "np.ndarray"]:
+                      search: int, halfpel: bool = False
+                      ) -> tuple[bytes, "np.ndarray"]:
     """One P-frame: returns (payload, reconstruction). ``prev`` is the
-    previous RECONSTRUCTED frame (closed loop)."""
+    previous RECONSTRUCTED frame (closed loop). Motion vectors are
+    coded in HALF-PEL units; with ``halfpel`` the full-pel search
+    winner is refined over its 8 half-sample neighbors (the classic
+    two-stage search), else vectors stay full-pel."""
     from .image import _JPEG_ZZ_FLAT
 
     h, w = cur.shape
     q = _mc_quant_table()
     zz = _JPEG_ZZ_FLAT
     cands = sorted(
-        ((dx, dy) for dx in range(-search, search + 1)
+        ((2 * dx, 2 * dy) for dx in range(-search, search + 1)
          for dy in range(-search, search + 1)),
         key=lambda v: (abs(v[0]) + abs(v[1]), v[1], v[0]),
     )
@@ -722,17 +755,34 @@ def _mc_encode_pframe(prev: "np.ndarray", cur: "np.ndarray",
                 recon[y : y + 16, x : x + 16] = prev[y : y + 16, x : x + 16]
                 continue
             best, best_sad = None, None
-            for dx, dy in cands:
-                py, px = y + dy, x + dx
-                if not (0 <= py <= h - 16 and 0 <= px <= w - 16):
+            for dx2, dy2 in cands:
+                if not _mc_mv_inbounds(h, w, y, x, dy2, dx2):
                     continue
                 sad = int(
-                    np.abs(mb - previ[py : py + 16, px : px + 16]).sum()
+                    np.abs(mb - _mc_pred(previ, y, x, dy2, dx2)).sum()
                 )
                 if best_sad is None or sad < best_sad:
-                    best, best_sad = (dx, dy), sad
-            dx, dy = best
-            pred = previ[y + dy : y + dy + 16, x + dx : x + dx + 16]
+                    best, best_sad = (dx2, dy2), sad
+            if halfpel:
+                # refine around the full-pel winner: strict improvement
+                # only, ties resolved by the deterministic key order
+                fx, fy = best
+                refine = sorted(
+                    ((fx + rx, fy + ry) for rx in (-1, 0, 1)
+                     for ry in (-1, 0, 1)),
+                    key=lambda v: (abs(v[0]) + abs(v[1]), v[1], v[0]),
+                )
+                best, best_sad = None, None
+                for dx2, dy2 in refine:
+                    if not _mc_mv_inbounds(h, w, y, x, dy2, dx2):
+                        continue
+                    sad = int(
+                        np.abs(mb - _mc_pred(previ, y, x, dy2, dx2)).sum()
+                    )
+                    if best_sad is None or sad < best_sad:
+                        best, best_sad = (dx2, dy2), sad
+            dx2, dy2 = best
+            pred = _mc_pred(previ, y, x, dy2, dx2)
             resid = (mb - pred).astype(np.float64)
             levels = []
             cbp = 0
@@ -748,8 +798,8 @@ def _mc_encode_pframe(prev: "np.ndarray", cur: "np.ndarray",
                 if lvzz.any():
                     cbp |= 1 << (3 - bi)
             bw_.put(0, 1)
-            bw_.se(dx)
-            bw_.se(dy)
+            bw_.se(dx2)
+            bw_.se(dy2)
             bw_.put(cbp, 4)
             rec = pred.astype(np.float64)
             for bi, (by, bx) in enumerate(
@@ -788,18 +838,17 @@ def _mc_decode_pframe(prev: "np.ndarray", payload: bytes) -> "np.ndarray":
             if br.bit():  # P-skip
                 recon[y : y + 16, x : x + 16] = prev[y : y + 16, x : x + 16]
                 continue
-            dx = br.se()
-            dy = br.se()
-            py, px = y + dy, x + dx
-            if not (0 <= py <= h - 16 and 0 <= px <= w - 16):
+            dx2 = br.se()
+            dy2 = br.se()
+            if not _mc_mv_inbounds(h, w, y, x, dy2, dx2):
                 raise ValueError(
-                    f"MC01 motion vector ({dx},{dy}) leaves the frame at"
-                    f" macroblock ({x},{y})"
+                    f"MC01 motion vector ({dx2},{dy2}) [half-pel] leaves"
+                    f" the frame at macroblock ({x},{y})"
                 )
             cbp = 0
             for _ in range(4):
                 cbp = (cbp << 1) | br.bit()
-            rec = previ[py : py + 16, px : px + 16].astype(np.float64)
+            rec = _mc_pred(previ, y, x, dy2, dx2).astype(np.float64)
             for bi, (by, bx) in enumerate(
                 ((0, 0), (0, 8), (8, 0), (8, 8))
             ):
@@ -826,7 +875,7 @@ def _mc_decode_pframe(prev: "np.ndarray", payload: bytes) -> "np.ndarray":
 
 
 def encode_avi_mc(frames: list, fps: int = 25, *, gop: int = 0,
-                  search: int = MC_SEARCH) -> bytes:
+                  search: int = MC_SEARCH, halfpel: bool = False) -> bytes:
     """List of (h, w) uint8 gray frames (dims multiples of 16) ->
     motion-compensated "MC01" AVI: frame 0 (and every ``gop``-th frame
     when gop > 0) an I-frame carried as a complete baseline JFIF
@@ -860,7 +909,9 @@ def encode_avi_mc(frames: list, fps: int = 25, *, gop: int = 0,
             payloads.append(data)
             keyflags.append(True)
         else:
-            data, prev_recon = _mc_encode_pframe(prev_recon, f, search)
+            data, prev_recon = _mc_encode_pframe(
+                prev_recon, f, search, halfpel=halfpel
+            )
             payloads.append(data)
             keyflags.append(False)
     avih = struct.pack(

@@ -204,8 +204,11 @@ def decode_image_stub(payload: bytes):  # pragma: no cover - documented stub
     full-pel motion vectors + 8x8 residual DCT + run/level Exp-Golomb,
     closed-loop encoder, ``q_mm_video_mc_stats``) — every architectural
     ingredient of MPEG/H.26x coding now has a real, gated pure-Python
-    path. What remains behind this stub is only what genuinely needs
-    native decoders: sub-pel interpolation filters, in-loop
+    path. Round 13 also added HALF-PEL
+    motion (MPEG-1 2.4.4.2 bilinear half-sample interpolation,
+    ``q_mm_video_halfpel_stats``), so sub-pel prediction is real too.
+    What remains behind this stub is only what genuinely needs native
+    decoders: longer sub-pel filter taps (H.264's 6-tap), in-loop
     deblocking, and CABAC/range arithmetic coding at real bitstream
     compatibility.
 
@@ -2343,6 +2346,138 @@ def q_mm_video_mc_stats(spark, sf_dir):
 
     return docs.mapInPandas(
         mc_stats,
+        "doc_id long, frame_idx long, width long, height long,"
+        " sum_px long, px_sha string",
+    )
+
+
+# --- half-pel motion compensation (MC01's MPEG-1 MV resolution) --------------
+
+
+@register(
+    "q_mm_video_halfpel_stats",
+    # per-FRAME oracle: each frame is the EXACT half-sample bilinear
+    # interpolation of its predecessor (p[c] -> (p[c-1]+p[c]+1)//2,
+    # edge column replicated), so the whole sequence is a closed-form
+    # integer profile recurrence the oracle replays with chained list
+    # CTEs. The encoder must discover the (dx2=-1) HALF-PEL vector —
+    # a wrong rounding (+1 vs truncation), a full-pel-only search, or
+    # a support-window slip leaves a nonzero residual that quantizes
+    # lossily and flips px_sha.
+    oracle="""
+    WITH geom AS (
+      SELECT doc_id,
+             CAST(16 * (3 + doc_id % 2) AS BIGINT) AS w,
+             CAST(32 AS BIGINT) AS h,
+             CAST(25 + doc_id % 50 AS BIGINT) AS bg,
+             CAST(95 + doc_id % 30 AS BIGINT) AS sv,
+             CAST(16 + 8 * (doc_id % 2) AS BIGINT) AS sx,
+             8 * (doc_id % 3) AS sy
+      FROM documents
+    ),
+    pr0 AS (
+      SELECT *, list_transform(range(1, w + 1),
+        c -> CASE WHEN c > sx AND c <= sx + 16 THEN sv ELSE bg END) AS p0
+      FROM geom
+    ),
+    pr1 AS (SELECT *, list_transform(range(1, w + 1),
+      c -> CASE WHEN c = 1 THEN p0[1]
+           ELSE (p0[CAST(c AS INT) - 1] + p0[CAST(c AS INT)] + 1) // 2
+           END) AS p1 FROM pr0),
+    pr2 AS (SELECT *, list_transform(range(1, w + 1),
+      c -> CASE WHEN c = 1 THEN p1[1]
+           ELSE (p1[CAST(c AS INT) - 1] + p1[CAST(c AS INT)] + 1) // 2
+           END) AS p2 FROM pr1),
+    pr3 AS (SELECT *, list_transform(range(1, w + 1),
+      c -> CASE WHEN c = 1 THEN p2[1]
+           ELSE (p2[CAST(c AS INT) - 1] + p2[CAST(c AS INT)] + 1) // 2
+           END) AS p3 FROM pr2),
+    frames AS (
+      SELECT doc_id, w, h, bg, sy, CAST(u.fi AS BIGINT) AS frame_idx,
+             CASE u.fi WHEN 0 THEN p0 WHEN 1 THEN p1
+                       WHEN 2 THEN p2 ELSE p3 END AS p
+      FROM pr3, UNNEST([0, 1, 2, 3]) AS u(fi)
+    ),
+    px AS (
+      SELECT *,
+             array_to_string(list_transform(p,
+               v -> chr(CAST(v AS INT))), '') AS band,
+             repeat(chr(CAST(bg AS INT)), CAST(w AS INT)) AS bgrow
+      FROM frames
+    )
+    SELECT doc_id, frame_idx, w AS width, h AS height,
+           CAST((h - 16) * w * bg + 16 * list_sum(p) AS BIGINT) AS sum_px,
+           substr(sha256(array_to_string(list_transform(range(0, h),
+             r -> CASE WHEN r >= sy AND r < sy + 16
+                       THEN band ELSE bgrow END), '')), 1, 16) AS px_sha
+    FROM px
+    """,
+)
+def q_mm_video_halfpel_stats(spark, sf_dir):
+    """HALF-PEL motion compensation end-to-end (MC01's MPEG-1 §2.4.4.2
+    vector resolution): per document a 4-frame sequence whose every
+    P-frame is the EXACT half-sample bilinear interpolation of its
+    predecessor — the content a half-pel vector models perfectly and a
+    full-pel one cannot. The two-stage search must refine to dx2 = -1
+    (half a sample left) where the prediction reproduces the frame
+    bit-exactly (zero residual, including the (2*bg+1)>>1 == bg
+    identity on the uniform background and the replicated edge
+    column), so the whole reconstruction chain is hashable: any
+    rounding or support-window slip leaves lossy residuals and flips
+    px_sha. The sprite band blurs one half-sample per frame — the
+    closed-form integer profile recurrence the oracle replays with
+    chained list CTEs (swept exact across all 5000 doc recipes before
+    registration). One Arrow-batched mapInPandas pass, no shuffle."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.video import decode_avi_mc, encode_avi_mc
+
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
+
+    def hp_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height", "sum_px", "px_sha",
+            )}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 16 * (3 + doc_id % 2), 32
+                bg = 25 + doc_id % 50
+                sv = 95 + doc_id % 30
+                sx = 16 + 8 * (doc_id % 2)
+                sy = 8 * (doc_id % 3)
+                p = np.full(w, bg, np.int64)
+                p[sx : sx + 16] = sv
+                frames = []
+                for _f in range(4):
+                    c = np.full((h, w), bg, np.uint8)
+                    c[sy : sy + 16, :] = p.astype(np.uint8)[None, :]
+                    frames.append(c)
+                    q = p.copy()
+                    q[1:] = (p[:-1] + p[1:] + 1) >> 1
+                    p = q
+                fps = 5 + doc_id % 5
+                dfps, dec = decode_avi_mc(
+                    encode_avi_mc(frames, fps=fps, halfpel=True)
+                )
+                assert dfps == fps and len(dec) == 4, doc_id
+                for fi, px in enumerate(dec):
+                    assert px.shape == (h, w), (doc_id, px.shape)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_px"].append(int(px.sum(dtype=np.int64)))
+                    out["px_sha"].append(
+                        _hashlib.sha256(px.tobytes()).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        hp_stats,
         "doc_id long, frame_idx long, width long, height long,"
         " sum_px long, px_sha string",
     )
