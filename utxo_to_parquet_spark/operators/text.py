@@ -6714,8 +6714,10 @@ def q_text_unigram_fertility(spark, sf_dir):
 # integers); ties break on (score DESC, a||'·'||b).
 
 WP_MERGES = 10
-WP_UNROLL = 8  # greedy-parse unroll depth == max pieces per word; the
+WP_UNROLL = 12  # greedy-parse unroll depth == max pieces per word; the
 # Spark side guards max word length <= WP_UNROLL like the SA ladder
+# (12 covers the fixture's 8-char words AND the weak-scaling sweep's
+# salted copies, whose words grow a 2-3 char suffix)
 
 
 def _wp_chain_sql() -> str:
