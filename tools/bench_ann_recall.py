@@ -162,6 +162,22 @@ def sweep(spark, sim, sf_dir: str, n_labels: int) -> dict:
         }
         graph_curve.append(point)
         print(f"graph beam={beam}: {json.dumps(point)}", flush=True)
+    # round 13: binary quantization — no probe knob (BQ is a cheap full
+    # scan by design), so the cell sweeps its one lever: exact-rerank
+    # depth over the Hamming shortlist
+    bq_curve = []
+    for rerank_n in (sim.TOP_K, 4 * sim.TOP_K, 16 * sim.TOP_K,
+                     32 * sim.TOP_K):
+        import utxo_to_parquet_spark.operators.similarity as S
+        old = S.BQ_RERANK
+        S.BQ_RERANK = rerank_n
+        try:
+            rows = sim.q_sim_binary_hamming_topk(spark, sf_dir).collect()
+        finally:
+            S.BQ_RERANK = old
+        point = {"rerank_n": rerank_n, "recall_at_k": round(recall_of(rows), 4)}
+        bq_curve.append(point)
+        print(f"bq rerank_n={rerank_n}: {json.dumps(point)}", flush=True)
     # round 13: the metadata-filtered ANN cell — filtered ledger ranking
     # vs post-filtering the unfiltered top-k, at IDENTICAL scored_per_q
     # (both rank the same memoized traversal ledger). Ground truth =
@@ -192,6 +208,7 @@ def sweep(spark, sim, sf_dir: str, n_labels: int) -> dict:
         "curves": curves,
         "ivfpq_rerank_sweep": rerank_curve,
         "graph_beam_sweep": graph_curve,
+        "bq_rerank_sweep": bq_curve,
         "filtered_search": filtered_cell,
     }
 
