@@ -36,7 +36,8 @@ from .image import decode_jpeg, encode_jpeg
 
 __all__ = ["encode_avi_mjpeg", "decode_avi_mjpeg",
            "encode_avi_rle8", "decode_avi_rle8",
-           "encode_avi_mc", "decode_avi_mc"]
+           "encode_avi_mc", "decode_avi_mc",
+           "encode_avi_mc_b", "decode_avi_mc_b"]
 
 
 def _chunk(ckid: bytes, data: bytes) -> bytes:
@@ -1088,4 +1089,461 @@ def decode_avi_mc(payload: bytes) -> tuple[int, list[np.ndarray]]:
                 raise ValueError("MC01 P-frame before any I-frame")
             prev = _mc_decode_pframe(prev, raw)
         out.append(prev.copy())
+    return fps, out
+
+
+# --- MC02: BIDIRECTIONAL prediction (MPEG-1 B-frames) -------------------------
+#
+# The missing half of the MPEG GOP story: B-pictures (ISO/IEC 11172-2
+# §2.4.4.3-4) predict each macroblock from a PAST and/or a FUTURE
+# reference, with the interpolated mode averaging the two predictions
+# ((fwd + bwd + 1) >> 1 — "half values rounded up", §2.4.4.4), and are
+# never references themselves. Because a B-picture needs its future
+# reference first, CODED ORDER differs from DISPLAY ORDER — the one
+# codec property none of the earlier tiers exercise: the decoder holds
+# a two-picture reference buffer and re-emits frames in presentation
+# order (references are output when the NEXT reference arrives,
+# B-frames immediately).
+#
+# Container: AVI fourcc "MC02"; movi chunks are in CODED order.
+# I-frames are complete baseline JFIF payloads (AVIIF_KEYFRAME in
+# idx1, cross-checked against the SOI marker exactly like MC01);
+# P-frames are the MC01 P bitstream behind a one-byte 'P' tag;
+# B-frames are tagged 'B' with per-macroblock syntax:
+#   1 bit  skip        1 = copy the co-located FORWARD-reference MB
+#   2 bits mode        00 forward / 01 backward / 10 interpolated
+#                      (11 is a bitstream error)
+#   se(dx2), se(dy2)   forward MV (modes 00/10), half-pel units
+#   se(dx2), se(dy2)   backward MV (modes 01/10)
+#   4 bits cbp + coded blocks exactly as in the MC01 P syntax.
+# Display pattern: frame 0 is I, odd display indices are B, even are
+# P — except the LAST frame, which is always coded as a reference (a
+# closed GOP: a trailing B would dangle without a future reference).
+# The encoder is closed-loop on references only (B-frames predict
+# from decoded references; their own reconstruction feeds nothing).
+
+_MC_B_MODES = ("fwd", "bwd", "bi")  # tie-break preference = this order
+
+
+def _mc_code_residual_blocks(bw_, resid: "np.ndarray", rec: "np.ndarray",
+                             q: "np.ndarray", zz: "np.ndarray") -> None:
+    """Quantize the four 8x8 residual blocks of one MB, emit cbp +
+    run/level codes, and add the DEQUANTIZED residual onto ``rec`` in
+    place (the closed-loop reconstruction) — the shared tail of the P
+    and B macroblock coders."""
+    levels = []
+    cbp = 0
+    for bi, (by, bx) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+        X = _mc_fdct(resid[by : by + 8, bx : bx + 8]) / q
+        lv = (np.sign(X) * np.floor(np.abs(X) + 0.5)).astype(np.int64)
+        lvzz = lv.reshape(64)[zz]
+        levels.append(lvzz)
+        if lvzz.any():
+            cbp |= 1 << (3 - bi)
+    bw_.put(cbp, 4)
+    for bi, (by, bx) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+        lvzz = levels[bi]
+        if not (cbp >> (3 - bi)) & 1:
+            continue
+        nz = np.nonzero(lvzz)[0]
+        bw_.ue(len(nz))
+        last = -1
+        for k in nz:
+            bw_.ue(int(k - last - 1))
+            bw_.se(int(lvzz[k]))
+            last = int(k)
+        deq = np.zeros(64)
+        deq[zz[nz]] = lvzz[nz] * q.reshape(64)[zz[nz]]
+        rec[by : by + 8, bx : bx + 8] += _mc_idct(deq.reshape(8, 8))
+
+
+def _mc_read_residual_blocks(br, rec: "np.ndarray", q: "np.ndarray",
+                             zz: "np.ndarray") -> None:
+    """Decoder half of ``_mc_code_residual_blocks``: read cbp + coded
+    blocks and add the dequantized residual onto ``rec`` in place."""
+    cbp = 0
+    for _ in range(4):
+        cbp = (cbp << 1) | br.bit()
+    for bi, (by, bx) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+        if not (cbp >> (3 - bi)) & 1:
+            continue
+        n = br.ue()
+        if not 1 <= n <= 64:
+            raise ValueError(f"MC02 coded block with {n} coeffs")
+        deq = np.zeros(64)
+        k = -1
+        for _ in range(n):
+            k += br.ue() + 1
+            if k > 63:
+                raise ValueError("MC02 zigzag run overruns block")
+            lv = br.se()
+            if lv == 0:
+                raise ValueError("MC02 zero level is not codable")
+            deq[zz[k]] = lv * q.reshape(64)[zz[k]]
+        rec[by : by + 8, bx : bx + 8] += _mc_idct(deq.reshape(8, 8))
+
+
+def _mc_best_fullpel(refi: "np.ndarray", mb: "np.ndarray", y: int, x: int,
+                     search: int) -> tuple[tuple[int, int], int]:
+    """Full-pel SAD search of ``mb`` in ``refi`` around (y, x); returns
+    ((dx2, dy2) in half-pel units, sad) with the deterministic MC01
+    candidate order ((|dx|+|dy|, dy, dx), strict improvement)."""
+    h, w = refi.shape
+    cands = sorted(
+        ((2 * dx, 2 * dy) for dx in range(-search, search + 1)
+         for dy in range(-search, search + 1)),
+        key=lambda v: (abs(v[0]) + abs(v[1]), v[1], v[0]),
+    )
+    best, best_sad = None, None
+    for dx2, dy2 in cands:
+        if not _mc_mv_inbounds(h, w, y, x, dy2, dx2):
+            continue
+        sad = int(np.abs(mb - _mc_pred(refi, y, x, dy2, dx2)).sum())
+        if best_sad is None or sad < best_sad:
+            best, best_sad = (dx2, dy2), sad
+    return best, best_sad
+
+
+def _mc_encode_bframe(fwd: "np.ndarray", bwd: "np.ndarray",
+                      cur: "np.ndarray", search: int) -> bytes:
+    """One B-frame payload (without the 'B' tag). ``fwd``/``bwd`` are
+    the DECODED past/future references. Mode selection per MB: best
+    full-pel forward MV, best full-pel backward MV, and the
+    interpolated prediction from that vector pair; minimum SAD wins
+    with ties resolved in fwd < bwd < bi order (fewer vectors first)."""
+    from .image import _JPEG_ZZ_FLAT
+
+    h, w = cur.shape
+    q = _mc_quant_table()
+    zz = _JPEG_ZZ_FLAT
+    bw_ = _MCBitWriter()
+    fwdi = fwd.astype(np.int32)
+    bwdi = bwd.astype(np.int32)
+    curi = cur.astype(np.int32)
+    for y in range(0, h, 16):
+        for x in range(0, w, 16):
+            mb = curi[y : y + 16, x : x + 16]
+            if (mb == fwdi[y : y + 16, x : x + 16]).all():
+                bw_.put(1, 1)  # skip: co-located copy from the PAST ref
+                continue
+            (fv, fsad) = _mc_best_fullpel(fwdi, mb, y, x, search)
+            (bv, bsad) = _mc_best_fullpel(bwdi, mb, y, x, search)
+            fpred = _mc_pred(fwdi, y, x, fv[1], fv[0])
+            bpred = _mc_pred(bwdi, y, x, bv[1], bv[0])
+            bipred = (fpred + bpred + 1) >> 1  # §2.4.4.4 rounding
+            bisad = int(np.abs(mb - bipred).sum())
+            mode, pred = 0, fpred
+            best = fsad
+            if bsad < best:
+                mode, pred, best = 1, bpred, bsad
+            if bisad < best:
+                mode, pred, best = 2, bipred, bisad
+            bw_.put(0, 1)
+            bw_.put(mode, 2)
+            if mode in (0, 2):
+                bw_.se(fv[0])
+                bw_.se(fv[1])
+            if mode in (1, 2):
+                bw_.se(bv[0])
+                bw_.se(bv[1])
+            rec = pred.astype(np.float64)
+            _mc_code_residual_blocks(
+                bw_, (mb - pred).astype(np.float64), rec, q, zz
+            )
+    return bw_.flush()
+
+
+def _mc_decode_bframe(fwd: "np.ndarray", bwd: "np.ndarray",
+                      payload: bytes) -> "np.ndarray":
+    from .image import _JPEG_ZZ_FLAT
+
+    h, w = fwd.shape
+    q = _mc_quant_table()
+    zz = _JPEG_ZZ_FLAT
+    br = _MCBitReader(payload)
+    recon = np.empty_like(fwd)
+    fwdi = fwd.astype(np.int32)
+    bwdi = bwd.astype(np.int32)
+    for y in range(0, h, 16):
+        for x in range(0, w, 16):
+            if br.bit():  # skip
+                recon[y : y + 16, x : x + 16] = fwd[y : y + 16, x : x + 16]
+                continue
+            mode = (br.bit() << 1) | br.bit()
+            if mode == 3:
+                raise ValueError(
+                    f"MC02 invalid B macroblock mode 11 at ({x},{y})"
+                )
+            pred = None
+            if mode in (0, 2):
+                dx2, dy2 = br.se(), br.se()
+                if not _mc_mv_inbounds(h, w, y, x, dy2, dx2):
+                    raise ValueError(
+                        f"MC02 forward MV ({dx2},{dy2}) leaves the frame"
+                        f" at macroblock ({x},{y})"
+                    )
+                pred = _mc_pred(fwdi, y, x, dy2, dx2)
+            if mode in (1, 2):
+                dx2, dy2 = br.se(), br.se()
+                if not _mc_mv_inbounds(h, w, y, x, dy2, dx2):
+                    raise ValueError(
+                        f"MC02 backward MV ({dx2},{dy2}) leaves the frame"
+                        f" at macroblock ({x},{y})"
+                    )
+                bp = _mc_pred(bwdi, y, x, dy2, dx2)
+                pred = bp if pred is None else (pred + bp + 1) >> 1
+            rec = pred.astype(np.float64)
+            _mc_read_residual_blocks(br, rec, q, zz)
+            recon[y : y + 16, x : x + 16] = np.clip(
+                np.round(rec), 0, 255
+            ).astype(np.uint8)
+    return recon
+
+
+def encode_avi_mc_b(frames: list, fps: int = 25, *,
+                    search: int = MC_SEARCH) -> bytes:
+    """List of (h, w) uint8 gray frames in DISPLAY order (dims
+    multiples of 16) -> "MC02" AVI with the I B P B P ... closed-GOP
+    pattern: frame 0 I, even display indices P, odd display indices B
+    — except the last frame, always coded as a reference. movi chunks
+    are written in CODED order (each reference precedes the B-frames
+    that cite it); only the I-frame gets AVIIF_KEYFRAME."""
+    from .image import decode_jpeg, encode_jpeg
+
+    if not frames:
+        raise ValueError("MC02 AVI needs at least one frame")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
+    shape = frames[0].shape
+    if any(f.shape != shape or f.ndim != 2 for f in frames):
+        raise ValueError("all frames must be 8-bit gray with one shape")
+    h, w = shape
+    if h % 16 or w % 16:
+        raise ValueError(
+            f"MC02 frames must be multiples of 16 (got {w}x{h}) —"
+            " macroblock motion compensation has no partial-MB path"
+        )
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    n = len(frames)
+    is_ref = [i == 0 or i % 2 == 0 or i == n - 1 for i in range(n)]
+    payloads: list[bytes] = []
+    keyflags: list[bool] = []
+    prev_ref = None  # decoded reconstruction of the previous reference
+    prev_ref_idx = 0
+    for i in range(n):
+        if not is_ref[i]:
+            continue
+        if i == 0:
+            data = encode_jpeg(frames[0])
+            _, _, px = decode_jpeg(data)
+            recon = px.astype(np.uint8)
+            payloads.append(data)
+            keyflags.append(True)
+        else:
+            data, recon = _mc_encode_pframe(prev_ref, frames[i], search)
+            payloads.append(b"P" + data)
+            keyflags.append(False)
+            # the B-frames BETWEEN the two references, coded after both
+            for j in range(prev_ref_idx + 1, i):
+                payloads.append(
+                    b"B" + _mc_encode_bframe(prev_ref, recon,
+                                             frames[j], search)
+                )
+                keyflags.append(False)
+        prev_ref, prev_ref_idx = recon, i
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1,
+        max(len(p) for p in payloads), w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"MC02"
+        + struct.pack(
+            "<IHHIIIIIIIIhhhh",
+            0, 0, 0, 0, 1, fps, 0, len(frames),
+            max(len(p) for p in payloads), 0, 0, 0, 0, w, h,
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 8,
+        struct.unpack("<I", b"MC02")[0],
+        sum(len(p) for p in payloads) // len(payloads), 0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_body = bytearray(b"movi")
+    offsets = []
+    for p in payloads:
+        offsets.append(len(movi_body))
+        movi_body += _chunk(b"00dc", p)
+    movi = _chunk(b"LIST", bytes(movi_body))
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", 0x10 if key else 0, off, len(p))
+        for key, (off, p) in zip(keyflags, zip(offsets, payloads))
+    )
+    body = b"AVI " + hdrl + movi + _chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mc_b(payload: bytes) -> tuple[int, list[np.ndarray]]:
+    """"MC02" AVI bytes -> (fps, frames in PRESENTATION order).
+
+    The reordering decoder every MPEG-family codec needs: a
+    two-picture reference buffer. A reference (I or 'P'-tagged
+    payload) is DECODED but held; it is emitted when the NEXT
+    reference arrives (and the final one at end of stream). A
+    'B'-tagged payload decodes against (held-1, held) = (past,
+    future) references and is emitted immediately. Strict walk as in
+    MC01: header consistency (MC02 handler/biCompression), idx1
+    offsets/sizes verified with AVIIF_KEYFRAME exactly on JFIF
+    payloads, unknown payload tags and B-frames without two live
+    references are errors, every MV bounds-checked."""
+    from .image import decode_jpeg
+
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF file")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    if riff_size + 8 > len(payload):
+        raise ValueError(
+            f"RIFF size {riff_size} overruns payload of {len(payload)}"
+        )
+    if payload[8:12] != b"AVI ":
+        raise ValueError(f"not an AVI form: {payload[8:12]!r}")
+
+    avih = strh = strf = None
+    raw_frames: list[bytes] = []
+    frame_meta: list[tuple[int, int]] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal avih, strh, strf
+        off = start
+        while off + 8 <= end:
+            ckid = payload[off : off + 4]
+            (csize,) = struct.unpack_from("<I", payload, off + 4)
+            body_start = off + 8
+            if body_start + csize > end:
+                raise ValueError(f"chunk {ckid!r} overruns its parent list")
+            if ckid == b"LIST":
+                form = payload[body_start : body_start + 4]
+                if form == b"movi":
+                    movi_walk(body_start, body_start + csize)
+                else:
+                    walk(body_start + 4, body_start + csize)
+            elif ckid == b"avih":
+                avih = payload[body_start : body_start + csize]
+            elif ckid == b"strh":
+                strh = payload[body_start : body_start + csize]
+            elif ckid == b"strf":
+                strf = payload[body_start : body_start + csize]
+            elif ckid == b"idx1":
+                check_idx1(payload[body_start : body_start + csize])
+            off = body_start + csize + (csize % 2)
+
+    def movi_walk(start: int, end: int) -> None:
+        off = start + 4
+        while off + 8 <= end:
+            ckid = payload[off : off + 4]
+            (csize,) = struct.unpack_from("<I", payload, off + 4)
+            if off + 8 + csize > end:
+                raise ValueError("movi frame chunk overruns the list")
+            if ckid == b"00dc":
+                frame_meta.append((off - start, csize))
+                raw_frames.append(payload[off + 8 : off + 8 + csize])
+            off += 8 + csize + (csize % 2)
+
+    def check_idx1(body: bytes) -> None:
+        if len(body) % 16:
+            raise ValueError(f"idx1 size {len(body)} not a multiple of 16")
+        n = len(body) // 16
+        if n != len(frame_meta):
+            raise ValueError(
+                f"idx1 has {n} entries for {len(frame_meta)} frames"
+            )
+        for i in range(n):
+            ckid = body[16 * i : 16 * i + 4]
+            flags, ioff, isize = struct.unpack_from("<III", body, 16 * i + 4)
+            if ckid != b"00dc":
+                raise ValueError(f"idx1 entry {i} ckid {ckid!r}")
+            if (ioff, isize) != frame_meta[i]:
+                raise ValueError(
+                    f"idx1 entry {i} ({ioff}, {isize}) != actual"
+                    f" {frame_meta[i]}"
+                )
+            is_jfif = raw_frames[i][:2] == b"\xff\xd8"
+            want = 0x10 if is_jfif else 0
+            if flags != want:
+                raise ValueError(
+                    f"idx1 entry {i} flags {flags:#x} disagree with the"
+                    f" payload type ({'I' if is_jfif else 'B/P'}-frame)"
+                )
+
+    walk(12, 8 + riff_size)
+    if avih is None or strh is None or strf is None:
+        raise ValueError("AVI missing avih/strh/strf headers")
+    fields = struct.unpack_from("<IIIIIIIIII", avih, 0)
+    total_frames, streams, aw, ah = fields[4], fields[6], fields[8], fields[9]
+    if streams != 1:
+        raise ValueError(f"expected 1 stream, header says {streams}")
+    if total_frames != len(raw_frames):
+        raise ValueError(
+            f"avih says {total_frames} frames, movi carries"
+            f" {len(raw_frames)}"
+        )
+    if strh[:4] != b"vids" or strh[4:8] != b"MC02":
+        raise ValueError(
+            f"unsupported stream {strh[:4]!r}/{strh[4:8]!r} (want vids/MC02)"
+        )
+    scale, rate = struct.unpack_from("<II", strh, 20)
+    if scale == 0 or rate % scale:
+        raise ValueError(f"non-integer fps rate/scale {rate}/{scale}")
+    fps = rate // scale
+    _, bw2, bh2, _planes, bpp, comp = struct.unpack_from("<IiiHHI", strf, 0)
+    if (bw2, abs(bh2)) != (aw, ah):
+        raise ValueError("strf dimensions contradict avih")
+    if bpp != 8 or comp != struct.unpack("<I", b"MC02")[0]:
+        raise ValueError(
+            f"expected 8-bit MC02 (got {bpp}-bit compression {comp:#x})"
+        )
+    past = future = None  # the two-picture reference buffer
+    out: list[np.ndarray] = []
+    for raw in raw_frames:
+        if raw[:2] == b"\xff\xd8":  # I-frame
+            _, _, px = decode_jpeg(raw)
+            if px.ndim != 2:
+                raise ValueError("MC02 I-frame must be grayscale")
+            if px.shape != (ah, aw):
+                raise ValueError(
+                    f"I-frame {px.shape} contradicts headers ({ah},{aw})"
+                )
+            if future is not None:
+                out.append(future.copy())  # emit the displaced reference
+            past, future = future, px.astype(np.uint8)
+        elif raw[:1] == b"P":
+            if future is None:
+                raise ValueError("MC02 P-frame before any reference")
+            recon = _mc_decode_pframe(future, raw[1:])
+            out.append(future.copy())
+            past, future = future, recon
+        elif raw[:1] == b"B":
+            if past is None or future is None:
+                raise ValueError(
+                    "MC02 B-frame without two live references"
+                )
+            out.append(_mc_decode_bframe(past, future, raw[1:]))
+        else:
+            raise ValueError(
+                f"MC02 unknown payload tag {raw[:1]!r}"
+            )
+    if future is not None:
+        out.append(future.copy())  # flush the held final reference
+    if len(out) != len(raw_frames):
+        raise ValueError(
+            f"MC02 reorder produced {len(out)} frames from"
+            f" {len(raw_frames)} payloads"
+        )
     return fps, out

@@ -2481,3 +2481,120 @@ def q_mm_video_halfpel_stats(spark, sf_dir):
         "doc_id long, frame_idx long, width long, height long,"
         " sum_px long, px_sha string",
     )
+
+
+# --- B-frames: bidirectional prediction + decode-order reordering (MC02) -----
+
+
+@register(
+    "q_mm_video_bframe_stats",
+    # per-FRAME oracle in PRESENTATION order: the sprite recipe is
+    # closed-form (sprite at 8*fi with the tent-profile brightness
+    # v0 + dh*(2-|fi-2|)), so every frame is recomputed by string
+    # splicing. The B machinery is what the hash pins: a wrong
+    # bidirectional rounding ((f+b)>>1 instead of (f+b+1)>>1), a
+    # swapped past/future reference, a mis-reordered output queue, or
+    # a B-frame contaminating the reference buffer flips the ODD
+    # frames' px_sha while leaving the references green. All pixel
+    # values < 128 so chr() splicing stays single-byte on both engines.
+    oracle="""
+    WITH geom AS (
+      SELECT doc_id,
+             CAST(16 * (3 + doc_id % 2) AS BIGINT) AS w,
+             CAST(32 AS BIGINT) AS h,
+             CAST(25 + doc_id % 45 AS BIGINT) AS bg,
+             CAST(95 + doc_id % 20 AS BIGINT) AS v0,
+             CAST(1 + doc_id % 5 AS BIGINT) AS dh,
+             8 * (doc_id % 3) AS sy
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, w, h, bg, sy, CAST(u.fi AS BIGINT) AS frame_idx,
+             v0 + dh * (2 - ABS(u.fi - 2)) AS sv,
+             CAST(8 * u.fi AS BIGINT) AS sx
+      FROM geom, UNNEST([0, 1, 2, 3, 4]) AS u(fi)
+    ),
+    px AS (
+      SELECT *, array_to_string(LIST_TRANSFORM(RANGE(0, h), r ->
+        CASE WHEN r >= sy AND r < sy + 16 THEN
+          repeat(chr(CAST(bg AS INT)), CAST(sx AS INT))
+          || repeat(chr(CAST(sv AS INT)), 16)
+          || repeat(chr(CAST(bg AS INT)), CAST(w - sx - 16 AS INT))
+        ELSE repeat(chr(CAST(bg AS INT)), CAST(w AS INT)) END), '')
+        AS canvas
+      FROM frames
+    )
+    SELECT doc_id, frame_idx, w AS width, h AS height,
+           CAST(bg * (w * h - 256) + sv * 256 AS BIGINT) AS sum_px,
+           substr(sha256(canvas), 1, 16) AS px_sha
+    FROM px
+    """,
+)
+def q_mm_video_bframe_stats(spark, sf_dir):
+    """BIDIRECTIONAL motion compensation end-to-end (MC02 in AVI — the
+    MPEG-1 B-picture tier in kernels/video.py: ISO/IEC 11172-2
+    §2.4.4.3-4): per document a 5-frame display sequence I B P B P —
+    a 16x16 sprite sliding 8px per frame with a TENT brightness
+    profile (up dh per frame to the middle reference, back down) —
+    is encoded in CODED order (each future reference precedes the
+    B-frames that cite it) and decoded by the reordering two-picture
+    reference buffer back to presentation order. Every B macroblock
+    mode is provably exercised across the corpus: skip (static
+    background), forward/backward single-reference prediction (the
+    sprite edge blocks, where one reference matches strictly better),
+    and the INTERPOLATED mode — the tent profile makes each B
+    sprite's value the exact (fwd+bwd+1)>>1 average of its two
+    references, so bi-prediction wins at zero residual where neither
+    single reference can. All content 8px-aligned and block-constant
+    keeps the closed-loop reconstruction EXACT (swept over all 5000
+    doc recipes before registration); the oracle replays each frame
+    by string splicing. B payloads are pinned smaller than the P
+    equivalents in tests/test_round13b.py. One Arrow-batched
+    mapInPandas pass, per-partition, no shuffle."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.video import decode_avi_mc_b, encode_avi_mc_b
+
+    docs = _spread(load(spark, sf_dir, "documents").select("doc_id"))
+
+    def bf_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height", "sum_px", "px_sha",
+            )}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 16 * (3 + doc_id % 2), 32
+                bg = 25 + doc_id % 45
+                v0 = 95 + doc_id % 20
+                dh = 1 + doc_id % 5
+                sy = 8 * (doc_id % 3)
+                frames = []
+                for f in range(5):
+                    sv = v0 + dh * (2 - abs(f - 2))
+                    c = np.full((h, w), bg, np.uint8)
+                    c[sy : sy + 16, 8 * f : 8 * f + 16] = sv
+                    frames.append(c)
+                fps = 6 + doc_id % 4
+                dfps, dec = decode_avi_mc_b(encode_avi_mc_b(frames, fps=fps))
+                assert dfps == fps and len(dec) == 5, doc_id
+                for fi, px in enumerate(dec):
+                    assert px.shape == (h, w), (doc_id, px.shape)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_px"].append(int(px.sum(dtype=np.int64)))
+                    out["px_sha"].append(
+                        _hashlib.sha256(px.tobytes()).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        bf_stats,
+        "doc_id long, frame_idx long, width long, height long,"
+        " sum_px long, px_sha string",
+    )
