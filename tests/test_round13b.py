@@ -265,3 +265,76 @@ def test_mc_b_lossy_path_is_deterministic():
     _, ref_dec = decode_avi_mc(ref_buf)
     for k, disp in enumerate((0, 2, 4)):
         assert (dec1[disp] == ref_dec[k]).all()
+
+
+def _write_documents(tmp_path, rows):
+    """rows: list of (doc_id, text, source); full fixture schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+
+def test_colbert_maxsim_exact_match_and_ordering(tmp_path, spark):
+    """Late-interaction pins: a candidate containing ALL query tokens
+    scores exactly CB_QT * 32 (every per-token max is the identical
+    word, dot = 32); more shared tokens strictly dominate fewer; the
+    query document never retrieves itself."""
+    from utxo_to_parquet_spark.operators.similarity import (
+        CB_QT,
+        q_sim_colbert_maxsim,
+    )
+
+    qwords = [f"qq{i}" for i in range(CB_QT)]
+    docs = [
+        (0, " ".join(qwords), "w"),                        # the query doc
+        (1, " ".join(qwords) + " xx0 xx1", "w"),           # all 8 terms
+        (2, " ".join(qwords[:4]) + " yy0 yy1 yy2 yy3", "w"),  # 4 terms
+        (3, "zz0 zz1 zz2 zz3 zz4 zz5 zz6 zz7", "w"),       # no terms
+    ]
+    _write_documents(tmp_path, docs)
+    out = {
+        (r.query_doc_id, r.doc_id): r
+        for r in q_sim_colbert_maxsim(spark, str(tmp_path)).collect()
+    }
+    assert all(q == 0 for q, _ in out)          # only doc 0 is a query
+    assert (0, 0) not in out                    # self excluded
+    assert out[(0, 1)].maxsim == CB_QT * 32
+    assert out[(0, 1)].maxsim_rank == 1
+    assert (0, 2) in out
+    assert out[(0, 2)].maxsim < out[(0, 1)].maxsim
+    # doc 3 shares no token: it never enters the overlap candidate set
+    assert (0, 3) not in out
+
+
+def test_colbert_maxsim_beats_pooled_on_partial_overlap(tmp_path, spark):
+    """The late-interaction property: MaxSim credits each query token's
+    BEST match independently, so a document matching 6 of 8 tokens
+    amid much noise outranks one matching 5 tokens with no noise —
+    token-level max is immune to the length normalization that drags
+    pooled single-vector scores down."""
+    from utxo_to_parquet_spark.operators.similarity import q_sim_colbert_maxsim
+
+    qwords = [f"qq{i}" for i in range(8)]
+    noise = " ".join(f"nn{i}" for i in range(40))
+    docs = [
+        (0, " ".join(qwords), "w"),
+        (1, " ".join(qwords[:6]) + " " + noise, "w"),  # 6 terms + noise
+        (2, " ".join(qwords[:5]), "w"),                # 5 terms, clean
+    ]
+    _write_documents(tmp_path, docs)
+    out = {
+        r.doc_id: r
+        for r in q_sim_colbert_maxsim(spark, str(tmp_path)).collect()
+    }
+    assert out[1].maxsim > out[2].maxsim
+    assert out[1].maxsim_rank == 1

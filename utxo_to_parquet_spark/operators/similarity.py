@@ -3896,3 +3896,194 @@ def q_sim_ivf_kmeans_topk(spark, sf_dir):
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", "cosine", F.col("rn").cast("long").alias("rn"))
     )
+
+
+# --- ColBERT-style late interaction: MaxSim retrieval over token vectors -----
+#
+# Late-interaction retrieval (Khattab & Zaharia 2020, "ColBERT"): a
+# document is a BAG OF TOKEN VECTORS, and the query-document score is
+# MaxSim = sum over query tokens of the maximum similarity against any
+# document token — finer-grained than one pooled vector per document,
+# cheaper than full cross-attention. Production systems run it in two
+# stages (Santhanam et al. 2021, ColBERTv2): candidate generation by
+# token-level match, then exact MaxSim re-ranking of the shortlist.
+# The fixture has no learned token encoder, so token vectors are
+# deterministic SIGN-HASH signatures (Charikar 2002 SimHash): dimension
+# j of word w is the parity of hex digit j of md5(w), giving ±1 vectors
+# whose dot product is exactly 32 - 2*hamming(mask(a), mask(b)) on the
+# packed 32-bit masks — integer end-to-end, so Spark and the oracle
+# agree bit-for-bit. The MaxSim MACHINERY (overlap candidate gen →
+# per-query-term max → sum → top-k) is the real operator; swapping the
+# hash signatures for learned embeddings changes one projection.
+
+CB_QMOD = 100     # doc_id % CB_QMOD == 0 → query document
+CB_QMAX = 6400    # id bound → at most 64 query docs at any corpus size
+CB_QT = 8         # query terms: top-8 by in-document frequency
+CB_CAND = 128     # stage-1 shortlist per query
+CB_SALT = 16      # salt width for the two-phase candidate cap
+CB_TOP = 5
+
+_CB_ODD = "('1','3','5','7','9','b','d','f')"
+_CB_MASK_SQL = (
+    "aggregate(sequence(0, 31), 0L, (acc, j) -> acc +"
+    f" CASE WHEN substring(h, j + 1, 1) IN {_CB_ODD}"
+    " THEN shiftleft(1L, j) ELSE 0L END)"
+)
+
+
+@register(
+    "q_sim_colbert_maxsim",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    post AS (SELECT DISTINCT doc_id, w FROM toks),
+    qtf AS (
+      SELECT doc_id AS q_id, w, COUNT(*) AS c FROM toks
+      WHERE doc_id % {CB_QMOD} = 0 AND doc_id < {CB_QMAX} GROUP BY 1, 2
+    ),
+    qt AS (
+      SELECT q_id, w FROM (
+        SELECT q_id, w,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, w) AS rn
+        FROM qtf
+      ) WHERE rn <= {CB_QT}
+    ),
+    overlap AS (
+      SELECT q.q_id, p.doc_id, COUNT(*) AS m
+      FROM post p JOIN qt q ON p.w = q.w
+      WHERE p.doc_id <> q.q_id GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT q_id, doc_id FROM (
+        SELECT q_id, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q_id ORDER BY m DESC, doc_id
+               ) AS rn
+        FROM overlap
+      ) WHERE rn <= {CB_CAND}
+    ),
+    masks AS (
+      SELECT w, CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32), j ->
+        CASE WHEN substr(md5(w), CAST(j + 1 AS INT), 1) IN {_CB_ODD}
+        THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS mask
+      FROM (SELECT DISTINCT w FROM post)
+    ),
+    perqt AS (
+      SELECT c.q_id, c.doc_id, q.w AS qt,
+             MAX(32 - 2 * CAST(bit_count(xor(mq.mask, mw.mask)) AS BIGINT))
+               AS best
+      FROM cand c
+      JOIN qt q ON q.q_id = c.q_id
+      JOIN post p ON p.doc_id = c.doc_id
+      JOIN masks mq ON mq.w = q.w
+      JOIN masks mw ON mw.w = p.w
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT q_id, doc_id, CAST(SUM(best) AS BIGINT) AS maxsim
+      FROM perqt GROUP BY 1, 2
+    )
+    SELECT CAST(q_id AS BIGINT) AS query_doc_id, doc_id,
+           CAST(rn AS BIGINT) AS maxsim_rank, maxsim
+    FROM (
+      SELECT q_id, doc_id, maxsim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY maxsim DESC, doc_id
+             ) AS rn
+      FROM scored
+    ) WHERE rn <= {CB_TOP}
+    """,
+)
+def q_sim_colbert_maxsim(spark, sf_dir):
+    """Late-interaction (ColBERT-style) MaxSim top-{CB_TOP}: each of up
+    to 64 query documents (doc_id % {CB_QMOD} == 0, id-capped) takes
+    its {CB_QT} most frequent words as query tokens; candidates are
+    generated by token overlap (distinct matched terms, two-phase
+    salted cap at {CB_CAND} per query — the ColBERTv2 retrieve stage)
+    and re-ranked by exact MaxSim: per query token the MAX sign-hash
+    dot product against any of the candidate document's distinct
+    words, summed over the query tokens. Token vectors are packed
+    32-bit sign masks (one md5 per distinct WORD, vocab-bounded), so
+    every similarity is 32 - 2*bit_count(mask_q ^ mask_w) — pure JVM
+    integer arithmetic, no UDF anywhere.
+
+    Scale shape: the only corpus-sized relations are the token explode
+    and the distinct postings (both map-side-combinable groupBys); the
+    query-term table is broadcast ({CB_QMAX // CB_QMOD} x {CB_QT}
+    rows), candidate generation is the postings equi-join against it,
+    and the re-rank joins are bounded by Q_CAP x CB_CAND x CB_QT x
+    words-per-doc — corpus-independent once the shortlist is cut. The
+    two-phase salted window keeps every window partition bounded. At
+    100 TB the same plan holds: postings are the inverted index a
+    production ColBERT keeps anyway, and the MaxSim re-rank touches
+    only shortlisted documents."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    post = toks.distinct()
+    qtf = (
+        toks.filter(
+            (F.col("doc_id") % CB_QMOD == 0) & (F.col("doc_id") < CB_QMAX)
+        )
+        .groupBy(F.col("doc_id").alias("q_id"), "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.desc("c"), F.asc("w"))
+    qt = (
+        qtf.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= CB_QT)
+        .select("q_id", "w")
+    )
+    overlap = (
+        post.join(F.broadcast(qt), "w")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    w1 = W.partitionBy("q_id", "salt").orderBy(F.desc("m"), F.asc("doc_id"))
+    w2 = W.partitionBy("q_id").orderBy(F.desc("m"), F.asc("doc_id"))
+    cand = (
+        overlap.withColumn("salt", F.col("doc_id") % CB_SALT)
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= CB_CAND)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= CB_CAND)
+        .select("q_id", "doc_id")
+    )
+    masks = (
+        post.select("w")
+        .distinct()
+        .withColumn("h", F.md5("w"))
+        .select("w", F.expr(_CB_MASK_SQL).alias("mask"))
+    )
+    qmasks = qt.join(masks, "w").select(
+        "q_id", F.col("w").alias("qt"), F.col("mask").alias("qmask")
+    )
+    wmasks = masks.withColumnRenamed("mask", "wmask")
+    perqt = (
+        cand.join(F.broadcast(qmasks), "q_id")
+        .join(post, "doc_id")
+        .join(wmasks, "w")
+        .withColumn(
+            "dot", F.expr("32 - 2 * bit_count(qmask ^ wmask)").cast("long")
+        )
+        .groupBy("q_id", "doc_id", "qt")
+        .agg(F.max("dot").alias("best"))
+    )
+    scored = perqt.groupBy("q_id", "doc_id").agg(
+        F.sum("best").cast("long").alias("maxsim")
+    )
+    wr = W.partitionBy("q_id").orderBy(F.desc("maxsim"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= CB_TOP)
+        .select(
+            F.col("q_id").cast("long").alias("query_doc_id"),
+            "doc_id",
+            F.col("rn").cast("long").alias("maxsim_rank"),
+            "maxsim",
+        )
+    )
