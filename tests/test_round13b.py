@@ -338,3 +338,74 @@ def test_colbert_maxsim_beats_pooled_on_partial_overlap(tmp_path, spark):
     }
     assert out[1].maxsim > out[2].maxsim
     assert out[1].maxsim_rank == 1
+
+
+def _write_trade_graph(tmp_path, edges):
+    """edges: (custkey, suppkey) pairs -> minimal orders + lineitem
+    parquet (join keys only; other columns ride along as nulls)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    o_schema = pq.read_schema("/root/testdata/sf0.001/orders.parquet")
+    l_schema = pq.read_schema("/root/testdata/sf0.001/lineitem.parquet")
+    orders, lines = [], []
+    for i, (c, s) in enumerate(edges, start=1):
+        orders.append({"o_orderkey": i, "o_custkey": c})
+        lines.append({"l_orderkey": i, "l_suppkey": s})
+    pq.write_table(
+        pa.Table.from_pylist(orders, schema=o_schema),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist(lines, schema=l_schema),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+
+def test_personalized_pagerank_brute_force_and_locality(tmp_path, spark):
+    """PPR on a constructed graph vs a literal Python replay of the
+    recurrence: restart mass lands only on seeds (custkey % 10 == 0),
+    proximity to the seed set dominates (the supplier adjacent to the
+    seed outranks the two-hop one), a disconnected NON-seed component
+    rounds to zero and is dropped, and a disconnected SEED keeps its
+    restart mass."""
+    from utxo_to_parquet_spark.operators.graph import (
+        DAMPING,
+        PPR_ITERS,
+        q_graph_personalized_pagerank,
+    )
+
+    # c10 (seed) - s1 - c1 - s2 - c2 chain; c3-s3 disconnected non-seed;
+    # c20 (seed) - s5 disconnected seed pair
+    pairs = [(10, 1), (1, 1), (1, 2), (2, 2), (3, 3), (20, 5)]
+    _write_trade_graph(tmp_path, pairs)
+
+    # literal replay
+    edges = []
+    for c, s in set(pairs):
+        edges.append((f"c{c}", f"s{s}"))
+        edges.append((f"s{s}", f"c{c}"))
+    nodes = sorted({u for u, _ in edges})
+    outdeg = {n: sum(1 for u, _ in edges if u == n) for n in nodes}
+    seeds = {n for n in nodes if n[0] == "c" and int(n[1:]) % 10 == 0}
+    rank = {n: (1.0 / len(seeds) if n in seeds else 0.0) for n in nodes}
+    for _ in range(PPR_ITERS):
+        contrib = {n: 0.0 for n in nodes}
+        for u, v in edges:
+            if rank[u] > 0:
+                contrib[v] += rank[u] / outdeg[u]
+        rank = {
+            n: (1 - DAMPING) / len(seeds) * (n in seeds)
+            + DAMPING * contrib[n]
+            for n in nodes
+        }
+    want = {n: round(r, 8) for n, r in rank.items() if round(r, 8) > 0}
+
+    out = {
+        r.node: r.rank
+        for r in q_graph_personalized_pagerank(spark, str(tmp_path)).collect()
+    }
+    assert out == pytest.approx(want)
+    assert "c3" not in out and "s3" not in out  # unreached periphery
+    assert out["c20"] > 0                       # isolated seed keeps mass
+    assert out["s1"] > out["s2"]                # seed proximity dominates

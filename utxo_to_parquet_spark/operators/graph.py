@@ -1236,3 +1236,127 @@ def q_graph_degree_powerlaw(spark, sf_dir):
         "n_tail",
         F.floor(alpha * F.lit(1e6) + F.lit(0.5)).cast("long").alias("alpha_e6"),
     )
+
+
+# --- personalized PageRank: restart mass pinned to a seed set ----------------
+
+PPR_SEED_MOD = 10  # customer nodes with custkey % PPR_SEED_MOD == 0 seed
+PPR_ITERS = 3
+
+
+def _ppr_oracle() -> str:
+    """Unrolled PPR power iteration — restart jumps land on the SEED
+    distribution instead of uniform; one CTE level per Spark pass."""
+    base = f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (
+      SELECT src AS node,
+             CASE WHEN src LIKE 'c%'
+                   AND CAST(SUBSTR(src, 2) AS BIGINT) % {PPR_SEED_MOD} = 0
+                  THEN 1.0 ELSE 0.0 END AS seed
+      FROM deg
+    ),
+    ns AS (SELECT CAST(SUM(seed) AS DOUBLE) AS n_seeds FROM nodes),
+    r0 AS (SELECT node, seed / n_seeds AS rank FROM nodes, ns)
+    """
+    for k in range(PPR_ITERS):
+        base += f""",
+    c{k + 1} AS (
+      SELECT e.dst AS node, SUM(r.rank / d.outdeg) AS contrib
+      FROM edges e
+      JOIN r{k} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      WHERE r.rank > 0
+      GROUP BY e.dst
+    ),
+    r{k + 1} AS (
+      SELECT n.node,
+             (1 - {DAMPING}) * n.seed / MAX(ns.n_seeds)
+             + {DAMPING} * COALESCE(MAX(c.contrib), 0.0) AS rank
+      FROM nodes n LEFT JOIN c{k + 1} c ON n.node = c.node, ns
+      GROUP BY n.node, n.seed
+    )"""
+    base += f"""
+    SELECT node, ROUND(rank, 8) AS rank FROM r{PPR_ITERS}
+    WHERE ROUND(rank, 8) > 0
+    """
+    return base
+
+
+@register("q_graph_personalized_pagerank", oracle=_ppr_oracle())
+def q_graph_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (PPR_ITERS power iterations, damping
+    {DAMPING}): the random walk restarts onto a SEED distribution —
+    every {PPR_SEED_MOD}-th customer — instead of the uniform vector,
+    so rank measures proximity to the seed set (the recommendation /
+    local-community primitive: 'suppliers relevant to THESE
+    customers'). Same scalable shape as q_graph_pagerank — each pass
+    is one join (rank onto edge source, zero-rank rows pruned so early
+    iterations shuffle only the reached frontier) + one aggregation,
+    then a LEFT join back onto the node table to re-inject restart
+    mass at every seed whether or not the walk reached it. State is a
+    (node, rank) DataFrame; localCheckpoint keeps lineage flat. Rows
+    that still round to 0 at 1e-8 (unreached periphery) are dropped so
+    the output is the support of the walk, not the whole node table.
+    The oracle unrolls the identical recurrence as chained CTEs.
+    Reference: Page et al. 1999 §6 'personalized PageRank'; Jeh &
+    Widom 2003."""
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    withdeg = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = (
+        withdeg.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("node"),
+            F.when(
+                (F.col("src") < _SUPP_OFFSET)
+                & (F.col("src") % PPR_SEED_MOD == 0),
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("seed"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_seeds = nodes.agg(F.sum("seed")).first()[0]
+    ranks = nodes.select(
+        "node", (F.col("seed") / F.lit(n_seeds)).alias("rank")
+    )
+    for _ in range(PPR_ITERS):
+        contrib = (
+            withdeg.join(
+                ranks.filter(F.col("rank") > 0),
+                withdeg.src == F.col("node"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - DAMPING) / n_seeds) * F.col("seed")
+                    + F.lit(DAMPING) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.select(
+            _render_node("node").alias("node"),
+            F.round("rank", 8).alias("rank"),
+        )
+        .filter(F.col("rank") > 0)
+    )
