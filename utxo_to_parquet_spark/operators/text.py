@@ -2303,9 +2303,9 @@ BM25_RANK_HI = 12  # 8 mid-df terms -> 2 queries x 4 terms
 BM25_SALT = 16
 
 
-@register(
-    "q_text_bm25_topk",
-    oracle=f"""
+# shared by the batch query and the streaming index-maintenance twin
+# (q_stream_bm25_delta wraps it with the equivalence columns)
+_BM25_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
     ),
@@ -2356,8 +2356,10 @@ BM25_SALT = 16
     SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
            CAST(rn AS BIGINT) AS bm25_rank, ROUND(score_raw, 6) AS score
     FROM ranked WHERE rn <= {BM25_TOP}
-    """,
-)
+    """
+
+
+@register("q_text_bm25_topk", oracle=_BM25_ORACLE)
 def q_text_bm25_topk(spark, sf_dir):
     """BM25 top-{BM25_TOP} retrieval over the corpus for a
     corpus-derived query set: terms ranked {BM25_RANK_LO}..{BM25_RANK_HI}
@@ -2380,12 +2382,25 @@ def q_text_bm25_topk(spark, sf_dir):
     aggregate (|vocabulary| rows, bounded)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf_rel = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    return _bm25_rank(tf_rel)
+
+
+def _bm25_rank(tf_rel):
+    """BM25 scoring from the INDEX RELATION (doc_id, term, tf) — shared
+    by the batch query (which derives it from the token explode) and
+    the streaming maintenance twin (which merges it from per-commit
+    additive cells). Doc lengths, corpus stats, document frequencies
+    and the query-term selection are all recomputed from the index, so
+    two identical indexes rank identically bit-for-bit."""
+    doclen = tf_rel.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n_docs, tot = doclen.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
     ).first()
     avgdl = tot / n_docs  # exact int ratio -> same double as the oracle's
-    dft = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    dft = tf_rel.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     wq = W.orderBy(F.desc("df"), F.asc("term"))
     qsel = (
         dft.withColumn("rn", F.row_number().over(wq))
@@ -2402,9 +2417,8 @@ def q_text_bm25_topk(spark, sf_dir):
         )
     )
     tf = (
-        toks.join(F.broadcast(qsel), "term")
-        .groupBy("doc_id", "query_id", "tpos", "idf")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        tf_rel.join(F.broadcast(qsel), "term")
+        .select("doc_id", "query_id", "tpos", "idf", "tf")
         .join(doclen, "doc_id")
     )
     contrib = (F.col("idf") * (F.col("tf") * (F.lit(BM25_K1) + F.lit(1.0)))) / (

@@ -1998,3 +1998,93 @@ def q_stream_ann_delta(spark, sf_dir):
             & (F.col("member_fp") == F.col("ref_fp"))
         ).alias("matches_batch"),
     )
+
+
+# --- streaming BM25 index maintenance -----------------------------------------
+
+
+def _bm25_stream_oracle() -> str:
+    from ..operators.text import _BM25_ORACLE
+
+    return f"""
+    SELECT query_id, doc_id, bm25_rank, score,
+           TRUE AS multi_commit, TRUE AS matches_batch
+    FROM ({_BM25_ORACLE})
+    """
+
+
+@register("q_stream_bm25_delta", oracle=_bm25_stream_oracle())
+def q_stream_bm25_delta(spark, sf_dir):
+    """STREAMING SEARCH-INDEX MAINTENANCE — the online half of the BM25
+    pair: per micro-batch, each arriving document chunk appends its
+    (doc_id, term, tf) postings cells to an append-only sink (per-commit
+    state is the batch's own postings, never the corpus), and the live
+    index is ``SUM`` per (doc, term) because term-frequency cells are
+    ADDITIVE — the same mergeable-monoid argument as the NB/unigram/ANN
+    maintenance twins, here carrying a full RETRIEVAL index: document
+    lengths, corpus stats (n_docs, avgdl), per-term document frequencies
+    and the query-term selection are all re-derived from the merged
+    postings by the SAME scorer the batch query uses (_bm25_rank). After
+    the replay the live top-{5} ranking must equal the batch BM25
+    ranking rank-for-rank and score-for-score (``matches_batch`` is a
+    REAL per-row comparison, not asserted), with ``multi_commit``
+    pinning that the equivalence crossed multiple commits. This is the
+    production shape for keeping a search index fresh while the crawl
+    streams in: one additive postings merge per commit, no re-scan —
+    exactly how segment-merging engines (Lucene) treat term statistics."""
+    import shutil
+
+    from ..operators.text import _bm25_rank, q_text_bm25_topk
+
+    sdf = _documents_chunked_stream(spark, sf_dir)
+    key = sf_dir + "#bm25"
+    if key not in _NB_SINK_DIRS:
+        _NB_SINK_DIRS[key] = _tmpdir("bm25_sink_")
+    sink = _NB_SINK_DIRS[key] + "/postings"
+    shutil.rmtree(sink, ignore_errors=True)
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("term")
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    with _stream_partitions(spark):
+        q = sdf.writeStream.outputMode("append").foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+            _capture_stream_plan(q)
+        finally:
+            q.stop()
+
+    cells = spark.read.parquet(sink)
+    n_commits = cells.select("batch_id").distinct().count()
+    merged = (
+        cells.groupBy("doc_id", "term")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    live = _bm25_rank(merged)
+    ref = q_text_bm25_topk(spark, sf_dir).select(
+        "query_id",
+        "doc_id",
+        F.col("bm25_rank").alias("ref_rank"),
+        F.col("score").alias("ref_score"),
+    )
+    return live.join(ref, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "bm25_rank",
+        "score",
+        F.lit(n_commits >= NB_REPLAY_BATCHES - 1).alias("multi_commit"),
+        (
+            (F.col("bm25_rank") == F.col("ref_rank"))
+            & (F.col("score") == F.col("ref_score"))
+        ).alias("matches_batch"),
+    )
