@@ -409,3 +409,42 @@ def test_personalized_pagerank_brute_force_and_locality(tmp_path, spark):
     assert "c3" not in out and "s3" not in out  # unreached periphery
     assert out["c20"] > 0                       # isolated seed keeps mass
     assert out["s1"] > out["s2"]                # seed proximity dominates
+
+
+def test_betweenness_splits_mass_over_parallel_shortest_paths(
+    tmp_path, spark
+):
+    """Two seeds (c50, c100) joined by TWO parallel 2-hop paths: each
+    intermediate supplier carries exactly half the dependency from each
+    endpoint — sigma-weighted splitting, the property degree centrality
+    can't see. Hand-replayed Brandes: delta = (1 * (1e6 + 0)) // 2 per
+    seed, averaged over 2 seeds -> bc_e6 = 500000 for s1 and s2, and
+    the seeds themselves never accumulate."""
+    from utxo_to_parquet_spark.operators.graph import q_graph_betweenness
+
+    _write_trade_graph(tmp_path, [(50, 1), (50, 2), (100, 1), (100, 2)])
+    out = {
+        r.node: r.bc_e6
+        for r in q_graph_betweenness(spark, str(tmp_path)).collect()
+    }
+    assert out == {"s1": 500000, "s2": 500000}
+
+
+def test_betweenness_khop_truncation_and_chain_accumulation(
+    tmp_path, spark
+):
+    """A 5-hop chain from the single seed c50: dependency telescopes
+    backward ((1+delta) per level), and anything past BC_HOPS hops
+    contributes nothing — s1 sees both downstream interior nodes
+    (2e6), c1 sees one (1e6), the frontier node s3 accumulates zero
+    and is dropped, and s4/c2 are never reached."""
+    from utxo_to_parquet_spark.operators.graph import q_graph_betweenness
+
+    _write_trade_graph(
+        tmp_path, [(50, 1), (1, 1), (1, 3), (2, 3), (2, 4)]
+    )
+    out = {
+        r.node: r.bc_e6
+        for r in q_graph_betweenness(spark, str(tmp_path)).collect()
+    }
+    assert out == {"s1": 2000000, "c1": 1000000}

@@ -1360,3 +1360,183 @@ def q_graph_personalized_pagerank(spark, sf_dir):
         )
         .filter(F.col("rank") > 0)
     )
+
+
+# --- betweenness centrality: sampled-source Brandes, k-hop bounded -----------
+
+BC_SEED_MOD = 50    # customer nodes with custkey % BC_SEED_MOD == 0 seed
+BC_SEED_MAX = 5000  # id bound -> at most 100 source samples at any scale
+BC_HOPS = 3         # k-hop truncation (k-betweenness)
+BC_E6 = 1_000_000
+
+
+def _bc_oracle() -> str:
+    """Unrolled sampled Brandes: BFS levels f0..f{BC_HOPS} carry exact
+    path counts sigma; the backward dependency pass runs in e6
+    fixed-point with PER-TERM integer division (DuckDB // == Spark div
+    on BIGINT), so accumulation replays engine-identically."""
+    base = f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    seeds AS (
+      SELECT DISTINCT src AS s FROM edges
+      WHERE src LIKE 'c%'
+        AND CAST(SUBSTR(src, 2) AS BIGINT) % {BC_SEED_MOD} = 0
+        AND CAST(SUBSTR(src, 2) AS BIGINT) < {BC_SEED_MAX}
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seeds FROM seeds),
+    f0 AS (SELECT s, s AS node, CAST(1 AS BIGINT) AS sigma FROM seeds),
+    s0 AS (SELECT s, node FROM f0)
+    """
+    for k in range(BC_HOPS):
+        base += f""",
+    f{k + 1} AS (
+      SELECT f.s, e.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+      FROM edges e
+      JOIN f{k} f ON e.src = f.node
+      LEFT JOIN s{k} p ON p.s = f.s AND p.node = e.dst
+      WHERE p.node IS NULL
+      GROUP BY f.s, e.dst
+    ),
+    s{k + 1} AS (
+      SELECT s, node FROM s{k} UNION ALL SELECT s, node FROM f{k + 1}
+    )"""
+    base += f""",
+    d{BC_HOPS} AS (
+      SELECT s, node, sigma, CAST(0 AS BIGINT) AS delta FROM f{BC_HOPS}
+    )"""
+    for k in range(BC_HOPS - 1, 0, -1):
+        base += f""",
+    d{k} AS (
+      SELECT v.s, v.node, v.sigma,
+             COALESCE(CAST(SUM(
+               (v.sigma * ({BC_E6} + x.delta)) // x.sigma
+             ) AS BIGINT), 0) AS delta
+      FROM f{k} v
+      LEFT JOIN (
+        SELECT e.src AS vnode, w.s, w.sigma, w.delta
+        FROM edges e JOIN d{k + 1} w ON w.node = e.dst
+      ) x ON x.vnode = v.node AND x.s = v.s
+      GROUP BY v.s, v.node, v.sigma
+    )"""
+    union = "\n      UNION ALL ".join(
+        f"SELECT node, delta FROM d{k}" for k in range(1, BC_HOPS + 1)
+    )
+    base += f"""
+    SELECT node, CAST(SUM(delta) // MAX(ns.n_seeds) AS BIGINT) AS bc_e6
+    FROM ({union}), ns
+    GROUP BY node
+    HAVING SUM(delta) // MAX(ns.n_seeds) > 0
+    """
+    return base
+
+
+@register("q_graph_betweenness", oracle=_bc_oracle())
+def q_graph_betweenness(spark, sf_dir):
+    """Sampled-source BETWEENNESS centrality (Brandes 2001, the
+    source-sampling estimator of Brandes & Pich 2007 / Riondato &
+    Kornaropoulos 2014), truncated at {BC_HOPS} hops (k-betweenness):
+    from each of <= {BC_SEED_MAX // BC_SEED_MOD} deterministic seed
+    customers, a level-synchronous multi-source BFS carries EXACT
+    shortest-path counts sigma (sigma(w) at level k+1 = sum of
+    predecessor sigmas), then the dependency accumulation runs
+    BACKWARD one level at a time: delta(v) = sum over successors w of
+    sigma(v)/sigma(w) * (1 + delta(w)) — evaluated in e6 FIXED POINT
+    with per-term integer division, so both engines replay the exact
+    same integers (no float accumulation order anywhere). bc_e6 is the
+    per-node dependency sum averaged over the seed sample; interior
+    brokers (nodes many seed-paths must route through) rank first.
+
+    Scale shape: forward state is (seed, node, dist) — |S| x reachable
+    rows of LONGs, the honest cost of source-sampled Brandes (|S| is a
+    CONSTANT sample, so state is O(N), not O(N^2)); every round is one
+    frontier equi-join + anti-join against the settled set (the BFS
+    delta form), and the backward pass is one join per level against
+    the NEXT level only. All shuffles key on (seed, node)."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = edges.select("src").distinct()
+    seeds = (
+        nodes.filter(
+            (F.col("src") < _SUPP_OFFSET)
+            & (F.col("src") % BC_SEED_MOD == 0)
+            & (F.col("src") < BC_SEED_MAX)
+        )
+        .select(F.col("src").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    n_seeds = seeds.count()
+    levels = [
+        seeds.select(
+            "s", F.col("s").alias("node"), F.lit(1).cast("long").alias("sigma")
+        ).localCheckpoint(eager=False)
+    ]
+    settled = levels[0].select("s", "node")
+    for _ in range(BC_HOPS):
+        expand = (
+            edges.join(levels[-1], edges.src == levels[-1].node)
+            .groupBy("s", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+        )
+        nxt = expand.join(
+            settled, ["s", "node"], "left_anti"
+        ).localCheckpoint(eager=False)
+        levels.append(nxt)
+        settled = settled.unionByName(nxt.select("s", "node"))
+    deltas = [None] * (BC_HOPS + 1)
+    deltas[BC_HOPS] = levels[BC_HOPS].withColumn(
+        "delta", F.lit(0).cast("long")
+    )
+    for k in range(BC_HOPS - 1, 0, -1):
+        succ = (
+            edges.join(
+                deltas[k + 1].select(
+                    "s",
+                    F.col("node").alias("wnode"),
+                    F.col("sigma").alias("wsigma"),
+                    "delta",
+                ),
+                edges.dst == F.col("wnode"),
+            )
+            .select(F.col("src").alias("vnode"), "s", "wsigma", "delta")
+        )
+        v = levels[k]
+        deltas[k] = (
+            v.join(
+                succ,
+                (v.node == succ.vnode) & (v.s == succ.s),
+                "left",
+            )
+            .groupBy(v.s, v.node, v.sigma)
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.expr(
+                            f"(sigma * ({BC_E6} + delta)) div wsigma"
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("delta")
+            )
+            .localCheckpoint(eager=False)
+        )
+    acc = deltas[1].select("node", "delta")
+    for k in range(2, BC_HOPS + 1):
+        acc = acc.unionByName(deltas[k].select("node", "delta"))
+    return (
+        acc.groupBy("node")
+        .agg(
+            F.expr(f"sum(delta) div {n_seeds}").cast("long").alias("bc_e6")
+        )
+        .filter(F.col("bc_e6") > 0)
+        .select(_render_node("node").alias("node"), "bc_e6")
+    )
