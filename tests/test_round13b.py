@@ -448,3 +448,64 @@ def test_betweenness_khop_truncation_and_chain_accumulation(
         for r in q_graph_betweenness(spark, str(tmp_path)).collect()
     }
     assert out == {"s1": 2000000, "c1": 1000000}
+
+
+def test_dp_release_bounds_contributions_and_replays_noise(tmp_path, spark):
+    """The Wilson et al. bounded-contribution pins: a power user's 100
+    same-type events count as DP_C; a user spread over many types
+    keeps only its DP_T alphabetically-first types (a type left with
+    no surviving rows vanishes from the release); and the geometric
+    noise replays exactly from the md5 seed."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from utxo_to_parquet_spark.operators.events import (
+        DP_C,
+        DP_EPS_E6,
+        DP_M,
+        DP_SENS,
+        DP_T,
+        q_events_dp_release,
+    )
+
+    base = pq.read_schema("/root/testdata/sf0.001/events.parquet")
+    t0 = dt.datetime(2025, 3, 1)
+    rows = []
+    eid = 0
+
+    def ev(user, etype):
+        nonlocal eid
+        eid += 1
+        rows.append(dict(event_id=eid, ts=t0, user_id=user,
+                         event_type=etype, value=1.0, props="{}"))
+
+    for _ in range(100):
+        ev(1, "view")                      # power user: capped to DP_C
+    for t in ("aa", "bb", "cc", "dd"):
+        ev(2, t)                           # 4 types: only DP_T survive
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "events.parquet"),
+    )
+
+    out = {r.event_type: r for r in q_events_dp_release(spark, str(tmp_path)).collect()}
+    assert out["view"].n_bounded == DP_C
+    assert out["aa"].n_bounded == 1 and out["cc"].n_bounded == 1
+    assert "dd" not in out                 # 4th type fully bounded away
+    assert DP_T == 3 and "bb" in out
+
+    for t, r in out.items():
+        h = hashlib.md5(f"dpr1:{t}".encode()).hexdigest()
+        u = int(h[:12], 16)
+        sgn = -1 if h[12] in "13579bdf" else 1
+        mag = math.floor(
+            (math.log(float(DP_M)) - math.log(float(u + 1)))
+            * (DP_SENS * 1_000_000.0 / DP_EPS_E6)
+        )
+        assert r.noise == sgn * mag, t
+        assert r.released_n == max(0, r.n_bounded + r.noise), t
+        assert r.sensitivity == DP_C * DP_T

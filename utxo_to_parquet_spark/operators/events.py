@@ -4585,3 +4585,125 @@ def q_events_holt_winters(spark, sf_dir):
         .cast("long")
         .alias("season_amp_e6"),
     )
+
+
+# --- differentially-private aggregate release --------------------------------
+#
+# The production shape of Wilson et al. 2020 ("Differentially Private
+# SQL with Bounded User Contribution"): before any statistic about a
+# corpus leaves the pipeline (dataset cards, per-source mix reports),
+# (1) bound each user's contribution — at most DP_T partitions per
+# user and DP_C rows per (user, partition) — so the L1 sensitivity of
+# the released count vector is the CONSTANT DP_C * DP_T, then
+# (2) add integer noise from the geometric mechanism (Ghosh,
+# Roughgarden & Sundararajan 2009; the discrete Laplace of Canonne,
+# Kamath & Steinke 2020), and (3) post-process (clamp at zero — DP is
+# closed under post-processing). The noise stream here is a SEEDED
+# deterministic PRNG (md5 of the release label), the reproducible-
+# release mode; a production deployment swaps that one uniform draw
+# for a CSPRNG. Noise magnitude is floor((ln(M) - ln(U+1)) * Δ/ε)
+# with U uniform on [0, M) — ln of INTEGER-valued doubles only, so
+# both engines compute bit-identical noise.
+
+DP_C = 4            # rows kept per (user, partition)
+DP_T = 3            # partitions (event types) kept per user
+DP_SENS = DP_C * DP_T  # L1 sensitivity of the released vector
+DP_EPS_E6 = 1_000_000  # epsilon = 1.0
+DP_M = 1 << 48      # uniform grain: 12 md5 hex digits
+
+
+@register(
+    "q_events_dp_release",
+    oracle=f"""
+    WITH typed AS (
+      SELECT event_type, user_id, event_id,
+             DENSE_RANK() OVER (
+               PARTITION BY user_id ORDER BY event_type
+             ) AS trk
+      FROM events
+    ),
+    capped AS (
+      SELECT event_type FROM (
+        SELECT event_type,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, event_type ORDER BY event_id
+               ) AS rn
+        FROM typed WHERE trk <= {DP_T}
+      ) WHERE rn <= {DP_C}
+    ),
+    truec AS (
+      SELECT event_type, COUNT(*) AS n_bounded FROM capped GROUP BY 1
+    ),
+    noised AS (
+      SELECT event_type, n_bounded,
+             ('0x' || substr(md5('dpr1:' || event_type), 1, 12))::BIGINT AS u,
+             CASE WHEN substr(md5('dpr1:' || event_type), 13, 1) IN
+                  ('1','3','5','7','9','b','d','f') THEN -1 ELSE 1 END AS sgn
+      FROM truec
+    )
+    SELECT event_type, CAST(n_bounded AS BIGINT) AS n_bounded,
+           CAST(sgn * FLOOR((LN(CAST({DP_M} AS DOUBLE)) - LN(CAST(u + 1 AS DOUBLE)))
+                            * {DP_SENS * 1_000_000.0 / DP_EPS_E6}) AS BIGINT)
+             AS noise,
+           CAST(GREATEST(0, n_bounded + sgn * CAST(FLOOR(
+                (LN(CAST({DP_M} AS DOUBLE)) - LN(CAST(u + 1 AS DOUBLE)))
+                * {DP_SENS * 1_000_000.0 / DP_EPS_E6}) AS BIGINT))
+             AS BIGINT) AS released_n,
+           CAST({DP_EPS_E6} AS BIGINT) AS epsilon_e6,
+           CAST({DP_SENS} AS BIGINT) AS sensitivity
+    FROM noised
+    """,
+)
+def q_events_dp_release(spark, sf_dir):
+    """Differentially-private COUNT release per event type — the
+    Wilson et al. 2020 bounded-contribution pipeline: each user keeps
+    at most {DP_T} event types (dense-ranked by type name) and at most
+    {DP_C} events per kept type (row-numbered by event_id), making the
+    released vector's L1 sensitivity the constant {DP_SENS}; geometric-
+    mechanism noise (Ghosh et al. 2009) at epsilon 1.0 is added from a
+    seeded md5 uniform (magnitude floor((ln M - ln(U+1)) * sens/eps) —
+    ln of integer-valued doubles only, engine-identical), and the
+    release is clamped at zero (post-processing). ``n_bounded`` is the
+    pre-noise bounded count, emitted for the correctness gate and NOT
+    part of a real release.
+
+    Scale shape: two user-partitioned windows (never single-partition)
+    bound contributions in one pass each, then one map-side-combinable
+    count per type; the noise join is a per-type projection. At 100 TB
+    the windows shuffle on user_id — the same key the raw events are
+    naturally bucketed by."""
+    ev = load_events(spark, sf_dir).select("event_type", "user_id", "event_id")
+    wt = W.partitionBy("user_id").orderBy("event_type")
+    wc = W.partitionBy("user_id", "event_type").orderBy("event_id")
+    capped = (
+        ev.withColumn("trk", F.dense_rank().over(wt))
+        .filter(F.col("trk") <= DP_T)
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= DP_C)
+    )
+    truec = capped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_bounded")
+    )
+    h = F.md5(F.concat(F.lit("dpr1:"), F.col("event_type")))
+    u = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+    sgn = F.when(
+        F.substring(h, 13, 1).isin(*"13579bdf"), F.lit(-1)
+    ).otherwise(F.lit(1))
+    mag = F.floor(
+        (
+            F.log(F.lit(float(DP_M)))
+            - F.log((u + 1).cast("double"))
+        )
+        * F.lit(DP_SENS * 1_000_000.0 / DP_EPS_E6)
+    ).cast("long")
+    noise = (sgn * mag).cast("long")
+    return truec.select(
+        "event_type",
+        F.col("n_bounded").cast("long").alias("n_bounded"),
+        noise.alias("noise"),
+        F.greatest(F.lit(0), F.col("n_bounded") + noise)
+        .cast("long")
+        .alias("released_n"),
+        F.lit(DP_EPS_E6).cast("long").alias("epsilon_e6"),
+        F.lit(DP_SENS).cast("long").alias("sensitivity"),
+    )
