@@ -97,6 +97,15 @@ HEADLINE = [
     "q_dedup_cdc_chunks",
     "q_text_wordpiece_encode",
     "q_mm_video_halfpel_stats",
+    # round-13 extension wave 2: B-frames, late-interaction retrieval,
+    # seed-restart + betweenness graph walks, DP release
+    "q_mm_video_bframe_stats",
+    "q_sim_colbert_maxsim",
+    "q_graph_personalized_pagerank",
+    "q_graph_betweenness",
+    "q_events_dp_release",
+    "q_graph_wl_refinement",
+    "q_text_phrase_search",
     "q_events_ks_drift",
     "q_pipeline_training_prep",
     # round 5: incremental batch-vs-corpus dedup probe, MG heavy hitters,

@@ -509,3 +509,58 @@ def test_dp_release_bounds_contributions_and_replays_noise(tmp_path, spark):
         assert r.noise == sgn * mag, t
         assert r.released_n == max(0, r.n_bounded + r.noise), t
         assert r.sensitivity == DP_C * DP_T
+
+
+def test_wl_refinement_roles_and_depth(tmp_path, spark):
+    """1-WL pins on a path-plus-cycle graph: symmetric endpoints share
+    a color, the path center is its own role, the 4-cycle's nodes are
+    one size-4 class — and the path center SPLITS from the cycle nodes
+    (both are degree-2 with degree-2 neighbors, so a 1-round
+    implementation would wrongly merge them; round 2 sees the
+    endpoints through the neighbors' multisets)."""
+    from utxo_to_parquet_spark.operators.graph import q_graph_wl_refinement
+
+    # path c1-s1-c2-s2-c3 ; cycle c4-s4-c5-s5-c4
+    pairs = [(1, 1), (2, 1), (2, 2), (3, 2),
+             (4, 4), (5, 4), (5, 5), (4, 5)]
+    _write_trade_graph(tmp_path, pairs)
+    out = {
+        r.node: r
+        for r in q_graph_wl_refinement(spark, str(tmp_path)).collect()
+    }
+    # symmetric roles collapse
+    assert out["c1"].wl_color == out["c3"].wl_color
+    assert out["s1"].wl_color == out["s2"].wl_color
+    assert out["c4"].wl_color == out["c5"].wl_color == out["s4"].wl_color
+    assert out["c4"].class_size == 4
+    # distinct roles split
+    assert out["c2"].wl_color != out["c1"].wl_color
+    assert out["c2"].wl_color != out["s1"].wl_color
+    # the depth pin: path center vs cycle node
+    assert out["c2"].wl_color != out["c4"].wl_color
+    assert out["c2"].class_size == 1
+
+
+def test_phrase_search_requires_adjacency(tmp_path, spark, monkeypatch):
+    """The positional-index property: a document containing both phrase
+    words but never ADJACENT is not a hit (bag-of-words retrieval
+    can't express this), occurrence counts are exact, and ties rank
+    deterministically."""
+    from utxo_to_parquet_spark.operators import text as T
+
+    monkeypatch.setattr(T, "PHRASE_RANK_LO", 1)
+    monkeypatch.setattr(T, "PHRASE_RANK_HI", 1)
+    docs = [
+        (1, "aa bb aa bb aa bb", "w"),      # 3 adjacent occurrences
+        (2, "aa bb cc", "w"),               # 1 occurrence
+        (3, "aa cc bb aa cc bb", "w"),      # both words, never adjacent
+    ]
+    _write_documents(tmp_path, docs)
+    out = {
+        r.doc_id: r
+        for r in T.q_text_phrase_search(spark, str(tmp_path)).collect()
+    }
+    # the planted top bigram is (aa, bb): 3+1 adjacent occurrences
+    assert out[1].n_occ == 3 and out[1].phrase_rank == 1
+    assert out[2].n_occ == 1 and out[2].phrase_rank == 2
+    assert 3 not in out

@@ -281,6 +281,13 @@ OPS = {
     "q_dedup_cdc_chunks": "documents",
     "q_text_wordpiece_encode": "documents",
     "q_mm_video_halfpel_stats": "documents",
+    "q_mm_video_bframe_stats": "documents",
+    "q_sim_colbert_maxsim": "documents",
+    "q_graph_personalized_pagerank": "graph",
+    "q_graph_betweenness": "graph",
+    "q_events_dp_release": "events",
+    "q_graph_wl_refinement": "graph",
+    "q_text_phrase_search": "documents",
     "q_sim_kmeans": "embeddings",
     "q_sim_mmr_rerank": "embeddings",
     "q_mm_phash_dedup": "documents",

@@ -77,6 +77,11 @@ OPS = {
     # merged index must equal the batch build bucket-for-bucket at every
     # scale (the op recomputes matches_batch per bucket)
     "q_stream_ann_delta": "embeddings",
+    # round 13 wave 2: BM25 postings maintenance — per-commit state is
+    # the batch's own (doc, term, tf) cells; the live top-k re-derived
+    # from the merged postings must equal the batch ranking (the op
+    # recomputes matches_batch per row)
+    "q_stream_bm25_delta": "documents",
 }
 
 

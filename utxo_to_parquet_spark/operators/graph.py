@@ -10,6 +10,7 @@ adds PageRank-style importance propagation.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .registry import load, register
@@ -1539,4 +1540,111 @@ def q_graph_betweenness(spark, sf_dir):
         )
         .filter(F.col("bc_e6") > 0)
         .select(_render_node("node").alias("node"), "bc_e6")
+    )
+
+
+# --- Weisfeiler-Leman color refinement (structural roles) --------------------
+
+WL_ROUNDS = 3
+
+
+def _wl_oracle() -> str:
+    """Unrolled 1-WL: colors start at degree; each round hashes the
+    own color plus the SORTED multiset of neighbor colors. Both
+    engines sort the same strings and md5 the same concatenation, so
+    colors are exact string matches."""
+    base = """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    col0 AS (
+      SELECT src AS node, CAST(COUNT(*) AS VARCHAR) AS color
+      FROM edges GROUP BY src
+    )
+    """
+    for k in range(WL_ROUNDS):
+        base += f""",
+    sig{k + 1} AS (
+      SELECT e.dst AS node,
+             STRING_AGG(c.color, ',' ORDER BY c.color) AS neigh
+      FROM edges e JOIN col{k} c ON e.src = c.node
+      GROUP BY e.dst
+    ),
+    col{k + 1} AS (
+      SELECT c.node,
+             substr(md5(c.color || '|' || s.neigh), 1, 16) AS color
+      FROM col{k} c JOIN sig{k + 1} s ON c.node = s.node
+    )"""
+    base += f"""
+    SELECT node, color AS wl_color, CAST(class_size AS BIGINT) AS class_size
+    FROM (
+      SELECT node, color,
+             COUNT(*) OVER (PARTITION BY color) AS class_size
+      FROM col{WL_ROUNDS}
+    )
+    """
+    return base
+
+
+@register("q_graph_wl_refinement", oracle=_wl_oracle())
+def q_graph_wl_refinement(spark, sf_dir):
+    """1-WEISFEILER-LEMAN color refinement ({WL_ROUNDS} rounds) over the
+    trade graph — the canonical structural-role / graph-isomorphism
+    primitive (Weisfeiler & Leman 1968; the graph-kernel feature map of
+    Shervashidze et al. 2011 and the expressiveness ceiling of
+    message-passing GNNs, Xu et al. 2019): colors start at degree, and
+    each round every node's color becomes the hash of (own color, the
+    SORTED multiset of neighbor colors). Nodes sharing a final color
+    are structurally indistinguishable to depth {WL_ROUNDS} —
+    ``class_size`` is that role's population, the feature a curation
+    pipeline uses to find interchangeable entities or template-shaped
+    subgraphs. Everything is exact string arithmetic: sort_array on the
+    collected neighbor colors (ORDER-INDEPENDENT of partitioning by
+    construction), one md5 per node per round — both engines compute
+    identical colors, no floats anywhere.
+
+    Scale shape: each round is one join (colors onto edge sources) +
+    one groupBy (collect + sort neighbor colors per destination) — the
+    PageRank shuffle pattern with string state. Neighbor lists are
+    degree-bounded; the hub-capped trade graph keeps them modest, and
+    a production run would cap or sketch super-hub multisets the same
+    way q_graph_adamic_adar caps hubs."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    colors = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("string").alias("color")
+    ).select(F.col("src").alias("node"), "color")
+    for _ in range(WL_ROUNDS):
+        sig = (
+            edges.join(colors, edges.src == colors.node)
+            .groupBy(F.col("dst").alias("n2"))
+            .agg(
+                F.array_join(
+                    F.sort_array(F.collect_list("color")), ","
+                ).alias("neigh")
+            )
+        )
+        colors = (
+            colors.join(sig, colors.node == sig.n2)
+            .select(
+                "node",
+                F.substring(
+                    F.md5(F.concat(F.col("color"), F.lit("|"), F.col("neigh"))),
+                    1,
+                    16,
+                ).alias("color"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    wcs = W.partitionBy("color")
+    return colors.select(
+        _render_node("node").alias("node"),
+        F.col("color").alias("wl_color"),
+        F.count(F.lit(1)).over(wcs).cast("long").alias("class_size"),
     )

@@ -7038,3 +7038,128 @@ def q_text_wordpiece_encode(spark, sf_dir):
             F.max("mx").cast("long").alias("max_piece_chars"),
         )
     )
+
+
+# --- positional phrase search: the inverted index with positions -------------
+
+PHRASE_RANK_LO = 5  # skip the stopword-like head bigrams
+PHRASE_RANK_HI = 8  # 4 phrase queries
+PHRASE_TOP = 5
+PHRASE_SALT = 16
+
+
+@register(
+    "q_text_phrase_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS tl FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, tl[i] AS w, CAST(i AS BIGINT) AS pos
+      FROM toks, UNNEST(range(1, LEN(tl) + 1)) AS u(i)
+    ),
+    bigr AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c
+      FROM tok a JOIN tok b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ),
+    phrases AS (
+      SELECT w1, w2, rn - {PHRASE_RANK_LO} AS query_id FROM (
+        SELECT w1, w2,
+               ROW_NUMBER() OVER (ORDER BY c DESC, w1, w2) AS rn
+        FROM bigr
+      ) WHERE rn BETWEEN {PHRASE_RANK_LO} AND {PHRASE_RANK_HI}
+    ),
+    hits AS (
+      SELECT p.query_id, a.doc_id, COUNT(*) AS n_occ
+      FROM phrases p
+      JOIN tok a ON a.w = p.w1
+      JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                AND b.w = p.w2
+      GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           CAST(n_occ AS BIGINT) AS n_occ, CAST(rn AS BIGINT) AS phrase_rank
+    FROM (
+      SELECT query_id, doc_id, n_occ,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY n_occ DESC, doc_id
+             ) AS rn
+      FROM hits
+    ) WHERE rn <= {PHRASE_TOP}
+    """,
+)
+def q_text_phrase_search(spark, sf_dir):
+    """EXACT PHRASE search through a positional inverted index — the
+    Lucene/ES PhraseQuery machinery: token postings carry POSITIONS,
+    and a two-word phrase matches where consecutive positions carry
+    consecutive phrase terms. Queries are corpus-derived (bigrams
+    ranked {PHRASE_RANK_LO}..{PHRASE_RANK_HI} by frequency, skipping
+    the stopword-like head — the BM25 query-selection discipline), and
+    each returns its top-{PHRASE_TOP} documents by occurrence count.
+
+    Scale shape: the positional explode is the one corpus-sized pass (a
+    production system materializes it ONCE as the index); both phrase-
+    term joins key on the token against the broadcast 4-row phrase
+    table, so only postings of query words ever shuffle, co-located by
+    (doc_id) for the adjacency join. The bigram-selection window runs
+    over the bigram-count aggregate (vocab^2-bounded, heavily skew-cut
+    by the count ordering); per-query ranking is the salted two-phase
+    top-k — no corpus-sized single window anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    ).select("doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "w")
+    a = tok.alias("a")
+    b = tok.alias("b")
+    bigr = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = W.orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+    phrases = (
+        bigr.withColumn("rn", F.row_number().over(wr))
+        .filter(
+            (F.col("rn") >= PHRASE_RANK_LO) & (F.col("rn") <= PHRASE_RANK_HI)
+        )
+        .select(
+            "w1", "w2", (F.col("rn") - PHRASE_RANK_LO).alias("query_id")
+        )
+    )
+    hits = (
+        tok.join(F.broadcast(phrases), tok.w == phrases.w1)
+        .select("query_id", "doc_id", "pos", "w2")
+        .alias("h")
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("h.doc_id"))
+            & (F.col("b.pos") == F.col("h.pos") + 1)
+            & (F.col("b.w") == F.col("h.w2")),
+        )
+        .groupBy("query_id", F.col("h.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
+    w1 = W.partitionBy("query_id", "salt").orderBy(
+        F.desc("n_occ"), F.asc("doc_id")
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("n_occ"), F.asc("doc_id"))
+    return (
+        hits.withColumn("salt", F.col("doc_id") % PHRASE_SALT)
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= PHRASE_TOP)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= PHRASE_TOP)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "doc_id",
+            "n_occ",
+            F.col("rn").cast("long").alias("phrase_rank"),
+        )
+    )
