@@ -564,3 +564,52 @@ def test_phrase_search_requires_adjacency(tmp_path, spark, monkeypatch):
     assert out[1].n_occ == 3 and out[1].phrase_rank == 1
     assert out[2].n_occ == 1 and out[2].phrase_rank == 2
     assert 3 not in out
+
+
+def test_isotonic_minimax_equals_exact_pava(spark):
+    """The minimax closed form on e6-floored pooled rates must equal
+    the Fraction-exact weighted PAVA (floor commutes with min/max) on
+    a curve with REAL violations — including a multi-bin cascade where
+    pooling one violator creates the next."""
+    from fractions import Fraction
+
+    from utxo_to_parquet_spark.operators.text import _isotonic_fit
+
+    # bins in ASCENDING score; desired fit NON-INCREASING. raw rates:
+    # 0.9, 0.95 (violation), 0.5, 0.8 (violation), 0.7, 0.1, 0.2
+    # (violation at the tail)
+    data = [
+        (-3, 10, 9), (-2, 20, 19), (-1, 10, 5),
+        (0, 10, 8), (1, 10, 7), (2, 10, 1), (3, 10, 2),
+    ]
+    out = {
+        r.bin: r
+        for r in _isotonic_fit(
+            spark.createDataFrame(data, "bin long, n_docs long, n_bad long")
+        ).collect()
+    }
+
+    # Fraction-exact weighted PAVA in DESCENDING-score order
+    # (non-decreasing there == non-increasing in score)
+    pava = [[n, Fraction(bad), [b]] for b, n, bad in sorted(data, reverse=True)]
+    stack = []
+    for n, bad, bs in pava:
+        stack.append([n, bad, bs])
+        while len(stack) > 1 and (
+            stack[-2][1] * stack[-1][0] > stack[-1][1] * stack[-2][0]
+        ):  # prev rate > cur rate: violates non-decreasing, pool
+            n2, b2, l2 = stack.pop()
+            n1, b1, l1 = stack.pop()
+            stack.append([n1 + n2, b1 + b2, l1 + l2])
+    want = {}
+    for n, bad, bs in stack:
+        rate = Fraction(bad, n)
+        for b in bs:
+            want[b] = (1_000_000 * rate.numerator) // rate.denominator
+    assert {b: r.iso_rate_e6 for b, r in out.items()} == want
+    # monotone non-increasing in score, and pooling genuinely fired
+    rows = sorted(out.values(), key=lambda r: r.bin)
+    assert all(
+        b.iso_rate_e6 <= a.iso_rate_e6 for a, b in zip(rows, rows[1:])
+    )
+    assert any(r.iso_rate_e6 != r.raw_rate_e6 for r in rows)

@@ -288,6 +288,7 @@ OPS = {
     "q_events_dp_release": "events",
     "q_graph_wl_refinement": "graph",
     "q_text_phrase_search": "documents",
+    "q_quality_nb_isotonic": "documents",
     "q_sim_kmeans": "embeddings",
     "q_sim_mmr_rerank": "embeddings",
     "q_mm_phash_dedup": "documents",

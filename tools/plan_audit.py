@@ -58,6 +58,10 @@ ALLOWED_NESTED_LOOP = {
     "q_agg_benford_audit",  # total order count: 1-row sum attach
     "q_utxo_dust_feerate",  # feerate sweep: 3-row constant dim fan-out
     "q_dedup_threshold_sweep",  # tau grid: 7-row literal dim fan-out
+    # PAVA minimax interval joins: both sides are the score-bin
+    # aggregate CLAMPED to [-64, 64] — <= 129 rows by construction
+    # at ANY corpus size, so the inequality join is a bounded NLJ
+    "q_quality_nb_isotonic",
     "q_text_unigram_soft_em",  # vocab-max score: 1-row max attach (w8 anchor)
     "q_agg_chi2_independence",  # N/levels total: 1-row aggregate attach
     "q_agg_hhi_concentration",  # revenue total: 1-row sum attach
@@ -115,6 +119,12 @@ ALLOWED_NESTED_LOOP = {
 # (an upstream aggregate over a small domain), never the raw fact rows —
 # each entry must say what bounds the window input
 ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
+    "q_quality_nb_isotonic": (
+        "rank/prefix-sum windows run over the score-bin aggregate "
+        "clamped to [-64, 64] — <= 129 rows at any corpus size; the "
+        "per-doc population is collapsed by a map-side-combinable "
+        "groupBy first"
+    ),
     "q_events_ks_drift": (
         "cumulative-CDF window runs over the groupBy(value) aggregate — "
         "input is |distinct values|, not |events|; the raw population is "

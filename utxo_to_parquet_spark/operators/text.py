@@ -7163,3 +7163,156 @@ def q_text_phrase_search(spark, sf_dir):
             F.col("rn").cast("long").alias("phrase_rank"),
         )
     )
+
+
+# --- isotonic calibration of the quality classifier (PAVA via minimax) -------
+
+ISO_BIN_CLAMP = 64  # unit-log-odds bins clamped to [-64, 64]: the
+# interval relation is then provably <= 129^2 rows at ANY corpus size
+
+
+@register(
+    "q_quality_nb_isotonic",
+    oracle=f"""
+    WITH {_NB_MODEL_SQL},
+    nbfeat AS (
+      SELECT doc_id, is_bad, UNNEST(string_split(aug, ' ')) AS token
+      FROM nbdocs
+      UNION ALL
+      SELECT doc_id, is_bad, '__prior__' FROM nbdocs
+    ),
+    nbscore AS (
+      SELECT f.doc_id, f.is_bad,
+             CAST(SUM(m.logodds_e6) AS BIGINT) AS score_e6
+      FROM nbfeat f JOIN nbmodel m USING (token)
+      WHERE f.token <> ''
+      GROUP BY 1, 2
+    ),
+    bins AS (
+      SELECT GREATEST(-{ISO_BIN_CLAMP}, LEAST({ISO_BIN_CLAMP},
+               CAST(FLOOR(score_e6 / 1000000.0) AS BIGINT))) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(CASE WHEN is_bad THEN 1 END), 0) AS BIGINT)
+               AS n_bad
+      FROM nbscore GROUP BY 1
+    ),
+    idx AS (
+      SELECT bin, n_docs, n_bad,
+             ROW_NUMBER() OVER (ORDER BY bin DESC) AS rn,
+             SUM(n_docs) OVER (ORDER BY bin DESC) AS cn,
+             SUM(n_bad) OVER (ORDER BY bin DESC) AS cb
+      FROM bins
+    ),
+    intervals AS (
+      SELECT j.rn AS j, k.rn AS k,
+             (1000000 * (k.cb - (j.cb - j.n_bad)))
+               // (k.cn - (j.cn - j.n_docs)) AS pooled_e6
+      FROM idx j JOIN idx k ON k.rn >= j.rn
+    ),
+    mins AS (
+      SELECT i.rn, v.j, MIN(v.pooled_e6) AS lo
+      FROM idx i JOIN intervals v ON v.j <= i.rn AND v.k >= i.rn
+      GROUP BY i.rn, v.j
+    ),
+    cal AS (SELECT rn, MAX(lo) AS iso_rate_e6 FROM mins GROUP BY rn)
+    SELECT b.bin, b.n_docs, b.n_bad,
+           CAST(1000000 * b.n_bad // b.n_docs AS BIGINT) AS raw_rate_e6,
+           CAST(c.iso_rate_e6 AS BIGINT) AS iso_rate_e6
+    FROM idx b JOIN cal c ON b.rn = c.rn
+    """,
+)
+def q_quality_nb_isotonic(spark, sf_dir):
+    """ISOTONIC CALIBRATION of the learned quality filter (Zadrozny &
+    Elkan 2002): fit the best monotone NON-INCREASING bad-rate curve
+    over the unit-log-odds score bins — the step after the reliability
+    diagram (q_quality_nb_calibration), turning a possibly-noisy
+    empirical curve into the monotone map a production threshold is
+    read off. Computed via the MINIMAX closed form of weighted PAVA
+    (Barlow et al. 1972: the isotonic fit at position i equals
+    max over j <= i of min over k >= i of the pooled rate of bins
+    j..k, positions indexed in descending score so the fit is
+    non-decreasing there) — pooled rates are (1e6 * sum_bad) div
+    sum_n on BIGINT prefix sums, so the whole fit is INTEGER-EXACT
+    and engine-identical: no iterative merging, no floats, no
+    order sensitivity.
+
+    Scale shape: the per-doc scoring relation is the vocab-bounded
+    join + one aggregate; bins clamp to [-{ISO_BIN_CLAMP},
+    {ISO_BIN_CLAMP}] so every downstream relation (intervals,
+    position mins) is bounded by 129^2 rows at ANY corpus size — the
+    bounded-domain window the plan auditor's aggregate rule exists
+    for."""
+    model, nbdocs = _nb_model(spark, sf_dir)
+    feat = nbdocs.select(
+        "doc_id", "is_bad", F.explode(F.split("aug", " ")).alias("token")
+    ).filter(F.col("token") != "").unionByName(
+        nbdocs.select("doc_id", "is_bad", F.lit("__prior__").alias("token"))
+    )
+    score = (
+        feat.join(model.select("token", "logodds_e6"), "token")
+        .groupBy("doc_id", "is_bad")
+        .agg(F.sum("logodds_e6").cast("long").alias("score_e6"))
+    )
+    clamp = F.greatest(
+        F.lit(-ISO_BIN_CLAMP),
+        F.least(
+            F.lit(ISO_BIN_CLAMP),
+            F.floor(F.col("score_e6") / F.lit(1000000.0)).cast("long"),
+        ),
+    )
+    n_bad = F.coalesce(F.sum(F.when(F.col("is_bad"), 1)), F.lit(0))
+    bins = (
+        score.withColumn("bin", clamp)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            n_bad.cast("long").alias("n_bad"),
+        )
+    )
+    return _isotonic_fit(bins)
+
+
+def _isotonic_fit(bins):
+    """Weighted antitonic (non-increasing in ``bin``) fit of n_bad /
+    n_docs over a BOUNDED (bin, n_docs, n_bad) relation, via the PAVA
+    minimax closed form on e6 integer pooled rates — floor commutes
+    with min/max, so this equals flooring the exact rational PAVA
+    solution (pinned against a Fraction-exact Python PAVA in tests)."""
+    wd = W.orderBy(F.desc("bin"))
+    idx = bins.select(
+        "bin", "n_docs", "n_bad",
+        F.row_number().over(wd).alias("rn"),
+        F.sum("n_docs").over(wd).alias("cn"),
+        F.sum("n_bad").over(wd).alias("cb"),
+    )
+    j = idx.select(
+        F.col("rn").alias("j"),
+        (F.col("cb") - F.col("n_bad")).alias("cb0"),
+        (F.col("cn") - F.col("n_docs")).alias("cn0"),
+    )
+    k = idx.select(
+        F.col("rn").alias("k"),
+        F.col("cb").alias("cbk"),
+        F.col("cn").alias("cnk"),
+    )
+    intervals = j.join(k, F.col("k") >= F.col("j")).select(
+        "j", "k",
+        F.expr("(1000000 * (cbk - cb0)) div (cnk - cn0)").alias("pooled_e6"),
+    )
+    pos = idx.select(F.col("rn").alias("i"))
+    mins = (
+        pos.join(
+            intervals,
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("pooled_e6").alias("lo"))
+    )
+    cal = mins.groupBy("i").agg(F.max("lo").alias("iso_rate_e6"))
+    return idx.join(cal, idx.rn == cal.i).select(
+        "bin", "n_docs", "n_bad",
+        F.expr("(1000000 * n_bad) div n_docs").cast("long").alias(
+            "raw_rate_e6"
+        ),
+        F.col("iso_rate_e6").cast("long").alias("iso_rate_e6"),
+    )
