@@ -107,6 +107,7 @@ HEADLINE = [
     "q_graph_wl_refinement",
     "q_text_phrase_search",
     "q_quality_nb_isotonic",
+    "q_sim_kcenter_coreset",
     "q_events_ks_drift",
     "q_pipeline_training_prep",
     # round 5: incremental batch-vs-corpus dedup probe, MG heavy hitters,

@@ -613,3 +613,51 @@ def test_isotonic_minimax_equals_exact_pava(spark):
         b.iso_rate_e6 <= a.iso_rate_e6 for a, b in zip(rows, rows[1:])
     )
     assert any(r.iso_rate_e6 != r.raw_rate_e6 for r in rows)
+
+
+def test_kcenter_covers_clusters_before_revisiting(tmp_path, spark):
+    """Gonzalez farthest-point pins: on three well-separated clusters
+    the greedy must take one point from EACH cluster before a second
+    from any (max-cosine to the selected set is ~1 inside a covered
+    cluster, ~0 across), the seed is the lowest vec_id, and within-
+    cluster revisits report a near-1 max cosine."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from utxo_to_parquet_spark.operators.similarity import (
+        q_sim_kcenter_coreset,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(3, 8) * 10.0   # three orthogonal clusters in 8-d
+    rows = []
+    for i in range(30):
+        c = i % 3
+        v = centers[c] + rng.normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in v], c))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = sorted(
+        q_sim_kcenter_coreset(spark, str(tmp_path)).collect(),
+        key=lambda r: r.step,
+    )
+    assert out[0].step == 0 and out[0].vec_id == 0  # seed = min vec_id
+    clusters = [r.vec_id % 3 for r in out]
+    # steps 1 and 2 must cover the two uncovered clusters
+    assert set(clusters[:3]) == {0, 1, 2}
+    # cross-cluster picks report near-zero max cosine; once all three
+    # clusters are covered every later pick is a within-cluster revisit
+    # with near-1 max cosine
+    assert out[1].max_cos_r6 < 0.1 and out[2].max_cos_r6 < 0.1
+    assert all(r.max_cos_r6 > 0.9 for r in out[3:])

@@ -4087,3 +4087,123 @@ def q_sim_colbert_maxsim(spark, sf_dir):
             "maxsim",
         )
     )
+
+
+# --- k-center coreset selection (Gonzalez greedy, diverse subsets) -----------
+
+KC_STEPS = 8  # greedy selections after the seed
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled Gonzalez greedy: one CTE block per selection step. The
+    candidate picked at step k minimizes (max rounded cosine to the
+    selected set, vec_id) — cosine similarity as the proximity metric,
+    so the farthest-point step takes the LEAST-similar candidate."""
+    cos = (
+        "ROUND(LIST_DOT_PRODUCT(c.v, s.v) / "
+        "(SQRT(LIST_DOT_PRODUCT(c.v, c.v)) * "
+        "SQRT(LIST_DOT_PRODUCT(s.v, s.v))), 6)"
+    )
+    # every multi-referenced CTE is MATERIALIZED: without the hint the
+    # sel chain would re-inline (and re-evaluate) exponentially
+    base = """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    sel0 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)
+    """
+    for k in range(1, KC_STEPS + 1):
+        base += f""",
+    p{k} AS MATERIALIZED (
+      SELECT c.vec_id, MAX({cos}) AS mc
+      FROM e c JOIN sel{k - 1} s ON TRUE
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+      GROUP BY c.vec_id
+    ),
+    pick{k} AS MATERIALIZED (
+      SELECT vec_id, mc FROM p{k} ORDER BY mc ASC, vec_id LIMIT 1
+    ),
+    sel{k} AS MATERIALIZED (
+      SELECT vec_id, v FROM sel{k - 1}
+      UNION ALL
+      SELECT e.vec_id, e.v FROM e JOIN pick{k} USING (vec_id)
+    )"""
+    picks = "\n      UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, vec_id, mc AS max_cos_r6"
+        f" FROM pick{k}"
+        for k in range(1, KC_STEPS + 1)
+    )
+    base += f"""
+    SELECT CAST(0 AS BIGINT) AS step, vec_id,
+           CAST(NULL AS DOUBLE) AS max_cos_r6
+    FROM sel0
+    UNION ALL {picks}
+    """
+    return base
+
+
+@register("q_sim_kcenter_coreset", oracle=_kcenter_oracle())
+def q_sim_kcenter_coreset(spark, sf_dir):
+    """K-CENTER CORESET selection (Gonzalez 1985 farthest-point greedy
+    — the diverse-subset selector of active-learning corework, Sener &
+    Savarese 2018): starting from the lowest vec_id, each of
+    {KC_STEPS} steps adds the candidate LEAST similar to the selected
+    set (smallest max cosine, ties by vec_id) — the 2-approximation of
+    the k-center cover, and the standard way to pick a small maximally
+    diverse sample from an embedding corpus (seed sets, eval probes,
+    annotation batches). Each step is one distributed pass: the
+    selected matrix (<= {KC_STEPS + 1} rows) ships in the task
+    closure, per-pair cosines are computed with the left-to-right
+    lr_matmul contract, rounded to 1e-6 JVM-side BEFORE the per-
+    candidate max (exactly the oracle's MAX(ROUND(...))), and the
+    argmin is a single min(struct(mc, vec_id)) aggregate — one row to
+    the driver per step, the bounded-collect pattern. Gonzalez is
+    inherently k sequential passes over the corpus; that is its
+    published cost and it parallelizes perfectly WITHIN each pass."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = emb.orderBy("vec_id").first()
+    sel_ids = [int(seed["vec_id"])]
+    sel_rows = [np.asarray(seed["embedding"], dtype=np.float64)]
+    out_rows = [(0, sel_ids[0], None)]
+    for step in range(1, KC_STEPS + 1):
+        S = np.stack(sel_rows)
+        _, s_sq = lr_matmul(S, S[:0])
+        s_norm = np.sqrt(s_sq)
+
+        def pairs(batches, S=S, s_norm=s_norm):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                C = _to_matrix(pdf["embedding"])
+                dots, c_sq = lr_matmul(C, S)
+                cos = dots / (np.sqrt(c_sq)[:, None] * s_norm[None, :])
+                n, m = cos.shape
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(
+                            pdf["vec_id"].to_numpy(), m
+                        ),
+                        "cosine": cos.ravel(),
+                    }
+                )
+
+        cand = (
+            emb.filter(~F.col("vec_id").isin(sel_ids))
+            .mapInPandas(pairs, "vec_id long, cosine double")
+            .select("vec_id", F.round("cosine", 6).alias("r"))
+            .groupBy("vec_id")
+            .agg(F.max("r").alias("mc"))
+        )
+        pick = cand.agg(F.min(F.struct("mc", "vec_id")).alias("p")).first()[
+            "p"
+        ]
+        mc, vid = float(pick["mc"]), int(pick["vec_id"])
+        vec = (
+            emb.filter(F.col("vec_id") == vid).first()["embedding"]
+        )
+        sel_ids.append(vid)
+        sel_rows.append(np.asarray(vec, dtype=np.float64))
+        out_rows.append((step, vid, mc))
+    return spark.createDataFrame(
+        out_rows, "step long, vec_id long, max_cos_r6 double"
+    )
