@@ -1366,7 +1366,10 @@ def q_graph_personalized_pagerank(spark, sf_dir):
 # --- betweenness centrality: sampled-source Brandes, k-hop bounded -----------
 
 BC_SEED_MOD = 50    # customer nodes with custkey % BC_SEED_MOD == 0 seed
-BC_SEED_MAX = 5000  # id bound -> at most 100 source samples at any scale
+BC_SEED_MAX = 1600  # id bound -> at most 32 source samples at any scale
+# (Brandes & Pich 2007: a few dozen sampled sources already rank the
+# high-betweenness brokers; the sample is a CONSTANT so forward state
+# stays |S| x reachable at any corpus size)
 BC_HOPS = 3         # k-hop truncation (k-betweenness)
 BC_E6 = 1_000_000
 
