@@ -108,6 +108,7 @@ HEADLINE = [
     "q_text_phrase_search",
     "q_quality_nb_isotonic",
     "q_sim_kcenter_coreset",
+    "q_text_rake_keyphrases",
     "q_events_ks_drift",
     "q_pipeline_training_prep",
     # round 5: incremental batch-vs-corpus dedup probe, MG heavy hitters,

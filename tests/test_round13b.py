@@ -661,3 +661,44 @@ def test_kcenter_covers_clusters_before_revisiting(tmp_path, spark):
     # with near-1 max cosine
     assert out[1].max_cos_r6 < 0.1 and out[2].max_cos_r6 < 0.1
     assert all(r.max_cos_r6 > 0.9 for r in out[3:])
+
+
+def test_rake_runs_scores_and_multiword_only(tmp_path, spark, monkeypatch):
+    """RAKE pins on a constructed corpus: stopwords (the df head) split
+    candidate runs, single-word runs are excluded, and the deg/freq
+    scoring makes words from longer phrases outweigh the same-frequency
+    word from short phrases — hand-computed score_e6 values."""
+    from utxo_to_parquet_spark.operators import text as T
+
+    monkeypatch.setattr(T, "RAKE_STOP_K", 1)
+    # 'the' in all four docs -> STRICTLY highest df -> the stopword
+    # (ties on df resolve alphabetically, so every other word must sit
+    # at df <= 3)
+    docs = [
+        (1, "the quick brown fox the lazy dog the fox", "w"),
+        (2, "the quick brown fox the dog", "w"),
+        (3, "the quick brown fox", "w"),
+        (4, "the xx yy", "w"),
+    ]
+    _write_documents(tmp_path, docs)
+    out = {
+        r.phrase: r
+        for r in T.q_text_rake_keyphrases(spark, str(tmp_path)).collect()
+    }
+    # runs: doc1 -> [quick brown fox], [lazy dog], [fox](len1 dropped;
+    #       the 5-token tail run would exceed RAKE_MAX_LEN anyway)
+    #       doc2 -> [quick brown fox], [dog](len1 dropped)
+    #       doc3 -> [quick brown fox]      doc4 -> [xx yy]
+    assert set(out) == {"quick brown fox", "lazy dog", "xx yy"}
+    # word stats over phrase occurrences: quick/brown/fox freq 3 deg 9
+    # (fox's single-word run never entered a phrase), lazy/dog freq 1
+    # deg 2
+    qbf = out["quick brown fox"]
+    assert qbf.n_occ == 3
+    assert qbf.score_e6 == 3 * (1_000_000 * 9 // 3)   # 9_000_000
+    ld = out["lazy dog"]
+    assert ld.n_occ == 1
+    assert ld.score_e6 == 2 * (1_000_000 * 2 // 1)    # 4_000_000
+    # tie with 'xx yy' on (score, n_occ) resolves by phrase text
+    assert qbf.rake_rank == 1 and ld.rake_rank == 2
+    assert out["xx yy"].rake_rank == 3

@@ -290,6 +290,7 @@ OPS = {
     "q_text_phrase_search": "documents",
     "q_quality_nb_isotonic": "documents",
     "q_sim_kcenter_coreset": "embeddings",
+    "q_text_rake_keyphrases": "documents",
     "q_sim_kmeans": "embeddings",
     "q_sim_mmr_rerank": "embeddings",
     "q_mm_phash_dedup": "documents",

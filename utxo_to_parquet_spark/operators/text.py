@@ -7316,3 +7316,157 @@ def _isotonic_fit(bins):
         ),
         F.col("iso_rate_e6").cast("long").alias("iso_rate_e6"),
     )
+
+
+# --- RAKE keyphrase extraction (multi-word, stopword-boundary runs) ----------
+
+RAKE_STOP_K = 12   # corpus-derived stopword list: the df head
+RAKE_MIN_LEN = 2   # multi-word phrases only (TextRank covers unigrams)
+RAKE_MAX_LEN = 4   # the standard RAKE phrase-length cap
+RAKE_TOP = 15
+RAKE_SALT = 16
+
+
+@register(
+    "q_text_rake_keyphrases",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS tl FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, tl[i] AS w, CAST(i AS BIGINT) AS pos
+      FROM toks, UNNEST(range(1, LEN(tl) + 1)) AS u(i)
+    ),
+    stop AS (
+      SELECT w FROM (
+        SELECT w, ROW_NUMBER() OVER (
+          ORDER BY COUNT(DISTINCT doc_id) DESC, w
+        ) AS rn
+        FROM tok GROUP BY w
+      ) WHERE rn <= {RAKE_STOP_K}
+    ),
+    runs AS (
+      SELECT doc_id, w, pos,
+             pos - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY pos
+             ) AS grp
+      FROM tok WHERE w NOT IN (SELECT w FROM stop)
+    ),
+    phrases AS (
+      SELECT doc_id, grp,
+             STRING_AGG(w, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS plen
+      FROM runs GROUP BY doc_id, grp
+      HAVING COUNT(*) BETWEEN {RAKE_MIN_LEN} AND {RAKE_MAX_LEN}
+    ),
+    pw AS (
+      SELECT doc_id, grp, plen, UNNEST(STRING_SPLIT(phrase, ' ')) AS w
+      FROM phrases
+    ),
+    wscore AS (
+      SELECT w, (1000000 * CAST(SUM(plen) AS BIGINT)) // COUNT(*) AS s_e6
+      FROM pw GROUP BY w
+    ),
+    pscore AS (
+      SELECT p.doc_id, p.grp, p.phrase,
+             CAST(SUM(ws.s_e6) AS BIGINT) AS score_e6
+      FROM pw p2
+      JOIN phrases p ON p.doc_id = p2.doc_id AND p.grp = p2.grp
+      JOIN wscore ws ON ws.w = p2.w
+      GROUP BY p.doc_id, p.grp, p.phrase
+    ),
+    agg AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+             CAST(MAX(score_e6) AS BIGINT) AS score_e6
+      FROM pscore GROUP BY phrase
+    )
+    SELECT phrase, n_occ, score_e6, CAST(rn AS BIGINT) AS rake_rank
+    FROM (
+      SELECT phrase, n_occ, score_e6,
+             ROW_NUMBER() OVER (
+               ORDER BY score_e6 DESC, n_occ DESC, phrase
+             ) AS rn
+      FROM agg
+    ) WHERE rn <= {RAKE_TOP}
+    """,
+)
+def q_text_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010):
+    candidate phrases are maximal runs of non-stopword tokens (the
+    stopword list is the corpus df head, ranked 1..{RAKE_STOP_K} — the
+    BM25 head-term discipline), capped at {RAKE_MAX_LEN} words and
+    multi-word only (the single-word half of keyword extraction is
+    q_text_textrank_keywords); each word scores deg/freq (total length
+    of phrases it appears in over its occurrence count, the RAKE
+    co-occurrence degree) in e6 integer arithmetic, and a phrase
+    scores the sum of its word scores. Corpus top-{RAKE_TOP} phrases
+    by (score, occurrences, text).
+
+    Scale shape: run grouping is the classic pos - row_number trick
+    inside a doc-partitioned window (never single-partition); word and
+    phrase scores are two map-side-combinable groupBys over the
+    phrase-word explode; the stopword window runs over the vocab-
+    bounded df aggregate and the final ranking over the distinct-
+    phrase aggregate with the salted two-phase cap."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    ).select("doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "w")
+    wdf = W.orderBy(F.desc("df"), F.asc("w"))
+    stop = (
+        tok.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .withColumn("rn", F.row_number().over(wdf))
+        .filter(F.col("rn") <= RAKE_STOP_K)
+        .select("w")
+    )
+    wrun = W.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        tok.join(F.broadcast(stop), "w", "left_anti")
+        .withColumn("grp", F.col("pos") - F.row_number().over(wrun))
+    )
+    phrases = (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(pos, w))), s -> s.w)"),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .filter(
+            (F.col("plen") >= RAKE_MIN_LEN) & (F.col("plen") <= RAKE_MAX_LEN)
+        )
+    )
+    pw = phrases.select(
+        "doc_id", "grp", "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    wscore = pw.groupBy("w").agg(
+        F.expr("(1000000 * sum(plen)) div count(1)").cast("long").alias("s_e6")
+    )
+    pscore = (
+        pw.join(wscore, "w")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("s_e6").cast("long").alias("score_e6"))
+        .join(phrases.select("doc_id", "grp", "phrase"), ["doc_id", "grp"])
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.max("score_e6").cast("long").alias("score_e6"),
+    )
+    w1 = W.partitionBy("salt").orderBy(
+        F.desc("score_e6"), F.desc("n_occ"), F.asc("phrase")
+    )
+    w2 = W.orderBy(F.desc("score_e6"), F.desc("n_occ"), F.asc("phrase"))
+    return (
+        agg.withColumn("salt", F.crc32(F.col("phrase")) % RAKE_SALT)
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= RAKE_TOP)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= RAKE_TOP)
+        .select(
+            "phrase", "n_occ", "score_e6",
+            F.col("rn").cast("long").alias("rake_rank"),
+        )
+    )
