@@ -109,6 +109,7 @@ HEADLINE = [
     "q_quality_nb_isotonic",
     "q_sim_kcenter_coreset",
     "q_text_rake_keyphrases",
+    "q_text_bm25_prf",
     "q_events_ks_drift",
     "q_pipeline_training_prep",
     # round 5: incremental batch-vs-corpus dedup probe, MG heavy hitters,

@@ -702,3 +702,32 @@ def test_rake_runs_scores_and_multiword_only(tmp_path, spark, monkeypatch):
     # tie with 'xx yy' on (score, n_occ) resolves by phrase text
     assert qbf.rake_rank == 1 and ld.rake_rank == 2
     assert out["xx yy"].rake_rank == 3
+
+
+def test_prf_expansion_retrieves_vocabulary_mismatch(tmp_path, spark, monkeypatch):
+    """The point of pseudo-relevance feedback: a document sharing NO
+    query term (pure vocabulary mismatch) is invisible to plain BM25
+    but retrieved after Rocchio expansion, because the feedback docs
+    vote its term in; expansion terms never duplicate query terms."""
+    from utxo_to_parquet_spark.operators import text as T
+
+    monkeypatch.setattr(T, "BM25_RANK_LO", 1)
+    monkeypatch.setattr(T, "BM25_RANK_HI", 4)  # one 4-term query
+    docs = [
+        (1, "t1 t2 t3 t4 zz zz", "w"),   # full match, carries zz
+        (2, "t1 t2 t3 zz", "w"),
+        (3, "t1 t2 qq", "w"),
+        (4, "zz zz zz zz", "w"),         # vocabulary mismatch: zz only
+        (5, "t1 t2 t3 t4", "w"),
+        (6, "t1 t2 t3 t4", "w"),
+    ]
+    _write_documents(tmp_path, docs)
+    plain = {r.doc_id for r in T.q_text_bm25_topk(spark, str(tmp_path)).collect()}
+    prf = {
+        r.doc_id: r for r in T.q_text_bm25_prf(spark, str(tmp_path)).collect()
+    }
+    assert 4 not in plain            # BM25 never scores doc 4
+    assert 4 in prf                  # PRF retrieves it via expansion
+    # feedback winners still lead; the expansion-only doc trails them
+    assert prf[4].prf_rank > prf[5].prf_rank
+    assert prf[4].score > 0

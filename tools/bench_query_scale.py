@@ -291,6 +291,7 @@ OPS = {
     "q_quality_nb_isotonic": "documents",
     "q_sim_kcenter_coreset": "embeddings",
     "q_text_rake_keyphrases": "documents",
+    "q_text_bm25_prf": "documents",
     "q_sim_kmeans": "embeddings",
     "q_sim_mmr_rerank": "embeddings",
     "q_mm_phash_dedup": "documents",

@@ -7470,3 +7470,255 @@ def q_text_rake_keyphrases(spark, sf_dir):
             F.col("rn").cast("long").alias("rake_rank"),
         )
     )
+
+
+# --- pseudo-relevance feedback (Rocchio expansion over BM25) ------------------
+
+PRF_FB_DOCS = 3   # feedback depth: top-k docs of the first pass
+PRF_EXP = 2       # expansion terms added per query
+PRF_BETA = 0.5    # Rocchio beta: weight of expansion-term contributions
+
+
+def _prf_oracle() -> str:
+    """Two chained BM25 passes: pass 1 is the exact q_text_bm25_topk
+    pipeline; its top-{PRF_FB_DOCS} docs per query vote expansion terms
+    (ranked by INTEGER feedback tf, then rarity, then term — no float
+    argmax anywhere), and pass 2 rescores with the expanded weighted
+    query."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM doclen
+    ),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    qsel AS (
+      SELECT term, df,
+             (rn - {BM25_RANK_LO}) // 4 AS query_id,
+             (rn - {BM25_RANK_LO}) % 4 AS tpos,
+             LN(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT term, df,
+                   ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+            FROM dft) CROSS JOIN stats
+      WHERE rn BETWEEN {BM25_RANK_LO} AND {BM25_RANK_HI}
+    ),
+    tf1 AS (
+      SELECT t.doc_id, q.query_id, q.tpos, q.idf, COUNT(*) AS tf
+      FROM toks t JOIN qsel q ON t.term = q.term
+      GROUP BY 1, 2, 3, 4
+    ),
+    c1 AS (
+      SELECT f.query_id, f.doc_id, f.tpos,
+             (f.idf * (f.tf * ({BM25_K1} + 1.0))) /
+             (f.tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * (d.dl / s.avgdl))) AS c
+      FROM tf1 f JOIN doclen d ON f.doc_id = d.doc_id CROSS JOIN stats s
+    ),
+    s1 AS (
+      SELECT query_id, doc_id,
+             COALESCE(MAX(CASE WHEN tpos = 0 THEN c END), 0.0)
+           + COALESCE(MAX(CASE WHEN tpos = 1 THEN c END), 0.0)
+           + COALESCE(MAX(CASE WHEN tpos = 2 THEN c END), 0.0)
+           + COALESCE(MAX(CASE WHEN tpos = 3 THEN c END), 0.0) AS score_raw
+      FROM c1 GROUP BY 1, 2
+    ),
+    fb AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY score_raw DESC, doc_id
+               ) AS rn
+        FROM s1
+      ) WHERE rn <= {PRF_FB_DOCS}
+    ),
+    exp_terms AS (
+      SELECT query_id, term, df, idf FROM (
+        SELECT f.query_id, t.term, d.df,
+               LN(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+                 AS idf,
+               ROW_NUMBER() OVER (
+                 PARTITION BY f.query_id
+                 ORDER BY COUNT(*) DESC, d.df ASC, t.term
+               ) AS rn
+        FROM fb f
+        JOIN toks t ON t.doc_id = f.doc_id
+        JOIN dft d ON d.term = t.term
+        CROSS JOIN stats s
+        WHERE t.term NOT IN (
+          SELECT term FROM qsel q2 WHERE q2.query_id = f.query_id
+        )
+        GROUP BY f.query_id, t.term, d.df, s.n_docs
+      ) WHERE rn <= {PRF_EXP}
+    ),
+    qsel2 AS (
+      SELECT query_id, term, tpos, idf, 1.0 AS w FROM qsel
+      UNION ALL
+      SELECT query_id, term,
+             3 + ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY term
+             ) AS tpos,
+             idf, {PRF_BETA} AS w
+      FROM exp_terms
+    ),
+    tf2 AS (
+      SELECT t.doc_id, q.query_id, q.tpos, q.idf, q.w, COUNT(*) AS tf
+      FROM toks t JOIN qsel2 q ON t.term = q.term
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    c2 AS (
+      SELECT f.query_id, f.doc_id, f.tpos,
+             f.w * (f.idf * (f.tf * ({BM25_K1} + 1.0))) /
+             (f.tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * (d.dl / s.avgdl))) AS c
+      FROM tf2 f JOIN doclen d ON f.doc_id = d.doc_id CROSS JOIN stats s
+    ),
+    s2 AS (
+      SELECT query_id, doc_id,
+             COALESCE(MAX(CASE WHEN tpos = 0 THEN c END), 0.0)
+           + COALESCE(MAX(CASE WHEN tpos = 1 THEN c END), 0.0)
+           + COALESCE(MAX(CASE WHEN tpos = 2 THEN c END), 0.0)
+           + COALESCE(MAX(CASE WHEN tpos = 3 THEN c END), 0.0)
+           + COALESCE(MAX(CASE WHEN tpos = 4 THEN c END), 0.0)
+           + COALESCE(MAX(CASE WHEN tpos = 5 THEN c END), 0.0) AS score_raw
+      FROM c2 GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           CAST(rn AS BIGINT) AS prf_rank, ROUND(score_raw, 6) AS score
+    FROM (
+      SELECT query_id, doc_id, score_raw,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score_raw DESC, doc_id
+             ) AS rn
+      FROM s2
+    ) WHERE rn <= {BM25_TOP}
+    """
+
+
+@register("q_text_bm25_prf", oracle=_prf_oracle())
+def q_text_bm25_prf(spark, sf_dir):
+    """PSEUDO-RELEVANCE FEEDBACK (Rocchio 1971, the classic two-pass
+    query expansion every Lucene/Anserini stack ships): pass 1 runs the
+    exact BM25 pipeline; each query's top-{PRF_FB_DOCS} documents are
+    ASSUMED relevant and vote {PRF_EXP} expansion terms — ranked by
+    INTEGER feedback term frequency, then rarity (df asc), then term,
+    so term selection never argmaxes a float — and pass 2 rescores the
+    corpus with the expanded query, expansion contributions damped by
+    the Rocchio beta = {PRF_BETA}. Scores stay bit-identical across
+    engines because per-term contributions pivot to FIXED tpos columns
+    summed left-to-right (the BM25 discipline, widened to 6 slots).
+
+    Scale shape: both passes are the inverted-index equi-join against a
+    broadcast query-term table (8 rows, then 12); the feedback relation
+    is {PRF_FB_DOCS} rows per query; expansion-term voting explodes
+    ONLY the feedback documents and windows over their per-query term
+    aggregate. Nothing new shuffles at corpus scale beyond the two
+    postings joins a production PRF does anyway."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs, tot = doclen.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).first()
+    avgdl = tot / n_docs
+    dft = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf_of = lambda c: F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - c + F.lit(0.5)) / (c + F.lit(0.5))
+    )
+    wq = W.orderBy(F.desc("df"), F.asc("term"))
+    qsel = (
+        dft.withColumn("rn", F.row_number().over(wq))
+        .filter((F.col("rn") >= BM25_RANK_LO) & (F.col("rn") <= BM25_RANK_HI))
+        .select(
+            "term", "df",
+            F.floor((F.col("rn") - BM25_RANK_LO) / 4).cast("long").alias("query_id"),
+            ((F.col("rn") - BM25_RANK_LO) % 4).alias("tpos"),
+            idf_of(F.col("df")).alias("idf"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def bm25_scores(qterms, slots: int):
+        tf = (
+            toks.join(F.broadcast(qterms), "term")
+            .groupBy("doc_id", "query_id", "tpos", "idf", "w")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .join(doclen, "doc_id")
+        )
+        contrib = (
+            F.col("w")
+            * (F.col("idf") * (F.col("tf") * (F.lit(BM25_K1) + F.lit(1.0))))
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B) * (F.col("dl") / F.lit(avgdl))
+                )
+            )
+        )
+        scored = (
+            tf.withColumn("c", contrib)
+            .groupBy("query_id", "doc_id")
+            .agg(
+                *[
+                    F.max(F.when(F.col("tpos") == k, F.col("c"))).alias(f"c{k}")
+                    for k in range(slots)
+                ]
+            )
+        )
+        total = F.coalesce(f"c0", F.lit(0.0))
+        for k in range(1, slots):
+            total = total + F.coalesce(f"c{k}", F.lit(0.0))
+        return scored.withColumn("score_raw", total)
+
+    s1 = bm25_scores(qsel.withColumn("w", F.lit(1.0)), 4)
+    wfb = W.partitionBy("query_id").orderBy(F.desc("score_raw"), F.asc("doc_id"))
+    fb = (
+        s1.withColumn("rn", F.row_number().over(wfb))
+        .filter(F.col("rn") <= PRF_FB_DOCS)
+        .select("query_id", "doc_id")
+    )
+    fb_terms = (
+        fb.join(toks, "doc_id")
+        .join(qsel.select("query_id", "term").withColumn("orig", F.lit(1)),
+              ["query_id", "term"], "left_anti")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("fbtf"))
+        .join(dft, "term")
+    )
+    wexp = W.partitionBy("query_id").orderBy(
+        F.desc("fbtf"), F.asc("df"), F.asc("term")
+    )
+    exp_terms = (
+        fb_terms.withColumn("rn", F.row_number().over(wexp))
+        .filter(F.col("rn") <= PRF_EXP)
+        .select("query_id", "term", "df")
+    )
+    wpos = W.partitionBy("query_id").orderBy(F.asc("term"))
+    qsel2 = qsel.select(
+        "query_id", "term", "tpos", "idf", F.lit(1.0).alias("w")
+    ).unionByName(
+        exp_terms.select(
+            "query_id",
+            "term",
+            (F.lit(3) + F.row_number().over(wpos)).alias("tpos"),
+            idf_of(F.col("df")).alias("idf"),
+            F.lit(PRF_BETA).alias("w"),
+        )
+    )
+    s2 = bm25_scores(qsel2, 6)
+    wr = W.partitionBy("query_id").orderBy(F.desc("score_raw"), F.asc("doc_id"))
+    return (
+        s2.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= BM25_TOP)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "doc_id",
+            F.col("rn").cast("long").alias("prf_rank"),
+            F.round("score_raw", 6).alias("score"),
+        )
+    )
