@@ -458,17 +458,14 @@ def test_dp_release_bounds_contributions_and_replays_noise(tmp_path, spark):
     noise replays exactly from the md5 seed."""
     import datetime as dt
     import hashlib
-    import math
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from utxo_to_parquet_spark.operators.events import (
         DP_C,
-        DP_EPS_E6,
-        DP_M,
-        DP_SENS,
         DP_T,
+        DP_THRESH,
         q_events_dp_release,
     )
 
@@ -502,10 +499,7 @@ def test_dp_release_bounds_contributions_and_replays_noise(tmp_path, spark):
         h = hashlib.md5(f"dpr1:{t}".encode()).hexdigest()
         u = int(h[:12], 16)
         sgn = -1 if h[12] in "13579bdf" else 1
-        mag = math.floor(
-            (math.log(float(DP_M)) - math.log(float(u + 1)))
-            * (DP_SENS * 1_000_000.0 / DP_EPS_E6)
-        )
+        mag = sum(1 for th in DP_THRESH if u < th)  # pure-integer replay
         assert r.noise == sgn * mag, t
         assert r.released_n == max(0, r.n_bounded + r.noise), t
         assert r.sensitivity == DP_C * DP_T

@@ -18,6 +18,8 @@ skew the value hash.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
@@ -4601,15 +4603,39 @@ def q_events_holt_winters(spark, sf_dir):
 # closed under post-processing). The noise stream here is a SEEDED
 # deterministic PRNG (md5 of the release label), the reproducible-
 # release mode; a production deployment swaps that one uniform draw
-# for a CSPRNG. Noise magnitude is floor((ln(M) - ln(U+1)) * Δ/ε)
-# with U uniform on [0, M) — ln of INTEGER-valued doubles only, so
-# both engines compute bit-identical noise.
+# for a CSPRNG. Noise magnitude is drawn by inverse-CDF against
+# PRECOMPUTED INTEGER THRESHOLDS T_k = floor(M * alpha^k) with
+# alpha = exp(-eps/Δ): magnitude = |{k >= 1 : U < T_k}|, which gives
+# P(magnitude >= k) = T_k / M — the geometric law to within one part
+# in M per step. The thresholds are Python-side constants embedded
+# verbatim in BOTH the Spark plan and the oracle SQL, so the
+# cross-engine path is pure int64 comparison — no ln/exp anywhere a
+# 1-ulp libm disagreement could flip a floor.
 
 DP_C = 4            # rows kept per (user, partition)
 DP_T = 3            # partitions (event types) kept per user
 DP_SENS = DP_C * DP_T  # L1 sensitivity of the released vector
 DP_EPS_E6 = 1_000_000  # epsilon = 1.0
 DP_M = 1 << 48      # uniform grain: 12 md5 hex digits
+
+
+def _dp_thresholds() -> list[int]:
+    """T_k = floor(M * alpha^k), k = 1.., down to the last k with
+    T_k >= 1 (~Δ/ε * ln M terms).  Float pow is fine HERE: the
+    resulting integers are literals shared by both engines, so any
+    libm wobble changes the (documented, seeded) distribution by at
+    most 1/M — never the cross-engine agreement."""
+    alpha = math.exp(-(DP_EPS_E6 / 1_000_000.0) / DP_SENS)
+    out, k = [], 1
+    while True:
+        t = math.floor(DP_M * alpha**k)
+        if t < 1:
+            return out
+        out.append(t)
+        k += 1
+
+
+DP_THRESH = _dp_thresholds()
 
 
 @register(
@@ -4642,12 +4668,10 @@ DP_M = 1 << 48      # uniform grain: 12 md5 hex digits
       FROM truec
     )
     SELECT event_type, CAST(n_bounded AS BIGINT) AS n_bounded,
-           CAST(sgn * FLOOR((LN(CAST({DP_M} AS DOUBLE)) - LN(CAST(u + 1 AS DOUBLE)))
-                            * {DP_SENS * 1_000_000.0 / DP_EPS_E6}) AS BIGINT)
-             AS noise,
-           CAST(GREATEST(0, n_bounded + sgn * CAST(FLOOR(
-                (LN(CAST({DP_M} AS DOUBLE)) - LN(CAST(u + 1 AS DOUBLE)))
-                * {DP_SENS * 1_000_000.0 / DP_EPS_E6}) AS BIGINT))
+           CAST(sgn * len(list_filter({list(DP_THRESH)}, t -> u < t))
+             AS BIGINT) AS noise,
+           CAST(GREATEST(0, n_bounded
+                + sgn * len(list_filter({list(DP_THRESH)}, t -> u < t)))
              AS BIGINT) AS released_n,
            CAST({DP_EPS_E6} AS BIGINT) AS epsilon_e6,
            CAST({DP_SENS} AS BIGINT) AS sensitivity
@@ -4661,8 +4685,9 @@ def q_events_dp_release(spark, sf_dir):
     {DP_C} events per kept type (row-numbered by event_id), making the
     released vector's L1 sensitivity the constant {DP_SENS}; geometric-
     mechanism noise (Ghosh et al. 2009) at epsilon 1.0 is added from a
-    seeded md5 uniform (magnitude floor((ln M - ln(U+1)) * sens/eps) —
-    ln of integer-valued doubles only, engine-identical), and the
+    seeded md5 uniform (magnitude = inverse-CDF count of precomputed
+    integer thresholds above the uniform — pure int64 comparison on
+    the cross-engine path, no transcendental anywhere), and the
     release is clamped at zero (post-processing). ``n_bounded`` is the
     pre-noise bounded count, emitted for the correctness gate and NOT
     part of a real release.
@@ -4689,12 +4714,16 @@ def q_events_dp_release(spark, sf_dir):
     sgn = F.when(
         F.substring(h, 13, 1).isin(*"13579bdf"), F.lit(-1)
     ).otherwise(F.lit(1))
-    mag = F.floor(
-        (
-            F.log(F.lit(float(DP_M)))
-            - F.log((u + 1).cast("double"))
-        )
-        * F.lit(DP_SENS * 1_000_000.0 / DP_EPS_E6)
+    # inverse-CDF against the shared integer thresholds: magnitude is
+    # the count of T_k still above the uniform — pure int64 compares,
+    # identical literals on both engines (see _dp_thresholds)
+    thresh_arr = ", ".join(f"{t}L" for t in DP_THRESH)
+    u_sql = (
+        "cast(conv(substring(md5(concat('dpr1:', event_type)), 1, 12),"
+        " 16, 10) as bigint)"
+    )
+    mag = F.expr(
+        f"size(filter(array({thresh_arr}), t -> {u_sql} < t))"
     ).cast("long")
     noise = (sgn * mag).cast("long")
     return truec.select(

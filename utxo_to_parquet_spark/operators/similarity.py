@@ -1253,7 +1253,11 @@ def _ivfpq_residual_oracle() -> str:
     t{m} AS MATERIALIZED (
       SELECT vec_id, {rslice('r', m)} AS p FROM rv WHERE vec_id < {RPQ_TRAIN}
     ),
-    cb{m}_0 AS (SELECT vec_id AS cid, p AS c FROM t{m} WHERE vec_id < {RPQ_K})"""
+    cb{m}_0 AS (
+      SELECT rn - 1 AS cid, p AS c FROM (
+        SELECT p, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM t{m}
+      ) WHERE rn <= {RPQ_K}
+    )"""
         )
         for it in range(1, RPQ_ITERS + 1):
             kmeans_ctes.append(
@@ -1502,7 +1506,12 @@ def q_sim_ivfpq_residual_topk(
             for j in range(RPQ_K):
                 mem = P[assign == j]
                 if len(mem):
-                    Cn[j] = np.round(mem.mean(axis=0), 6)
+                    # strict left-to-right per-dim sums in vec_id order
+                    # (the lr_matmul discipline — no pairwise summation),
+                    # then ROUND-half-away-from-zero to 1e-6 exactly as
+                    # DuckDB/Spark ROUND do (np.round is half-to-even)
+                    mv = np.cumsum(mem, axis=0)[-1] / len(mem)
+                    Cn[j] = np.sign(mv) * np.floor(np.abs(mv) * 1e6 + 0.5) / 1e6
             C = Cn
         CBs.append(C)
     probe_map: dict[int, list[int]] = {}

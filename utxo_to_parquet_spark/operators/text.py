@@ -6763,7 +6763,7 @@ def _wp_chain_sql() -> str:
     b{m} AS MATERIALIZED (
       SELECT a, b FROM (
         SELECT pc.a, pc.b,
-               pc.total / (sa.cnt * sb.cnt) AS score
+               pc.total / (CAST(sa.cnt AS DOUBLE) * sb.cnt) AS score
         FROM (
           SELECT syms[CAST(u.i AS INT)] AS a,
                  syms[CAST(u.i AS INT) + 1] AS b,
@@ -6937,7 +6937,14 @@ def _wp_train_cached(spark, sf_dir):
             .select(
                 "a",
                 "b",
-                (F.col("total") / (F.col("ca") * F.col("cb"))).alias("score"),
+                # cast BEFORE the multiply: ca*cb on two corpus-scale
+                # BIGINTs overflows int64 at ~billions of tokens (Spark
+                # non-ANSI wraps silently, DuckDB raises); the double
+                # product + IEEE division stays engine-identical
+                (
+                    F.col("total")
+                    / (F.col("ca").cast("double") * F.col("cb"))
+                ).alias("score"),
             )
             .orderBy(F.desc("score"), F.concat(F.col("a"), F.lit(d), F.col("b")))
             .limit(1)
@@ -7010,6 +7017,13 @@ def q_text_wordpiece_encode(spark, sf_dir):
                     for ln in range(min(maxlen, len(word) - pos), 0, -1):
                         if word[pos : pos + ln] in table:
                             break
+                    else:
+                        # unreachable on the training corpus (every
+                        # positional char is a piece) — but never
+                        # silently consume an unmatched character
+                        raise ValueError(
+                            f"no WordPiece vocab match in {word!r} at {pos}"
+                        )
                     n += 1
                     mx = max(mx, ln)
                     pos += ln
