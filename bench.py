@@ -42,6 +42,7 @@ HEADLINE = [
     "q_text_token_count_bpe",
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
+    "q_dedup_minhash_search",
     "q_dedup_simhash",
     "q_dedup_embedding_lsh",
     "q_sim_cosine_topk",

@@ -92,9 +92,9 @@ _SHINGLES_DUCK = """
 """
 
 
-def _shingles_df(spark, sf_dir):
-    """doc_id, shingle — distinct word-3-gram shingles per document."""
-    docs = load(spark, sf_dir, "documents")
+def _shingles_of(docs):
+    """doc_id, shingle — distinct word-3-gram shingles per document of
+    an arbitrary (doc_id, text) relation."""
     # materialize the words array once — referencing split(...) inside the
     # transform lambda would re-split per element, making shingling
     # O(words²) per doc. Docs with <3 words have no trigram shingles (the
@@ -108,6 +108,11 @@ def _shingles_df(spark, sf_dir):
             F.explode(F.array_distinct(F.expr(SHINGLE_TRANSFORM_SQL))).alias("shingle"),
         )
     )
+
+
+def _shingles_df(spark, sf_dir):
+    """doc_id, shingle — distinct word-3-gram shingles per document."""
+    return _shingles_of(load(spark, sf_dir, "documents"))
 
 
 @register(
@@ -285,10 +290,12 @@ def q_dedup_containment(spark, sf_dir, df_cap: int | None = None):
     )
 
 
-def _minhash_bands_cte() -> str:
+def _minhash_bands_cte(src: str = "documents") -> str:
     """The shared WITH-clause prefix reproducing the LSH band index
     (``bands``: doc_id, band, band_key) in DuckDB — composed by the pair
-    oracle, the clustering oracles, and the incremental-dedup oracle."""
+    oracle, the clustering oracles, and the incremental-dedup oracle.
+    ``src`` swaps the corpus relation (the search oracle shingles an
+    augmented corpus CTE instead of the raw table)."""
     mins = ",\n             ".join(
         f"MIN(({a} * x + {b}) % {MINHASH_P}) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_AB)
@@ -303,7 +310,7 @@ def _minhash_bands_cte() -> str:
         f"SELECT doc_id, {b0} AS band, bk{b0} AS band_key FROM keys"
         for b0 in range(N_SEEDS // BAND_SIZE)
     )
-    return f"""shingles AS ({_SHINGLES_DUCK}),
+    return f"""shingles AS ({_SHINGLES_DUCK.replace("FROM documents", f"FROM {src}")}),
     xs AS (
       SELECT doc_id,
              ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P} AS x
@@ -333,23 +340,36 @@ def _minhash_oracle() -> str:
     """
 
 
+def _minhash_sig_of(sh):
+    """(doc_id, mh0..mh{N_SEEDS-1}) — the MinHash signature table over a
+    shingle relation: one shuffle of |shingles| narrow rows with
+    map-side partial mins (the {N_SEEDS} hashes are parallel columns
+    off a single md5, never a seed cross-join). Shared by the
+    band-index builder and the signature scorer of
+    q_dedup_minhash_search."""
+    xs = sh.select("doc_id", F.expr(x_hash_sql("shingle")).alias("x"))
+    return xs.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ]
+    )
+
+
+def _minhash_bands_of(sig):
+    """Band index (doc_id, band, band_key) from a signature relation."""
+    return sig.select(
+        "doc_id", F.explode(minhash_band_structs()).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
 def _minhash_bands_df(spark, sf_dir):
     """(doc_id, band, band_key) — the LSH band index over every
     document's MinHash signature. In a production pipeline this is the
     PERSISTED index table (bucketed by (band, band_key)); here it is the
     shared plan fragment behind the pair join, the clustering queries,
     and the incremental batch-vs-corpus probe."""
-    sh = _shingles_df(spark, sf_dir)
-    xs = sh.select("doc_id", F.expr(x_hash_sql("shingle")).alias("x"))
-    sig = xs.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
-            for i, (a, b) in enumerate(MINHASH_AB)
-        ]
-    )
-    return sig.select(
-        "doc_id", F.explode(minhash_band_structs()).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    return _minhash_bands_of(_minhash_sig_of(_shingles_df(spark, sf_dir)))
 
 
 def _minhash_pairs(spark, sf_dir):
@@ -480,6 +500,214 @@ def q_dedup_incremental(spark, sf_dir):
             F.coalesce("ch", F.lit(0)).alias("n_corpus_matches"),
             F.coalesce("bh", F.lit(0)).alias("n_batch_matches"),
             (F.coalesce("ch", F.lit(0)) + F.coalesce("bh", F.lit(0)) == 0).alias("kept"),
+        )
+    )
+
+
+MHS_MOD = 25     # probe set: every 25th doc asks "who are my near-dups?"
+MHS_K = 5        # neighbors returned per probe
+MHS_PLANT = 10   # every 10th doc gets a planted near-copy (first word
+#                  dropped, re-inserted at doc_id + 1_000_000) so the
+#                  word-salad fixture actually exercises ranked
+#                  retrieval — the q_dedup_exact synthetic-dupe trick
+
+_MHS_AUG_DUCK = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 2,
+                             len(string_split(text, ' '))), ' ') AS text
+      FROM documents WHERE doc_id % {MHS_PLANT} = 0
+"""
+
+
+def _mhs_corpus(spark, sf_dir):
+    """The search fixture corpus: documents plus a planted near-copy of
+    every {MHS_PLANT}th doc (first word dropped — Jaccard ~(n-2)/n on
+    trigram shingles, so signatures collide in most bands)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = docs.filter(F.col("doc_id") % MHS_PLANT == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)"),
+            " ",
+        ).alias("text"),
+    )
+    return docs.unionByName(mut)
+
+
+def _minhash_search_oracle() -> str:
+    nm = " + ".join(
+        f"CASE WHEN qa.mh{i} = qb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(N_SEEDS)
+    )
+    return f"""
+    WITH aug AS ({_MHS_AUG_DUCK}),
+    {_minhash_bands_cte("aug")},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS q_doc, b.doc_id AS cand_doc
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND b.doc_id <> a.doc_id
+      WHERE a.doc_id % {MHS_MOD} = 0
+    ),
+    scored AS (
+      SELECT c.q_doc, c.cand_doc, CAST({nm} AS BIGINT) AS n_match
+      FROM cand c
+        JOIN sig qa ON qa.doc_id = c.q_doc
+        JOIN sig qb ON qb.doc_id = c.cand_doc
+    ),
+    topk AS (
+      SELECT q_doc, cand_doc, n_match, rnk FROM (
+        SELECT q_doc, cand_doc, n_match,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q_doc ORDER BY n_match DESC, cand_doc
+               ) AS rnk
+        FROM scored
+      ) WHERE rnk <= {MHS_K}
+    ),
+    docset AS (
+      SELECT q_doc AS doc_id FROM topk
+      UNION
+      SELECT cand_doc AS doc_id FROM topk
+    ),
+    sizes AS (
+      SELECT s.doc_id, COUNT(*) AS n_sh
+      FROM shingles s JOIN docset USING (doc_id) GROUP BY s.doc_id
+    ),
+    common AS (
+      SELECT t.q_doc, t.cand_doc, COUNT(*) AS n_common
+      FROM topk t
+        JOIN shingles sa ON sa.doc_id = t.q_doc
+        JOIN shingles sb ON sb.doc_id = t.cand_doc
+                        AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT t.q_doc, CAST(t.rnk AS BIGINT) AS rnk, t.cand_doc, t.n_match,
+           t.n_match / {float(N_SEEDS)} AS est_jaccard,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+           ROUND(COALESCE(c.n_common, 0)
+                 / (sa.n_sh + sb.n_sh - COALESCE(c.n_common, 0)), 4) AS jaccard
+    FROM topk t
+      LEFT JOIN common c ON c.q_doc = t.q_doc AND c.cand_doc = t.cand_doc
+      JOIN sizes sa ON sa.doc_id = t.q_doc
+      JOIN sizes sb ON sb.doc_id = t.cand_doc
+    """
+
+
+@register("q_dedup_minhash_search", oracle=_minhash_search_oracle())
+def q_dedup_minhash_search(spark, sf_dir):
+    """Top-k near-dup SEARCH — the serving twin of the pair miner: for
+    each probe document (doc_id % {MHS_MOD} == 0, the interactive
+    "who are my near-dups?" shape a data curator runs), return its
+    {MHS_K} nearest neighbors by ESTIMATED Jaccard — the fraction of
+    matching MinHash components (Broder 1997: component agreement is
+    an unbiased resemblance estimator), answered FROM THE INDEX without
+    touching document text — then attach the exact shingle Jaccard for
+    the surviving top-k pairs only (the verify-after-rank discipline of
+    the ANN re-rankers). Rank key (n_match DESC, cand_doc) is pure
+    int64, so both engines cut the identical top-k. The corpus is
+    augmented with a planted near-copy of every {MHS_PLANT}th doc (see
+    _mhs_corpus) so retrieval has real positives to rank: a probe's
+    planted twin must surface with near-full signature agreement while
+    salad-vs-salad collisions score low.
+
+    Scale shape: candidates come from the SAME persisted band index as
+    q_dedup_minhash_lsh — the probe's band keys are broadcast, so the
+    corpus index is map-side hash-probed and never reshuffled (the
+    q_dedup_incremental contract); candidate count is bounded by the
+    probe's bucket occupancy, never all-pairs. Signature scoring
+    broadcasts the (probe x candidate) list against the signature
+    table; the exact-Jaccard pass broadcasts the bounded
+    (probe-shingle x pair) relation against the corpus shingle scan —
+    two corpus scans total, zero corpus shuffles. Probes with no bucket
+    collision return no rows (nothing within LSH reach); a hash-collision
+    candidate with zero shared shingles reports jaccard 0.0."""
+    sh = _shingles_of(_mhs_corpus(spark, sf_dir))
+    sig = _minhash_sig_of(sh)
+    bands = _minhash_bands_of(sig)
+    probe_bands = bands.filter(F.col("doc_id") % MHS_MOD == 0)
+    cand = (
+        F.broadcast(probe_bands).alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.doc_id") != F.col("a.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("q_doc"),
+            F.col("b.doc_id").alias("cand_doc"),
+        )
+        .distinct()
+    )
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(N_SEEDS)])
+    qarr = (
+        sig.filter(F.col("doc_id") % MHS_MOD == 0)
+        .select(F.col("doc_id").alias("q_doc"), sig_arr.alias("qs"))
+    )
+    carr = sig.select(F.col("doc_id").alias("cand_doc"), sig_arr.alias("cs"))
+    # probe-sized relations stay broadcast: the corpus signature table
+    # is map-side probed, never shuffled
+    scored = (
+        carr.join(F.broadcast(cand.join(F.broadcast(qarr), "q_doc")), "cand_doc")
+        .withColumn(
+            "n_match",
+            F.expr(
+                "cast(aggregate(zip_with(qs, cs, (x, y) -> IF(x = y, 1, 0)),"
+                " 0L, (acc, v) -> acc + v) as bigint)"
+            ),
+        )
+    )
+    topk = (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("q_doc").orderBy(F.desc("n_match"), "cand_doc")
+            ),
+        )
+        .filter(F.col("rnk") <= MHS_K)
+        .select("q_doc", "cand_doc", "n_match", F.col("rnk").cast("long").alias("rnk"))
+    )
+    pairs = topk.select("q_doc", "cand_doc")
+    docset = (
+        pairs.select(F.col("q_doc").alias("doc_id"))
+        .unionByName(pairs.select(F.col("cand_doc").alias("doc_id")))
+        .distinct()
+    )
+    sizes = (
+        sh.join(F.broadcast(docset), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    qp = (
+        sh.withColumnRenamed("doc_id", "q_doc")
+        .join(F.broadcast(pairs), "q_doc")
+    )  # bounded: |probes| x MHS_K x shingles-per-doc
+    common = (
+        F.broadcast(qp)
+        .join(
+            sh.select(F.col("doc_id").alias("cand_doc"), "shingle"),
+            ["cand_doc", "shingle"],
+        )
+        .groupBy("q_doc", "cand_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("q_doc"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("cand_doc"), F.col("n_sh").alias("n_b"))
+    nc = F.coalesce("n_common", F.lit(0))
+    return (
+        topk.join(F.broadcast(common), ["q_doc", "cand_doc"], "left_outer")
+        .join(F.broadcast(sa), "q_doc")
+        .join(F.broadcast(sb), "cand_doc")
+        .select(
+            "q_doc",
+            "rnk",
+            "cand_doc",
+            "n_match",
+            (F.col("n_match") / F.lit(float(N_SEEDS))).alias("est_jaccard"),
+            nc.cast("long").alias("n_common"),
+            F.round(nc / (F.col("n_a") + F.col("n_b") - nc), 4).alias("jaccard"),
         )
     )
 
