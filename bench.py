@@ -105,6 +105,7 @@ HEADLINE = [
     "q_graph_personalized_pagerank",
     "q_graph_betweenness",
     "q_events_dp_release",
+    "q_events_dp_quantile",
     "q_graph_wl_refinement",
     "q_text_phrase_search",
     "q_quality_nb_isotonic",

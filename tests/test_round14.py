@@ -62,3 +62,76 @@ def test_minhash_search_ranks_planted_twin_and_exact_copy(tmp_path, spark):
     # probe 50 has exactly its twin in reach
     top50 = by_probe[50][1]
     assert top50.cand_doc == 1000050 and top50.jaccard == round(37 / 38, 4)
+
+
+def test_dp_quantile_replays_exponential_mechanism(tmp_path, spark):
+    """A 32-user uniform-grid fixture (user i: DP_C values in bin i)
+    makes every rank exact: the operator's released bins must equal a
+    literal Python replay of the truncated-exponential mechanism
+    (integer weight walk + seeded md5 uniform), a power user's extra
+    events must be capped away, and the weight table's peak must sit
+    on the exact-quantile bin."""
+    import datetime as dt
+    import hashlib
+
+    from utxo_to_parquet_spark.operators.events import (
+        DP_C,
+        DPQ_BINW,
+        DPQ_DCAP,
+        DPQ_NBINS,
+        DPQ_QS,
+        DPQ_W,
+        q_events_dp_quantile,
+    )
+
+    base = pq.read_schema(f"{SF_DIR}/events.parquet")
+    t0 = dt.datetime(2025, 3, 1)
+    rows, eid = [], 0
+
+    def ev(user, value):
+        nonlocal eid
+        eid += 1
+        rows.append(dict(event_id=eid, ts=t0, user_id=user,
+                         event_type="m", value=float(value), props="{}"))
+
+    for b in range(DPQ_NBINS):
+        for _ in range(DP_C):
+            ev(b + 1, b * DPQ_BINW + 8)   # user b+1 -> DP_C values in bin b
+    for _ in range(100):
+        ev(999, 500)                      # power user: capped to DP_C
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "events.parquet"),
+    )
+
+    out = {
+        (r.event_type, r.quantile_pct): r
+        for r in q_events_dp_quantile(spark, str(tmp_path)).collect()
+    }
+    n = DP_C * DPQ_NBINS + DP_C           # grid users + capped power user
+    for q in DPQ_QS:
+        r = out[("m", q)]
+        assert r.n_bounded == n
+        # literal mechanism replay
+        counts = [DP_C] * DPQ_NBINS
+        counts[DPQ_NBINS - 1] += DP_C     # power user's 4 surviving 500s
+        target = q * n // 100
+        rk, cum, cums, ws = 0, 0, [], []
+        for b in range(DPQ_NBINS):
+            rk += counts[b]
+            w = DPQ_W[min(abs(rk - target), DPQ_DCAP)]
+            ws.append(w)
+            cum += w
+            cums.append(cum)
+        h = hashlib.md5(f"dpq1:{q}:m".encode()).hexdigest()
+        u = int(h[:12], 16) % cum
+        sel = next(b for b in range(DPQ_NBINS) if cums[b] > u)
+        assert r.sel_bin == sel, (q, sel, r.sel_bin)
+        assert r.target_rank == target
+        assert r.released_value == (sel + 1) * DPQ_BINW
+        # the weight table must peak on the exact-quantile bin
+        exact = min(
+            range(DPQ_NBINS),
+            key=lambda b: abs(sum(counts[: b + 1]) - target),
+        )
+        assert ws[exact] == max(ws)

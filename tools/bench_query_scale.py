@@ -287,6 +287,7 @@ OPS = {
     "q_graph_personalized_pagerank": "graph",
     "q_graph_betweenness": "graph",
     "q_events_dp_release": "events",
+    "q_events_dp_quantile": "events",
     "q_graph_wl_refinement": "graph",
     "q_text_phrase_search": "documents",
     "q_quality_nb_isotonic": "documents",

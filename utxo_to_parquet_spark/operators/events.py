@@ -4736,3 +4736,263 @@ def q_events_dp_release(spark, sf_dir):
         F.lit(DP_EPS_E6).cast("long").alias("epsilon_e6"),
         F.lit(DP_SENS).cast("long").alias("sensitivity"),
     )
+
+
+# --- differentially-private quantile release ---------------------------------
+#
+# The exponential mechanism (McSherry & Talwar 2007) specialized to
+# quantiles (Smith 2011): candidates are a FIXED grid of value bins,
+# the utility of bin b is -|rank(b) - q*n/100| (rank utility,
+# sensitivity DP_C under the same bounded-contribution prep as the
+# count release), and a bin is selected with probability proportional
+# to exp(eps/2 * utility). Integerized end to end: the geometric decay
+# exp(-eps/2)^d is a PRECOMPUTED integer weight table (e6 fixed point,
+# w[k+1] = w[k] * alpha_e6 // 1e6, clamped at the last index with
+# w >= 1 — a truncated-exponential mechanism whose tail shares the
+# floor weight), the target rank is q*n // 100, and selection draws a
+# seeded md5 uniform modulo the total weight against the cumulative
+# weight walk — every cross-engine value is an int64, no exp/ln
+# anywhere (the q_events_dp_release discipline).
+
+DPQ_BINW = 16          # bin width; power of two -> value/16.0 is exact
+DPQ_NBINS = 32         # fixed candidate grid [0, 512)
+DPQ_EPS_E6 = 1_000_000  # epsilon per released quantile (composes: the
+#                         3-quantile panel spends 3 * eps)
+DPQ_ALPHA_E6 = 606_530  # floor(1e6 * exp(-eps/2))
+DPQ_QS = (25, 50, 75)
+
+
+def _dpq_weights() -> list[int]:
+    """w[d] ~ 1e6 * exp(-eps/2)^d by pure-integer recurrence; stops at
+    the last weight >= 1 (27 entries at eps=1)."""
+    w, out = 1_000_000, []
+    while w >= 1:
+        out.append(w)
+        w = w * DPQ_ALPHA_E6 // 1_000_000
+    return out
+
+
+DPQ_W = _dpq_weights()
+DPQ_DCAP = len(DPQ_W) - 1
+
+
+def _dpq_oracle() -> str:
+    wlist = ", ".join(str(w) for w in DPQ_W)
+    return f"""
+    WITH typed AS (
+      SELECT event_type, user_id, event_id, value,
+             DENSE_RANK() OVER (
+               PARTITION BY user_id ORDER BY event_type
+             ) AS trk
+      FROM events
+    ),
+    capped AS (
+      SELECT event_type, value FROM (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, event_type ORDER BY event_id
+               ) AS rn
+        FROM typed WHERE trk <= {DP_T}
+      ) WHERE rn <= {DP_C}
+    ),
+    binned AS (
+      SELECT event_type,
+             LEAST({DPQ_NBINS - 1},
+                   GREATEST(0, CAST(FLOOR(value / {DPQ_BINW}.0) AS BIGINT)))
+               AS bin
+      FROM capped
+    ),
+    bc AS (SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+    grid AS (
+      SELECT t.event_type, g.bin
+      FROM (SELECT DISTINCT event_type FROM binned) t,
+           (SELECT UNNEST(range({DPQ_NBINS})) AS bin) g
+    ),
+    ranks AS (
+      SELECT g.event_type, g.bin,
+             SUM(COALESCE(bc.c, 0)) OVER (
+               PARTITION BY g.event_type ORDER BY g.bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS rk,
+             SUM(COALESCE(bc.c, 0)) OVER (
+               PARTITION BY g.event_type
+             ) AS n
+      FROM grid g LEFT JOIN bc ON bc.event_type = g.event_type
+                              AND bc.bin = g.bin
+    ),
+    scored AS (
+      SELECT r.event_type, q.qt, r.bin, r.n,
+             (q.qt * r.n) // 100 AS target,
+             ([{wlist}])[CAST(
+               LEAST(ABS(r.rk - (q.qt * r.n) // 100), {DPQ_DCAP}) + 1
+             AS BIGINT)] AS w
+      FROM ranks r, (SELECT UNNEST([{", ".join(str(q) for q in DPQ_QS)}]) AS qt) q
+    ),
+    cw AS (
+      SELECT event_type, qt, bin, n, target, w,
+             SUM(w) OVER (
+               PARTITION BY event_type, qt ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cumw,
+             SUM(w) OVER (PARTITION BY event_type, qt) AS totw,
+             ('0x' || substr(md5(
+               'dpq1:' || CAST(qt AS VARCHAR) || ':' || event_type
+             ), 1, 12))::BIGINT AS u
+      FROM scored
+    ),
+    sel AS (
+      SELECT event_type, qt, MIN(bin) AS sel_bin,
+             MAX(n) AS n, MAX(target) AS target
+      FROM cw
+      WHERE cumw > u % totw
+      GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(qt AS BIGINT) AS quantile_pct,
+           CAST(n AS BIGINT) AS n_bounded,
+           CAST(target AS BIGINT) AS target_rank,
+           CAST(sel_bin AS BIGINT) AS sel_bin,
+           (sel_bin + 1) * {DPQ_BINW}.0 AS released_value,
+           CAST({DPQ_EPS_E6} AS BIGINT) AS epsilon_e6
+    FROM sel
+    WHERE n > 0
+    """
+
+
+@register("q_events_dp_quantile", oracle=_dpq_oracle())
+def q_events_dp_quantile(spark, sf_dir):
+    """Differentially-private QUANTILE release per event type — the
+    exponential mechanism (McSherry & Talwar 2007; Smith 2011) over a
+    fixed {DPQ_NBINS}-bin value grid, releasing p25/p50/p75 under the
+    same Wilson et al. bounded-contribution prep as the count release
+    (at most {DP_T} types per user, {DP_C} values per kept type, so
+    the rank function's sensitivity is the constant {DP_C}). Candidate
+    bin b scores -|rank(b) - q*n//100|; selection weight is the
+    precomputed integer table DPQ_W (e6 fixed-point exp(-eps/2)^d,
+    tail clamped at the last weight >= 1 — a truncated-exponential
+    mechanism), and the released bin is the first whose cumulative
+    weight exceeds a seeded md5 uniform modulo the total weight.
+    ``n_bounded``/``target_rank`` are emitted for the correctness gate
+    and are NOT part of a real release; a real deployment also swaps
+    the seeded uniform for a CSPRNG and accounts 3 x epsilon for the
+    three-quantile panel.
+
+    Scale shape: contribution bounding is the count release's two
+    user-partitioned windows; after one map-side-combinable
+    (type, bin) count the whole mechanism runs on |types| x {DPQ_NBINS}
+    rows — the windows partition by event_type over a constant
+    {DPQ_NBINS}-row frame, never single-partition. Every cross-engine
+    value on the selection path is an int64 (ranks, targets, weights,
+    cumulative weights, the md5 uniform); the only double is the
+    final grid-edge rendering (sel_bin + 1) * {DPQ_BINW}."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type", "user_id", "event_id", "value"
+    )
+    wt = W.partitionBy("user_id").orderBy("event_type")
+    wc = W.partitionBy("user_id", "event_type").orderBy("event_id")
+    capped = (
+        ev.withColumn("trk", F.dense_rank().over(wt))
+        .filter(F.col("trk") <= DP_T)
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= DP_C)
+        .select("event_type", "value")
+    )
+    binned = capped.select(
+        "event_type",
+        F.least(
+            F.lit(DPQ_NBINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(F.col("value") / F.lit(float(DPQ_BINW))).cast("long"),
+            ),
+        ).alias("bin"),
+    )
+    bc = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        binned.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(DPQ_NBINS - 1))).alias("bin"),
+        )
+        .select("event_type", F.col("bin").cast("long").alias("bin"))
+    )
+    wrk = W.partitionBy("event_type").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy("event_type")
+    ranks = (
+        grid.join(F.broadcast(bc), ["event_type", "bin"], "left_outer")
+        .withColumn("cc", F.coalesce("c", F.lit(0)))
+        .withColumn("rk", F.sum("cc").over(wrk))
+        .withColumn("n", F.sum("cc").over(wall))
+    )
+    warr = F.array(*[F.lit(w).cast("long") for w in DPQ_W])
+    scored = (
+        ranks.select(
+            "event_type",
+            "bin",
+            "rk",
+            "n",
+            # per-quantile fan-out as a generator, not a join: 3 literal
+            # rows per grid cell, no BroadcastNestedLoopJoin
+            F.explode(
+                F.array(*[F.lit(int(q)).cast("long") for q in DPQ_QS])
+            ).alias("qt"),
+        )
+        .withColumn("target", F.expr("qt * n div 100"))
+        .withColumn(
+            "w",
+            F.element_at(
+                warr,
+                (
+                    F.least(
+                        F.abs(F.col("rk") - F.col("target")), F.lit(DPQ_DCAP)
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+        )
+    )
+    wq = W.partitionBy("event_type", "qt").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wqa = W.partitionBy("event_type", "qt")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("dpq1:"),
+                    F.col("qt").cast("string"),
+                    F.lit(":"),
+                    F.col("event_type"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cw = (
+        scored.withColumn("cumw", F.sum("w").over(wq))
+        .withColumn("totw", F.sum("w").over(wqa))
+        .withColumn("u", u)
+    )
+    sel = (
+        cw.filter(F.col("cumw") > F.col("u") % F.col("totw"))
+        .groupBy("event_type", "qt")
+        .agg(
+            F.min("bin").alias("sel_bin"),
+            F.max("n").alias("n"),
+            F.max("target").alias("target"),
+        )
+    )
+    return sel.filter(F.col("n") > 0).select(
+        "event_type",
+        F.col("qt").cast("long").alias("quantile_pct"),
+        F.col("n").cast("long").alias("n_bounded"),
+        F.col("target").cast("long").alias("target_rank"),
+        F.col("sel_bin").cast("long").alias("sel_bin"),
+        ((F.col("sel_bin") + 1) * DPQ_BINW).cast("double").alias("released_value"),
+        F.lit(DPQ_EPS_E6).cast("long").alias("epsilon_e6"),
+    )
