@@ -125,6 +125,7 @@ HEADLINE = [
     "q_dedup_decontaminate",
     "q_text_pii_redact",
     "q_pipeline_sequence_pack",
+    "q_pipeline_pack_bfd",
     # round 6b: BM25 retrieval, semantic dedup, kNN graph, cross-source
     # overlap matrix
     "q_text_bm25_topk",

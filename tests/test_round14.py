@@ -135,3 +135,80 @@ def test_dp_quantile_replays_exponential_mechanism(tmp_path, spark):
             key=lambda b: abs(sum(counts[: b + 1]) - target),
         )
         assert ws[exact] == max(ws)
+
+
+def _naive_bfd(lengths, budget):
+    """Independent item-by-item best-fit-decreasing: each item into the
+    tightest bin that fits, new bin otherwise. Returns (n_bins, sorted
+    residuals) — the ground truth the histogram bulk-drill fold must
+    reproduce."""
+    bins = []
+    for ln in sorted(lengths, reverse=True):
+        feas = [i for i, r in enumerate(bins) if r >= ln]
+        if feas:
+            best = min(feas, key=lambda i: bins[i])
+            bins[best] -= ln
+        else:
+            bins.append(budget - ln)
+    return len(bins), sorted(bins)
+
+
+def test_bfd_fold_matches_item_by_item_simulation():
+    """The bulk-drill histogram fold must equal naive per-item BFD on
+    bin count AND the full residual multiset — across a hand case and
+    a deterministic pseudo-random stress mix."""
+    from collections import Counter
+
+    from utxo_to_parquet_spark.operators.pipeline import (
+        PACK_BUDGET,
+        _bfd_fold,
+    )
+
+    def run(lengths):
+        hist = sorted(Counter(lengths).items(), key=lambda t: -t[0])
+        nbins, R = _bfd_fold(hist)
+        want_n, want_res = _naive_bfd(lengths, PACK_BUDGET)
+        got_res = sorted(
+            r for r, cnt in enumerate(R) for _ in range(cnt)
+        )
+        assert (nbins, got_res) == (want_n, want_res), lengths[:10]
+
+    run([300, 300, 212, 212, 100, 100])
+    # deterministic stress mix: drilling, partial remainders, singletons
+    lengths = [((i * i * 37) % 509) + 1 for i in range(400)]
+    run(lengths)
+    run([512] * 5 + [1] * 513 + [256, 255, 257])
+
+
+def test_pack_bfd_hits_chunk_lower_bound_on_constructed_corpus(
+    tmp_path, spark
+):
+    """Lengths 2x{300, 212, 100} at budget 512: BFD packs 300+212
+    twice and 100+100 once — exactly ceil(total/512) = 3 bins, the
+    chunk packer's lower bound, while pad-to-budget needs 6. Pins
+    n_bins, both efficiency columns, and the residual fingerprint."""
+    import hashlib
+
+    from utxo_to_parquet_spark.operators.pipeline import (
+        PACK_BUDGET,
+        _bfd_fold,
+        q_pipeline_pack_bfd,
+    )
+
+    def doc(i, n):
+        return (i, " ".join(f"w{k}" for k in range(n)), "en", "web", n * 3)
+
+    rows = [doc(1, 300), doc(2, 300), doc(3, 212), doc(4, 212),
+            doc(5, 100), doc(6, 100)]
+    _write_docs(tmp_path, rows)
+    out = q_pipeline_pack_bfd(spark, str(tmp_path)).collect()
+    assert {(r.length, r.n_docs) for r in out} == {(300, 2), (212, 2), (100, 2)}
+    r = out[0]
+    total = 1224
+    assert r.n_bins_bfd == 3 and r.n_bins_chunk == 3
+    assert r.eff_bfd_e6 == total * 1_000_000 // (3 * PACK_BUDGET)
+    assert r.eff_pad_e6 == total * 1_000_000 // (6 * PACK_BUDGET)
+    assert r.eff_bfd_e6 > r.eff_pad_e6
+    _, R = _bfd_fold([(300, 2), (212, 2), (100, 2)])
+    sig = hashlib.md5(",".join(str(x) for x in R).encode()).hexdigest()
+    assert r.residual_sig == sig

@@ -299,6 +299,7 @@ OPS = {
     "q_mm_phash_dedup": "documents",
     "q_text_contamination_ngram": "documents",
     "q_pipeline_sequence_pack": "documents",
+    "q_pipeline_pack_bfd": "documents",
     "q_events_scd2": "events",
     "q_window_rolling_median": "graph",
     # round-9 new ops

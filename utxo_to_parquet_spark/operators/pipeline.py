@@ -252,6 +252,193 @@ def q_pipeline_sequence_pack(spark, sf_dir):
     )
 
 
+# --- best-fit-decreasing sequence packing ------------------------------------
+#
+# The bin-packing upgrade of the concatenate-then-chunk packer above
+# (Krell et al. 2021, "Efficient Sequence Packing without
+# Cross-contamination"): variable-length documents are packed WHOLE
+# into {PACK_BUDGET}-token bins — no document ever straddles a
+# sequence boundary, the attention-contamination hazard chunk packing
+# accepts — at the price of per-bin padding, which best-fit-decreasing
+# drives near zero. The algorithm runs at LENGTH-HISTOGRAM granularity
+# (same-length docs are interchangeable; Krell et al. pack histograms
+# for exactly this reason), and because a bin's identity is fully
+# captured by its residual capacity, the whole BFD state is a BOUNDED
+# residual histogram (PACK_BUDGET + 1 counters) — corpus-independent.
+# Item-by-item best-fit over identical items "drills" one tightest bin
+# from residual r down to r mod L before touching the next, so the
+# fold advances in bulk steps (drill floor(c/j) bins fully, j = r//L
+# items each, one partial remainder) — each step either exhausts the
+# current length class or retires a residual class, so total steps are
+# O(distinct lengths + residual classes), never O(docs).
+
+
+def _bfd_fold(hist: list[tuple[int, int]]) -> tuple[int, list[int]]:
+    """Exact best-fit-decreasing over a (length, count) histogram
+    sorted by length DESC. Returns (n_bins, final residual histogram).
+    Pure integer arithmetic; the oracle replays the identical step
+    sequence as a recursive CTE."""
+    B = PACK_BUDGET
+    R = [0] * (B + 1)
+    nbins = 0
+    for L, cnt in hist:
+        c = cnt
+        while c > 0:
+            rr = next((r for r in range(L, B + 1) if R[r] > 0), None)
+            if rr is not None:
+                j = rr // L
+                full = min(R[rr], c // j)
+                if full > 0:
+                    R[rr] -= full
+                    R[rr - j * L] += full
+                    c -= full * j
+                else:  # c < j: one partially-drilled bin ends the class
+                    R[rr] -= 1
+                    R[rr - c * L] += 1
+                    c = 0
+            else:
+                j = B // L
+                full = c // j
+                if full > 0:
+                    nbins += full
+                    R[B - j * L] += full
+                    c -= full * j
+                else:
+                    nbins += 1
+                    R[B - c * L] += 1
+                    c = 0
+    return nbins, R
+
+
+def _bfd_oracle() -> str:
+    B = PACK_BUDGET
+    return f"""
+    WITH RECURSIVE hist AS (
+      SELECT len, cnt, ROW_NUMBER() OVER (ORDER BY len DESC) AS i
+      FROM (
+        SELECT LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT), {B})
+                 AS len,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1
+      )
+    ),
+    nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hist),
+    state(stp, idx, c, nbins, R) AS (
+      SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+             (SELECT cnt FROM hist WHERE i = 1), CAST(0 AS BIGINT),
+             list_transform(range(0, {B + 1}), x -> CAST(0 AS BIGINT))
+      UNION ALL
+      SELECT s.stp + 1,
+             CASE WHEN s.c = 0 THEN s.idx + 1 ELSE s.idx END,
+             CASE WHEN s.c = 0 THEN (SELECT cnt FROM hist WHERE i = s.idx + 1)
+                  ELSE s.c - t.dc END,
+             s.nbins + CASE WHEN s.c > 0 AND t.rr IS NULL THEN t.m
+                            ELSE 0 END,
+             CASE WHEN s.c = 0 THEN s.R
+                  ELSE list_transform(range(0, {B + 1}), x ->
+                    s.R[CAST(x + 1 AS BIGINT)]
+                    + CASE WHEN t.rr IS NOT NULL AND x = t.rr
+                           THEN -t.m ELSE 0 END
+                    + CASE WHEN x = t.dst THEN t.m ELSE 0 END) END
+      FROM state s,
+      LATERAL (SELECT COALESCE(
+                 (SELECT len FROM hist WHERE i = s.idx), 1) AS L) t0,
+      LATERAL (SELECT list_min(list_filter(range(t0.L, {B + 1}),
+                 x -> s.R[CAST(x + 1 AS BIGINT)] > 0)) AS rr) t1,
+      LATERAL (SELECT COALESCE(t1.rr, {B}) AS be,
+                      COALESCE(t1.rr, {B}) // t0.L AS j) t2,
+      LATERAL (SELECT CASE WHEN t1.rr IS NOT NULL
+                           THEN LEAST(s.R[CAST(t1.rr + 1 AS BIGINT)],
+                                      s.c // t2.j)
+                           ELSE s.c // t2.j END AS fl) t3,
+      LATERAL (
+        SELECT t1.rr AS rr,
+               CASE WHEN t3.fl > 0 THEN t3.fl ELSE CAST(1 AS BIGINT) END AS m,
+               CASE WHEN t3.fl > 0 THEN t3.fl * t2.j ELSE s.c END AS dc,
+               CASE WHEN t3.fl > 0 THEN t2.be - t2.j * t0.L
+                    ELSE t2.be - s.c * t0.L END AS dst
+      ) t
+      WHERE NOT (s.c = 0 AND s.idx >= (SELECT n FROM nl))
+    ),
+    fin AS (SELECT * FROM state ORDER BY stp DESC LIMIT 1),
+    tot AS (
+      SELECT CAST(SUM(len * cnt) AS BIGINT) AS total,
+             CAST(SUM(cnt) AS BIGINT) AS ndocs
+      FROM hist
+    )
+    SELECT h.len AS length, h.cnt AS n_docs,
+           CAST(h.len * h.cnt AS BIGINT) AS class_tokens,
+           (SELECT nbins FROM fin) AS n_bins_bfd,
+           CAST((SELECT total FROM tot) * 1000000
+                // ((SELECT nbins FROM fin) * {B}) AS BIGINT) AS eff_bfd_e6,
+           CAST(((SELECT total FROM tot) + {B} - 1) // {B} AS BIGINT)
+             AS n_bins_chunk,
+           CAST((SELECT total FROM tot) * 1000000
+                // ((SELECT ndocs FROM tot) * {B}) AS BIGINT) AS eff_pad_e6,
+           (SELECT md5(array_to_string(R, ',')) FROM fin) AS residual_sig
+    FROM hist h
+    """
+
+
+@register("q_pipeline_pack_bfd", oracle=_bfd_oracle())
+def q_pipeline_pack_bfd(spark, sf_dir):
+    """BEST-FIT-DECREASING sequence packing (Krell et al. 2021): pack
+    whole documents into {PACK_BUDGET}-token training sequences with
+    no cross-boundary contamination, lengths processed largest-first,
+    each item into the tightest bin that fits. Output is the packing
+    manifest: one row per length class plus the global contract
+    columns — BFD bin count and e6 efficiency, the chunk packer's
+    ceil(total/{PACK_BUDGET}) lower bound (zero padding, but splits
+    documents), the pad-to-budget upper bound (one doc per sequence),
+    and an md5 fingerprint of the final residual histogram pinning the
+    entire packing trajectory.
+
+    Scale shape: the corpus is touched once by a map-side-combinable
+    (length -> count) aggregate; the BFD fold then runs on the BOUNDED
+    length histogram (<= {PACK_BUDGET} classes, a constant driver pull
+    like the k-means codebooks) over a bounded residual-histogram
+    state, in bulk steps that are O(classes), never O(docs) — see the
+    section comment. The oracle replays the identical fold as a
+    single-row recursive CTE."""
+    docs = load(spark, sf_dir, "documents")
+    hist = (
+        docs.select(
+            F.least(
+                F.size(F.split("text", " ")).cast("long"), F.lit(PACK_BUDGET)
+            ).alias("len")
+        )
+        .groupBy("len")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # bounded driver pull: at most PACK_BUDGET distinct length classes
+    rows = sorted(
+        ((int(r.len), int(r.cnt)) for r in hist.collect()),
+        key=lambda t: -t[0],
+    )
+    nbins, R = _bfd_fold(rows)
+    total = sum(length * cnt for length, cnt in rows)
+    ndocs = sum(cnt for _, cnt in rows)
+    import hashlib
+
+    res_sig = hashlib.md5(",".join(str(x) for x in R).encode()).hexdigest()
+    return hist.select(
+        F.col("len").alias("length"),
+        F.col("cnt").alias("n_docs"),
+        (F.col("len") * F.col("cnt")).cast("long").alias("class_tokens"),
+        F.lit(nbins).cast("long").alias("n_bins_bfd"),
+        F.lit(total * 1_000_000 // (nbins * PACK_BUDGET))
+        .cast("long")
+        .alias("eff_bfd_e6"),
+        F.lit((total + PACK_BUDGET - 1) // PACK_BUDGET)
+        .cast("long")
+        .alias("n_bins_chunk"),
+        F.lit(total * 1_000_000 // (ndocs * PACK_BUDGET))
+        .cast("long")
+        .alias("eff_pad_e6"),
+        F.lit(res_sig).alias("residual_sig"),
+    )
+
+
 @register(
     "q_pipeline_dataset_card",
     oracle="""
