@@ -203,6 +203,13 @@ def sweep(spark, sim, sf_dir: str, n_labels: int) -> dict:
         "recall_post_filter_topk": round(frecall(post), 4),
     }
     print(f"filtered ANN: {json.dumps(filtered_cell)}", flush=True)
+    # round 14: the streaming graph-ANN INSERT cell — beam search over
+    # (base graph + HNSW-inserted delta edges) vs the full rebuild, both
+    # against the exact ground truth. Insert-based graphs approximate
+    # the rebuild (the documented HNSW trade); this cell records how
+    # much recall the no-rebuild path actually gives up.
+    stream_cell = stream_gann_cell(spark, sim, sf_dir, recall_of(unfiltered))
+    print(f"stream gann: {json.dumps(stream_cell)}", flush=True)
     return {
         "n_queries": n_q,
         "curves": curves,
@@ -210,6 +217,112 @@ def sweep(spark, sim, sf_dir: str, n_labels: int) -> dict:
         "graph_beam_sweep": graph_curve,
         "bq_rerank_sweep": bq_curve,
         "filtered_search": filtered_cell,
+        "stream_gann_insert": stream_cell,
+    }
+
+
+def stream_gann_cell(spark, sim, sf_dir: str, rebuild_recall: float) -> dict:
+    """Recall of the NO-REBUILD index: base graph over vec_id %
+    GANN_MOD != 0 plus the batch-applied HNSW insert edges for the
+    delta (identical to the streamed edges by q_stream_gann_insert's
+    own gate), searched with the standard ledger beam search against
+    the FULL corpus ground truth."""
+    from pyspark.sql import Window as W2
+    from pyspark.sql import functions as F
+
+    from utxo_to_parquet_spark.operators.registry import load
+    from utxo_to_parquet_spark.streaming.windows import (
+        GANN_MOD,
+        _gann_base,
+        _gann_insert_edges,
+    )
+
+    truth = topk_sets(sim.q_sim_cosine_topk(spark, sf_dir).collect())
+    uedges, w_base, l1_ids = _gann_base(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    delta = emb.filter(F.col("vec_id") % GANN_MOD == 0).select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("qe"),
+        sim._norm(F.col("embedding")).alias("qn"),
+    )
+    ins = _gann_insert_edges(delta, uedges, w_base, l1_ids).select("src", "dst")
+    n_ins = ins.count()
+    merged = (
+        uedges.unionByName(ins)
+        .unionByName(
+            ins.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # full-corpus scored table; entry layer stays the BASE routing ids
+    # (an appending index does not re-sample its upper layer per commit)
+    w_full = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("e"),
+        sim._norm(F.col("embedding")).alias("nrm"),
+    )
+    qv = sim._query_vectors(emb).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        sim._norm(F.col("embedding")).alias("qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qe"), F.col("e"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wnd = W2.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+
+    def score(cand):
+        return (
+            cand.join(F.broadcast(qv), "q_id")
+            .join(w_full, "c_id")
+            .select(
+                "q_id", "c_id",
+                F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
+            )
+        )
+
+    ledger = score(
+        qv.select("q_id").crossJoin(
+            F.broadcast(l1_ids.withColumnRenamed("c_id", "c_id"))
+        )
+    ).localCheckpoint(eager=True)
+    width = sim.GS_ENTRIES
+    for _ in range(sim.GS_STEPS):
+        frontier = (
+            ledger.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") <= width)
+            .select("q_id", "c_id")
+        )
+        new = (
+            frontier.select("q_id", F.col("c_id").alias("src"))
+            .join(merged, "src")
+            .select("q_id", F.col("dst").alias("c_id"))
+            .distinct()
+            .join(ledger.select("q_id", "c_id"), ["q_id", "c_id"], "left_anti")
+        )
+        ledger = ledger.unionByName(score(new)).localCheckpoint(eager=True)
+        width = sim.GS_BEAM
+    rows = (
+        ledger.filter(F.col("c_id") != F.col("q_id"))
+        .withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= sim.TOP_K)
+        .collect()
+    )
+    approx = topk_sets(rows)
+    rec = sum(
+        len(approx.get(q, set()) & ids) / len(ids) for q, ids in truth.items()
+    ) / len(truth)
+    return {
+        "delta_mod": GANN_MOD,
+        "edges_inserted": n_ins,
+        "recall_delta_index": round(rec, 4),
+        "recall_rebuild": round(rebuild_recall, 4),
     }
 
 

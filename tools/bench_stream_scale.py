@@ -82,6 +82,11 @@ OPS = {
     # from the merged postings must equal the batch ranking (the op
     # recomputes matches_batch per row)
     "q_stream_bm25_delta": "documents",
+    # round 14: graph-ANN insert maintenance — per-commit state is the
+    # arriving delta's own edge rows (GANN_INS_M per vector); the
+    # streamed edge set must equal the batch application of the insert
+    # rule rank-for-rank (the op recomputes matches_batch per row)
+    "q_stream_gann_insert": "embeddings",
 }
 
 
