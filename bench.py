@@ -46,6 +46,7 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_dedup_embedding_lsh",
     "q_sim_cosine_topk",
+    "q_sim_knn_classify",
     "q_sim_ivf_topk",
     "q_range_join",
     "q_agg_percentiles",
@@ -106,6 +107,7 @@ HEADLINE = [
     "q_graph_betweenness",
     "q_events_dp_release",
     "q_events_dp_quantile",
+    "q_events_dp_sum",
     "q_graph_wl_refinement",
     "q_text_phrase_search",
     "q_quality_nb_isotonic",

@@ -212,3 +212,199 @@ def test_pack_bfd_hits_chunk_lower_bound_on_constructed_corpus(
     _, R = _bfd_fold([(300, 2), (212, 2), (100, 2)])
     sig = hashlib.md5(",".join(str(x) for x in R).encode()).hexdigest()
     assert r.residual_sig == sig
+
+
+def test_mc02_ibbp_open_gop_coded_order_and_reorder():
+    """The round-14 GOP patterns: bframes=2 + gop=6 on a 7-frame
+    display sequence must code I P B B I B B (each reference before
+    the B-pair citing it, the mid-stream I opening a new GOP),
+    keyframe-flag exactly the two JFIF payloads, decode back to
+    display order bit-exactly, and predict the leading B-pair of the
+    open GOP from the PREVIOUS GOP's reference (frame 4 == frame 3,
+    so its B payload is pure skip bits — a decoder that wrongly used
+    the new I as the forward reference would composite the moved
+    sprite)."""
+    import struct
+
+    import numpy as np
+
+    from utxo_to_parquet_spark.kernels.video import (
+        decode_avi_mc_b,
+        encode_avi_mc_b,
+    )
+
+    h, w, bg, sv, sy = 32, 64, 30, 100, 8
+    frames = []
+    for f in range(7):
+        sx = 8 * ((f + 1) // 3)          # 0 0 8 8 8 16 16
+        c = np.full((h, w), bg, np.uint8)
+        c[sy : sy + 16, sx : sx + 16] = sv
+        frames.append(c)
+    blob = encode_avi_mc_b(frames, fps=10, bframes=2, gop=6)
+
+    # walk the movi chunks: coded order + per-payload tags
+    movi = blob.index(b"movi")
+    off = movi + 4
+    tags, sizes = [], []
+    while off + 8 <= len(blob) and blob[off : off + 4] == b"00dc":
+        (csize,) = struct.unpack_from("<I", blob, off + 4)
+        p = blob[off + 8 : off + 8 + csize]
+        tags.append("I" if p[:2] == b"\xff\xd8" else p[:1].decode())
+        sizes.append(csize)
+        off += 8 + csize + (csize % 2)
+    assert tags == ["I", "P", "B", "B", "I", "B", "B"]
+
+    # keyframe flags: exactly the two I payloads
+    idx = blob.index(b"idx1")
+    (isize,) = struct.unpack_from("<I", blob, idx + 4)
+    flags = [
+        struct.unpack_from("<III", blob, idx + 8 + 16 * i + 4)[0]
+        for i in range(isize // 16)
+    ]
+    assert [f == 0x10 for f in flags] == [
+        t == "I" for t in tags
+    ]
+
+    # the open-GOP leading B for display frame 4 (== frame 3): pure
+    # skip bits against the PREVIOUS GOP's reference -> 8 macroblocks
+    # x 1 skip bit = 1 byte payload (plus the 'B' tag)
+    assert sizes[5] == 2
+
+    dfps, dec = decode_avi_mc_b(blob)
+    assert dfps == 10 and len(dec) == 7
+    for a, b in zip(frames, dec):
+        assert (a == b).all()
+
+
+def test_mc02_bframes_validation():
+    import numpy as np
+    import pytest
+
+    from utxo_to_parquet_spark.kernels.video import encode_avi_mc_b
+
+    f = [np.zeros((16, 16), np.uint8)] * 3
+    with pytest.raises(ValueError, match="bframes"):
+        encode_avi_mc_b(f, bframes=0)
+
+
+def test_dp_sum_clamps_values_and_replays_two_level_noise(tmp_path, spark):
+    """DP sum pins: value clamping to [0, DPS_CVAL] (an outlier 1e6
+    contributes exactly DPS_CVAL, a negative value contributes 0),
+    contribution caps carry over from the count release, and the noise
+    replays from the two seeded uniforms against the two-level
+    threshold tables."""
+    import datetime as dt
+    import hashlib
+
+    from utxo_to_parquet_spark.operators.events import (
+        DP_C,
+        DPS_CVAL,
+        DPS_K,
+        DPS_TQ,
+        DPS_TR,
+        q_events_dp_sum,
+    )
+
+    base = pq.read_schema(f"{SF_DIR}/events.parquet")
+    t0 = dt.datetime(2025, 3, 1)
+    rows, eid = [], 0
+
+    def ev(user, etype, value):
+        nonlocal eid
+        eid += 1
+        rows.append(dict(event_id=eid, ts=t0, user_id=user,
+                         event_type=etype, value=float(value), props="{}"))
+
+    ev(1, "m", 1_000_000.0)   # clamped to DPS_CVAL
+    ev(1, "m", -5.0)          # clamped to 0
+    ev(1, "m", 99.7)          # floors to 99
+    for _ in range(50):
+        ev(2, "m", 10.0)      # power user: only DP_C survive
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "events.parquet"),
+    )
+
+    out = {r.event_type: r for r in q_events_dp_sum(spark, str(tmp_path)).collect()}
+    r = out["m"]
+    assert r.n_bounded == 3 + DP_C
+    assert r.sum_bounded == DPS_CVAL + 0 + 99 + DP_C * 10
+
+    h1 = hashlib.md5(b"dps1:m").hexdigest()
+    h2 = hashlib.md5(b"dps2:m").hexdigest()
+    u1, u2 = int(h1[:12], 16), int(h2[:12], 16)
+    sgn = -1 if h1[12] in "13579bdf" else 1
+    mag = DPS_K * sum(1 for t in DPS_TQ if u1 < t) + sum(
+        1 for t in DPS_TR if u2 < t
+    )
+    assert r.noise == sgn * mag
+    assert r.released_sum == max(0, r.sum_bounded + r.noise)
+
+
+def test_dps_decomposition_matches_geometric_law():
+    """The two-level tables must realize the SAME law as a direct
+    single-table geometric: P(X >= K*q) from the coarse table equals
+    alpha^(K*q) to within 1/M per step, and the fine table's truncated
+    tail matches (a^r - a^K)/(1 - a^K)."""
+    import math
+
+    from utxo_to_parquet_spark.operators.events import (
+        DP_EPS_E6,
+        DP_M,
+        DPS_K,
+        DPS_SENS,
+        DPS_TQ,
+        DPS_TR,
+    )
+
+    a = math.exp(-(DP_EPS_E6 / 1_000_000.0) / DPS_SENS)
+    ak = a**DPS_K
+    for q in (1, 2, 5, len(DPS_TQ)):
+        assert DPS_TQ[q - 1] == math.floor(DP_M * ak**q)
+    for r in (1, 2, 100, len(DPS_TR)):
+        want = math.floor(DP_M * (a**r - ak) / (1.0 - ak))
+        assert DPS_TR[r - 1] == want
+
+
+def test_knn_classify_clustered_pins_and_tie_break(tmp_path, spark):
+    """Two well-separated clusters classify correctly (9-of-10 votes
+    from the query's own cluster); a query whose 10 nearest are an
+    exact 5/5 label split must break the tie to the SMALLER label."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.operators.similarity import (
+        KNNC_K,
+        q_sim_knn_classify,
+    )
+
+    base = pq.read_schema(f"{SF_DIR}/embeddings.parquet")
+    rows = []
+
+    def vec(vid, label, v):
+        rows.append(dict(vec_id=vid, embedding=[float(x) for x in v],
+                         label=label))
+
+    a, b, c = [1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]
+    vec(0, 0, a)                       # query in cluster A
+    for i in range(1, 10):             # 9 A-candidates
+        vec(i, 0, [1, 0.01 * i, 0, 0])
+    vec(10, 1, b)                      # query in cluster B
+    for i in range(11, 20):            # 9 B-candidates
+        vec(i, 1, [0.01 * (i - 10), 1, 0, 0])
+    vec(20, 0, c)                      # tie-break query
+    for i in range(21, 26):            # 5 identical label-0 candidates
+        vec(i, 0, c)
+    for i in (26, 27, 28, 29, 31):     # 5 identical label-1 candidates
+        vec(i, 1, c)
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+    out = {r.q_id: r for r in q_sim_knn_classify(spark, str(tmp_path)).collect()}
+    assert out[0].pred_label == 0 and out[0].correct
+    assert out[0].votes == 9 and out[0].k == KNNC_K
+    assert out[10].pred_label == 1 and out[10].correct
+    assert out[10].votes == 9
+    # exact 5/5 split -> smallest label wins
+    assert out[20].pred_label == 0 and out[20].votes == 5

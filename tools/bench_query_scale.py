@@ -85,6 +85,7 @@ OPS = {
     "q_graph_bfs": "graph",
     # embeddings-shaped: ANN scan/posting-list growth
     "q_sim_cosine_topk": "embeddings",
+    "q_sim_knn_classify": "embeddings",
     "q_sim_ivf_topk": "embeddings",
     # round 6: retrieval + cross-source diagnostics, and the two
     # blocked-quadratic embedding ops. Round 10: both now scale their
@@ -288,6 +289,7 @@ OPS = {
     "q_graph_betweenness": "graph",
     "q_events_dp_release": "events",
     "q_events_dp_quantile": "events",
+    "q_events_dp_sum": "events",
     "q_graph_wl_refinement": "graph",
     "q_text_phrase_search": "documents",
     "q_quality_nb_isotonic": "documents",

@@ -1301,19 +1301,31 @@ def _mc_decode_bframe(fwd: "np.ndarray", bwd: "np.ndarray",
 
 
 def encode_avi_mc_b(frames: list, fps: int = 25, *,
-                    search: int = MC_SEARCH) -> bytes:
+                    search: int = MC_SEARCH, bframes: int = 1,
+                    gop: int = 0) -> bytes:
     """List of (h, w) uint8 gray frames in DISPLAY order (dims
-    multiples of 16) -> "MC02" AVI with the I B P B P ... closed-GOP
-    pattern: frame 0 I, even display indices P, odd display indices B
-    — except the last frame, always coded as a reference. movi chunks
-    are written in CODED order (each reference precedes the B-frames
-    that cite it); only the I-frame gets AVIIF_KEYFRAME."""
+    multiples of 16) -> "MC02" AVI. ``bframes`` consecutive B-pictures
+    sit between references (1 -> I B P B P, the MPEG baseline; 2 ->
+    I B B P B B P, the IBBP pattern broadcast streams use — two
+    B-frames share one (past, future) reference pair, stressing the
+    two-slot reorder buffer). The last frame is always coded as a
+    reference (closed trailing edge: a final B would dangle).
+    ``gop`` > 0 codes every ``gop``-th display frame (where it falls
+    on a reference slot) as a fresh I-picture — and because the
+    B-frames displayed BEFORE that I still
+    predict forward from the PREVIOUS GOP's last reference (and
+    backward from the new I), the cut is an OPEN GOP, the leading-B
+    property of every real MPEG stream. movi chunks are written in
+    CODED order (each reference precedes the B-frames that cite it);
+    every I-frame gets AVIIF_KEYFRAME."""
     from .image import decode_jpeg, encode_jpeg
 
     if not frames:
         raise ValueError("MC02 AVI needs at least one frame")
     if fps < 1:
         raise ValueError(f"fps must be >= 1, got {fps}")
+    if bframes < 1:
+        raise ValueError(f"bframes must be >= 1, got {bframes}")
     shape = frames[0].shape
     if any(f.shape != shape or f.ndim != 2 for f in frames):
         raise ValueError("all frames must be 8-bit gray with one shape")
@@ -1325,7 +1337,12 @@ def encode_avi_mc_b(frames: list, fps: int = 25, *,
         )
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
     n = len(frames)
-    is_ref = [i == 0 or i % 2 == 0 or i == n - 1 for i in range(n)]
+    step = bframes + 1
+    is_ref = [i % step == 0 or i == n - 1 for i in range(n)]
+    is_intra = [
+        r and (i == 0 or (gop > 0 and i % gop == 0))
+        for i, r in enumerate(is_ref)
+    ]
     payloads: list[bytes] = []
     keyflags: list[bool] = []
     prev_ref = None  # decoded reconstruction of the previous reference
@@ -1333,8 +1350,8 @@ def encode_avi_mc_b(frames: list, fps: int = 25, *,
     for i in range(n):
         if not is_ref[i]:
             continue
-        if i == 0:
-            data = encode_jpeg(frames[0])
+        if is_intra[i]:
+            data = encode_jpeg(frames[i])
             _, _, px = decode_jpeg(data)
             recon = px.astype(np.uint8)
             payloads.append(data)
@@ -1343,13 +1360,16 @@ def encode_avi_mc_b(frames: list, fps: int = 25, *,
             data, recon = _mc_encode_pframe(prev_ref, frames[i], search)
             payloads.append(b"P" + data)
             keyflags.append(False)
-            # the B-frames BETWEEN the two references, coded after both
-            for j in range(prev_ref_idx + 1, i):
-                payloads.append(
-                    b"B" + _mc_encode_bframe(prev_ref, recon,
-                                             frames[j], search)
-                )
-                keyflags.append(False)
+        # the B-frames BETWEEN the two references, coded after both —
+        # when the new reference is a mid-stream I, these are the
+        # leading B-pictures of an open GOP (forward ref = previous
+        # GOP's last reference, backward ref = the new I)
+        for j in range(prev_ref_idx + 1, i):
+            payloads.append(
+                b"B" + _mc_encode_bframe(prev_ref, recon,
+                                         frames[j], search)
+            )
+            keyflags.append(False)
         prev_ref, prev_ref_idx = recon, i
     avih = struct.pack(
         "<IIIIIIIIII4I",

@@ -4996,3 +4996,172 @@ def q_events_dp_quantile(spark, sf_dir):
         ((F.col("sel_bin") + 1) * DPQ_BINW).cast("double").alias("released_value"),
         F.lit(DPQ_EPS_E6).cast("long").alias("epsilon_e6"),
     )
+
+
+# --- differentially-private sum release --------------------------------------
+#
+# The third member of the DP release family (counts -> quantiles ->
+# SUMS; Wilson et al. 2020 §4: bounded-contribution aggregations).
+# Values are clamped to the integer grid [0, DPS_CVAL] (FLOOR of the
+# raw double — exact in both engines) under the same contribution
+# bounds as the count release, so the released sum vector's L1
+# sensitivity is the constant DP_T * DP_C * DPS_CVAL. At that scale
+# the geometric noise magnitude ranges to ~sens/eps * ln M — far too
+# many inverse-CDF thresholds for one literal table — so the draw uses
+# the exact TWO-LEVEL DECOMPOSITION of the geometric law: if
+# X ~ Geom(alpha) and K divides the range, X = K*Q + R with
+# Q ~ Geom(alpha^K) and R an independent truncated geometric on
+# [0, K) (the factorization (1-a)a^(Kq+r) =
+# [(1-a^K)(a^K)^q] * [(1-a)a^r / (1-a^K)]). Each factor gets its own
+# bounded threshold table and its own seeded md5 uniform — the
+# cross-engine path stays pure int64 comparison.
+
+DPS_CVAL = 512                      # per-value clamp (integer grid)
+DPS_SENS = DP_T * DP_C * DPS_CVAL   # L1 sensitivity of the sum vector
+DPS_K = 512                         # decomposition modulus
+
+
+def _dps_thresholds() -> tuple[list[int], list[int]]:
+    """(coarse, fine) inverse-CDF threshold tables for the two-level
+    geometric draw; integer literals shared verbatim by both engines
+    (float pow only generates the shared constants — see
+    _dp_thresholds)."""
+    a = math.exp(-(DP_EPS_E6 / 1_000_000.0) / DPS_SENS)
+    ak = a**DPS_K
+    coarse, q = [], 1
+    while True:
+        t = math.floor(DP_M * ak**q)
+        if t < 1:
+            break
+        coarse.append(t)
+        q += 1
+    fine = []
+    for r in range(1, DPS_K):
+        t = math.floor(DP_M * (a**r - ak) / (1.0 - ak))
+        if t < 1:
+            break
+        fine.append(t)
+    return coarse, fine
+
+
+DPS_TQ, DPS_TR = _dps_thresholds()
+
+
+def _dps_oracle() -> str:
+    return f"""
+    WITH typed AS (
+      SELECT event_type, user_id, event_id, value,
+             DENSE_RANK() OVER (
+               PARTITION BY user_id ORDER BY event_type
+             ) AS trk
+      FROM events
+    ),
+    capped AS (
+      SELECT event_type,
+             LEAST({DPS_CVAL}, GREATEST(0,
+               CAST(FLOOR(value) AS BIGINT))) AS vi
+      FROM (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, event_type ORDER BY event_id
+               ) AS rn
+        FROM typed WHERE trk <= {DP_T}
+      ) WHERE rn <= {DP_C}
+    ),
+    sums AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bounded,
+             CAST(SUM(vi) AS BIGINT) AS sum_bounded
+      FROM capped GROUP BY 1
+    ),
+    noised AS (
+      SELECT event_type, n_bounded, sum_bounded,
+             ('0x' || substr(md5('dps1:' || event_type), 1, 12))::BIGINT
+               AS u1,
+             ('0x' || substr(md5('dps2:' || event_type), 1, 12))::BIGINT
+               AS u2,
+             CASE WHEN substr(md5('dps1:' || event_type), 13, 1) IN
+                  ('1','3','5','7','9','b','d','f') THEN -1 ELSE 1 END
+               AS sgn
+      FROM sums
+    ),
+    mag AS (
+      SELECT *,
+             {DPS_K} * len(list_filter({list(DPS_TQ)}, t -> u1 < t))
+             + len(list_filter({list(DPS_TR)}, t -> u2 < t)) AS m
+      FROM noised
+    )
+    SELECT event_type, n_bounded, sum_bounded,
+           CAST(sgn * m AS BIGINT) AS noise,
+           CAST(GREATEST(0, sum_bounded + sgn * m) AS BIGINT)
+             AS released_sum,
+           CAST({DP_EPS_E6} AS BIGINT) AS epsilon_e6,
+           CAST({DPS_SENS} AS BIGINT) AS sensitivity
+    FROM mag
+    """
+
+
+@register("q_events_dp_sum", oracle=_dps_oracle())
+def q_events_dp_sum(spark, sf_dir):
+    """Differentially-private SUM release per event type — the third
+    member of the DP family: values clamped to the integer grid
+    [0, {DPS_CVAL}] (FLOOR of the double, exact in both engines) under
+    the count release's contribution bounds, so the sum vector's L1
+    sensitivity is the constant {DPS_SENS}. Geometric noise at that
+    scale is drawn by the exact two-level decomposition X = K*Q + R
+    (see the section comment) — two seeded md5 uniforms against two
+    precomputed integer threshold tables, pure int64 comparison on the
+    cross-engine path. ``n_bounded``/``sum_bounded`` are emitted for
+    the correctness gate and are NOT part of a real release.
+
+    Scale shape: identical to the count release — two user-partitioned
+    windows bound contributions, one map-side-combinable integer sum
+    per type, then a per-type projection for the noise."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type", "user_id", "event_id", "value"
+    )
+    wt = W.partitionBy("user_id").orderBy("event_type")
+    wc = W.partitionBy("user_id", "event_type").orderBy("event_id")
+    capped = (
+        ev.withColumn("trk", F.dense_rank().over(wt))
+        .filter(F.col("trk") <= DP_T)
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= DP_C)
+        .select(
+            "event_type",
+            F.least(
+                F.lit(DPS_CVAL),
+                F.greatest(F.lit(0), F.floor("value").cast("long")),
+            ).alias("vi"),
+        )
+    )
+    sums = capped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bounded"),
+        F.sum("vi").cast("long").alias("sum_bounded"),
+    )
+    h1 = "md5(concat('dps1:', event_type))"
+    u1 = f"cast(conv(substring({h1}, 1, 12), 16, 10) as bigint)"
+    u2 = (
+        "cast(conv(substring(md5(concat('dps2:', event_type)), 1, 12),"
+        " 16, 10) as bigint)"
+    )
+    tq = ", ".join(f"{t}L" for t in DPS_TQ)
+    tr = ", ".join(f"{t}L" for t in DPS_TR)
+    sgn = F.when(
+        F.expr(f"substring({h1}, 13, 1)").isin(*"13579bdf"), F.lit(-1)
+    ).otherwise(F.lit(1))
+    mag = F.expr(
+        f"{DPS_K}L * size(filter(array({tq}), t -> {u1} < t))"
+        f" + size(filter(array({tr}), t -> {u2} < t))"
+    ).cast("long")
+    noise = (sgn * mag).cast("long")
+    return sums.select(
+        "event_type",
+        "n_bounded",
+        "sum_bounded",
+        noise.alias("noise"),
+        F.greatest(F.lit(0), F.col("sum_bounded") + noise)
+        .cast("long")
+        .alias("released_sum"),
+        F.lit(DP_EPS_E6).cast("long").alias("epsilon_e6"),
+        F.lit(DPS_SENS).cast("long").alias("sensitivity"),
+    )

@@ -2510,9 +2510,13 @@ def q_mm_video_halfpel_stats(spark, sf_dir):
     ),
     frames AS (
       SELECT doc_id, w, h, bg, sy, CAST(u.fi AS BIGINT) AS frame_idx,
-             v0 + dh * (2 - ABS(u.fi - 2)) AS sv,
-             CAST(8 * u.fi AS BIGINT) AS sx
-      FROM geom, UNNEST([0, 1, 2, 3, 4]) AS u(fi)
+             CASE WHEN doc_id % 2 = 0
+                  THEN v0 + dh * (2 - ABS(u.fi - 2))
+                  ELSE v0 END AS sv,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 8 * u.fi
+                       ELSE 8 * ((u.fi + 1) // 3) END AS BIGINT) AS sx
+      FROM geom, UNNEST([0, 1, 2, 3, 4, 5, 6]) AS u(fi)
+      WHERE u.fi < CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 7 END
     ),
     px AS (
       SELECT *, array_to_string(LIST_TRANSFORM(RANGE(0, h), r ->
@@ -2549,8 +2553,20 @@ def q_mm_video_bframe_stats(spark, sf_dir):
     keeps the closed-loop reconstruction EXACT (swept over all 5000
     doc recipes before registration); the oracle replays each frame
     by string splicing. B payloads are pinned smaller than the P
-    equivalents in tests/test_round13b.py. One Arrow-batched
-    mapInPandas pass, per-partition, no shuffle."""
+    equivalents in tests/test_round13b.py.
+
+    ODD documents instead exercise the round-14 GOP patterns: a
+    7-frame display sequence coded I B B P B B I — bframes=2 (the
+    IBBP pattern of real broadcast streams: two consecutive
+    B-pictures sharing one (past, future) reference pair, the
+    two-slot reorder buffer under its actual stress) with a gop=6 cut
+    whose leading B-pictures predict forward across the cut from the
+    PREVIOUS GOP's reference and backward from the new I — an OPEN
+    GOP. The stepped sprite profile sx = 8*((f+1)//3) at constant
+    brightness keeps every prediction inside the +-8px search and
+    exact (skip where co-located, fwd/bwd MV where stepped), so the
+    hash gate stays bit-exact through both patterns. One
+    Arrow-batched mapInPandas pass, per-partition, no shuffle."""
     import hashlib as _hashlib
 
     import numpy as np
@@ -2573,14 +2589,22 @@ def q_mm_video_bframe_stats(spark, sf_dir):
                 dh = 1 + doc_id % 5
                 sy = 8 * (doc_id % 3)
                 frames = []
-                for f in range(5):
-                    sv = v0 + dh * (2 - abs(f - 2))
+                n_f = 5 if doc_id % 2 == 0 else 7
+                for f in range(n_f):
+                    if doc_id % 2 == 0:
+                        sv, sx = v0 + dh * (2 - abs(f - 2)), 8 * f
+                    else:  # IBBP/open-GOP recipe: stepped, constant sv
+                        sv, sx = v0, 8 * ((f + 1) // 3)
                     c = np.full((h, w), bg, np.uint8)
-                    c[sy : sy + 16, 8 * f : 8 * f + 16] = sv
+                    c[sy : sy + 16, sx : sx + 16] = sv
                     frames.append(c)
                 fps = 6 + doc_id % 4
-                dfps, dec = decode_avi_mc_b(encode_avi_mc_b(frames, fps=fps))
-                assert dfps == fps and len(dec) == 5, doc_id
+                if doc_id % 2 == 0:
+                    blob = encode_avi_mc_b(frames, fps=fps)
+                else:
+                    blob = encode_avi_mc_b(frames, fps=fps, bframes=2, gop=6)
+                dfps, dec = decode_avi_mc_b(blob)
+                assert dfps == fps and len(dec) == n_f, doc_id
                 for fi, px in enumerate(dec):
                     assert px.shape == (h, w), (doc_id, px.shape)
                     out["doc_id"].append(doc_id)

@@ -4216,3 +4216,134 @@ def q_sim_kcenter_coreset(spark, sf_dir):
     return spark.createDataFrame(
         out_rows, "step long, vec_id long, max_cos_r6 double"
     )
+
+
+# --- kNN classification (the labeling serving twin of the ANN family) --------
+
+KNNC_K = 10  # neighbors voting per query
+
+
+@register(
+    "q_sim_knn_classify",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(label AS BIGINT) AS q_label,
+             embedding::DOUBLE[] AS qe
+      FROM embeddings
+      WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID}
+    ),
+    c AS (
+      SELECT vec_id AS c_id, CAST(label AS BIGINT) AS c_label,
+             embedding::DOUBLE[] AS ce
+      FROM embeddings
+      WHERE NOT (vec_id % {QUERY_MOD} = 0 AND vec_id < {Q_MAX_ID})
+    ),
+    sims AS (
+      SELECT q_id, q_label, c_id, c_label,
+             ROUND(LIST_DOT_PRODUCT(qe, ce)
+                   / (SQRT(LIST_DOT_PRODUCT(qe, qe))
+                      * SQRT(LIST_DOT_PRODUCT(ce, ce))), 6) AS cosine
+      FROM q CROSS JOIN c
+    ),
+    topk AS (
+      SELECT q_id, q_label, c_label FROM (
+        SELECT q_id, q_label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, c_id) AS rn
+        FROM sims
+      ) WHERE rn <= {KNNC_K}
+    ),
+    votes AS (
+      SELECT q_id, q_label, c_label, CAST(COUNT(*) AS BIGINT) AS v
+      FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT q_id, q_label AS true_label, c_label AS pred_label,
+           v AS votes, CAST({KNNC_K} AS BIGINT) AS k,
+           (c_label = q_label) AS correct
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY v DESC, c_label) AS pr
+      FROM votes
+    ) WHERE pr = 1
+    """,
+)
+def q_sim_knn_classify(spark, sf_dir):
+    """kNN CLASSIFICATION — the auto-labeling serving twin of the ANN
+    family (Fix & Hodges 1951; the weak-labeling pass data pipelines
+    run to propagate a seed taxonomy onto unlabeled vectors): each
+    query vector takes the MAJORITY LABEL of its {KNNC_K} exact
+    nearest corpus neighbors — queries themselves are excluded from
+    the candidate pool (the train/infer split), votes are pure
+    integers, and ties break to the smallest label, so the verdict is
+    engine-exact. ``correct`` compares against the fixture's stored
+    label (near-chance on the isotropic fixture by construction — the
+    gate pins exactness, the constructed clustered test pins that real
+    structure classifies correctly).
+
+    Scale shape: the q_sim_cosine_topk plan — the bounded query matrix
+    rides the task closure, one Arrow-batched numpy pass over the
+    candidate scan (lr_matmul dimension order, bit-identical to
+    LIST_DOT_PRODUCT), one (q_id)-keyed top-k window over the scored
+    rows, then two bounded aggregations (|Q| x labels). The corpus is
+    never shuffled."""
+    emb = load(spark, sf_dir, "embeddings")
+    q_pd = (
+        _query_vectors(emb).select("vec_id", "label", "embedding").toPandas()
+    )
+    Q = _to_matrix(q_pd["embedding"])
+    q_ids = q_pd["vec_id"].to_numpy()
+    q_labels = {int(v): int(l) for v, l in zip(q_pd["vec_id"], q_pd["label"])}
+    _, q_sq = lr_matmul(Q, Q[:0])
+    q_norm = np.sqrt(q_sq)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _to_matrix(pdf["embedding"])
+            c_ids = pdf["vec_id"].to_numpy()
+            c_labels = pdf["label"].to_numpy().astype(np.int64)
+            dots, c_sq = lr_matmul(C, Q)
+            cos = dots / (q_norm[None, :] * np.sqrt(c_sq)[:, None])
+            n_c, n_q = cos.shape
+            yield pd.DataFrame(
+                {
+                    "q_id": np.tile(q_ids, n_c),
+                    "c_id": np.repeat(c_ids, n_q),
+                    "c_label": np.repeat(c_labels, n_q),
+                    "cosine": cos.ravel(),
+                }
+            )
+
+    cands = emb.filter(
+        ~((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < Q_MAX_ID))
+    )
+    sims = cands.select("vec_id", "label", "embedding").mapInPandas(
+        score, "q_id long, c_id long, c_label long, cosine double"
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc(F.round("cosine", 6)), "c_id")
+    topk = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNNC_K)
+        .select("q_id", "c_label")
+    )
+    votes = topk.groupBy("q_id", "c_label").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    wp = W.partitionBy("q_id").orderBy(F.desc("v"), "c_label")
+    # true labels: a Q_CAP-bounded literal map in the plan, no join
+    lab_map = F.create_map(
+        *[F.lit(x) for kv in q_labels.items() for x in kv]
+    )
+    return (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select(
+            "q_id",
+            lab_map[F.col("q_id")].cast("long").alias("true_label"),
+            F.col("c_label").alias("pred_label"),
+            F.col("v").alias("votes"),
+            F.lit(KNNC_K).cast("long").alias("k"),
+            (F.col("c_label") == lab_map[F.col("q_id")]).alias("correct"),
+        )
+    )
