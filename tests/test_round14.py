@@ -408,3 +408,50 @@ def test_knn_classify_clustered_pins_and_tie_break(tmp_path, spark):
     assert out[10].votes == 9
     # exact 5/5 split -> smallest label wins
     assert out[20].pred_label == 0 and out[20].votes == 5
+
+
+def test_dp_threshold_suppresses_single_user_partitions(tmp_path, spark):
+    """Partition-selection pins: a type supported by ONE user (the
+    worst case tau guards against) must be suppressed — its bounded
+    count DP_SENS-at-most plus this seed's noise sits far below tau —
+    while a type backed by many users is published with the same
+    noisy count the count release would produce under the 'dpp1' seed."""
+    import datetime as dt
+    import hashlib
+
+    from utxo_to_parquet_spark.operators.events import (
+        DP_TAU,
+        DP_THRESH,
+        q_events_dp_threshold,
+    )
+
+    base = pq.read_schema(f"{SF_DIR}/events.parquet")
+    t0 = dt.datetime(2025, 3, 1)
+    rows, eid = [], 0
+
+    def ev(user, etype):
+        nonlocal eid
+        eid += 1
+        rows.append(dict(event_id=eid, ts=t0, user_id=user,
+                         event_type=etype, value=1.0, props="{}"))
+
+    for _ in range(30):
+        ev(1, "rare")            # ONE user: must be suppressed
+    for u in range(2, 102):
+        ev(u, "popular")         # 100 users, 1 event each
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "events.parquet"),
+    )
+
+    out = {r.event_type: r for r in q_events_dp_threshold(spark, str(tmp_path)).collect()}
+    assert "rare" not in out
+
+    h = hashlib.md5(b"dpp1:popular").hexdigest()
+    u = int(h[:12], 16)
+    sgn = -1 if h[12] in "13579bdf" else 1
+    mag = sum(1 for t in DP_THRESH if u < t)
+    want = 100 + sgn * mag
+    assert want >= DP_TAU, "fixture must actually clear the threshold"
+    assert out["popular"].released_n == want
+    assert out["popular"].tau == DP_TAU

@@ -5165,3 +5165,140 @@ def q_events_dp_sum(spark, sf_dir):
         F.lit(DP_EPS_E6).cast("long").alias("epsilon_e6"),
         F.lit(DPS_SENS).cast("long").alias("sensitivity"),
     )
+
+
+# --- differentially-private partition selection ------------------------------
+#
+# The fourth DP primitive: PARTITION SELECTION (Korolova et al. 2009;
+# the tau-thresholding of Wilson et al. 2020 §4.1). When the key
+# domain is UNKNOWN (free-text event types, URLs, n-grams), releasing
+# which keys exist at all leaks membership — a key contributed by one
+# user appears or vanishes with that user. The standard mechanism:
+# add the usual per-key noise, then publish ONLY keys whose noisy
+# count clears a threshold tau chosen so the probability that a
+# single user's worth of contribution survives is at most delta.
+# tau here is a precomputed integer: the smallest t with
+# P(DP_SENS + noise >= t) <= delta under the release's own
+# geometric noise table — derived from the SAME DP_THRESH literals
+# both engines compare against, so the whole mechanism (noise +
+# threshold) stays pure int64.
+
+DP_DELTA_E9 = 1_000_000  # delta = 1e-3 at the fixture's user counts
+
+
+def _dp_tau() -> int:
+    """Smallest integer tau with P(C + noise >= tau) <= delta for a
+    key supported by a single user's maximal contribution C = DP_SENS:
+    noise >= k happens iff u < DP_THRESH[k-1] (sign positive, prob
+    1/2 per side), so P(noise >= k) = DP_THRESH[k-1] / (2*DP_M)."""
+    need = DP_DELTA_E9 / 1e9
+    k = 0
+    while True:
+        k += 1
+        if k - 1 >= len(DP_THRESH):
+            p = 0.0
+        else:
+            p = DP_THRESH[k - 1] / (2.0 * DP_M)
+        if p <= need:
+            return DP_SENS + k
+
+
+DP_TAU = _dp_tau()
+
+
+def _dpp_oracle() -> str:
+    return f"""
+    WITH typed AS (
+      SELECT event_type, user_id, event_id,
+             DENSE_RANK() OVER (
+               PARTITION BY user_id ORDER BY event_type
+             ) AS trk
+      FROM events
+    ),
+    capped AS (
+      SELECT event_type FROM (
+        SELECT event_type,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, event_type ORDER BY event_id
+               ) AS rn
+        FROM typed WHERE trk <= {DP_T}
+      ) WHERE rn <= {DP_C}
+    ),
+    truec AS (
+      SELECT event_type, COUNT(*) AS n_bounded FROM capped GROUP BY 1
+    ),
+    noised AS (
+      SELECT event_type, n_bounded,
+             ('0x' || substr(md5('dpp1:' || event_type), 1, 12))::BIGINT AS u,
+             CASE WHEN substr(md5('dpp1:' || event_type), 13, 1) IN
+                  ('1','3','5','7','9','b','d','f') THEN -1 ELSE 1 END AS sgn
+      FROM truec
+    ),
+    rel AS (
+      SELECT event_type, n_bounded,
+             n_bounded + sgn * len(list_filter({list(DP_THRESH)}, t -> u < t))
+               AS noisy
+      FROM noised
+    )
+    SELECT event_type, CAST(n_bounded AS BIGINT) AS n_bounded,
+           CAST(noisy AS BIGINT) AS released_n,
+           CAST({DP_TAU} AS BIGINT) AS tau,
+           CAST({DP_EPS_E6} AS BIGINT) AS epsilon_e6,
+           CAST({DP_DELTA_E9} AS BIGINT) AS delta_e9
+    FROM rel
+    WHERE noisy >= {DP_TAU}
+    """
+
+
+@register("q_events_dp_threshold", oracle=_dpp_oracle())
+def q_events_dp_threshold(spark, sf_dir):
+    """Differentially-private PARTITION SELECTION (Korolova et al.
+    2009; Wilson et al. 2020 §4.1 tau-thresholding) — the primitive
+    that makes DP releases over an UNKNOWN key domain possible: which
+    event types exist at all is itself private, so a type is published
+    only when its noisy bounded count clears tau = {DP_TAU}, the
+    smallest integer making a single user's maximal contribution
+    survive with probability <= delta. tau is derived offline from
+    the SAME integer threshold table the noise is drawn against
+    (P(noise >= k) = DP_THRESH[k-1] / 2M — float arithmetic only in
+    the offline constant derivation, never on the cross-engine path).
+    A type backed by one user is suppressed; a popular type passes
+    with its (eps, delta)-DP count. ``n_bounded`` is gate-only.
+
+    Scale shape: the count release's two user-partitioned windows +
+    one map-side-combinable count per type; the threshold is one
+    integer filter on the per-type projection."""
+    ev = load_events(spark, sf_dir).select("event_type", "user_id", "event_id")
+    wt = W.partitionBy("user_id").orderBy("event_type")
+    wc = W.partitionBy("user_id", "event_type").orderBy("event_id")
+    capped = (
+        ev.withColumn("trk", F.dense_rank().over(wt))
+        .filter(F.col("trk") <= DP_T)
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= DP_C)
+    )
+    truec = capped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_bounded")
+    )
+    h = "md5(concat('dpp1:', event_type))"
+    u_sql = f"cast(conv(substring({h}, 1, 12), 16, 10) as bigint)"
+    thresh_arr = ", ".join(f"{t}L" for t in DP_THRESH)
+    sgn = F.when(
+        F.expr(f"substring({h}, 13, 1)").isin(*"13579bdf"), F.lit(-1)
+    ).otherwise(F.lit(1))
+    mag = F.expr(
+        f"size(filter(array({thresh_arr}), t -> {u_sql} < t))"
+    ).cast("long")
+    noisy = (F.col("n_bounded") + sgn * mag).cast("long")
+    return (
+        truec.withColumn("released_n", noisy)
+        .filter(F.col("released_n") >= DP_TAU)
+        .select(
+            "event_type",
+            F.col("n_bounded").cast("long").alias("n_bounded"),
+            "released_n",
+            F.lit(DP_TAU).cast("long").alias("tau"),
+            F.lit(DP_EPS_E6).cast("long").alias("epsilon_e6"),
+            F.lit(DP_DELTA_E9).cast("long").alias("delta_e9"),
+        )
+    )
