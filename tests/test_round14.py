@@ -455,3 +455,46 @@ def test_dp_threshold_suppresses_single_user_partitions(tmp_path, spark):
     assert want >= DP_TAU, "fixture must actually clear the threshold"
     assert out["popular"].released_n == want
     assert out["popular"].tau == DP_TAU
+
+
+def test_memorization_probe_counts_and_boundaries(tmp_path, spark):
+    """Constructed memorization pins: a passage copied verbatim into
+    two other documents reports n_other_docs == 2 / memorized; a
+    passage repeated inside its own source only is NOT memorized but
+    n_total counts both occurrences; and a doc where the passage
+    appears only as a SUBSTRING of longer words must not match
+    (word-boundary safety of the space-padding trick)."""
+    from utxo_to_parquet_spark.operators.text import (
+        MEMP_LEN,
+        MEMP_SKIP,
+        q_text_memorization_probe,
+    )
+
+    pad = " ".join(f"x{i}" for i in range(MEMP_SKIP))
+    passage = " ".join(f"p{i}" for i in range(MEMP_LEN))
+    filler = " ".join(f"f{i}" for i in range(10))
+    rows = [
+        # probe doc 0: pad + passage + filler
+        (0, f"{pad} {passage} {filler}", "en", "web", 100),
+        # two verbatim carriers
+        (3, f"{filler} {passage}", "en", "web", 100),
+        (7, f"{passage} {filler}", "en", "web", 100),
+        # substring-only carrier: every passage word embedded in a
+        # longer token -> must NOT match
+        (11, " ".join(f"zz{w}zz" for w in passage.split()), "en", "web", 100),
+        # probe doc 25: its passage repeats INSIDE the doc only
+        (25, f"{pad} {passage.replace('p', 'q')} {filler}"
+             f" {passage.replace('p', 'q')}", "en", "web", 100),
+    ]
+    _write_docs(tmp_path, rows)
+    out = {
+        r.probe_doc_id: r
+        for r in q_text_memorization_probe(spark, str(tmp_path)).collect()
+    }
+    r0 = out[0]
+    assert r0.passage == passage
+    assert r0.n_docs == 3 and r0.n_other_docs == 2 and r0.memorized
+    assert r0.n_total == 3
+    r25 = out[25]
+    assert r25.n_total == 2 and r25.n_docs == 1
+    assert r25.n_other_docs == 0 and not r25.memorized

@@ -291,6 +291,7 @@ OPS = {
     "q_events_dp_quantile": "events",
     "q_events_dp_sum": "events",
     "q_events_dp_threshold": "events",
+    "q_text_memorization_probe": "documents",
     "q_graph_wl_refinement": "graph",
     "q_text_phrase_search": "documents",
     "q_quality_nb_isotonic": "documents",

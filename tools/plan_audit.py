@@ -70,6 +70,10 @@ ALLOWED_NESTED_LOOP = {
     "q_agg_theil_index",  # global (N, S) totals: 1-row aggregate attach
     "q_agg_lorenz_curve",  # revenue total: 1-row sum attach onto 10 rows
     "q_graph_hits",  # per-step max-normalizer: six 1-row max attaches
+    # probe-panel fan-out: crossJoin(broadcast(probes)) with probes a
+    # CONSTANT <= 40-row id-bounded panel (MEMP_MAX/MEMP_MOD) — the
+    # corpus-scan side streams through one map-side string pass
+    "q_text_memorization_probe",
     # aggregate-level pair join: |sources|^2/2 over the PROFILE relation
     # (thousands of rows at lake scale), never fact rows
     "q_text_style_cosine",

@@ -7736,3 +7736,121 @@ def q_text_bm25_prf(spark, sf_dir):
             F.round("score_raw", 6).alias("score"),
         )
     )
+
+
+# --- memorization probe: exact passage occurrence counting -------------------
+#
+# The training-data-extraction audit (Carlini et al. 2021 "Extracting
+# Training Data from LLMs"; Lee et al. 2022 §5): how often does an
+# exact passage occur across the corpus? A passage that recurs
+# verbatim in many documents is both a dedup failure and a
+# memorization amplifier — counting its exact occurrences is the
+# serving-side question the suffix-array family answers offline, here
+# as one scan: a BOUNDED probe set (8-word passages drawn from fixed
+# probe documents) is broadcast against the corpus and counted with
+# pure JVM string arithmetic — (len(s) - len(replace(s, p, ''))) /
+# len(p) on space-padded text, the word-boundary-safe, engine-
+# identical NON-OVERLAPPING count (adjacent occurrences sharing the
+# boundary space undercount identically in both engines — documented,
+# deterministic).
+
+MEMP_MOD = 25    # probe docs: doc_id % 25 == 0 ...
+MEMP_MAX = 1000  # ... below this id — a CONSTANT <= 40-probe panel
+MEMP_LEN = 8     # passage length in words (words 6..13 of the probe)
+MEMP_SKIP = 5    # words skipped before the passage starts
+
+
+@register(
+    "q_text_memorization_probe",
+    oracle=f"""
+    WITH probes AS (
+      SELECT doc_id AS probe_doc_id,
+             array_to_string(list_slice(string_split(text, ' '),
+               {MEMP_SKIP + 1}, {MEMP_SKIP + MEMP_LEN}), ' ') AS passage
+      FROM documents
+      WHERE doc_id % {MEMP_MOD} = 0 AND doc_id < {MEMP_MAX}
+        AND len(string_split(text, ' ')) >= {MEMP_SKIP + MEMP_LEN}
+    ),
+    hits AS (
+      SELECT p.probe_doc_id, p.passage, d.doc_id,
+             (LENGTH(' ' || d.text || ' ')
+              - LENGTH(REPLACE(' ' || d.text || ' ',
+                               ' ' || p.passage || ' ', '')))
+             // LENGTH(' ' || p.passage || ' ') AS cnt
+      FROM probes p CROSS JOIN documents d
+    )
+    SELECT probe_doc_id, passage,
+           CAST(SUM(cnt) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE cnt > 0) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE cnt > 0 AND doc_id <> probe_doc_id)
+                AS BIGINT) AS n_other_docs,
+           (COUNT(*) FILTER (WHERE cnt > 0 AND doc_id <> probe_doc_id) > 0)
+             AS memorized
+    FROM hits
+    GROUP BY 1, 2
+    """,
+)
+def q_text_memorization_probe(spark, sf_dir):
+    """MEMORIZATION PROBE — exact cross-corpus occurrence counts for a
+    constant panel of {MEMP_LEN}-word passages drawn from fixed probe
+    documents (Carlini et al. 2021's extraction-risk question, and the
+    interactive twin of the suffix-array repeat machinery: "how often
+    does THIS passage occur, and outside its source?"). ``memorized``
+    flags passages recurring verbatim in any OTHER document — the
+    dedup-failure signal that predicts verbatim regurgitation.
+
+    Scale shape: the probe panel is bounded (<= {MEMP_MAX // MEMP_MOD}
+    passages) and broadcast; the corpus is touched by ONE map-side
+    string-arithmetic pass (whole-stage codegen, no UDF, no explode),
+    and the only shuffle is the probe-sized final aggregate. The count
+    is the space-padded replace trick — word-boundary-safe and
+    bit-identical across engines; overlapping-adjacent occurrences
+    undercount identically on both sides (documented)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = (
+        docs.filter(
+            (F.col("doc_id") % MEMP_MOD == 0) & (F.col("doc_id") < MEMP_MAX)
+        )
+        .filter(F.size(F.split("text", " ")) >= MEMP_SKIP + MEMP_LEN)
+        .select(
+            F.col("doc_id").alias("probe_doc_id"),
+            F.array_join(
+                F.expr(
+                    f"slice(split(text, ' '), {MEMP_SKIP + 1}, {MEMP_LEN})"
+                ),
+                " ",
+            ).alias("passage"),
+        )
+    )
+    cnt = F.expr(
+        "(length(concat(' ', text, ' '))"
+        " - length(replace(concat(' ', text, ' '),"
+        "                  concat(' ', passage, ' '), '')))"
+        " div length(concat(' ', passage, ' '))"
+    )
+    hits = (
+        docs.crossJoin(F.broadcast(probes))
+        .select("probe_doc_id", "passage", "doc_id", cnt.alias("cnt"))
+    )
+    return hits.groupBy("probe_doc_id", "passage").agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.count(F.when(F.col("cnt") > 0, 1)).cast("long").alias("n_docs"),
+        F.count(
+            F.when(
+                (F.col("cnt") > 0) & (F.col("doc_id") != F.col("probe_doc_id")),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_other_docs"),
+        (
+            F.count(
+                F.when(
+                    (F.col("cnt") > 0)
+                    & (F.col("doc_id") != F.col("probe_doc_id")),
+                    1,
+                )
+            )
+            > 0
+        ).alias("memorized"),
+    )
