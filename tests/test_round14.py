@@ -498,3 +498,29 @@ def test_memorization_probe_counts_and_boundaries(tmp_path, spark):
     r25 = out[25]
     assert r25.n_total == 2 and r25.n_docs == 1
     assert r25.n_other_docs == 0 and not r25.memorized
+
+
+def test_simhash_search_exact_copy_and_twin(tmp_path, spark):
+    """Hamming search twin: an exact copy shares the fingerprint
+    (hamming 0, rank 1 by lower doc_id tie); the planted one-word-
+    dropped twin perturbs only a few majority votes and sits within a
+    small Hamming ball of its source."""
+    from utxo_to_parquet_spark.operators.dedup import q_dedup_simhash_search
+
+    a = " ".join(f"a{i}" for i in range(40))
+    c = " ".join(f"c{i}" for i in range(40))
+    rows = [
+        (0, a, "en", "web", len(a)),
+        (4, a, "en", "web", len(a)),    # exact copy
+        (50, c, "en", "web", len(c)),
+    ]
+    _write_docs(tmp_path, rows)
+    out = {}
+    for r in q_dedup_simhash_search(spark, str(tmp_path)).collect():
+        out.setdefault(r.q_doc, {})[r.rnk] = r
+    assert out[0][1].cand_doc == 4 and out[0][1].hamming == 0
+    twin = [r for r in out[0].values() if r.cand_doc == 1000000]
+    assert twin and twin[0].hamming < 8
+    # the twin's own probe view: source and copy are its two nearest
+    t = out[1000000]
+    assert {t[1].cand_doc, t[2].cand_doc} == {0, 4}

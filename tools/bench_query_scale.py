@@ -74,6 +74,7 @@ OPS = {
     "q_dedup_simhash_pairs": "documents",
     "q_dedup_incremental": "documents",
     "q_dedup_minhash_search": "documents",
+    "q_dedup_simhash_search": "documents",
     "q_text_token_freq": "documents",
     "q_text_heavy_hitters": "documents",
     "q_pipeline_training_prep": "documents",

@@ -963,7 +963,10 @@ def q_dedup_canonical_pick(spark, sf_dir):
 SIMHASH_BITS = 32
 
 
-def _simhash_oracle() -> str:
+def _simhash_cte(src: str = "documents") -> str:
+    """Composable WITH-clause body producing ``sh`` (doc_id, simhash)
+    over the relation ``src`` — shared by the fingerprint oracle and
+    the search-twin oracle (which fingerprints an augmented corpus)."""
     bit_cols = ",\n             ".join(
         f"SUM(CASE WHEN substr(md5(token), {b}, 1) IN ('8','9','a','b','c','d','e','f')"
         f" THEN 1 ELSE -1 END) AS s{b}"
@@ -973,22 +976,29 @@ def _simhash_oracle() -> str:
         f"(CASE WHEN s{b} > 0 THEN {1 << (SIMHASH_BITS - b)} ELSE 0 END)"
         for b in range(1, SIMHASH_BITS + 1)
     )
-    return f"""
-    WITH tokens AS (
-      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    return f"""tokens AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM {src}
     ),
     bits AS (
       SELECT doc_id,
              {bit_cols}
       FROM tokens GROUP BY doc_id
-    )
-    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
-    FROM bits
+    ),
+    sh AS (
+      SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+    )"""
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH {_simhash_cte()}
+    SELECT doc_id, simhash FROM sh
     """
 
 
-def _simhash_df(spark, sf_dir):
-    """doc_id, simhash — the {SIMHASH_BITS}-bit per-document fingerprint.
+def _simhash_of(docs):
+    """doc_id, simhash — the {SIMHASH_BITS}-bit per-document fingerprint
+    over an arbitrary (doc_id, text) relation.
 
     Bit b (1-indexed) is the majority vote, over a document's tokens, of
     the high bit of hex digit b of md5(token) — the oracle's definition
@@ -997,7 +1007,6 @@ def _simhash_df(spark, sf_dir):
     from integer shifts, and the per-document aggregation is 32 plain
     0/1 sums plus one count (the +-1 majority sum s_b > 0 is equivalent
     to 2*cnt_b > n). Everything stays in whole-stage codegen."""
-    docs = load(spark, sf_dir, "documents")
     tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     # md5 hex is 32 digits; split into 15/15/2-digit chunks so each
     # parses into a signed 64-bit long (15 nibbles = 60 bits)
@@ -1029,6 +1038,10 @@ def _simhash_df(spark, sf_dir):
         ).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return bits.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def _simhash_df(spark, sf_dir):
+    return _simhash_of(load(spark, sf_dir, "documents"))
 
 
 @register("q_dedup_simhash", oracle=_simhash_oracle())
@@ -1101,6 +1114,102 @@ def q_dedup_simhash_pairs(spark, sf_dir):
         .distinct()  # a pair may match on several bands — dedupe BEFORE verify
         .filter(hamming <= HAMMING_MAX)
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+    )
+
+
+def _simhash_search_oracle() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band,"
+        f" (simhash >> {shift}) & {mask} AS bits FROM sh"
+        for i, (shift, mask) in enumerate(_SIMHASH_BANDS)
+    )
+    return f"""
+    WITH aug AS ({_MHS_AUG_DUCK}),
+    {_simhash_cte("aug")},
+    keyed AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS q_doc, a.simhash AS fa,
+                      b.doc_id AS cand_doc, b.simhash AS fb
+      FROM keyed a JOIN keyed b
+        ON a.band = b.band AND a.bits = b.bits AND b.doc_id <> a.doc_id
+      WHERE a.doc_id % {MHS_MOD} = 0
+    )
+    SELECT q_doc, CAST(rnk AS BIGINT) AS rnk, cand_doc,
+           CAST(hamming AS BIGINT) AS hamming
+    FROM (
+      SELECT q_doc, cand_doc,
+             bit_count(xor(fa, fb)) AS hamming,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_doc
+               ORDER BY bit_count(xor(fa, fb)), cand_doc
+             ) AS rnk
+      FROM cand
+    ) WHERE rnk <= {MHS_K}
+    """
+
+
+@register("q_dedup_simhash_search", oracle=_simhash_search_oracle())
+def q_dedup_simhash_search(spark, sf_dir):
+    """Top-k near-dup SEARCH over the SIMHASH index — the Hamming
+    sibling of q_dedup_minhash_search, completing the serving pair for
+    both fingerprint families: per probe doc (doc_id % {MHS_MOD} == 0)
+    the {MHS_K} nearest neighbors by fingerprint Hamming distance,
+    candidates drawn from the SAME pigeonhole band buckets the pair
+    miner equi-joins on (a neighbor within hamming {HAMMING_MAX} is
+    GUARANTEED to share a band; farther candidates surface
+    opportunistically — the documented pigeonhole recall envelope).
+    Rank key (hamming ASC, cand_doc) is pure int64. Runs over the same
+    planted-near-copy corpus as the MinHash twin (_mhs_corpus), whose
+    one-word-dropped twins perturb only a few majority votes and land
+    within a small Hamming ball of their source.
+
+    Scale shape: probe band keys broadcast against the banded index —
+    map-side hash probe, corpus index never reshuffled; candidates
+    bounded by the probe's bucket occupancy; one bounded top-k window.
+    """
+    fp = _simhash_of(_mhs_corpus(spark, sf_dir))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("simhash", shift).bitwiseAND(mask).alias("bits"),
+            )
+            for i, (shift, mask) in enumerate(_SIMHASH_BANDS)
+        ]
+    )
+    keyed = fp.select(
+        "doc_id", "simhash", F.explode(bands).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.bits").alias("bits"))
+    probes = keyed.filter(F.col("doc_id") % MHS_MOD == 0)
+    cand = (
+        F.broadcast(probes).alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("b.doc_id") != F.col("a.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("q_doc"),
+            F.col("a.simhash").alias("fa"),
+            F.col("b.doc_id").alias("cand_doc"),
+            F.col("b.simhash").alias("fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("q_doc").orderBy("hamming", "cand_doc")
+            ),
+        )
+        .filter(F.col("rnk") <= MHS_K)
+        .select("q_doc", F.col("rnk").cast("long").alias("rnk"),
+                "cand_doc", "hamming")
     )
 
 
