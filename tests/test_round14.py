@@ -524,3 +524,50 @@ def test_simhash_search_exact_copy_and_twin(tmp_path, spark):
     # the twin's own probe view: source and copy are its two nearest
     t = out[1000000]
     assert {t[1].cand_doc, t[2].cand_doc} == {0, 4}
+
+
+def test_conformal_qhat_replay_and_coverage(spark):
+    """Split-conformal pins on the fixture corpus: q_hat must equal a
+    literal Python replay of the ceil((n+1)(1-alpha))-th smallest
+    calibration nonconformity (built from the independently-gated
+    score relation), per-row set membership must follow score vs q_hat
+    exactly, and held-out coverage must sit in the finite-sample band
+    around 1 - alpha (the guarantee is in expectation over calibration
+    draws — coverage CONCENTRATES AT the target, not above it, because
+    q_hat deliberately cuts the least-confident 10% of true labels;
+    with ~250 held-out docs 3 standard errors is ~0.06)."""
+    import hashlib
+
+    from utxo_to_parquet_spark.operators.text import (
+        CONF_ALPHA_E2,
+        CONF_CAL_HEX,
+        q_quality_nb_conformal,
+        q_quality_nb_score,
+    )
+
+    sf = SF_DIR
+    scores = q_quality_nb_score(spark, sf).collect()
+    cal = sorted(
+        (
+            (r.score_e6 if r.is_bad else -r.score_e6, r.doc_id)
+            for r in scores
+            if hashlib.md5(str(r.doc_id).encode()).hexdigest()[0]
+            in CONF_CAL_HEX
+        )
+    )
+    n_cal = len(cal)
+    k = ((n_cal + 1) * (100 - CONF_ALPHA_E2) + 99) // 100
+    want_qhat = cal[k - 1][0]
+
+    out = q_quality_nb_conformal(spark, sf).collect()
+    assert out, "held-out half must be non-empty"
+    for r in out:
+        assert r.q_hat == want_qhat and r.n_cal == n_cal
+        assert r.in_set_good == (-r.score_e6 <= r.q_hat)
+        assert r.in_set_bad == (r.score_e6 <= r.q_hat)
+        assert r.set_size == int(r.in_set_good) + int(r.in_set_bad)
+        s = r.score_e6 if r.is_bad else -r.score_e6
+        assert r.covered == (s <= r.q_hat)
+    cov = sum(r.covered for r in out) / len(out)
+    target = (100 - CONF_ALPHA_E2) / 100
+    assert target - 0.06 <= cov <= 1.0, cov

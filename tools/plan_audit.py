@@ -74,6 +74,11 @@ ALLOWED_NESTED_LOOP = {
     # CONSTANT <= 40-row id-bounded panel (MEMP_MAX/MEMP_MOD) — the
     # corpus-scan side streams through one map-side string pass
     "q_text_memorization_probe",
+    # conformal scalar attaches: crossJoin(broadcast(<1-row (q_hat,
+    # n_cal)>)) onto the held-out half, plus the 1-row totals attach
+    # inside the order-statistic selection — both build sides are
+    # exactly one row
+    "q_quality_nb_conformal",
     # aggregate-level pair join: |sources|^2/2 over the PROFILE relation
     # (thousands of rows at lake scale), never fact rows
     "q_text_style_cosine",
@@ -164,6 +169,12 @@ ALLOWED_SINGLE_PARTITION_WINDOW: dict[str, str] = {
         "two-pass global rank: the offset prefix-sum window runs over "
         "the per-partition count relation — input is |partitions| (32 "
         "rows), per-row ranking is partitioned by pid"
+    ),
+    "q_quality_nb_conformal": (
+        "two-pass global rank of calibration nonconformities: the "
+        "offset prefix-sum window runs over the per-partition count "
+        "relation — input is |partitions| (32 rows); per-row ranking "
+        "is partitioned by pid"
     ),
     "q_text_vocab_coverage": (
         "running-coverage window runs over the per-token aggregate — "

@@ -6578,21 +6578,28 @@ def q_quality_nb_score(spark, sf_dir):
     per-doc aggregate — no driver state, no broadcast of corpus-scaled
     data, the exact shape of applying any bag-of-words model at
     100 TB."""
+    score = _nb_scores(spark, sf_dir)
+    return score.select(
+        "doc_id", "is_bad", "score_e6",
+        (F.col("score_e6") <= 0).alias("predicted_bad"),
+        ((F.col("score_e6") <= 0) == F.col("is_bad")).alias("correct"),
+    )
+
+
+def _nb_scores(spark, sf_dir):
+    """Per-doc exact BIGINT log-odds scores (doc_id, is_bad, score_e6)
+    — the shared scoring relation behind q_quality_nb_score, the
+    calibration curve, and the conformal release."""
     model, nbdocs = _nb_model(spark, sf_dir)
     feat = nbdocs.select(
         "doc_id", "is_bad", F.explode(F.split("aug", " ")).alias("token")
     ).filter(F.col("token") != "").unionByName(
         nbdocs.select("doc_id", "is_bad", F.lit("__prior__").alias("token"))
     )
-    score = (
+    return (
         feat.join(model.select("token", "logodds_e6"), "token")
         .groupBy("doc_id", "is_bad")
         .agg(F.sum("logodds_e6").cast("long").alias("score_e6"))
-    )
-    return score.select(
-        "doc_id", "is_bad", "score_e6",
-        (F.col("score_e6") <= 0).alias("predicted_bad"),
-        ((F.col("score_e6") <= 0) == F.col("is_bad")).alias("correct"),
     )
 
 
@@ -6638,17 +6645,7 @@ def q_quality_nb_calibration(spark, sf_dir):
     both engines (score_e6 is far below 2^53, and integer-div vs
     floor-div would disagree on negative scores — the known
     cross-engine trap the double floor avoids)."""
-    model, nbdocs = _nb_model(spark, sf_dir)
-    feat = nbdocs.select(
-        "doc_id", "is_bad", F.explode(F.split("aug", " ")).alias("token")
-    ).filter(F.col("token") != "").unionByName(
-        nbdocs.select("doc_id", "is_bad", F.lit("__prior__").alias("token"))
-    )
-    score = (
-        feat.join(model.select("token", "logodds_e6"), "token")
-        .groupBy("doc_id", "is_bad")
-        .agg(F.sum("logodds_e6").cast("long").alias("score_e6"))
-    )
+    score = _nb_scores(spark, sf_dir)
     n_bad = F.coalesce(F.sum(F.when(F.col("is_bad"), 1)), F.lit(0))
     return (
         score.withColumn(
@@ -7853,4 +7850,160 @@ def q_text_memorization_probe(spark, sf_dir):
             )
             > 0
         ).alias("memorized"),
+    )
+
+
+# --- split-conformal prediction sets over the quality classifier -------------
+#
+# Conformal prediction (Vovk, Gammerman & Shafer 2005; the
+# split-conformal recipe of Angelopoulos & Bates 2021): turn ANY
+# scorer into prediction SETS with a distribution-free coverage
+# guarantee — on exchangeable data the true label lands inside the
+# set with probability >= 1 - alpha, no matter how miscalibrated the
+# scores are. The machinery is pure rank arithmetic, which is why it
+# integerizes perfectly: nonconformity of (doc, label) is the signed
+# exact BIGINT log-odds (A(doc,bad) = +score_e6, A(doc,good) =
+# -score_e6), q_hat is the ceil((n_cal+1)(1-alpha))-th smallest
+# calibration nonconformity (an ORDER STATISTIC — no floats), and a
+# label enters a test doc's set iff its nonconformity <= q_hat.
+
+CONF_CAL_HEX = "01234567"  # md5(doc_id) first hex -> calibration half
+CONF_ALPHA_E2 = 10         # alpha = 0.10 -> 90% target coverage
+CONF_INF = 1 << 62         # q_hat when k exceeds n_cal (full sets)
+
+
+def _nb_conformal_oracle() -> str:
+    cal_in = ", ".join(f"'{c}'" for c in CONF_CAL_HEX)
+    return f"""
+    WITH {_NB_MODEL_SQL},
+    nbfeat AS (
+      SELECT doc_id, is_bad, UNNEST(string_split(aug, ' ')) AS token
+      FROM nbdocs
+      UNION ALL
+      SELECT doc_id, is_bad, '__prior__' FROM nbdocs
+    ),
+    nbscore AS (
+      SELECT f.doc_id, f.is_bad,
+             CAST(SUM(m.logodds_e6) AS BIGINT) AS score_e6
+      FROM nbfeat f JOIN nbmodel m USING (token)
+      WHERE f.token <> ''
+      GROUP BY 1, 2
+    ),
+    cal AS (
+      SELECT doc_id,
+             CASE WHEN is_bad THEN score_e6 ELSE -score_e6 END AS s
+      FROM nbscore
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ({cal_in})
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+             ((COUNT(*) + 1) * (100 - {CONF_ALPHA_E2}) + 99) // 100 AS k
+      FROM cal
+    ),
+    ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s, doc_id) AS rn FROM cal
+    ),
+    qh AS (
+      SELECT t.n_cal, t.k,
+             CASE WHEN t.k > t.n_cal THEN CAST({CONF_INF} AS BIGINT)
+                  ELSE (SELECT s FROM ranked WHERE rn = t.k) END AS q_hat
+      FROM tot t
+    )
+    SELECT n.doc_id, n.is_bad, n.score_e6,
+           (-n.score_e6 <= q.q_hat) AS in_set_good,
+           (n.score_e6 <= q.q_hat) AS in_set_bad,
+           CAST(CASE WHEN -n.score_e6 <= q.q_hat THEN 1 ELSE 0 END
+                + CASE WHEN n.score_e6 <= q.q_hat THEN 1 ELSE 0 END
+                AS BIGINT) AS set_size,
+           (CASE WHEN n.is_bad THEN n.score_e6 ELSE -n.score_e6 END
+            <= q.q_hat) AS covered,
+           CAST(q.q_hat AS BIGINT) AS q_hat,
+           q.n_cal
+    FROM nbscore n, qh q
+    WHERE substr(md5(CAST(n.doc_id AS VARCHAR)), 1, 1) NOT IN ({cal_in})
+    """
+
+
+@register("q_quality_nb_conformal", oracle=_nb_conformal_oracle())
+def q_quality_nb_conformal(spark, sf_dir):
+    """SPLIT-CONFORMAL PREDICTION SETS over the learned quality filter
+    (Vovk et al. 2005; Angelopoulos & Bates 2021) — the release that
+    upgrades per-doc scores to sets with a DISTRIBUTION-FREE coverage
+    guarantee: an md5 half of the corpus calibrates (nonconformity of
+    the TRUE label, exact signed BIGINT log-odds), q_hat is the
+    ceil((n_cal+1)(1-alpha))-th smallest calibration nonconformity,
+    and each held-out doc's set contains every label whose
+    nonconformity is <= q_hat — on exchangeable data the true label is
+    covered with probability >= {100 - CONF_ALPHA_E2}%, regardless of
+    model calibration. ``covered`` makes the guarantee a measurable
+    column; empty sets (both labels rejected) and full sets (both
+    kept) are legitimate outputs the set_size column exposes.
+
+    Everything on the cross-engine path is int64 rank arithmetic: the
+    order statistic is selected by exact global rank — the two-pass
+    range-partitioned rank of q_utxo_balance_gini, never a
+    single-partition window over the calibration rows — and the
+    bounded (q_hat, n_cal) row is broadcast onto the held-out half.
+    One corpus scoring pass + one calibration rank pass; both
+    map-side-combinable before their shuffles."""
+    score = _nb_scores(spark, sf_dir)
+    hex1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    is_cal = hex1.isin(*CONF_CAL_HEX)
+    s_col = F.when(F.col("is_bad"), F.col("score_e6")).otherwise(
+        -F.col("score_e6")
+    )
+    cal = score.filter(is_cal).select("doc_id", s_col.alias("s"))
+    # two-pass exact global rank of the calibration nonconformities
+    part = (
+        cal.repartitionByRange(32, "s", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wloc = W.partitionBy("pid").orderBy("s", "doc_id")
+    local = part.withColumn("li", F.row_number().over(wloc))
+    woff = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        part.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+        )
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "s", (F.col("off") + F.col("li")).alias("rn")
+    )
+    tot = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal")).select(
+        "n_cal",
+        F.expr(
+            f"((n_cal + 1) * (100 - {CONF_ALPHA_E2}) + 99) div 100"
+        ).cast("long").alias("k"),
+    )
+    qsel = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("rn") == F.least(F.col("k"), F.col("n_cal")))
+        .select(
+            "n_cal",
+            F.when(F.col("k") > F.col("n_cal"), F.lit(CONF_INF))
+            .otherwise(F.col("s"))
+            .cast("long")
+            .alias("q_hat"),
+        )
+    )
+    test = score.filter(~is_cal)
+    return test.crossJoin(F.broadcast(qsel)).select(
+        "doc_id",
+        "is_bad",
+        "score_e6",
+        (-F.col("score_e6") <= F.col("q_hat")).alias("in_set_good"),
+        (F.col("score_e6") <= F.col("q_hat")).alias("in_set_bad"),
+        (
+            F.when(-F.col("score_e6") <= F.col("q_hat"), 1).otherwise(0)
+            + F.when(F.col("score_e6") <= F.col("q_hat"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("set_size"),
+        (s_col <= F.col("q_hat")).alias("covered"),
+        F.col("q_hat").cast("long").alias("q_hat"),
+        "n_cal",
     )
