@@ -7979,9 +7979,16 @@ def q_quality_nb_conformal(spark, sf_dir):
             f"((n_cal + 1) * (100 - {CONF_ALPHA_E2}) + 99) div 100"
         ).cast("long").alias("k"),
     )
+    # LEFT join from the 1-row totals so a degenerate empty calibration
+    # half still yields one (q_hat = INF) row, matching the oracle's
+    # NULL-scalar-subquery CASE
     qsel = (
-        ranked.crossJoin(F.broadcast(tot))
-        .filter(F.col("rn") == F.least(F.col("k"), F.col("n_cal")))
+        F.broadcast(tot)
+        .join(
+            ranked,
+            F.col("rn") == F.least(F.col("k"), F.col("n_cal")),
+            "left_outer",
+        )
         .select(
             "n_cal",
             F.when(F.col("k") > F.col("n_cal"), F.lit(CONF_INF))
