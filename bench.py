@@ -112,6 +112,7 @@ HEADLINE = [
     "q_text_memorization_probe",
     "q_dedup_simhash_search",
     "q_quality_nb_conformal",
+    "q_dedup_dbscan",
     "q_graph_wl_refinement",
     "q_text_phrase_search",
     "q_quality_nb_isotonic",

@@ -571,3 +571,125 @@ def test_conformal_qhat_replay_and_coverage(spark):
     cov = sum(r.covered for r in out) / len(out)
     target = (100 - CONF_ALPHA_E2) / 100
     assert target - 0.06 <= cov <= 1.0, cov
+
+
+def test_dbscan_star_geometry_literal_replay(tmp_path, spark):
+    """Constructed DBSCAN pins via a LITERAL PYTHON REPLAY of the whole
+    pipeline (LSH band keys from the same _PLANES literals, candidate
+    collisions, eps filter, degree threshold, core-core components,
+    min-label border adoption): a hub with four spokes at cos 0.88
+    (spoke-spoke cos 0.77 < eps) plus an identical-copy group and an
+    orthogonal noise point. The replay derives expected roles from the
+    fixture instead of guessing which LSH bands collide."""
+    import numpy as np
+
+    from utxo_to_parquet_spark.operators.dedup import (
+        _PLANES,
+        DBS_COPIES,
+        DBS_EPS,
+        DBS_MINPTS,
+        DBS_PLANT_MOD,
+        EMB_BANDS,
+        EMB_MAX_BITS,
+        emb_band_bits_for,
+        q_dedup_dbscan,
+    )
+
+    dim = 64
+    vecs = {}
+
+    def unit(i, a):
+        v = np.zeros(dim)
+        v[0] = a
+        v[i] = np.sqrt(1 - a * a)
+        return v
+
+    hub = np.zeros(dim); hub[0] = 1.0
+    vecs[3] = hub
+    # spoke axes 1/2/4/5 are chosen so each spoke COLLIDES with the hub
+    # in at least one LSH band under the fixed _PLANES literals (axis 3
+    # does not — verified offline); spoke-spoke cos is 0.88^2 < eps
+    for j, vid in zip((1, 2, 4, 5), (11, 12, 13, 14)):
+        vecs[vid] = unit(j, 0.88)
+    g = np.zeros(dim); g[7] = 1.0                # identical-copy group
+    for vid in (21, 22, 23, 24, 26):
+        vecs[vid] = g
+    n = np.zeros(dim); n[30] = 1.0               # orthogonal noise
+    vecs[6] = n
+
+    rows = [
+        dict(vec_id=vid, embedding=[float(x) for x in v], label=0)
+        for vid, v in sorted(vecs.items())
+    ]
+    base = pq.read_schema(f"{SF_DIR}/embeddings.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(list(base))),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+    # ---- literal replay (including the operator's own augmentation) --
+    aug = dict(vecs)
+    for vid in list(vecs):
+        if vid % DBS_PLANT_MOD == 0:
+            for k in range(1, DBS_COPIES + 1):
+                aug[vid + k * 1000000] = vecs[vid]
+    bits = emb_band_bits_for(len(aug))
+    P = np.array(
+        [_PLANES[b * EMB_MAX_BITS + j] for b in range(EMB_BANDS)
+         for j in range(bits)]
+    )
+    keys = {}
+    for vid, v in aug.items():
+        s = (P @ v) > 0
+        keys[vid] = [
+            sum(1 << j for j in range(bits) if s[b * bits + j])
+            for b in range(EMB_BANDS)
+        ]
+    ids = sorted(aug)
+    nbrs = {vid: set() for vid in ids}
+    for i, va in enumerate(ids):
+        for vb in ids[i + 1:]:
+            if any(ka == kb for ka, kb in zip(keys[va], keys[vb])):
+                ca = aug[va] @ aug[vb] / (
+                    np.linalg.norm(aug[va]) * np.linalg.norm(aug[vb])
+                )
+                if ca >= DBS_EPS:
+                    nbrs[va].add(vb)
+                    nbrs[vb].add(va)
+    core = {v for v in ids if len(nbrs[v]) >= DBS_MINPTS}
+    # components over core-core edges (min label)
+    cluster = {}
+    for c in sorted(core):
+        if c in cluster:
+            continue
+        stack, comp = [c], []
+        seen = {c}
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in nbrs[x]:
+                if y in core and y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        lab = min(comp)
+        for x in comp:
+            cluster[x] = lab
+    expect = {}
+    for v in ids:
+        if v in core:
+            expect[v] = ("core", cluster[v])
+        else:
+            adj = [cluster[u] for u in nbrs[v] if u in core]
+            expect[v] = ("border", min(adj)) if adj else ("noise", -1)
+
+    out = {
+        r.vec_id: (r.role, r.cluster, r.n_neighbors)
+        for r in q_dedup_dbscan(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(ids)
+    for v in ids:
+        assert out[v][:2] == expect[v], (v, out[v], expect[v])
+        assert out[v][2] == len(nbrs[v]), v
+    # the geometry must actually exercise all three roles
+    roles = {r for r, _ in expect.values()}
+    assert roles == {"core", "border", "noise"}, roles

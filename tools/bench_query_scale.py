@@ -76,6 +76,7 @@ OPS = {
     "q_dedup_minhash_search": "documents",
     "q_dedup_simhash_search": "documents",
     "q_quality_nb_conformal": "documents",
+    "q_dedup_dbscan": "embeddings",
     "q_text_token_freq": "documents",
     "q_text_heavy_hitters": "documents",
     "q_pipeline_training_prep": "documents",

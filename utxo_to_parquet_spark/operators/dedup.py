@@ -1343,13 +1343,14 @@ def _emb_full_key_sql(band: int) -> str:
     )
 
 
-def _emb_lsh_cte() -> str:
+def _emb_lsh_cte(src: str = "embeddings") -> str:
     """Shared CTE chain for the embedding-LSH oracles: corpus-scaled key
     width (the same integer doubling-threshold sum emb_band_bits_for
     computes, as SQL over COUNT(*)) masking each band's full 12-bit key
     to the low ``bits`` bits — pure integer compares + shifts,
     engine-identical by construction. Ends with the ``bands`` relation
-    (one row per (vector, band) with its bucket key)."""
+    (one row per (vector, band) with its bucket key). ``src`` swaps the
+    corpus relation (the DBSCAN oracle keys an augmented corpus CTE)."""
     extra = " + ".join(
         f"(CASE WHEN n > {EMB_BASE_N << i} THEN 1 ELSE 0 END)"
         for i in range(EMB_MAX_BITS - EMB_BAND_BITS)
@@ -1364,12 +1365,12 @@ def _emb_lsh_cte() -> str:
     )
     return f"""bb AS (
       SELECT (1 << ({EMB_BAND_BITS} + {extra})) AS msk
-      FROM (SELECT COUNT(*) AS n FROM embeddings)
+      FROM (SELECT COUNT(*) AS n FROM {src})
     ),
     v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e,
              SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      FROM {src}
     ),
     keyed AS (SELECT vec_id, e, nrm,
              {keys}
@@ -1388,18 +1389,20 @@ def _embedding_lsh_oracle() -> str:
     """
 
 
-def _emb_lsh_scored(spark, sf_dir, band_bits: int | None = None):
+def _emb_lsh_scored(spark, sf_dir, band_bits: int | None = None, emb=None):
     """Shared LSH candidate scorer: banded keys -> DISTINCT candidate
     pairs -> exact cosine, UNFILTERED (``cos_raw`` column).
     q_dedup_embedding_lsh applies the registered threshold on top;
     q_dedup_threshold_sweep buckets the same scored pairs against a
-    threshold grid."""
+    threshold grid; q_dedup_dbscan passes its augmented corpus via
+    ``emb``."""
     import numpy as np
     import pandas as pd
 
     from .similarity import lr_matmul, _to_matrix
 
-    emb = load(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = load(spark, sf_dir, "embeddings")
     if band_bits is None:
         band_bits = emb_band_bits_for(emb.count())
 
@@ -3110,5 +3113,214 @@ def q_dedup_cdc_chunks(spark, sf_dir):
             )
             .cast("long")
             .alias("shared_words"),
+        )
+    )
+
+
+# --- density-based clustering (DBSCAN over the embedding LSH graph) ----------
+#
+# DBSCAN (Ester, Kriegel, Sander & Xu 1996) at 100 TB scale: the
+# eps-neighborhood relation comes from the SAME banded sign-LSH
+# candidate generator the embedding-dedup family uses (approximate
+# DBSCAN — the standard production trade; cross-all-band misses are
+# the documented recall envelope, and the oracle replays the identical
+# index so the gate is exact), core points are an integer degree
+# threshold, clusters are connected components of the core-core
+# subgraph (min-label), and border points adopt the SMALLEST adjacent
+# core's cluster — the deterministic resolution of classic DBSCAN's
+# arrival-order ambiguity. Because the driver fixture is isotropic
+# (all-noise by construction), the corpus is augmented with planted
+# duplicate groups (every {DBS_PLANT_MOD}th vector re-inserted
+# {DBS_COPIES}x at shifted ids) so the gate exercises real core/
+# border/noise structure — the q_dedup_exact synthetic-dupe trick in
+# embedding space.
+
+DBS_EPS = 0.8       # neighbor iff cosine >= 0.8 (distance 1-cos <= 0.2)
+DBS_MINPTS = 4      # core iff >= 4 eps-neighbors (self excluded)
+DBS_PLANT_MOD = 10  # every 10th vector gets a planted duplicate group
+DBS_COPIES = 4      # copies per planted site -> groups of 5
+
+_DBS_AUG_DUCK = f"""
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + u.k * 1000000 AS vec_id, embedding
+      FROM embeddings, UNNEST(range(1, {DBS_COPIES + 1})) AS u(k)
+      WHERE vec_id % {DBS_PLANT_MOD} = 0
+"""
+
+
+def _dbs_corpus(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = (
+        emb.filter(F.col("vec_id") % DBS_PLANT_MOD == 0)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(DBS_COPIES))
+            ).alias("k"),
+        )
+        .select(
+            (F.col("vec_id") + F.col("k") * 1000000).alias("vec_id"),
+            "embedding",
+        )
+    )
+    return emb.unionByName(copies)
+
+
+def _dbscan_oracle() -> str:
+    return f"""
+    WITH RECURSIVE augv AS ({_DBS_AUG_DUCK}),
+    {_emb_lsh_cte("augv")},
+    nbr0 AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+      WHERE LIST_DOT_PRODUCT(a.e, b.e) / (a.nrm * b.nrm) >= {DBS_EPS}
+    ),
+    nbr AS (
+      SELECT va AS src, vb AS dst FROM nbr0
+      UNION ALL
+      SELECT vb AS src, va AS dst FROM nbr0
+    ),
+    deg AS (
+      SELECT v.vec_id, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_neighbors
+      FROM (SELECT vec_id FROM augv) v
+      LEFT JOIN (SELECT src, COUNT(*) AS n FROM nbr GROUP BY src) d
+        ON d.src = v.vec_id
+    ),
+    core AS (SELECT vec_id FROM deg WHERE n_neighbors >= {DBS_MINPTS}),
+    cce AS (
+      SELECT n.src, n.dst FROM nbr n
+      JOIN core ca ON ca.vec_id = n.src
+      JOIN core cb ON cb.vec_id = n.dst
+    ),
+    reach(node, lab) AS (
+      SELECT vec_id, vec_id FROM core
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN cce e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS vec_id, MIN(lab) AS cluster FROM reach GROUP BY node),
+    border AS (
+      SELECT n.src AS vec_id, MIN(c.cluster) AS cluster
+      FROM nbr n
+      JOIN comp c ON c.vec_id = n.dst
+      WHERE n.src NOT IN (SELECT vec_id FROM core)
+      GROUP BY n.src
+    )
+    SELECT d.vec_id, d.n_neighbors,
+           CASE WHEN cp.vec_id IS NOT NULL THEN 'core'
+                WHEN bd.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(cp.cluster, bd.cluster, -1) AS BIGINT) AS cluster
+    FROM deg d
+    LEFT JOIN comp cp ON cp.vec_id = d.vec_id
+    LEFT JOIN border bd ON bd.vec_id = d.vec_id
+    """
+
+
+@register("q_dedup_dbscan", oracle=_dbscan_oracle())
+def q_dedup_dbscan(spark, sf_dir):
+    """DBSCAN density clustering over embeddings (Ester et al. 1996) —
+    the clustering operator that needs NO cluster count and isolates
+    noise, the shape embedding-space topic discovery and density dedup
+    actually use. Composition of machinery this library already
+    verifies: eps-neighbors from the banded sign-LSH candidate scorer
+    (cosine >= {DBS_EPS} on the exact verify join), core points by an
+    integer degree threshold (>= {DBS_MINPTS} neighbors, self
+    excluded), clusters as min-label connected components of the
+    CORE-CORE subgraph, border points adopting the smallest adjacent
+    core's cluster (the deterministic resolution of classic DBSCAN's
+    arrival-order ambiguity), everything else noise (cluster -1).
+
+    Scale shape: the LSH candidate join bounds the neighbor relation
+    (never all-pairs — approximate DBSCAN, the production trade, and
+    the oracle replays the identical index so the gate is exact);
+    degree is one map-side count; the component loop runs min-label
+    rounds over the (sparse) core subgraph with the q_dedup CC
+    convergence check. The planted duplicate groups (see the section
+    comment) pin real structure: each planted site forms one size-5
+    all-core cluster labeled by its smallest member, while isotropic
+    originals stay noise."""
+    aug = _dbs_corpus(spark, sf_dir)
+    scored = _emb_lsh_scored(spark, sf_dir, emb=aug)
+    nbr0 = scored.filter(F.col("cos_raw") >= DBS_EPS).select(
+        "dup_a", "dup_b"
+    )
+    nbr = (
+        nbr0.select(F.col("dup_a").alias("src"), F.col("dup_b").alias("dst"))
+        .unionByName(
+            nbr0.select(
+                F.col("dup_b").alias("src"), F.col("dup_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        aug.select("vec_id")
+        .join(
+            nbr.groupBy("src").agg(F.count(F.lit(1)).alias("n")),
+            aug.vec_id == F.col("src"),
+            "left_outer",
+        )
+        .select(
+            "vec_id", F.coalesce("n", F.lit(0)).cast("long").alias("n_neighbors")
+        )
+    )
+    core = deg.filter(F.col("n_neighbors") >= DBS_MINPTS).select("vec_id")
+    cce = (
+        nbr.join(core.withColumnRenamed("vec_id", "src"), "src")
+        .join(core.withColumnRenamed("vec_id", "dst"), "dst")
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = core.select(
+        F.col("vec_id").alias("node"), F.col("vec_id").alias("lab")
+    ).localCheckpoint(eager=True)
+    for _ in range(15):
+        neighbor_min = (
+            labels.join(cce, labels.node == cce.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left_outer")
+            .select("node", F.least("lab", F.col("nlab")).alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    comp = labels.select(
+        F.col("node").alias("vec_id"), F.col("lab").alias("cluster")
+    )
+    border = (
+        nbr.join(
+            comp.select(
+                F.col("vec_id").alias("dst"), F.col("cluster").alias("bcl")
+            ),
+            "dst",
+        )
+        .join(comp.select(F.col("vec_id").alias("src")), "src", "left_anti")
+        .groupBy(F.col("src").alias("vec_id"))
+        .agg(F.min("bcl").alias("bcl"))
+    )
+    return (
+        deg.join(comp, "vec_id", "left_outer")
+        .join(border, "vec_id", "left_outer")
+        .select(
+            "vec_id",
+            "n_neighbors",
+            F.when(F.col("cluster").isNotNull(), "core")
+            .when(F.col("bcl").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("cluster", "bcl", F.lit(-1)).cast("long").alias("cluster"),
         )
     )
