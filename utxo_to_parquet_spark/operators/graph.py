@@ -197,7 +197,7 @@ def q_graph_bfs(spark, sf_dir):
     tracks the BFS wavefront. An empty frontier short-circuits the
     remaining passes (the oracle's extra CTE levels are no-ops then
     too, so results stay byte-identical)."""
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _trade_edges(spark, sf_dir)  # memoized + checkpointed
     cust = load(spark, sf_dir, "customer")
     frontier = (
         cust.filter(F.col("c_nationkey") == 0)
@@ -506,7 +506,7 @@ def q_graph_kcore(spark, sf_dir):
     order-independent) regardless of peel schedule. At 100 TB each round
     is one shuffle join on node id — same shape as BFS/pagerank — and
     the survivor relation only ever shrinks."""
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _trade_edges(spark, sf_dir)  # memoized + checkpointed
     alive = edges.select(F.col("src").alias("node")).distinct()
     prev = -1
     n = alive.count()
@@ -520,7 +520,9 @@ def q_graph_kcore(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= KCORE_K)
             .select(F.col("src").alias("node"))
-            .localCheckpoint(eager=True)
+            # lazy: the count below materializes it — one job per peel
+            # round instead of two (round 14, guide §1)
+            .localCheckpoint(eager=False)
         )
         n = alive.count()
         rounds += 1
@@ -899,7 +901,7 @@ def q_graph_label_propagation(spark, sf_dir):
     re-deriving rounds 1..N-1. Fixed round count (not convergence
     polling) keeps the job DAG static, the cluster-friendly choice for
     a 1000-executor schedule."""
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _trade_edges(spark, sf_dir)  # memoized + checkpointed
     labels = (
         edges.select("src")
         .distinct()
@@ -1468,7 +1470,7 @@ def q_graph_betweenness(spark, sf_dir):
     frontier equi-join + anti-join against the settled set (the BFS
     delta form), and the backward pass is one join per level against
     the NEXT level only. All shuffles key on (seed, node)."""
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _trade_edges(spark, sf_dir)  # memoized + checkpointed
     nodes = edges.select("src").distinct()
     seeds = (
         nodes.filter(
@@ -1622,7 +1624,7 @@ def q_graph_wl_refinement(spark, sf_dir):
     degree-bounded; the hub-capped trade graph keeps them modest, and
     a production run would cap or sketch super-hub multisets the same
     way q_graph_adamic_adar caps hubs."""
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _trade_edges(spark, sf_dir)  # memoized + checkpointed
     colors = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("string").alias("color")
     ).select(F.col("src").alias("node"), "color")

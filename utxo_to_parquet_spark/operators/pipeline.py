@@ -1202,10 +1202,14 @@ def q_pipeline_dedup_cascade(spark, sf_dir):
         "doc_id", "source", F.md5(F.lower(F.col("text"))).alias("h")
     )
     wmin = W.partitionBy("h")
+    # k1 feeds four consumers and rm2 two — checkpoint the id-sized
+    # survivor sets so each stage computes once (round 14; the pairs
+    # and ledger builders are session-memoized)
     k1 = (
         docs.withColumn("min_id", F.min("doc_id").over(wmin))
         .filter(F.col("doc_id") == F.col("min_id"))
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     pairs = _minhash_pairs(spark, sf_dir)
     rm2 = (
@@ -1213,6 +1217,7 @@ def q_pipeline_dedup_cascade(spark, sf_dir):
         .join(k1.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ledger = q_dedup_substring_removal(spark, sf_dir).select(
         "doc_id", "dup_ratio_e4"
@@ -1330,10 +1335,14 @@ def q_pipeline_dedup_cascade_sa(spark, sf_dir):
         "doc_id", "source", F.md5(F.lower(F.col("text"))).alias("h")
     )
     wmin = W.partitionBy("h")
+    # k1 feeds four consumers and rm2 two — checkpoint the id-sized
+    # survivor sets so each stage computes once (round 14; the pairs
+    # and ledger builders are session-memoized)
     k1 = (
         docs.withColumn("min_id", F.min("doc_id").over(wmin))
         .filter(F.col("doc_id") == F.col("min_id"))
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     pairs = _minhash_pairs(spark, sf_dir)
     rm2 = (
@@ -1341,6 +1350,7 @@ def q_pipeline_dedup_cascade_sa(spark, sf_dir):
         .join(k1.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ledger = q_text_repeat_coverage(spark, sf_dir).select(
         "doc_id", "dup_ratio_e4"

@@ -1040,13 +1040,15 @@ def q_utxo_merkle_root(spark, sf_dir):
         ),
         256,
     )
-    # h projected first so the sha2 is computed once per row; the
-    # checkpoint materializes the hashes so the range exchange's
-    # sampling pass doesn't re-run the scan + hash chain
+    # h projected first so the sha2 is computed once per row per pass.
+    # Round 14: the eager checkpoint that used to sit here predates the
+    # memoized utxos view — its job was to keep the range exchange's
+    # sampling pass from re-running the scan + md5 chain, but that now
+    # reads the session-cached view, so the only recompute left is one
+    # sha2 per row (cheaper than materializing an 80 MB copy of the
+    # keyed relation in a dedicated job).
     order_cols = ["txid", "vout", "h"]
-    keyed = u.withColumn("h", leaf_h).select(*order_cols).localCheckpoint(
-        eager=True
-    )
+    keyed = u.withColumn("h", leaf_h).select(*order_cols)
     # global dense index: the two-pass global_cumsum recipe inlined over
     # the tuple order (range partition pinned by checkpoint + 32-row
     # offset carry — never a corpus-wide single-partition window)
