@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .registry import load, register
+from .registry import load, memo_fragment, register
 
 N_SEEDS = 16
 BAND_SIZE = 4
@@ -111,8 +111,18 @@ def _shingles_of(docs):
 
 
 def _shingles_df(spark, sf_dir):
-    """doc_id, shingle — distinct word-3-gram shingles per document."""
-    return _shingles_of(load(spark, sf_dir, "documents"))
+    """doc_id, shingle — distinct word-3-gram shingles per document.
+    Memoized per session+corpus (round 14, guide §2.4): the trigram
+    shingle relation is the shared first stage of the Jaccard,
+    containment, and MinHash families — previously re-exploded from the
+    corpus by every consumer. This is the inverted-index build a
+    production dedup pipeline persists once per corpus snapshot."""
+    return memo_fragment(
+        spark,
+        "shingles3",
+        sf_dir,
+        lambda: _shingles_of(load(spark, sf_dir, "documents")),
+    )
 
 
 @register(
@@ -368,27 +378,42 @@ def _minhash_bands_df(spark, sf_dir):
     document's MinHash signature. In a production pipeline this is the
     PERSISTED index table (bucketed by (band, band_key)); here it is the
     shared plan fragment behind the pair join, the clustering queries,
-    and the incremental batch-vs-corpus probe."""
-    return _minhash_bands_of(_minhash_sig_of(_shingles_df(spark, sf_dir)))
+    and the incremental batch-vs-corpus probe. Memoized per
+    session+corpus (round 14) exactly because it IS that persisted
+    artifact: previously every consumer re-hashed the full shingle
+    relation per call."""
+    return memo_fragment(
+        spark,
+        "minhash_bands",
+        sf_dir,
+        lambda: _minhash_bands_of(_minhash_sig_of(_shingles_df(spark, sf_dir))),
+    )
 
 
 def _minhash_pairs(spark, sf_dir):
     """Candidate near-dup pairs (doc_a < doc_b, n_shared_bands) via
-    MinHash + LSH banding — shared by q_dedup_minhash_lsh and the
-    connected-components clustering built on top of it."""
-    bands = _minhash_bands_df(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    MinHash + LSH banding — shared by q_dedup_minhash_lsh, the
+    connected-components clustering built on top of it, the triangle /
+    clustering-coefficient graph twins, and the cascade/report
+    pipelines. Memoized per session+corpus (round 14): seven consumers
+    previously re-ran the band self-join each."""
+
+    def _build():
+        bands = _minhash_bands_df(spark, sf_dir)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
+
+    return memo_fragment(spark, "minhash_pairs", sf_dir, _build)
 
 
 @register("q_dedup_minhash_lsh", oracle=_minhash_oracle())
@@ -623,8 +648,16 @@ def q_dedup_minhash_search(spark, sf_dir):
     two corpus scans total, zero corpus shuffles. Probes with no bucket
     collision return no rows (nothing within LSH reach); a hash-collision
     candidate with zero shared shingles reports jaccard 0.0."""
-    sh = _shingles_of(_mhs_corpus(spark, sf_dir))
-    sig = _minhash_sig_of(sh)
+    # the augmented-corpus shingle and signature relations each feed
+    # several consumers below (sig/sizes/qp/common for sh; bands/qarr/
+    # carr for sig) — checkpoint both so the corpus explode and the
+    # N_SEEDS-hash signature build run ONCE instead of once per
+    # consumer subtree (round 14, guide §2.4; this query re-derived the
+    # signature pipeline 3x and the shingle explode 4x)
+    # EAGER: both are first materialized inside the final multi-consumer
+    # job otherwise, where racing stages re-compute them per consumer
+    sh = _shingles_of(_mhs_corpus(spark, sf_dir)).localCheckpoint(eager=True)
+    sig = _minhash_sig_of(sh).localCheckpoint(eager=True)
     bands = _minhash_bands_of(sig)
     probe_bands = bands.filter(F.col("doc_id") % MHS_MOD == 0)
     cand = (
@@ -668,6 +701,11 @@ def q_dedup_minhash_search(spark, sf_dir):
         )
         .filter(F.col("rnk") <= MHS_K)
         .select("q_doc", "cand_doc", "n_match", F.col("rnk").cast("long").alias("rnk"))
+        # tiny (|probes| x MHS_K) but consumed FOUR times below (pairs,
+        # docset, the common join, the final assembly) — without the
+        # checkpoint the whole band-join + window subtree re-executes
+        # per consumer; EAGER so the four consumers can't race it
+        .localCheckpoint(eager=True)
     )
     pairs = topk.select("q_doc", "cand_doc")
     docset = (
@@ -1476,9 +1514,9 @@ def _emb_lsh_scored(spark, sf_dir, band_bits: int | None = None, emb=None):
             keys, "vec_id long, e array<double>, nrm double, band int, bkey long"
         )
         # four consumers below (both sides of the id pair join + both
-        # sides of the vector re-attach) — checkpoint so the projection
-        # pass runs once, not once per consumer subtree (round 14)
-        .localCheckpoint(eager=False)
+        # sides of the vector re-attach) — EAGER checkpoint so the
+        # projection pass runs exactly once, unraceable (round 14)
+        .localCheckpoint(eager=True)
     )
     # candidate generation shuffles IDS ONLY — a multi-band collision is
     # collapsed by distinct() BEFORE any vector is moved or any cosine is
@@ -2184,10 +2222,10 @@ def q_dedup_substring_exact(spark, sf_dir):
         F.min("pos").alias("span_start"),
         (F.max("pos") - F.min("pos") + F.lit(SUBSTR_W)).alias("span_words"),
         F.count(F.lit(1)).alias("n_units"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     myu = hits.join(spans.select("doc_id", "grp", "span_start"), ["doc_id", "grp"]).select(
         "doc_id", "grp", (F.col("pos") - F.col("span_start")).alias("j"), "h"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     u0 = myu.filter(F.col("j") == 0).select("doc_id", "grp", "h")
     occ = units.select(
         F.col("doc_id").alias("w_doc"), F.col("pos").alias("w_pos"), "h"

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .registry import load, register
+from .registry import load, memo_fragment, register
 
 DAMPING = 0.85
 PR_ITERS = 3
@@ -39,34 +39,88 @@ def _render_node(col):
     )
 
 
+def _trade_pairs_cs(spark, sf_dir):
+    """Distinct (custkey, suppkey) trading pairs — the base relation
+    every trade-graph operator derives its edges from. Memoized per
+    session+corpus (round 14, guide §2.4): ten registered graph queries
+    re-derived this identical join+distinct from parquet on every call;
+    now the first consumer materializes it once and the rest reuse the
+    checkpointed partitions — exactly the edge table a production graph
+    pipeline persists."""
+    return memo_fragment(
+        spark,
+        "trade_pairs_cs",
+        sf_dir,
+        lambda: (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_suppkey")
+            .join(
+                load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select(
+                F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+            )
+            .distinct()
+        ),
+    )
+
+
+def _copurchase_cp(spark, sf_dir):
+    """Distinct (custkey, partkey) co-purchase pairs — the bipartite
+    base relation of the link-prediction operators (Adamic-Adar,
+    neighbor-Jaccard). Memoized like _trade_pairs_cs: both consumers
+    re-derived the identical join+distinct per call."""
+    return memo_fragment(
+        spark,
+        "copurchase_cp",
+        sf_dir,
+        lambda: (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .join(
+                load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select(
+                F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+            )
+            .distinct()
+        ),
+    )
+
+
 def _trade_edges(spark, sf_dir):
     """Undirected customer<->supplier edge list: one edge per distinct
     (customer, supplier) trading pair, materialized in both directions so
     the random walk is symmetric. Node ids are LONGS (suppliers offset by
     _SUPP_OFFSET) — iterative graph state shuffles narrow fixed-width
-    rows; strings appear only in each query's final projection."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("c"),
-            (F.col("l_suppkey") + _SUPP_OFFSET).alias("s"),
-        )
-        .distinct()
-    )
+    rows; strings appear only in each query's final projection.
+    Memoized (see _trade_pairs_cs): the mirrored long-id edge list is
+    consumed by nine iterative operators, each of which previously
+    re-ran the explode per consumer subtree."""
     # both directions from ONE pass over pairs: a union of two selects
     # would give the join+distinct subtree two consumers and Spark would
     # execute it twice (it is not cached); explode emits the mirrored
     # edge map-side for half the cost
-    return pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
-                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    return memo_fragment(
+        spark,
+        "trade_edges",
+        sf_dir,
+        lambda: _trade_pairs_cs(spark, sf_dir)
+        .select(
+            F.col("c"), (F.col("s") + _SUPP_OFFSET).alias("s")
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                    F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst"),
+    )
 
 
 def _pagerank_oracle() -> str:
@@ -296,11 +350,9 @@ def _dup_tri_deg(spark, sf_dir):
     # shingle+band+pair pipeline re-executes wherever ReusedExchange
     # fails to unify the divergent subplans (same convention as
     # _trade_edges/BFS above)
-    pairs = (
-        _minhash_pairs(spark, sf_dir)
-        .select(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
-        .localCheckpoint(eager=False)
-    )
+    pairs = _minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb")
+    )  # memoized + checkpointed upstream
     deg = (
         pairs.select(F.explode(F.array("pa", "pb")).alias("node"))
         .groupBy("node")
@@ -702,14 +754,10 @@ def q_graph_modularity(spark, sf_dir):
     customer grows with scale factor and must be free to shuffle;
     broadcast kicks in automatically when a side fits), tiny
     nation-keyed rollups."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
-        .distinct()
+    pairs = _trade_pairs_cs(spark, sf_dir).select(
+        F.col("c").alias("ck"), F.col("s").alias("sk")
     )
     # no forced broadcast on customer: the customer DIMENSION grows with
     # scale factor (1.5M/SF — tens of billions at 100 TB) and must be
@@ -811,13 +859,7 @@ def q_graph_adamic_adar(spark, sf_dir):
     top-K order (score desc, pair ids) is a total order, so LIMIT is
     deterministic. TakeOrderedAndProject keeps the global top-K a
     per-partition heap + driver merge, never a full sort."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cn = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
+    cn = _copurchase_cp(spark, sf_dir)
     pdeg = cn.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
     keep = (
         cn.join(pdeg.filter((F.col("d") >= 2) & (F.col("d") <= AA_DEG_CAP)), "p")
@@ -1011,13 +1053,8 @@ def q_graph_hits(spark, sf_dir):
     rounded, engine-identical) and snaps straight back to e9. The
     reference has no graph surface (src/main.rs:199-206 is one flat
     table); this belongs to the mandated analytics extension."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .localCheckpoint(eager=False)  # consumed 2x per iteration
+        _trade_pairs_cs(spark, sf_dir)  # memoized + checkpointed
     )
     hubs = edges.select("c").distinct().select("c", F.lit(10**9).alias("h"))
 
@@ -1045,12 +1082,16 @@ def q_graph_hits(spark, sf_dir):
         # checkpoint the RAW sums, not the renormed output: _renorm
         # consumes its input twice (max aggregate + projection), so the
         # uncheckpointed form recomputes every join+agg subtree per
-        # consumer (measured 6.3 s vs 4.4 s at sf0.1)
-        auths = _renorm(araw.localCheckpoint(eager=False), "s", "a")
+        # consumer (measured 6.3 s vs 4.4 s at sf0.1). EAGER (round 14):
+        # with two consumers and no action until the final collect, a
+        # lazy checkpoint lets concurrent stages race the uncached
+        # partitions and double-compute the chain (see
+        # q_graph_wl_refinement) — eager pins exactly-once compute.
+        auths = _renorm(araw.localCheckpoint(eager=True), "s", "a")
         hraw = (
             edges.join(auths, "s").groupBy("c").agg(F.sum("a").alias("h"))
         )
-        hubs = _renorm(hraw.localCheckpoint(eager=False), "c", "h")
+        hubs = _renorm(hraw.localCheckpoint(eager=True), "c", "h")
     nulll = F.lit(None).cast("long")
     return (
         hubs.select(
@@ -1122,14 +1163,7 @@ def q_graph_jaccard_neighbors(spark, sf_dir):
     semantic subtlety vs Adamic-Adar: degrees in the union term are the
     UNCAPPED true degrees (the cap only prunes which pairs are
     *generated*), so scores are exact for every surviving pair."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cn = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint(eager=False)  # consumed by cdeg, pdeg and keep
-    )
+    cn = _copurchase_cp(spark, sf_dir)  # memoized + checkpointed
     cdeg = cn.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
     pdeg = cn.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
     keep = cn.join(
@@ -1494,6 +1528,10 @@ def q_graph_betweenness(spark, sf_dir):
             .groupBy("s", F.col("dst").alias("node"))
             .agg(F.sum("sigma").cast("long").alias("sigma"))
         )
+        # lazy on purpose (round 14 measured eager at 9.6 s vs 7.9 s
+        # committed / 5.6 s lazy+memoized-edges: the consumers of each
+        # frontier materialize serially across rounds, so there is no
+        # cache race to pin, and eager only serializes stage pipelining)
         nxt = expand.join(
             settled, ["s", "node"], "left_anti"
         ).localCheckpoint(eager=False)
@@ -1536,7 +1574,7 @@ def q_graph_betweenness(spark, sf_dir):
                 .cast("long")
                 .alias("delta")
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False)  # 2 consumers, materialized serially
         )
     acc = deltas[1].select("node", "delta")
     for k in range(2, BC_HOPS + 1):
@@ -1648,7 +1686,15 @@ def q_graph_wl_refinement(spark, sf_dir):
                     16,
                 ).alias("color"),
             )
-            .localCheckpoint(eager=False)
+            # EAGER (round 14): each round's colors feed TWO consumers
+            # of the next round (the sig derivation and the re-color
+            # join). With no action until the final collect, a lazy
+            # checkpoint lets two concurrent stages race the uncached
+            # partitions and re-compute the whole prior-round chain up
+            # to 2x per level (measured as a bimodal 5.8 s / 18 s wall);
+            # eager materialization pins exactly-once compute for one
+            # cheap job per round.
+            .localCheckpoint(eager=True)
         )
     wcs = W.partitionBy("color")
     return colors.select(

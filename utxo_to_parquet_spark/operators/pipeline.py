@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .registry import global_ntile, load, register
+from .registry import global_ntile, load, range_parts, register
 from .text import _LANG_MARKERS, _occurrences_col, _occurrences_sql, SOURCE_CAP
 
 MIN_WORDS = 25      # drop the short tail (fixture words span 10..99)
@@ -225,7 +225,7 @@ def q_pipeline_sequence_pack(spark, sf_dir):
     # localCheckpoint pins sampled range boundaries: the cumsum branch
     # and the totals branch must see the SAME pid assignment
     part = (
-        docs.repartitionByRange(32, "doc_id")
+        docs.repartitionByRange(range_parts(docs), "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -1209,7 +1209,7 @@ def q_pipeline_dedup_cascade(spark, sf_dir):
         docs.withColumn("min_id", F.min("doc_id").over(wmin))
         .filter(F.col("doc_id") == F.col("min_id"))
         .select("doc_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     pairs = _minhash_pairs(spark, sf_dir)
     rm2 = (
@@ -1217,7 +1217,7 @@ def q_pipeline_dedup_cascade(spark, sf_dir):
         .join(k1.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     ledger = q_dedup_substring_removal(spark, sf_dir).select(
         "doc_id", "dup_ratio_e4"
@@ -1342,7 +1342,7 @@ def q_pipeline_dedup_cascade_sa(spark, sf_dir):
         docs.withColumn("min_id", F.min("doc_id").over(wmin))
         .filter(F.col("doc_id") == F.col("min_id"))
         .select("doc_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     pairs = _minhash_pairs(spark, sf_dir)
     rm2 = (
@@ -1350,7 +1350,7 @@ def q_pipeline_dedup_cascade_sa(spark, sf_dir):
         .join(k1.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     ledger = q_text_repeat_coverage(spark, sf_dir).select(
         "doc_id", "dup_ratio_e4"

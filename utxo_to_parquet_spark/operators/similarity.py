@@ -4186,32 +4186,43 @@ def q_sim_kcenter_coreset(spark, sf_dir):
                 C = _to_matrix(pdf["embedding"])
                 dots, c_sq = lr_matmul(C, S)
                 cos = dots / (np.sqrt(c_sq)[:, None] * s_norm[None, :])
-                n, m = cos.shape
+                # per-candidate max over the selected set INSIDE the
+                # batch: the exact float max of the same doubles Spark's
+                # MAX saw over the m exploded rows (no accumulation, so
+                # engine-identical), and ROUND stays on the Spark side
+                # below — unchanged semantics because a monotone
+                # rounding commutes with MAX (max_i round(x_i) ==
+                # round(max_i x_i)). Emits one row per candidate
+                # instead of m, and carries the embedding so the argmin
+                # job below also returns the winner's vector (round 14:
+                # the separate full-scan point-lookup job per step is
+                # gone)
                 yield pd.DataFrame(
                     {
-                        "vec_id": np.repeat(
-                            pdf["vec_id"].to_numpy(), m
-                        ),
-                        "cosine": cos.ravel(),
+                        "vec_id": pdf["vec_id"],
+                        "raw_mc": cos.max(axis=1),
+                        "embedding": pdf["embedding"],
                     }
                 )
 
         cand = (
             emb.filter(~F.col("vec_id").isin(sel_ids))
-            .mapInPandas(pairs, "vec_id long, cosine double")
-            .select("vec_id", F.round("cosine", 6).alias("r"))
-            .groupBy("vec_id")
-            .agg(F.max("r").alias("mc"))
+            .mapInPandas(
+                pairs, "vec_id long, raw_mc double, embedding array<double>"
+            )
+            .select(
+                "vec_id", F.round("raw_mc", 6).alias("mc"), "embedding"
+            )
         )
-        pick = cand.agg(F.min(F.struct("mc", "vec_id")).alias("p")).first()[
-            "p"
-        ]
+        # ONE job per step: min(struct) orders by (mc, vec_id) — the
+        # embedding rides along after the unique vec_id tiebreak, so it
+        # can never influence the argmin
+        pick = cand.agg(
+            F.min(F.struct("mc", "vec_id", "embedding")).alias("p")
+        ).first()["p"]
         mc, vid = float(pick["mc"]), int(pick["vec_id"])
-        vec = (
-            emb.filter(F.col("vec_id") == vid).first()["embedding"]
-        )
         sel_ids.append(vid)
-        sel_rows.append(np.asarray(vec, dtype=np.float64))
+        sel_rows.append(np.asarray(pick["embedding"], dtype=np.float64))
         out_rows.append((step, vid, mc))
     return spark.createDataFrame(
         out_rows, "step long, vec_id long, max_cos_r6 double"
