@@ -1082,7 +1082,15 @@ def _simhash_of(docs):
 
 
 def _simhash_df(spark, sf_dir):
-    return _simhash_of(load(spark, sf_dir, "documents"))
+    """Memoized per session+corpus (round 14): the per-token md5 vote
+    aggregation is the heavy part and both q_dedup_simhash and
+    q_dedup_simhash_pairs re-derived it per call."""
+    return memo_fragment(
+        spark,
+        "simhash_fp",
+        sf_dir,
+        lambda: _simhash_of(load(spark, sf_dir, "documents")),
+    )
 
 
 @register("q_dedup_simhash", oracle=_simhash_oracle())
@@ -1208,7 +1216,10 @@ def q_dedup_simhash_search(spark, sf_dir):
     map-side hash probe, corpus index never reshuffled; candidates
     bounded by the probe's bucket occupancy; one bounded top-k window.
     """
-    fp = _simhash_of(_mhs_corpus(spark, sf_dir))
+    # EAGER: the banded index below feeds both sides of the candidate
+    # join in one job — without the checkpoint the per-token md5 vote
+    # aggregation over the augmented corpus runs once per consumer
+    fp = _simhash_of(_mhs_corpus(spark, sf_dir)).localCheckpoint(eager=True)
     bands = F.array(
         *[
             F.struct(

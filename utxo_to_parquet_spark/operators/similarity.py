@@ -4031,7 +4031,7 @@ def q_sim_colbert_maxsim(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
-    )
+    ).localCheckpoint(eager=True)  # 2 consumers: postings + query tf
     post = toks.distinct()
     qtf = (
         toks.filter(

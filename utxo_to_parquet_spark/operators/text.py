@@ -3357,7 +3357,7 @@ def q_text_textrank_keywords(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
-    )
+    ).localCheckpoint(eager=True)  # 2 consumers: cur + prev bigram sides
     cur = tok.select(
         "doc_id", F.col("pos").alias("cpos"), F.col("token").alias("b")
     )
@@ -7436,7 +7436,9 @@ def q_text_rake_keyphrases(spark, sf_dir):
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "w"),
-    ).select("doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "w")
+    ).select(
+        "doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "w"
+    ).localCheckpoint(eager=True)  # 2 consumers: stopword df + runs
     wdf = W.orderBy(F.desc("df"), F.asc("w"))
     stop = (
         tok.groupBy("w")
@@ -7462,10 +7464,11 @@ def q_text_rake_keyphrases(spark, sf_dir):
         .filter(
             (F.col("plen") >= RAKE_MIN_LEN) & (F.col("plen") <= RAKE_MAX_LEN)
         )
+        .localCheckpoint(eager=True)  # 2 consumers: pw + the text re-attach
     )
     pw = phrases.select(
         "doc_id", "grp", "plen", F.explode(F.split("phrase", " ")).alias("w")
-    )
+    ).localCheckpoint(eager=True)  # 2 consumers: word scores + phrase sum
     wscore = pw.groupBy("w").agg(
         F.expr("(1000000 * sum(plen)) div count(1)").cast("long").alias("s_e6")
     )
@@ -7639,9 +7642,12 @@ def q_text_bm25_prf(spark, sf_dir):
     aggregate. Nothing new shuffles at corpus scale beyond the two
     postings joins a production PRF does anyway."""
     docs = load(spark, sf_dir, "documents")
+    # EAGER (round 14): the token explode feeds five consumers across
+    # the two BM25 passes (doclen, dft, both tf joins, the feedback
+    # vote) — checkpoint so the corpus explodes once per query
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
-    )
+    ).localCheckpoint(eager=True)
     doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     n_docs, tot = doclen.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
@@ -7662,7 +7668,9 @@ def q_text_bm25_prf(spark, sf_dir):
             ((F.col("rn") - BM25_RANK_LO) % 4).alias("tpos"),
             idf_of(F.col("df")).alias("idf"),
         )
-        .localCheckpoint(eager=False)
+        # EAGER: three consumers (pass-1 scorer, the expansion
+        # anti-join, the pass-2 union) race a lazy checkpoint
+        .localCheckpoint(eager=True)
     )
 
     def bm25_scores(qterms, slots: int):
