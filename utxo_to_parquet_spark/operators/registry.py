@@ -83,7 +83,24 @@ def memo_fragment(spark, name: str, sf_dir: str, build):
     keyed on query results, and a fresh session always rebuilds from the
     parquet inputs. Keyed by applicationId (unique per context; a
     restarted session gets a fresh build), never id(spark)."""
-    key = (spark.sparkContext.applicationId, name, sf_dir)
+    # the key carries a fingerprint of the fixture directory's parquet
+    # files (name, mtime, size): overwriting an input table in place —
+    # tests/test_round9.py's merkle perturbation does exactly that —
+    # must invalidate the memo, not serve the stale materialization
+    import os
+
+    try:
+        fprint = tuple(
+            sorted(
+                (f, int(st.st_mtime_ns), st.st_size)
+                for f in os.listdir(sf_dir)
+                if f.endswith(".parquet")
+                for st in (os.stat(os.path.join(sf_dir, f)),)
+            )
+        )
+    except OSError:
+        fprint = ()
+    key = (spark.sparkContext.applicationId, name, sf_dir, fprint)
     hit = _FRAGMENT_CACHE.get(key)
     if hit is None:
         spark.sparkContext.setJobDescription(f"memo_fragment: {name}")

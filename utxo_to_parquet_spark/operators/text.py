@@ -6971,13 +6971,15 @@ def _wp_train_cached(spark, sf_dir):
             f"'{_sq(merged)}{d}') "
             f"ELSE concat(acc, x, '{d}') END)"
         )
-        # lazy: next round's collect materializes the fold (round 14) —
-        # the final round's rewrite, which nothing reads, never runs
+        # EAGER: unlike the BPE trainer below, each WordPiece round has
+        # TWO consumers of v (the pair count and the symbol count) in
+        # one collect job — a lazy fold gets raced and computed twice
+        # per round (measured +2 s over the 10 rounds)
         v = (
             v.withColumn(
                 "syms", F.expr(f"filter(split({fold}, '{d}'), x -> x <> '')")
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     vocab = sorted(set(alphabet) | set(pieces))
     _WP_TRAIN_CACHE[key] = (vocab, merges)
