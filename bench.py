@@ -463,16 +463,55 @@ def main():
     # per-query 1-min load at start: the suite runs single-shot, so a
     # noisy-host cell is attributable within the record (the r12 pair
     # of runs differed 325 vs 408 s on identical code purely by load)
+    # Round 15 (verdict item 2, honest memo attribution): a shared
+    # fragment built inside a query's timed region is reported as its
+    # own "memo:<name>" cell and SUBTRACTED from that query's cell, so
+    # per-query numbers no longer depend on suite order (the build
+    # still runs inside the timed loop — nothing is precomputed — and
+    # the suite total is unchanged: sum(cells) == wall time either
+    # way). memo_trigger records which query paid each build.
+    from utxo_to_parquet_spark.operators.registry import memo_build_log
+
     query_load1: dict[str, float] = {}
+    memo_trigger: dict[str, str] = {}
+    memo_seen = len(memo_build_log())
     for name in HEADLINE:
         query_load1[name] = round(_load1(), 2)
         t0 = time.time()
         rows = qs[name](spark, sf_dir).collect()
-        times[name] = round(time.time() - t0, 3)
+        dt_q = time.time() - t0
+        blog = memo_build_log()
+        for frag, bsec in blog[memo_seen:]:
+            cell = f"memo:{frag}"
+            times[cell] = round(times.get(cell, 0.0) + bsec, 3)
+            memo_trigger.setdefault(frag, name)
+            dt_q -= bsec
+        memo_seen = len(blog)
+        times[name] = round(max(dt_q, 0.0), 3)
         del rows
 
     # the cold-run duplicate is informational, not part of the suite sum
     total = round(sum(v for k, v in times.items() if k != "utxo_convert_cold"), 3)
+
+    # §2.6 pipelined twin (round-15 verdict item 8): the same queries,
+    # warm session, 3 concurrent driver threads — measures how much of
+    # the sequential suite is per-query job floor (driver round-trips +
+    # AQE replanning) that independent jobs back-fill. Reported as an
+    # ADDITIONAL number; the sequential metric above stays the
+    # cross-round comparable. Gate: SPARK_GRAFT_PIPELINED=0 skips it.
+    suite_pipelined = None
+    if os.environ.get("SPARK_GRAFT_PIPELINED", "1") != "0":
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _piped(name: str) -> None:
+            spark.sparkContext.setJobDescription(f"pipelined:{name}")
+            qs[name](spark, sf_dir).collect()
+            spark.sparkContext.setJobDescription(None)
+
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(_piped, HEADLINE))
+        suite_pipelined = round(time.time() - t0, 3)
     # host context rides in the artifact so the driver-vs-isolated noise
     # band (r9 verdict measured a uniform ~1.37x inflation under load)
     # is attributable WITHIN the record, not by cross-referencing
@@ -488,12 +527,26 @@ def main():
         "start_unix": int(T_START),
         "wall_sec": round(time.time() - T_START, 1),
     }
+    # JVM telemetry (round-15 verdict item 3): storage-memory state and
+    # cumulative GC time ride in the record so a degraded suite run is
+    # attributable (host episode vs in-process memory pressure)
+    try:
+        sc = spark.sparkContext
+        beans = sc._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        host["gc_ms"] = int(sum(b.getCollectionTime() for b in beans))
+        rdds = sc._jsc.sc().getRDDStorageInfo()
+        host["storage_mem_bytes"] = int(sum(r.memSize() for r in rdds))
+        host["storage_disk_bytes"] = int(sum(r.diskSize() for r in rdds))
+        host["storage_rdds"] = len(rdds)
+    except Exception:
+        pass
     result = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
         "query_load1": query_load1,
+        "memo_trigger": memo_trigger,
         "sf": sf,
         "utxo_convert_rows_per_sec": int(UTXO_BENCH_ROWS / dt),
         # per-trial spread for the two headline rows: a real regression
@@ -501,6 +554,8 @@ def main():
         "trials": per_trial,
         "host": host,
     }
+    if suite_pipelined is not None:
+        result["suite_seconds_pipelined"] = suite_pipelined
     # Emit the summary twice (stderr first, stdout last) and persist a
     # durable copy: round-5's driver capture truncated the single stdout
     # line mid-key ("parsed": null in BENCH_r05.json), so any one of the
@@ -516,6 +571,21 @@ def main():
     # summary as the VERY LAST line so any tail capture contains one
     # complete JSON object; the full per-query record is the line above
     # plus the durable BENCH_local.json copy.
+    # round-15 verdict item 2: the compact queries dict carries the two
+    # headline rows PLUS the top-20 heaviest per-query cells, so the
+    # driver's round-over-round PERF comparison stops being 2-query-blind
+    top20 = dict(
+        sorted(
+            ((k, v) for k, v in times.items() if k != "utxo_convert_cold"),
+            key=lambda kv: -kv[1],
+        )[:20]
+    )
+    compact_queries = {
+        k: times[k]
+        for k in ("utxo_convert", "utxo_point_lookup_parquet")
+        if k in times
+    }
+    compact_queries.update(top20)
     compact = {
         "metric": result["metric"],
         "value": result["value"],
@@ -523,15 +593,13 @@ def main():
         "sf": result["sf"],
         "n_queries": len(times),
         "utxo_convert_rows_per_sec": result["utxo_convert_rows_per_sec"],
-        "queries": {
-            k: times[k]
-            for k in ("utxo_convert", "utxo_point_lookup_parquet")
-            if k in times
-        },
+        "queries": compact_queries,
         "trials": per_trial,
         "host": host,
         "full_record": "BENCH_local.json",
     }
+    if suite_pipelined is not None:
+        compact["suite_seconds_pipelined"] = suite_pipelined
     print(json.dumps(compact), flush=True)
 
 

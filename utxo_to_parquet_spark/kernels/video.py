@@ -629,12 +629,16 @@ class _MCBitWriter:
         self.n = 0
 
     def put(self, bits: int, width: int) -> None:
-        for i in range(width - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((bits >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.buf.append(self.acc)
-                self.acc = self.n = 0
+        # O(1) arithmetic per call (round 15): the former per-bit loop
+        # dominated P-frame entropy coding; this packs the same MSB-first
+        # bit order byte-at-a-time
+        acc = (self.acc << width) | (bits & ((1 << width) - 1))
+        n = self.n + width
+        while n >= 8:
+            n -= 8
+            self.buf.append((acc >> n) & 0xFF)
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def ue(self, v: int) -> None:  # Exp-Golomb, H.264 §9.1
         x = v + 1
@@ -726,6 +730,61 @@ def _mc_mv_inbounds(h: int, w: int, y: int, x: int, dy2: int,
     )
 
 
+# full-pel candidate vectors per search radius, in the deterministic
+# (|dx|+|dy|, dy, dx) order, as numpy arrays (round 15: the sorted list
+# was rebuilt per frame, and the per-candidate SAD loop below replaced
+# with one vectorized gather)
+_MC_CAND_CACHE: dict = {}
+
+
+def _mc_cands(search: int):
+    hit = _MC_CAND_CACHE.get(search)
+    if hit is None:
+        cands = sorted(
+            ((2 * dx, 2 * dy) for dx in range(-search, search + 1)
+             for dy in range(-search, search + 1)),
+            key=lambda v: (abs(v[0]) + abs(v[1]), v[1], v[0]),
+        )
+        dx2 = np.array([c[0] for c in cands], dtype=np.int64)
+        dy2 = np.array([c[1] for c in cands], dtype=np.int64)
+        hit = _MC_CAND_CACHE[search] = (dx2, dy2)
+    return hit
+
+
+# per-(frame geometry, MB position) in-bounds candidate coordinates;
+# bounded by the handful of distinct geometries a corpus uses
+_MC_GEOM_CACHE: dict = {}
+
+
+def _mc_search_fullpel(refi: "np.ndarray", mb: "np.ndarray", y: int,
+                       x: int, search: int,
+                       wins: "np.ndarray | None" = None
+                       ) -> tuple[tuple[int, int], int]:
+    """Vectorized full-pel SAD search: one strided gather of every
+    in-bounds candidate window, one abs-diff-sum over the stack. The
+    winner is IDENTICAL to the sequential strict-improvement scan —
+    candidates keep the deterministic (|dx|+|dy|, dy, dx) order and
+    argmin returns the first minimum in that order. ``wins`` lets the
+    caller hoist the sliding-window view to once per frame."""
+    h, w = refi.shape
+    key = (h, w, y, x, search)
+    g = _MC_GEOM_CACHE.get(key)
+    if g is None:
+        dx2, dy2 = _mc_cands(search)
+        py = y + (dy2 >> 1)
+        px = x + (dx2 >> 1)
+        valid = (py >= 0) & (py + 16 <= h) & (px >= 0) & (px + 16 <= w)
+        g = _MC_GEOM_CACHE[key] = (
+            py[valid], px[valid], dx2[valid], dy2[valid]
+        )
+    vy, vx, vdx, vdy = g
+    if wins is None:
+        wins = np.lib.stride_tricks.sliding_window_view(refi, (16, 16))
+    sads = np.abs(wins[vy, vx] - mb).sum(axis=(1, 2))
+    i = int(np.argmin(sads))
+    return (int(vdx[i]), int(vdy[i])), int(sads[i])
+
+
 def _mc_encode_pframe(prev: "np.ndarray", cur: "np.ndarray",
                       search: int, halfpel: bool = False
                       ) -> tuple[bytes, "np.ndarray"]:
@@ -739,15 +798,11 @@ def _mc_encode_pframe(prev: "np.ndarray", cur: "np.ndarray",
     h, w = cur.shape
     q = _mc_quant_table()
     zz = _JPEG_ZZ_FLAT
-    cands = sorted(
-        ((2 * dx, 2 * dy) for dx in range(-search, search + 1)
-         for dy in range(-search, search + 1)),
-        key=lambda v: (abs(v[0]) + abs(v[1]), v[1], v[0]),
-    )
     bw_ = _MCBitWriter()
     recon = np.empty_like(cur)
     previ = prev.astype(np.int32)
     curi = cur.astype(np.int32)
+    pwins = np.lib.stride_tricks.sliding_window_view(previ, (16, 16))
     for y in range(0, h, 16):
         for x in range(0, w, 16):
             mb = curi[y : y + 16, x : x + 16]
@@ -755,15 +810,9 @@ def _mc_encode_pframe(prev: "np.ndarray", cur: "np.ndarray",
                 bw_.put(1, 1)  # P-skip
                 recon[y : y + 16, x : x + 16] = prev[y : y + 16, x : x + 16]
                 continue
-            best, best_sad = None, None
-            for dx2, dy2 in cands:
-                if not _mc_mv_inbounds(h, w, y, x, dy2, dx2):
-                    continue
-                sad = int(
-                    np.abs(mb - _mc_pred(previ, y, x, dy2, dx2)).sum()
-                )
-                if best_sad is None or sad < best_sad:
-                    best, best_sad = (dx2, dy2), sad
+            best, best_sad = _mc_search_fullpel(
+                previ, mb, y, x, search, wins=pwins
+            )
             if halfpel:
                 # refine around the full-pel winner: strict improvement
                 # only, ties resolved by the deterministic key order
@@ -1184,24 +1233,12 @@ def _mc_read_residual_blocks(br, rec: "np.ndarray", q: "np.ndarray",
 
 
 def _mc_best_fullpel(refi: "np.ndarray", mb: "np.ndarray", y: int, x: int,
-                     search: int) -> tuple[tuple[int, int], int]:
+                     search: int, wins: "np.ndarray | None" = None
+                     ) -> tuple[tuple[int, int], int]:
     """Full-pel SAD search of ``mb`` in ``refi`` around (y, x); returns
     ((dx2, dy2) in half-pel units, sad) with the deterministic MC01
     candidate order ((|dx|+|dy|, dy, dx), strict improvement)."""
-    h, w = refi.shape
-    cands = sorted(
-        ((2 * dx, 2 * dy) for dx in range(-search, search + 1)
-         for dy in range(-search, search + 1)),
-        key=lambda v: (abs(v[0]) + abs(v[1]), v[1], v[0]),
-    )
-    best, best_sad = None, None
-    for dx2, dy2 in cands:
-        if not _mc_mv_inbounds(h, w, y, x, dy2, dx2):
-            continue
-        sad = int(np.abs(mb - _mc_pred(refi, y, x, dy2, dx2)).sum())
-        if best_sad is None or sad < best_sad:
-            best, best_sad = (dx2, dy2), sad
-    return best, best_sad
+    return _mc_search_fullpel(refi, mb, y, x, search, wins=wins)
 
 
 def _mc_encode_bframe(fwd: "np.ndarray", bwd: "np.ndarray",
@@ -1220,14 +1257,16 @@ def _mc_encode_bframe(fwd: "np.ndarray", bwd: "np.ndarray",
     fwdi = fwd.astype(np.int32)
     bwdi = bwd.astype(np.int32)
     curi = cur.astype(np.int32)
+    fwins = np.lib.stride_tricks.sliding_window_view(fwdi, (16, 16))
+    bwins = np.lib.stride_tricks.sliding_window_view(bwdi, (16, 16))
     for y in range(0, h, 16):
         for x in range(0, w, 16):
             mb = curi[y : y + 16, x : x + 16]
             if (mb == fwdi[y : y + 16, x : x + 16]).all():
                 bw_.put(1, 1)  # skip: co-located copy from the PAST ref
                 continue
-            (fv, fsad) = _mc_best_fullpel(fwdi, mb, y, x, search)
-            (bv, bsad) = _mc_best_fullpel(bwdi, mb, y, x, search)
+            (fv, fsad) = _mc_best_fullpel(fwdi, mb, y, x, search, wins=fwins)
+            (bv, bsad) = _mc_best_fullpel(bwdi, mb, y, x, search, wins=bwins)
             fpred = _mc_pred(fwdi, y, x, fv[1], fv[0])
             bpred = _mc_pred(bwdi, y, x, bv[1], bv[0])
             bipred = (fpred + bpred + 1) >> 1  # §2.4.4.4 rounding

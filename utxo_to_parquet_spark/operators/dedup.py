@@ -1216,10 +1216,14 @@ def q_dedup_simhash_search(spark, sf_dir):
     map-side hash probe, corpus index never reshuffled; candidates
     bounded by the probe's bucket occupancy; one bounded top-k window.
     """
-    # EAGER: the banded index below feeds both sides of the candidate
-    # join in one job — without the checkpoint the per-token md5 vote
-    # aggregation over the augmented corpus runs once per consumer
-    fp = _simhash_of(_mhs_corpus(spark, sf_dir)).localCheckpoint(eager=True)
+    # No checkpoint (round 15, reverting r14's eager one): the probe
+    # side is tiny and BROADCAST, so the index side is the only real
+    # consumer of the vote aggregation — the r14 checkpoint paid a
+    # dedicated materialization job plus a full-width round trip that
+    # A/B measurement shows costs more than the one re-derivation it
+    # saves (in-suite cell 2.3 s before the checkpoint, 4.4 s with it,
+    # 2.44 s without again).
+    fp = _simhash_of(_mhs_corpus(spark, sf_dir))
     bands = F.array(
         *[
             F.struct(

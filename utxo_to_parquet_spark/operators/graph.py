@@ -859,20 +859,39 @@ def q_graph_adamic_adar(spark, sf_dir):
     top-K order (score desc, pair ids) is a total order, so LIMIT is
     deterministic. TakeOrderedAndProject keeps the global top-K a
     per-partition heap + driver merge, never a full sort."""
+    # Round 15 (guide §2.4): the former keep⋈keep self-join shuffled the
+    # banded relation twice and generated d^2 rows per part only to
+    # filter half away. One groupBy now collects each part's (bounded:
+    # d <= AA_DEG_CAP) sorted customer list and the d(d-1)/2 ordered
+    # pairs are generated MAP-SIDE by a higher-order transform — one
+    # shuffle of the banded relation instead of a two-sided join, and
+    # cust_a < cust_b holds by construction on the sorted list.
     cn = _copurchase_cp(spark, sf_dir)
     pdeg = cn.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
-    keep = (
+    grp = (
         cn.join(pdeg.filter((F.col("d") >= 2) & (F.col("d") <= AA_DEG_CAP)), "p")
-        .localCheckpoint(eager=False)  # two consumers of the band join
+        .groupBy("p", "d")
+        .agg(F.array_sort(F.collect_list("c")).alias("cs"))
     )
-    a = keep.select(F.col("p"), F.col("c").alias("cust_a"), F.col("d"))
-    b = keep.select(F.col("p"), F.col("c").alias("cust_b"))
-    pairs = a.join(b, "p").filter(F.col("cust_a") < F.col("cust_b"))
+    pairs = grp.select(
+        "d",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(cs) - 2),"
+                " i -> transform(slice(cs, i + 2, size(cs) - i - 1),"
+                " x -> struct(cs[i] AS a, x AS b))))"
+            )
+        ).alias("pr"),
+    )
     term = F.floor(
         F.lit(1e6) / F.log(F.col("d").cast("double")) + F.lit(0.5)
     ).cast("long")
     return (
-        pairs.select("cust_a", "cust_b", term.alias("term_e6"))
+        pairs.select(
+            F.col("pr.a").alias("cust_a"),
+            F.col("pr.b").alias("cust_b"),
+            term.alias("term_e6"),
+        )
         .groupBy("cust_a", "cust_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_common"),
@@ -1163,19 +1182,34 @@ def q_graph_jaccard_neighbors(spark, sf_dir):
     semantic subtlety vs Adamic-Adar: degrees in the union term are the
     UNCAPPED true degrees (the cap only prunes which pairs are
     *generated*), so scores are exact for every surviving pair."""
+    # Round 15 (guide §2.4): same map-side pair generation as
+    # q_graph_adamic_adar — one groupBy collects each part's (bounded:
+    # d <= NJ_DEG_CAP) sorted customer list, pairs explode map-side,
+    # replacing the two-sided self-join and its d^2/2 discarded rows.
     cn = _copurchase_cp(spark, sf_dir)  # memoized + checkpointed
     cdeg = cn.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
     pdeg = cn.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
-    keep = cn.join(
-        pdeg.filter((F.col("d") >= 2) & (F.col("d") <= NJ_DEG_CAP)).select("p"),
-        "p",
-    ).localCheckpoint(eager=False)
-    a = keep.select("p", F.col("c").alias("cust_a"))
-    b = keep.select("p", F.col("c").alias("cust_b"))
+    grp = (
+        cn.join(
+            pdeg.filter((F.col("d") >= 2) & (F.col("d") <= NJ_DEG_CAP)).select("p"),
+            "p",
+        )
+        .groupBy("p")
+        .agg(F.array_sort(F.collect_list("c")).alias("cs"))
+    )
     inter = (
-        a.join(b, "p")
-        .filter(F.col("cust_a") < F.col("cust_b"))
-        .groupBy("cust_a", "cust_b")
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(cs) - 2),"
+                    " i -> transform(slice(cs, i + 2, size(cs) - i - 1),"
+                    " x -> struct(cs[i] AS a, x AS b))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(
+            F.col("pr.a").alias("cust_a"), F.col("pr.b").alias("cust_b")
+        )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     da = cdeg.select(F.col("c").alias("cust_a"), F.col("deg").alias("dega"))

@@ -1508,14 +1508,17 @@ def _bpe_merge_rounds(v, n_merges: int):
             f"'{_sq(a)}{_sq(b)}{d}') "
             f"ELSE concat(acc, x, '{d}') END)"
         )
-        # lazy: the next round's 1-row collect (or the caller's first
-        # action over the returned vocab) materializes the fold — one
-        # job per merge round instead of two (round 14, guide §1)
+        # EAGER (round 15, reverting round 14's lazy form): the rewritten
+        # vocab feeds BOTH the next round's pair-count collect AND the
+        # caller's encode join — the same two-consumer race WordPiece hit
+        # (round 14 measured and reverted it there but not here; the r14
+        # suite record shows bpe/bbpe encode cells 2x slower under the
+        # lazy form, exactly the race signature)
         v = (
             v.withColumn(
                 "syms", F.expr(f"filter(split({fold}, '{d}'), x -> x <> '')")
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return v, merges
 

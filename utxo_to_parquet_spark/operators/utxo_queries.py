@@ -103,11 +103,40 @@ def utxos_df(spark, sf_dir):
     """,
 )
 def q_utxo_point_lookup(spark, sf_dir):
-    # the filter runs on the true BINARY form (unhex) — same semantics the
-    # reference's DuckDB demo exercises on the script BinaryType column
+    # Round 15 (guide §8 "use what you know that the optimizer does
+    # not", fixing the r14 in-suite regression): this lookup needs a
+    # ~1/N_SCRIPTS sliver of the view, so it no longer consumes the
+    # memoized full-width utxos_view (whose first consumer pays an
+    # all-columns materialization). script_hex is a pure function of
+    # l_partkey % N_SCRIPTS, so the flagship-script equality filter is
+    # EQUIVALENT to the bucket predicate below — the filter moves from
+    # "md5 every row, then compare 50-byte strings" to an integer
+    # modulus at the scan, and only matching rows pay the md5s. The
+    # binary-form equality (unhex, the semantics the reference's demo
+    # exercises on the BinaryType column) is still applied to the
+    # surviving rows, so results are value-identical for ANY corpus.
+    li = load(spark, sf_dir, "lineitem")
+    okey = F.col("l_orderkey").cast("string")
+    flagship_bucket = next(
+        k
+        for k in range(N_SCRIPTS)
+        if hashlib.sha256(f"s{k}".encode()).hexdigest()[:40] == FLAGSHIP_H20
+    )
     return (
-        utxos_df(spark, sf_dir)
-        .filter(F.unhex(F.col("script_hex")) == F.unhex(F.lit(FLAGSHIP_SCRIPT_HEX)))
+        li.filter(F.col("l_partkey") % N_SCRIPTS == flagship_bucket)
+        .select(
+            F.concat(
+                F.md5(F.concat(F.lit("tx"), okey)),
+                F.md5(F.concat(F.lit("tx2"), okey)),
+            ).alias("txid"),
+            F.col("l_linenumber").cast("long").alias("vout"),
+            (F.col("l_orderkey") % 100000).cast("long").alias("height"),
+            F.floor(F.col("l_extendedprice") * 100).alias("amount"),
+            F.lit(FLAGSHIP_SCRIPT_HEX).alias("script_hex"),
+        )
+        .filter(
+            F.unhex(F.col("script_hex")) == F.unhex(F.lit(FLAGSHIP_SCRIPT_HEX))
+        )
         .select("txid", "vout", "amount", "height")
         .orderBy("height")
     )
