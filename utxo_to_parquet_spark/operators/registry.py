@@ -94,8 +94,14 @@ def _parquet_fingerprint(sf_dir: str) -> tuple:
     stale memo after an in-place overwrite (round-14 advice item)."""
     import os
 
+    def _raise(exc: OSError):
+        raise exc
+
     entries = []
-    for root, _dirs, files in os.walk(sf_dir):
+    # onerror: os.walk swallows listdir errors by default, which would
+    # silently yield fprint=() for an unlistable path — the exact
+    # never-invalidated-memo hazard this fingerprint exists to prevent
+    for root, _dirs, files in os.walk(sf_dir, onerror=_raise):
         for f in files:
             if f.endswith(".parquet"):
                 p = os.path.join(root, f)
